@@ -83,8 +83,18 @@ def extract_document(text: str, apply_blacklist: bool = True) -> DocExtraction:
         for seg, seg_off in split_segments(resolved):
             raw.extend(extract_raw_triples(seg, offset=cstart + seg_off))
 
+        from .entities import PERSON
+
+        def resolve_slot(surface: str, expected_kind: str):
+            ent = kb.resolve(surface, expected_kind=expected_kind)
+            # pattern slots carry more signal than the scanner's Person
+            # default: upgrade ("UT Austin" -> EducationalOrganization)
+            if expected_kind and ent.kind == PERSON and expected_kind != PERSON:
+                ent.kind = expected_kind
+            return ent
+
         for rt in raw:
-            subj_ent = kb.resolve(rt.subj, expected_kind=rt.subj_kind)
+            subj_ent = resolve_slot(rt.subj, rt.subj_kind)
             if rt.obj_kind is None:
                 obj_surface, obj_type = rt.obj, ""
             elif rt.obj == "__ROOT_ORG__":
@@ -97,7 +107,7 @@ def extract_document(text: str, apply_blacklist: bool = True) -> DocExtraction:
                     continue
                 obj_surface, obj_type = root_org.canonical_name, root_org.kind
             else:
-                obj_ent = kb.resolve(rt.obj, expected_kind=rt.obj_kind)
+                obj_ent = resolve_slot(rt.obj, rt.obj_kind)
                 obj_surface, obj_type = obj_ent.canonical_name, obj_ent.kind
             pred = normalize_predicate(rt.pred)
             if apply_blacklist and predicate_blacklisted(pred):

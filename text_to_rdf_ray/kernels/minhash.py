@@ -1,0 +1,133 @@
+"""Vectorized MinHash / SimHash / shingle kernels (numpy).
+
+Used by (a) entity-canonicalization LSH blocking on surface forms (the
+north-star J2 path: MinHash-LSH surface-form blocking + union-find) and
+(b) document near-dup detection.  All hashing is deterministic (fixed
+seed-derived parameters, no RNG at call time) so Ray task retries and
+N-vs-4N runs produce identical outputs.
+
+MinHash uses the standard universal-hash family h_i(x) = (a_i*x + b_i) mod p
+over 64-bit shingle hashes; bands of r rows give the LSH key
+(band_id, hash(band_signature)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_DEFAULT_PERMS = 64
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def perm_params(num_perm: int = _DEFAULT_PERMS, seed: int = 42):
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    return _PERM_CACHE[key]
+
+
+def char_shingles(text: str, k: int = 3) -> set[str]:
+    t = " " + text.lower() + " "
+    if len(t) <= k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def word_shingles(text: str, k: int = 5) -> set[str]:
+    words = text.lower().split()
+    if len(words) <= k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _hash_shingles(shingles) -> np.ndarray:
+    """Stable 64-bit hashes of shingles (blake2b, deterministic across runs)."""
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def minhash_signature(shingles, num_perm: int = _DEFAULT_PERMS, seed: int = 42) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set."""
+    a, b = perm_params(num_perm, seed)
+    if not shingles:
+        return np.full(num_perm, np.uint64(_MERSENNE), dtype=np.uint64)
+    hv = _hash_shingles(sorted(shingles))
+    # (num_perm, n) universal hashing in uint64 modular arithmetic
+    prod = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1).astype(np.uint64)
+
+
+def band_keys(signature: np.ndarray, bands: int) -> list[int]:
+    """Split signature into ``bands`` bands; return a stable hash per band."""
+    r = len(signature) // bands
+    keys = []
+    for bi in range(bands):
+        seg = signature[bi * r : (bi + 1) * r].tobytes()
+        h = hashlib.blake2b(seg, digest_size=8).digest()
+        keys.append(int.from_bytes(h, "little") >> 1)  # fits int64
+    return keys
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str, k: int = 3) -> int:
+    """64-bit SimHash over character k-gram hashes (bit-vote aggregation)."""
+    sh = char_shingles(text, k)
+    if not sh:
+        return 0
+    hv = _hash_shingles(sorted(sh))
+    bits = np.unpackbits(hv.view(np.uint8).reshape(len(hv), 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 - len(hv)  # >0 -> bit set
+    packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+    return int(np.frombuffer(packed.tobytes(), dtype=np.uint64)[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
+    ``window``-char windows, keeping hashes ≡ 0 (mod 2^mod_bits)."""
+    data = text.encode("utf-8", errors="ignore")
+    n = len(data)
+    if n < window:
+        h = hashlib.blake2b(data, digest_size=8).digest()
+        return [int.from_bytes(h, "little") >> 1]
+    base = 1099511628211
+    mask = np.uint64((1 << mod_bits) - 1)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # powers of the base mod 2^64 (Python ints, then cast — wraparound intended)
+    pw_int = [1] * window
+    for i in range(1, window):
+        pw_int[i] = (pw_int[i - 1] * base) & 0xFFFFFFFFFFFFFFFF
+    pw = np.array(pw_int, dtype=np.uint64)
+    m = n - window + 1
+    # windows matrix trick is memory-heavy for big docs; stride over view
+    strided = np.lib.stride_tricks.sliding_window_view(arr, window)
+    hashes = (strided * pw[::-1]).sum(axis=1, dtype=np.uint64)
+    sel = hashes & mask == 0
+    picked = hashes[sel]
+    if picked.size == 0:
+        picked = hashes[:1]
+    return [int(h) >> 1 for h in np.unique(picked)]
