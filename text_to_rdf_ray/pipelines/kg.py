@@ -1,0 +1,185 @@
+"""KG-construction pipeline assembly (Ray Data Dataset graph).
+
+End-to-end flow (north star):
+  read_parquet(pages shards, columns pruned at the read)
+  -> strip_html (map_batches, drops binary column)
+  -> filter_lang (vectorized arrow predicate)
+  -> extract_triples (per-document kernel: chunking/coref/patterns/KB)
+  -> LinkEntities (actor pool; KB broadcast via ray.put)
+  -> canonicalize (MinHash-LSH blocking + union-find shuffles)
+  -> validate (vectorized confidence)
+  -> global (subj,pred,obj) dedup (salted two-phase shuffle)
+  -> partitioned Parquet + N-Triples sinks, per-partition manifests.
+
+``run_partitioned`` processes the input in named partition groups (file
+granularity) with atomic per-partition outputs + manifests so a failed run
+resumes by skipping complete partitions (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..stages.canonicalize import apply_canonical_map, canonicalize_surfaces, dedup_triples
+from ..stages.kg_stages import (
+    LinkEntities,
+    extract_triples,
+    make_lang_filter,
+    strip_html,
+    validate_triples,
+)
+
+PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(path: str, *, use_gold_text: bool = False) -> rd.Dataset:
+    """Read pages shards with column pruning at the read (only the columns
+    the pipeline touches leave storage)."""
+    cols = ["url", "warc_ts", "text", "lang"] if use_gold_text else PAGE_COLUMNS
+    return rd.read_parquet(path, columns=cols)
+
+
+def build_triples(
+    pages: rd.Dataset,
+    *,
+    kb_records=None,
+    lang: str | None = "en",
+    link: bool = True,
+    canonicalize: bool = True,
+    validate: bool = True,
+    dedup: bool = True,
+    from_html: bool = True,
+    link_concurrency=(2, 8),
+    extract_batch_size: int = 64,
+) -> rd.Dataset:
+    """Assemble the lazy Dataset pipeline from pages to canonical triples."""
+    ds = pages
+    if from_html:
+        ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=256)
+    if lang:
+        ds = ds.map_batches(make_lang_filter(lang), batch_format="pyarrow")
+    ds = ds.map_batches(
+        extract_triples, batch_format="pyarrow", batch_size=extract_batch_size
+    )
+    if link and kb_records is not None:
+        kb_ref = ray.put(kb_records)
+        ds = ds.map_batches(
+            LinkEntities,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=link_concurrency,
+            fn_constructor_kwargs={"kb_ref": kb_ref},
+        )
+    if canonicalize:
+        import pyarrow.compute as pc
+
+        ds = ds.materialize()
+        surfaces_ds = (
+            ds.map_batches(_surface_rows, batch_format="pyarrow")
+            .groupby("surface")
+            .count()
+            .select_columns(["surface"])
+        )
+        cmap = canonicalize_surfaces(surfaces_ds)
+        changed = cmap.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t.column("surface"), t.column("canonical")))
+            ),
+            batch_format="pyarrow",
+        )
+        # only actually-merged surfaces come back to the driver (small);
+        # at 10^12 scale this becomes a hash-partitioned join instead
+        mapping = {r["surface"]: r["canonical"] for r in changed.take_all()}
+        if mapping:
+            ds = apply_canonical_map(ds, mapping)
+    if validate:
+        ds = ds.map_batches(validate_triples, batch_format="pyarrow")
+    if dedup:
+        ds = dedup_triples(ds)
+    return ds
+
+
+def _surface_rows(batch: pa.Table) -> pa.Table:
+    subj = batch.column("subj").to_pylist()
+    objs = batch.column("obj").to_pylist()
+    obj_types = batch.column("obj_type").to_pylist()
+    names = set(subj) | {o for o, t in zip(objs, obj_types) if t}
+    return pa.table({"surface": pa.array(sorted(names), pa.string())})
+
+
+def run_partitioned(
+    pages_path: str,
+    out_dir: str,
+    *,
+    partitions: int = 4,
+    kb_records=None,
+    resume: bool = True,
+    **build_kwargs,
+) -> dict:
+    """Partitioned, resumable run: input files are hashed into partition
+    groups; each group runs the full pipeline and commits atomically with a
+    manifest.  Returns the aggregated run report."""
+    from ..state import manifest as mf
+
+    files = sorted(
+        os.path.join(pages_path, f)
+        for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_path}")
+    groups: list[list[str]] = [[] for _ in range(partitions)]
+    for i, f in enumerate(files):
+        groups[i % partitions].append(f)
+
+    report = {"partitions": partitions, "skipped": 0, "ran": 0}
+    for part, group in enumerate(groups):
+        if not group:
+            continue
+        if resume and mf.is_complete(out_dir, part):
+            report["skipped"] += 1
+            continue
+        pages = rd.read_parquet(group, columns=PAGE_COLUMNS)
+        docs_in = pages.count()
+        triples = build_triples(pages, kb_records=kb_records, **build_kwargs)
+        triples = triples.materialize()
+        n_triples = triples.count()
+
+        def write_fn(tmp_dir, triples=triples):
+            triples.write_parquet(tmp_dir)
+            return {"rows": n_triples}
+
+        mf.write_partition(
+            out_dir,
+            part,
+            write_fn,
+            input_fragments=group,
+            counters={"docs_in": docs_in, "triples_out": n_triples},
+        )
+        report["ran"] += 1
+    report["counters"] = mf.aggregate_counters(out_dir)
+    return report
+
+
+def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
+    """Render canonical triples as N-Triples text shards."""
+    from ..kernels.jsonld import render_ntriples
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        lines = [
+            render_ntriples(s, p, o, bool(t))
+            for s, p, o, t in zip(
+                batch.column("subj").to_pylist(),
+                batch.column("pred").to_pylist(),
+                batch.column("obj").to_pylist(),
+                batch.column("obj_type").to_pylist(),
+            )
+        ]
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    triples.map_batches(to_lines, batch_format="pyarrow").write_csv(out_dir)

@@ -1,0 +1,375 @@
+"""Entity canonicalization: MinHash-LSH blocking + union-find as shuffles.
+
+North-star core (BASELINE.json): cross-document surface-form
+canonicalization at 10^12-doc scale —
+
+  distinct surfaces
+  -> map_batches: char-shingle MinHash signatures, explode to
+     (band_id, band_hash, name_id, norm) rows              [no shuffle]
+  -> groupby(band_key): per-bucket candidate pairs, verified by exact
+     shingle Jaccard >= tau                                 [shuffle 1]
+     (buckets larger than ``max_bucket`` are skipped — the skew guard for
+      head surface forms; exact duplicates inside a skipped bucket are
+      still unified because identical norms share ALL bands and one
+      unskewed band key, and identical strings canonicalize identically)
+  -> iterative min-label propagation over the edge set     [shuffles 2..k]
+     (union-find connected components as groupby-aggregate rounds with
+      early convergence detection; only nodes that appear in edges join
+      the iteration — singletons shortcut to themselves)
+  -> canonical name per component = lexicographically smallest surface
+  -> surface -> canonical map joined back onto the triples.
+
+The label-propagation join is hash-partitioned (Dataset.join on Ray
+2.49); candidate-pair generation shuffles only (band_key, name_id, norm)
+rows, never documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..kernels.minhash import band_keys, char_shingles, jaccard, minhash_signature
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16
+DEFAULT_TAU = 0.72
+DEFAULT_MAX_BUCKET = 64
+
+
+def _norm(surface: str) -> str:
+    return " ".join(surface.lower().replace(".", "").split())
+
+
+def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
+    names = batch.column("surface").to_pylist()
+    ids = batch.column("name_id").to_pylist()
+    out_band, out_hash, out_id, out_norm, out_surface = [], [], [], [], []
+    for nid, surface in zip(ids, names):
+        norm = _norm(surface)
+        sig = minhash_signature(char_shingles(norm), num_perm=num_perm)
+        for bi, bh in enumerate(band_keys(sig, bands)):
+            out_band.append(bi)
+            out_hash.append(bh)
+            out_id.append(nid)
+            out_norm.append(norm)
+            out_surface.append(surface)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "name_id": pa.array(out_id, pa.int64()),
+            "norm": pa.array(out_norm, pa.string()),
+            "surface": pa.array(out_surface, pa.string()),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, tau: float, max_bucket: int) -> pd.DataFrame:
+    g = group.drop_duplicates("name_id").sort_values("name_id")
+    n = len(g)
+    if n < 2 or n > max_bucket:
+        return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+    ids = g["name_id"].to_numpy()
+    norms = g["norm"].tolist()
+    shingles = [char_shingles(s) for s in norms]
+    src, dst = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if norms[i] == norms[j] or jaccard(shingles[i], shingles[j]) >= tau:
+                src.append(ids[i])
+                dst.append(ids[j])
+    return pd.DataFrame({"src": np.array(src, dtype=np.int64),
+                         "dst": np.array(dst, dtype=np.int64)})
+
+
+def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
+    """Min-label propagation over undirected edges -> (name_id, component).
+
+    Each round: component(node) = min(component(node), min over neighbors'
+    components) — expressed as a hash join (edges x labels) + groupby-min.
+    Converges in O(log diameter) rounds; stops early when the global label
+    sum is stable (components from LSH name-blocking are tiny).
+    """
+    fwd = edges.select_columns(["src", "dst"])
+    rev = edges.select_columns(["dst", "src"]).rename_columns({"dst": "src", "src": "dst"})
+    und = fwd.union(rev).materialize()
+
+    labels = (
+        und.select_columns(["src"])
+        .groupby("src")
+        .count()
+        .select_columns(["src"])
+        .rename_columns({"src": "name_id"})
+        .map_batches(
+            lambda t: t.append_column("component", t.column("name_id")),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = und.join(
+            labels.rename_columns({"name_id": "src"}),
+            join_type="inner",
+            num_partitions=16,
+            on=("src",),
+        ).select_columns(["dst", "component"]).rename_columns({"dst": "name_id"})
+        combined = labels.union(msgs)
+        labels = (
+            combined.groupby("name_id")
+            .min("component")
+            .rename_columns({"min(component)": "component"})
+            .materialize()
+        )
+        cur = labels.sum("component")
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def canonicalize_surfaces(
+    surfaces: rd.Dataset,
+    *,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    tau: float = DEFAULT_TAU,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> rd.Dataset:
+    """(surface) -> (surface, canonical) mapping dataset.
+
+    ``surfaces`` must have a ``surface`` string column (distinct values).
+    """
+    ids = surfaces.map_batches(
+        lambda t: pa.table(
+            {
+                "surface": t.column("surface"),
+                "name_id": pa.array(
+                    [
+                        int.from_bytes(
+                            __import__("hashlib").blake2b(
+                                s.encode("utf-8"), digest_size=8
+                            ).digest(),
+                            "little",
+                        )
+                        >> 1
+                        for s in t.column("surface").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    bands_ds = ids.map_batches(
+        lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
+    )
+    edges = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, tau, max_bucket), batch_format="pandas"
+    ).materialize()
+
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda t: pa.table(
+                {"surface": t.column("surface"), "canonical": t.column("surface")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    comp = connected_components(edges)
+    # attach component to every (name_id, surface); nodes without edges keep themselves
+    with_comp = ids.join(
+        comp, join_type="left_outer", num_partitions=16, on=("name_id",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "surface": t.column("surface"),
+                "component": pa.array(
+                    [
+                        c if c is not None else nid
+                        for c, nid in zip(
+                            t.column("component").to_pylist(),
+                            t.column("name_id").to_pylist(),
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    canon = (
+        with_comp.groupby("component")
+        .min("surface")
+        .rename_columns({"min(surface)": "canonical"})
+    )
+    return with_comp.join(
+        canon, join_type="inner", num_partitions=16, on=("component",)
+    ).select_columns(["surface", "canonical"])
+
+
+def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
+    """Rewrite subj/obj through a broadcast canonical map (ray.put'd dict).
+
+    At bench scale the mapping is small (distinct surfaces << triples) so a
+    broadcast lookup beats a shuffle join; at 10^12 scale swap this for a
+    hash-partitioned join on (surface) — same output contract.
+    """
+    import ray
+
+    map_ref = ray.put(mapping)
+
+    class Rewrite:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
+
+            m = self.map
+            subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
+            objs = batch.column("obj").to_pylist()
+            obj_types = batch.column("obj_type").to_pylist()
+            obj = [m.get(o, o) if ot else o for o, ot in zip(objs, obj_types)]
+            cols = {name: batch.column(name) for name in batch.column_names}
+            cols["subj"] = pa.array(subj, pa.string())
+            cols["obj"] = pa.array(obj, pa.string())
+            cols["subj_slug"] = pa.array(
+                [normalize_entity_name(s) for s in subj], pa.string()
+            )
+            cols["subj_lower"] = pa.array(
+                [normalize_docred_subject(s) for s in subj], pa.string()
+            )
+            return pa.table(cols)
+
+    return triples.map_batches(Rewrite, batch_format="pyarrow", concurrency=(1, 4))
+
+
+_PACK_SEP = "\x1f"
+_PACKED_COLS = [
+    "url", "chunk_id", "span_start", "span_end", "method", "nested_in",
+    "subj_type", "obj_type", "subj_uri", "subj_link_conf", "obj_uri",
+    "obj_link_conf", "confidence", "valid", "subj_slug", "subj_lower",
+    "pred_key",
+]
+
+
+def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
+    """Global exact (subj, pred, obj) dedup — the final canonical shuffle
+    (HashSet semantics of integration_tests.rs:70, A3 in SURVEY.md).
+
+    Two-phase and fully vectorized:
+    1. map_batches combiner: add a 64-bit spo_key, pack all provenance
+       columns into ONE lexicographically-sortable string (url first, then
+       zero-padded chunk/span), drop within-batch duplicates keeping the
+       min.  This collapses head-entity skew before the exchange.
+    2. groupby(spo_key).aggregate(Min(...)): built-in hash aggregation —
+       no per-group Python.  Min of the packed string selects a CONSISTENT
+       representative row (deterministic first-by-(url,chunk,span)); subj/
+       pred/obj are constant within a group by construction.
+    3. map_batches: unpack provenance back into columns.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    def pack(batch: pa.Table) -> pa.Table:
+        cols = {name: batch.column(name).to_pylist() for name in batch.column_names}
+        n = len(batch)
+        # stages before link/validate may be disabled; default their columns
+        cols.setdefault("subj_uri", [None] * n)
+        cols.setdefault("subj_link_conf", [0.0] * n)
+        cols.setdefault("obj_uri", [None] * n)
+        cols.setdefault("obj_link_conf", [0.0] * n)
+        cols.setdefault("valid", [True] * n)
+        keys, prov = [], []
+        for i in range(n):
+            s, p, o = cols["subj"][i], cols["pred"][i], cols["obj"][i]
+            keys.append(
+                int.from_bytes(
+                    hashlib.blake2b(
+                        f"{s}\x00{p}\x00{o}".encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                >> 1
+            )
+            parts = [
+                cols["url"][i],
+                f"{cols['chunk_id'][i]:08d}",
+                f"{cols['span_start'][i]:010d}",
+                f"{cols['span_end'][i]:010d}",
+                cols["method"][i],
+                cols["nested_in"][i],
+                cols["subj_type"][i],
+                cols["obj_type"][i],
+                cols["subj_uri"][i] or "",
+                repr(cols["subj_link_conf"][i]),
+                cols["obj_uri"][i] or "",
+                repr(cols["obj_link_conf"][i]),
+                repr(cols["confidence"][i]),
+                "1" if cols["valid"][i] else "0",
+                cols["subj_slug"][i],
+                cols["subj_lower"][i],
+                cols["pred_key"][i],
+            ]
+            prov.append(_PACK_SEP.join(parts))
+        tbl = pa.table(
+            {
+                "spo_key": pa.array(keys, pa.int64()),
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "prov": pa.array(prov, pa.string()),
+            }
+        )
+        df = tbl.to_pandas()
+        df = df.sort_values(["spo_key", "prov"]).drop_duplicates("spo_key", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        prov = batch.column("prov").to_pylist()
+        fields = list(zip(*(p.split(_PACK_SEP) for p in prov))) if prov else [[] for _ in range(17)]
+        (url, chunk_id, span_start, span_end, method, nested_in, subj_type,
+         obj_type, subj_uri, subj_conf, obj_uri, obj_conf, confidence, valid,
+         subj_slug, subj_lower, pred_key) = fields
+        return pa.table(
+            {
+                "url": pa.array(url, pa.string()),
+                "subj": batch.column("subj"),
+                "subj_slug": pa.array(subj_slug, pa.string()),
+                "subj_lower": pa.array(subj_lower, pa.string()),
+                "pred": batch.column("pred"),
+                "pred_key": pa.array(pred_key, pa.string()),
+                "obj": batch.column("obj"),
+                "subj_type": pa.array(subj_type, pa.string()),
+                "obj_type": pa.array(obj_type, pa.string()),
+                "nested_in": pa.array(nested_in, pa.string()),
+                "chunk_id": pa.array([int(x) for x in chunk_id], pa.int32()),
+                "span_start": pa.array([int(x) for x in span_start], pa.int64()),
+                "span_end": pa.array([int(x) for x in span_end], pa.int64()),
+                "method": pa.array(method, pa.string()),
+                "subj_uri": pa.array([u or None for u in subj_uri], pa.string()),
+                "subj_link_conf": pa.array([float(x) for x in subj_conf], pa.float64()),
+                "obj_uri": pa.array([u or None for u in obj_uri], pa.string()),
+                "obj_link_conf": pa.array([float(x) for x in obj_conf], pa.float64()),
+                "confidence": pa.array([float(x) for x in confidence], pa.float64()),
+                "valid": pa.array([v == "1" for v in valid], pa.bool_()),
+            }
+        )
+
+    agg = (
+        triples.map_batches(pack, batch_format="pyarrow")
+        .groupby("spo_key")
+        .aggregate(Min("subj"), Min("pred"), Min("obj"), Min("prov"))
+        .rename_columns(
+            {"min(subj)": "subj", "min(pred)": "pred", "min(obj)": "obj",
+             "min(prov)": "prov"}
+        )
+    )
+    return agg.map_batches(unpack, batch_format="pyarrow")

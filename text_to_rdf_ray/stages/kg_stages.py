@@ -1,0 +1,176 @@
+"""Ray Data stages of the KG-construction pipeline.
+
+Stage functions are Arrow-in/Arrow-out ``map_batches`` bodies; the linker
+is an actor-pool class (state loaded once per actor).  All stages are pure
+w.r.t. row content (deterministic under task retry, SURVEY.md §4.2).
+
+Pipeline shape (pipelines/kg.py):
+  read_parquet(pages, columns pruned)
+  -> strip_html (drops the wide ``html`` column immediately)
+  -> filter_lang
+  -> extract_triples (per-document kernel; doc = row, chunk loop inside)
+  -> LinkEntities actor pool (KB broadcast once via ray.put)
+  -> validate
+  -> canonicalize + global dedup (stages/canonicalize.py, shuffles)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels.extractor import extract_document
+from ..kernels.text import extract_text
+from ..kernels.validation import DATE_PREDICATES, is_valid_date
+
+TRIPLE_FIELDS = [
+    ("url", pa.string()),
+    ("subj", pa.string()),
+    ("subj_slug", pa.string()),
+    ("subj_lower", pa.string()),
+    ("pred", pa.string()),
+    ("pred_key", pa.string()),
+    ("obj", pa.string()),
+    ("subj_type", pa.string()),
+    ("obj_type", pa.string()),
+    ("nested_in", pa.string()),
+    ("chunk_id", pa.int32()),
+    ("span_start", pa.int64()),
+    ("span_end", pa.int64()),
+    ("confidence", pa.float64()),
+    ("method", pa.string()),
+]
+TRIPLE_SCHEMA = pa.schema(TRIPLE_FIELDS)
+
+
+def strip_html(batch: pa.Table) -> pa.Table:
+    """html -> text; drops the wide binary column so downstream blocks are
+    text-only (SURVEY.md §4.2 'very wide rows')."""
+    html_col = batch.column("html")
+    texts = [extract_text(h.as_py()) if h.is_valid else "" for h in html_col]
+    batch = batch.drop_columns(["html"])
+    if "text" in batch.column_names:
+        batch = batch.drop_columns(["text"])
+    return batch.append_column("text", pa.array(texts, pa.large_string()))
+
+
+def make_lang_filter(lang: str = "en"):
+    def filter_lang(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("lang"), lang))
+
+    return filter_lang
+
+
+def extract_triples(batch: pa.Table) -> pa.Table:
+    """Per-document extraction: one input page row -> N triple rows.
+
+    The Python loop is over *documents* (each iteration runs the full
+    chunk/coref/pattern kernel on one doc) — the vectorization unit is the
+    document, mirroring the reference's doc-at-a-time semantics
+    (/root/reference/src/extractor.rs:570-698) with provenance columns."""
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    cols: dict[str, list] = {name: [] for name, _ in TRIPLE_FIELDS}
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        ex = extract_document(text)
+        for t in ex.triples:
+            cols["url"].append(url)
+            cols["subj"].append(t.subj)
+            cols["subj_slug"].append(t.subj_slug)
+            cols["subj_lower"].append(t.subj_lower)
+            cols["pred"].append(t.pred)
+            cols["pred_key"].append(t.pred_key)
+            cols["obj"].append(t.obj)
+            cols["subj_type"].append(t.subj_type)
+            cols["obj_type"].append(t.obj_type)
+            cols["nested_in"].append(t.nested_in)
+            cols["chunk_id"].append(t.chunk_id)
+            cols["span_start"].append(t.span_start)
+            cols["span_end"].append(t.span_end)
+            cols["confidence"].append(t.confidence)
+            cols["method"].append(t.method)
+    return pa.table({name: pa.array(cols[name], typ) for name, typ in TRIPLE_FIELDS})
+
+
+class LinkEntities:
+    """Actor-pool stage: link subj/obj surfaces to KB URIs.
+
+    The KB index is built ONCE per actor in ``__init__`` from a broadcast
+    object-store ref (``ray.put`` of the KB records on the driver) — the
+    Ray-native replacement for the reference's per-process Oxigraph store
+    (/root/reference/src/entity_linker.rs:133-151).  Per-batch work is a
+    dict-cached lookup over the batch's distinct surfaces.
+    """
+
+    def __init__(self, kb_ref=None, kb_records=None, fuzzy_threshold=0.8,
+                 confidence_threshold=0.5):
+        import ray
+
+        from ..kernels.linker import KBIndex
+
+        if kb_records is None:
+            kb_records = ray.get(kb_ref)
+        self.index = KBIndex(
+            kb_records,
+            fuzzy_threshold=fuzzy_threshold,
+            confidence_threshold=confidence_threshold,
+        )
+        self.cache: dict[str, tuple[str | None, float]] = {}
+
+    def _lookup(self, name: str) -> tuple[str | None, float]:
+        hit = self.cache.get(name)
+        if hit is None:
+            linked = self.index.link(name)
+            hit = (linked.uri, linked.confidence) if linked else (None, 0.0)
+            if len(self.cache) < 200_000:
+                self.cache[name] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj_uri, subj_conf, obj_uri, obj_conf = [], [], [], []
+        subjs = batch.column("subj").to_pylist()
+        objs = batch.column("obj").to_pylist()
+        obj_types = batch.column("obj_type").to_pylist()
+        for s, o, ot in zip(subjs, objs, obj_types):
+            uri, conf = self._lookup(s)
+            subj_uri.append(uri)
+            subj_conf.append(conf)
+            if ot:  # entity object
+                uri, conf = self._lookup(o)
+                obj_uri.append(uri)
+                obj_conf.append(conf)
+            else:
+                obj_uri.append(None)
+                obj_conf.append(0.0)
+        return (
+            batch.append_column("subj_uri", pa.array(subj_uri, pa.string()))
+            .append_column("subj_link_conf", pa.array(subj_conf, pa.float64()))
+            .append_column("obj_uri", pa.array(obj_uri, pa.string()))
+            .append_column("obj_link_conf", pa.array(obj_conf, pa.float64()))
+        )
+
+
+def validate_triples(batch: pa.Table) -> pa.Table:
+    """Vectorized confidence scoring (validation.rs:183-298 arithmetic):
+    1.0 baseline; -0.2 empty subject; -0.05 malformed date literal on date
+    predicates; -0.1 malformed URI objects; clamp [0,1]; valid = conf>=0.7."""
+    n = len(batch)
+    conf = np.ones(n)
+    subj = batch.column("subj")
+    conf -= 0.2 * pc.equal(subj, "").to_numpy(zero_copy_only=False).astype(float)
+    pred_key = batch.column("pred_key").to_pylist()
+    obj = batch.column("obj").to_pylist()
+    obj_type = batch.column("obj_type").to_pylist()
+    for i in range(n):
+        if not obj_type[i]:
+            if pred_key[i] in DATE_PREDICATES and not is_valid_date(obj[i]):
+                conf[i] -= 0.05
+            elif obj[i].startswith("http") and "://" not in obj[i]:
+                conf[i] -= 0.1
+    conf = np.clip(conf, 0.0, 1.0)
+    batch = batch.drop_columns(["confidence"])
+    batch = batch.append_column("confidence", pa.array(conf, pa.float64()))
+    return batch.append_column("valid", pa.array(conf >= 0.7, pa.bool_()))
