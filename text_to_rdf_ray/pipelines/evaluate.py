@@ -1,0 +1,123 @@
+"""Evaluation pipeline: predicted vs gold triples as distributed joins.
+
+Mirrors the reference's set-intersection metrics (integration_tests.rs:34-67)
+at Dataset scale: TP = semi join on (subj, pred, obj), FP/FN = anti joins
+(SURVEY.md J6), macro-average per case (webnlg_evaluation.rs:113-133).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+from ..kernels.metrics import EvaluationMetrics, evaluate, macro_average
+
+
+def evaluate_datasets(
+    predicted: rd.Dataset,
+    expected: rd.Dataset,
+    *,
+    case_col: str = "case_id",
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+) -> dict:
+    """Distributed per-case P/R/F1: tag sides, groupby (case, s, p, o),
+    classify TP/FP/FN by side presence, aggregate per case, macro-average.
+
+    One shuffle; no driver-side row iteration beyond the per-case summary.
+    """
+    s, p, o = cols
+
+    def tag(side):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    case_col: batch[case_col],
+                    "s": batch[s],
+                    "p": batch[p],
+                    "o": batch[o],
+                }
+            )
+            out["pred_n"] = 1 if side == "pred" else 0
+            out["exp_n"] = 1 if side == "exp" else 0
+            return out
+
+        return fn
+
+    tagged = predicted.map_batches(tag("pred"), batch_format="pandas").union(
+        expected.map_batches(tag("exp"), batch_format="pandas")
+    )
+
+    def classify(group: pd.DataFrame) -> pd.DataFrame:
+        has_pred = bool(group["pred_n"].max())
+        has_exp = bool(group["exp_n"].max())
+        return pd.DataFrame(
+            {
+                case_col: [group[case_col].iloc[0]],
+                "tp": [1 if has_pred and has_exp else 0],
+                "fp": [1 if has_pred and not has_exp else 0],
+                "fn": [1 if has_exp and not has_pred else 0],
+            }
+        )
+
+    per_triple = tagged.groupby([case_col, "s", "p", "o"]).map_groups(
+        classify, batch_format="pandas"
+    )
+    per_case = (
+        per_triple.groupby(case_col).sum(["tp", "fp", "fn"]).to_pandas()
+    )
+    metrics = []
+    for _, row in per_case.sort_values(case_col).iterrows():
+        tp, fp, fn = int(row["sum(tp)"]), int(row["sum(fp)"]), int(row["sum(fn)"])
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        metrics.append(EvaluationMetrics(precision, recall, f1, tp, fp, fn))
+    summary = macro_average(metrics)
+    summary["micro_tp"] = sum(m.true_positives for m in metrics)
+    summary["micro_fp"] = sum(m.false_positives for m in metrics)
+    summary["micro_fn"] = sum(m.false_negatives for m in metrics)
+    return summary
+
+
+def evaluate_fixture_corpus() -> dict:
+    """P/R/F1 of the deterministic pipeline against the reference corpus
+    (WebNLG test_cases.json + DocRED samples) — driver-side sets (tiny)."""
+    import json
+
+    from ..kernels.extractor import extract_document
+    from ..kernels.normalize import normalize_predicate
+
+    WD = {
+        "P17": "addressCountry", "P131": "containedInPlace", "P276": "location",
+        "P27": "nationality", "P69": "alumniOf", "P108": "worksFor",
+        "P39": "jobTitle", "P102": "memberOf", "P54": "memberOf",
+        "P463": "memberOf", "P19": "birthPlace", "P20": "deathPlace",
+        "P569": "birthDate", "P570": "deathDate", "P571": "foundingDate",
+        "P576": "dissolutionDate", "P37": "language", "P159": "location",
+    }
+    per_case = []
+    with open("/root/reference/tests/fixtures/test_cases.json") as f:
+        for case in json.load(f):
+            ex = extract_document(case["raw_text"])
+            pred = {(t.subj_slug, t.pred, t.obj) for t in ex.triples if not t.nested_in}
+            gold = {
+                (t["subject"], t["predicate"], t["object"])
+                for t in case["expected_triples"]
+            }
+            per_case.append(evaluate(pred, gold))
+    with open("/root/reference/tests/fixtures/docred_sample.json") as f:
+        for doc in json.load(f):
+            text = "\n\n".join(" ".join(s) for s in doc["sents"])
+            gold = set()
+            for lab in doc["labels"]:
+                sp = WD.get(lab["r"])
+                if not sp:
+                    continue
+                subj = doc["vertexSet"][lab["h"]][0]["name"].lower().replace(" ", "_")
+                obj = doc["vertexSet"][lab["t"]][0]["name"]
+                gold.add((subj, normalize_predicate(sp), obj))
+            ex = extract_document(text)
+            pred = {(t.subj_lower, t.pred, t.obj) for t in ex.triples}
+            per_case.append(evaluate(pred, gold))
+    return macro_average(per_case)

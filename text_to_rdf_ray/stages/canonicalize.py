@@ -94,6 +94,8 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
     Converges in O(log diameter) rounds; stops early when the global label
     sum is stable (components from LSH name-blocking are tiny).
     """
+    from ray.data.aggregate import Min
+
     fwd = edges.select_columns(["src", "dst"])
     rev = edges.select_columns(["dst", "src"]).rename_columns({"dst": "src", "src": "dst"})
     und = fwd.union(rev).materialize()
@@ -121,8 +123,7 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
         combined = labels.union(msgs)
         labels = (
             combined.groupby("name_id")
-            .min("component")
-            .rename_columns({"min(component)": "component"})
+            .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
         cur = labels.sum("component")
@@ -169,9 +170,17 @@ def canonicalize_surfaces(
     bands_ds = ids.map_batches(
         lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
     )
-    edges = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, tau, max_bucket), batch_format="pandas"
-    ).materialize()
+    edges = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(lambda g: _bucket_pairs(g, tau, max_bucket), batch_format="pandas")
+        # normalize to arrow blocks (rename/select on pandas blocks is
+        # unreliable in Ray 2.49)
+        .map_batches(
+            lambda t: pa.table({"src": t.column("src"), "dst": t.column("dst")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     if edges.count() == 0:
         return ids.map_batches(
@@ -205,8 +214,7 @@ def canonicalize_surfaces(
     )
     canon = (
         with_comp.groupby("component")
-        .min("surface")
-        .rename_columns({"min(surface)": "canonical"})
+        .aggregate(Min("surface", alias_name="canonical"))
     )
     return with_comp.join(
         canon, join_type="inner", num_partitions=16, on=("component",)
@@ -366,10 +374,11 @@ def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
     agg = (
         triples.map_batches(pack, batch_format="pyarrow")
         .groupby("spo_key")
-        .aggregate(Min("subj"), Min("pred"), Min("obj"), Min("prov"))
-        .rename_columns(
-            {"min(subj)": "subj", "min(pred)": "pred", "min(obj)": "obj",
-             "min(prov)": "prov"}
+        .aggregate(
+            Min("subj", alias_name="subj"),
+            Min("pred", alias_name="pred"),
+            Min("obj", alias_name="obj"),
+            Min("prov", alias_name="prov"),
         )
     )
     return agg.map_batches(unpack, batch_format="pyarrow")

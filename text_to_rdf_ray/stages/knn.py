@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact top-k cosine — per-batch numpy matmul against a
+  ray.put-broadcast query matrix; per-batch local top-k (the combiner),
+  then a single small global merge.  Scales linearly with corpus size and
+  is embarrassingly parallel (no shuffle of the corpus).
+- ``knn_ivf``: IVF-style scale path — deterministic k-means-lite coarse
+  quantizer (fixed seed, few iterations, built from a bounded sample),
+  corpus bucketed by nearest centroid; queries probe ``nprobe`` buckets.
+  Returns the same schema; recall < 1 by design (documented).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.array(col, dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, score).
+
+    Deterministic tie-break: (-score, neighbor_id).
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qm)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+            m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+            sims = self.q @ m.T  # (n_queries, batch)
+            kk = min(k, sims.shape[1])
+            # local top-k per query (combiner before the tiny driver merge)
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    out_q.append(qi)
+                    out_n.append(ids[j])
+                    out_s.append(float(sims[qi, j]))
+            return pa.table(
+                {
+                    "qidx": pa.array(out_q, pa.int32()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
+                             concurrency=(1, 8)).to_pandas()
+    rows = []
+    for qi, group in partial.groupby("qidx"):
+        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(query_ids[qi]),
+                    "neighbor_id": int(r["neighbor_id"]),
+                    "rank": rank,
+                    "score": round(float(r["score"]), 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])
+
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5,
+                 seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centers = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = sample @ centers.T
+        assign = d.argmax(axis=1)
+        for c in range(len(centers)):
+            mask = assign == c
+            if mask.any():
+                v = sample[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centers[c] = v / n
+    return centers
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF top-k: coarse-quantize the corpus, probe nprobe lists per query.
+
+    The quantizer trains on a bounded deterministic sample (first
+    ``sample_size`` rows by id — stable across parallelism levels); at
+    10^12 scale the bucketed corpus would be written partitioned-by-list
+    once and probed many times.
+    """
+    sample_rows = ds.sort(id_col).limit(sample_size).take_all()
+    sm = _normalize(_to_matrix([r[emb_col] for r in sample_rows]))
+    centers = _kmeans_lite(sm, n_clusters, seed=seed)
+    c_ref = ray.put(centers)
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    q_assign = np.argsort(-(qm @ centers.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(row.tolist()) for row in q_assign]
+    q_ref = ray.put((qm, probe_sets))
+
+    class ScoreIVF:
+        def __init__(self):
+            self.centers = ray.get(c_ref)
+            self.q, self.probes = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+            m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+            assign = (m @ self.centers.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, probe in enumerate(self.probes):
+                mask = np.isin(assign, list(probe))
+                if not mask.any():
+                    continue
+                sub = m[mask]
+                sub_ids = ids[mask]
+                sims = self.q[qi] @ sub.T
+                kk = min(k, len(sub_ids))
+                idx = np.argpartition(-sims, kth=kk - 1)[:kk]
+                for j in idx:
+                    out_q.append(qi)
+                    out_n.append(int(sub_ids[j]))
+                    out_s.append(float(sims[j]))
+            return pa.table(
+                {
+                    "qidx": pa.array(out_q, pa.int32()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(ScoreIVF, batch_format="pyarrow", batch_size=4096,
+                             concurrency=(1, 8)).to_pandas()
+    rows = []
+    for qi, group in partial.groupby("qidx"):
+        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(query_ids[qi]),
+                    "neighbor_id": int(r["neighbor_id"]),
+                    "rank": rank,
+                    "score": round(float(r["score"]), 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])

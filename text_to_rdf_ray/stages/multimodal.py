@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata columns; the
+decode/feature kernels are actor-pool ``map_batches`` stages.  The decode
+libraries (PIL/ffmpeg/torchaudio) are NOT available in this container, so
+the decode step is stubbed: ``DecodeStub`` raises ``NotImplementedError``
+unless ``fake=True``, in which case it produces deterministic fake features
+(a seeded hash-derived vector) so the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is real and tested.
+
+Batch-size guidance: large binary payloads need small ``batch_size`` (the
+32-64 range) and ``target_max_block_size`` tuned so batch x concurrency
+fits worker heaps (see ray_guide 'Memory-aware').
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),   # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),         # -1 when unknown / not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def make_fake_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    payloads = [
+        hashlib.blake2b(f"media-{i}-{seed}".encode(), digest_size=64).digest()
+        * (1 + i % 4)
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "media_type": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                [{"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kinds[i % 3]]
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "width": pa.array([64 + (i % 8) * 16 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
+            "height": pa.array([64 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
+            "duration_ms": pa.array([1000 * (i % 30) if i % 3 else -1 for i in range(n)], pa.int32()),
+        }
+    )
+
+
+class DecodeStub:
+    """Actor-pool decode/feature-extract stage.
+
+    Real deployments replace ``_decode_real`` with PIL/ffmpeg decoding on
+    CPU/GPU actors; model/codec setup belongs in ``__init__`` (once per
+    actor).  ``fake=True`` produces a deterministic 16-dim feature vector
+    from the payload hash so downstream stages are exercisable.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        # real mode would load codecs/models here, once per actor
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg, not available in this environment; "
+            "construct DecodeStub(fake=True) for deterministic fake features"
+        )
+
+    def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
+        h = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM * 4).digest()
+        v = np.frombuffer(h, dtype=np.uint32).astype(np.float32)
+        return v / np.float32(2**32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._decode_fake if self.fake else self._decode_real
+        feats = [
+            decode(p.as_py(), t)
+            for p, t in zip(batch.column("payload"), batch.column("media_type").to_pylist())
+        ]
+        out = batch.drop_columns(["payload"])  # drop the wide column after decode
+        return out.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        )
+
+
+def decode_features(ds: rd.Dataset, *, fake: bool = False,
+                    concurrency=(1, 4), batch_size: int = 32) -> rd.Dataset:
+    """Media dataset -> features dataset via the actor-pool decode stage."""
+    return ds.map_batches(
+        DecodeStub,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payloads are wide
+        concurrency=concurrency,
+        fn_constructor_kwargs={"fake": fake},
+    )
