@@ -1,0 +1,183 @@
+"""Dedup family, canonicalization, similarity search — Ray stages with
+controlled fixtures where the exact answer is computable."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    from text_to_rdf_ray.stages.dedup import exact_dedup
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    out = exact_dedup(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 3]
+    assert set(out["text"]) == {"aaa", "bbb", "ccc"}
+
+
+def test_minhash_pairs_finds_near_dups():
+    from text_to_rdf_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while the sun shines bright today"
+    texts = [base, base.replace("bright", "dimly"), "entirely different words apear in this unrelated document about databases"]
+    pairs = minhash_lsh_pairs(_docs_ds(texts), threshold=0.5).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)} == {(0, 1)}
+
+
+def test_minhash_dedup_cluster_map():
+    from text_to_rdf_ray.stages.dedup import minhash_dedup
+
+    base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    texts = [base, base + " fourteen", base + " fifteen", "zz yy xx ww vv uu tt ss rr qq pp"]
+    out = minhash_dedup(_docs_ds(texts), threshold=0.5).to_pandas().sort_values("doc_id")
+    assert list(out["canonical_id"])[:3] == [0, 0, 0]
+    assert list(out["canonical_id"])[3] == 3
+
+
+def test_simhash_pairs_hamming_bound():
+    from text_to_rdf_ray.kernels.minhash import hamming64, simhash64
+    from text_to_rdf_ray.stages.dedup import simhash_pairs
+
+    # long base so one-suffix-char changes flip <= 3 simhash bits
+    base = ("the quick brown fox jumps over the lazy dog near the river bank " * 8).strip()
+    texts = [base, base + " ok", "other totally unrelated content here"]
+    assert hamming64(simhash64(texts[0]), simhash64(texts[1])) <= 3
+    pairs = simhash_pairs(_docs_ds(texts), max_hamming=3).to_pandas()
+    got = (
+        {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        if "id_a" in pairs.columns
+        else set()
+    )
+    # 4x16-bit banding guarantees recall at hamming <= 3 (pigeonhole)
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_ngram_jaccard_pairs_exact_threshold():
+    from text_to_rdf_ray.kernels.minhash import char_shingles, jaccard
+    from text_to_rdf_ray.stages.dedup import ngram_jaccard_pairs
+
+    a = "abcdefghij klmnopqrst uvwxyz now"
+    b = "abcdefghij klmnopqrst uvwxyz new"
+    j = jaccard(char_shingles(a), char_shingles(b))
+    pairs = ngram_jaccard_pairs(_docs_ds([a, b]), threshold=min(0.8, j - 0.01)).to_pandas()
+    assert len(pairs) == 1
+    assert abs(float(pairs.score.iloc[0]) - j) < 1e-9
+
+
+def test_embedding_neardup_pairs():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8).astype(np.float32)
+    near = base + 0.01 * rng.randn(8).astype(np.float32)
+    far = rng.randn(8).astype(np.float32)
+    ds = rd.from_items(
+        [
+            {"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": near.tolist()},
+            {"vec_id": 2, "embedding": far.tolist()},
+        ]
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.99, dim=8).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 2) not in got
+
+
+def test_canonicalize_surfaces_merges_variants():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import canonicalize_surfaces
+
+    names = ["Stanford University", "Stanford  University", "stanford university.",
+             "Apple Inc.", "MIT"]
+    ds = rd.from_items([{"surface": n} for n in names])
+    out = {r["surface"]: r["canonical"] for r in canonicalize_surfaces(ds).take_all()}
+    # the three Stanford variants share one canonical (lexicographic min)
+    canons = {out[n] for n in names[:3]}
+    assert len(canons) == 1
+    assert out["Apple Inc."] == "Apple Inc." and out["MIT"] == "MIT"
+
+
+def test_connected_components_chain():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import connected_components
+
+    edges = rd.from_items(
+        [{"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 3, "dst": 4},
+         {"src": 10, "dst": 11}]
+    )
+    comp = {r["name_id"]: r["component"] for r in connected_components(edges).take_all()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_knn_bruteforce_matches_numpy():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import knn_bruteforce
+
+    rng = np.random.RandomState(3)
+    corpus = rng.randn(200, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(200)]
+    )
+    queries = corpus[:3].astype(np.float64)
+    out = knn_bruteforce(ds, queries, [0, 1, 2], k=5)
+    # numpy reference
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(200), -sims[qi]))[:5]
+        got = out[out.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order.tolist()
+        assert got[0] == qi  # self is nearest
+
+
+def test_knn_ivf_recall_reasonable():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(5)
+    corpus = rng.randn(500, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(500)]
+    )
+    queries = corpus[:5].astype(np.float64)
+    exact = knn_bruteforce(ds, queries, list(range(5)), k=10)
+    approx = knn_ivf(ds, queries, list(range(5)), k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["neighbor_id"])
+        a = set(approx[approx.query_id == qi]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_multimodal_plumbing():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.multimodal import DecodeStub, decode_features, make_fake_media
+
+    ds = rd.from_arrow(make_fake_media(30))
+    out = decode_features(ds, fake=True).to_pandas()
+    assert len(out) == 30
+    assert all(len(f) == DecodeStub.FEATURE_DIM for f in out["features"])
+    assert "payload" not in out.columns  # wide column dropped after decode
+    # real decode path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)._decode_real(b"x", "image")

@@ -1,0 +1,84 @@
+"""MinHash/SimHash/fingerprint and text-stat kernels."""
+
+import numpy as np
+
+from text_to_rdf_ray.kernels.minhash import (
+    band_keys,
+    char_shingles,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+    word_shingles,
+)
+from text_to_rdf_ray.kernels.textstats import (
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def test_shingles():
+    assert char_shingles("ab", 3) == {" ab "[:3], "ab "}
+    assert word_shingles("a b c d", 2) == {"a b", "b c", "c d"}
+    assert word_shingles("", 2) == set()
+
+
+def test_minhash_estimates_jaccard():
+    a = word_shingles("the quick brown fox jumps over the lazy dog today", 2)
+    b = word_shingles("the quick brown fox leaps over the lazy dog today", 2)
+    true_j = jaccard(a, b)
+    sa, sb = minhash_signature(a, 128), minhash_signature(b, 128)
+    est = float((sa == sb).mean())
+    assert abs(est - true_j) < 0.2
+    assert (minhash_signature(a, 128) == sa).all()  # deterministic
+
+
+def test_band_keys_identical_for_identical_sets():
+    s = char_shingles("stanford university")
+    assert band_keys(minhash_signature(s), 16) == band_keys(minhash_signature(s), 16)
+
+
+def test_simhash_close_for_near_texts():
+    h1 = simhash64("the quick brown fox jumps over the lazy dog")
+    h2 = simhash64("the quick brown fox jumps over the lazy dogs")
+    h3 = simhash64("completely different content about other matters entirely")
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert hamming64(h1, h1) == 0
+
+
+def test_rolling_fingerprint_properties():
+    fp1 = rolling_fingerprint("some document content here for testing purposes ok")
+    fp2 = rolling_fingerprint("some document content here for testing purposes ok")
+    assert fp1 == fp2  # deterministic
+    assert all(isinstance(x, int) and x >= 0 for x in fp1)
+    assert rolling_fingerprint("tiny")  # short-input path
+
+
+def test_token_counts():
+    assert token_count_ws("a b  c") == 3
+    assert token_count_ws("") == 0
+    assert token_count_bpe("don't stop") == 4  # don + ' + t + stop
+    assert token_count_bpe("abc123!") == 3
+
+
+def test_lang_id_markers_and_tiebreak():
+    assert lang_id("the cat and the dog is here") == "en"
+    assert lang_id("der hund und die katze ist") == "de"
+    assert lang_id("le chat et la mer les des") == "fr"
+    assert lang_id("el gato los perros las casas") == "es"
+    assert lang_id("xyzzy plugh") == "und"
+    assert lang_id("") == "und"
+    # tie (1 marker each) -> earliest language in en<de<fr<es order
+    assert lang_id("the der") == "en"
+
+
+def test_quality_score_formula():
+    q = quality_score("")
+    assert q["quality"] == 0.0 and q["n_words"] == 0
+    q = quality_score("the cat sat on the mat and it was good")
+    assert 0 < q["quality"] <= 1.0
+    assert q["n_words"] == 10
+    assert abs(q["stopword_ratio"] - 6 / 10) < 1e-9  # the, on, the, and, it, was

@@ -1,0 +1,135 @@
+"""End-to-end Ray pipeline tests: fixture pages -> canonical triples,
+gold-set equality, determinism, and partitioned resume."""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    from text_to_rdf_ray.sources.fixtures import write_pages
+
+    path = str(tmp_path_factory.mktemp("pages"))
+    return write_pages(path, N_PAGES, rows_per_file=100)
+
+
+@pytest.fixture(scope="module")
+def triples_df(pages_dir):
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    return build_triples(read_pages(pages_dir), kb_records=kb_records()).to_pandas()
+
+
+def _expected_gold(n_pages: int):
+    """Gold triples computable from the fixture grid (en short pages only)."""
+    from text_to_rdf_ray.sources.fixtures import gold_case, page_rows
+
+    gold = set()
+    for i, row in enumerate(page_rows(n_pages)):
+        if row["lang"] != "en" or (i % 200 == 199):
+            continue  # lang-filtered or long-doc page
+        _, triples = gold_case(i)
+        gold |= triples
+    return gold
+
+
+def test_pipeline_covers_gold_grid(triples_df):
+    """Every computable gold triple from short pages appears, canonical."""
+    gold = _expected_gold(N_PAGES)
+    produced = {
+        (r.subj_slug, r.pred, r.obj)
+        for r in triples_df[triples_df.nested_in == ""].itertuples()
+    }
+    missing = gold - produced
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:5]}"
+
+
+def test_pipeline_dedup_no_duplicate_spo(triples_df):
+    keys = triples_df[["subj", "pred", "obj"]].apply(tuple, axis=1)
+    assert keys.is_unique
+
+
+def test_pipeline_linked_subjects(triples_df):
+    linked = triples_df["subj_uri"].notna().mean()
+    assert linked > 0.9  # fixture KB covers the grid
+
+
+def test_pipeline_validation_columns(triples_df):
+    assert triples_df["valid"].all()
+    assert (triples_df["confidence"] == 1.0).all()
+
+
+def test_pipeline_deterministic(pages_dir):
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    a = build_triples(read_pages(pages_dir), kb_records=kb_records()).to_pandas()
+    b = build_triples(read_pages(pages_dir), kb_records=kb_records()).to_pandas()
+    ka = sorted(map(tuple, a[["subj", "pred", "obj", "url"]].values.tolist()))
+    kb = sorted(map(tuple, b[["subj", "pred", "obj", "url"]].values.tolist()))
+    assert ka == kb
+
+
+def test_partitioned_run_and_resume(pages_dir, tmp_path):
+    import pandas as pd
+
+    from text_to_rdf_ray.pipelines.kg import run_partitioned
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.state import manifest as mf
+
+    out = str(tmp_path / "out")
+    rep1 = run_partitioned(pages_dir, out, partitions=2, kb_records=kb_records())
+    assert rep1["ran"] == 2 and rep1["skipped"] == 0
+    assert mf.completed_partitions(out) == [0, 1]
+    totals = mf.aggregate_counters(out)
+    assert totals["triples_out"] > 0
+
+    # resume: nothing re-runs
+    rep2 = run_partitioned(pages_dir, out, partitions=2, kb_records=kb_records())
+    assert rep2["ran"] == 0 and rep2["skipped"] == 2
+
+    # simulate partial failure: delete one manifest -> only that partition reruns
+    os.remove(os.path.join(mf.partition_dir(out, 1), mf.MANIFEST_NAME))
+    rep3 = run_partitioned(pages_dir, out, partitions=2, kb_records=kb_records())
+    assert rep3["ran"] == 1 and rep3["skipped"] == 1
+
+    # output parquet is readable and row counts match manifests
+    frames = []
+    for part in mf.completed_partitions(out):
+        pdir = mf.partition_dir(out, part)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert files
+        for f in files:
+            frames.append(pd.read_parquet(os.path.join(pdir, f)))
+    total_rows = sum(len(f) for f in frames)
+    assert total_rows == mf.aggregate_counters(out)["triples_out"]
+
+
+def test_strip_html_drops_column(pages_dir):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kg_stages import strip_html
+
+    ds = rd.read_parquet(pages_dir).map_batches(strip_html, batch_format="pyarrow")
+    names = ds.schema().names
+    assert "html" not in names and "text" in names
+
+
+def test_ntriples_sink(pages_dir, tmp_path):
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages, write_ntriples
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    triples = build_triples(read_pages(pages_dir), kb_records=kb_records(),
+                            canonicalize=False)
+    out = str(tmp_path / "nt")
+    write_ntriples(triples, out)
+    files = os.listdir(out)
+    assert files
+    content = open(os.path.join(out, files[0])).read()
+    assert "<https://schema.org/" in content

@@ -97,7 +97,8 @@ def simhash64(text: str, k: int = 3) -> int:
         return 0
     hv = _hash_shingles(sorted(sh))
     bits = np.unpackbits(hv.view(np.uint8).reshape(len(hv), 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0) * 2 - len(hv)  # >0 -> bit set
+    # signed accumulation (uint sum would wrap on negative votes)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hv)  # >0 -> bit set
     packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
     return int(np.frombuffer(packed.tobytes(), dtype=np.uint64)[0])
 

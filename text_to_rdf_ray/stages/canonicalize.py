@@ -86,6 +86,19 @@ def _bucket_pairs(group: pd.DataFrame, tau: float, max_bucket: int) -> pd.DataFr
                          "dst": np.array(dst, dtype=np.int64)})
 
 
+def _arrow(ds: rd.Dataset) -> rd.Dataset:
+    """Force arrow blocks (groupby aggregates emit pandas blocks in Ray
+    2.49, on which rename/Project operators break)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _solid(ds: rd.Dataset, n: int = 8) -> rd.Dataset:
+    """Join-safe materialization: map_groups/aggregate lineages can leave
+    schema-less empty blocks that crash the pyarrow hash join ("no match
+    for FieldRef..."); repartition coalesces them away."""
+    return _arrow(ds).repartition(n).materialize()
+
+
 def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
     """Min-label propagation over undirected edges -> (name_id, component).
 
@@ -97,34 +110,48 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
     from ray.data.aggregate import Min
 
     fwd = edges.select_columns(["src", "dst"])
-    rev = edges.select_columns(["dst", "src"]).rename_columns({"dst": "src", "src": "dst"})
-    und = fwd.union(rev).materialize()
+    # swap via explicit arrow rebuild (a rename_columns swap-dict collides)
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+        batch_format="pyarrow",
+    )
+    und = _solid(fwd.union(rev))
 
     labels = (
-        und.select_columns(["src"])
-        .groupby("src")
+        und.groupby("src")
         .count()
-        .select_columns(["src"])
-        .rename_columns({"src": "name_id"})
         .map_batches(
-            lambda t: t.append_column("component", t.column("name_id")),
+            lambda t: pa.table(
+                {"name_id": t.column("src"), "component": t.column("src")}
+            ),
             batch_format="pyarrow",
         )
         .materialize()
     )
+    labels = _solid(labels)
+    def _as(ds, mapping):
+        """Column projection/rename via arrow rebuild — rename_columns
+        interacts badly with the 2.49 join planner on some plans."""
+        return ds.map_batches(
+            lambda t, m=mapping: pa.table({new: t.column(old) for old, new in m}),
+            batch_format="pyarrow",
+        )
+
     prev_sum = None
     for _ in range(max_rounds):
-        msgs = und.join(
-            labels.rename_columns({"name_id": "src"}),
-            join_type="inner",
-            num_partitions=16,
-            on=("src",),
-        ).select_columns(["dst", "component"]).rename_columns({"dst": "name_id"})
+        msgs = _as(
+            und.join(
+                _solid(_as(labels, [("name_id", "src"), ("component", "component")])),
+                join_type="inner",
+                num_partitions=16,
+                on=("src",),
+            ),
+            [("dst", "name_id"), ("component", "component")],
+        )
         combined = labels.union(msgs)
-        labels = (
+        labels = _solid(
             combined.groupby("name_id")
             .aggregate(Min("component", alias_name="component"))
-            .materialize()
         )
         cur = labels.sum("component")
         if prev_sum is not None and cur == prev_sum:
@@ -145,6 +172,8 @@ def canonicalize_surfaces(
 
     ``surfaces`` must have a ``surface`` string column (distinct values).
     """
+    from ray.data.aggregate import Min
+
     ids = surfaces.map_batches(
         lambda t: pa.table(
             {
@@ -190,9 +219,9 @@ def canonicalize_surfaces(
             batch_format="pyarrow",
         )
 
-    comp = connected_components(edges)
+    comp = _solid(connected_components(edges))
     # attach component to every (name_id, surface); nodes without edges keep themselves
-    with_comp = ids.join(
+    with_comp = _solid(ids).join(
         comp, join_type="left_outer", num_partitions=16, on=("name_id",)
     ).map_batches(
         lambda t: pa.table(
@@ -212,11 +241,10 @@ def canonicalize_surfaces(
         ),
         batch_format="pyarrow",
     )
-    canon = (
-        with_comp.groupby("component")
-        .aggregate(Min("surface", alias_name="canonical"))
+    canon = _solid(
+        with_comp.groupby("component").aggregate(Min("surface", alias_name="canonical"))
     )
-    return with_comp.join(
+    return _solid(with_comp).join(
         canon, join_type="inner", num_partitions=16, on=("component",)
     ).select_columns(["surface", "canonical"])
 

@@ -134,10 +134,22 @@ def _pairs_from_buckets(
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # a pair can surface from several bands: dedup on (id_a, id_b)
+
+    _SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("score", pa.float64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return _SCHEMA.empty_table()
+        return pa.table({n: t.column(n).cast(_SCHEMA.field(n).type) for n in
+                         ("id_a", "id_b", "score")})
+
+    # a pair can surface from several bands: dedup on (id_a, id_b);
+    # normalize schema afterwards (empty aggregates lose their columns)
     return (
         pairs.groupby(["id_a", "id_b"])
         .aggregate(Min("score", alias_name="score"))
+        .map_batches(norm, batch_format="pyarrow")
     )
 
 
@@ -185,8 +197,13 @@ def minhash_dedup(
             ),
             batch_format="pyarrow",
         )
-    comp = connected_components(edges).rename_columns({"name_id": id_col})
-    ids = ds.select_columns([id_col])
+    from .canonicalize import _solid
+
+    comp = _solid(connected_components(edges).map_batches(
+        lambda t: pa.table({id_col: t.column("name_id"), "component": t.column("component")}),
+        batch_format="pyarrow",
+    ))
+    ids = _solid(ds.select_columns([id_col]))
     joined = ids.join(comp, join_type="left_outer", num_partitions=16, on=(id_col,))
     return joined.map_batches(
         lambda t: pa.table(
