@@ -119,9 +119,16 @@ def test_connected_components_chain():
         [{"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 3, "dst": 4},
          {"src": 10, "dst": 11}]
     )
+    # driver-side union-find path (small edge set)
     comp = {r["name_id"]: r["component"] for r in connected_components(edges).take_all()}
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
+    # distributed label-propagation path must agree exactly
+    comp_dist = {
+        r["name_id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).take_all()
+    }
+    assert comp_dist == comp
 
 
 def test_knn_bruteforce_matches_numpy():
@@ -181,3 +188,17 @@ def test_multimodal_plumbing():
     # real decode path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)._decode_real(b"x", "image")
+
+
+def test_canonicalize_local_matches_distributed():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import canonicalize_local, canonicalize_surfaces
+
+    names = ["Stanford University", "Stanford  University", "stanford university.",
+             "Apple Inc.", "Apple  Inc", "MIT", "Microsoft Corp", "Mikrosoft Corp"]
+    local = canonicalize_local(names)
+    ds = rd.from_items([{"surface": n} for n in names])
+    dist_all = {r["surface"]: r["canonical"] for r in canonicalize_surfaces(ds).take_all()}
+    dist = {s: c for s, c in dist_all.items() if s != c}
+    assert local == dist

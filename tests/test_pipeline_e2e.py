@@ -133,3 +133,19 @@ def test_ntriples_sink(pages_dir, tmp_path):
     assert files
     content = open(os.path.join(out, files[0])).read()
     assert "<https://schema.org/" in content
+
+
+def test_link_actor_and_task_modes_agree(pages_dir):
+    """Actor-pool and task-mode linkers produce identical links."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    kwargs = dict(kb_records=kb_records(), canonicalize=False, validate=False,
+                  dedup=False)
+    a = build_triples(read_pages(pages_dir), link_mode="task", **kwargs).to_pandas()
+    b = build_triples(read_pages(pages_dir), link_mode="actor",
+                      link_concurrency=(1, 2), **kwargs).to_pandas()
+    key = ["url", "subj", "pred", "obj", "subj_uri", "obj_uri"]
+    sa = sorted(map(tuple, a[key].fillna("").values.tolist()))
+    sb = sorted(map(tuple, b[key].fillna("").values.tolist()))
+    assert sa == sb

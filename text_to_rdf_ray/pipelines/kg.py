@@ -54,13 +54,15 @@ def build_triples(
     validate: bool = True,
     dedup: bool = True,
     from_html: bool = True,
+    link_mode: str = "task",  # "task" (small KB) | "actor" (heavy KB/model)
     link_concurrency=(2, 8),
-    extract_batch_size: int = 64,
+    extract_batch_size: int = 256,
+    canonicalize_local_threshold: int = 100_000,
 ) -> rd.Dataset:
     """Assemble the lazy Dataset pipeline from pages to canonical triples."""
     ds = pages
     if from_html:
-        ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=256)
+        ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=512)
     if lang:
         ds = ds.map_batches(make_lang_filter(lang), batch_format="pyarrow")
     ds = ds.map_batches(
@@ -68,33 +70,52 @@ def build_triples(
     )
     if link and kb_records is not None:
         kb_ref = ray.put(kb_records)
-        ds = ds.map_batches(
-            LinkEntities,
-            batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=link_concurrency,
-            fn_constructor_kwargs={"kb_ref": kb_ref},
-        )
+        if link_mode == "actor":
+            ds = ds.map_batches(
+                LinkEntities,
+                batch_format="pyarrow",
+                batch_size=4096,
+                concurrency=link_concurrency,
+                fn_constructor_kwargs={"kb_ref": kb_ref},
+            )
+        else:
+            # task mode (default for small KBs): per-worker cached index,
+            # keeps the fused map chain at full task parallelism
+            from ..stages.kg_stages import make_link_task
+
+            ds = ds.map_batches(
+                make_link_task(kb_ref), batch_format="pyarrow", batch_size=2048
+            )
     if canonicalize:
         import pyarrow.compute as pc
 
+        from ..stages.canonicalize import canonicalize_local
+
         ds = ds.materialize()
+        # distinct surfaces: per-batch set (combiner) + groupby (one exec)
         surfaces_ds = (
             ds.map_batches(_surface_rows, batch_format="pyarrow")
             .groupby("surface")
             .count()
             .select_columns(["surface"])
+            .materialize()
         )
-        cmap = canonicalize_surfaces(surfaces_ds)
-        changed = cmap.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.equal(t.column("surface"), t.column("canonical")))
-            ),
-            batch_format="pyarrow",
-        )
-        # only actually-merged surfaces come back to the driver (small);
-        # at 10^12 scale this becomes a hash-partitioned join instead
-        mapping = {r["surface"]: r["canonical"] for r in changed.take_all()}
+        if surfaces_ds.count() <= canonicalize_local_threshold:
+            # small distinct-surface set: identical LSH+union-find
+            # semantics computed driver-side (broadcast-small-side path)
+            surfaces = [r["surface"] for r in surfaces_ds.take_all()]
+            mapping = canonicalize_local(surfaces)
+        else:
+            cmap = canonicalize_surfaces(surfaces_ds)
+            changed = cmap.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.equal(t.column("surface"), t.column("canonical")))
+                ),
+                batch_format="pyarrow",
+            )
+            # only actually-merged surfaces come back to the driver (small);
+            # at 10^12 scale this becomes a hash-partitioned join instead
+            mapping = {r["surface"]: r["canonical"] for r in changed.take_all()}
         if mapping:
             ds = apply_canonical_map(ds, mapping)
     if validate:

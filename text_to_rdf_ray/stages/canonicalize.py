@@ -57,8 +57,10 @@ def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
             out_id.append(nid)
             out_norm.append(norm)
             out_surface.append(surface)
+    shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(out_band, out_hash)]
     return pa.table(
         {
+            "shard": pa.array(shard, pa.int32()),
             "band_id": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.int64()),
             "name_id": pa.array(out_id, pa.int64()),
@@ -68,20 +70,23 @@ def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame, tau: float, max_bucket: int) -> pd.DataFrame:
-    g = group.drop_duplicates("name_id").sort_values("name_id")
-    n = len(g)
-    if n < 2 or n > max_bucket:
-        return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
-    ids = g["name_id"].to_numpy()
-    norms = g["norm"].tolist()
-    shingles = [char_shingles(s) for s in norms]
+def _shard_pairs(group: pd.DataFrame, tau: float, max_bucket: int) -> pd.DataFrame:
+    """One Ray group = one shard = many LSH buckets (per-bucket map_groups
+    overhead dominates when buckets number in the tens of thousands)."""
     src, dst = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            if norms[i] == norms[j] or jaccard(shingles[i], shingles[j]) >= tau:
-                src.append(ids[i])
-                dst.append(ids[j])
+    for _, g in group.groupby(["band_id", "band_hash"], sort=True):
+        g = g.drop_duplicates("name_id").sort_values("name_id")
+        n = len(g)
+        if n < 2 or n > max_bucket:
+            continue
+        ids = g["name_id"].to_numpy()
+        norms = g["norm"].tolist()
+        shingles = [char_shingles(s) for s in norms]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if norms[i] == norms[j] or jaccard(shingles[i], shingles[j]) >= tau:
+                    src.append(ids[i])
+                    dst.append(ids[j])
     return pd.DataFrame({"src": np.array(src, dtype=np.int64),
                          "dst": np.array(dst, dtype=np.int64)})
 
@@ -99,15 +104,73 @@ def _solid(ds: rd.Dataset, n: int = 8) -> rd.Dataset:
     return _arrow(ds).repartition(n).materialize()
 
 
-def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
+DRIVER_UNION_FIND_THRESHOLD = 200_000
+
+
+def _local_union_find(edge_rows) -> list[dict]:
+    """Driver-side path-compressed union-find; deterministic (min root)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = find(int(r["src"])), find(int(r["dst"]))
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(int(r["src"]))
+        nodes.add(int(r["dst"]))
+    return [{"name_id": n, "component": find(n)} for n in sorted(nodes)]
+
+
+def connected_components(
+    edges: rd.Dataset,
+    max_rounds: int = 8,
+    driver_threshold: int = DRIVER_UNION_FIND_THRESHOLD,
+) -> rd.Dataset:
     """Min-label propagation over undirected edges -> (name_id, component).
 
     Each round: component(node) = min(component(node), min over neighbors'
     components) — expressed as a hash join (edges x labels) + groupby-min.
     Converges in O(log diameter) rounds; stops early when the global label
     sum is stable (components from LSH name-blocking are tiny).
+
+    Candidate-pair sets from LSH blocking are a vanishing fraction of the
+    corpus, so when the edge set is provably small (< driver_threshold,
+    checked by count) a driver-side path-compressed union-find replaces the
+    iterative shuffles — identical output, none of the per-round barrier
+    cost.  The distributed path remains for larger graphs (and is what the
+    skew/scale design assumes).
     """
     from ray.data.aggregate import Min
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_items([]).map_batches(
+            lambda t: pa.table(
+                {"name_id": pa.array([], pa.int64()),
+                 "component": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    if n_edges < driver_threshold:
+        rows = _local_union_find(edges.take_all())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "name_id": pa.array([r["name_id"] for r in rows], pa.int64()),
+                    "component": pa.array([r["component"] for r in rows], pa.int64()),
+                }
+            )
+        )
 
     fwd = edges.select_columns(["src", "dst"])
     # swap via explicit arrow rebuild (a rename_columns swap-dict collides)
@@ -160,6 +223,70 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
     return labels
 
 
+
+def canonicalize_local(surface_list: list[str], *, num_perm: int = DEFAULT_NUM_PERM,
+                       bands: int = DEFAULT_BANDS, tau: float = DEFAULT_TAU,
+                       max_bucket: int = DEFAULT_MAX_BUCKET) -> dict[str, str]:
+    """Driver-local canonicalization of a SMALL distinct-surface list.
+
+    Same LSH blocking + union-find semantics as ``canonicalize_surfaces``
+    (identical bands/thresholds, so outputs agree); used by the pipeline
+    when the distinct-surface set fits comfortably on the driver — the
+    broadcast-small-side analogue of the distributed path.  Returns only
+    the surfaces whose canonical differs.
+    """
+    from collections import defaultdict
+
+    norms = {sfc: _norm(sfc) for sfc in surface_list}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    ordered = sorted(surface_list)
+    for idx, sfc in enumerate(ordered):
+        sig = minhash_signature(char_shingles(norms[sfc]), num_perm=num_perm)
+        for bi, bh in enumerate(band_keys(sig, bands)):
+            buckets[(bi, bh)].append(idx)
+    parent = list(range(len(ordered)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    shingle_cache: dict[int, set] = {}
+
+    def sh(i):
+        if i not in shingle_cache:
+            shingle_cache[i] = char_shingles(norms[ordered[i]])
+        return shingle_cache[i]
+
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2 or len(members) > max_bucket:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if norms[ordered[a]] == norms[ordered[b]] or jaccard(sh(a), sh(b)) >= tau:
+                    union(a, b)
+    comp_min: dict[int, str] = {}
+    for i in range(len(ordered)):
+        r = find(i)
+        cur = comp_min.get(r)
+        if cur is None or ordered[i] < cur:
+            comp_min[r] = ordered[i]
+    return {
+        ordered[i]: comp_min[find(i)]
+        for i in range(len(ordered))
+        if comp_min[find(i)] != ordered[i]
+    }
+
+
 def canonicalize_surfaces(
     surfaces: rd.Dataset,
     *,
@@ -200,8 +327,8 @@ def canonicalize_surfaces(
         lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
     )
     edges = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, tau, max_bucket), batch_format="pandas")
+        bands_ds.groupby("shard")
+        .map_groups(lambda g: _shard_pairs(g, tau, max_bucket), batch_format="pandas")
         # normalize to arrow blocks (rename/select on pandas blocks is
         # unreliable in Ray 2.49)
         .map_batches(
@@ -259,31 +386,33 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
     import ray
 
     map_ref = ray.put(mapping)
+    cache: dict = {}
 
-    class Rewrite:
-        def __init__(self):
-            self.map = ray.get(map_ref)
+    def rewrite(batch: pa.Table) -> pa.Table:
+        # task mode: the broadcast dict is fetched once per worker process
+        # (a class here would become an actor pool and cap the parallelism
+        # of every stage Ray fuses with it)
+        from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
+        m = cache.get("m")
+        if m is None:
+            m = cache["m"] = ray.get(map_ref)
+        subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
+        objs = batch.column("obj").to_pylist()
+        obj_types = batch.column("obj_type").to_pylist()
+        obj = [m.get(o, o) if ot else o for o, ot in zip(objs, obj_types)]
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["subj"] = pa.array(subj, pa.string())
+        cols["obj"] = pa.array(obj, pa.string())
+        cols["subj_slug"] = pa.array(
+            [normalize_entity_name(s) for s in subj], pa.string()
+        )
+        cols["subj_lower"] = pa.array(
+            [normalize_docred_subject(s) for s in subj], pa.string()
+        )
+        return pa.table(cols)
 
-            m = self.map
-            subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
-            objs = batch.column("obj").to_pylist()
-            obj_types = batch.column("obj_type").to_pylist()
-            obj = [m.get(o, o) if ot else o for o, ot in zip(objs, obj_types)]
-            cols = {name: batch.column(name) for name in batch.column_names}
-            cols["subj"] = pa.array(subj, pa.string())
-            cols["obj"] = pa.array(obj, pa.string())
-            cols["subj_slug"] = pa.array(
-                [normalize_entity_name(s) for s in subj], pa.string()
-            )
-            cols["subj_lower"] = pa.array(
-                [normalize_docred_subject(s) for s in subj], pa.string()
-            )
-            return pa.table(cols)
-
-    return triples.map_batches(Rewrite, batch_format="pyarrow", concurrency=(1, 4))
+    return triples.map_batches(rewrite, batch_format="pyarrow")
 
 
 _PACK_SEP = "\x1f"

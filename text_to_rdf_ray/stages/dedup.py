@@ -96,8 +96,10 @@ def _pairs_from_buckets(
                 oh.append(band_hash)
                 oi.append(i)
                 op.append(p)
+        shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(ob, oh)]
         return pa.table(
             {
+                "shard": pa.array(shard, pa.int32()),
                 "band_id": pa.array(ob, pa.int32()),
                 "band_hash": pa.array(oh, pa.int64()),
                 id_col: pa.array(oi, pa.int64()),
@@ -105,25 +107,25 @@ def _pairs_from_buckets(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        n = len(g)
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "score": pd.Series(dtype="float64")}
-        )
-        if n < 2 or n > max_bucket:
-            return empty
-        ids = g[id_col].to_numpy()
-        payloads = g[payload_col].tolist()
+    def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """One Ray group = one shard = many LSH buckets; bucket iteration is
+        a local pandas groupby (avoids per-bucket Ray map_groups overhead
+        when buckets number in the tens of thousands)."""
         a, b, sc = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                score = verify_fn(payloads[i], payloads[j])
-                if score is not None:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    sc.append(score)
+        for _, g in group.groupby(["band_id", "band_hash"], sort=True):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            n = len(g)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = g[id_col].to_numpy()
+            payloads = g[payload_col].tolist()
+            for i in range(n):
+                for j in range(i + 1, n):
+                    score = verify_fn(payloads[i], payloads[j])
+                    if score is not None:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        sc.append(score)
         return pd.DataFrame(
             {"id_a": np.array(a, dtype=np.int64), "id_b": np.array(b, dtype=np.int64),
              "score": np.array(sc, dtype=np.float64)}
@@ -131,8 +133,8 @@ def _pairs_from_buckets(
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
     )
 
     _SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
@@ -197,9 +199,35 @@ def minhash_dedup(
             ),
             batch_format="pyarrow",
         )
-    from .canonicalize import _solid
+    from .canonicalize import DRIVER_UNION_FIND_THRESHOLD, _solid
 
-    comp = _solid(connected_components(edges).map_batches(
+    comp = connected_components(edges)
+    if comp.count() < DRIVER_UNION_FIND_THRESHOLD:
+        # near-dup clusters are a tiny fraction of the corpus: broadcast the
+        # component map instead of shuffling every id through a join
+        import ray
+
+        comp_ref = ray.put({r["name_id"]: r["component"] for r in comp.take_all()})
+
+        class Attach:
+            def __init__(self):
+                self.map = ray.get(comp_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids_list = t.column(id_col).to_pylist()
+                return pa.table(
+                    {
+                        id_col: t.column(id_col),
+                        "canonical_id": pa.array(
+                            [self.map.get(i, i) for i in ids_list], pa.int64()
+                        ),
+                    }
+                )
+
+        return ds.select_columns([id_col]).map_batches(
+            Attach, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    comp = _solid(comp.map_batches(
         lambda t: pa.table({id_col: t.column("name_id"), "component": t.column("component")}),
         batch_format="pyarrow",
     ))

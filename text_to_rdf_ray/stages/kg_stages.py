@@ -95,6 +95,41 @@ def extract_triples(batch: pa.Table) -> pa.Table:
     return pa.table({name: pa.array(cols[name], typ) for name, typ in TRIPLE_FIELDS})
 
 
+def _link_batch(index, cache: dict, batch: pa.Table) -> pa.Table:
+    """Shared per-batch linking body (used by actor and task modes)."""
+
+    def lookup(name: str):
+        hit = cache.get(name)
+        if hit is None:
+            linked = index.link(name)
+            hit = (linked.uri, linked.confidence) if linked else (None, 0.0)
+            if len(cache) < 200_000:
+                cache[name] = hit
+        return hit
+
+    subj_uri, subj_conf, obj_uri, obj_conf = [], [], [], []
+    subjs = batch.column("subj").to_pylist()
+    objs = batch.column("obj").to_pylist()
+    obj_types = batch.column("obj_type").to_pylist()
+    for s, o, ot in zip(subjs, objs, obj_types):
+        uri, conf = lookup(s)
+        subj_uri.append(uri)
+        subj_conf.append(conf)
+        if ot:  # entity object
+            uri, conf = lookup(o)
+            obj_uri.append(uri)
+            obj_conf.append(conf)
+        else:
+            obj_uri.append(None)
+            obj_conf.append(0.0)
+    return (
+        batch.append_column("subj_uri", pa.array(subj_uri, pa.string()))
+        .append_column("subj_link_conf", pa.array(subj_conf, pa.float64()))
+        .append_column("obj_uri", pa.array(obj_uri, pa.string()))
+        .append_column("obj_link_conf", pa.array(obj_conf, pa.float64()))
+    )
+
+
 class LinkEntities:
     """Actor-pool stage: link subj/obj surfaces to KB URIs.
 
@@ -103,6 +138,13 @@ class LinkEntities:
     Ray-native replacement for the reference's per-process Oxigraph store
     (/root/reference/src/entity_linker.rs:133-151).  Per-batch work is a
     dict-cached lookup over the batch's distinct surfaces.
+
+    Use this mode when the KB is heavy (GB-scale index / model): the pool
+    bounds the number of index replicas.  NOTE: Ray Data fuses the upstream
+    map chain into the actor pool, so the pool size caps the parallelism of
+    everything fused with it — size ``concurrency`` accordingly, or use
+    ``make_link_task`` (task mode, per-worker cached index) when the KB is
+    cheap to replicate.
     """
 
     def __init__(self, kb_ref=None, kb_records=None, fuzzy_threshold=0.8,
@@ -120,37 +162,37 @@ class LinkEntities:
         )
         self.cache: dict[str, tuple[str | None, float]] = {}
 
-    def _lookup(self, name: str) -> tuple[str | None, float]:
-        hit = self.cache.get(name)
-        if hit is None:
-            linked = self.index.link(name)
-            hit = (linked.uri, linked.confidence) if linked else (None, 0.0)
-            if len(self.cache) < 200_000:
-                self.cache[name] = hit
-        return hit
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj_uri, subj_conf, obj_uri, obj_conf = [], [], [], []
-        subjs = batch.column("subj").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        obj_types = batch.column("obj_type").to_pylist()
-        for s, o, ot in zip(subjs, objs, obj_types):
-            uri, conf = self._lookup(s)
-            subj_uri.append(uri)
-            subj_conf.append(conf)
-            if ot:  # entity object
-                uri, conf = self._lookup(o)
-                obj_uri.append(uri)
-                obj_conf.append(conf)
-            else:
-                obj_uri.append(None)
-                obj_conf.append(0.0)
-        return (
-            batch.append_column("subj_uri", pa.array(subj_uri, pa.string()))
-            .append_column("subj_link_conf", pa.array(subj_conf, pa.float64()))
-            .append_column("obj_uri", pa.array(obj_uri, pa.string()))
-            .append_column("obj_link_conf", pa.array(obj_conf, pa.float64()))
-        )
+        return _link_batch(self.index, self.cache, batch)
+
+
+# per-worker-process KB index cache for task-mode linking
+_KB_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def make_link_task(kb_ref, fuzzy_threshold=0.8, confidence_threshold=0.5):
+    """Task-mode linker: stateless map_batches function whose KB index is
+    built lazily ONCE PER WORKER PROCESS (module-level cache keyed by the
+    broadcast ref).  Keeps the map chain fully task-parallel — no actor
+    pool to cap fused-stage parallelism — at the cost of one index replica
+    per worker; right when the KB is small relative to worker heap."""
+    key = kb_ref.hex() if hasattr(kb_ref, "hex") else str(kb_ref)
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..kernels.linker import KBIndex
+
+        entry = _KB_INDEX_CACHE.get(key)
+        if entry is None:
+            index = KBIndex(ray.get(kb_ref), fuzzy_threshold=fuzzy_threshold,
+                            confidence_threshold=confidence_threshold)
+            entry = (index, {})
+            _KB_INDEX_CACHE[key] = entry
+        index, cache = entry
+        return _link_batch(index, cache, batch)
+
+    return link_batch
 
 
 def validate_triples(batch: pa.Table) -> pa.Table:
