@@ -487,6 +487,51 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
+    """Distributed evaluation of the extractor on the WebNLG fixture corpus
+    (predicted vs gold via tagged groupby — SURVEY.md J6/A4/A5)."""
+    from text_to_rdf_ray.kernels.extractor import extract_document
+    from text_to_rdf_ray.pipelines.evaluate import evaluate_datasets
+    from text_to_rdf_ray.sources.corpora import webnlg_dataset, webnlg_gold_dataset
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = {"case_id": [], "subj": [], "pred": [], "obj": []}
+        for cid, text in zip(batch.column("case_id").to_pylist(),
+                             batch.column("raw_text").to_pylist()):
+            for t in extract_document(text).triples:
+                if t.nested_in:
+                    continue
+                rows["case_id"].append(cid)
+                rows["subj"].append(t.subj_slug)
+                rows["pred"].append(t.pred)
+                rows["obj"].append(t.obj)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+    pred = webnlg_dataset().map_batches(extract, batch_format="pyarrow")
+    return pd.DataFrame([evaluate_datasets(pred, webnlg_gold_dataset())])
+
+
+def _eval_docred(sf_dir: str) -> pd.DataFrame:
+    """Distributed evaluation on the DocRED fixture corpus."""
+    from text_to_rdf_ray.kernels.extractor import extract_document
+    from text_to_rdf_ray.pipelines.evaluate import evaluate_datasets
+    from text_to_rdf_ray.sources.corpora import docred_dataset, docred_gold_dataset
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = {"case_id": [], "subj": [], "pred": [], "obj": []}
+        for cid, text in zip(batch.column("case_id").to_pylist(),
+                             batch.column("raw_text").to_pylist()):
+            for t in extract_document(text).triples:
+                rows["case_id"].append(cid)
+                rows["subj"].append(t.subj_lower)
+                rows["pred"].append(t.pred)
+                rows["obj"].append(t.obj)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+    pred = docred_dataset().map_batches(extract, batch_format="pyarrow")
+    return pd.DataFrame([evaluate_datasets(pred, docred_gold_dataset())])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -524,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_fixture": _kg_triples_fixture,
         "kg_gold_eval": _kg_gold_eval,
         "kg_jsonld_render": _kg_jsonld_render,
+        "eval_webnlg": _eval_webnlg,
+        "eval_docred": _eval_docred,
         "stem_tokens": _stem_tokens,
         "slug_part_names": _slug_part_names,
         "chunk_counts": _chunk_counts,

@@ -1,0 +1,146 @@
+"""Config, stage registry, corpus loaders, distributed evaluation."""
+
+import pytest
+
+
+def test_pipeline_config_defaults_match_reference():
+    from text_to_rdf_ray.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert cfg.coref.max_distance == 3          # coref.rs:98
+    assert cfg.chunk.max_chars == 3500          # chunking.rs:102
+    assert cfg.chunk.overlap == 400             # chunking.rs:103
+    assert cfg.chunk.token_threshold == 2000    # extractor.rs:575
+    assert cfg.linker.fuzzy_threshold == 0.8    # entity_linker defaults
+    assert cfg.linker.confidence_threshold == 0.5
+    assert cfg.validation.min_confidence == 0.7  # validation.rs default
+    kwargs = cfg.build_kwargs()
+    assert kwargs["lang"] == "en" and kwargs["dedup"] is True
+
+
+def test_pipeline_config_from_env(monkeypatch):
+    from text_to_rdf_ray.config import PipelineConfig
+
+    monkeypatch.setenv("COREF_MAX_DISTANCE", "5")
+    monkeypatch.setenv("RDF_CHUNK_THRESHOLD", "1000")
+    monkeypatch.setenv("ENTITY_LINKING_FUZZY_THRESHOLD", "0.9")
+    monkeypatch.setenv("KG_DEDUP_ENABLED", "false")
+    cfg = PipelineConfig.from_env()
+    assert cfg.coref.max_distance == 5
+    assert cfg.chunk.token_threshold == 1000
+    assert cfg.linker.fuzzy_threshold == 0.9
+    assert cfg.dedup is False
+
+
+def test_stage_registry(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.functions import registry
+
+    assert "strip_html" in registry.list_stages()
+    assert "extract_triples" in registry.list_stages()
+
+    def upper_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"text": pa.array([t.upper() for t in batch.column("text").to_pylist()])}
+        )
+
+    registry.register_stage("upper_text", upper_text)
+    ds = rd.from_items([{"text": "abc"}, {"text": "xyz"}])
+    out = registry.apply_stage(ds, "upper_text").take_all()
+    assert [r["text"] for r in out] == ["ABC", "XYZ"]
+
+
+def test_custom_validation_rules():
+    from text_to_rdf_ray.functions.registry import (
+        ValidationRule,
+        apply_custom_rules,
+    )
+
+    rule = ValidationRule(
+        name="person_birthdate", description="Person should have birthDate",
+        required_properties=["birthDate"], entity_type="Person",
+        confidence_impact=-0.1,
+    )
+    doc = {"@type": "Person", "name": "X"}
+    violations, delta = apply_custom_rules(doc, [rule])
+    assert violations == ["person_birthdate"] and delta == -0.1
+    ok = {"@type": "Person", "name": "X", "birthDate": "1990-01-01"}
+    assert apply_custom_rules(ok, [rule]) == ([], 0.0)
+    org = {"@type": "Organization", "name": "Y"}
+    assert apply_custom_rules(org, [rule]) == ([], 0.0)  # type-filtered
+
+
+def test_corpora_loaders(ray_session):
+    from text_to_rdf_ray.sources.corpora import (
+        docred_dataset,
+        docred_gold_dataset,
+        webnlg_dataset,
+        webnlg_gold_dataset,
+    )
+
+    w = webnlg_dataset().take_all()
+    assert len(w) == 4 and w[0]["case_id"] == "astronaut_birthdate_1"
+    wg = webnlg_gold_dataset().take_all()
+    assert {"subj", "pred", "obj", "case_id"} <= set(wg[0])
+    d = docred_dataset().take_all()
+    assert len(d) == 3 and "Marie Curie was" in d[0]["raw_text"]
+    dg = docred_gold_dataset().take_all()
+    assert len(dg) == 14  # 4 + 5 + 5 mapped gold triples
+
+
+def test_distributed_evaluation_perfect_and_partial(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.pipelines.evaluate import evaluate_datasets
+
+    gold = rd.from_items(
+        [
+            {"case_id": "a", "subj": "x", "pred": "p", "obj": "1"},
+            {"case_id": "a", "subj": "x", "pred": "q", "obj": "2"},
+            {"case_id": "b", "subj": "y", "pred": "p", "obj": "3"},
+        ]
+    )
+    pred_perfect = rd.from_items(gold.take_all())
+    m = evaluate_datasets(pred_perfect, gold)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["cases"] == 2
+
+    pred_partial = rd.from_items(
+        [
+            {"case_id": "a", "subj": "x", "pred": "p", "obj": "1"},
+            {"case_id": "a", "subj": "x", "pred": "z", "obj": "9"},  # fp
+            {"case_id": "b", "subj": "y", "pred": "p", "obj": "3"},
+        ]
+    )
+    m = evaluate_datasets(pred_partial, gold)
+    assert m["micro_tp"] == 2 and m["micro_fp"] == 1 and m["micro_fn"] == 1
+    assert abs(m["precision"] - 0.75) < 1e-9  # macro: (0.5 + 1.0)/2
+
+
+def test_extract_json_block_and_context_injection():
+    from text_to_rdf_ray.kernels.jsonld import (
+        HARDCODED_CONTEXT,
+        extract_json_block,
+        inject_hardcoded_context,
+        to_json_with_provenance,
+    )
+
+    # extractor.rs:746-782 test shapes
+    fenced = 'text before ```json\n{"a": 1}\n``` after'
+    assert extract_json_block(fenced) == '{"a": 1}'
+    bare = 'noise {"a": {"b": 2}} trailing'
+    assert extract_json_block(bare) == '{"a": {"b": 2}}'
+    assert extract_json_block("no json here") is None
+
+    doc = {"@context": "https://schema.org/", "@type": "Person", "name": "X"}
+    injected = inject_hardcoded_context(doc)
+    assert injected["@context"] == HARDCODED_CONTEXT
+    assert doc["@context"] == "https://schema.org/"  # original untouched
+
+    with_prov = to_json_with_provenance(doc, text_span=(0, 10), confidence=0.9,
+                                        chunk_id=1, method="pattern")
+    assert with_prov["_provenance"] == {
+        "textSpan": [0, 10], "confidence": 0.9, "chunkId": 1, "method": "pattern"
+    }

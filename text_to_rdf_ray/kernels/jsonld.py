@@ -185,3 +185,49 @@ def render_ntriples(subj: str, pred: str, obj: str, obj_is_entity: bool,
 
     o = uri(obj) if obj_is_entity else f'"{esc(obj)}"'
     return f"{uri(subj)} <https://schema.org/{pred}> {o} ."
+
+
+def extract_json_block(response: str) -> str | None:
+    """Pull JSON out of an LLM-style response (extractor.rs:164-183):
+    prefer a ```json fenced block, else the first '{' .. last '}' span.
+    Kept for the optional LLM-backed extractor mode."""
+    fence = "```json"
+    if fence in response:
+        start = response.index(fence) + len(fence)
+        end = response.find("```", start)
+        if end != -1:
+            return response[start:end].strip()
+    first = response.find("{")
+    last = response.rfind("}")
+    if first != -1 and last > first:
+        return response[first : last + 1]
+    return None
+
+
+def inject_hardcoded_context(jsonld: dict) -> dict:
+    """Overwrite @context with the embedded context (types.rs:349-364)."""
+    out = dict(jsonld)
+    out["@context"] = dict(HARDCODED_CONTEXT)
+    return out
+
+
+def to_json_with_provenance(jsonld: dict, *, text_span=None, confidence=None,
+                            chunk_id=None, method=None, source_text=None) -> dict:
+    """Attach a ``_provenance`` object (types.rs:302-339 / Provenance
+    struct types.rs:91-112).  In the relational pipeline provenance lives
+    in columns; this renderer reproduces the reference's JSON output shape."""
+    out = dict(jsonld)
+    prov = {}
+    if text_span is not None:
+        prov["textSpan"] = list(text_span)
+    if confidence is not None:
+        prov["confidence"] = confidence
+    if chunk_id is not None:
+        prov["chunkId"] = chunk_id
+    if method is not None:
+        prov["method"] = method
+    if source_text is not None:
+        prov["sourceText"] = source_text
+    if prov:
+        out["_provenance"] = prov
+    return out
