@@ -289,34 +289,36 @@ def _embedding_label_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def _agg_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-style grouped aggregate with a vectorized combiner."""
-    import pyarrow.compute as pc
-
+    """TPC-H Q1-style grouped aggregate with a per-batch combiner:
+    pyarrow group_by inside map_batches emits ~6 partial rows per batch, so
+    the exchange moves partials, not 600k rows (the pre-aggregation pattern
+    for skew/scale)."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def add_disc(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         disc = pc.multiply(batch.column("l_extendedprice"),
                            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return batch.append_column("disc_price", disc)
+        batch = batch.append_column("disc_price", disc)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(add_disc, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate()
-    )
-    from ray.data.aggregate import Count, Sum
-
-    out = (
-        ds.map_batches(add_disc, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="count_order"),
         )
         .to_pandas()
     )
@@ -327,8 +329,8 @@ def _agg_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
 
 
 def _join_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """orders ⋈ customer ⋈ nation with the small sides broadcast (no
-    shuffle join: nation/customer are dimension tables)."""
+    """orders ⋈ customer ⋈ nation with the small sides broadcast (dimension
+    tables via ray.put, no shuffle join) + per-batch partial aggregation."""
     import ray
 
     cust = rd.read_parquet(
@@ -339,24 +341,27 @@ def _join_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     cust_map = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     lookup_ref = ray.put(dict(zip(cust_map["c_custkey"], cust_map["n_name"])))
+    cache: dict = {}
 
-    class Attach:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["o_custkey"].map(self.lookup)
-            return batch[["n_name", "o_totalprice"]]
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = cache.get("m")
+        if lookup is None:
+            lookup = cache["m"] = ray.get(lookup_ref)
+        batch["n_name"] = batch["o_custkey"].map(lookup)
+        g = batch.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return g
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
-        orders.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("n_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
     out["revenue"] = _r(out["revenue"], 2)
@@ -365,10 +370,22 @@ def _join_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
 
 def _topk_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 orders by totalprice: per-batch local top-k combiner, then a
+    global sort over the tiny partials (no full-data sort shuffle)."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
     )
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    out = partials.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
     out["o_totalprice"] = _r(out["o_totalprice"], 2)
     return out.reset_index(drop=True)
 
@@ -409,27 +426,32 @@ def _distinct_event_types(sf_dir: str) -> pd.DataFrame:
 
 def _events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1h event-time window as groupby(epoch-hour) — the Ray Data
-    expression of a streaming windowed aggregate (SURVEY.md §2.9 note)."""
+    expression of a streaming windowed aggregate (SURVEY.md §2.9 note);
+    per-batch partial aggregation in front of the exchange."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
 
-    def fn(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         hours = (batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
                  // 3_600_000_000)
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "hour_id": pa.array(hours, pa.int64()),
                 "value": batch.column("value"),
             }
         )
+        return t.group_by(["event_type", "hour_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(fn, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "hour_id"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("value_count", alias_name="n"),
+                   Sum("value_sum", alias_name="sum_value"))
         .to_pandas()
     )
     out["sum_value"] = _r(out["sum_value"], 2)
@@ -438,14 +460,26 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def _events_user_totals(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"])
-    from ray.data.aggregate import Count, Sum
+    """Top-10 users by total value: per-batch partial aggregation, then a
+    small groupby + local sort (no full-data sort)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("user_id").aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    from ray.data.aggregate import Sum
 
     agg = (
-        ds.groupby("user_id")
-        .aggregate(Sum("value", alias_name="total"), Count(alias_name="n_events"))
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("value_sum", alias_name="total"),
+                   Sum("value_count", alias_name="n_events"))
+        .to_pandas()
     )
-    out = agg.sort(["total", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    out = agg.sort_values(["total", "user_id"], ascending=[False, True]).head(10)
     out["total"] = _r(out["total"], 2)
     out["n_events"] = out["n_events"].astype("int64")
     return out.reset_index(drop=True)
@@ -485,6 +519,37 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
         out[["media_id", "media_type", "mime", "feat_dim", "feat_sum"]]
         .sort_values("media_id").reset_index(drop=True)
     )
+
+
+def _events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user — the stream-shaped
+    operator expressed as groupby(user).map_groups over ts-sorted groups
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        brk = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        sid = brk.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(sid.max())],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["max_session_events"] = out["max_session_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
@@ -596,7 +661,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_high_value_lineitems": _filter_high_value,
         "distinct_event_types": _distinct_event_types,
         "events_hourly": _events_hourly,
+        "events_sessions": """
+            WITH x AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x
+            ),
+            z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY user_id, sid)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM z GROUP BY user_id ORDER BY user_id
+        """,
         "events_user_totals": _events_user_totals,
+        "events_sessions": _events_sessions,
         # multimodal plumbing
         "media_features_fake": _media_features,
     }

@@ -75,9 +75,10 @@ def extract_document(text: str, apply_blacklist: bool = True) -> DocExtraction:
             kb.add_alias(alias, canonical)
         resolved = coref.resolved_text
         resolved_parts.append(resolved)
-        # register mentions introduced by the substitutions
-        for m in scan_mentions(resolved):
-            kb.register(m.name, m.kind, cstart + m.start, chunk_id=cid)
+        if coref.replacements:
+            # register mentions introduced by the substitutions
+            for m in scan_mentions(resolved):
+                kb.register(m.name, m.kind, cstart + m.start, chunk_id=cid)
 
         raw: list[RawTriple] = []
         for seg, seg_off in split_segments(resolved):
