@@ -48,10 +48,20 @@ _DEF_DESC = re.compile(
 _WORD = re.compile(r"\S+")
 
 
+_STRIP_EDGE = re.compile(r"^[^a-z]+|[^a-z]+$")
+
+
 def classify_pronoun(word: str) -> str | None:
-    """coref.rs:508-519 — strip non-alphabetic edges, classify."""
-    w = re.sub(r"^[^a-z]+|[^a-z]+$", "", word.lower())
-    return _PRONOUNS.get(w)
+    """coref.rs:508-519 — strip non-alphabetic edges, classify.
+
+    Fast path: most tokens are clean words — dict probe before any regex."""
+    w = word.lower()
+    hit = _PRONOUNS.get(w)
+    if hit is not None:
+        return hit
+    if w.isalpha() or not w:
+        return None
+    return _PRONOUNS.get(_STRIP_EDGE.sub("", w))
 
 
 def matches_pronoun(entity: str, ptype: str) -> bool:

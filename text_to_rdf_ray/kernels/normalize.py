@@ -19,6 +19,7 @@ Re-expresses the reference semantics (/root/reference/src/normalize.rs):
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 from .stemmer import stem
 
@@ -49,11 +50,13 @@ def slugify(text: str) -> str:
     return "".join(out)
 
 
+@lru_cache(maxsize=65536)
 def normalize_entity_name(name: str) -> str:
     """"Alan Bean" -> "alan_bean"; "José García" -> "jose_garcia"."""
     return slugify(name).replace("-", "_")
 
 
+@lru_cache(maxsize=65536)
 def normalize_predicate(predicate: str) -> str:
     """Lowercase + Snowball stem: "birthDate" -> "birthdat", "serves" -> "serv"."""
     return stem(predicate.lower())
