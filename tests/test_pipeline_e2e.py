@@ -149,3 +149,50 @@ def test_link_actor_and_task_modes_agree(pages_dir):
     sa = sorted(map(tuple, a[key].fillna("").values.tolist()))
     sb = sorted(map(tuple, b[key].fillna("").values.tolist()))
     assert sa == sb
+
+
+def test_hot_key_skew_dedups_to_single_triples():
+    """2,000 pages all asserting the same facts about one hot entity: the
+    batch-local combiner collapses the skew before the exchange and the
+    global dedup yields exactly the distinct triple set."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.pipelines.kg import build_triples
+    from text_to_rdf_ray.sources.fixtures import kb_records, wrap_html
+
+    text = "Alan Bean was born on the 15th of March 1932."
+    n = 2000
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"https://skew.test/{i}" for i in range(n)]),
+                "warc_ts": pa.array([1704067200_000000 + i for i in range(n)],
+                                    pa.timestamp("us")),
+                "html": pa.array([wrap_html("d", text)] * n, pa.binary()),
+                "lang": pa.array(["en"] * n),
+            }
+        )
+    )
+    out = build_triples(pages, kb_records=kb_records()).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.subj_slug, row.pred, row.obj) == ("alan_bean", "birthdat", "1932-03-15")
+    # deterministic provenance: first url by (url, chunk, span)
+    assert row.url == "https://skew.test/0"
+
+
+def test_manifest_method_counters(pages_dir, tmp_path):
+    from text_to_rdf_ray.pipelines.kg import run_partitioned
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.state import manifest as mf
+
+    out = str(tmp_path / "out2")
+    run_partitioned(pages_dir, out, partitions=1, kb_records=kb_records())
+    totals = mf.aggregate_counters(out)
+    assert totals["triples_valid"] > 0
+    assert totals["triples_linked"] > 0
+    method_keys = [k for k in totals if k.startswith("triples_method_")]
+    assert "triples_method_born_on" in method_keys
+    assert sum(totals[k] for k in method_keys) == totals["triples_out"]

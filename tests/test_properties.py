@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): kernels never crash and hold their
+structural invariants on arbitrary input."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_to_rdf_ray.kernels.coref import resolve_reference_rule, resolve_typed
+from text_to_rdf_ray.kernels.extractor import extract_document
+from text_to_rdf_ray.kernels.normalize import normalize_entity_name, normalize_predicate
+from text_to_rdf_ray.kernels.stemmer import stem
+from text_to_rdf_ray.kernels.text import chunk_text, extract_text
+
+text_strategy = st.text(max_size=600)
+word_strategy = st.text(alphabet=string.ascii_lowercase + "'", min_size=1, max_size=24)
+
+
+@settings(max_examples=200, deadline=None)
+@given(word_strategy)
+def test_stemmer_total_and_shrinking(word):
+    out = stem(word)
+    assert isinstance(out, str)
+    assert len(out) <= len(word) + 1  # only 1b/5 may append an 'e'
+    assert stem(word) == out  # deterministic
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_slug_ascii_invariants(name):
+    slug = normalize_entity_name(name)
+    assert all(c.islower() or c.isdigit() or c == "_" for c in slug)
+    assert not slug.startswith("_") and not slug.endswith("_") or slug == ""
+    assert normalize_entity_name(name) == slug  # deterministic (cached)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=40))
+def test_predicate_normalization_lowercase(pred):
+    out = normalize_predicate(pred)
+    assert out == out.lower()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=1, max_size=5000), st.integers(50, 300), st.integers(0, 49))
+def test_chunker_coverage_and_offsets(text, max_chars, overlap):
+    chunks = chunk_text(text, max_chars=max_chars, overlap=overlap)
+    assert chunks[0][2] == 0
+    assert chunks[-1][3] == len(text)
+    for cid, ctext, start, end in chunks:
+        assert text[start:end] == ctext
+        assert len(ctext) <= max_chars
+    for (_, _, _, e0), (_, _, s1, _) in zip(chunks, chunks[1:]):
+        assert s1 <= e0  # no gaps
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_coref_total_on_arbitrary_text(text):
+    r1 = resolve_typed(text)
+    assert isinstance(r1.resolved_text, str)
+    r2 = resolve_reference_rule(text)
+    assert isinstance(r2.resolved_text, str)
+    # no replacements -> identity
+    if not r1.replacements:
+        assert r1.resolved_text == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(text_strategy)
+def test_extractor_total_and_deterministic(text):
+    a = extract_document(text)
+    b = extract_document(text)
+    ka = [(t.subj, t.pred, t.obj) for t in a.triples]
+    assert ka == [(t.subj, t.pred, t.obj) for t in b.triples]
+    # outputs are well-formed
+    for t in a.triples:
+        assert t.subj and t.pred
+        assert t.subj_slug == normalize_entity_name(t.subj)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_html_extractor_total_on_garbage(data):
+    out = extract_text(data)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400))
+def test_html_roundtrip_escaped(text):
+    """Any text wrapped by the fixture template must round-trip exactly."""
+    from text_to_rdf_ray.sources.fixtures import wrap_html
+
+    assert extract_text(wrap_html("t", text)) == text

@@ -125,6 +125,44 @@ def build_triples(
     return ds
 
 
+def _triple_counters(triples: rd.Dataset) -> dict:
+    """Per-partition metric counters: triples by extraction method, valid
+    and linked counts (recorded in the partition manifest for the run
+    report — the 'per-partition lineage + metrics' requirement)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        method = batch.column("method")
+        t = pa.table(
+            {
+                "method": method,
+                "valid": batch.column("valid").cast(pa.int64())
+                if "valid" in batch.column_names
+                else pa.array([1] * len(batch), pa.int64()),
+                "linked": pc.cast(
+                    pc.is_valid(batch.column("subj_uri")), pa.int64()
+                )
+                if "subj_uri" in batch.column_names
+                else pa.array([0] * len(batch), pa.int64()),
+            }
+        )
+        return t.group_by("method").aggregate(
+            [("valid", "sum"), ("linked", "sum"), ("method", "count")]
+        )
+
+    df = triples.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return {}
+    agg = df.groupby("method").sum()
+    out: dict = {}
+    for method, row in agg.iterrows():
+        out[f"triples_method_{method}"] = int(row["method_count"])
+    out["triples_valid"] = int(agg["valid_sum"].sum())
+    out["triples_linked"] = int(agg["linked_sum"].sum())
+    return out
+
+
 def _surface_rows(batch: pa.Table) -> pa.Table:
     subj = batch.column("subj").to_pylist()
     objs = batch.column("obj").to_pylist()
@@ -170,6 +208,8 @@ def run_partitioned(
         triples = build_triples(pages, kb_records=kb_records, **build_kwargs)
         triples = triples.materialize()
         n_triples = triples.count()
+        counters = {"docs_in": docs_in, "triples_out": n_triples}
+        counters.update(_triple_counters(triples))
 
         def write_fn(tmp_dir, triples=triples):
             triples.write_parquet(tmp_dir)
@@ -180,7 +220,7 @@ def run_partitioned(
             part,
             write_fn,
             input_fragments=group,
-            counters={"docs_in": docs_in, "triples_out": n_triples},
+            counters=counters,
         )
         report["ran"] += 1
     report["counters"] = mf.aggregate_counters(out_dir)
