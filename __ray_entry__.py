@@ -552,6 +552,25 @@ def _events_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured parsing: JSON props column -> typed value."""
+    import json as _json
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        return pa.table(
+            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
     """Distributed evaluation of the extractor on the WebNLG fixture corpus
     (predicted vs gold via tagged groupby — SURVEY.md J6/A4/A5)."""
@@ -683,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """,
         "events_user_totals": _events_user_totals,
         "events_sessions": _events_sessions,
+        "events_props_extract": _events_props_extract,
         # multimodal plumbing
         "media_features_fake": _media_features,
     }
@@ -788,6 +808,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, hour_id ORDER BY event_type, hour_id
+        """,
+        "events_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id
         """,
         "events_user_totals": """
             SELECT user_id, round(sum(value), 2) AS total,

@@ -144,3 +144,32 @@ def test_extract_json_block_and_context_injection():
     assert with_prov["_provenance"] == {
         "textSpan": [0, 10], "confidence": 0.9, "chunkId": 1, "method": "pattern"
     }
+
+
+def test_instructor_retry_loop():
+    """ST2 semantics: growing conversation, error feedback, bounded retries."""
+    from text_to_rdf_ray.functions.instructor import extract_with_retry
+
+    calls = []
+
+    def flaky(conversation):
+        calls.append(len(conversation))
+        if len(calls) == 1:
+            return "no json at all"
+        if len(calls) == 2:
+            return '{"@type": "Person"}'  # missing name -> validation error
+        return '```json\n{"@context": "https://schema.org/", "@type": "Person", "name": "Ada"}\n```'
+
+    res = extract_with_retry(flaky, "Ada was born.", max_retries=2)
+    assert res.ok and res.document["name"] == "ada"  # normalized root name
+    assert len(res.attempts) == 3
+    assert res.attempts[0].error and "No JSON" in res.attempts[0].error
+    assert res.attempts[1].error and "Validation failed" in res.attempts[1].error
+    # conversation grew: system+user, then one error message per failure
+    assert calls == [2, 3, 4]
+
+    def always_bad(conversation):
+        return "nope"
+
+    res2 = extract_with_retry(always_bad, "x", max_retries=1)
+    assert not res2.ok and len(res2.attempts) == 2

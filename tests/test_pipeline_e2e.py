@@ -196,3 +196,26 @@ def test_manifest_method_counters(pages_dir, tmp_path):
     method_keys = [k for k in totals if k.startswith("triples_method_")]
     assert "triples_method_born_on" in method_keys
     assert sum(totals[k] for k in method_keys) == totals["triples_out"]
+
+
+def test_subject_bucketed_write(pages_dir, tmp_path):
+    import pandas as pd
+
+    from text_to_rdf_ray.pipelines.kg import run_partitioned
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.state import manifest as mf
+
+    out = str(tmp_path / "bucketed")
+    run_partitioned(pages_dir, out, partitions=1, kb_records=kb_records(),
+                    subject_buckets=4)
+    pdir = mf.partition_dir(out, 0)
+    buckets = [d for d in os.listdir(pdir) if d.startswith("subj_bucket=")]
+    assert 1 <= len(buckets) <= 4
+    # subjects are co-located: each subj appears in exactly one bucket dir
+    subj_to_bucket = {}
+    for b in buckets:
+        bdir = os.path.join(pdir, b)
+        for f in os.listdir(bdir):
+            df = pd.read_parquet(os.path.join(bdir, f))
+            for s in df["subj"]:
+                assert subj_to_bucket.setdefault(s, b) == b

@@ -178,6 +178,7 @@ def run_partitioned(
     partitions: int = 4,
     kb_records=None,
     resume: bool = True,
+    subject_buckets: int = 0,
     **build_kwargs,
 ) -> dict:
     """Partitioned, resumable run: input files are hashed into partition
@@ -212,7 +213,29 @@ def run_partitioned(
         counters.update(_triple_counters(triples))
 
         def write_fn(tmp_dir, triples=triples):
-            triples.write_parquet(tmp_dir)
+            if subject_buckets:
+                # co-locate triples of one subject for downstream graph
+                # consumers (hash(subj) % B layout, SURVEY.md §7.2 item 7)
+                import hashlib
+
+                def add_bucket(batch: pa.Table) -> pa.Table:
+                    buckets = [
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=4).digest(),
+                            "little",
+                        )
+                        % subject_buckets
+                        for s in batch.column("subj").to_pylist()
+                    ]
+                    return batch.append_column(
+                        "subj_bucket", pa.array(buckets, pa.int32())
+                    )
+
+                triples.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+                    tmp_dir, partition_cols=["subj_bucket"]
+                )
+            else:
+                triples.write_parquet(tmp_dir)
             return {"rows": n_triples}
 
         mf.write_partition(
