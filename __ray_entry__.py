@@ -13,8 +13,14 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the package importable regardless of the caller's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 import numpy as np
 import pandas as pd
@@ -571,6 +577,38 @@ def _events_props_extract(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_clean_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composite training-data cleaning pipeline: exact dedup -> English
+    language-ID -> quality/length filter -> token stats.  Every step is the
+    library operator; the oracle composes the same logic in SQL."""
+    from text_to_rdf_ray.kernels.textstats import lang_id, token_count_ws
+    from text_to_rdf_ray.stages.dedup import exact_dedup
+
+    deduped = exact_dedup(_documents(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_tok = [], []
+        for i, t in zip(ids, texts):
+            if lang_id(t) != "en":
+                continue
+            n = token_count_ws(t)
+            if n < 20:
+                continue
+            out_id.append(i)
+            out_tok.append(n)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_tokens": pa.array(out_tok, pa.int64())}
+        )
+
+    return (
+        deduped.map_batches(fn, batch_format="pyarrow").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
     """Distributed evaluation of the extractor on the WebNLG fixture corpus
     (predicted vs gold via tagged groupby — SURVEY.md J6/A4/A5)."""
@@ -665,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         # dedup family
         "dedup_exact_docs": _dedup_exact,
+        "corpus_clean_pipeline": _corpus_clean_pipeline,
         "dedup_minhash_docs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_ngram_pairs": _dedup_ngram,
@@ -751,6 +790,26 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) END,
                      6) AS alpha_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "corpus_clean_pipeline": """
+            WITH dedup AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+            c AS (
+              SELECT doc_id, text,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('the','and','of','is','a'))) AS c_en,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS c_de,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('le','la','et','les','des'))) AS c_fr,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('el','los','las','una','es'))) AS c_es
+              FROM dedup),
+            langed AS (
+              SELECT doc_id, text FROM c
+              WHERE NOT (c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0)
+                AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es)
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM langed
+            WHERE CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
+            ORDER BY doc_id
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id

@@ -81,10 +81,19 @@ def _pairs_from_buckets(
     id_col: str,
     payload_col: str,
     max_bucket: int = 256,
+    prepare_fn=None,
 ) -> rd.Dataset:
     """Generic LSH pipeline: explode band keys -> groupby bucket ->
-    verified pairs -> global pair dedup."""
+    verified pairs -> global pair dedup.
+
+    ``prepare_fn(payload)`` computes the verification features ONCE per
+    distinct id per shard (shingle sets, hashes, normalized vectors);
+    ``verify_fn(f1, f2)`` scores a candidate pair.  Pair results are also
+    memoized within a shard (a pair can collide in several bands)."""
     from ray.data.aggregate import Min
+
+    if prepare_fn is None:
+        prepare_fn = lambda p: p  # noqa: E731
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -112,6 +121,8 @@ def _pairs_from_buckets(
         a local pandas groupby (avoids per-bucket Ray map_groups overhead
         when buckets number in the tens of thousands)."""
         a, b, sc = [], [], []
+        feats: dict = {}
+        pair_seen: set = set()
         for _, g in group.groupby(["band_id", "band_hash"], sort=True):
             g = g.drop_duplicates(id_col).sort_values(id_col)
             n = len(g)
@@ -120,8 +131,16 @@ def _pairs_from_buckets(
             ids = g[id_col].to_numpy()
             payloads = g[payload_col].tolist()
             for i in range(n):
+                if ids[i] not in feats:
+                    feats[ids[i]] = prepare_fn(payloads[i])
                 for j in range(i + 1, n):
-                    score = verify_fn(payloads[i], payloads[j])
+                    key = (ids[i], ids[j])
+                    if key in pair_seen:
+                        continue
+                    pair_seen.add(key)
+                    if ids[j] not in feats:
+                        feats[ids[j]] = prepare_fn(payloads[j])
+                    score = verify_fn(feats[ids[i]], feats[ids[j]])
                     if score is not None:
                         a.append(ids[i])
                         b.append(ids[j])
@@ -169,12 +188,16 @@ def minhash_lsh_pairs(
         sig = minhash_signature(word_shingles(text, shingle_words), num_perm=num_perm)
         return list(enumerate(band_keys(sig, bands)))
 
-    def verify(t1: str, t2: str):
-        j = jaccard(word_shingles(t1, shingle_words), word_shingles(t2, shingle_words))
+    def prepare(text: str):
+        return word_shingles(text, shingle_words)
+
+    def verify(s1, s2):
+        j = jaccard(s1, s2)
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col
+        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
+        prepare_fn=prepare,
     )
 
 
@@ -269,12 +292,13 @@ def simhash_pairs(
         h = simhash64(text)
         return [(bi, (h >> (16 * bi)) & 0xFFFF) for bi in range(4)]
 
-    def verify(t1: str, t2: str):
-        d = hamming64(simhash64(t1), simhash64(t2))
-        return float(d) if d <= max_hamming and t1 != t2 else (0.0 if t1 == t2 else None)
+    def verify(h1: int, h2: int):
+        d = hamming64(h1, h2)
+        return float(d) if d <= max_hamming else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col
+        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
+        prepare_fn=simhash64,
     )
 
 
@@ -295,12 +319,16 @@ def ngram_jaccard_pairs(
         sig = minhash_signature(char_shingles(text, n), num_perm=num_perm)
         return list(enumerate(band_keys(sig, bands)))
 
-    def verify(t1: str, t2: str):
-        j = jaccard(char_shingles(t1, n), char_shingles(t2, n))
+    def prepare(text: str):
+        return char_shingles(text, n)
+
+    def verify(s1, s2):
+        j = jaccard(s1, s2)
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col
+        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
+        prepare_fn=prepare,
     )
 
 
@@ -332,15 +360,16 @@ def embedding_neardup_pairs(
         k2 = int(sum(1 << i for i in range(planes) if bits[planes + i]))
         return [(0, k1), (1, k2)]
 
-    def verify(v1, v2):
-        a = np.asarray(v1, dtype=np.float32)
-        b = np.asarray(v2, dtype=np.float32)
-        denom = float(np.linalg.norm(a) * np.linalg.norm(b))
-        if denom == 0:
-            return None
-        c = float(a @ b) / denom
+    def prepare(vec):
+        a = np.asarray(vec, dtype=np.float32)
+        norm = float(np.linalg.norm(a))
+        return a / norm if norm else a
+
+    def verify(a, b):
+        c = float(a @ b)
         return c if c >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, emb_col]), band_fn, verify, id_col, emb_col
+        ds.select_columns([id_col, emb_col]), band_fn, verify, id_col, emb_col,
+        prepare_fn=prepare,
     )
