@@ -110,3 +110,19 @@ def test_chunked_long_document_extraction():
     assert ex.n_chunks > 1
     subjects = {t.subj_lower for t in ex.triples}
     assert "grace_bean" in subjects  # cross-chunk entity persisted via KB
+
+
+def test_wikipedia_article_smoke():
+    """Real Wikipedia fixture (reference examples corpus): the extractor
+    stays well-formed at article scale — chunked, heavy coref, sane
+    subjects (no pronoun/award/adjective subjects)."""
+    with open("/root/reference/tests/fixtures/wikipedia_marie_curie.txt") as f:
+        text = f.read()
+    ex = extract_document(text)
+    assert ex.n_chunks > 10
+    assert ex.n_pronouns_resolved > 100
+    assert len(ex.entities) > 100
+    subjects = {t.subj_lower for t in ex.triples}
+    assert any("curie" in s for s in subjects)
+    banned = {"she", "he", "it", "they", "nobel_prizes"}
+    assert not subjects & banned

@@ -64,7 +64,9 @@ _ORG_SUFFIX = frozenset(["inc", "inc.", "corp", "corp.", "ltd", "ltd.", "llc", "
                          "company", "corporation", "group", "holdings"])
 _EDU_KEYWORDS = frozenset(["university", "college", "institute", "school", "academy"])
 _PLACE_KEYWORDS = frozenset(["city", "town", "bay", "area", "island", "river", "mountain",
-                             "valley", "county", "province", "state", "region"])
+                             "valley", "county", "province", "state", "region",
+                             "empire", "kingdom", "republic", "district"])
+_AWARD_KEYWORDS = frozenset(["prize", "prizes", "award", "awards", "medal", "medals"])
 _ABBREV_TAILS = frozenset(["Inc", "Corp", "Ltd", "Co", "Jr", "Sr"])
 _CONNECTORS = frozenset(["of", "de", "del", "van", "der", "da", "di", "la", "le"])
 _PLACE_PREPS = frozenset(["in", "at", "near"])
@@ -97,6 +99,8 @@ def classify_entity(name: str, context_prep: str | None = None) -> str:
         return AIRPORT
     if name.lower() in COUNTRIES:
         return COUNTRY
+    if any(t in _AWARD_KEYWORDS for t in tokens):
+        return AWARD
     if any(t in _PLACE_KEYWORDS for t in tokens):
         return PLACE
     if context_prep in _PLACE_PREPS:

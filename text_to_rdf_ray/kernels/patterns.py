@@ -126,10 +126,13 @@ def extract_raw_triples(text: str, offset: int = 0) -> list[RawTriple]:
 
     def clean(name: str) -> str:
         """Trim a trailing sentence period unless it belongs to an
-        abbreviation ("Apple Inc." keeps its period; "Denmark." loses it)."""
+        abbreviation ("Apple Inc." keeps its period; "Denmark." loses it);
+        strip a trailing possessive ("Warsaw's" -> "Warsaw")."""
         name = name.strip()
         if name.endswith(".") and not name.lower().endswith(_ABBREV):
             name = name.rstrip(".")
+        if name.endswith("'s") or name.endswith("\u2019s"):
+            name = name[:-2]
         return re.sub(r"\s+", " ", name)
 
     def emit(s, pred, o, skind, okind, nested, m, pattern):
