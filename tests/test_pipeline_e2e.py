@@ -219,3 +219,22 @@ def test_subject_bucketed_write(pages_dir, tmp_path):
             df = pd.read_parquet(os.path.join(bdir, f))
             for s in df["subj"]:
                 assert subj_to_bucket.setdefault(s, b) == b
+
+
+def test_compact_partitions_global_dedup(pages_dir, tmp_path):
+    from text_to_rdf_ray.pipelines.kg import compact_partitions, run_partitioned
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    out = str(tmp_path / "parts")
+    run_partitioned(pages_dir, out, partitions=2, kb_records=kb_records())
+    rep = compact_partitions(out, str(tmp_path / "final"))
+    assert rep["rows_out"] <= rep["rows_in"]
+    import pandas as pd
+
+    final = pd.concat(
+        [pd.read_parquet(os.path.join(tmp_path, "final", f))
+         for f in os.listdir(tmp_path / "final") if f.endswith(".parquet")]
+    )
+    keys = final[["subj", "pred", "obj"]].apply(tuple, axis=1)
+    assert keys.is_unique
+    assert rep["rows_out"] == len(final)

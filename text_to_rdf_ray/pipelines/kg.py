@@ -267,3 +267,33 @@ def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
         return pa.table({"line": pa.array(lines, pa.string())})
 
     triples.map_batches(to_lines, batch_format="pyarrow").write_csv(out_dir)
+
+
+def compact_partitions(out_dir: str, final_dir: str) -> dict:
+    """Cross-partition compaction: the per-partition outputs dedup only
+    within their partition (input is file-partitioned, so the same fact can
+    surface in several partitions); this final job runs the global
+    (subj, pred, obj) exchange over all completed partitions and writes the
+    canonical graph table.  At 100 TB this is the cheap step: it reads
+    triples (tiny vs pages) and shuffles once."""
+    from ..state import manifest as mf
+
+    parts = mf.completed_partitions(out_dir)
+    if not parts:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    files = []
+    for part in parts:
+        pdir = mf.partition_dir(out_dir, part)
+        for root, _dirs, names in os.walk(pdir):
+            files.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+    triples = rd.read_parquet(files)
+    rows_in = triples.count()
+    if "subj_bucket" in (triples.schema().names or []):
+        triples = triples.drop_columns(["subj_bucket"])
+    deduped = dedup_triples(triples).materialize()
+    rows_out = deduped.count()
+    os.makedirs(final_dir, exist_ok=True)
+    deduped.write_parquet(final_dir)
+    return {"partitions": len(parts), "rows_in": rows_in, "rows_out": rows_out}

@@ -69,13 +69,23 @@ def extract_triples(batch: pa.Table) -> pa.Table:
     chunk/coref/pattern kernel on one doc) — the vectorization unit is the
     document, mirroring the reference's doc-at-a-time semantics
     (/root/reference/src/extractor.rs:570-698) with provenance columns."""
+    import sys
+
     urls = batch.column("url").to_pylist()
     texts = batch.column("text").to_pylist()
     cols: dict[str, list] = {name: [] for name, _ in TRIPLE_FIELDS}
     for url, text in zip(urls, texts):
         if not text:
             continue
-        ex = extract_document(text)
+        try:
+            ex = extract_document(text)
+        except Exception as exc:  # lossy fault-tolerance (extractor.rs:689-692):
+            # a pathological document is logged and skipped, the batch
+            # (and pipeline) continues — mirrors the reference's
+            # chunk-failure behavior; Ray task retry would re-raise
+            # deterministically, so skipping is the only useful policy
+            print(f"extract_triples: skipping {url}: {exc!r}", file=sys.stderr)
+            continue
         for t in ex.triples:
             cols["url"].append(url)
             cols["subj"].append(t.subj)
