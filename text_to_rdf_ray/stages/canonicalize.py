@@ -424,7 +424,7 @@ _PACKED_COLS = [
 ]
 
 
-def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
+def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
     """Global exact (subj, pred, obj) dedup — the final canonical shuffle
     (HashSet semantics of integration_tests.rs:70, A3 in SURVEY.md).
 
@@ -433,11 +433,15 @@ def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
        columns into ONE lexicographically-sortable string (url first, then
        zero-padded chunk/span), drop within-batch duplicates keeping the
        min.  This collapses head-entity skew before the exchange.
-    2. groupby(spo_key).aggregate(Min(...)): built-in hash aggregation —
-       no per-group Python.  Min of the packed string selects a CONSISTENT
-       representative row (deterministic first-by-(url,chunk,span)); subj/
-       pred/obj are constant within a group by construction.
-    3. map_batches: unpack provenance back into columns.
+    2. salted partial aggregation groupby((spo_key, hash(url)%salt)):
+       a globally-hot key is spread across ``salt`` reducers.
+    3. unsalted final merge groupby(spo_key) over <= salt rows per key.
+       Min of the packed string selects a CONSISTENT representative row
+       (deterministic first-by-(url,chunk,span)); subj/pred/obj are
+       constant within a group by construction.  Min is associative and
+       commutative, so the salted two-phase result is exactly the
+       single-phase result.
+    4. map_batches: unpack provenance back into columns.
     """
     import hashlib
 
@@ -484,9 +488,20 @@ def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
                 cols["pred_key"][i],
             ]
             prov.append(_PACK_SEP.join(parts))
+        # salt = hash(url) % S: a globally-hot (s,p,o) spreads over S
+        # reducers in phase 1 (SURVEY.md §4.2 skew handling); the salt only
+        # exists in the partial-agg phase and is dropped by phase 2
+        salts = [
+            int.from_bytes(
+                hashlib.blake2b(u.encode("utf-8"), digest_size=2).digest(), "little"
+            )
+            % salt
+            for u in cols["url"]
+        ]
         tbl = pa.table(
             {
                 "spo_key": pa.array(keys, pa.int64()),
+                "salt": pa.array(salts, pa.int32()),
                 "subj": batch.column("subj"),
                 "pred": batch.column("pred"),
                 "obj": batch.column("obj"),
@@ -494,7 +509,9 @@ def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
             }
         )
         df = tbl.to_pandas()
-        df = df.sort_values(["spo_key", "prov"]).drop_duplicates("spo_key", keep="first")
+        df = df.sort_values(["spo_key", "prov"]).drop_duplicates(
+            ["spo_key", "salt"], keep="first"
+        )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -528,8 +545,20 @@ def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    agg = (
+    # phase 1: salted partial aggregation (hot keys spread over `salt`
+    # reducers); phase 2: unsalted final merge over <= salt rows per key
+    salted = (
         triples.map_batches(pack, batch_format="pyarrow")
+        .groupby(["spo_key", "salt"])
+        .aggregate(
+            Min("subj", alias_name="subj"),
+            Min("pred", alias_name="pred"),
+            Min("obj", alias_name="obj"),
+            Min("prov", alias_name="prov"),
+        )
+    )
+    agg = (
+        _arrow(salted)
         .groupby("spo_key")
         .aggregate(
             Min("subj", alias_name="subj"),
