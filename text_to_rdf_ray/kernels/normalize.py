@@ -44,7 +44,9 @@ def slugify(text: str) -> str:
                 if pending_sep and out:
                     out.append("-")
                 pending_sep = False
-                out.append(c)
+                # lowercase again: NFKD can decompose caseless symbols into
+                # uppercase ASCII (e.g. mathematical bold capital A)
+                out.append(c.lower())
             else:
                 pending_sep = True
     return "".join(out)

@@ -416,12 +416,6 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
 
 
 _PACK_SEP = "\x1f"
-_PACKED_COLS = [
-    "url", "chunk_id", "span_start", "span_end", "method", "nested_in",
-    "subj_type", "obj_type", "subj_uri", "subj_link_conf", "obj_uri",
-    "obj_link_conf", "confidence", "valid", "subj_slug", "subj_lower",
-    "pred_key",
-]
 
 
 def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
