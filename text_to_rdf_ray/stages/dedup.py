@@ -214,7 +214,7 @@ def minhash_dedup(
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by count + connected components + take_all
     if edges.count() == 0:
         return ds.map_batches(
             lambda t: pa.table(
