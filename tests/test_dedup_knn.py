@@ -49,7 +49,7 @@ def test_simhash_pairs_hamming_bound():
 
     # long base so one-suffix-char changes flip <= 3 simhash bits
     base = ("the quick brown fox jumps over the lazy dog near the river bank " * 8).strip()
-    texts = [base, base + " ok", "other totally unrelated content here"]
+    texts = [base, base + " x", "other totally unrelated content here"]
     assert hamming64(simhash64(texts[0]), simhash64(texts[1])) <= 3
     pairs = simhash_pairs(_docs_ds(texts), max_hamming=3).to_pandas()
     got = (

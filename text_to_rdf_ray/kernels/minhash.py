@@ -52,14 +52,29 @@ def word_shingles(text: str, k: int = 5) -> set[str]:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_MAX_HASH_BYTES = 40
+
+
 def _hash_shingles(shingles) -> np.ndarray:
-    """Stable 64-bit hashes of shingles (blake2b, deterministic across runs)."""
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
+    """Stable 64-bit hashes of shingles — vectorized FNV-1a over a padded
+    byte matrix (one numpy pass per byte column instead of a Python-loop
+    digest per shingle; deterministic across runs and platforms)."""
+    n = len(shingles)
+    encoded = [s.encode("utf-8")[:_MAX_HASH_BYTES] for s in shingles]
+    # FIXED width: the hash of a shingle must not depend on which other
+    # shingles happen to be in the batch (padding participates in FNV)
+    width = _MAX_HASH_BYTES
+    buf = b"".join(b.ljust(width, b"\x00") for b in encoded)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, width).astype(np.uint64)
+    lens = np.array([len(b) for b in encoded], dtype=np.uint64)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(width):
+        h = (h ^ arr[:, j]) * _FNV_PRIME
+    # fold in the true length so zero-padding cannot collide
+    h = (h ^ lens) * _FNV_PRIME
+    return h
 
 
 def minhash_signature(shingles, num_perm: int = _DEFAULT_PERMS, seed: int = 42) -> np.ndarray:
