@@ -238,3 +238,27 @@ def test_compact_partitions_global_dedup(pages_dir, tmp_path):
     keys = final[["subj", "pred", "obj"]].apply(tuple, axis=1)
     assert keys.is_unique
     assert rep["rows_out"] == len(final)
+
+
+def test_run_cli_entrypoint(pages_dir, tmp_path):
+    """`python -m text_to_rdf_ray.run` (the ray-job-submit entrypoint) in a
+    fresh process: runs partitioned, writes manifests, reports JSON."""
+    import json
+    import subprocess
+    import sys
+
+    from text_to_rdf_ray.sources.fixtures import write_kb
+
+    kb_path = str(tmp_path / "kb.parquet")
+    write_kb(kb_path)
+    out = str(tmp_path / "cli_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "text_to_rdf_ray.run", "--pages", pages_dir,
+         "--out", out, "--kb", kb_path, "--partitions", "2"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ran"] == 2
+    assert report["counters"]["triples_out"] > 0
