@@ -262,3 +262,40 @@ def test_run_cli_entrypoint(pages_dir, tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["ran"] == 2
     assert report["counters"]["triples_out"] > 0
+
+
+def test_adversarial_pages_robustness():
+    """Nulls, empties, malformed HTML, unicode, and a ~1MB document all
+    flow through the full pipeline without failures."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.pipelines.kg import build_triples
+    from text_to_rdf_ray.sources.fixtures import kb_records, wrap_html
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": [f"https://a/{i}" for i in range(6)],
+                "warc_ts": pa.array([0] * 6, pa.timestamp("us")),
+                "html": pa.array(
+                    [
+                        None,
+                        b"",
+                        wrap_html("t", ""),
+                        wrap_html("t", "José Gárcía was born on the 3rd of May 1950. 他是科学家。"),
+                        wrap_html("t", "Alan Bean was born on the 15th of March 1932. " * 20000),
+                        b"<p>broken<div><<<&&& unclosed",
+                    ],
+                    pa.binary(),
+                ),
+                "lang": pa.array(["en", "en", "en", "en", "en", None]),
+            }
+        )
+    )
+    out = build_triples(pages, kb_records=kb_records()).to_pandas()
+    got = {(r.subj, r.pred, r.obj) for r in out.itertuples()}
+    assert ("José Gárcía", "birthdat", "1950-05-03") in got
+    assert ("Alan Bean", "birthdat", "1932-03-15") in got
+    assert len(out) == 2  # the 1MB repeated doc dedups to one fact
