@@ -299,3 +299,21 @@ def test_adversarial_pages_robustness():
     assert ("José Gárcía", "birthdat", "1950-05-03") in got
     assert ("Alan Bean", "birthdat", "1932-03-15") in got
     assert len(out) == 2  # the 1MB repeated doc dedups to one fact
+
+
+def test_html_path_equals_gold_text_path(pages_dir):
+    """The byte-identical extraction invariant end-to-end: running from
+    html (strip stage) and from the gold text column yields identical
+    triple sets."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    kwargs = dict(kb_records=kb_records(), canonicalize=False, dedup=False)
+    a = build_triples(read_pages(pages_dir), from_html=True, **kwargs).to_pandas()
+    b = build_triples(
+        read_pages(pages_dir, use_gold_text=True), from_html=False, **kwargs
+    ).to_pandas()
+    key = ["url", "subj", "pred", "obj"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
