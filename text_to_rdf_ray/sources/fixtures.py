@@ -125,11 +125,20 @@ def wrap_html(title: str, text: str) -> bytes:
     ).encode("utf-8")
 
 
-def page_rows(n: int, seed: int = 42, long_every: int = 200, hot_every: int = 17):
-    """Yield dict rows of the pages schema (FIXTURES.md §1)."""
-    rng = np.random.RandomState(seed)
-    langs = rng.choice(["en"] * 9 + ["de", ""], size=n)
-    for i in range(n):
+def _lang_for(i: int, seed: int) -> str:
+    """Per-index deterministic language tag (~80%% en, 10%% de, 10%% empty) —
+    index-addressable so page ranges can be generated independently."""
+    import hashlib
+
+    h = hashlib.blake2b(f"lang-{seed}-{i}".encode(), digest_size=2).digest()[0] % 10
+    return "en" if h < 8 else ("de" if h == 8 else "")
+
+
+def page_rows(n: int, seed: int = 42, long_every: int = 200, hot_every: int = 17,
+              start: int = 0):
+    """Yield dict rows of the pages schema (FIXTURES.md §1) for indices
+    [start, n) — pure function of the index, so ranges parallelize."""
+    for i in range(start, n):
         if long_every and i % long_every == long_every - 1:
             text = long_document(i)
         else:
@@ -143,7 +152,7 @@ def page_rows(n: int, seed: int = 42, long_every: int = 200, hot_every: int = 17
             "warc_ts": 1704067200_000000 + i * 1_000_000,  # 2024-01-01 + i sec (us)
             "html": wrap_html(f"Doc {i}", text),
             "text": text,
-            "lang": str(langs[i]),
+            "lang": _lang_for(i, seed),
         }
 
 
@@ -158,45 +167,47 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+def _write_pages_file(args) -> None:
+    path, file_idx, start, stop, seed, long_every = args
+    rows = list(page_rows(stop, seed=seed, long_every=long_every, start=start))
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, f"pages-{file_idx:05d}.parquet"))
+
+
 def write_pages(path: str, n: int, seed: int = 42, rows_per_file: int = 50_000,
                 long_every: int = 200) -> str:
     """Write a deterministic pages Parquet dataset (multiple files so Ray
-    can parallelize the read).  Returns ``path``; skips work if the dataset
-    already exists with the same row count (content is seed-determined)."""
-    marker = os.path.join(path, f".complete-{n}-{seed}-{long_every}")
+    can parallelize the read; files generated in parallel — rows are pure
+    functions of their index).  Skips work if the dataset already exists
+    with the same parameters."""
+    marker = os.path.join(path, f".complete-{n}-{seed}-{long_every}-v2")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):
         if old.endswith(".parquet") or old.startswith(".complete"):
             os.remove(os.path.join(path, old))
-    buf: list[dict] = []
+    jobs = []
     file_idx = 0
-
-    def flush():
-        nonlocal file_idx, buf
-        if not buf:
-            return
-        cols = {k: [r[k] for r in buf] for k in ("url", "warc_ts", "html", "text", "lang")}
-        cols["warc_ts"] = pa.array(cols["warc_ts"], type=pa.timestamp("us"))
-        table = pa.table(
-            {
-                "url": pa.array(cols["url"], pa.string()),
-                "warc_ts": cols["warc_ts"],
-                "html": pa.array(cols["html"], pa.binary()),
-                "text": pa.array(cols["text"], pa.large_string()),
-                "lang": pa.array(cols["lang"], pa.string()),
-            }
-        )
-        pq.write_table(table, os.path.join(path, f"pages-{file_idx:05d}.parquet"))
+    for start in range(0, n, rows_per_file):
+        jobs.append((path, file_idx, start, min(start + rows_per_file, n), seed, long_every))
         file_idx += 1
-        buf = []
+    if len(jobs) > 3:
+        from concurrent.futures import ProcessPoolExecutor
 
-    for row in page_rows(n, seed=seed, long_every=long_every):
-        buf.append(row)
-        if len(buf) >= rows_per_file:
-            flush()
-    flush()
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+            list(pool.map(_write_pages_file, jobs, chunksize=1))
+    else:
+        for job in jobs:
+            _write_pages_file(job)
     open(marker, "w").close()
     return path
 
