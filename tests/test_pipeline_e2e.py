@@ -317,3 +317,17 @@ def test_html_path_equals_gold_text_path(pages_dir):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_lang_pushdown_read_equivalent(pages_dir):
+    """Predicate pushdown at the scan == downstream lang filter."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    a = build_triples(read_pages(pages_dir), kb_records=kb_records()).to_pandas()
+    b = build_triples(read_pages(pages_dir, lang="en"), kb_records=kb_records(),
+                      lang=None).to_pandas()
+    key = ["subj", "pred", "obj", "url"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )

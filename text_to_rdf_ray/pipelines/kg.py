@@ -37,11 +37,19 @@ from ..stages.kg_stages import (
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
-def read_pages(path: str, *, use_gold_text: bool = False) -> rd.Dataset:
+def read_pages(path: str, *, use_gold_text: bool = False,
+               lang: str | None = None) -> rd.Dataset:
     """Read pages shards with column pruning at the read (only the columns
-    the pipeline touches leave storage)."""
+    the pipeline touches leave storage).  Passing ``lang`` additionally
+    pushes the language predicate into the scan (pyarrow row-group
+    filtering) so filtered rows never leave storage."""
+    import pyarrow.compute as pc
+
     cols = ["url", "warc_ts", "text", "lang"] if use_gold_text else PAGE_COLUMNS
-    return rd.read_parquet(path, columns=cols)
+    kwargs = {}
+    if lang is not None:
+        kwargs["filter"] = pc.field("lang") == lang
+    return rd.read_parquet(path, columns=cols, **kwargs)
 
 
 def build_triples(
