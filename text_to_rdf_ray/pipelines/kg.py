@@ -69,10 +69,13 @@ def build_triples(
 ) -> rd.Dataset:
     """Assemble the lazy Dataset pipeline from pages to canonical triples."""
     ds = pages
-    if from_html:
-        ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=512)
+    # filter on the cheap lang column BEFORE parsing html: filtered pages
+    # never pay the strip cost (and with read_pages(lang=...) pushdown they
+    # never leave storage at all)
     if lang:
         ds = ds.map_batches(make_lang_filter(lang), batch_format="pyarrow")
+    if from_html:
+        ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=512)
     ds = ds.map_batches(
         extract_triples, batch_format="pyarrow", batch_size=extract_batch_size
     )
