@@ -609,6 +609,21 @@ def _corpus_clean_pipeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _kg_llm_mode(sf_dir: str) -> pd.DataFrame:
+    """ST1/ST2 LLM-mode path: actor-pool extraction with instructor
+    retries over a deterministic stand-in client (rows-only check; gold
+    equality asserted in tests)."""
+    from text_to_rdf_ray.sources.fixtures import gold_case
+    from text_to_rdf_ray.stages.llm_extract import llm_extract_pipeline
+
+    rows = []
+    for i in range(100):
+        text, _ = gold_case(i)
+        rows.append({"url": f"https://llm.test/{i}", "text": text})
+    out = llm_extract_pipeline(rd.from_items(rows)).to_pandas()
+    return out.sort_values(["url", "subj", "pred", "obj"]).reset_index(drop=True)
+
+
 def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
     """Distributed evaluation of the extractor on the WebNLG fixture corpus
     (predicted vs gold via tagged groupby — SURVEY.md J6/A4/A5)."""
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_fixture": _kg_triples_fixture,
         "kg_gold_eval": _kg_gold_eval,
         "kg_jsonld_render": _kg_jsonld_render,
+        "kg_llm_mode": _kg_llm_mode,
         "eval_webnlg": _eval_webnlg,
         "eval_docred": _eval_docred,
         "stem_tokens": _stem_tokens,

@@ -173,3 +173,32 @@ def test_instructor_retry_loop():
 
     res2 = extract_with_retry(always_bad, "x", max_retries=1)
     assert not res2.ok and len(res2.attempts) == 2
+
+
+def test_llm_extract_pipeline_matches_gold(ray_session):
+    """The LLM path (actor pool + instructor retries + JSON-LD parse +
+    WebNLG flatten) reproduces the gold triples with the deterministic
+    stand-in client, including documents whose first attempt is flaky."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.sources.fixtures import gold_case
+    from text_to_rdf_ray.stages.llm_extract import (
+        deterministic_client_factory,
+        llm_extract_pipeline,
+    )
+
+    rows, gold = [], set()
+    for i in range(24):
+        text, g = gold_case(i)
+        rows.append({"url": f"u{i}", "text": text})
+        gold |= g
+    pages = rd.from_items(rows)
+    # client_factory() runs once per actor and returns the client callable
+    out = llm_extract_pipeline(
+        pages, client_factory=lambda: deterministic_client_factory(flaky_every=5)
+    )
+    df = out.to_pandas()
+    assert df["ok"].all()
+    assert df["attempts"].max() == 2  # flaky docs needed a retry
+    got = {(r.subj, r.pred, r.obj) for r in df.itertuples()}
+    assert got == gold
