@@ -202,3 +202,15 @@ def test_llm_extract_pipeline_matches_gold(ray_session):
     assert df["attempts"].max() == 2  # flaky docs needed a retry
     got = {(r.subj, r.pred, r.obj) for r in df.itertuples()}
     assert got == gold
+
+
+def test_stage_registry_actor_stage(ray_session):
+    """Registered callable classes run as actor pools with constructor kwargs."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.functions import registry
+    from text_to_rdf_ray.stages.multimodal import make_fake_media
+
+    ds = rd.from_arrow(make_fake_media(12))
+    out = registry.apply_stage(ds, "decode_media_fake").take_all()
+    assert len(out) == 12 and all(len(r["features"]) == 16 for r in out)
