@@ -735,26 +735,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_high_value_lineitems": _filter_high_value,
         "distinct_event_types": _distinct_event_types,
         "events_hourly": _events_hourly,
-        "events_sessions": """
-            WITH x AS (
-              SELECT user_id, event_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                          THEN 1 ELSE 0 END AS brk
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ),
-            y AS (
-              SELECT user_id,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM x
-            ),
-            z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY user_id, sid)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
-                   CAST(max(n) AS BIGINT) AS max_session_events
-            FROM z GROUP BY user_id ORDER BY user_id
-        """,
         "events_user_totals": _events_user_totals,
         "events_sessions": _events_sessions,
         "events_props_extract": _events_props_extract,
@@ -888,6 +868,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "events_sessions": """
+            WITH x AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x
+            ),
+            z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY user_id, sid)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM z GROUP BY user_id ORDER BY user_id
         """,
         "events_user_totals": """
             SELECT user_id, round(sum(value), 2) AS total,

@@ -26,8 +26,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_PER_DOC = 100
-LONG_EVERY = 40  # 2% long (chunked) docs: weights compute toward extraction
+PAGES_PER_DOC = 100  # synthetic pages per documents-table row (sf0.1 -> 500k pages)
+LONG_EVERY = 40  # every 40th page long/chunked (2.5%): weights compute toward extraction
 
 
 def _corpus_size() -> int:
@@ -71,6 +71,36 @@ def run_bench() -> dict:
     n_triples = triples.count()
     headline = time.time() - t0
 
+    # order-independent (s,p,o)-set hash: sum of per-row 64-bit digests,
+    # computed distributed (map_batches + sum) — used by --scaling to check
+    # the two parallelism levels produce the IDENTICAL triple set, not just
+    # the same count
+    import hashlib
+
+    import pyarrow as pa
+
+    def row_hashes(batch: pa.Table) -> pa.Table:
+        hs = [
+            int.from_bytes(
+                hashlib.blake2b(
+                    f"{s}\x00{p}\x00{o}".encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for s, p, o in zip(
+                batch.column("subj").to_pylist(),
+                batch.column("pred").to_pylist(),
+                batch.column("obj").to_pylist(),
+            )
+        ]
+        return pa.table({"h": pa.array(
+            [sum(hs) & 0xFFFFFFFFFFFFFFFF], pa.uint64())})
+
+    # one partial row per batch -> tiny; final wrap-sum on the driver keeps
+    # exact 64-bit modular arithmetic (Dataset.sum would widen to float)
+    partials = triples.map_batches(row_hashes, batch_format="pyarrow").take_all()
+    triples_hash = sum(int(r["h"]) for r in partials) & 0xFFFFFFFFFFFFFFFF
+
     queries: dict[str, float] = {}
 
     def timed(name, fn):
@@ -95,6 +125,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "n_triples": n_triples,
+        "triples_hash": triples_hash,
         "docs_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
     }
@@ -137,7 +168,10 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-        "deterministic": r_lo["n_triples"] == r_hi["n_triples"],
+        "deterministic": (
+            r_lo["n_triples"] == r_hi["n_triples"]
+            and r_lo.get("triples_hash") == r_hi.get("triples_hash")
+        ),
         "n_triples": r_hi["n_triples"],
         "sf": SF_DIR,
     }

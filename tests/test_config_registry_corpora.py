@@ -165,8 +165,12 @@ def test_instructor_retry_loop():
     assert len(res.attempts) == 3
     assert res.attempts[0].error and "No JSON" in res.attempts[0].error
     assert res.attempts[1].error and "Validation failed" in res.attempts[1].error
-    # conversation grew: system+user, then one error message per failure
-    assert calls == [2, 3, 4]
+    # conversation grew: system+user, then per failure the assistant's own
+    # response + the error-feedback user message (extractor.rs:271 parity)
+    assert calls == [2, 4, 6]
+    assert res.conversation[2]["role"] == "assistant"
+    assert res.conversation[2]["content"] == "no json at all"
+    assert res.conversation[3]["role"] == "user"
 
     def always_bad(conversation):
         return "nope"

@@ -89,6 +89,9 @@ def extract_with_retry(
         if doc is not None:
             result.document = doc
             return result
+        # push the assistant's own (failed) response before the feedback so
+        # a retried client sees its prior output (extractor.rs:271 parity)
+        conversation.append({"role": "assistant", "content": response})
         conversation.append(
             {
                 "role": "user",

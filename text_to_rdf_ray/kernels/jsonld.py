@@ -177,7 +177,12 @@ def render_ntriples(subj: str, pred: str, obj: str, obj_is_entity: bool,
     """One N-Triples line for the graph sink."""
 
     def esc(s: str) -> str:
-        return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        return (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
 
     def uri(s: str) -> str:
         from .normalize import normalize_entity_name

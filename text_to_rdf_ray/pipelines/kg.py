@@ -190,6 +190,7 @@ def run_partitioned(
     kb_records=None,
     resume: bool = True,
     subject_buckets: int = 0,
+    ntriples: bool = False,
     **build_kwargs,
 ) -> dict:
     """Partitioned, resumable run: input files are hashed into partition
@@ -247,6 +248,10 @@ def run_partitioned(
                 )
             else:
                 triples.write_parquet(tmp_dir)
+            if ntriples:
+                # .nt shards commit atomically with the partition (inside
+                # the tmp dir the manifest renames on completion)
+                write_ntriples(triples, os.path.join(tmp_dir, "ntriples"))
             return {"rows": n_triples}
 
         mf.write_partition(
@@ -262,10 +267,18 @@ def run_partitioned(
 
 
 def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
-    """Render canonical triples as N-Triples text shards."""
+    """Render canonical triples as N-Triples text shards.
+
+    Each task writes a raw ``part-*.nt`` text shard directly (a CSV sink
+    would add a header row and re-quote lines containing ``"`` — not valid
+    N-Triples)."""
+    import uuid
+
     from ..kernels.jsonld import render_ntriples
 
-    def to_lines(batch: pa.Table) -> pa.Table:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
         lines = [
             render_ntriples(s, p, o, bool(t))
             for s, p, o, t in zip(
@@ -275,9 +288,12 @@ def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
                 batch.column("obj_type").to_pylist(),
             )
         ]
-        return pa.table({"line": pa.array(lines, pa.string())})
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"written": pa.array([len(lines)], pa.int64())})
 
-    triples.map_batches(to_lines, batch_format="pyarrow").write_csv(out_dir)
+    triples.map_batches(write_shard, batch_format="pyarrow").sum("written")
 
 
 def compact_partitions(out_dir: str, final_dir: str) -> dict:

@@ -49,6 +49,7 @@ def main(argv=None) -> int:
         partitions=args.partitions,
         kb_records=kb_records,
         resume=not args.no_resume,
+        ntriples=args.ntriples,
         **cfg.build_kwargs(),
     )
     print(json.dumps(report))

@@ -422,120 +422,130 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
     """Global exact (subj, pred, obj) dedup — the final canonical shuffle
     (HashSet semantics of integration_tests.rs:70, A3 in SURVEY.md).
 
-    Two-phase and fully vectorized:
-    1. map_batches combiner: add a 64-bit spo_key, pack all provenance
-       columns into ONE lexicographically-sortable string (url first, then
-       zero-padded chunk/span), drop within-batch duplicates keeping the
-       min.  This collapses head-entity skew before the exchange.
-    2. salted partial aggregation groupby((spo_key, hash(url)%salt)):
-       a globally-hot key is spread across ``salt`` reducers.
-    3. unsalted final merge groupby(spo_key) over <= salt rows per key.
-       Min of the packed string selects a CONSISTENT representative row
-       (deterministic first-by-(url,chunk,span)); subj/pred/obj are
-       constant within a group by construction.  Min is associative and
-       commutative, so the salted two-phase result is exactly the
-       single-phase result.
-    4. map_batches: unpack provenance back into columns.
+    Two-phase and fully vectorized (pyarrow kernels, no per-row Python —
+    this is the one stage every triple of a 100-TB run passes through):
+    1. map_batches combiner: pack all provenance columns into ONE
+       lexicographically-sortable string (url first, then zero-padded
+       chunk/span) with ``pc.binary_join_element_wise``; collapse
+       within-batch duplicates with an arrow ``group_by(...).min``.  This
+       absorbs head-entity skew before the exchange.
+    2. salted partial aggregation groupby((subj, pred, obj, salt)) with
+       salt = fnv(url) % S: a globally-hot key is spread across S reducers.
+    3. unsalted final merge groupby((subj, pred, obj)) over <= salt rows
+       per key.  Grouping on the REAL key columns (not a 64-bit digest)
+       makes a key collision impossible at any scale.  Min of the packed
+       string selects a CONSISTENT representative row (deterministic
+       first-by-(url, chunk, span)); Min is associative and commutative, so
+       the salted two-phase result is exactly the single-phase result.
+    4. map_batches: unpack provenance back into columns (vectorized
+       split_pattern + list_element + casts).
     """
-    import hashlib
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Min
 
+    from ..kernels.minhash import _hash_shingles
+
     def pack(batch: pa.Table) -> pa.Table:
-        cols = {name: batch.column(name).to_pylist() for name in batch.column_names}
         n = len(batch)
-        # stages before link/validate may be disabled; default their columns
-        cols.setdefault("subj_uri", [None] * n)
-        cols.setdefault("subj_link_conf", [0.0] * n)
-        cols.setdefault("obj_uri", [None] * n)
-        cols.setdefault("obj_link_conf", [0.0] * n)
-        cols.setdefault("valid", [True] * n)
-        keys, prov = [], []
-        for i in range(n):
-            s, p, o = cols["subj"][i], cols["pred"][i], cols["obj"][i]
-            keys.append(
-                int.from_bytes(
-                    hashlib.blake2b(
-                        f"{s}\x00{p}\x00{o}".encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                >> 1
-            )
-            parts = [
-                cols["url"][i],
-                f"{cols['chunk_id'][i]:08d}",
-                f"{cols['span_start'][i]:010d}",
-                f"{cols['span_end'][i]:010d}",
-                cols["method"][i],
-                cols["nested_in"][i],
-                cols["subj_type"][i],
-                cols["obj_type"][i],
-                cols["subj_uri"][i] or "",
-                repr(cols["subj_link_conf"][i]),
-                cols["obj_uri"][i] or "",
-                repr(cols["obj_link_conf"][i]),
-                repr(cols["confidence"][i]),
-                "1" if cols["valid"][i] else "0",
-                cols["subj_slug"][i],
-                cols["subj_lower"][i],
-                cols["pred_key"][i],
-            ]
-            prov.append(_PACK_SEP.join(parts))
-        # salt = hash(url) % S: a globally-hot (s,p,o) spreads over S
+        names = set(batch.column_names)
+
+        def col(name, default=None, typ=pa.string()):
+            if name in names:
+                return batch.column(name)
+            return pa.array([default] * n, typ)
+
+        def s(arr) -> pa.ChunkedArray:
+            return pc.cast(arr, pa.string())
+
+        def pad(arr, width):
+            return pc.utf8_lpad(s(arr), width=width, padding="0")
+
+        prov = pc.binary_join_element_wise(
+            col("url"),
+            pad(col("chunk_id", 0, pa.int32()), 8),
+            pad(col("span_start", 0, pa.int64()), 10),
+            pad(col("span_end", 0, pa.int64()), 10),
+            col("method"),
+            col("nested_in"),
+            col("subj_type"),
+            col("obj_type"),
+            pc.fill_null(col("subj_uri"), ""),
+            s(col("subj_link_conf", 0.0, pa.float64())),
+            pc.fill_null(col("obj_uri"), ""),
+            s(col("obj_link_conf", 0.0, pa.float64())),
+            s(col("confidence", 0.0, pa.float64())),
+            pc.if_else(col("valid", True, pa.bool_()), pa.scalar("1"), pa.scalar("0")),
+            col("subj_slug"),
+            col("subj_lower"),
+            col("pred_key"),
+            _PACK_SEP,
+        )
+        # salt = fnv(url) % S: a globally-hot (s,p,o) spreads over S
         # reducers in phase 1 (SURVEY.md §4.2 skew handling); the salt only
         # exists in the partial-agg phase and is dropped by phase 2
-        salts = [
-            int.from_bytes(
-                hashlib.blake2b(u.encode("utf-8"), digest_size=2).digest(), "little"
-            )
-            % salt
-            for u in cols["url"]
-        ]
+        salts = (_hash_shingles(batch.column("url").to_pylist()) % np.uint64(salt)).astype(
+            np.int32
+        )
         tbl = pa.table(
             {
-                "spo_key": pa.array(keys, pa.int64()),
-                "salt": pa.array(salts, pa.int32()),
                 "subj": batch.column("subj"),
                 "pred": batch.column("pred"),
                 "obj": batch.column("obj"),
-                "prov": pa.array(prov, pa.string()),
+                "salt": pa.array(salts, pa.int32()),
+                "prov": prov,
             }
         )
-        df = tbl.to_pandas()
-        df = df.sort_values(["spo_key", "prov"]).drop_duplicates(
-            ["spo_key", "salt"], keep="first"
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def unpack(batch: pa.Table) -> pa.Table:
-        prov = batch.column("prov").to_pylist()
-        fields = list(zip(*(p.split(_PACK_SEP) for p in prov))) if prov else [[] for _ in range(17)]
-        (url, chunk_id, span_start, span_end, method, nested_in, subj_type,
-         obj_type, subj_uri, subj_conf, obj_uri, obj_conf, confidence, valid,
-         subj_slug, subj_lower, pred_key) = fields
+        # within-batch combiner: keep min prov per (spo, salt)
+        g = tbl.group_by(["subj", "pred", "obj", "salt"]).aggregate([("prov", "min")])
         return pa.table(
             {
-                "url": pa.array(url, pa.string()),
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "salt": g.column("salt"),
+                "prov": g.column("prov_min"),
+            }
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("prov"), pattern=_PACK_SEP)
+
+        def f(i):
+            return pc.list_element(parts, i)
+
+        def fint(i, typ):
+            return pc.cast(f(i), typ)
+
+        def ffloat(i):
+            return pc.cast(f(i), pa.float64())
+
+        def fnullable(i):
+            v = f(i)
+            return pc.if_else(pc.equal(v, ""), pa.scalar(None, pa.string()), v)
+
+        return pa.table(
+            {
+                "url": f(0),
                 "subj": batch.column("subj"),
-                "subj_slug": pa.array(subj_slug, pa.string()),
-                "subj_lower": pa.array(subj_lower, pa.string()),
+                "subj_slug": f(14),
+                "subj_lower": f(15),
                 "pred": batch.column("pred"),
-                "pred_key": pa.array(pred_key, pa.string()),
+                "pred_key": f(16),
                 "obj": batch.column("obj"),
-                "subj_type": pa.array(subj_type, pa.string()),
-                "obj_type": pa.array(obj_type, pa.string()),
-                "nested_in": pa.array(nested_in, pa.string()),
-                "chunk_id": pa.array([int(x) for x in chunk_id], pa.int32()),
-                "span_start": pa.array([int(x) for x in span_start], pa.int64()),
-                "span_end": pa.array([int(x) for x in span_end], pa.int64()),
-                "method": pa.array(method, pa.string()),
-                "subj_uri": pa.array([u or None for u in subj_uri], pa.string()),
-                "subj_link_conf": pa.array([float(x) for x in subj_conf], pa.float64()),
-                "obj_uri": pa.array([u or None for u in obj_uri], pa.string()),
-                "obj_link_conf": pa.array([float(x) for x in obj_conf], pa.float64()),
-                "confidence": pa.array([float(x) for x in confidence], pa.float64()),
-                "valid": pa.array([v == "1" for v in valid], pa.bool_()),
+                "subj_type": f(6),
+                "obj_type": f(7),
+                "nested_in": f(5),
+                "chunk_id": fint(1, pa.int32()),
+                "span_start": fint(2, pa.int64()),
+                "span_end": fint(3, pa.int64()),
+                "method": f(4),
+                "subj_uri": fnullable(8),
+                "subj_link_conf": ffloat(9),
+                "obj_uri": fnullable(10),
+                "obj_link_conf": ffloat(11),
+                "confidence": ffloat(12),
+                "valid": pc.equal(f(13), "1"),
             }
         )
 
@@ -543,22 +553,12 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
     # reducers); phase 2: unsalted final merge over <= salt rows per key
     salted = (
         triples.map_batches(pack, batch_format="pyarrow")
-        .groupby(["spo_key", "salt"])
-        .aggregate(
-            Min("subj", alias_name="subj"),
-            Min("pred", alias_name="pred"),
-            Min("obj", alias_name="obj"),
-            Min("prov", alias_name="prov"),
-        )
+        .groupby(["subj", "pred", "obj", "salt"])
+        .aggregate(Min("prov", alias_name="prov"))
     )
     agg = (
         _arrow(salted)
-        .groupby("spo_key")
-        .aggregate(
-            Min("subj", alias_name="subj"),
-            Min("pred", alias_name="pred"),
-            Min("obj", alias_name="obj"),
-            Min("prov", alias_name="prov"),
-        )
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Min("prov", alias_name="prov"))
     )
     return agg.map_batches(unpack, batch_format="pyarrow")
