@@ -237,9 +237,14 @@ def _dedup_embedding(sf_dir: str) -> pd.DataFrame:
 
 
 def _knn_queries(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def head_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("vec_id"), pa.scalar(_QUERY_N)))
+
     rows = (
         _embeddings(sf_dir)
-        .filter(lambda r: r["vec_id"] < _QUERY_N)
+        .map_batches(head_filter, batch_format="pyarrow")
         .take_all()
     )
     rows.sort(key=lambda r: r["vec_id"])

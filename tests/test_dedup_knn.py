@@ -95,6 +95,65 @@ def test_embedding_neardup_pairs():
     assert (0, 1) in got and (0, 2) not in got
 
 
+def test_lsh_band_exchange_is_payload_free():
+    """The band-bucket exchange must carry only (shard, band, hash, id) —
+    never the document text (the 16-32x shuffle-amplification guard)."""
+    from text_to_rdf_ray.stages.dedup import _explode_bands
+
+    def bands_feat(text):
+        return [(0, len(text)), (1, hash(text) % 97)], None
+
+    bands = _explode_bands(_docs_ds(["aaa", "bbb"]), bands_feat, "doc_id", "text")
+    names = bands.schema().names
+    assert names == ["shard", "band_id", "band_hash", "doc_id"]
+    assert "text" not in names
+
+    # with an in-band sketch: the fixed-size feat column appears, the
+    # payload still does not
+    def bands_feat_s(text):
+        return [(0, len(text))], b"\x01" * 64
+
+    bands2 = _explode_bands(_docs_ds(["aaa", "bbb"]), bands_feat_s, "doc_id", "text")
+    assert "text" not in bands2.schema().names and "feat" in bands2.schema().names
+
+
+def test_pairs_distributed_verify_path_matches_broadcast():
+    """broadcast_threshold=0 forces the hash-partitioned join verify path;
+    its pair set must equal the broadcast path's exactly."""
+    from text_to_rdf_ray.kernels.minhash import (
+        band_keys,
+        jaccard,
+        minhash_signature,
+        word_shingles,
+    )
+    from text_to_rdf_ray.stages.dedup import _pairs_from_buckets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    texts = [base, base + " nu", base + " xi", "unrelated words entirely different topic here now"]
+    ds = _docs_ds(texts)
+
+    def bands_feat(text):
+        return list(enumerate(band_keys(minhash_signature(word_shingles(text, 3)), 16))), None
+
+    def verify(s1, s2):
+        j = jaccard(s1, s2)
+        return j if j >= 0.5 else None
+
+    def run(threshold):
+        out = _pairs_from_buckets(
+            ds.select_columns(["doc_id", "text"]), bands_feat, verify, "doc_id", "text",
+            prepare_fn=lambda t: word_shingles(t, 3),
+            broadcast_threshold=threshold,
+        ).to_pandas()
+        return {(int(a), int(b), round(float(s), 9))
+                for a, b, s in zip(out.id_a, out.id_b, out.score)}
+
+    broadcast = run(10**9)
+    joined = run(0)
+    assert broadcast == joined
+    assert {(a, b) for a, b, _ in broadcast} == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_canonicalize_surfaces_merges_variants():
     import ray.data as rd
 

@@ -5,9 +5,11 @@ canonicalization at 10^12-doc scale —
 
   distinct surfaces
   -> map_batches: char-shingle MinHash signatures, explode to
-     (band_id, band_hash, name_id, norm) rows              [no shuffle]
-  -> groupby(band_key): per-bucket candidate pairs, verified by exact
-     shingle Jaccard >= tau                                 [shuffle 1]
+     (shard, band_id, band_hash, name_id) rows — no surface
+     strings enter the exchange                            [no shuffle]
+  -> groupby(band_key): per-bucket candidate pairs; surfaces for the
+     (tiny) candidate set are re-read in a verify stage and checked by
+     exact shingle Jaccard >= tau                           [shuffle 1]
      (buckets larger than ``max_bucket`` are skipped — the skew guard for
       head surface forms; exact duplicates inside a skipped bucket are
       still unified because identical norms share ALL bands and one
@@ -20,14 +22,13 @@ canonicalization at 10^12-doc scale —
   -> surface -> canonical map joined back onto the triples.
 
 The label-propagation join is hash-partitioned (Dataset.join on Ray
-2.49); candidate-pair generation shuffles only (band_key, name_id, norm)
-rows, never documents.
+2.49); candidate-pair generation shuffles only (shard, band, hash,
+name_id) rows — never surfaces, never documents.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -44,51 +45,28 @@ def _norm(surface: str) -> str:
     return " ".join(surface.lower().replace(".", "").split())
 
 
-def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
-    names = batch.column("surface").to_pylist()
-    ids = batch.column("name_id").to_pylist()
-    out_band, out_hash, out_id, out_norm, out_surface = [], [], [], [], []
-    for nid, surface in zip(ids, names):
-        norm = _norm(surface)
-        sig = minhash_signature(char_shingles(norm), num_perm=num_perm)
-        for bi, bh in enumerate(band_keys(sig, bands)):
-            out_band.append(bi)
-            out_hash.append(bh)
-            out_id.append(nid)
-            out_norm.append(norm)
-            out_surface.append(surface)
-    shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(out_band, out_hash)]
-    return pa.table(
-        {
-            "shard": pa.array(shard, pa.int32()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "name_id": pa.array(out_id, pa.int64()),
-            "norm": pa.array(out_norm, pa.string()),
-            "surface": pa.array(out_surface, pa.string()),
-        }
-    )
+def _surface_band_fn(num_perm: int, bands: int):
+    from .dedup import _bbit_sketch
+
+    def bands_feat(surface: str):
+        sig = minhash_signature(char_shingles(_norm(surface)), num_perm=num_perm)
+        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
+
+    return bands_feat
 
 
-def _shard_pairs(group: pd.DataFrame, tau: float, max_bucket: int) -> pd.DataFrame:
-    """One Ray group = one shard = many LSH buckets (per-bucket map_groups
-    overhead dominates when buckets number in the tens of thousands)."""
-    src, dst = [], []
-    for _, g in group.groupby(["band_id", "band_hash"], sort=True):
-        g = g.drop_duplicates("name_id").sort_values("name_id")
-        n = len(g)
-        if n < 2 or n > max_bucket:
-            continue
-        ids = g["name_id"].to_numpy()
-        norms = g["norm"].tolist()
-        shingles = [char_shingles(s) for s in norms]
-        for i in range(n):
-            for j in range(i + 1, n):
-                if norms[i] == norms[j] or jaccard(shingles[i], shingles[j]) >= tau:
-                    src.append(ids[i])
-                    dst.append(ids[j])
-    return pd.DataFrame({"src": np.array(src, dtype=np.int64),
-                         "dst": np.array(dst, dtype=np.int64)})
+def _surface_prepare(surface: str):
+    norm = _norm(surface)
+    return norm, char_shingles(norm)
+
+
+def _surface_verify_fn(tau: float):
+    def verify(f1, f2):
+        n1, s1 = f1
+        n2, s2 = f2
+        return 1.0 if (n1 == n2 or jaccard(s1, s2) >= tau) else None
+
+    return verify
 
 
 def _arrow(ds: rd.Dataset) -> rd.Dataset:
@@ -133,15 +111,19 @@ def _local_union_find(edge_rows) -> list[dict]:
 
 def connected_components(
     edges: rd.Dataset,
-    max_rounds: int = 8,
+    max_rounds: int = 64,
     driver_threshold: int = DRIVER_UNION_FIND_THRESHOLD,
 ) -> rd.Dataset:
     """Min-label propagation over undirected edges -> (name_id, component).
 
     Each round: component(node) = min(component(node), min over neighbors'
     components) — expressed as a hash join (edges x labels) + groupby-min.
-    Converges in O(log diameter) rounds; stops early when the global label
-    sum is stable (components from LSH name-blocking are tiny).
+    This formulation needs O(component diameter) rounds; labels only
+    decrease, so a stable global label sum IS convergence (the stop test).
+    LSH-blocked near-dup components have tiny diameters, so the round count
+    stays small in practice; if ``max_rounds`` is hit while labels are
+    still changing the function RAISES rather than silently returning
+    split clusters.
 
     Candidate-pair sets from LSH blocking are a vanishing fraction of the
     corpus, so when the edge set is provably small (< driver_threshold,
@@ -201,6 +183,7 @@ def connected_components(
         )
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = _as(
             und.join(
@@ -218,8 +201,14 @@ def connected_components(
         )
         cur = labels.sum("component")
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            "(a component's diameter exceeds the round budget); raise max_rounds"
+        )
     return labels
 
 
@@ -323,20 +312,28 @@ def canonicalize_surfaces(
         batch_format="pyarrow",
     ).materialize()
 
-    bands_ds = ids.map_batches(
-        lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
+    # payload-free LSH pair generation (stages/dedup.py machinery): the band
+    # exchange carries only (shard, band, hash, name_id); surfaces are
+    # re-read for the (tiny) candidate set in the verify stage
+    from .dedup import _pairs_from_buckets
+
+    pairs = _pairs_from_buckets(
+        ids,
+        _surface_band_fn(num_perm, bands),
+        _surface_verify_fn(tau),
+        "name_id",
+        "surface",
+        max_bucket=max_bucket,
+        prepare_fn=_surface_prepare,
+        # generous margin: surfaces are short (small shingle sets -> noisier
+        # estimates) and baseline name-name similarity is low, so a loose
+        # prune still kills shared-shingle bucket blowups without recall risk
+        prune_est=max(0.0, tau - 0.2),
     )
-    edges = (
-        bands_ds.groupby("shard")
-        .map_groups(lambda g: _shard_pairs(g, tau, max_bucket), batch_format="pandas")
-        # normalize to arrow blocks (rename/select on pandas blocks is
-        # unreliable in Ray 2.49)
-        .map_batches(
-            lambda t: pa.table({"src": t.column("src"), "dst": t.column("dst")}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),
+        batch_format="pyarrow",
+    ).materialize()
 
     if edges.count() == 0:
         return ids.map_batches(

@@ -74,54 +74,300 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     return agg
 
 
+#: Above this many candidate pairs the verify stage switches from the
+#: broadcast path (ray.put id set + feature dict) to hash-partitioned joins.
+BROADCAST_CANDIDATES_THRESHOLD = 200_000
+
+
+def _bbit_sketch(sig: np.ndarray) -> bytes:
+    """b-bit minwise sketch (b=8): low byte of each minhash value.
+    ``mean(byte agreement)`` estimates Jaccard with +1/256 collision bias —
+    64 bytes per doc regardless of document size (Li & König, b-bit
+    minwise hashing)."""
+    return (sig & np.uint64(0xFF)).astype(np.uint8).tobytes()
+
+
+def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str) -> rd.Dataset:
+    """(shard, band_id, band_hash, id[, feat]) rows — the ONLY columns the
+    LSH bucket exchange moves.  ``bands_feat_fn(payload) -> (bands, feat)``
+    where ``bands`` is a list of (band_id, band_hash) and ``feat`` is an
+    optional SMALL fixed-size bytes feature (b-bit minhash sketch, simhash
+    value, normalized vector) used in-bucket.  The payload itself never
+    enters the shuffle: with 16-32 bands, payload replication here would
+    amplify the corpus's text bytes 16-32x across the exchange — the
+    feature is bounded (64-512 B) regardless of document size."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        ob, oh, oi, of = [], [], [], []
+        has_feat = False
+        for i, p in zip(ids, payloads):
+            bands, feat = bands_feat_fn(p)
+            if feat is not None:
+                has_feat = True
+            for band_id, band_hash in bands:
+                ob.append(band_id)
+                oh.append(band_hash)
+                oi.append(i)
+                of.append(feat)
+        shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(ob, oh)]
+        cols = {
+            "shard": pa.array(shard, pa.int32()),
+            "band_id": pa.array(ob, pa.int32()),
+            "band_hash": pa.array(oh, pa.int64()),
+            id_col: pa.array(oi, pa.int64()),
+        }
+        if has_feat:
+            cols["feat"] = pa.array(of, pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("score", pa.float64())])
+
+
 def _pairs_from_buckets(
     ds: rd.Dataset,
-    band_fn,
+    bands_feat_fn,
     verify_fn,
     id_col: str,
     payload_col: str,
     max_bucket: int = 256,
     prepare_fn=None,
+    broadcast_threshold: int = BROADCAST_CANDIDATES_THRESHOLD,
+    prune_est: float | None = None,
 ) -> rd.Dataset:
-    """Generic LSH pipeline: explode band keys -> groupby bucket ->
-    verified pairs -> global pair dedup.
+    """Generic LSH pipeline in three stages:
 
-    ``prepare_fn(payload)`` computes the verification features ONCE per
-    distinct id per shard (shingle sets, hashes, normalized vectors);
-    ``verify_fn(f1, f2)`` scores a candidate pair.  Pair results are also
-    memoized within a shard (a pair can collide in several bands)."""
-    from ray.data.aggregate import Min
+    1. explode: band keys per row — the exchange moves ONLY
+       ``(shard, band_id, band_hash, id[, sketch])`` (tens of bytes plus an
+       optional bounded sketch), never the payload.  With 16-32 bands,
+       shuffling payloads here would amplify the corpus's text bytes
+       16-32x — the #1 scale killer at 100 TB.
+    2. groupby(shard) -> candidate (id_a, id_b) pairs (bucket-size skew
+       guard: buckets > ``max_bucket`` are skipped), globally deduped
+       (a pair can collide in several bands -> different shards).  When
+       ``prune_est`` is set and band rows carry a b-bit minhash sketch
+       (uint8[num_perm], Li & König b-bit minwise hashing), candidates are
+       pruned in-bucket by the VECTORIZED estimated Jaccard
+       (mean sketch-byte agreement) >= prune_est — this is what keeps
+       near-threshold-similar corpora (e.g. templated web text whose
+       baseline char-trigram Jaccard is ~0.45) from exploding into
+       millions of false candidates per shard.
+    3. verify: ``prepare_fn(payload)`` features are computed ONLY for
+       candidate ids via a streaming filter pass over the corpus (no
+       shuffle), then ``verify_fn(f1, f2)`` scores each unique pair once.
+       Candidates are a vanishing fraction of the corpus, so the feature
+       set is broadcast (ray.put) and pairs verify in map_batches; above
+       ``broadcast_threshold`` pairs, the same semantics run as
+       hash-partitioned joins (candidate-proportional, still no full-corpus
+       shuffle of payload bytes per band).
+    """
+    import pickle
+
+    import ray
 
     if prepare_fn is None:
         prepare_fn = lambda p: p  # noqa: E731
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        payloads = batch.column(payload_col).to_pylist()
-        ob, oh, oi, op = [], [], [], []
-        for i, p in zip(ids, payloads):
-            for band_id, band_hash in band_fn(p):
-                ob.append(band_id)
-                oh.append(band_hash)
-                oi.append(i)
-                op.append(p)
-        shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(ob, oh)]
-        return pa.table(
-            {
-                "shard": pa.array(shard, pa.int32()),
-                "band_id": pa.array(ob, pa.int32()),
-                "band_hash": pa.array(oh, pa.int64()),
-                id_col: pa.array(oi, pa.int64()),
-                payload_col: op,
-            }
-        )
-
-    def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def shard_candidates(group: pd.DataFrame) -> pd.DataFrame:
         """One Ray group = one shard = many LSH buckets; bucket iteration is
         a local pandas groupby (avoids per-bucket Ray map_groups overhead
         when buckets number in the tens of thousands)."""
+        a, b = [], []
+        pair_seen: set = set()
+        use_prune = prune_est is not None and "feat" in group.columns
+        for _, g in group.groupby(["band_id", "band_hash"], sort=True):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            n = len(g)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = g[id_col].to_numpy()
+            if use_prune:
+                mat = np.frombuffer(b"".join(g["feat"].tolist()), dtype=np.uint8)
+                mat = mat.reshape(n, -1)
+                est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+                xs, ys = np.nonzero(np.triu(est >= prune_est, k=1))
+                for x, y in zip(xs.tolist(), ys.tolist()):
+                    key = (ids[x], ids[y])
+                    if key in pair_seen:
+                        continue
+                    pair_seen.add(key)
+                    a.append(ids[x])
+                    b.append(ids[y])
+                continue
+            for i in range(n):
+                for j in range(i + 1, n):
+                    key = (ids[i], ids[j])
+                    if key in pair_seen:
+                        continue
+                    pair_seen.add(key)
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": np.array(a, dtype=np.int64), "id_b": np.array(b, dtype=np.int64)}
+        )
+
+    def norm_cands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        return pa.table({"id_a": t.column("id_a").cast(pa.int64()),
+                         "id_b": t.column("id_b").cast(pa.int64())})
+
+    cands = (
+        _explode_bands(ds, bands_feat_fn, id_col, payload_col)
+        .groupby("shard")
+        .map_groups(shard_candidates, batch_format="pandas")
+        .map_batches(norm_cands, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .map_batches(norm_cands, batch_format="pyarrow")
+        .materialize()
+    )
+
+    n_cands = cands.count()
+    if n_cands == 0:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table({n: t.column(n).cast(_PAIR_SCHEMA.field(n).type) for n in
+                         ("id_a", "id_b", "score")})
+
+    def featurize(batch: pa.Table, keep) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        out_i, out_f = [], []
+        for i, p in zip(ids, payloads):
+            if keep is None or i in keep:
+                out_i.append(i)
+                out_f.append(pickle.dumps(prepare_fn(p)))
+        return pa.table({id_col: pa.array(out_i, pa.int64()),
+                         "feat": pa.array(out_f, pa.binary())})
+
+    if n_cands <= broadcast_threshold:
+        pair_rows = cands.take_all()
+        need = {int(r["id_a"]) for r in pair_rows} | {int(r["id_b"]) for r in pair_rows}
+        need_ref = ray.put(need)
+        cache: dict = {}
+
+        def extract_feats(batch: pa.Table) -> pa.Table:
+            keep = cache.get("k")
+            if keep is None:
+                keep = cache["k"] = ray.get(need_ref)
+            return featurize(batch, keep)
+
+        feat_rows = ds.map_batches(extract_feats, batch_format="pyarrow").take_all()
+        feats = {int(r[id_col]): pickle.loads(r["feat"]) for r in feat_rows}
+        feats_ref = ray.put(feats)
+        fcache: dict = {}
+
+        def verify_batch(batch: pa.Table) -> pa.Table:
+            f = fcache.get("f")
+            if f is None:
+                f = fcache["f"] = ray.get(feats_ref)
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            oa, ob_, sc = [], [], []
+            for a, b in zip(a_ids, b_ids):
+                score = verify_fn(f[a], f[b])
+                if score is not None:
+                    oa.append(a)
+                    ob_.append(b)
+                    sc.append(float(score))
+            return pa.table(
+                {"id_a": pa.array(oa, pa.int64()), "id_b": pa.array(ob_, pa.int64()),
+                 "score": pa.array(sc, pa.float64())}
+            )
+
+        return cands.map_batches(verify_batch, batch_format="pyarrow").map_batches(
+            norm_pairs, batch_format="pyarrow"
+        )
+
+    # distributed verify: semi-join the candidate ids against the corpus to
+    # featurize only candidate rows, then attach features to both pair
+    # sides via hash-partitioned joins.  Shuffle volume is proportional to
+    # the candidate set, not bands x corpus.
+    from .canonicalize import _solid
+
+    def ids_table(col: str) -> rd.Dataset:
+        return cands.map_batches(
+            lambda t, c=col: pa.table({id_col: t.column(c)}),
+            batch_format="pyarrow",
+        )
+
+    need_ids = _solid(
+        ids_table("id_a").union(ids_table("id_b")).groupby(id_col).count()
+        .map_batches(lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64())}),
+                     batch_format="pyarrow")
+    )
+    feats_ds = _solid(
+        _solid(ds).join(need_ids, join_type="inner", num_partitions=16, on=(id_col,))
+        .map_batches(lambda b: featurize(b, None), batch_format="pyarrow")
+    )
+
+    def rename_feats(suffix: str) -> rd.Dataset:
+        return _solid(feats_ds.map_batches(
+            lambda t, s=suffix: pa.table({f"id_{s}": t.column(id_col),
+                                          f"feat_{s}": t.column("feat")}),
+            batch_format="pyarrow",
+        ))
+
+    # one join per plan (chained un-materialized hash joins can starve each
+    # other's resource reservation under a small CPU budget)
+    half = _solid(
+        _solid(cands).join(
+            rename_feats("a"), join_type="inner", num_partitions=16, on=("id_a",)
+        )
+    )
+    joined = half.join(
+        rename_feats("b"), join_type="inner", num_partitions=16, on=("id_b",)
+    )
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        fa = batch.column("feat_a").to_pylist()
+        fb = batch.column("feat_b").to_pylist()
+        oa, ob_, sc = [], [], []
+        for a, b, x, y in zip(a_ids, b_ids, fa, fb):
+            score = verify_fn(pickle.loads(x), pickle.loads(y))
+            if score is not None:
+                oa.append(a)
+                ob_.append(b)
+                sc.append(float(score))
+        return pa.table(
+            {"id_a": pa.array(oa, pa.int64()), "id_b": pa.array(ob_, pa.int64()),
+             "score": pa.array(sc, pa.float64())}
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow").map_batches(
+        norm_pairs, batch_format="pyarrow"
+    )
+
+
+def _pairs_inband(
+    ds: rd.Dataset,
+    bands_feat_fn,
+    verify_fn,
+    id_col: str,
+    payload_col: str,
+    max_bucket: int = 256,
+) -> rd.Dataset:
+    """LSH pairs verified ENTIRELY from the in-band compact feature.
+
+    For operators whose exact verification needs only a small fixed-size
+    feature (simhash: the 8-byte hash; embedding cosine: the normalized
+    vector), band rows carry the feature and buckets verify locally — one
+    exchange, no payload anywhere, no second corpus pass.
+    ``verify_fn(feat_bytes_1, feat_bytes_2) -> score | None``."""
+    from ray.data.aggregate import Min
+
+    def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a, b, sc = [], [], []
-        feats: dict = {}
         pair_seen: set = set()
         for _, g in group.groupby(["band_id", "band_hash"], sort=True):
             g = g.drop_duplicates(id_col).sort_values(id_col)
@@ -129,48 +375,40 @@ def _pairs_from_buckets(
             if n < 2 or n > max_bucket:
                 continue
             ids = g[id_col].to_numpy()
-            payloads = g[payload_col].tolist()
+            feats = g["feat"].tolist()
             for i in range(n):
-                if ids[i] not in feats:
-                    feats[ids[i]] = prepare_fn(payloads[i])
                 for j in range(i + 1, n):
                     key = (ids[i], ids[j])
                     if key in pair_seen:
                         continue
                     pair_seen.add(key)
-                    if ids[j] not in feats:
-                        feats[ids[j]] = prepare_fn(payloads[j])
-                    score = verify_fn(feats[ids[i]], feats[ids[j]])
+                    score = verify_fn(feats[i], feats[j])
                     if score is not None:
                         a.append(ids[i])
                         b.append(ids[j])
-                        sc.append(score)
+                        sc.append(float(score))
         return pd.DataFrame(
             {"id_a": np.array(a, dtype=np.int64), "id_b": np.array(b, dtype=np.int64),
              "score": np.array(sc, dtype=np.float64)}
         )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-    )
-
-    _SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                         ("score", pa.float64())])
-
-    def norm(t: pa.Table) -> pa.Table:
+    def norm_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.column_names:
-            return _SCHEMA.empty_table()
-        return pa.table({n: t.column(n).cast(_SCHEMA.field(n).type) for n in
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table({n: t.column(n).cast(_PAIR_SCHEMA.field(n).type) for n in
                          ("id_a", "id_b", "score")})
 
-    # a pair can surface from several bands: dedup on (id_a, id_b);
-    # normalize schema afterwards (empty aggregates lose their columns)
+    pairs = (
+        _explode_bands(ds, bands_feat_fn, id_col, payload_col)
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .map_batches(norm_pairs, batch_format="pyarrow")
+    )
+    # a pair can surface from several bands -> different shards: dedup
     return (
         pairs.groupby(["id_a", "id_b"])
         .aggregate(Min("score", alias_name="score"))
-        .map_batches(norm, batch_format="pyarrow")
+        .map_batches(norm_pairs, batch_format="pyarrow")
     )
 
 
@@ -183,10 +421,11 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    est_margin: float = 0.15,
 ) -> rd.Dataset:
-    def band_fn(text: str):
+    def bands_feat(text: str):
         sig = minhash_signature(word_shingles(text, shingle_words), num_perm=num_perm)
-        return list(enumerate(band_keys(sig, bands)))
+        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
 
     def prepare(text: str):
         return word_shingles(text, shingle_words)
@@ -196,8 +435,8 @@ def minhash_lsh_pairs(
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
-        prepare_fn=prepare,
+        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col,
+        prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
     )
 
 
@@ -286,19 +525,20 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Banding into 4 x 16-bit keys guarantees any pair within Hamming 3
-    shares at least one band (pigeonhole)."""
+    shares at least one band (pigeonhole).  Verification needs only the
+    8-byte hash itself, carried in-band — one exchange, no payload."""
 
-    def band_fn(text: str):
+    def bands_feat(text: str):
         h = simhash64(text)
-        return [(bi, (h >> (16 * bi)) & 0xFFFF) for bi in range(4)]
+        bands = [(bi, (h >> (16 * bi)) & 0xFFFF) for bi in range(4)]
+        return bands, h.to_bytes(8, "little")
 
-    def verify(h1: int, h2: int):
-        d = hamming64(h1, h2)
+    def verify(f1: bytes, f2: bytes):
+        d = hamming64(int.from_bytes(f1, "little"), int.from_bytes(f2, "little"))
         return float(d) if d <= max_hamming else None
 
-    return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
-        prepare_fn=simhash64,
+    return _pairs_inband(
+        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col
     )
 
 
@@ -311,13 +551,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 32,
+    est_margin: float = 0.12,
 ) -> rd.Dataset:
     """Character n-gram Jaccard >= threshold pairs (LSH-blocked; 32 bands
-    of 2 rows keep recall high at 0.8 similarity)."""
+    of 2 rows keep recall high at 0.8 similarity).
 
-    def band_fn(text: str):
+    2-row bands are weak filters on corpora whose BASELINE char-trigram
+    similarity is high (templated web text: ~0.45 between random docs), so
+    in-bucket candidates are pruned by the b-bit sketch estimate
+    (>= threshold - est_margin) before exact shingle verification."""
+
+    def bands_feat(text: str):
         sig = minhash_signature(char_shingles(text, n), num_perm=num_perm)
-        return list(enumerate(band_keys(sig, bands)))
+        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
 
     def prepare(text: str):
         return char_shingles(text, n)
@@ -327,8 +573,8 @@ def ngram_jaccard_pairs(
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), band_fn, verify, id_col, text_col,
-        prepare_fn=prepare,
+        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col,
+        prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
     )
 
 
@@ -345,31 +591,28 @@ def embedding_neardup_pairs(
     """Cosine >= threshold pairs via random-hyperplane LSH buckets.
 
     Deterministic hyperplanes (seeded); two sign-bands of ``planes`` bits
-    each; exact cosine verification inside buckets."""
+    each; exact cosine verification inside buckets from the in-band
+    normalized vector (4*dim bytes — bounded, no payload exchange)."""
     sample = ds.take(1)
     d = dim or len(sample[0][emb_col])
     rng = np.random.RandomState(seed)
     hyper = rng.randn(d, 2 * planes).astype(np.float32)
 
-    def band_fn(vec):
+    def bands_feat(vec):
         v = np.asarray(vec, dtype=np.float32)
         bits = (v @ hyper) > 0
-        k1 = int(np.packbits(bits[:planes], bitorder="little").view(np.uint16)[0]) if planes == 16 else int(
-            sum(1 << i for i in range(planes) if bits[i])
-        )
+        k1 = int(sum(1 << i for i in range(planes) if bits[i]))
         k2 = int(sum(1 << i for i in range(planes) if bits[planes + i]))
-        return [(0, k1), (1, k2)]
+        norm = float(np.linalg.norm(v))
+        unit = (v / norm if norm else v).astype(np.float32)
+        return [(0, k1), (1, k2)], unit.tobytes()
 
-    def prepare(vec):
-        a = np.asarray(vec, dtype=np.float32)
-        norm = float(np.linalg.norm(a))
-        return a / norm if norm else a
-
-    def verify(a, b):
+    def verify(f1: bytes, f2: bytes):
+        a = np.frombuffer(f1, dtype=np.float32)
+        b = np.frombuffer(f2, dtype=np.float32)
         c = float(a @ b)
         return c if c >= threshold else None
 
-    return _pairs_from_buckets(
-        ds.select_columns([id_col, emb_col]), band_fn, verify, id_col, emb_col,
-        prepare_fn=prepare,
+    return _pairs_inband(
+        ds.select_columns([id_col, emb_col]), bands_feat, verify, id_col, emb_col
     )

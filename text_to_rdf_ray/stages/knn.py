@@ -121,12 +121,26 @@ def knn_ivf(
 ) -> pd.DataFrame:
     """IVF top-k: coarse-quantize the corpus, probe nprobe lists per query.
 
-    The quantizer trains on a bounded deterministic sample (first
-    ``sample_size`` rows by id — stable across parallelism levels); at
-    10^12 scale the bucketed corpus would be written partitioned-by-list
+    The quantizer trains on a bounded deterministic sample (rows with
+    ``id < sample_size`` — stable across parallelism levels, selected by a
+    streaming vectorized filter, NOT a global sort of the corpus; assumes
+    dense-ish ids starting near 0, which the embeddings table satisfies);
+    at 10^12 scale the bucketed corpus would be written partitioned-by-list
     once and probed many times.
     """
-    sample_rows = ds.sort(id_col).limit(sample_size).take_all()
+    import pyarrow.compute as pc
+
+    def sample_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column(id_col), pa.scalar(sample_size)))
+
+    sample_rows = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(sample_filter, batch_format="pyarrow")
+        .take_all()
+    )
+    # local sort of the bounded sample keeps the quantizer input identical
+    # across parallelism levels / block orders
+    sample_rows.sort(key=lambda r: r[id_col])
     sm = _normalize(_to_matrix([r[emb_col] for r in sample_rows]))
     centers = _kmeans_lite(sm, n_clusters, seed=seed)
     c_ref = ray.put(centers)
