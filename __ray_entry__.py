@@ -179,7 +179,7 @@ def _chunk_counts(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "doc_id": ids,
-                "n_chunks": pa.array([len(c) for c in chunks], pa.int32()),
+                "n_chunks": pa.array([len(c) for c in chunks], pa.int64()),
                 "covered": pa.array(
                     [c[-1][3] == len(t) for c, t in zip(chunks, batch.column("text").to_pylist())],
                     pa.bool_(),
@@ -225,10 +225,33 @@ def _dedup_ngram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+_EMB_DUP_OFFSET = 100_000
+
+
 def _dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup pairs over the embeddings table augmented with
+    deterministic planted duplicates (id+offset, vector scaled by 2 — same
+    direction, different bytes).  The raw synthetic table has NO pair above
+    cosine 0.61, so without planting the verify path would never fire; the
+    oracle replays the same augmentation and a full cross-join cosine."""
     from text_to_rdf_ray.stages.dedup import embedding_neardup_pairs
 
-    out = _pairs_df(embedding_neardup_pairs(_embeddings(sf_dir), threshold=0.98).to_pandas())
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = [[2.0 * float(x) for x in v]
+                  for v in batch.column("embedding").to_pylist()]
+        return pa.table(
+            {
+                "vec_id": pc.add(batch.column("vec_id"), pa.scalar(_EMB_DUP_OFFSET)),
+                "embedding": scaled,
+            }
+        )
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+    out = _pairs_df(embedding_neardup_pairs(aug, threshold=0.98).to_pandas())
     out["score"] = _r(out["score"], 5)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -266,6 +289,19 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
 
     q, qids = _knn_queries(sf_dir)
     out = knn_ivf(_embeddings(sf_dir), q, qids, k=10, n_clusters=16, nprobe=4)
+    return out[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def _knn_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """IVF machinery (quantize -> bucket -> probe -> merge) with
+    nprobe = n_clusters: every list probed, so the result must equal exact
+    brute force — which gives the IVF path a hard DuckDB oracle."""
+    from text_to_rdf_ray.stages.knn import knn_ivf
+
+    q, qids = _knn_queries(sf_dir)
+    out = knn_ivf(_embeddings(sf_dir), q, qids, k=10, n_clusters=16, nprobe=16)
     return out[["query_id", "neighbor_id", "rank"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
@@ -732,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_exhaustive": _knn_ivf_exhaustive,
         "embedding_label_stats": _embedding_label_stats,
         # relational / streaming-shaped
         "agg_lineitem_pricing": _agg_lineitem_pricing,
@@ -815,7 +852,63 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id
         """,
+        "chunk_counts": """
+            -- replays chunk_text(max_chars=120, overlap=30): prefer the last
+            -- sentence terminator in the window (>= step_min//2 = 45), then
+            -- the last space, else a hard cut; next start = end - overlap
+            WITH RECURSIVE docs2 AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+            ),
+            st(doc_id, text, n, s, cid) AS (
+              SELECT doc_id, text, n, 0, 0 FROM docs2 WHERE n > 120
+              UNION ALL
+              SELECT doc_id, text, n, nxt, cid + 1 FROM (
+                SELECT doc_id, text, n, s, cid,
+                  least(s + 120, n) AS e0,
+                  substring(text, s + 1, e0 - s) AS w,
+                  length(w) AS lw,
+                  greatest(
+                    CASE WHEN instr(reverse(w), ' .') = 0 THEN -1
+                         ELSE lw - instr(reverse(w), ' .') - 1 END,
+                    CASE WHEN instr(reverse(w), chr(10) || '.') = 0 THEN -1
+                         ELSE lw - instr(reverse(w), chr(10) || '.') - 1 END,
+                    CASE WHEN instr(reverse(w), ' !') = 0 THEN -1
+                         ELSE lw - instr(reverse(w), ' !') - 1 END,
+                    CASE WHEN instr(reverse(w), ' ?') = 0 THEN -1
+                         ELSE lw - instr(reverse(w), ' ?') - 1 END
+                  ) AS cut,
+                  CASE WHEN instr(reverse(w), ' ') = 0 THEN -1
+                       ELSE lw - instr(reverse(w), ' ') END AS wsp,
+                  CASE WHEN e0 >= n THEN n
+                       WHEN cut >= 45 THEN s + cut + 1
+                       WHEN wsp >= 45 THEN s + wsp
+                       ELSE e0 END AS e,
+                  CASE WHEN e >= n THEN n ELSE greatest(e - 30, s + 1) END AS nxt
+                FROM st
+              ) WHERE e < n
+            ),
+            counts AS (
+              SELECT doc_id, 1 AS n_chunks FROM docs2 WHERE n <= 120
+              UNION ALL
+              SELECT doc_id, count(*) AS n_chunks FROM st GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, TRUE AS covered
+            FROM counts ORDER BY doc_id
+        """,
         "knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < {_QUERY_N}),
+                 s AS (SELECT q.qid, e.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT qid, nid, sim,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
+        """,
+        "knn_ivf_exhaustive": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id < {_QUERY_N}),
                  s AS (SELECT q.qid, e.vec_id AS nid,
@@ -832,6 +925,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, CAST(count(*) AS BIGINT) AS n,
                    round(avg(sqrt(list_dot_product(embedding, embedding))), 6) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "dedup_embedding_pairs": f"""
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id,
+                     [2.0 * x FOR x IN embedding] AS embedding
+              FROM embeddings
+            ),
+            s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         list_cosine_similarity(a.embedding, b.embedding) AS sim
+                  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(sim, 5) AS score
+            FROM s WHERE sim >= 0.98 ORDER BY id_a, id_b
+        """,
+        "dedup_ngram_pairs": """
+            WITH tri AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) <= 3 THEN [t]
+                          ELSE list_distinct(
+                            [substring(t, i, 3) FOR i IN generate_series(1, length(t) - 2)])
+                     END AS g
+              FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) AS la, len(b.g) AS lb
+              FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (la + lb - inter), 6) AS score
+            FROM p WHERE inter * 1.0 / (la + lb - inter) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "dedup_minhash_docs": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []
+                          WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(
+                            [array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+                     END AS g
+              FROM (SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN []
+                                ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                           END AS w
+                    FROM documents)
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) AS la, len(b.g) AS lb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.g) > 0 AND len(b.g) > 0
+            ),
+            e0 AS (SELECT id_a, id_b FROM p
+                   WHERE inter * 1.0 / (la + lb - inter) >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+                      UNION ALL SELECT id_b, id_a FROM e0),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS canonical_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
