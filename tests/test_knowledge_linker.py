@@ -106,6 +106,77 @@ def test_linker_below_threshold_none():
     assert idx.link("") is None
 
 
+def test_linker_disambiguator_plug_point():
+    """entity_linker.rs:409-479: a pluggable disambiguator is consulted only
+    when >= min_candidates_for_llm candidates survive; the deterministic
+    tie-break remains the fallback when it declines (returns None)."""
+    calls = []
+
+    def pick_last(surface, candidates):
+        calls.append((surface, [c.uri for c in candidates]))
+        return candidates[-1]
+
+    idx = KBIndex(KB, disambiguator=pick_last)
+    link = idx.link("Apple")  # ambiguous: two KB entries share the label
+    assert len(calls) == 1 and calls[0][0] == "Apple"
+    assert link.uri == calls[0][1][-1] != "https://kb.test/resource/apple-fruit"
+
+    # unambiguous surface: the disambiguator must NOT be consulted
+    calls.clear()
+    link = idx.link("alan bean")
+    assert calls == [] and link.uri == "https://kb.test/resource/alan-bean"
+
+    # declining disambiguator -> deterministic top-1 fallback
+    idx2 = KBIndex(KB, disambiguator=lambda s, c: None)
+    assert idx2.link("Apple").uri == "https://kb.test/resource/apple-fruit"
+
+
+def test_validate_triples_relational_parity():
+    """Relational stage mirrors validation.rs:120-160: name-required types
+    with an empty surface are Error (-0.2, invalid regardless of score);
+    registered custom rules are consumed with their confidence impact."""
+    import pyarrow as pa
+
+    from text_to_rdf_ray.functions.registry import ValidationRule
+    from text_to_rdf_ray.stages.kg_stages import validate_triples
+
+    def row(subj, subj_type, pred_key, obj, obj_type):
+        return {"subj": subj, "subj_type": subj_type, "pred_key": pred_key,
+                "obj": obj, "obj_type": obj_type, "confidence": 1.0}
+
+    rows = [
+        row("Alan Bean", "Person", "birthDate", "1932-03-15", ""),   # clean
+        row("", "Person", "birthDate", "1932-03-15", ""),            # missing name -> Error
+        row("Alan Bean", "Person", "birthDate", "March 15", ""),     # bad date -> warning
+        row("Alan Bean", "Person", "url", "http:bad", ""),           # bad uri -> warning
+        row("", "Thing", "x", "y", ""),                              # empty subj, non-required type
+        row("Org", "Organization", "member", "", "Person"),          # empty entity obj -> Error
+    ]
+    batch = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    out = validate_triples(batch)
+    conf = out.column("confidence").to_pylist()
+    valid = out.column("valid").to_pylist()
+    assert conf[0] == 1.0 and valid[0]
+    assert abs(conf[1] - 0.8) < 1e-9 and not valid[1]  # Error invalidates
+    assert abs(conf[2] - 0.95) < 1e-9 and valid[2]
+    assert abs(conf[3] - 0.9) < 1e-9 and valid[3]
+    assert conf[4] == 1.0 and valid[4]  # only the 4 schema.org types require name
+    assert abs(conf[5] - 0.8) < 1e-9 and not valid[5]
+
+    # custom rule consumption (the add_rule plug point, relational row view)
+    rule = ValidationRule(
+        name="person_birthdate_pred", description="",
+        entity_type="Person",
+        check_fn=lambda r: r["pred_key"] != "deathDate",
+        confidence_impact=-0.4, severity="Warning",
+    )
+    batch2 = pa.table({k: [v] for k, v in row(
+        "Alan Bean", "Person", "deathDate", "2018-05-26", "").items()})
+    out2 = validate_triples(batch2, rules=(rule,))
+    assert abs(out2.column("confidence").to_pylist()[0] - 0.6) < 1e-9
+    assert out2.column("valid").to_pylist()[0] is False  # 0.6 < 0.7
+
+
 def test_validation_reference_arithmetic():
     # validation.rs:183-298
     ok = {"@context": "https://schema.org/", "@type": "Person", "name": "X",

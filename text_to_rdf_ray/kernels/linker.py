@@ -26,6 +26,7 @@ from dataclasses import dataclass
 EXACT_CONFIDENCE = 0.95
 DEFAULT_FUZZY_THRESHOLD = 0.8
 DEFAULT_CONFIDENCE_THRESHOLD = 0.5
+MIN_CANDIDATES_FOR_LLM = 2  # entity_linker.rs:409-479 (lib.rs config default)
 
 
 def jaro(s1: str, s2: str) -> float:
@@ -95,9 +96,18 @@ class KBIndex:
     """
 
     def __init__(self, records, fuzzy_threshold=DEFAULT_FUZZY_THRESHOLD,
-                 confidence_threshold=DEFAULT_CONFIDENCE_THRESHOLD):
+                 confidence_threshold=DEFAULT_CONFIDENCE_THRESHOLD,
+                 disambiguator=None,
+                 min_candidates_for_llm=MIN_CANDIDATES_FOR_LLM):
         self.fuzzy_threshold = fuzzy_threshold
         self.confidence_threshold = confidence_threshold
+        #: optional ``disambiguator(surface, candidates) -> LinkedEntity | None``
+        #: plug point mirroring the reference's LLM disambiguation hook
+        #: (entity_linker.rs:409-479, min_candidates_for_llm=2); invoked only
+        #: when >= min_candidates_for_llm candidates survive filtering, and
+        #: the deterministic top-1 remains the fallback when it declines.
+        self.disambiguator = disambiguator
+        self.min_candidates_for_llm = min_candidates_for_llm
         self.exact: dict[str, list[tuple[str, str, tuple]]] = defaultdict(list)
         self.by_first: dict[str, list[tuple[str, str, tuple]]] = defaultdict(list)
         for rec in records:
@@ -134,11 +144,20 @@ class KBIndex:
         return out
 
     def link(self, name: str) -> LinkedEntity | None:
-        """Top-1 deterministic link (conf desc, uri asc)."""
+        """Top-1 link: deterministic (conf desc, uri asc) by default; when a
+        ``disambiguator`` is plugged and the candidate set is ambiguous
+        (>= min_candidates_for_llm), it picks among the candidates — the
+        scale-safe deterministic tie-break stays the fallback."""
         if not name:
             return None
         cands = self.candidates(name)
-        return cands[0] if cands else None
+        if not cands:
+            return None
+        if self.disambiguator is not None and len(cands) >= self.min_candidates_for_llm:
+            chosen = self.disambiguator(name, list(cands))
+            if chosen is not None:
+                return chosen
+        return cands[0]
 
     def link_batch(self, names) -> list[LinkedEntity | None]:
         cache: dict[str, LinkedEntity | None] = {}

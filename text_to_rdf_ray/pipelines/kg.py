@@ -130,7 +130,18 @@ def build_triples(
         if mapping:
             ds = apply_canonical_map(ds, mapping)
     if validate:
-        ds = ds.map_batches(validate_triples, batch_format="pyarrow")
+        # capture registered custom rules at graph-construction time (the
+        # driver-side registry is not visible inside worker processes)
+        from ..functions.registry import get_rules
+
+        rules = tuple(get_rules())
+        if rules:
+            ds = ds.map_batches(
+                lambda t, r=rules: validate_triples(t, rules=r),
+                batch_format="pyarrow",
+            )
+        else:
+            ds = ds.map_batches(validate_triples, batch_format="pyarrow")
     if dedup:
         ds = dedup_triples(ds)
     return ds

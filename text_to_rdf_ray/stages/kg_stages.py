@@ -158,17 +158,21 @@ class LinkEntities:
     """
 
     def __init__(self, kb_ref=None, kb_records=None, fuzzy_threshold=0.8,
-                 confidence_threshold=0.5):
+                 confidence_threshold=0.5, disambiguator_factory=None):
         import ray
 
         from ..kernels.linker import KBIndex
 
         if kb_records is None:
             kb_records = ray.get(kb_ref)
+        # disambiguator built ONCE per actor (where a real deployment opens
+        # its LLM client — the entity_linker.rs:409-479 plug point)
+        disambiguator = disambiguator_factory() if disambiguator_factory else None
         self.index = KBIndex(
             kb_records,
             fuzzy_threshold=fuzzy_threshold,
             confidence_threshold=confidence_threshold,
+            disambiguator=disambiguator,
         )
         self.cache: dict[str, tuple[str | None, float]] = {}
 
@@ -205,24 +209,83 @@ def make_link_task(kb_ref, fuzzy_threshold=0.8, confidence_threshold=0.5):
     return link_batch
 
 
-def validate_triples(batch: pa.Table) -> pa.Table:
-    """Vectorized confidence scoring (validation.rs:183-298 arithmetic):
-    1.0 baseline; -0.2 empty subject; -0.05 malformed date literal on date
-    predicates; -0.1 malformed URI objects; clamp [0,1]; valid = conf>=0.7."""
+def validate_triples(batch: pa.Table, rules=()) -> pa.Table:
+    """Vectorized relational validation (validation.rs:120-160 + 183-298):
+
+    - Person/Organization/Place/Event require ``name``: in the relational
+      model the subject surface IS the node's name, so an empty subj (or an
+      empty entity-typed obj) of a name-required type is an Error, -0.2;
+    - -0.05 malformed date literal on date predicates (Warning);
+    - -0.1 malformed URI-shaped literal object (Warning);
+    - confidence clamped to [0,1];
+    - valid = NO Error-severity violation AND confidence >= 0.7
+      (validation.rs:296-298 semantics — an Error invalidates regardless
+      of the clamped score).
+
+    ``rules``: registered ``functions.registry.ValidationRule`` objects
+    (add_rule), captured at pipeline build time and shipped to workers;
+    each is evaluated per matching row on the relational row view
+    ``{"@type": subj_type, "name": subj, "pred_key": ..., "obj": ...}``.
+    """
+    from ..kernels.validation import _NAME_REQUIRED_TYPES
+
     n = len(batch)
     conf = np.ones(n)
     subj = batch.column("subj")
-    conf -= 0.2 * pc.equal(subj, "").to_numpy(zero_copy_only=False).astype(float)
-    pred_key = batch.column("pred_key").to_pylist()
-    obj = batch.column("obj").to_pylist()
-    obj_type = batch.column("obj_type").to_pylist()
-    for i in range(n):
-        if not obj_type[i]:
-            if pred_key[i] in DATE_PREDICATES and not is_valid_date(obj[i]):
-                conf[i] -= 0.05
-            elif obj[i].startswith("http") and "://" not in obj[i]:
-                conf[i] -= 0.1
+    subj_type = batch.column("subj_type")
+    obj = batch.column("obj")
+    obj_type = batch.column("obj_type")
+    pred_key = batch.column("pred_key")
+
+    req = pa.array(sorted(_NAME_REQUIRED_TYPES), pa.string())
+
+    def b(arr) -> np.ndarray:
+        return arr.to_numpy(zero_copy_only=False).astype(bool)
+
+    subj_missing = b(pc.and_(pc.equal(subj, ""), pc.is_in(subj_type, value_set=req)))
+    obj_missing = b(
+        pc.and_(pc.is_in(obj_type, value_set=req), pc.equal(obj, ""))
+    )
+    conf -= 0.2 * subj_missing
+    conf -= 0.2 * obj_missing
+    error_hit = subj_missing | obj_missing
+
+    is_literal = b(pc.equal(obj_type, ""))
+    date_pred = b(pc.is_in(pred_key, value_set=pa.array(sorted(DATE_PREDICATES))))
+    ln = pc.utf8_length(obj).to_numpy(zero_copy_only=False)
+    c4 = pc.utf8_slice_codeunits(obj, 4, 5).to_numpy(zero_copy_only=False)
+    c7 = pc.utf8_slice_codeunits(obj, 7, 8).to_numpy(zero_copy_only=False)
+    date_ok = (ln == 10) & (c4 == "-") & (c7 == "-")
+    bad_date = is_literal & date_pred & ~date_ok
+    conf -= 0.05 * bad_date
+
+    starts_http = b(pc.starts_with(obj, "http"))
+    has_scheme = b(pc.match_substring(obj, "://"))
+    bad_uri = is_literal & starts_http & ~has_scheme & ~bad_date
+    conf -= 0.1 * bad_uri
+
+    if rules:
+        subj_l = subj.to_pylist()
+        st_l = subj_type.to_pylist()
+        pk_l = pred_key.to_pylist()
+        obj_l = obj.to_pylist()
+        for i in range(n):
+            row = {"@type": st_l[i], "name": subj_l[i], "pred_key": pk_l[i],
+                   "obj": obj_l[i]}
+            for rule in rules:
+                if rule.entity_type is not None and rule.entity_type != st_l[i]:
+                    continue
+                failed = any(not row.get(p) for p in rule.required_properties)
+                if rule.check_fn is not None and not rule.check_fn(row):
+                    failed = True
+                if failed:
+                    conf[i] += rule.confidence_impact
+                    if rule.severity == "Error":
+                        error_hit[i] = True
+
     conf = np.clip(conf, 0.0, 1.0)
     batch = batch.drop_columns(["confidence"])
     batch = batch.append_column("confidence", pa.array(conf, pa.float64()))
-    return batch.append_column("valid", pa.array(conf >= 0.7, pa.bool_()))
+    return batch.append_column(
+        "valid", pa.array((conf >= 0.7) & ~error_hit, pa.bool_())
+    )
