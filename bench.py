@@ -44,6 +44,63 @@ def _pages_path(n: int) -> str:
                        rows_per_file=max(2000, n // 64), long_every=LONG_EVERY)
 
 
+_SYL = ["al", "be", "cu", "dor", "el", "fa", "gri", "ha", "in", "jo", "ka",
+        "lu", "mo", "ne", "or", "pa", "qui", "ra", "su", "ta", "ul", "vo",
+        "wi", "xe", "yo", "za", "bran", "chel", "dre", "fen", "gol", "hart",
+        "ker", "lind", "mor", "nov", "pet", "rod", "sal", "tor"]
+
+
+def _canon_surfaces(n_entities: int, variants: int = 3) -> list[str]:
+    """Deterministic DIVERSE distinct-name space (hash-derived syllables —
+    a homogeneous template like 'First Last N' legitimately chains into
+    mega-clusters at tau=0.72, see NOTES_r1 gap 8): n_entities names, each
+    with `variants` surface forms that normalize identically, so exact
+    cluster recovery is checkable."""
+    import hashlib
+
+    out = []
+    for i in range(n_entities):
+        h = hashlib.blake2b(f"canon-{i}".encode(), digest_size=10).digest()
+        words = []
+        for w in range(2):
+            nsyl = 2 + h[w] % 2
+            word = "".join(_SYL[h[2 + w * 4 + k] % 40] for k in range(nsyl))
+            words.append(word.capitalize())
+        base = " ".join(words) + f" {i}"
+        out.append(base)
+        if variants > 1:
+            out.append(base.replace(" ", "  ", 1))  # doubled space
+        if variants > 2:
+            out.append(base.lower() + ".")  # case + trailing dot
+    return out
+
+
+def run_canon_bench(n_entities: int = 40_000) -> dict:
+    """Distributed canonicalization path, forced: 120k distinct surfaces
+    through payload-free LSH blocking + distributed connected components
+    (cc_driver_threshold=0 disables the driver union-find shortcut)."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import canonicalize_surfaces
+
+    surfaces = _canon_surfaces(n_entities)
+    ds = rd.from_items([{"surface": s} for s in surfaces]).repartition(64)
+    t0 = time.time()
+    out = canonicalize_surfaces(ds, cc_driver_threshold=0).materialize()
+    wall = time.time() - t0
+    import pandas as pd
+
+    df = out.to_pandas()
+    n_clusters = df["canonical"].nunique()
+    sizes = df.groupby("canonical").size()
+    return {
+        "canon_surfaces": len(surfaces),
+        "canon_sec": round(wall, 2),
+        "canon_clusters": int(n_clusters),
+        "canon_exact": bool(n_clusters == n_entities and int(sizes.max()) == 3),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -102,19 +159,26 @@ def run_bench() -> dict:
     triples_hash = sum(int(r["h"]) for r in partials) & 0xFFFFFFFFFFFFFFFF
 
     queries: dict[str, float] = {}
+    extras: dict = {}
 
-    def timed(name, fn):
-        t = time.time()
-        fn()
-        queries[name] = round(time.time() - t, 3)
+    if not os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        def timed(name, fn):
+            t = time.time()
+            fn()
+            queries[name] = round(time.time() - t, 3)
 
-    import __ray_entry__ as entry
+        import __ray_entry__ as entry
 
-    q = entry.queries()
-    for name in ("agg_lineitem_pricing", "join_revenue_by_nation",
-                 "dedup_exact_docs", "dedup_minhash_docs", "knn_bruteforce",
-                 "doc_quality", "events_hourly"):
-        timed(name, lambda name=name: q[name](SF_DIR))
+        q = entry.queries()
+        for name in ("agg_lineitem_pricing", "join_revenue_by_nation",
+                     "dedup_exact_docs", "dedup_minhash_docs",
+                     "dedup_ngram_pairs", "knn_bruteforce",
+                     "doc_quality", "events_hourly"):
+            timed(name, lambda name=name: q[name](SF_DIR))
+
+        # distributed canonicalization + connected-components path, forced
+        extras = run_canon_bench()
+        queries["canonicalize_distributed_120k"] = extras.pop("canon_sec")
 
     result = {
         "metric": "kg_pipeline_sec",
@@ -128,6 +192,7 @@ def run_bench() -> dict:
         "triples_hash": triples_hash,
         "docs_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
+        **extras,
     }
     ray.shutdown()
     return result
@@ -135,7 +200,10 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # headline-only: the per-query block and canon bench are measured by
+        # the default mode; scaling times just the headline pipeline
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -182,6 +182,17 @@ def connected_components(
             batch_format="pyarrow",
         )
 
+    def _label_sum(lbl: rd.Dataset) -> int:
+        """Exact arbitrary-precision sum of labels (one tiny partial row per
+        batch; Dataset.sum overflows int64 — 63-bit ids x 10^5 rows)."""
+
+        def part(t: pa.Table) -> pa.Table:
+            s = sum(t.column("component").to_pylist())
+            return pa.table({"s": pa.array([str(s)], pa.string())})
+
+        rows = lbl.map_batches(part, batch_format="pyarrow").take_all()
+        return sum(int(r["s"]) for r in rows)
+
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
@@ -199,7 +210,7 @@ def connected_components(
             combined.groupby("name_id")
             .aggregate(Min("component", alias_name="component"))
         )
-        cur = labels.sum("component")
+        cur = _label_sum(labels)
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break
@@ -283,6 +294,7 @@ def canonicalize_surfaces(
     bands: int = DEFAULT_BANDS,
     tau: float = DEFAULT_TAU,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    cc_driver_threshold: int = DRIVER_UNION_FIND_THRESHOLD,
 ) -> rd.Dataset:
     """(surface) -> (surface, canonical) mapping dataset.
 
@@ -343,7 +355,7 @@ def canonicalize_surfaces(
             batch_format="pyarrow",
         )
 
-    comp = _solid(connected_components(edges))
+    comp = _solid(connected_components(edges, driver_threshold=cc_driver_threshold))
     # attach component to every (name_id, surface); nodes without edges keep themselves
     with_comp = _solid(ids).join(
         comp, join_type="left_outer", num_partitions=16, on=("name_id",)

@@ -173,41 +173,52 @@ def _pairs_from_buckets(
         prepare_fn = lambda p: p  # noqa: E731
 
     def shard_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        """One Ray group = one shard = many LSH buckets; bucket iteration is
-        a local pandas groupby (avoids per-bucket Ray map_groups overhead
-        when buckets number in the tens of thousands)."""
-        a, b = [], []
-        pair_seen: set = set()
+        """One Ray group = one shard = many LSH buckets.
+
+        With a sketch (prune path), buckets are processed VECTORIZED BY
+        SIZE CLASS: all size-k buckets stack into an (nb, k, bytes) array
+        and pairwise sketch agreement is one broadcast comparison — the
+        per-bucket numpy dispatch overhead would otherwise dominate when
+        buckets number in the hundreds of thousands."""
         use_prune = prune_est is not None and "feat" in group.columns
-        for _, g in group.groupby(["band_id", "band_hash"], sort=True):
-            g = g.drop_duplicates(id_col).sort_values(id_col)
-            n = len(g)
-            if n < 2 or n > max_bucket:
-                continue
-            ids = g[id_col].to_numpy()
+        df = group.drop_duplicates(["band_id", "band_hash", id_col]).sort_values(
+            ["band_id", "band_hash", id_col]
+        )
+        sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= max_bucket)]
+        sizes = sizes[df.index]
+        if not len(df):
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for k, sub in df.groupby(sizes.to_numpy()):
+            k = int(k)
+            ids_mat = sub[id_col].to_numpy().reshape(-1, k)
+            iu, ju = np.triu_indices(k, 1)
             if use_prune:
-                mat = np.frombuffer(b"".join(g["feat"].tolist()), dtype=np.uint8)
-                mat = mat.reshape(n, -1)
-                est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-                xs, ys = np.nonzero(np.triu(est >= prune_est, k=1))
-                for x, y in zip(xs.tolist(), ys.tolist()):
-                    key = (ids[x], ids[y])
-                    if key in pair_seen:
-                        continue
-                    pair_seen.add(key)
-                    a.append(ids[x])
-                    b.append(ids[y])
-                continue
-            for i in range(n):
-                for j in range(i + 1, n):
-                    key = (ids[i], ids[j])
-                    if key in pair_seen:
-                        continue
-                    pair_seen.add(key)
-                    a.append(ids[i])
-                    b.append(ids[j])
+                feats = np.frombuffer(b"".join(sub["feat"].tolist()), dtype=np.uint8)
+                feats = feats.reshape(ids_mat.shape[0], k, -1)
+                # slice the bucket axis so nb*k*k*width stays bounded
+                step = max(1, (1 << 22) // max(1, k * k * feats.shape[2]))
+                for s0 in range(0, feats.shape[0], step):
+                    f = feats[s0:s0 + step]
+                    est = (f[:, :, None, :] == f[:, None, :, :]).mean(axis=3)
+                    m = est[:, iu, ju] >= prune_est
+                    out_a.append(ids_mat[s0:s0 + step][:, iu][m])
+                    out_b.append(ids_mat[s0:s0 + step][:, ju][m])
+            else:
+                out_a.append(ids_mat[:, iu].ravel())
+                out_b.append(ids_mat[:, ju].ravel())
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        # local dedup (a pair can recur across this shard's buckets)
+        if len(a):
+            pk = np.stack([a, b], axis=1)
+            pk = np.unique(pk, axis=0)
+            a, b = pk[:, 0], pk[:, 1]
         return pd.DataFrame(
-            {"id_a": np.array(a, dtype=np.int64), "id_b": np.array(b, dtype=np.int64)}
+            {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
         )
 
     def norm_cands(t: pa.Table) -> pa.Table:
@@ -216,13 +227,24 @@ def _pairs_from_buckets(
         return pa.table({"id_a": t.column("id_a").cast(pa.int64()),
                          "id_b": t.column("id_b").cast(pa.int64())})
 
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        # cheap vectorized partition key for the cross-shard pair dedup
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pp = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(64)
+        return t.append_column("ppart", pa.array(pp.astype(np.int32), pa.int32()))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
     cands = (
         _explode_bands(ds, bands_feat_fn, id_col, payload_col)
         .groupby("shard")
         .map_groups(shard_candidates, batch_format="pandas")
         .map_batches(norm_cands, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(dedup_part, batch_format="pandas")
         .map_batches(norm_cands, batch_format="pyarrow")
         .materialize()
     )
