@@ -451,9 +451,9 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
     """
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Min
-
     from ..kernels.minhash import _hash_shingles
+
+    P = 64  # reduce partitions per phase
 
     def pack(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -507,6 +507,15 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
         )
         # within-batch combiner: keep min prov per (spo, salt)
         g = tbl.group_by(["subj", "pred", "obj", "salt"]).aggregate([("prov", "min")])
+        # partition keys: p1 spreads a hot spo over `salt` reducers (phase 1),
+        # p2 co-locates all of a spo's <= salt survivors (phase 2)
+        spo = pc.binary_join_element_wise(
+            g.column("subj"), g.column("pred"), g.column("obj"), "\x00"
+        )
+        spo_h = _hash_shingles(spo.to_pylist())
+        salt_np = g.column("salt").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p1 = ((spo_h * np.uint64(0x9E3779B97F4A7C15)) ^ salt_np) % np.uint64(P)
+        p2 = spo_h % np.uint64(P)
         return pa.table(
             {
                 "subj": g.column("subj"),
@@ -514,6 +523,8 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
                 "obj": g.column("obj"),
                 "salt": g.column("salt"),
                 "prov": g.column("prov_min"),
+                "p1": pa.array(p1.astype(np.int32), pa.int32()),
+                "p2": pa.array(p2.astype(np.int32), pa.int32()),
             }
         )
 
@@ -559,15 +570,43 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
         )
 
     # phase 1: salted partial aggregation (hot keys spread over `salt`
-    # reducers); phase 2: unsalted final merge over <= salt rows per key
-    salted = (
-        triples.map_batches(pack, batch_format="pyarrow")
-        .groupby(["subj", "pred", "obj", "salt"])
-        .aggregate(Min("prov", alias_name="prov"))
-    )
+    # reducers); phase 2: unsalted final merge over <= salt rows per key.
+    # Large combiner batches both strengthen the pre-aggregation (dup factor
+    # compounds across input blocks) and coalesce many small upstream blocks
+    # so the shuffle fan is O(data/64k), not O(upstream task count).  Each
+    # phase is a hash-partition exchange (single int key) with the reduce
+    # itself a VECTORIZED arrow group_by inside map_groups — Ray's built-in
+    # Aggregate reduces per key in Python and is ~50x slower here.
+    def reduce1(g: pa.Table) -> pa.Table:
+        r = g.group_by(["subj", "pred", "obj", "salt"]).aggregate(
+            [("prov", "min"), ("p2", "min")]
+        )
+        return pa.table(
+            {
+                "subj": r.column("subj"),
+                "pred": r.column("pred"),
+                "obj": r.column("obj"),
+                "prov": r.column("prov_min"),
+                "p2": r.column("p2_min"),
+            }
+        )
+
+    def reduce2(g: pa.Table) -> pa.Table:
+        r = g.group_by(["subj", "pred", "obj"]).aggregate([("prov", "min")])
+        return pa.table(
+            {
+                "subj": r.column("subj"),
+                "pred": r.column("pred"),
+                "obj": r.column("obj"),
+                "prov": r.column("prov_min"),
+            }
+        )
+
     agg = (
-        _arrow(salted)
-        .groupby(["subj", "pred", "obj"])
-        .aggregate(Min("prov", alias_name="prov"))
+        triples.map_batches(pack, batch_format="pyarrow", batch_size=65536)
+        .groupby("p1")
+        .map_groups(reduce1, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(reduce2, batch_format="pyarrow")
     )
     return agg.map_batches(unpack, batch_format="pyarrow")
