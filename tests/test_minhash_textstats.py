@@ -82,3 +82,34 @@ def test_quality_score_formula():
     assert 0 < q["quality"] <= 1.0
     assert q["n_words"] == 10
     assert abs(q["stopword_ratio"] - 6 / 10) < 1e-9  # the, on, the, and, it, was
+
+
+def test_minhash_signatures_batch_equals_per_doc():
+    """Batch reduceat path must be numerically identical to the per-doc
+    signature, including empty sets and single-element sets."""
+    import numpy as np
+
+    from text_to_rdf_ray.kernels.minhash import (
+        char_shingles,
+        minhash_signature,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "a",
+        "entirely different words appear in this document about databases",
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    for sh_fn in (lambda t: word_shingles(t, 3), lambda t: char_shingles(t, 3)):
+        sets = [sh_fn(d) for d in docs]
+        batch = minhash_signatures(sets)
+        for i, s in enumerate(sets):
+            assert np.array_equal(batch[i], minhash_signature(s)), i
+    # chunk boundary: force multiple chunks with a tiny budget
+    sets = [char_shingles(d) for d in docs * 20]
+    small = minhash_signatures(sets, max_chunk_hashes=64)
+    big = minhash_signatures(sets)
+    assert np.array_equal(small, big)

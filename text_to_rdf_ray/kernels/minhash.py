@@ -88,6 +88,42 @@ def minhash_signature(shingles, num_perm: int = _DEFAULT_PERMS, seed: int = 42) 
     return prod.min(axis=1).astype(np.uint64)
 
 
+def minhash_signatures(
+    shingle_sets, num_perm: int = _DEFAULT_PERMS, seed: int = 42,
+    max_chunk_hashes: int = 262_144,
+) -> np.ndarray:
+    """Batch MinHash: (n_docs, num_perm) uint64 — numerically identical to
+    ``minhash_signature`` per set, but hashes all shingles of a doc-chunk in
+    one vectorized pass and segment-reduces with ``np.minimum.reduceat``
+    (the per-doc outer-product dispatch dominates when docs are small,
+    e.g. surface forms).  Chunked so the (num_perm, total_shingles) product
+    stays under ~num_perm * max_chunk_hashes u64."""
+    a, b = perm_params(num_perm, seed)
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+    sets = [list(s) for s in shingle_sets]
+    lens_all = np.array([len(s) for s in sets], dtype=np.int64)
+    i = 0
+    while i < n:
+        j, total = i, 0
+        while j < n and (total == 0 or total + lens_all[j] <= max_chunk_hashes):
+            total += lens_all[j]
+            j += 1
+        lens = lens_all[i:j]
+        flat = [sh for s in sets[i:j] for sh in s]
+        if flat:
+            hv = _hash_shingles(flat)
+            prod = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            ne = np.nonzero(lens > 0)[0]
+            # empty segments occupy zero elements, so consecutive nonempty
+            # offsets delimit exactly the nonempty segments
+            mins = np.minimum.reduceat(prod, offsets[ne], axis=1)
+            out[i + ne] = mins.T.astype(np.uint64)
+        i = j
+    return out
+
+
 def band_keys(signature: np.ndarray, bands: int) -> list[int]:
     """Split signature into ``bands`` bands; return a stable hash per band."""
     r = len(signature) // bands

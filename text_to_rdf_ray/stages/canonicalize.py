@@ -329,9 +329,11 @@ def canonicalize_surfaces(
     # re-read for the (tiny) candidate set in the verify stage
     from .dedup import _pairs_from_buckets
 
+    from .dedup import _minhash_bands_feat_batch
+
     pairs = _pairs_from_buckets(
         ids,
-        _surface_band_fn(num_perm, bands),
+        None,
         _surface_verify_fn(tau),
         "name_id",
         "surface",
@@ -341,6 +343,11 @@ def canonicalize_surfaces(
         # estimates) and baseline name-name similarity is low, so a loose
         # prune still kills shared-shingle bucket blowups without recall risk
         prune_est=max(0.0, tau - 0.2),
+        # batch-vectorized signatures: per-surface outer-product dispatch
+        # dominates on short payloads
+        bands_feat_batch_fn=_minhash_bands_feat_batch(
+            lambda s: char_shingles(_norm(s)), num_perm, bands
+        ),
     )
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),

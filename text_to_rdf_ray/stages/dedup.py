@@ -79,6 +79,22 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 BROADCAST_CANDIDATES_THRESHOLD = 200_000
 
 
+def _minhash_bands_feat_batch(shingle_fn, num_perm: int, bands: int):
+    """Batch bands+sketch: one vectorized minhash pass per input batch
+    (kernels.minhash.minhash_signatures) instead of a per-doc signature."""
+    from ..kernels.minhash import band_keys, minhash_signatures
+
+    def batch_fn(payloads):
+        sets = [shingle_fn(p) for p in payloads]
+        sigs = minhash_signatures(sets, num_perm=num_perm)
+        return [
+            (list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig))
+            for sig in sigs
+        ]
+
+    return batch_fn
+
+
 def _bbit_sketch(sig: np.ndarray) -> bytes:
     """b-bit minwise sketch (b=8): low byte of each minhash value.
     ``mean(byte agreement)`` estimates Jaccard with +1/256 collision bias —
@@ -87,7 +103,8 @@ def _bbit_sketch(sig: np.ndarray) -> bytes:
     return (sig & np.uint64(0xFF)).astype(np.uint8).tobytes()
 
 
-def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str) -> rd.Dataset:
+def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str,
+                   bands_feat_batch_fn=None) -> rd.Dataset:
     """(shard, band_id, band_hash, id[, feat]) rows — the ONLY columns the
     LSH bucket exchange moves.  ``bands_feat_fn(payload) -> (bands, feat)``
     where ``bands`` is a list of (band_id, band_hash) and ``feat`` is an
@@ -102,8 +119,12 @@ def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str)
         payloads = batch.column(payload_col).to_pylist()
         ob, oh, oi, of = [], [], [], []
         has_feat = False
-        for i, p in zip(ids, payloads):
-            bands, feat = bands_feat_fn(p)
+        if bands_feat_batch_fn is not None:
+            results = bands_feat_batch_fn(payloads)
+        else:
+            results = None
+        for row_idx, (i, p) in enumerate(zip(ids, payloads)):
+            bands, feat = results[row_idx] if results is not None else bands_feat_fn(p)
             if feat is not None:
                 has_feat = True
             for band_id, band_hash in bands:
@@ -138,6 +159,7 @@ def _pairs_from_buckets(
     prepare_fn=None,
     broadcast_threshold: int = BROADCAST_CANDIDATES_THRESHOLD,
     prune_est: float | None = None,
+    bands_feat_batch_fn=None,
 ) -> rd.Dataset:
     """Generic LSH pipeline in three stages:
 
@@ -238,7 +260,8 @@ def _pairs_from_buckets(
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
 
     cands = (
-        _explode_bands(ds, bands_feat_fn, id_col, payload_col)
+        _explode_bands(ds, bands_feat_fn, id_col, payload_col,
+                       bands_feat_batch_fn=bands_feat_batch_fn)
         .groupby("shard")
         .map_groups(shard_candidates, batch_format="pandas")
         .map_batches(norm_cands, batch_format="pyarrow")
@@ -445,10 +468,6 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     est_margin: float = 0.15,
 ) -> rd.Dataset:
-    def bands_feat(text: str):
-        sig = minhash_signature(word_shingles(text, shingle_words), num_perm=num_perm)
-        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
-
     def prepare(text: str):
         return word_shingles(text, shingle_words)
 
@@ -457,8 +476,9 @@ def minhash_lsh_pairs(
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col,
+        ds.select_columns([id_col, text_col]), None, verify, id_col, text_col,
         prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
+        bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands),
     )
 
 
@@ -583,10 +603,6 @@ def ngram_jaccard_pairs(
     in-bucket candidates are pruned by the b-bit sketch estimate
     (>= threshold - est_margin) before exact shingle verification."""
 
-    def bands_feat(text: str):
-        sig = minhash_signature(char_shingles(text, n), num_perm=num_perm)
-        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
-
     def prepare(text: str):
         return char_shingles(text, n)
 
@@ -595,8 +611,9 @@ def ngram_jaccard_pairs(
         return j if j >= threshold else None
 
     return _pairs_from_buckets(
-        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col,
+        ds.select_columns([id_col, text_col]), None, verify, id_col, text_col,
         prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
+        bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands),
     )
 
 
