@@ -294,6 +294,26 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
+    """Write-once partitioned IVF index + probe (stages/knn.py
+    build_ivf_index / knn_ivf_indexed).  nprobe = n_clusters, so the result
+    must equal exact brute force -> same SQL oracle; partition pruning with
+    nprobe < n_clusters is covered by pytest."""
+    import hashlib as _hl
+
+    from text_to_rdf_ray.stages.knn import build_ivf_index, knn_ivf_indexed
+
+    tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = os.path.join(_TMP, f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        build_ivf_index(_embeddings(sf_dir), idx_dir, n_clusters=16)
+    q, qids = _knn_queries(sf_dir)
+    out = knn_ivf_indexed(idx_dir, q, qids, k=10, nprobe=16)
+    return out[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def _knn_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
     """IVF machinery (quantize -> bucket -> probe -> merge) with
     nprobe = n_clusters: every list probed, so the result must equal exact
@@ -769,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
+        "knn_ivf_indexed": _knn_ivf_indexed,
         "embedding_label_stats": _embedding_label_stats,
         # relational / streaming-shaped
         "agg_lineitem_pricing": _agg_lineitem_pricing,
@@ -909,6 +930,19 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
         """,
         "knn_ivf_exhaustive": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < {_QUERY_N}),
+                 s AS (SELECT q.qid, e.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT qid, nid, sim,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
+        """,
+        "knn_ivf_indexed": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id < {_QUERY_N}),
                  s AS (SELECT q.qid, e.vec_id AS nid,

@@ -234,6 +234,41 @@ def test_knn_ivf_recall_reasonable():
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_partitioned_index_matches_inline(tmp_path):
+    """build_ivf_index + knn_ivf_indexed (write-once partitioned-by-list,
+    partition-pruned probe) must reproduce knn_ivf exactly for the same
+    quantizer params, and the probe scan must read only the probed lists."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import build_ivf_index, knn_ivf, knn_ivf_indexed
+
+    rng = np.random.RandomState(11)
+    corpus = rng.randn(400, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(400)]
+    )
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx_dir, n_clusters=8, sample_size=400)
+    assert meta["n_clusters"] == 8
+
+    queries = corpus[:4].astype(np.float64)
+    inline = knn_ivf(ds, queries, [0, 1, 2, 3], k=5, n_clusters=8, nprobe=3,
+                     sample_size=400)
+    indexed = knn_ivf_indexed(idx_dir, queries, [0, 1, 2, 3], k=5, nprobe=3)
+    assert indexed.equals(inline)
+
+    # partition pruning: a 1-probe scan over one query touches fewer rows
+    # than the corpus (only that query's list directory leaves storage)
+    import os
+
+    one = knn_ivf_indexed(idx_dir, queries[:1], [0], k=5, nprobe=1)
+    assert len(one) == 5
+    part_dirs = [d for d in os.listdir(idx_dir + "/data") if d.startswith("list_id=")]
+    assert len(part_dirs) == 8
+    one_list = rd.read_parquet(os.path.join(idx_dir, "data", part_dirs[0])).count()
+    assert one_list < 400
+
+
 def test_multimodal_plumbing():
     import ray.data as rd
 

@@ -8,6 +8,11 @@
   quantizer (fixed seed, few iterations, built from a bounded sample),
   corpus bucketed by nearest centroid; queries probe ``nprobe`` buckets.
   Returns the same schema; recall < 1 by design (documented).
+- ``build_ivf_index`` / ``knn_ivf_indexed``: the write-once/probe-many
+  form — the corpus is written PARTITIONED BY LIST (hive layout) so a
+  probe reads only its ``nprobe`` partitions from storage (partition-
+  pruned scan); at 100 TB this is the difference between scanning the
+  corpus per query batch and scanning nprobe/n_clusters of it.
 """
 
 from __future__ import annotations
@@ -128,21 +133,8 @@ def knn_ivf(
     at 10^12 scale the bucketed corpus would be written partitioned-by-list
     once and probed many times.
     """
-    import pyarrow.compute as pc
-
-    def sample_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch.column(id_col), pa.scalar(sample_size)))
-
-    sample_rows = (
-        ds.select_columns([id_col, emb_col])
-        .map_batches(sample_filter, batch_format="pyarrow")
-        .take_all()
-    )
-    # local sort of the bounded sample keeps the quantizer input identical
-    # across parallelism levels / block orders
-    sample_rows.sort(key=lambda r: r[id_col])
-    sm = _normalize(_to_matrix([r[emb_col] for r in sample_rows]))
-    centers = _kmeans_lite(sm, n_clusters, seed=seed)
+    centers = _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
+                               id_col=id_col, sample_size=sample_size, seed=seed)
     c_ref = ray.put(centers)
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     q_assign = np.argsort(-(qm @ centers.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -182,6 +174,162 @@ def knn_ivf(
 
     partial = ds.map_batches(ScoreIVF, batch_format="pyarrow", batch_size=4096,
                              concurrency=(1, 8)).to_pandas()
+    rows = []
+    for qi, group in partial.groupby("qidx"):
+        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(query_ids[qi]),
+                    "neighbor_id": int(r["neighbor_id"]),
+                    "rank": rank,
+                    "score": round(float(r["score"]), 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])
+
+
+def _train_quantizer(ds: rd.Dataset, *, n_clusters: int, emb_col: str,
+                     id_col: str, sample_size: int, seed: int) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    def sample_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column(id_col), pa.scalar(sample_size)))
+
+    sample_rows = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(sample_filter, batch_format="pyarrow")
+        .take_all()
+    )
+    sample_rows.sort(key=lambda r: r[id_col])
+    sm = _normalize(_to_matrix([r[emb_col] for r in sample_rows]))
+    return _kmeans_lite(sm, n_clusters, seed=seed)
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> dict:
+    """Write-once IVF index: quantize, assign every row to its nearest
+    centroid list, and write the corpus PARTITIONED BY ``list_id`` (hive
+    layout) with the centroid matrix alongside.  Probes then read only
+    their lists (partition-pruned scan) — the documented at-scale shape
+    of ``knn_ivf`` ('bucketed corpus written partitioned-by-list once and
+    probed many times')."""
+    import json
+    import os
+
+    centers = _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
+                               id_col=id_col, sample_size=sample_size, seed=seed)
+    c_ref = ray.put(centers)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cache.get("c")
+        if c is None:
+            c = cache["c"] = ray.get(c_ref)
+        m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+        lists = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    data_dir = os.path.join(index_dir, "data")
+    ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(data_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centers)
+    meta = {"n_clusters": int(len(centers)), "dim": int(centers.shape[1]),
+            "emb_col": emb_col, "id_col": id_col}
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Probe a ``build_ivf_index`` index: only the union of the queries'
+    ``nprobe`` lists is READ (hive partition pruning at the scan — pruned
+    row groups never leave storage); scoring/merge semantics match
+    ``knn_ivf`` exactly."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    q_assign = np.argsort(-(qm @ centers.T), axis=1)[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in q_assign]
+    needed = sorted(set().union(*probe_sets))
+
+    # partition pruning at the PATH level: only the probed lists' hive
+    # directories are opened (Ray 2.49 binds `filter` against the fragment
+    # schema, which excludes partition columns, so directory selection is
+    # the reliable pruning mechanism); the partition value is re-attached
+    # as a column per directory read
+    def read_list(lid: int) -> rd.Dataset:
+        part = rd.read_parquet(os.path.join(index_dir, "data", f"list_id={lid}"))
+
+        def norm(t: pa.Table, lid=lid) -> pa.Table:
+            # the subdir read auto-attaches list_id as a hive STRING (or, on
+            # empty blocks, not at all) — replace with a typed constant
+            cols = {n: t.column(n) for n in t.column_names if n != "list_id"}
+            cols["list_id"] = pa.array([lid] * len(t), pa.int32())
+            return pa.table(cols)
+
+        return part.map_batches(norm, batch_format="pyarrow")
+
+    parts = [read_list(lid) for lid in needed]
+    corpus = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    q_ref = ray.put((qm, probe_sets))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        got = cache.get("q")
+        if got is None:
+            got = cache["q"] = ray.get(q_ref)
+        q, probes = got
+        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        lists = np.array(batch.column("list_id").to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+        out_q, out_n, out_s = [], [], []
+        for qi, probe in enumerate(probes):
+            mask = np.isin(lists, list(probe))
+            if not mask.any():
+                continue
+            sub = m[mask]
+            sub_ids = ids[mask]
+            sims = q[qi] @ sub.T
+            kk = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, kth=kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "qidx": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = corpus.map_batches(score, batch_format="pyarrow",
+                                 batch_size=4096).to_pandas()
     rows = []
     for qi, group in partial.groupby("qidx"):
         top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
