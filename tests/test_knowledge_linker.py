@@ -106,6 +106,45 @@ def test_linker_below_threshold_none():
     assert idx.link("") is None
 
 
+def test_link_join_mode_exact_fuzzy_nomatch(ray_session):
+    """Shuffle-join linker parity with the in-memory index across all three
+    outcomes: exact hit, fuzzy (Jaro-Winkler) hit, and no match."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kg_stages import link_entities_join
+
+    surfaces = ["Alan Bean", "Alan Beam", "Apple", "Zzzzqqq"]
+    n = len(surfaces)
+    triples = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(n)],
+        "subj": surfaces,
+        "subj_slug": [""] * n, "subj_lower": [""] * n,
+        "pred": ["knows"] * n, "pred_key": ["knows"] * n,
+        "obj": ["Apple"] * n,
+        "subj_type": ["Person"] * n, "obj_type": ["Organization"] * n,
+        "nested_in": [""] * n,
+        "chunk_id": pa.array([0] * n, pa.int32()),
+        "span_start": pa.array([0] * n, pa.int64()),
+        "span_end": pa.array([1] * n, pa.int64()),
+        "confidence": [1.0] * n, "method": ["test"] * n,
+    }))
+    out = link_entities_join(triples, KB).to_pandas().set_index("subj")
+    idx = KBIndex(KB)
+    for s in surfaces:
+        expect = idx.link(s)
+        got_uri = out.loc[s, "subj_uri"]
+        got_conf = out.loc[s, "subj_link_conf"]
+        if expect is None:
+            assert got_uri is None and got_conf == 0.0, s
+        else:
+            assert got_uri == expect.uri, s
+            assert abs(got_conf - expect.confidence) < 1e-9, s
+        # entity objects link through the same map
+        assert out.loc[s, "obj_uri"] == idx.link("Apple").uri
+
+
 def test_linker_disambiguator_plug_point():
     """entity_linker.rs:409-479: a pluggable disambiguator is consulted only
     when >= min_candidates_for_llm candidates survive; the deterministic

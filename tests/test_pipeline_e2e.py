@@ -151,6 +151,26 @@ def test_link_actor_and_task_modes_agree(pages_dir):
     assert sa == sb
 
 
+def test_link_join_mode_agrees_with_broadcast(pages_dir):
+    """The shuffle-join linker (link_mode='join': nothing replicated per
+    worker, for KBs too large to broadcast) must produce exactly the same
+    links and confidences as the broadcast task-mode index."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    kwargs = dict(kb_records=kb_records(), canonicalize=False, validate=False,
+                  dedup=False)
+    a = build_triples(read_pages(pages_dir), link_mode="task", **kwargs).to_pandas()
+    j = build_triples(read_pages(pages_dir), link_mode="join", **kwargs).to_pandas()
+    key = ["url", "subj", "pred", "obj", "subj_uri", "obj_uri",
+           "subj_link_conf", "obj_link_conf"]
+    sa = sorted(map(tuple, a[key].fillna("").round(
+        {"subj_link_conf": 9, "obj_link_conf": 9}).values.tolist()))
+    sj = sorted(map(tuple, j[key].fillna("").round(
+        {"subj_link_conf": 9, "obj_link_conf": 9}).values.tolist()))
+    assert sa == sj
+
+
 def test_hot_key_skew_dedups_to_single_triples():
     """2,000 pages all asserting the same facts about one hot entity: the
     batch-local combiner collapses the skew before the exchange and the

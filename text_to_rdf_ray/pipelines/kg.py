@@ -80,8 +80,14 @@ def build_triples(
         extract_triples, batch_format="pyarrow", batch_size=extract_batch_size
     )
     if link and kb_records is not None:
-        kb_ref = ray.put(kb_records)
-        if link_mode == "actor":
+        if link_mode == "join":
+            # shuffle-join linking: nothing replicated per worker — the
+            # at-scale mode for KBs too large to broadcast
+            from ..stages.kg_stages import link_entities_join
+
+            ds = link_entities_join(ds, kb_records)
+        elif link_mode == "actor":
+            kb_ref = ray.put(kb_records)
             ds = ds.map_batches(
                 LinkEntities,
                 batch_format="pyarrow",
@@ -94,6 +100,7 @@ def build_triples(
             # keeps the fused map chain at full task parallelism
             from ..stages.kg_stages import make_link_task
 
+            kb_ref = ray.put(kb_records)
             ds = ds.map_batches(
                 make_link_task(kb_ref), batch_format="pyarrow", batch_size=2048
             )

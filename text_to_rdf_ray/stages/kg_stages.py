@@ -17,6 +17,7 @@ Pipeline shape (pipelines/kg.py):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -207,6 +208,233 @@ def make_link_task(kb_ref, fuzzy_threshold=0.8, confidence_threshold=0.5):
         return _link_batch(index, cache, batch)
 
     return link_batch
+
+
+def link_entities_join(
+    triples,
+    kb_records,
+    *,
+    fuzzy_threshold: float = 0.8,
+    confidence_threshold: float = 0.5,
+    num_partitions: int = 16,
+):
+    """Shuffle-join linking — the at-scale form of J1/J2 for KBs too large
+    to broadcast (``make_link_task``/``LinkEntities`` replicate the index
+    per worker/actor; this path replicates NOTHING):
+
+      distinct surfaces (groupby — small vs triples)
+        exact:  hash join on lowercased label              [conf 0.95]
+        fuzzy:  surfaces without an exact hit, blocked on the first
+                character (KBIndex.by_first parity), Jaro-Winkler scored
+                in map_batches, kept >= fuzzy_threshold
+        top-1 per surface by (conf desc, uri asc)          [KBIndex.link]
+      surface->uri map hash-joined back onto subj and entity-obj columns.
+
+    Output columns and values equal the broadcast paths exactly
+    (parity-tested); partitioning assumption: no single first-character
+    block of the KB is pathologically hot (same assumption as the
+    in-memory index's candidate generation).
+    """
+    import ray.data as rd
+
+    from ..kernels.linker import EXACT_CONFIDENCE, jaro_winkler
+    from .canonicalize import _solid
+
+    if not isinstance(kb_records, rd.Dataset):
+        kb_ds = rd.from_items(list(kb_records))
+    else:
+        kb_ds = kb_records
+
+    def kb_labels(batch: pa.Table) -> pa.Table:
+        uris, labels, lows, firsts = [], [], [], []
+        for row in batch.to_pylist():
+            for lab in [row["label"], *(row.get("aliases") or ())]:
+                low = lab.lower()
+                uris.append(row["uri"])
+                labels.append(lab)
+                lows.append(low)
+                firsts.append(low[:1])
+        return pa.table(
+            {
+                "kb_uri": pa.array(uris, pa.string()),
+                "kb_label": pa.array(labels, pa.string()),
+                "kb_low": pa.array(lows, pa.string()),
+                "kb_first": pa.array(firsts, pa.string()),
+            }
+        )
+
+    labels_ds = _solid(kb_ds.map_batches(kb_labels, batch_format="pyarrow"))
+
+    def surface_rows(batch: pa.Table) -> pa.Table:
+        subs = batch.column("subj").to_pylist()
+        objs = batch.column("obj").to_pylist()
+        ots = batch.column("obj_type").to_pylist()
+        names = {s for s in subs if s}
+        names |= {o for o, ot in zip(objs, ots) if ot and o}
+        names = sorted(names)
+        return pa.table(
+            {
+                "surface": pa.array(names, pa.string()),
+                "low": pa.array([n.lower() for n in names], pa.string()),
+                "first": pa.array([n.lower()[:1] for n in names], pa.string()),
+            }
+        )
+
+    surfaces = _solid(
+        triples.map_batches(surface_rows, batch_format="pyarrow")
+        .groupby("surface")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table({n: t.column(n) for n in ("surface", "low", "first")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    exact = _solid(
+        surfaces.join(
+            _solid(labels_ds.map_batches(
+                lambda t: pa.table({"low": t.column("kb_low"),
+                                    "kb_uri": t.column("kb_uri")}),
+                batch_format="pyarrow",
+            )),
+            join_type="inner", num_partitions=num_partitions, on=("low",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "surface": t.column("surface"),
+                    "uri": t.column("kb_uri"),
+                    "conf": pa.array([EXACT_CONFIDENCE] * len(t), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    # surfaces with no exact hit -> fuzzy, blocked on first character
+    no_exact = _solid(
+        surfaces.join(
+            _solid(exact.groupby("surface").map_groups(
+                lambda g: g.head(1), batch_format="pandas"
+            ).map_batches(
+                lambda t: pa.table({"surface": t.column("surface"),
+                                    "hit": pa.array([1] * len(t), pa.int32())}),
+                batch_format="pyarrow",
+            )),
+            join_type="left_outer", num_partitions=num_partitions, on=("surface",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"surface": t.column("surface"), "low": t.column("low"),
+                 "first": t.column("first")}
+            ).filter(pc.is_null(t.column("hit"))),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fuzzy_score(batch: pa.Table) -> pa.Table:
+        surfs = batch.column("surface").to_pylist()
+        lows = batch.column("low").to_pylist()
+        labs = batch.column("kb_label").to_pylist()
+        uris = batch.column("kb_uri").to_pylist()
+        out_s, out_u, out_c = [], [], []
+        for s, low, lab, uri in zip(surfs, lows, labs, uris):
+            lab_low = lab.lower()
+            # KBIndex.candidates blocking parity (linker.py)
+            if abs(len(lab_low) - len(low)) > max(3, int(0.6 * len(low))) and low not in lab_low:
+                continue
+            sim = jaro_winkler(lab_low, low)
+            if sim >= fuzzy_threshold:
+                out_s.append(s)
+                out_u.append(uri)
+                out_c.append(sim)
+        return pa.table(
+            {"surface": pa.array(out_s, pa.string()),
+             "uri": pa.array(out_u, pa.string()),
+             "conf": pa.array(out_c, pa.float64())}
+        )
+
+    _LINK_SCHEMA = pa.schema([("surface", pa.string()), ("uri", pa.string()),
+                              ("conf", pa.float64())])
+    if no_exact.count() == 0:
+        # every surface had an exact hit: an empty left side would feed the
+        # join schema-less blocks
+        fuzzy = rd.from_arrow(_LINK_SCHEMA.empty_table())
+    else:
+        fuzzy = _solid(
+            no_exact.join(
+                _solid(labels_ds.map_batches(
+                    lambda t: pa.table({"first": t.column("kb_first"),
+                                        "kb_label": t.column("kb_label"),
+                                        "kb_uri": t.column("kb_uri")}),
+                    batch_format="pyarrow",
+                )),
+                join_type="inner", num_partitions=num_partitions, on=("first",),
+            ).map_batches(fuzzy_score, batch_format="pyarrow")
+        )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["conf"] >= confidence_threshold]
+        if not len(g):
+            return g[["surface", "uri", "conf"]]
+        # drop duplicate (uri) candidates (aliases of one entity), then
+        # deterministic top-1 (conf desc, uri asc) — KBIndex.link parity
+        g = g.sort_values(["conf", "uri"], ascending=[False, True])
+        g = g.drop_duplicates(["surface", "uri"], keep="first")
+        g = g.sort_values(["conf", "uri"], ascending=[False, True]).head(1)
+        return g[["surface", "uri", "conf"]]
+
+    links = _solid(
+        exact.union(fuzzy)
+        .groupby("surface")
+        .map_groups(top1, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table({n: t.column(n) for n in ("surface", "uri", "conf")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def rename_links(key: str, ucol: str, ccol: str) -> "rd.Dataset":
+        return _solid(links.map_batches(
+            lambda t, key=key, ucol=ucol, ccol=ccol: pa.table(
+                {key: t.column("surface"), ucol: t.column("uri"),
+                 ccol: t.column("conf")}
+            ),
+            batch_format="pyarrow",
+        ))
+
+    out = _solid(
+        _solid(triples).join(
+            rename_links("subj", "subj_uri", "subj_link_conf"),
+            join_type="left_outer", num_partitions=num_partitions, on=("subj",),
+        )
+    ).join(
+        rename_links("obj", "obj_uri_j", "obj_link_conf_j"),
+        join_type="left_outer", num_partitions=num_partitions, on=("obj",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        is_ent = pc.invert(pc.equal(batch.column("obj_type"), ""))
+        obj_uri = pc.if_else(is_ent, batch.column("obj_uri_j"),
+                             pa.array([None] * n, pa.string()))
+        obj_conf = pc.if_else(
+            pc.and_(is_ent, pc.is_valid(batch.column("obj_link_conf_j"))),
+            batch.column("obj_link_conf_j"), pa.scalar(0.0),
+        )
+        subj_conf = pc.fill_null(batch.column("subj_link_conf"), 0.0)
+        cols = {
+            name: batch.column(name)
+            for name in batch.column_names
+            if name not in ("obj_uri_j", "obj_link_conf_j", "subj_link_conf")
+        }
+        cols["subj_link_conf"] = subj_conf
+        cols["obj_uri"] = obj_uri
+        cols["obj_link_conf"] = obj_conf
+        order = [f[0] for f in TRIPLE_FIELDS] + [
+            "subj_uri", "subj_link_conf", "obj_uri", "obj_link_conf"
+        ]
+        return pa.table({name: cols[name] for name in order})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def validate_triples(batch: pa.Table, rules=()) -> pa.Table:
