@@ -169,6 +169,48 @@ def test_canonicalize_surfaces_merges_variants():
     assert out["Apple Inc."] == "Apple Inc." and out["MIT"] == "MIT"
 
 
+def test_apply_canonical_join_matches_broadcast():
+    """The hash-join canonical rewrite (for mappings too large to
+    broadcast) must equal apply_canonical_map row-for-row, including slug
+    recomputation and literal objects left untouched."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import (
+        apply_canonical_join,
+        apply_canonical_map,
+    )
+
+    rows = {
+        "url": ["u1", "u2", "u3"],
+        "subj": ["Stanford  University", "MIT", "Apple Inc."],
+        "subj_slug": ["x", "x", "x"], "subj_lower": ["x", "x", "x"],
+        "pred": ["locatedIn"] * 3, "pred_key": ["locatedin"] * 3,
+        "obj": ["Stanford  University", "1990-01-01", "MIT"],
+        "subj_type": ["Organization"] * 3,
+        "obj_type": ["Organization", "", "Organization"],
+        "nested_in": [""] * 3,
+        "chunk_id": pa.array([0] * 3, pa.int32()),
+        "span_start": pa.array([0] * 3, pa.int64()),
+        "span_end": pa.array([1] * 3, pa.int64()),
+        "confidence": [1.0] * 3, "method": ["t"] * 3,
+    }
+    triples = rd.from_arrow(pa.table(rows))
+    mapping = {"Stanford  University": "Stanford University"}
+    a = apply_canonical_map(triples, mapping).to_pandas().sort_values("url")
+    cmap = rd.from_items(
+        [{"surface": s, "canonical": c} for s, c in mapping.items()]
+    )
+    b = (apply_canonical_join(rd.from_arrow(pa.table(rows)), cmap)
+         .to_pandas().sort_values("url")[a.columns])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # literal obj "1990-01-01" untouched, entity obj rewritten
+    bb = b.set_index("url")
+    assert bb.loc["u1", "obj"] == "Stanford University"
+    assert bb.loc["u2", "obj"] == "1990-01-01"
+
+
 def test_connected_components_chain():
     import ray.data as rd
 

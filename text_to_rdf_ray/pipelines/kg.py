@@ -66,6 +66,7 @@ def build_triples(
     link_concurrency=(2, 8),
     extract_batch_size: int = 256,
     canonicalize_local_threshold: int = 100_000,
+    canonical_map_join_threshold: int = 1_000_000,
 ) -> rd.Dataset:
     """Assemble the lazy Dataset pipeline from pages to canonical triples."""
     ds = pages
@@ -123,19 +124,27 @@ def build_triples(
             # semantics computed driver-side (broadcast-small-side path)
             surfaces = [r["surface"] for r in surfaces_ds.take_all()]
             mapping = canonicalize_local(surfaces)
+            if mapping:
+                ds = apply_canonical_map(ds, mapping)
         else:
+            from ..stages.canonicalize import _solid, apply_canonical_join
+
             cmap = canonicalize_surfaces(surfaces_ds)
-            changed = cmap.map_batches(
+            changed = _solid(cmap.map_batches(
                 lambda t: t.filter(
                     pc.invert(pc.equal(t.column("surface"), t.column("canonical")))
                 ),
                 batch_format="pyarrow",
-            )
-            # only actually-merged surfaces come back to the driver (small);
-            # at 10^12 scale this becomes a hash-partitioned join instead
-            mapping = {r["surface"]: r["canonical"] for r in changed.take_all()}
-        if mapping:
-            ds = apply_canonical_map(ds, mapping)
+            ))
+            n_changed = changed.count()
+            if n_changed > canonical_map_join_threshold:
+                # mapping too large to broadcast: hash-partitioned join
+                # rewrite (same output contract as the broadcast map)
+                ds = apply_canonical_join(ds, changed)
+            elif n_changed:
+                # only actually-merged surfaces come back to the driver
+                mapping = {r["surface"]: r["canonical"] for r in changed.take_all()}
+                ds = apply_canonical_map(ds, mapping)
     if validate:
         # capture registered custom rules at graph-construction time (the
         # driver-side registry is not visible inside worker processes)

@@ -431,6 +431,63 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
     return triples.map_batches(rewrite, batch_format="pyarrow")
 
 
+def apply_canonical_join(
+    triples: rd.Dataset, cmap: rd.Dataset, num_partitions: int = 16
+) -> rd.Dataset:
+    """Rewrite subj/obj through a (surface, canonical) mapping DATASET via
+    hash-partitioned left joins — the at-scale form of
+    ``apply_canonical_map`` (same output contract) for mappings too large
+    to broadcast.  ``cmap`` needs only the CHANGED surfaces (surface !=
+    canonical); unmatched rows keep their surface."""
+
+    def rename(key: str, ccol: str) -> rd.Dataset:
+        return _solid(cmap.map_batches(
+            lambda t, key=key, ccol=ccol: pa.table(
+                {key: t.column("surface"), ccol: t.column("canonical")}
+            ),
+            batch_format="pyarrow",
+        ))
+
+    joined = _solid(
+        _solid(triples).join(
+            rename("subj", "subj_canon"), join_type="left_outer",
+            num_partitions=num_partitions, on=("subj",),
+        )
+    ).join(
+        rename("obj", "obj_canon"), join_type="left_outer",
+        num_partitions=num_partitions, on=("obj",),
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
+
+        subj = pc.fill_null(batch.column("subj_canon"), batch.column("subj"))
+        is_ent = pc.invert(pc.equal(batch.column("obj_type"), ""))
+        obj = pc.if_else(
+            pc.and_(is_ent, pc.is_valid(batch.column("obj_canon"))),
+            batch.column("obj_canon"), batch.column("obj"),
+        )
+        cols = {
+            name: batch.column(name)
+            for name in batch.column_names
+            if name not in ("subj_canon", "obj_canon")
+        }
+        subj_l = subj.to_pylist()
+        cols["subj"] = subj
+        cols["obj"] = obj
+        cols["subj_slug"] = pa.array(
+            [normalize_entity_name(s) for s in subj_l], pa.string()
+        )
+        cols["subj_lower"] = pa.array(
+            [normalize_docred_subject(s) for s in subj_l], pa.string()
+        )
+        return pa.table(cols)
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
+
+
 _PACK_SEP = "\x1f"
 
 
