@@ -588,6 +588,29 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _media_frames(sf_dir: str) -> pd.DataFrame:
+    """Multimodal resize + video frame-sampling plumbing (actor-pool
+    stages; deterministic fake kernels — real decode env-blocked)."""
+    import hashlib as _hl
+
+    from text_to_rdf_ray.stages.multimodal import (
+        make_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    ds = rd.from_arrow(make_fake_media(200))
+    resized = resize_images(ds, 224, 224, fake=True)
+    frames = sample_frames(resized, fps_n=4, fake=True).to_pandas()
+    frames["frame_hash"] = frames["frame"].map(
+        lambda b: _hl.blake2b(b, digest_size=8).hexdigest()
+    )
+    return (
+        frames[["media_id", "frame_idx", "ts_ms", "frame_hash"]]
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+
+
 def _events_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     operator expressed as groupby(user).map_groups over ts-sorted groups
@@ -803,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": _events_props_extract,
         # multimodal plumbing
         "media_features_fake": _media_features,
+        "media_frames_fake": _media_frames,
     }
 
 

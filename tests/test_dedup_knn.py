@@ -326,6 +326,48 @@ def test_multimodal_plumbing():
         DecodeStub(fake=False)._decode_real(b"x", "image")
 
 
+def test_multimodal_resize_and_frame_sample():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.multimodal import (
+        FrameSampleStub,
+        ResizeStub,
+        make_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = make_fake_media(30)
+    ds = rd.from_arrow(media)
+    resized = resize_images(ds, 224, 224, fake=True).to_pandas()
+    assert len(resized) == 30
+    imgs = resized[resized.media_type == "image"]
+    others = resized[resized.media_type != "image"]
+    assert (imgs["width"] == 224).all() and (imgs["height"] == 224).all()
+    # non-image rows pass through byte-identical
+    orig = media.to_pandas().set_index("media_id")
+    for _, r in others.iterrows():
+        assert r["payload"] == orig.loc[r["media_id"], "payload"]
+        assert r["width"] == orig.loc[r["media_id"], "width"]
+
+    frames = sample_frames(rd.from_arrow(media), fps_n=4, fake=True).to_pandas()
+    vids = media.to_pandas()
+    vids = vids[vids.media_type == "video"]
+    # one row per sampled frame; zero-duration videos get exactly one frame
+    expect = sum(4 if d > 0 else 1 for d in vids["duration_ms"])
+    assert len(frames) == expect
+    assert set(frames["media_id"]) == set(vids["media_id"])
+    assert frames["frame"].map(len).eq(64).all()
+    # uniform timestamps within duration
+    g = frames.groupby("media_id")["ts_ms"].max()
+    for mid, mx in g.items():
+        assert mx <= int(vids.set_index("media_id").loc[mid, "duration_ms"])
+
+    for stub, args in ((ResizeStub(2, 2), (b"x",)), (FrameSampleStub(), (b"x", 0))):
+        with pytest.raises(NotImplementedError):
+            (stub._resize_real if isinstance(stub, ResizeStub) else stub._frame_real)(*args)
+
+
 def test_canonicalize_local_matches_distributed():
     import ray.data as rd
 

@@ -110,3 +110,115 @@ def decode_features(ds: rd.Dataset, *, fake: bool = False,
         concurrency=concurrency,
         fn_constructor_kwargs={"fake": fake},
     )
+
+
+class ResizeStub:
+    """Actor-pool image-resize stage (brief: 'resize').
+
+    Real deployments decode + resample with PIL/libvips in ``_resize_real``
+    (codec state per actor); ``fake=True`` emits a deterministic
+    payload derived from (payload, target size) and updates the
+    width/height metadata, so schema flow and batch sizing are real.
+    Non-image rows pass through untouched.
+    """
+
+    def __init__(self, width: int, height: int, fake: bool = False):
+        self.width = width
+        self.height = height
+        self.fake = fake
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips, not available in this "
+            "environment; construct ResizeStub(fake=True)"
+        )
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        return hashlib.blake2b(
+            payload + f"-resize-{self.width}x{self.height}".encode(),
+            digest_size=64,
+        ).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resize = self._resize_fake if self.fake else self._resize_real
+        payloads, widths, heights = [], [], []
+        for row in batch.to_pylist():
+            if row["media_type"] == "image":
+                payloads.append(resize(row["payload"]))
+                widths.append(self.width)
+                heights.append(self.height)
+            else:
+                payloads.append(row["payload"])
+                widths.append(row["width"])
+                heights.append(row["height"])
+        cols = {n: batch.column(n) for n in batch.column_names}
+        cols["payload"] = pa.array(payloads, pa.binary())
+        cols["width"] = pa.array(widths, pa.int32())
+        cols["height"] = pa.array(heights, pa.int32())
+        return pa.table(cols)
+
+
+def resize_images(ds: rd.Dataset, width: int, height: int, *,
+                  fake: bool = False, concurrency=(1, 4),
+                  batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+    )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame sampler (brief: 'frame-sample'): one input
+    video row -> up to ``fps_n`` frame rows (frame_idx, ts_ms, frame
+    payload) — the row-exploding shape of real ffmpeg sampling.  Frames
+    are sampled at uniform timestamps over duration_ms; ``fake=True``
+    derives deterministic frame payloads from (payload, frame_idx).
+    Non-video rows are dropped (this stage FILTERS to its modality)."""
+
+    def __init__(self, fps_n: int = 4, fake: bool = False):
+        self.fps_n = fps_n
+        self.fake = fake
+
+    def _frame_real(self, payload: bytes, ts_ms: int) -> bytes:
+        raise NotImplementedError(
+            "video frame extraction requires ffmpeg, not available in this "
+            "environment; construct FrameSampleStub(fake=True)"
+        )
+
+    def _frame_fake(self, payload: bytes, ts_ms: int) -> bytes:
+        return hashlib.blake2b(
+            payload + f"-frame-{ts_ms}".encode(), digest_size=64
+        ).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frame = self._frame_fake if self.fake else self._frame_real
+        mid, idxs, tss, frames = [], [], [], []
+        for row in batch.to_pylist():
+            if row["media_type"] != "video":
+                continue
+            dur = max(int(row["duration_ms"]), 0)
+            n = self.fps_n if dur > 0 else 1
+            for k in range(n):
+                ts = (dur * k) // n
+                mid.append(row["media_id"])
+                idxs.append(k)
+                tss.append(ts)
+                frames.append(frame(row["payload"], ts))
+        return pa.table(
+            {
+                "media_id": pa.array(mid, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_ms": pa.array(tss, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: rd.Dataset, *, fps_n: int = 4, fake: bool = False,
+                  concurrency=(1, 4), batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"fps_n": fps_n, "fake": fake},
+    )
