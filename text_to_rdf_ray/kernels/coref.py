@@ -45,6 +45,16 @@ _DEF_DESC = re.compile(
     r"institute|agency|airline|airport|bank|group)\b"
 )
 
+#: one-pass pronoun token scan: a \S+ token whose non-alpha edges wrap a
+#: pronoun — exactly the tokens classify_pronoun accepts (tokens with any
+#: other interior alphabetic character fail the trailing anchor)
+_PRONOUN_SCAN = re.compile(
+    r"(?<!\S)[^a-zA-Z\s]*("
+    + "|".join(sorted(_PRONOUNS, key=len, reverse=True))
+    + r")[^a-zA-Z\s]*(?!\S)",
+    re.IGNORECASE,
+)
+
 _WORD = re.compile(r"\S+")
 
 
@@ -187,15 +197,16 @@ def resolve_typed(
             taken.add((dm.start(), dm.end()))
             mention_map[dm.group()] = ant.name
 
-    for wm in _WORD.finditer(text):
-        word = wm.group()
-        ptype = classify_pronoun(word)
-        if ptype is None:
-            continue
+    # targeted scan: only pronoun-shaped tokens are visited (equivalent to
+    # classify_pronoun over every \S+ token — the anchors replicate its
+    # strip-non-alpha-edges semantics — but the all-token Python loop was
+    # ~1/3 of the extraction kernel)
+    for pm in _PRONOUN_SCAN.finditer(text):
+        word = pm.group(0)
+        ptype = _PRONOUNS[pm.group(1).lower()]
         # leading/trailing punctuation kept out of the replacement span
-        m2 = re.search(r"[A-Za-z]+", word)
-        start = wm.start() + m2.start()
-        end = wm.start() + m2.end()
+        start = pm.start(1)
+        end = pm.end(1)
         if any(s <= start < e for s, e in taken):
             continue
         if ptype in (MASCULINE, FEMININE):

@@ -217,16 +217,43 @@ def _pairs_from_buckets(
         for k, sub in df.groupby(sizes.to_numpy()):
             k = int(k)
             ids_mat = sub[id_col].to_numpy().reshape(-1, k)
+            if use_prune and k > 512:
+                # large buckets: per-bucket row-chunked comparison keeps the
+                # (rows, k, width) broadcast bounded; integer agreement
+                # counts (sum of equal bytes) instead of float means —
+                # count >= ceil(prune*width) == mean >= prune
+                feats = np.frombuffer(b"".join(sub["feat"].tolist()), dtype=np.uint8)
+                width = feats.size // (ids_mat.shape[0] * k)
+                feats = feats.reshape(ids_mat.shape[0], k, width)
+                thr_cnt = int(np.ceil(prune_est * width - 1e-9))
+                chunk = max(1, (1 << 24) // max(1, k * width))
+                for bidx in range(ids_mat.shape[0]):
+                    f = feats[bidx]
+                    bids = ids_mat[bidx]
+                    for r0 in range(0, k, chunk):
+                        r1 = min(k, r0 + chunk)
+                        cnt = (f[r0:r1, None, :] == f[None, :, :]).sum(
+                            axis=2, dtype=np.int16
+                        )
+                        xs, ys = np.nonzero(cnt >= thr_cnt)
+                        keep = (xs + r0) < ys  # upper triangle only
+                        out_a.append(bids[xs[keep] + r0])
+                        out_b.append(bids[ys[keep]])
+                continue
             iu, ju = np.triu_indices(k, 1)
             if use_prune:
                 feats = np.frombuffer(b"".join(sub["feat"].tolist()), dtype=np.uint8)
                 feats = feats.reshape(ids_mat.shape[0], k, -1)
+                width = feats.shape[2]
+                thr_cnt = int(np.ceil(prune_est * width - 1e-9))
                 # slice the bucket axis so nb*k*k*width stays bounded
-                step = max(1, (1 << 22) // max(1, k * k * feats.shape[2]))
+                step = max(1, (1 << 22) // max(1, k * k * width))
                 for s0 in range(0, feats.shape[0], step):
                     f = feats[s0:s0 + step]
-                    est = (f[:, :, None, :] == f[:, None, :, :]).mean(axis=3)
-                    m = est[:, iu, ju] >= prune_est
+                    cnt = (f[:, :, None, :] == f[:, None, :, :]).sum(
+                        axis=3, dtype=np.int16
+                    )
+                    m = cnt[:, iu, ju] >= thr_cnt
                     out_a.append(ids_mat[s0:s0 + step][:, iu][m])
                     out_b.append(ids_mat[s0:s0 + step][:, ju][m])
             else:
@@ -594,6 +621,7 @@ def ngram_jaccard_pairs(
     num_perm: int = 64,
     bands: int = 32,
     est_margin: float = 0.12,
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Character n-gram Jaccard >= threshold pairs (LSH-blocked; 32 bands
     of 2 rows keep recall high at 0.8 similarity).
@@ -601,7 +629,11 @@ def ngram_jaccard_pairs(
     2-row bands are weak filters on corpora whose BASELINE char-trigram
     similarity is high (templated web text: ~0.45 between random docs), so
     in-bucket candidates are pruned by the b-bit sketch estimate
-    (>= threshold - est_margin) before exact shingle verification."""
+    (>= threshold - est_margin) before exact shingle verification.  The
+    same weakness makes buckets LARGE on templated text (thousands of
+    docs share a 2-row band hash) — with the vectorized sketch prune such
+    buckets are cheap, so the skew guard defaults high (4096); buckets
+    above it are skipped and may lose pairs (hot-boilerplate guard)."""
 
     def prepare(text: str):
         return char_shingles(text, n)
@@ -612,6 +644,7 @@ def ngram_jaccard_pairs(
 
     return _pairs_from_buckets(
         ds.select_columns([id_col, text_col]), None, verify, id_col, text_col,
+        max_bucket=max_bucket,
         prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
         bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands),
     )
