@@ -71,7 +71,7 @@ class LinkerConfig:
     enabled: bool = True
     fuzzy_threshold: float = 0.8
     confidence_threshold: float = 0.5
-    mode: str = "task"  # "task" (small KB) | "actor" (heavy KB)
+    mode: str = "task"  # "task" (small KB) | "actor" (heavy KB) | "join" (KB too big to broadcast)
     concurrency: tuple = (2, 8)
 
     @classmethod
