@@ -492,35 +492,16 @@ def _distinct_event_types(sf_dir: str) -> pd.DataFrame:
 
 
 def _events_hourly(sf_dir: str) -> pd.DataFrame:
-    """Tumbling 1h event-time window as groupby(epoch-hour) — the Ray Data
-    expression of a streaming windowed aggregate (SURVEY.md §2.9 note);
-    per-batch partial aggregation in front of the exchange."""
+    """Tumbling 1h event-time window (stages/windows.py::tumbling_agg) —
+    the Ray Data expression of a streaming windowed aggregate (SURVEY.md
+    §2.9); per-batch partial aggregation in front of the exchange."""
+    from text_to_rdf_ray.stages.windows import tumbling_agg
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        hours = (batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-                 // 3_600_000_000)
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "hour_id": pa.array(hours, pa.int64()),
-                "value": batch.column("value"),
-            }
-        )
-        return t.group_by(["event_type", "hour_id"]).aggregate(
-            [("value", "count"), ("value", "sum")]
-        )
-
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "hour_id"])
-        .aggregate(Sum("value_count", alias_name="n"),
-                   Sum("value_sum", alias_name="sum_value"))
-        .to_pandas()
-    )
+    out = tumbling_agg(ds, ts_col="ts", key_col="event_type",
+                       value_col="value", width_us=3_600_000_000).to_pandas()
+    out = out.rename(columns={"window_id": "hour_id"})
     out["sum_value"] = _r(out["sum_value"], 2)
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "hour_id"]).reset_index(drop=True)
@@ -613,33 +594,18 @@ def _media_frames(sf_dir: str) -> pd.DataFrame:
 
 def _events_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min inactivity gap) per user — the stream-shaped
-    operator expressed as groupby(user).map_groups over ts-sorted groups
-    (ray_guide 'Streaming-shaped workloads')."""
+    operator (stages/windows.py::sessionize + session_summary)."""
+    from text_to_rdf_ray.stages.windows import session_summary, sessionize
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id", "ts"])
-
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff()
-        brk = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        sid = brk.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sid.max())],
-                "max_session_events": [int(sizes.max())],
-            }
-        )
-
-    out = (
-        ds.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
-        .to_pandas()
-    )
+    out = session_summary(sessionize(ds)).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["max_session_events"] = out["max_session_events"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    return (
+        out[["user_id", "n_sessions", "max_session_events"]]
+        .sort_values("user_id").reset_index(drop=True)
+    )
 
 
 def _events_props_extract(sf_dir: str) -> pd.DataFrame:

@@ -113,3 +113,47 @@ def test_minhash_signatures_batch_equals_per_doc():
     small = minhash_signatures(sets, max_chunk_hashes=64)
     big = minhash_signatures(sets)
     assert np.array_equal(small, big)
+
+
+def test_window_operators(ray_session):
+    """stages/windows.py: tumbling windows and session rows with exact
+    hand-computable fixtures."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import (
+        session_summary,
+        sessionize,
+        tumbling_agg,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: two sessions (40-min gap), sizes 2 and 1
+        {"user_id": 1, "event_id": 1, "ts": base, "event_type": "a", "value": 1.0},
+        {"user_id": 1, "event_id": 2, "ts": base + pd.Timedelta(minutes=10),
+         "event_type": "a", "value": 2.0},
+        {"user_id": 1, "event_id": 3, "ts": base + pd.Timedelta(minutes=50),
+         "event_type": "b", "value": 3.0},
+        # user 2: one session
+        {"user_id": 2, "event_id": 4, "ts": base + pd.Timedelta(hours=2),
+         "event_type": "a", "value": 4.0},
+    ]
+    ds = rd.from_items(rows)
+
+    sess = sessionize(ds).to_pandas().sort_values(["user_id", "session_id"])
+    assert list(sess["user_id"]) == [1, 1, 2]
+    assert list(sess["n_events"]) == [2, 1, 1]
+    assert sess.iloc[0]["start_ts"] == base
+    assert sess.iloc[0]["end_ts"] == base + pd.Timedelta(minutes=10)
+
+    summ = session_summary(sessionize(ds)).to_pandas().sort_values("user_id")
+    assert list(summ["n_sessions"]) == [2, 1]
+    assert list(summ["max_session_events"]) == [2, 1]
+
+    tw = tumbling_agg(ds, width_us=3_600_000_000).to_pandas()
+    tw = tw.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    # hour 0: type a has 2 events sum 3, type b has 1 event sum 3; hour 2: a 1/4
+    assert [(r.event_type, int(r.n), float(r.sum_value)) for r in tw.itertuples()] == [
+        ("a", 2, 3.0), ("a", 1, 4.0), ("b", 1, 3.0),
+    ]
