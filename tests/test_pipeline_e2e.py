@@ -351,3 +351,44 @@ def test_lang_pushdown_read_equivalent(pages_dir):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_corpus_clean_partitioned_resume_and_parity(ray_session, tmp_path):
+    """The partitioned resumable cleaning job (per-partition filters +
+    manifests, global dedup compaction) resumes correctly and its final
+    corpus equals the oracle-green corpus_clean_pipeline query (filters
+    and exact dedup commute for identical texts)."""
+    import pyarrow.parquet as pq
+
+    from text_to_rdf_ray.pipelines.clean import compact_clean, run_clean_partitioned
+
+    # split the sf0.001 documents into 3 input files
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    n = t.num_rows
+    for k in range(3):
+        pq.write_table(t.slice(k * n // 3, (k + 1) * n // 3 - k * n // 3),
+                       str(docs_dir / f"docs-{k}.parquet"))
+
+    out = str(tmp_path / "cleaned")
+    rep = run_clean_partitioned(str(docs_dir), out, partitions=3)
+    assert rep["ran"] == 3 and rep["skipped"] == 0
+    # resume: nothing re-runs
+    rep2 = run_clean_partitioned(str(docs_dir), out, partitions=3)
+    assert rep2["ran"] == 0 and rep2["skipped"] == 3
+
+    final = str(tmp_path / "final")
+    comp = compact_clean(out, final)
+    assert comp["rows_out"] <= comp["rows_in"]
+
+    import ray.data as rd
+
+    got = rd.read_parquet(final).to_pandas().sort_values("doc_id")
+
+    import __ray_entry__ as entry
+
+    expect = entry.queries()["corpus_clean_pipeline"]("/root/testdata/sf0.001")
+    assert list(got["doc_id"]) == list(expect["doc_id"])
+    assert list(got["n_tokens"]) == list(expect["n_tokens"])
