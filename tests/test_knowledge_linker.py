@@ -256,3 +256,37 @@ def test_metrics_reference_math():
     assert evaluate(set(), set()).f1_score == 0.0
     avg = macro_average([m, evaluate(gold, gold)])
     assert abs(avg["f1_score"] - 0.75) < 1e-9
+
+
+def test_ttl_cache_expiry_and_bound():
+    """ST5 cache shape: entries expire after ttl_s (injectable clock) and
+    the size bound evicts FIFO; hits never change lookup results."""
+    from text_to_rdf_ray.functions.ttl_cache import TTLCache
+
+    now = [0.0]
+    c = TTLCache(ttl_s=10, max_entries=3, clock=lambda: now[0])
+    c["a"] = 1
+    assert c.get("a") == 1 and "a" in c
+    now[0] = 9.9
+    assert c.get("a") == 1
+    now[0] = 10.1
+    assert c.get("a") is None and "a" not in c  # expired
+
+    now[0] = 0.0
+    for k in ("x", "y", "z", "w"):  # w evicts x (FIFO)
+        c[k] = k.upper()
+    assert c.get("x") is None and c.get("w") == "W" and len(c) == 3
+
+    # the linker path uses it transparently
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.kg_stages import _link_batch
+
+    idx = KBIndex(KB)
+    batch = pa.table({"subj": ["Alan Bean", "Alan Bean"], "obj": ["x", "y"],
+                      "obj_type": ["", ""]})
+    cache = TTLCache(clock=lambda: 0.0)
+    out = _link_batch(idx, cache, batch)
+    assert out.column("subj_uri").to_pylist() == [
+        "https://kb.test/resource/alan-bean"] * 2
+    assert len(cache) >= 1

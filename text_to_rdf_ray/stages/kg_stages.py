@@ -106,16 +106,17 @@ def extract_triples(batch: pa.Table) -> pa.Table:
     return pa.table({name: pa.array(cols[name], typ) for name, typ in TRIPLE_FIELDS})
 
 
-def _link_batch(index, cache: dict, batch: pa.Table) -> pa.Table:
-    """Shared per-batch linking body (used by actor and task modes)."""
+def _link_batch(index, cache, batch: pa.Table) -> pa.Table:
+    """Shared per-batch linking body (used by actor and task modes).
+    ``cache`` is a TTLCache (1h expiry + bounded size — the reference's
+    Spotlight-lookup cache shape, PHASE3_COMPLETION_REPORT.md:223-229)."""
 
     def lookup(name: str):
         hit = cache.get(name)
         if hit is None:
             linked = index.link(name)
             hit = (linked.uri, linked.confidence) if linked else (None, 0.0)
-            if len(cache) < 200_000:
-                cache[name] = hit
+            cache[name] = hit
         return hit
 
     subj_uri, subj_conf, obj_uri, obj_conf = [], [], [], []
@@ -175,7 +176,9 @@ class LinkEntities:
             confidence_threshold=confidence_threshold,
             disambiguator=disambiguator,
         )
-        self.cache: dict[str, tuple[str | None, float]] = {}
+        from ..functions.ttl_cache import TTLCache
+
+        self.cache = TTLCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _link_batch(self.index, self.cache, batch)
@@ -200,9 +203,11 @@ def make_link_task(kb_ref, fuzzy_threshold=0.8, confidence_threshold=0.5):
 
         entry = _KB_INDEX_CACHE.get(key)
         if entry is None:
+            from ..functions.ttl_cache import TTLCache
+
             index = KBIndex(ray.get(kb_ref), fuzzy_threshold=fuzzy_threshold,
                             confidence_threshold=confidence_threshold)
-            entry = (index, {})
+            entry = (index, TTLCache())
             _KB_INDEX_CACHE[key] = entry
         index, cache = entry
         return _link_batch(index, cache, batch)
