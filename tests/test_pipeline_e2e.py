@@ -392,3 +392,23 @@ def test_corpus_clean_partitioned_resume_and_parity(ray_session, tmp_path):
     expect = entry.queries()["corpus_clean_pipeline"]("/root/testdata/sf0.001")
     assert list(got["doc_id"]) == list(expect["doc_id"])
     assert list(got["n_tokens"]) == list(expect["n_tokens"])
+
+
+def test_sorted_output_files(pages_dir, tmp_path):
+    """sort_output=True writes each partition's parquet in (subj, pred, obj)
+    order — the deterministic-file-ordering contract (SURVEY §2.6)."""
+    import pandas as pd
+
+    from text_to_rdf_ray.pipelines.kg import run_partitioned
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.state import manifest as mf
+
+    out = str(tmp_path / "sorted")
+    run_partitioned(pages_dir, out, partitions=1, kb_records=kb_records(),
+                    sort_output=True)
+    pdir = mf.partition_dir(out, 0)
+    files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    frames = [pd.read_parquet(os.path.join(pdir, f)) for f in files]
+    df = pd.concat(frames, ignore_index=True)
+    keys = list(map(tuple, df[["subj", "pred", "obj"]].values.tolist()))
+    assert keys == sorted(keys)

@@ -218,6 +218,7 @@ def run_partitioned(
     resume: bool = True,
     subject_buckets: int = 0,
     ntriples: bool = False,
+    sort_output: bool = False,
     **build_kwargs,
 ) -> dict:
     """Partitioned, resumable run: input files are hashed into partition
@@ -252,6 +253,11 @@ def run_partitioned(
         counters.update(_triple_counters(triples))
 
         def write_fn(tmp_dir, triples=triples):
+            if sort_output:
+                # deterministic file ordering (SURVEY §2.6: the only global
+                # ordering the engine needs); partition outputs are small
+                # post-dedup, so the sort is partition-local and cheap
+                triples = triples.sort(["subj", "pred", "obj"])
             if subject_buckets:
                 # co-locate triples of one subject for downstream graph
                 # consumers (hash(subj) % B layout, SURVEY.md §7.2 item 7)
