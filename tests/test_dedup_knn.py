@@ -169,6 +169,50 @@ def test_canonicalize_surfaces_merges_variants():
     assert out["Apple Inc."] == "Apple Inc." and out["MIT"] == "MIT"
 
 
+def test_giant_bucket_pairs_not_dropped():
+    """Regression: a true pair must survive even when EVERY bucket holding
+    it is huge (templated corpora share 2-row band hashes in the
+    thousands) — exercises the k>512 row-chunked prune branch."""
+    import numpy as np
+
+    from text_to_rdf_ray.stages.dedup import _pairs_from_buckets
+
+    n = 600
+    # all docs collide into one bucket per band; only docs 7 and 8 share a
+    # sketch (the true pair), everyone else gets a distinct deterministic one
+    import hashlib
+
+    def sketch(i: int) -> bytes:
+        if i in (7, 8):
+            return bytes([1] * 64)
+        return hashlib.blake2b(f"doc-{i}".encode(), digest_size=64).digest()
+
+    def bands_feat_batch(payloads):
+        return [([(0, 42), (1, 99)], sketch(int(p))) for p in payloads]
+
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": i, "text": str(i)} for i in range(n)])
+
+    def verify(t1, t2):
+        return 1.0 if sketch(int(t1)) == sketch(int(t2)) else None
+
+    out = _pairs_from_buckets(
+        ds, None, verify, "doc_id", "text",
+        max_bucket=4096, prune_est=0.9, prepare_fn=lambda t: t,
+        bands_feat_batch_fn=bands_feat_batch,
+    ).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)} == {(7, 8)}
+
+    # the old 256 guard semantics: same input, guard below bucket size -> lost
+    out2 = _pairs_from_buckets(
+        ds, None, verify, "doc_id", "text",
+        max_bucket=256, prune_est=0.9, prepare_fn=lambda t: t,
+        bands_feat_batch_fn=bands_feat_batch,
+    ).to_pandas()
+    assert len(out2) == 0
+
+
 def test_apply_canonical_join_matches_broadcast():
     """The hash-join canonical rewrite (for mappings too large to
     broadcast) must equal apply_canonical_map row-for-row, including slug
