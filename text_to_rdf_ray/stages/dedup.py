@@ -28,11 +28,9 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..kernels.minhash import (
-    band_keys,
     char_shingles,
     hamming64,
     jaccard,
-    minhash_signature,
     simhash64,
     word_shingles,
 )

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..kernels.extractor import extract_document
 from ..kernels.text import extract_text
-from ..kernels.validation import DATE_PREDICATES, is_valid_date
+from ..kernels.validation import DATE_PREDICATES
 
 TRIPLE_FIELDS = [
     ("url", pa.string()),
