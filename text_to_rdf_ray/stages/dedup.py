@@ -46,30 +46,49 @@ def _text_hash64(texts: list[str]) -> list[int]:
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """One row per distinct text: (id_col = min id, text_col).
 
-    Combiner: per-batch min-id per hash; exchange: groupby(hash).min(id);
-    texts are re-attached by joining min-id rows back (hash -> text carried
-    through the aggregation to avoid a second shuffle).
+    Combiner: per-batch min-id per hash (vectorized arrow group_by);
+    exchange: hash-partition on an int key with the reduce itself an arrow
+    group_by(hash).min inside map_groups — Ray's built-in Aggregate reduces
+    per key in Python and is far slower on string payload columns.  The
+    text rides through the aggregation (constant within a hash group) so
+    no second shuffle re-attaches it.
     """
-    from ray.data.aggregate import Min
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = pa.table(
+        h = np.array(_text_hash64(batch.column(text_col).to_pylist()),
+                     dtype=np.int64)
+        t = pa.table(
             {
-                "h": pa.array(_text_hash64(batch.column(text_col).to_pylist()), pa.int64()),
+                "h": pa.array(h, pa.int64()),
                 id_col: batch.column(id_col),
                 text_col: batch.column(text_col),
             }
-        ).to_pandas()
-        df = df.sort_values(["h", id_col]).drop_duplicates("h", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        )
+        g = t.group_by("h").aggregate([(id_col, "min"), (text_col, "min")])
+        hh = g.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "h": g.column("h"),
+                "hpart": pa.array((hh % np.uint64(64)).astype(np.int32), pa.int32()),
+                id_col: g.column(f"{id_col}_min"),
+                text_col: g.column(f"{text_col}_min"),
+            }
+        )
 
-    agg = (
-        ds.map_batches(combine, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min(id_col, alias_name=id_col), Min(text_col, alias_name=text_col))
-        .select_columns([id_col, text_col])
+    def reduce_part(g: pa.Table) -> pa.Table:
+        r = g.group_by("h").aggregate([(id_col, "min"), (text_col, "min")])
+        return pa.table(
+            {
+                id_col: r.column(f"{id_col}_min"),
+                text_col: r.column(f"{text_col}_min"),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+        .groupby("hpart")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
-    return agg
 
 
 #: Above this many candidate pairs the verify stage switches from the
