@@ -141,6 +141,13 @@ def scan_mentions(text: str) -> list[Mention]:
     n = len(toks)
     while i < n:
         raw, ts, te = toks[i]
+        if raw.islower():
+            # fast path: a token with no uppercase character can never
+            # start a mention (cap-start and ALLCAPS both need one);
+            # cleaning only strips characters, so the cleaned word is
+            # all-lowercase too — identical outcome, no _clean/set work
+            i += 1
+            continue
         word = _clean(raw)
         low = word.lower()
         starts = False
