@@ -306,6 +306,12 @@ def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     idx_dir = os.path.join(_TMP, f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        # meta.json is written LAST; its absence means a missing or
+        # half-built index — clear before rebuilding (write_parquet
+        # appends, it does not replace)
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
         build_ivf_index(_embeddings(sf_dir), idx_dir, n_clusters=16)
     q, qids = _knn_queries(sf_dir)
     out = knn_ivf_indexed(idx_dir, q, qids, k=10, nprobe=16)

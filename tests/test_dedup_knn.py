@@ -424,3 +424,22 @@ def test_canonicalize_local_matches_distributed():
     dist_all = {r["surface"]: r["canonical"] for r in canonicalize_surfaces(ds).take_all()}
     dist = {s: c for s, c in dist_all.items() if s != c}
     assert local == dist
+
+
+def test_ivf_indexed_handles_empty_lists(tmp_path):
+    """Regression: centroids with zero assigned rows have no hive dir;
+    probing them must skip, not crash."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import build_ivf_index, knn_ivf_indexed
+
+    base = np.ones(8, dtype=np.float32)
+    corpus = base + 0.001 * np.arange(50, dtype=np.float32)[:, None]
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(50)]
+    )
+    idx_dir = str(tmp_path / "ivf_empty")
+    build_ivf_index(ds, idx_dir, n_clusters=8, sample_size=50)
+    out = knn_ivf_indexed(idx_dir, corpus[:2].astype(np.float64), [0, 1],
+                          k=5, nprobe=8)
+    assert len(out) == 10 and set(out.query_id) == {0, 1}

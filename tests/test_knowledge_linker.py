@@ -290,3 +290,33 @@ def test_ttl_cache_expiry_and_bound():
     assert out.column("subj_uri").to_pylist() == [
         "https://kb.test/resource/alan-bean"] * 2
     assert len(cache) >= 1
+
+
+def test_link_join_mode_fuzzy_only_kb(ray_session):
+    """Regression: a corpus where NO surface has an exact KB hit must not
+    crash the join linker (the empty exact side previously fed the
+    anti-join schema-less blocks)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kg_stages import link_entities_join
+
+    surfaces = ["Alan Beam", "Zzzzqqq"]  # fuzzy hit + no hit, zero exact
+    n = len(surfaces)
+    triples = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(n)], "subj": surfaces,
+        "subj_slug": [""] * n, "subj_lower": [""] * n,
+        "pred": ["x"] * n, "pred_key": ["x"] * n,
+        "obj": ["1990-01-01"] * n,
+        "subj_type": ["Person"] * n, "obj_type": [""] * n,
+        "nested_in": [""] * n,
+        "chunk_id": pa.array([0] * n, pa.int32()),
+        "span_start": pa.array([0] * n, pa.int64()),
+        "span_end": pa.array([1] * n, pa.int64()),
+        "confidence": [1.0] * n, "method": ["t"] * n,
+    }))
+    out = link_entities_join(triples, KB).to_pandas().set_index("subj")
+    idx = KBIndex(KB)
+    assert out.loc["Alan Beam", "subj_uri"] == idx.link("Alan Beam").uri
+    assert out.loc["Zzzzqqq", "subj_uri"] is None

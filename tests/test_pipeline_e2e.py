@@ -382,10 +382,14 @@ def test_corpus_clean_partitioned_resume_and_parity(ray_session, tmp_path):
     final = str(tmp_path / "final")
     comp = compact_clean(out, final)
     assert comp["rows_out"] <= comp["rows_in"]
+    # re-compaction replaces, never appends (the CLI resume path re-compacts)
+    comp2 = compact_clean(out, final)
+    assert comp2["rows_out"] == comp["rows_out"]
 
     import ray.data as rd
 
     got = rd.read_parquet(final).to_pandas().sort_values("doc_id")
+    assert len(got) == comp["rows_out"]  # no duplicated files after rerun
 
     import __ray_entry__ as entry
 

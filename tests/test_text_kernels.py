@@ -119,3 +119,18 @@ def test_typed_coref_resolves_person_and_org():
 def test_typed_coref_no_antecedent_noop():
     text = "he said hello. it works."
     assert resolve_typed(text).resolved_text == text
+
+
+def test_pronoun_scan_unicode_tokens_not_misread():
+    """The fast pronoun prefilter must not strip non-ASCII LETTERS as
+    punctuation: 'itä' is a word (classify_pronoun's isalpha guard), not
+    the pronoun 'it'."""
+    from text_to_rdf_ray.kernels.coref import classify_pronoun, resolve_typed
+
+    assert classify_pronoun("itä") is None
+    assert classify_pronoun("heé") is None
+    text = "Acme Corp announced results. itä means east. It hired staff."
+    res = resolve_typed(text)
+    # only the true pronoun 'It' resolves; 'itä' stays untouched
+    assert "itä means east" in res.resolved_text
+    assert "Acme Corp hired staff" in res.resolved_text

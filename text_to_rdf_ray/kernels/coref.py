@@ -197,13 +197,16 @@ def resolve_typed(
             taken.add((dm.start(), dm.end()))
             mention_map[dm.group()] = ant.name
 
-    # targeted scan: only pronoun-shaped tokens are visited (equivalent to
-    # classify_pronoun over every \S+ token — the anchors replicate its
-    # strip-non-alpha-edges semantics — but the all-token Python loop was
-    # ~1/3 of the extraction kernel)
+    # targeted scan: only pronoun-shaped tokens are visited — the all-token
+    # Python loop was ~1/3 of the extraction kernel.  The regex is a
+    # PREFILTER only; classify_pronoun stays the decider, because its
+    # w.isalpha() guard treats Unicode letters as letters while the ASCII
+    # regex class would strip them (e.g. 'itä' must NOT read as 'it')
     for pm in _PRONOUN_SCAN.finditer(text):
         word = pm.group(0)
-        ptype = _PRONOUNS[pm.group(1).lower()]
+        ptype = classify_pronoun(word)
+        if ptype is None:
+            continue
         # leading/trailing punctuation kept out of the replacement span
         start = pm.start(1)
         end = pm.end(1)

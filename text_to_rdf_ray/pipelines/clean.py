@@ -160,6 +160,12 @@ def compact_clean(out_dir: str, final_dir: str) -> dict:
         .materialize()
     )
     rows_out = deduped.count()
+    # replace, don't append: a rerun (the resume workflow re-compacts) would
+    # otherwise add a second set of uniquely-named files beside the first
+    import shutil
+
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
     os.makedirs(final_dir, exist_ok=True)
     deduped.write_parquet(final_dir)
     return {"partitions": len(parts), "rows_in": rows_in, "rows_out": rows_out}

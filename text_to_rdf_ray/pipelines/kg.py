@@ -304,8 +304,10 @@ def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
 
     Each task writes a raw ``part-*.nt`` text shard directly (a CSV sink
     would add a header row and re-quote lines containing ``"`` — not valid
-    N-Triples)."""
-    import uuid
+    N-Triples).  Shards are named by a content hash and written
+    tmp-then-rename, so a Ray task retry reproduces the SAME file
+    atomically instead of adding a duplicate beside a partial one."""
+    import hashlib
 
     from ..kernels.jsonld import render_ntriples
 
@@ -321,9 +323,15 @@ def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
                 batch.column("obj_type").to_pylist(),
             )
         ]
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
-        with open(path, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        if not lines:
+            return pa.table({"written": pa.array([0], pa.int64())})
+        body = "\n".join(lines) + "\n"
+        tag = hashlib.blake2b(body.encode("utf-8"), digest_size=10).hexdigest()
+        path = os.path.join(out_dir, f"part-{tag}.nt")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(body)
+        os.replace(tmp, path)
         return pa.table({"written": pa.array([len(lines)], pa.int64())})
 
     triples.map_batches(write_shard, batch_format="pyarrow").sum("written")

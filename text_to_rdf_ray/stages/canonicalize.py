@@ -45,16 +45,6 @@ def _norm(surface: str) -> str:
     return " ".join(surface.lower().replace(".", "").split())
 
 
-def _surface_band_fn(num_perm: int, bands: int):
-    from .dedup import _bbit_sketch
-
-    def bands_feat(surface: str):
-        sig = minhash_signature(char_shingles(_norm(surface)), num_perm=num_perm)
-        return list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig)
-
-    return bands_feat
-
-
 def _surface_prepare(surface: str):
     norm = _norm(surface)
     return norm, char_shingles(norm)

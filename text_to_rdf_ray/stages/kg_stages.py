@@ -295,6 +295,9 @@ def link_entities_join(
         )
     )
 
+    _LINK_SCHEMA = pa.schema([("surface", pa.string()), ("uri", pa.string()),
+                              ("conf", pa.float64())])
+
     exact = _solid(
         surfaces.join(
             _solid(labels_ds.map_batches(
@@ -315,25 +318,32 @@ def link_entities_join(
         )
     )
 
-    # surfaces with no exact hit -> fuzzy, blocked on first character
-    no_exact = _solid(
-        surfaces.join(
-            _solid(exact.groupby("surface").map_groups(
-                lambda g: g.head(1), batch_format="pandas"
+    if exact.count() == 0:
+        # no exact hit anywhere: the anti-join's right side would be empty
+        # (schema-less blocks crash the join) — every surface goes fuzzy
+        exact = rd.from_arrow(_LINK_SCHEMA.empty_table())
+        no_exact = surfaces
+    else:
+        # surfaces with no exact hit -> fuzzy, blocked on first character
+        no_exact = _solid(
+            surfaces.join(
+                _solid(exact.groupby("surface").map_groups(
+                    lambda g: g.head(1), batch_format="pandas"
+                ).map_batches(
+                    lambda t: pa.table({"surface": t.column("surface"),
+                                        "hit": pa.array([1] * len(t), pa.int32())}),
+                    batch_format="pyarrow",
+                )),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("surface",),
             ).map_batches(
-                lambda t: pa.table({"surface": t.column("surface"),
-                                    "hit": pa.array([1] * len(t), pa.int32())}),
+                lambda t: pa.table(
+                    {"surface": t.column("surface"), "low": t.column("low"),
+                     "first": t.column("first")}
+                ).filter(pc.is_null(t.column("hit"))),
                 batch_format="pyarrow",
-            )),
-            join_type="left_outer", num_partitions=num_partitions, on=("surface",),
-        ).map_batches(
-            lambda t: pa.table(
-                {"surface": t.column("surface"), "low": t.column("low"),
-                 "first": t.column("first")}
-            ).filter(pc.is_null(t.column("hit"))),
-            batch_format="pyarrow",
+            )
         )
-    )
 
     def fuzzy_score(batch: pa.Table) -> pa.Table:
         surfs = batch.column("surface").to_pylist()
@@ -357,8 +367,6 @@ def link_entities_join(
              "conf": pa.array(out_c, pa.float64())}
         )
 
-    _LINK_SCHEMA = pa.schema([("surface", pa.string()), ("uri", pa.string()),
-                              ("conf", pa.float64())])
     if no_exact.count() == 0:
         # every surface had an exact hit: an empty left side would feed the
         # join schema-less blocks

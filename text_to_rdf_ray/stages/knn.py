@@ -281,8 +281,14 @@ def knn_ivf_indexed(
     # schema, which excludes partition columns, so directory selection is
     # the reliable pruning mechanism); the partition value is re-attached
     # as a column per directory read
-    def read_list(lid: int) -> rd.Dataset:
-        part = rd.read_parquet(os.path.join(index_dir, "data", f"list_id={lid}"))
+    def read_list(lid: int) -> "rd.Dataset | None":
+        path = os.path.join(index_dir, "data", f"list_id={lid}")
+        if not os.path.isdir(path):
+            # the quantizer can leave centroids with zero assigned rows
+            # (argmax ties); an empty list has no directory and nothing
+            # to score
+            return None
+        part = rd.read_parquet(path)
 
         def norm(t: pa.Table, lid=lid) -> pa.Table:
             # the subdir read auto-attaches list_id as a hive STRING (or, on
@@ -293,7 +299,9 @@ def knn_ivf_indexed(
 
         return part.map_batches(norm, batch_format="pyarrow")
 
-    parts = [read_list(lid) for lid in needed]
+    parts = [p for p in (read_list(lid) for lid in needed) if p is not None]
+    if not parts:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank", "score"])
     corpus = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     q_ref = ray.put((qm, probe_sets))
     cache: dict = {}
