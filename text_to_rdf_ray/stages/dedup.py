@@ -637,7 +637,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 32,
-    est_margin: float = 0.12,
+    est_margin: float = 0.15,
     max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Character n-gram Jaccard >= threshold pairs (LSH-blocked; 32 bands
