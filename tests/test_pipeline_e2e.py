@@ -416,3 +416,43 @@ def test_sorted_output_files(pages_dir, tmp_path):
     df = pd.concat(frames, ignore_index=True)
     keys = list(map(tuple, df[["subj", "pred", "obj"]].values.tolist()))
     assert keys == sorted(keys)
+
+
+def test_drop_invalid_filters_triples():
+    """KG_VALIDATION_DROP_INVALID semantics: with a registered Error rule
+    that invalidates a triple class, drop_invalid=True removes those rows
+    while drop_invalid=False keeps them flagged."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.functions.registry import (
+        ValidationRule,
+        add_rule,
+        clear_rules,
+    )
+    from text_to_rdf_ray.pipelines.kg import build_triples
+    from text_to_rdf_ray.sources.fixtures import wrap_html
+
+    texts = ["Alan Bean was born on the 15th of March 1932."]
+    pages = rd.from_arrow(pa.table({
+        "url": ["https://di.test/0"],
+        "warc_ts": pa.array([1704067200_000000], pa.timestamp("us")),
+        "html": pa.array([wrap_html("t", texts[0])], pa.binary()),
+        "lang": ["en"],
+    }))
+    clear_rules()
+    try:
+        add_rule(ValidationRule(
+            name="ban_person", description="", entity_type="Person",
+            check_fn=lambda r: False, confidence_impact=-0.5,
+            severity="Error",
+        ))
+        kept = build_triples(pages, canonicalize=False, dedup=False,
+                             link=False).to_pandas()
+        assert len(kept) > 0 and not kept["valid"].any()
+        dropped = build_triples(pages, canonicalize=False, dedup=False,
+                                link=False, drop_invalid=True).to_pandas()
+        assert len(dropped) == 0
+    finally:
+        clear_rules()

@@ -153,6 +153,7 @@ class PipelineConfig:
             "canonicalize": self.canonicalize.enabled,
             "canonicalize_local_threshold": self.canonicalize.local_threshold,
             "validate": self.validation.enabled,
+            "drop_invalid": self.validation.drop_invalid,
             "dedup": self.dedup,
             "extract_batch_size": self.extract_batch_size,
         }

@@ -60,6 +60,7 @@ def build_triples(
     link: bool = True,
     canonicalize: bool = True,
     validate: bool = True,
+    drop_invalid: bool = False,
     dedup: bool = True,
     from_html: bool = True,
     link_mode: str = "task",  # "task" (small KB) | "actor" (heavy KB/model)
@@ -158,6 +159,14 @@ def build_triples(
             )
         else:
             ds = ds.map_batches(validate_triples, batch_format="pyarrow")
+        if drop_invalid:
+            # KG_VALIDATION_DROP_INVALID: emit only valid triples
+            import pyarrow.compute as _pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(_pc.equal(t.column("valid"), True)),
+                batch_format="pyarrow",
+            )
     if dedup:
         ds = dedup_triples(ds)
     return ds
