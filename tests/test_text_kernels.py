@@ -134,3 +134,46 @@ def test_pronoun_scan_unicode_tokens_not_misread():
     # only the true pronoun 'It' resolves; 'itä' stays untouched
     assert "itä means east" in res.resolved_text
     assert "Acme Corp hired staff" in res.resolved_text
+
+
+def test_coref_strategy_and_chunk_config_runtime():
+    """COREF_STRATEGY / chunk-sizing config knobs reach the kernel:
+    'none' resolves nothing, 'reference' uses the faithful rule port,
+    and chunk overrides change the chunk count."""
+    from text_to_rdf_ray.kernels.extractor import extract_document
+
+    text = "Alan Bean visited Houston. He worked at NASA."
+    typed = extract_document(text)
+    none = extract_document(text, coref_strategy="none")
+    ref = extract_document(text, coref_strategy="reference")
+    assert typed.n_pronouns_resolved >= 1
+    assert none.n_pronouns_resolved == 0
+    assert none.resolved_text == text
+    assert ref.n_pronouns_resolved >= 1  # the faithful port also resolves 'He'
+
+    long_text = ("Alan Bean was born on the 15th of March 1932. " * 40).strip()
+    small_chunks = extract_document(
+        long_text, chunk_max_chars=200, chunk_overlap=40, chunk_token_threshold=10
+    )
+    assert small_chunks.n_chunks > extract_document(long_text).n_chunks
+
+
+def test_pipeline_config_reaches_extractor(ray_session):
+    """PipelineConfig.build_kwargs carries the coref/chunk knobs into
+    build_triples (they were previously decorative)."""
+    import os
+
+    from text_to_rdf_ray.config import PipelineConfig
+
+    old = os.environ.get("COREF_STRATEGY")
+    os.environ["COREF_STRATEGY"] = "disabled"
+    try:
+        cfg = PipelineConfig.from_env()
+    finally:
+        if old is None:
+            os.environ.pop("COREF_STRATEGY", None)
+        else:
+            os.environ["COREF_STRATEGY"] = old
+    kw = cfg.build_kwargs()
+    assert kw["extract_kwargs"]["coref_strategy"] == "none"
+    assert kw["extract_kwargs"]["chunk_max_chars"] == 3500

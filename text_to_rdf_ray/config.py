@@ -156,4 +156,11 @@ class PipelineConfig:
             "drop_invalid": self.validation.drop_invalid,
             "dedup": self.dedup,
             "extract_batch_size": self.extract_batch_size,
+            "extract_kwargs": {
+                "coref_strategy": self.coref.strategy,
+                "coref_max_distance": self.coref.max_distance,
+                "chunk_max_chars": self.chunk.max_chars,
+                "chunk_overlap": self.chunk.overlap,
+                "chunk_token_threshold": self.chunk.token_threshold,
+            },
         }

@@ -55,10 +55,30 @@ class DocExtraction:
     resolved_text: str
 
 
-def extract_document(text: str, apply_blacklist: bool = True) -> DocExtraction:
+def extract_document(
+    text: str,
+    apply_blacklist: bool = True,
+    *,
+    coref_strategy: str = "typed",
+    coref_max_distance: int = 3,
+    chunk_max_chars: int | None = None,
+    chunk_overlap: int | None = None,
+    chunk_token_threshold: int | None = None,
+) -> DocExtraction:
+    """``coref_strategy``: "typed" (pipeline default), "reference" (the
+    faithful coref.rs rule port), or "none" — the runtime face of
+    COREF_STRATEGY; chunk_* override the reference sizing contract
+    (KG_CHUNK_MAX_CHARS / KG_CHUNK_OVERLAP / RDF_CHUNK_THRESHOLD)."""
+    from .text import CHUNK_MAX_CHARS, CHUNK_OVERLAP, CHUNK_TOKEN_THRESHOLD
+
+    max_chars = chunk_max_chars or CHUNK_MAX_CHARS
+    overlap = CHUNK_OVERLAP if chunk_overlap is None else chunk_overlap
+    threshold = chunk_token_threshold or CHUNK_TOKEN_THRESHOLD
     kb = KnowledgeBuffer()
     chunks = (
-        chunk_text(text) if needs_chunking(text) else [(0, text, 0, len(text))]
+        chunk_text(text, max_chars=max_chars, overlap=overlap)
+        if needs_chunking(text, threshold)
+        else [(0, text, 0, len(text))]
     )
     all_triples: list[DocTriple] = []
     seen: set[tuple[str, str, str]] = set()
@@ -69,7 +89,17 @@ def extract_document(text: str, apply_blacklist: bool = True) -> DocExtraction:
         mentions = scan_mentions(ctext)
         for m in mentions:
             kb.register(m.name, m.kind, cstart + m.start, chunk_id=cid)
-        coref = resolve_typed(ctext, mentions=mentions)
+        if coref_strategy == "none":
+            from .coref import CorefResult
+
+            coref = CorefResult(original_text=ctext, resolved_text=ctext,
+                                mention_map={}, replacements=[], n_resolved=0)
+        elif coref_strategy == "reference":
+            from .coref import resolve_reference_rule
+
+            coref = resolve_reference_rule(ctext, max_distance=coref_max_distance)
+        else:
+            coref = resolve_typed(ctext, mentions=mentions)
         n_pronouns += coref.n_resolved
         for alias, canonical in coref.mention_map.items():
             kb.add_alias(alias, canonical)

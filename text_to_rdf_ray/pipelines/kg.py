@@ -66,6 +66,7 @@ def build_triples(
     link_mode: str = "task",  # "task" (small KB) | "actor" (heavy KB/model)
     link_concurrency=(2, 8),
     extract_batch_size: int = 256,
+    extract_kwargs: dict | None = None,
     canonicalize_local_threshold: int = 100_000,
     canonical_map_join_threshold: int = 1_000_000,
 ) -> rd.Dataset:
@@ -78,9 +79,15 @@ def build_triples(
         ds = ds.map_batches(make_lang_filter(lang), batch_format="pyarrow")
     if from_html:
         ds = ds.map_batches(strip_html, batch_format="pyarrow", batch_size=512)
-    ds = ds.map_batches(
-        extract_triples, batch_format="pyarrow", batch_size=extract_batch_size
-    )
+    if extract_kwargs:
+        ds = ds.map_batches(
+            lambda t, kw=dict(extract_kwargs): extract_triples(t, extract_kwargs=kw),
+            batch_format="pyarrow", batch_size=extract_batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            extract_triples, batch_format="pyarrow", batch_size=extract_batch_size
+        )
     if link and kb_records is not None:
         if link_mode == "join":
             # shuffle-join linking: nothing replicated per worker — the

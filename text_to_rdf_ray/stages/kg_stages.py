@@ -63,15 +63,18 @@ def make_lang_filter(lang: str = "en"):
     return filter_lang
 
 
-def extract_triples(batch: pa.Table) -> pa.Table:
+def extract_triples(batch: pa.Table, extract_kwargs: dict | None = None) -> pa.Table:
     """Per-document extraction: one input page row -> N triple rows.
 
     The Python loop is over *documents* (each iteration runs the full
     chunk/coref/pattern kernel on one doc) — the vectorization unit is the
     document, mirroring the reference's doc-at-a-time semantics
-    (/root/reference/src/extractor.rs:570-698) with provenance columns."""
+    (/root/reference/src/extractor.rs:570-698) with provenance columns.
+    ``extract_kwargs`` forwards runtime config (coref strategy, chunk
+    sizing) to ``extract_document``."""
     import sys
 
+    kw = extract_kwargs or {}
     urls = batch.column("url").to_pylist()
     texts = batch.column("text").to_pylist()
     cols: dict[str, list] = {name: [] for name, _ in TRIPLE_FIELDS}
@@ -79,7 +82,7 @@ def extract_triples(batch: pa.Table) -> pa.Table:
         if not text:
             continue
         try:
-            ex = extract_document(text)
+            ex = extract_document(text, **kw)
         except Exception as exc:  # lossy fault-tolerance (extractor.rs:689-692):
             # a pathological document is logged and skipped, the batch
             # (and pipeline) continues — mirrors the reference's
