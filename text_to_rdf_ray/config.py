@@ -150,8 +150,11 @@ class PipelineConfig:
             "link": self.linker.enabled,
             "link_mode": self.linker.mode,
             "link_concurrency": self.linker.concurrency,
+            "link_fuzzy_threshold": self.linker.fuzzy_threshold,
+            "link_confidence_threshold": self.linker.confidence_threshold,
             "canonicalize": self.canonicalize.enabled,
             "canonicalize_local_threshold": self.canonicalize.local_threshold,
+            "canonicalize_tau": self.canonicalize.tau,
             "validate": self.validation.enabled,
             "drop_invalid": self.validation.drop_invalid,
             "dedup": self.dedup,

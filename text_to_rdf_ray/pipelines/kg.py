@@ -63,11 +63,14 @@ def build_triples(
     drop_invalid: bool = False,
     dedup: bool = True,
     from_html: bool = True,
-    link_mode: str = "task",  # "task" (small KB) | "actor" (heavy KB/model)
+    link_mode: str = "task",  # "task" (small KB) | "actor" (heavy KB/model) | "join" (KB too big to broadcast)
     link_concurrency=(2, 8),
+    link_fuzzy_threshold: float = 0.8,
+    link_confidence_threshold: float = 0.5,
     extract_batch_size: int = 256,
     extract_kwargs: dict | None = None,
     canonicalize_local_threshold: int = 100_000,
+    canonicalize_tau: float | None = None,
     canonical_map_join_threshold: int = 1_000_000,
 ) -> rd.Dataset:
     """Assemble the lazy Dataset pipeline from pages to canonical triples."""
@@ -94,7 +97,11 @@ def build_triples(
             # at-scale mode for KBs too large to broadcast
             from ..stages.kg_stages import link_entities_join
 
-            ds = link_entities_join(ds, kb_records)
+            ds = link_entities_join(
+                ds, kb_records,
+                fuzzy_threshold=link_fuzzy_threshold,
+                confidence_threshold=link_confidence_threshold,
+            )
         elif link_mode == "actor":
             kb_ref = ray.put(kb_records)
             ds = ds.map_batches(
@@ -102,7 +109,11 @@ def build_triples(
                 batch_format="pyarrow",
                 batch_size=4096,
                 concurrency=link_concurrency,
-                fn_constructor_kwargs={"kb_ref": kb_ref},
+                fn_constructor_kwargs={
+                    "kb_ref": kb_ref,
+                    "fuzzy_threshold": link_fuzzy_threshold,
+                    "confidence_threshold": link_confidence_threshold,
+                },
             )
         else:
             # task mode (default for small KBs): per-worker cached index,
@@ -111,7 +122,9 @@ def build_triples(
 
             kb_ref = ray.put(kb_records)
             ds = ds.map_batches(
-                make_link_task(kb_ref), batch_format="pyarrow", batch_size=2048
+                make_link_task(kb_ref, fuzzy_threshold=link_fuzzy_threshold,
+                               confidence_threshold=link_confidence_threshold),
+                batch_format="pyarrow", batch_size=2048,
             )
     if canonicalize:
         import pyarrow.compute as pc
@@ -127,17 +140,20 @@ def build_triples(
             .select_columns(["surface"])
             .materialize()
         )
+        from ..stages.canonicalize import DEFAULT_TAU
+
+        tau = DEFAULT_TAU if canonicalize_tau is None else canonicalize_tau
         if surfaces_ds.count() <= canonicalize_local_threshold:
             # small distinct-surface set: identical LSH+union-find
             # semantics computed driver-side (broadcast-small-side path)
             surfaces = [r["surface"] for r in surfaces_ds.take_all()]
-            mapping = canonicalize_local(surfaces)
+            mapping = canonicalize_local(surfaces, tau=tau)
             if mapping:
                 ds = apply_canonical_map(ds, mapping)
         else:
             from ..stages.canonicalize import _solid, apply_canonical_join
 
-            cmap = canonicalize_surfaces(surfaces_ds)
+            cmap = canonicalize_surfaces(surfaces_ds, tau=tau)
             changed = _solid(cmap.map_batches(
                 lambda t: t.filter(
                     pc.invert(pc.equal(t.column("surface"), t.column("canonical")))

@@ -197,7 +197,8 @@ def make_link_task(kb_ref, fuzzy_threshold=0.8, confidence_threshold=0.5):
     broadcast ref).  Keeps the map chain fully task-parallel — no actor
     pool to cap fused-stage parallelism — at the cost of one index replica
     per worker; right when the KB is small relative to worker heap."""
-    key = kb_ref.hex() if hasattr(kb_ref, "hex") else str(kb_ref)
+    base = kb_ref.hex() if hasattr(kb_ref, "hex") else str(kb_ref)
+    key = f"{base}:{fuzzy_threshold}:{confidence_threshold}"
 
     def link_batch(batch: pa.Table) -> pa.Table:
         import ray
