@@ -49,6 +49,86 @@ def _pairs_df(df: pd.DataFrame) -> pd.DataFrame:
                              "score": pd.Series(dtype="float64")})
     return df
 _TMP = "/tmp/graft_work"
+#: side-table root for queries whose DuckDB oracle needs intermediate
+#: artifacts (predicted/gold triple sets, pre-dedup triples, JSON-LD docs).
+#: The KG queries are fixture-driven (sf-independent, fully deterministic),
+#: so fixed paths are safe: each query (re)writes its side tables before
+#: returning, and the driver runs the Ray query before its oracle SQL.
+_SIDE = os.path.join(_TMP, "side")
+
+
+def _side_write(query: str, fname: str, df: pd.DataFrame) -> str:
+    """Atomically (tmp+rename) write one oracle side table."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(_SIDE, query)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, fname)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _eval_macro_sql(query: str, *, cases_file: bool = False,
+                    micro: bool = True) -> str:
+    """Set-intersection macro P/R/F1 over pred/gold side tables — the
+    DuckDB replay of kernels/metrics.evaluate + macro_average (reference
+    semantics: tests/integration_tests.rs:34-67, webnlg_evaluation.rs:113-133).
+
+    ``cases_file``: case universe comes from cases.parquet (queries that
+    score every case, even ones with empty pred AND gold); otherwise the
+    universe is the union of case ids present in either side (matching
+    pipelines/evaluate.evaluate_datasets, where such cases never surface).
+    """
+    pred = os.path.join(_SIDE, query, "pred.parquet")
+    gold = os.path.join(_SIDE, query, "gold.parquet")
+    if cases_file:
+        cases = f"SELECT case_id FROM read_parquet('{os.path.join(_SIDE, query, 'cases.parquet')}')"
+    else:
+        cases = "SELECT case_id FROM pred UNION SELECT case_id FROM gold"
+    micro_cols = (
+        """,
+             CAST(sum(tp) AS BIGINT) AS micro_tp,
+             CAST(sum(fp) AS BIGINT) AS micro_fp,
+             CAST(sum(fn) AS BIGINT) AS micro_fn"""
+        if micro else ""
+    )
+    return f"""
+      WITH pred AS (SELECT DISTINCT case_id, subj, pred, obj
+                    FROM read_parquet('{pred}')),
+           gold AS (SELECT DISTINCT case_id, subj, pred, obj
+                    FROM read_parquet('{gold}')),
+           cases AS ({cases}),
+           tp AS (SELECT case_id, count(*) AS n
+                  FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold)
+                  GROUP BY case_id),
+           pc AS (SELECT case_id, count(*) AS n FROM pred GROUP BY case_id),
+           gc AS (SELECT case_id, count(*) AS n FROM gold GROUP BY case_id),
+           per AS (
+             SELECT c.case_id,
+                    coalesce(tp.n, 0) AS tp,
+                    coalesce(pc.n, 0) - coalesce(tp.n, 0) AS fp,
+                    coalesce(gc.n, 0) - coalesce(tp.n, 0) AS fn
+             FROM cases c
+             LEFT JOIN tp USING (case_id)
+             LEFT JOIN pc USING (case_id)
+             LEFT JOIN gc USING (case_id)),
+           m AS (
+             SELECT case_id, tp, fp, fn,
+                    CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS p,
+                    CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS r
+             FROM per),
+           mf AS (
+             SELECT case_id, tp, fp, fn, p, r,
+                    CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+             FROM m)
+      SELECT round(avg(p), 6) AS precision,
+             round(avg(r), 6) AS recall,
+             round(avg(f1), 6) AS f1_score,
+             CAST(count(*) AS BIGINT) AS cases{micro_cols}
+      FROM mf
+    """
 
 
 def _documents(sf_dir: str) -> rd.Dataset:
@@ -71,30 +151,100 @@ def _fixture_pages_dir(n: int = 1000) -> str:
 def _kg_triples_fixture(sf_dir: str) -> pd.DataFrame:
     """Full KG pipeline (html strip -> coref -> patterns -> link ->
     canonicalize -> validate -> dedup) over the deterministic fixture
-    corpus.  Non-SQL-expressible: rows-only driver check; exactness is
-    asserted against computable gold in tests/test_pipeline_e2e.py."""
+    corpus.  The post-link/canonicalize, PRE-validate triples are dumped as
+    a parquet side table; the DuckDB oracle replays the validate
+    (confidence arithmetic, validation.rs:120-160/183-298 relational form)
+    -> global (s,p,o)-dedup suffix in SQL, so the tail of the engine's
+    actual product is driver-verified (the extract/link/canonicalize head
+    stays golden-tested in tests/test_pipeline_e2e.py)."""
     from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
     from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.canonicalize import dedup_triples
+    from text_to_rdf_ray.stages.kg_stages import validate_triples
 
     pages = read_pages(_fixture_pages_dir(1000))
-    triples = build_triples(pages, kb_records=kb_records())
+    linked = build_triples(
+        pages, kb_records=kb_records(), validate=False, dedup=False
+    ).materialize()
+    _side_write(
+        "kg_triples_fixture", "linked.parquet",
+        linked.to_pandas().sort_values(
+            ["subj", "pred", "obj", "url", "chunk_id", "span_start"]
+        ),
+    )
+    triples = dedup_triples(
+        linked.map_batches(validate_triples, batch_format="pyarrow")
+    )
     df = triples.to_pandas()
     cols = ["url", "subj", "subj_slug", "pred", "obj", "subj_type", "obj_type",
             "subj_uri", "confidence", "valid"]
+    df["confidence"] = _r(df["confidence"], 6)
     return df[cols].sort_values(["subj", "pred", "obj", "url"]).reset_index(drop=True)
+
+
+def _metrics_df(m: dict) -> pd.DataFrame:
+    """Normalize a metrics dict for the driver compare (rounded floats,
+    int64 counters) — the SQL oracle produces the same columns."""
+    out = pd.DataFrame([m])
+    for c in ("precision", "recall", "f1_score"):
+        out[c] = _r(out[c], 6)
+    for c in ("cases", "micro_tp", "micro_fp", "micro_fn"):
+        if c in out.columns:
+            out[c] = out[c].astype("int64")
+    return out
 
 
 def _kg_gold_eval(sf_dir: str) -> pd.DataFrame:
     """Macro P/R/F1 of the deterministic extractor vs the reference corpus
-    (its own test fixtures) — the north-rule P/R >= 0.95 evidence."""
+    (its own test fixtures) — the north-rule P/R >= 0.95 evidence.  Writes
+    per-case pred/gold triple sets (+ the full case universe) as parquet
+    side tables; the DuckDB oracle replays the set-intersection metrics."""
     from text_to_rdf_ray.pipelines.evaluate import evaluate_fixture_corpus
 
-    m = evaluate_fixture_corpus()
-    return pd.DataFrame([m])
+    m, pred_rows, gold_rows, case_ids = evaluate_fixture_corpus(return_sets=True)
+    cols = ["case_id", "subj", "pred", "obj"]
+    _side_write("kg_gold_eval", "pred.parquet",
+                pd.DataFrame(pred_rows, columns=cols))
+    _side_write("kg_gold_eval", "gold.parquet",
+                pd.DataFrame(gold_rows, columns=cols))
+    _side_write("kg_gold_eval", "cases.parquet",
+                pd.DataFrame({"case_id": case_ids}))
+    return _metrics_df(m)
+
+
+def _harvest_pred_keys(docs) -> pd.DataFrame:
+    """(key, pred) side table: every relation key (root + one nested level)
+    across the JSON-LD docs with its ``normalize_predicate`` form — lets
+    the DuckDB flatten-oracle join predicate names instead of re-deriving
+    the (env-blocked) Snowball stem in SQL."""
+    from text_to_rdf_ray.kernels.normalize import normalize_predicate
+
+    keys: set[str] = set()
+    for doc in docs:
+        nodes = doc.get("@graph", [doc]) if "@graph" in doc else [doc]
+        for node in nodes:
+            if not isinstance(node, dict):
+                continue
+            for k, v in node.items():
+                if k.startswith("@") or k == "name":
+                    continue
+                keys.add(k)
+                if isinstance(v, dict):
+                    for nk in v:
+                        if not nk.startswith("@") and nk != "name":
+                            keys.add(nk)
+    keys_sorted = sorted(keys)
+    return pd.DataFrame(
+        {"key": keys_sorted, "pred": [normalize_predicate(k) for k in keys_sorted]}
+    )
 
 
 def _kg_jsonld_render(sf_dir: str) -> pd.DataFrame:
-    """JSON-LD render + WebNLG/DocRED flatteners over fixture gold cases."""
+    """JSON-LD render + WebNLG/DocRED flatteners over fixture gold cases.
+    Side tables: the rendered docs + a (key -> stemmed predicate) map; the
+    DuckDB oracle re-derives n_webnlg/n_docred by flattening the JSON in
+    SQL (json_keys/json_extract traversal of integration_tests.rs:70-110
+    and docred_evaluation.rs:251-327 semantics)."""
     import json as _json
 
     from text_to_rdf_ray.kernels.extractor import extract_document
@@ -102,10 +252,12 @@ def _kg_jsonld_render(sf_dir: str) -> pd.DataFrame:
     from text_to_rdf_ray.sources.fixtures import gold_case
 
     rows = []
+    docs = []
     for i in range(50):
         text, _ = gold_case(i)
         ex = extract_document(text)
         doc = render_jsonld(ex.triples)
+        docs.append(doc)
         rows.append(
             {
                 "case": i,
@@ -114,7 +266,10 @@ def _kg_jsonld_render(sf_dir: str) -> pd.DataFrame:
                 "n_docred": len(flatten_docred(doc)),
             }
         )
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    _side_write("kg_jsonld_render", "doc.parquet", out[["case", "jsonld"]])
+    _side_write("kg_jsonld_render", "predmap.parquet", _harvest_pred_keys(docs))
+    return out
 
 
 # ------------------------------------------------------------- text analysis
@@ -667,16 +822,43 @@ def _corpus_clean_pipeline(sf_dir: str) -> pd.DataFrame:
 
 def _kg_llm_mode(sf_dir: str) -> pd.DataFrame:
     """ST1/ST2 LLM-mode path: actor-pool extraction with instructor
-    retries over a deterministic stand-in client (rows-only check; gold
-    equality asserted in tests)."""
+    retries over a deterministic stand-in client.  The per-url instructor
+    output documents are dumped as a JSON-LD side table (replayed
+    driver-side — the client is deterministic, so the actor-pool run and
+    the replay produce identical documents); the DuckDB oracle re-derives
+    the WebNLG flatten from the JSON in SQL."""
+    import json as _json
+
+    from text_to_rdf_ray.functions.instructor import extract_with_retry
     from text_to_rdf_ray.sources.fixtures import gold_case
-    from text_to_rdf_ray.stages.llm_extract import llm_extract_pipeline
+    from text_to_rdf_ray.stages.llm_extract import (
+        deterministic_client_factory,
+        llm_extract_pipeline,
+    )
 
     rows = []
     for i in range(100):
         text, _ = gold_case(i)
         rows.append({"url": f"https://llm.test/{i}", "text": text})
     out = llm_extract_pipeline(rd.from_items(rows)).to_pandas()
+
+    client = deterministic_client_factory()
+    side, docs = [], []
+    for r in rows:
+        result = extract_with_retry(client, r["text"])
+        doc = result.document if result.ok else None
+        if doc is not None:
+            docs.append(doc)
+        side.append(
+            {
+                "url": r["url"],
+                "jsonld": _json.dumps(doc, sort_keys=True) if doc is not None else "{}",
+                "attempts": np.int32(len(result.attempts)),
+                "ok": result.ok,
+            }
+        )
+    _side_write("kg_llm_mode", "doc.parquet", pd.DataFrame(side))
+    _side_write("kg_llm_mode", "predmap.parquet", _harvest_pred_keys(docs))
     return out.sort_values(["url", "subj", "pred", "obj"]).reset_index(drop=True)
 
 
@@ -700,8 +882,13 @@ def _eval_webnlg(sf_dir: str) -> pd.DataFrame:
                 rows["obj"].append(t.obj)
         return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
 
-    pred = webnlg_dataset().map_batches(extract, batch_format="pyarrow")
-    return pd.DataFrame([evaluate_datasets(pred, webnlg_gold_dataset())])
+    pred = webnlg_dataset().map_batches(extract, batch_format="pyarrow").materialize()
+    gold = webnlg_gold_dataset().materialize()
+    _side_write("eval_webnlg", "pred.parquet",
+                pred.to_pandas().sort_values(["case_id", "subj", "pred", "obj"]))
+    _side_write("eval_webnlg", "gold.parquet",
+                gold.to_pandas().sort_values(["case_id", "subj", "pred", "obj"]))
+    return _metrics_df(evaluate_datasets(pred, gold))
 
 
 def _eval_docred(sf_dir: str) -> pd.DataFrame:
@@ -721,8 +908,13 @@ def _eval_docred(sf_dir: str) -> pd.DataFrame:
                 rows["obj"].append(t.obj)
         return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
 
-    pred = docred_dataset().map_batches(extract, batch_format="pyarrow")
-    return pd.DataFrame([evaluate_datasets(pred, docred_gold_dataset())])
+    pred = docred_dataset().map_batches(extract, batch_format="pyarrow").materialize()
+    gold = docred_gold_dataset().materialize()
+    _side_write("eval_docred", "pred.parquet",
+                pred.to_pandas().sort_values(["case_id", "subj", "pred", "obj"]))
+    _side_write("eval_docred", "gold.parquet",
+                gold.to_pandas().sort_values(["case_id", "subj", "pred", "obj"]))
+    return _metrics_df(evaluate_datasets(pred, gold))
 
 
 # ---------------------------------------------------------------- contract
@@ -802,6 +994,165 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _kg_fixture_sql() -> str:
+    """DuckDB replay of the validate -> global-(s,p,o)-dedup pipeline tail
+    over the pre-validate linked-triples side table (stages/kg_stages.py::
+    validate_triples confidence arithmetic in the same IEEE operation
+    order, then stages/canonicalize.py::dedup_triples's min-provenance
+    representative via the same lexicographic field order)."""
+    from text_to_rdf_ray.kernels.validation import DATE_PREDICATES, _NAME_REQUIRED_TYPES
+
+    req = ",".join(f"'{t}'" for t in sorted(_NAME_REQUIRED_TYPES))
+    dates = ",".join(f"'{p}'" for p in sorted(DATE_PREDICATES))
+    src = os.path.join(_SIDE, "kg_triples_fixture", "linked.parquet")
+    return f"""
+      WITH src AS (SELECT * FROM read_parquet('{src}')),
+      v AS (
+        SELECT *,
+          (subj = '' AND subj_type IN ({req})) AS subj_missing,
+          (obj_type IN ({req}) AND obj = '') AS obj_missing,
+          (obj_type = '') AS is_lit,
+          (pred_key IN ({dates})) AS date_pred,
+          (length(obj) = 10 AND substring(obj, 5, 1) = '-'
+           AND substring(obj, 8, 1) = '-') AS date_ok
+        FROM src),
+      v2 AS (SELECT *, (is_lit AND date_pred AND NOT date_ok) AS bad_date FROM v),
+      v3 AS (
+        SELECT *,
+          (is_lit AND obj LIKE 'http%' AND NOT contains(obj, '://')
+           AND NOT bad_date) AS bad_uri
+        FROM v2),
+      v4 AS (
+        SELECT *,
+          greatest(0.0, least(1.0,
+            1.0 - 0.2 * (CASE WHEN subj_missing THEN 1.0 ELSE 0.0 END)
+                - 0.2 * (CASE WHEN obj_missing THEN 1.0 ELSE 0.0 END)
+                - 0.05 * (CASE WHEN bad_date THEN 1.0 ELSE 0.0 END)
+                - 0.1 * (CASE WHEN bad_uri THEN 1.0 ELSE 0.0 END))) AS conf_new
+        FROM v3),
+      v5 AS (
+        SELECT *,
+          (conf_new >= 0.7 AND NOT (subj_missing OR obj_missing)) AS valid_new
+        FROM v4),
+      ded AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY subj, pred, obj
+          ORDER BY url, chunk_id, span_start, span_end, method, nested_in,
+                   subj_type, obj_type) AS rn
+        FROM v5)
+      SELECT url, subj, subj_slug, pred, obj, subj_type, obj_type, subj_uri,
+             round(conf_new, 6) AS confidence, valid_new AS valid
+      FROM ded WHERE rn = 1
+      ORDER BY subj, pred, obj, url
+    """
+
+
+def _jsonld_flatten_ctes(query: str, id_expr: str) -> str:
+    """Shared CTE block: JSON-LD docs side table -> per-node (id, rawname,
+    key, value) entry rows + the (key -> stemmed predicate) map.  ``id_expr``
+    is the quoted id column of doc.parquet ('"case"' or 'url')."""
+    doc = os.path.join(_SIDE, query, "doc.parquet")
+    pm = os.path.join(_SIDE, query, "predmap.parquet")
+    return f"""
+      docs AS (SELECT {id_expr} AS id, * FROM read_parquet('{doc}')),
+      pm AS (SELECT key, pred FROM read_parquet('{pm}')),
+      nodes AS (
+        SELECT id, unnest(CAST(json_extract(jsonld::JSON, '$."@graph"') AS JSON[])) AS node
+        FROM docs WHERE json_type(jsonld::JSON, '$."@graph"') = 'ARRAY'
+        UNION ALL
+        SELECT id, jsonld::JSON AS node
+        FROM docs WHERE json_type(jsonld::JSON, '$."@graph"') IS NULL
+      ),
+      keyed AS (
+        SELECT id, node,
+               coalesce(json_extract_string(node, '$.name'), 'unknown') AS rawname,
+               unnest(json_keys(node)) AS k
+        FROM nodes
+      ),
+      entries AS (
+        SELECT id, rawname, k, json_extract(node, '$."' || k || '"') AS v
+        FROM keyed
+        WHERE k NOT LIKE '@%' AND k <> 'name'
+      ),
+      web AS (
+        SELECT DISTINCT id, rawname AS subject, pm.pred,
+               CASE WHEN json_type(v) = 'VARCHAR' THEN json_extract_string(v, '$')
+                    ELSE json_extract_string(v, '$.name') END AS obj
+        FROM entries JOIN pm ON pm.key = entries.k
+        WHERE json_type(v) = 'VARCHAR'
+           OR (json_type(v) = 'OBJECT' AND json_type(v, '$.name') = 'VARCHAR')
+      )"""
+
+
+def _kg_jsonld_render_sql() -> str:
+    """n_webnlg / n_docred re-derived by flattening the JSON-LD side table
+    in SQL (jsonld passthrough; the counts are the oracle's subject)."""
+    docred_ctes = """
+      dr1 AS (
+        SELECT id, replace(lower(rawname), ' ', '_') AS subject, pm.pred,
+               json_extract_string(v, '$') AS obj
+        FROM entries JOIN pm ON pm.key = entries.k
+        WHERE json_type(v) = 'VARCHAR'),
+      dr2 AS (
+        SELECT id, replace(lower(rawname), ' ', '_') AS subject, pm.pred,
+               json_extract_string(v, '$.name') AS obj
+        FROM entries JOIN pm ON pm.key = entries.k
+        WHERE json_type(v) = 'OBJECT' AND json_type(v, '$.name') = 'VARCHAR'),
+      drn AS (
+        SELECT id, rawname, v, unnest(json_keys(v)) AS nk
+        FROM entries WHERE json_type(v) = 'OBJECT'),
+      dr3 AS (
+        SELECT id, replace(lower(rawname), ' ', '_') AS subject, pm.pred,
+               json_extract_string(v, '$."' || nk || '"') AS obj
+        FROM drn JOIN pm ON pm.key = drn.nk
+        WHERE nk NOT LIKE '@%' AND nk <> 'name'
+          AND json_type(v, '$."' || nk || '"') = 'VARCHAR'),
+      itm AS (
+        SELECT id, rawname, k, unnest(CAST(v AS JSON[])) AS item
+        FROM entries WHERE json_type(v) = 'ARRAY'),
+      dr4 AS (
+        SELECT id, replace(lower(rawname), ' ', '_') AS subject, pm.pred,
+               CASE WHEN json_type(item) = 'VARCHAR' THEN json_extract_string(item, '$')
+                    ELSE json_extract_string(item, '$.name') END AS obj
+        FROM itm JOIN pm ON pm.key = itm.k
+        WHERE json_type(item) = 'VARCHAR'
+           OR (json_type(item) = 'OBJECT' AND json_type(item, '$.name') = 'VARCHAR')),
+      dred AS (
+        SELECT DISTINCT id, subject, pred, obj FROM (
+          SELECT * FROM dr1 UNION ALL SELECT * FROM dr2
+          UNION ALL SELECT * FROM dr3 UNION ALL SELECT * FROM dr4)),
+      wcount AS (SELECT id, count(*) AS n FROM web GROUP BY id),
+      dcount AS (SELECT id, count(*) AS n FROM dred GROUP BY id)"""
+    return f"""
+      WITH {_jsonld_flatten_ctes("kg_jsonld_render", '"case"')},
+      {docred_ctes}
+      SELECT d.id AS "case", d.jsonld,
+             CAST(coalesce(w.n, 0) AS BIGINT) AS n_webnlg,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_docred
+      FROM docs d
+      LEFT JOIN wcount w ON w.id = d.id
+      LEFT JOIN dcount c ON c.id = d.id
+      ORDER BY "case"
+    """
+
+
+def _kg_llm_mode_sql() -> str:
+    """The LLM-mode pipeline's WebNLG flatten re-derived in SQL from the
+    per-url JSON-LD side table (instructor-loop output documents)."""
+    return f"""
+      WITH {_jsonld_flatten_ctes("kg_llm_mode", "url")}
+      SELECT w.id AS url, w.subject AS subj, w.pred, w.obj,
+             CAST(d.attempts AS INTEGER) AS attempts, d.ok
+      FROM web w JOIN docs d ON d.id = w.id
+      WHERE d.ok
+      UNION ALL
+      SELECT id AS url, '' AS subj, '' AS pred, '' AS obj,
+             CAST(attempts AS INTEGER) AS attempts, ok
+      FROM docs WHERE NOT ok
+      ORDER BY url, subj, pred, obj
+    """
+
+
 def _stopword_sql_list() -> str:
     from text_to_rdf_ray.kernels.textstats import STOPWORDS_EN
 
@@ -810,6 +1161,15 @@ def _stopword_sql_list() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # KG core: set-intersection P/R/F1 over pred/gold side tables the
+        # query dumps before returning (integration_tests.rs:34-67 replay)
+        "kg_gold_eval": _eval_macro_sql("kg_gold_eval", cases_file=True,
+                                        micro=False),
+        "eval_webnlg": _eval_macro_sql("eval_webnlg"),
+        "eval_docred": _eval_macro_sql("eval_docred"),
+        "kg_triples_fixture": _kg_fixture_sql(),
+        "kg_jsonld_render": _kg_jsonld_render_sql(),
+        "kg_llm_mode": _kg_llm_mode_sql(),
         "doc_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -80,9 +80,14 @@ def evaluate_datasets(
     return summary
 
 
-def evaluate_fixture_corpus() -> dict:
+def evaluate_fixture_corpus(return_sets: bool = False):
     """P/R/F1 of the deterministic pipeline against the reference corpus
-    (WebNLG test_cases.json + DocRED samples) — driver-side sets (tiny)."""
+    (WebNLG test_cases.json + DocRED samples) — driver-side sets (tiny).
+
+    ``return_sets=True`` additionally returns the per-case predicted and
+    gold triple sets as ``(case_id, subj, pred, obj)`` row lists plus the
+    full case-id list — the side tables the DuckDB oracle replays the
+    set-intersection metrics over."""
     import json
 
     from ..kernels.extractor import extract_document
@@ -97,6 +102,16 @@ def evaluate_fixture_corpus() -> dict:
         "P576": "dissolutionDate", "P37": "language", "P159": "location",
     }
     per_case = []
+    pred_rows: list[tuple] = []
+    gold_rows: list[tuple] = []
+    case_ids: list[str] = []
+
+    def record(case_id: str, pred: set, gold: set) -> None:
+        case_ids.append(case_id)
+        pred_rows.extend((case_id, s, p, o) for s, p, o in sorted(pred))
+        gold_rows.extend((case_id, s, p, o) for s, p, o in sorted(gold))
+        per_case.append(evaluate(pred, gold))
+
     with open("/root/reference/tests/fixtures/test_cases.json") as f:
         for case in json.load(f):
             ex = extract_document(case["raw_text"])
@@ -105,7 +120,7 @@ def evaluate_fixture_corpus() -> dict:
                 (t["subject"], t["predicate"], t["object"])
                 for t in case["expected_triples"]
             }
-            per_case.append(evaluate(pred, gold))
+            record(f"webnlg:{case['id']}", pred, gold)
     with open("/root/reference/tests/fixtures/docred_sample.json") as f:
         for doc in json.load(f):
             text = "\n\n".join(" ".join(s) for s in doc["sents"])
@@ -119,5 +134,8 @@ def evaluate_fixture_corpus() -> dict:
                 gold.add((subj, normalize_predicate(sp), obj))
             ex = extract_document(text)
             pred = {(t.subj_lower, t.pred, t.obj) for t in ex.triples}
-            per_case.append(evaluate(pred, gold))
-    return macro_average(per_case)
+            record(f"docred:{doc['id']}", pred, gold)
+    summary = macro_average(per_case)
+    if return_sets:
+        return summary, pred_rows, gold_rows, case_ids
+    return summary
