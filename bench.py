@@ -180,6 +180,12 @@ def run_bench() -> dict:
         extras = run_canon_bench()
         queries["canonicalize_distributed_120k"] = extras.pop("canon_sec")
 
+        # no-silent-caps: LSH bucket counters (oversized processed volume,
+        # capped-skip volume, candidate counts) from the whole run
+        from text_to_rdf_ray.state import counters as op_counters
+
+        extras["op_counters"] = op_counters.snapshot()
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": round(headline, 3),

@@ -95,6 +95,82 @@ def test_embedding_neardup_pairs():
     assert (0, 1) in got and (0, 2) not in got
 
 
+def test_inband_oversized_buckets_processed_not_skipped():
+    """The round-2 scale cliff: fixed-width band keys saturate as the
+    corpus grows, and the old `> max_bucket -> skip` guard silently
+    collapsed recall.  With the vectorized in-band verify, buckets larger
+    than max_bucket are PROCESSED (chunked) and counted — every true pair
+    must still surface, and the oversized volume must be observable."""
+    from text_to_rdf_ray.stages.dedup import simhash_pairs
+    from text_to_rdf_ray.state import counters
+
+    # 12 docs off one long template: all share (at least) one band bucket,
+    # which overflows max_bucket=2; consecutive variants are hamming-close
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while birds sing " * 8).strip()
+    texts = [base + " x" * i for i in range(12)]
+    counters.snapshot(reset=True)
+    pairs = simhash_pairs(_docs_ds(texts), max_hamming=3, max_bucket=2).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # reference answer: exact all-pairs hamming
+    from text_to_rdf_ray.kernels.minhash import hamming64, simhash64
+
+    hs = [simhash64(t) for t in texts]
+    want = {
+        (i, j)
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if hamming64(hs[i], hs[j]) <= 3
+    }
+    assert want, "fixture must contain true near-dup pairs"
+    assert got == want  # pigeonhole recall survives bucket overflow
+    snap = counters.snapshot(reset=True)
+    assert snap.get("simhash_oversized_buckets", 0) > 0
+    assert snap.get("simhash_skipped_buckets", 0) == 0
+
+
+def test_embedding_oversized_buckets_processed_not_skipped():
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import embedding_neardup_pairs
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8).astype(np.float32)
+    rows = []
+    n = 16
+    for i in range(n):
+        v = base + 0.001 * rng.randn(8).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    counters.snapshot(reset=True)
+    pairs = embedding_neardup_pairs(
+        rd.from_items(rows), threshold=0.999, dim=8, max_bucket=4
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # all vectors are near-identical: every pair must be found even though
+    # they all land in ONE bucket that overflows max_bucket=4
+    assert got == {(i, j) for i in range(n) for j in range(i + 1, n)}
+    snap = counters.snapshot(reset=True)
+    assert snap.get("emblsh_oversized_buckets", 0) > 0
+    assert snap.get("emblsh_skipped_buckets", 0) == 0
+
+
+def test_capped_bucket_skips_are_counted():
+    """When a caller DOES cap bucket size on the generic (non-vectorized)
+    path, the dropped volume must be surfaced via counters — the
+    no-silent-caps rule."""
+    from text_to_rdf_ray.stages.dedup import ngram_jaccard_pairs
+    from text_to_rdf_ray.state import counters
+
+    base = "abcdefghij klmnopqrst uvwxyz"
+    texts = [base + f" {i}" for i in range(12)]
+    counters.snapshot(reset=True)
+    ngram_jaccard_pairs(_docs_ds(texts), threshold=0.9, max_bucket=2).to_pandas()
+    snap = counters.snapshot(reset=True)
+    assert snap.get("ngram_skipped_buckets", 0) > 0
+    assert snap.get("ngram_skipped_rows", 0) > 0
+
+
 def test_lsh_band_exchange_is_payload_free():
     """The band-bucket exchange must carry only (shard, band, hash, id) —
     never the document text (the 16-32x shuffle-amplification guard)."""

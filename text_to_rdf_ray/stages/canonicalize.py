@@ -338,6 +338,10 @@ def canonicalize_surfaces(
         bands_feat_batch_fn=_minhash_bands_feat_batch(
             lambda s: char_shingles(_norm(s)), num_perm, bands
         ),
+        # head-surface skew guard stays (identical surfaces still unify via
+        # their unskewed bands; see module docstring) — but the dropped
+        # volume is now visible via canon_skipped_* counters
+        counter_prefix="canon",
     )
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),

@@ -91,21 +91,27 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-#: Above this many candidate pairs the verify stage switches from the
-#: broadcast path (ray.put id set + feature dict) to hash-partitioned joins.
+#: Above this many DISTINCT candidate ids the verify stage switches from
+#: the broadcast path (ray.put id set + feature dict) to hash-partitioned
+#: joins.  The decision keys on ids (feature-dict volume), not pairs: pair
+#: verification streams through map_batches either way.
 BROADCAST_CANDIDATES_THRESHOLD = 200_000
 
 
-def _minhash_bands_feat_batch(shingle_fn, num_perm: int, bands: int):
+def _minhash_bands_feat_batch(shingle_fn, num_perm: int, bands: int,
+                              sketch_perms: int | None = None):
     """Batch bands+sketch: one vectorized minhash pass per input batch
-    (kernels.minhash.minhash_signatures) instead of a per-doc signature."""
+    (kernels.minhash.minhash_signatures) instead of a per-doc signature.
+    ``sketch_perms`` caps the b-bit sketch width (keeps the in-band
+    feature at 64 bytes even when extra permutations widen the bands)."""
     from ..kernels.minhash import band_keys, minhash_signatures
 
     def batch_fn(payloads):
         sets = [shingle_fn(p) for p in payloads]
         sigs = minhash_signatures(sets, num_perm=num_perm)
         return [
-            (list(enumerate(band_keys(sig, bands))), _bbit_sketch(sig))
+            (list(enumerate(band_keys(sig, bands))),
+             _bbit_sketch(sig if sketch_perms is None else sig[:sketch_perms]))
             for sig in sigs
         ]
 
@@ -172,11 +178,12 @@ def _pairs_from_buckets(
     verify_fn,
     id_col: str,
     payload_col: str,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
     prepare_fn=None,
     broadcast_threshold: int = BROADCAST_CANDIDATES_THRESHOLD,
     prune_est: float | None = None,
     bands_feat_batch_fn=None,
+    counter_prefix: str = "lsh",
 ) -> rd.Dataset:
     """Generic LSH pipeline in three stages:
 
@@ -185,9 +192,12 @@ def _pairs_from_buckets(
        optional bounded sketch), never the payload.  With 16-32 bands,
        shuffling payloads here would amplify the corpus's text bytes
        16-32x — the #1 scale killer at 100 TB.
-    2. groupby(shard) -> candidate (id_a, id_b) pairs (bucket-size skew
-       guard: buckets > ``max_bucket`` are skipped), globally deduped
-       (a pair can collide in several bands -> different shards).  When
+    2. groupby(shard) -> candidate (id_a, id_b) pairs, globally deduped
+       (a pair can collide in several bands -> different shards).  With
+       ``max_bucket=None`` (the exact-recall default) every bucket is
+       processed, chunked; a caller-set cap skips oversized buckets but
+       surfaces the dropped volume via ``<prefix>_skipped_*`` counters
+       (state/counters) — never silently.  When
        ``prune_est`` is set and band rows carry a b-bit minhash sketch
        (uint8[num_perm], Li & König b-bit minwise hashing), candidates are
        pruned in-bucket by the VECTORIZED estimated Jaccard
@@ -198,11 +208,13 @@ def _pairs_from_buckets(
     3. verify: ``prepare_fn(payload)`` features are computed ONLY for
        candidate ids via a streaming filter pass over the corpus (no
        shuffle), then ``verify_fn(f1, f2)`` scores each unique pair once.
-       Candidates are a vanishing fraction of the corpus, so the feature
-       set is broadcast (ray.put) and pairs verify in map_batches; above
-       ``broadcast_threshold`` pairs, the same semantics run as
-       hash-partitioned joins (candidate-proportional, still no full-corpus
-       shuffle of payload bytes per band).
+       Candidate IDS are a vanishing fraction of the corpus, so the
+       feature set is broadcast (ray.put) and pairs verify streaming in
+       map_batches (dict lookups, no per-pair pickling — robust to
+       candidate-PAIR blowups on templated corpora); above
+       ``broadcast_threshold`` distinct candidate ids, the same semantics
+       run as hash-partitioned joins (candidate-proportional, still no
+       full-corpus shuffle of payload bytes per band).
     """
     import pickle
 
@@ -219,13 +231,29 @@ def _pairs_from_buckets(
         and pairwise sketch agreement is one broadcast comparison — the
         per-bucket numpy dispatch overhead would otherwise dominate when
         buckets number in the hundreds of thousands."""
+        from ..state.counters import incr
+
         use_prune = prune_est is not None and "feat" in group.columns
         df = group.drop_duplicates(["band_id", "band_hash", id_col]).sort_values(
             ["band_id", "band_hash", id_col]
         )
         sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
-        df = df[(sizes >= 2) & (sizes <= max_bucket)]
+        if max_bucket is None:
+            df = df[sizes >= 2]
+        else:
+            skipped = df[sizes > max_bucket]
+            if len(skipped):
+                # explicit skew cap: dropped volume is COUNTED, never silent
+                sk_sizes = skipped.groupby(["band_id", "band_hash"])[id_col].size()
+                incr({
+                    f"{counter_prefix}_skipped_buckets": int(len(sk_sizes)),
+                    f"{counter_prefix}_skipped_rows": int(sk_sizes.sum()),
+                })
+            df = df[(sizes >= 2) & (sizes <= max_bucket)]
         sizes = sizes[df.index]
+        giant_rows = int((sizes > 512).sum())
+        if giant_rows:
+            incr({f"{counter_prefix}_giant_bucket_rows": giant_rows})
         if not len(df):
             return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                                  "id_b": np.array([], dtype=np.int64)})
@@ -283,6 +311,7 @@ def _pairs_from_buckets(
             pk = np.stack([a, b], axis=1)
             pk = np.unique(pk, axis=0)
             a, b = pk[:, 0], pk[:, 1]
+        incr({f"{counter_prefix}_candidates": len(a)})
         return pd.DataFrame(
             {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
         )
@@ -337,9 +366,44 @@ def _pairs_from_buckets(
         return pa.table({id_col: pa.array(out_i, pa.int64()),
                          "feat": pa.array(out_f, pa.binary())})
 
-    if n_cands <= broadcast_threshold:
+    # distinct candidate ids: for small pair sets the driver dedups them
+    # directly (saves an exchange); above that, computed DISTRIBUTED (never
+    # take_all millions of pairs — templated corpora produce millions of
+    # candidate pairs over only thousands of distinct ids)
+    from .canonicalize import _solid
+
+    need_ids = None
+    if n_cands <= 100_000:
         pair_rows = cands.take_all()
-        need = {int(r["id_a"]) for r in pair_rows} | {int(r["id_b"]) for r in pair_rows}
+        need_set = {int(r["id_a"]) for r in pair_rows} | {
+            int(r["id_b"]) for r in pair_rows
+        }
+        n_ids = len(need_set)
+    else:
+        def ids_table(col: str) -> rd.Dataset:
+            return cands.map_batches(
+                lambda t, c=col: pa.table({id_col: t.column(c)}),
+                batch_format="pyarrow",
+            )
+
+        need_ids = _solid(
+            ids_table("id_a").union(ids_table("id_b")).groupby(id_col).count()
+            .map_batches(
+                lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64())}),
+                batch_format="pyarrow")
+        )
+        n_ids = need_ids.count()
+
+    # The broadcast-vs-join decision keys on the DISTINCT-ID count (feature
+    # volume), not the pair count: pairs verify streaming through
+    # map_batches either way, so a candidate blowup (millions of pairs over
+    # a few thousand ids — templated web text) stays on the cheap broadcast
+    # path with one dict lookup + verify per pair and zero per-pair
+    # (un)pickling.  The hash-join path remains for candidate ID sets too
+    # large to broadcast.
+    if n_ids <= broadcast_threshold:
+        need = (need_set if need_ids is None
+                else {int(r[id_col]) for r in need_ids.take_all()})
         need_ref = ray.put(need)
         cache: dict = {}
 
@@ -380,19 +444,9 @@ def _pairs_from_buckets(
     # featurize only candidate rows, then attach features to both pair
     # sides via hash-partitioned joins.  Shuffle volume is proportional to
     # the candidate set, not bands x corpus.
-    from .canonicalize import _solid
-
-    def ids_table(col: str) -> rd.Dataset:
-        return cands.map_batches(
-            lambda t, c=col: pa.table({id_col: t.column(c)}),
-            batch_format="pyarrow",
-        )
-
-    need_ids = _solid(
-        ids_table("id_a").union(ids_table("id_b")).groupby(id_col).count()
-        .map_batches(lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64())}),
-                     batch_format="pyarrow")
-    )
+    if need_ids is None:  # small-pairs shortcut skipped the distributed distinct
+        need_ids = _solid(rd.from_arrow(pa.table(
+            {id_col: pa.array(sorted(need_set), pa.int64())})))
     feats_ds = _solid(
         _solid(ds).join(need_ids, join_type="inner", num_partitions=16, on=(id_col,))
         .map_batches(lambda b: featurize(b, None), batch_format="pyarrow")
@@ -445,6 +499,8 @@ def _pairs_inband(
     id_col: str,
     payload_col: str,
     max_bucket: int = 256,
+    verify_vec=None,
+    counter_prefix: str = "lsh_inband",
 ) -> rd.Dataset:
     """LSH pairs verified ENTIRELY from the in-band compact feature.
 
@@ -452,33 +508,84 @@ def _pairs_inband(
     feature (simhash: the 8-byte hash; embedding cosine: the normalized
     vector), band rows carry the feature and buckets verify locally — one
     exchange, no payload anywhere, no second corpus pass.
-    ``verify_fn(feat_bytes_1, feat_bytes_2) -> score | None``."""
+
+    ``verify_vec(feats: list[bytes]) -> (i_idx, j_idx, scores)`` is the
+    VECTORIZED all-pairs bucket verifier (upper triangle, i < j positions
+    into the bucket).  When provided, NO bucket is ever skipped: oversized
+    buckets (> max_bucket) run through the same vectorized verify in
+    row-chunks, so recall cannot silently collapse when fixed-width band
+    keys saturate at scale (the round-2 cliff: 16-bit simhash bands /
+    12-plane embedding buckets all overflow at ~1e8 rows and the old skip
+    dropped every pair while looking healthy).  Oversized work is counted
+    (``<prefix>_oversized_buckets`` / ``_oversized_rows`` via
+    state/counters) so quadratic hot-bucket cost is visible in the bench.
+
+    ``verify_fn(feat_bytes_1, feat_bytes_2) -> score | None`` is the
+    scalar fallback; WITHOUT a vectorized form, buckets over ``max_bucket``
+    are still skipped — but now counted (``_skipped_buckets`` /
+    ``_skipped_pairs``), never silent."""
     from ray.data.aggregate import Min
 
+    from ..state.counters import incr
+
     def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        a, b, sc = [], [], []
-        pair_seen: set = set()
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        s_out: list[np.ndarray] = []
+        oversized_buckets = oversized_rows = 0
+        skipped_buckets = skipped_pairs = 0
         for _, g in group.groupby(["band_id", "band_hash"], sort=True):
             g = g.drop_duplicates(id_col).sort_values(id_col)
             n = len(g)
-            if n < 2 or n > max_bucket:
+            if n < 2:
                 continue
+            if n > max_bucket:
+                oversized_buckets += 1
+                oversized_rows += n
+                if verify_vec is None:
+                    skipped_buckets += 1
+                    skipped_pairs += n * (n - 1) // 2
+                    continue
             ids = g[id_col].to_numpy()
             feats = g["feat"].tolist()
-            for i in range(n):
-                for j in range(i + 1, n):
-                    key = (ids[i], ids[j])
-                    if key in pair_seen:
-                        continue
-                    pair_seen.add(key)
-                    score = verify_fn(feats[i], feats[j])
-                    if score is not None:
-                        a.append(ids[i])
-                        b.append(ids[j])
-                        sc.append(float(score))
+            if verify_vec is not None:
+                ii, jj, sc = verify_vec(feats)
+                a_out.append(ids[ii])
+                b_out.append(ids[jj])
+                s_out.append(np.asarray(sc, dtype=np.float64))
+            else:
+                a, b, s = [], [], []
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        score = verify_fn(feats[i], feats[j])
+                        if score is not None:
+                            a.append(ids[i])
+                            b.append(ids[j])
+                            s.append(float(score))
+                a_out.append(np.array(a, dtype=np.int64))
+                b_out.append(np.array(b, dtype=np.int64))
+                s_out.append(np.array(s, dtype=np.float64))
+        incr({
+            f"{counter_prefix}_oversized_buckets": oversized_buckets,
+            f"{counter_prefix}_oversized_rows": oversized_rows,
+            f"{counter_prefix}_skipped_buckets": skipped_buckets,
+            f"{counter_prefix}_skipped_pairs": skipped_pairs,
+        })
+        if not a_out:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float64)}
+            )
+        a = np.concatenate(a_out).astype(np.int64)
+        b = np.concatenate(b_out).astype(np.int64)
+        s = np.concatenate(s_out)
+        # within-shard pair dedup (same pair can recur across buckets;
+        # scores are deterministic per pair, so keeping the first is exact)
+        pk = np.stack([a, b], axis=1)
+        _, first = np.unique(pk, axis=0, return_index=True)
         return pd.DataFrame(
-            {"id_a": np.array(a, dtype=np.int64), "id_b": np.array(b, dtype=np.int64),
-             "score": np.array(sc, dtype=np.float64)}
+            {"id_a": a[first], "id_b": b[first], "score": s[first]}
         )
 
     def norm_pairs(t: pa.Table) -> pa.Table:
@@ -521,8 +628,10 @@ def minhash_lsh_pairs(
 
     return _pairs_from_buckets(
         ds.select_columns([id_col, text_col]), None, verify, id_col, text_col,
+        max_bucket=None,
         prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
         bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands),
+        counter_prefix="minhash",
     )
 
 
@@ -601,18 +710,28 @@ def minhash_dedup(
     )
 
 
+#: 8-bit popcount lookup table (vectorized Hamming over uint8 views;
+#: numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def simhash_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Banding into 4 x 16-bit keys guarantees any pair within Hamming 3
     shares at least one band (pigeonhole).  Verification needs only the
-    8-byte hash itself, carried in-band — one exchange, no payload."""
+    8-byte hash itself, carried in-band — one exchange, no payload.
+    Buckets verify with a VECTORIZED chunked XOR+popcount, so oversized
+    buckets (16-bit keys saturate at ~1e8 docs) are processed, not
+    skipped — the pigeonhole recall guarantee holds at any corpus size;
+    hot-bucket cost is surfaced via the ``simhash_*`` counters."""
 
     def bands_feat(text: str):
         h = simhash64(text)
@@ -623,8 +742,27 @@ def simhash_pairs(
         d = hamming64(int.from_bytes(f1, "little"), int.from_bytes(f2, "little"))
         return float(d) if d <= max_hamming else None
 
+    def verify_vec(feats: list):
+        h = np.frombuffer(b"".join(feats), dtype=np.uint64)
+        k = len(h)
+        ii, jj, sc = [], [], []
+        chunk = max(1, (1 << 23) // max(1, k))
+        for r0 in range(0, k, chunk):
+            r1 = min(k, r0 + chunk)
+            x = h[r0:r1, None] ^ h[None, :]
+            d = _POP8[x.view(np.uint8).reshape(r1 - r0, k, 8)].sum(
+                axis=2, dtype=np.uint16
+            )
+            xs, ys = np.nonzero(d <= max_hamming)
+            keep = (xs + r0) < ys
+            ii.append(xs[keep] + r0)
+            jj.append(ys[keep])
+            sc.append(d[xs[keep], ys[keep]].astype(np.float64))
+        return (np.concatenate(ii), np.concatenate(jj), np.concatenate(sc))
+
     return _pairs_inband(
-        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col
+        ds.select_columns([id_col, text_col]), bands_feat, verify, id_col, text_col,
+        max_bucket=max_bucket, verify_vec=verify_vec, counter_prefix="simhash",
     )
 
 
@@ -635,22 +773,26 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 32,
     est_margin: float = 0.15,
-    max_bucket: int = 4096,
+    max_bucket: int | None = None,
 ) -> rd.Dataset:
     """Character n-gram Jaccard >= threshold pairs (LSH-blocked; 32 bands
-    of 2 rows keep recall high at 0.8 similarity).
+    of 4 rows: recall at j=0.8 is 1-(1-0.8^4)^32 ~ 1-5e-8).
 
-    2-row bands are weak filters on corpora whose BASELINE char-trigram
-    similarity is high (templated web text: ~0.45 between random docs), so
-    in-bucket candidates are pruned by the b-bit sketch estimate
-    (>= threshold - est_margin) before exact shingle verification.  The
-    same weakness makes buckets LARGE on templated text (thousands of
-    docs share a 2-row band hash) — with the vectorized sketch prune such
-    buckets are cheap, so the skew guard defaults high (4096); buckets
-    above it are skipped and may lose pairs (hot-boilerplate guard)."""
+    Templated web text has HIGH baseline char-trigram similarity (~0.45
+    between random docs), which makes narrow bands collide massively:
+    round 2's 2-row bands produced multi-thousand-doc buckets whose O(k^2)
+    sketch verify dominated the bench (38.8s) and whose size cap silently
+    dropped a true pair.  4-row bands cut the random-pair band-collision
+    probability from 0.45^2 ~ 0.20 to 0.45^4 ~ 0.04, shrinking buckets
+    superlinearly, while the extra permutations keep near-threshold recall
+    effectively exact.  Surviving candidates are still pruned in-bucket by
+    the 64-byte b-bit sketch estimate (>= threshold - est_margin) before
+    exact shingle verification.  No size cap by default: oversized buckets
+    are processed chunked, and callers that set ``max_bucket`` get the
+    dropped volume surfaced via the ``ngram_skipped_*`` counters."""
 
     def prepare(text: str):
         return char_shingles(text, n)
@@ -663,7 +805,9 @@ def ngram_jaccard_pairs(
         ds.select_columns([id_col, text_col]), None, verify, id_col, text_col,
         max_bucket=max_bucket,
         prepare_fn=prepare, prune_est=max(0.0, threshold - est_margin),
-        bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands),
+        bands_feat_batch_fn=_minhash_bands_feat_batch(prepare, num_perm, bands,
+                                                      sketch_perms=64),
+        counter_prefix="ngram",
     )
 
 
@@ -676,12 +820,20 @@ def embedding_neardup_pairs(
     planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """Cosine >= threshold pairs via random-hyperplane LSH buckets.
 
     Deterministic hyperplanes (seeded); two sign-bands of ``planes`` bits
     each; exact cosine verification inside buckets from the in-band
-    normalized vector (4*dim bytes — bounded, no payload exchange)."""
+    normalized vector (4*dim bytes — bounded, no payload exchange).
+    In-bucket verification is a vectorized (chunked) matmul over the unit
+    vectors, so buckets larger than the skew guard are processed rather
+    than skipped (the fixed 2^planes key space saturates linearly with
+    corpus size; at 1e8 rows every bucket would have overflowed the old
+    skip).  Scale the key width with corpus size via ``planes`` (buckets
+    per band = 2^planes); oversized-bucket volume is visible through the
+    ``emblsh_*`` counters."""
     sample = ds.take(1)
     d = dim or len(sample[0][emb_col])
     rng = np.random.RandomState(seed)
@@ -697,11 +849,28 @@ def embedding_neardup_pairs(
         return [(0, k1), (1, k2)], unit.tobytes()
 
     def verify(f1: bytes, f2: bytes):
-        a = np.frombuffer(f1, dtype=np.float32)
-        b = np.frombuffer(f2, dtype=np.float32)
+        a = np.frombuffer(f1, dtype=np.float32).astype(np.float64)
+        b = np.frombuffer(f2, dtype=np.float32).astype(np.float64)
         c = float(a @ b)
         return c if c >= threshold else None
 
+    def verify_vec(feats: list):
+        V = np.frombuffer(b"".join(feats), dtype=np.float32).astype(np.float64)
+        k = len(feats)
+        V = V.reshape(k, -1)
+        ii, jj, sc = [], [], []
+        chunk = max(1, (1 << 22) // max(1, k))
+        for r0 in range(0, k, chunk):
+            r1 = min(k, r0 + chunk)
+            G = V[r0:r1] @ V.T
+            xs, ys = np.nonzero(G >= threshold)
+            keep = (xs + r0) < ys
+            ii.append(xs[keep] + r0)
+            jj.append(ys[keep])
+            sc.append(G[xs[keep], ys[keep]])
+        return (np.concatenate(ii), np.concatenate(jj), np.concatenate(sc))
+
     return _pairs_inband(
-        ds.select_columns([id_col, emb_col]), bands_feat, verify, id_col, emb_col
+        ds.select_columns([id_col, emb_col]), bands_feat, verify, id_col, emb_col,
+        max_bucket=max_bucket, verify_vec=verify_vec, counter_prefix="emblsh",
     )
