@@ -101,6 +101,69 @@ def run_canon_bench(n_entities: int = 40_000) -> dict:
     }
 
 
+def run_linkjoin_bench(n_kb: int = 20_000, n_surf: int = 4_000) -> dict:
+    """Shuffle-join linker with MinHash-band fuzzy blocking, at a KB size
+    where first-char blocking would score ~n_surf x n_kb/30 JW pairs; the
+    linkjoin_fuzzy_candidates counter shows the band-blocked volume is
+    candidate-proportional instead."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from text_to_rdf_ray.stages.kg_stages import link_entities_join
+    from text_to_rdf_ray.state import counters as op_counters
+
+    kb_names = _canon_surfaces(n_kb, variants=1)
+    kb = [
+        {"uri": f"https://kb.bench/e{i}", "label": nm, "aliases": [], "types": ["Thing"]}
+        for i, nm in enumerate(kb_names)
+    ]
+    surfs = []
+    for i in range(n_surf):
+        nm = kb_names[(i * 7919) % n_kb]
+        if i % 3 == 0:
+            surfs.append(nm)  # exact hit
+        elif i % 3 == 1:
+            surfs.append(nm[:-1] + ("x" if nm[-1] != "x" else "y"))  # fuzzy hit
+        else:
+            surfs.append(f"zq{i} unknown entity")  # no match
+    n = len(surfs)
+    triples = rd.from_arrow(pa.table({
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "subj": pa.array(surfs, pa.string()),
+        "subj_slug": pa.array([""] * n, pa.string()),
+        "subj_lower": pa.array([""] * n, pa.string()),
+        "pred": pa.array(["knows"] * n, pa.string()),
+        "pred_key": pa.array(["knows"] * n, pa.string()),
+        "obj": pa.array(["1990-01-01"] * n, pa.string()),
+        "subj_type": pa.array(["Person"] * n, pa.string()),
+        "obj_type": pa.array([""] * n, pa.string()),
+        "nested_in": pa.array([""] * n, pa.string()),
+        "chunk_id": pa.array([0] * n, pa.int32()),
+        "span_start": pa.array([0] * n, pa.int64()),
+        "span_end": pa.array([1] * n, pa.int64()),
+        "confidence": pa.array([1.0] * n, pa.float64()),
+        "method": pa.array(["bench"] * n, pa.string()),
+    })).repartition(16)
+    before = op_counters.snapshot().get("linkjoin_fuzzy_candidates", 0)
+    t0 = time.time()
+    out = link_entities_join(triples, kb).materialize()
+    wall = time.time() - t0
+    import pyarrow.compute as pc
+
+    linked = sum(
+        int(pc.sum(pc.cast(pc.is_valid(b.column("subj_uri")), pa.int64())).as_py() or 0)
+        for b in out.iter_batches(batch_format="pyarrow")
+    )
+    after = op_counters.snapshot().get("linkjoin_fuzzy_candidates", 0)
+    return {
+        "linkjoin_sec": round(wall, 2),
+        "linkjoin_kb": n_kb,
+        "linkjoin_surfaces": n_surf,
+        "linkjoin_linked": int(linked),
+        "linkjoin_fuzzy_candidates": after - before,
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -179,6 +242,10 @@ def run_bench() -> dict:
         # distributed canonicalization + connected-components path, forced
         extras = run_canon_bench()
         queries["canonicalize_distributed_120k"] = extras.pop("canon_sec")
+
+        # shuffle-join linker with band-blocked fuzzy matching
+        extras.update(run_linkjoin_bench())
+        queries["link_join_fuzzy_20k"] = extras.pop("linkjoin_sec")
 
         # no-silent-caps: LSH bucket counters (oversized processed volume,
         # capped-skip volume, candidate counts) from the whole run

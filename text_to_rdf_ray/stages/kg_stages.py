@@ -233,16 +233,24 @@ def link_entities_join(
 
       distinct surfaces (groupby — small vs triples)
         exact:  hash join on lowercased label              [conf 0.95]
-        fuzzy:  surfaces without an exact hit, blocked on the first
-                character (KBIndex.by_first parity), Jaro-Winkler scored
-                in map_batches, kept >= fuzzy_threshold
+        fuzzy:  surfaces without an exact hit, candidates generated by
+                MinHash band blocking (SURVEY.md J2): surfaces and KB
+                labels explode to payload-free (band_id, band_hash, id64)
+                rows; a hash join on the band key yields candidate
+                (surface, label) pairs — sub-linear in |KB| per surface,
+                unlike first-character blocks (~30 buckets, each ~|KB|/30).
+                Candidates are then filtered by the in-memory index's
+                EXACT blocking predicate (same first char + length window)
+                and Jaro-Winkler scored, kept >= fuzzy_threshold.
         top-1 per surface by (conf desc, uri asc)          [KBIndex.link]
       surface->uri map hash-joined back onto subj and entity-obj columns.
 
-    Output columns and values equal the broadcast paths exactly
-    (parity-tested); partitioning assumption: no single first-character
-    block of the KB is pathologically hot (same assumption as the
-    in-memory index's candidate generation).
+    Output columns and values equal the broadcast paths exactly on every
+    pair the band blocking surfaces (parity-tested).  Recall note: a
+    JW-similar pair whose character-shingle Jaccard is very low can be
+    missed by the bands (21 bands x 3 rows: >=99.8% at Jaccard 0.64, the
+    one-char-edit regime; real surface variants share most shingles);
+    the broadcast modes remain the exhaustive-within-block reference.
     """
     import ray.data as rd
 
@@ -350,14 +358,23 @@ def link_entities_join(
         )
 
     def fuzzy_score(batch: pa.Table) -> pa.Table:
+        from ..state.counters import incr
+
         surfs = batch.column("surface").to_pylist()
         lows = batch.column("low").to_pylist()
         labs = batch.column("kb_label").to_pylist()
         uris = batch.column("kb_uri").to_pylist()
+        # observable blocking volume: JW runs on exactly this many
+        # band-blocked candidates (vs |no_exact| x |KB|/~30 under
+        # first-char blocking)
+        incr({"linkjoin_fuzzy_candidates": len(surfs)})
         out_s, out_u, out_c = [], [], []
         for s, low, lab, uri in zip(surfs, lows, labs, uris):
             lab_low = lab.lower()
-            # KBIndex.candidates blocking parity (linker.py)
+            # KBIndex.candidates blocking parity (linker.py): same first
+            # char (by_first bucket membership) + length window
+            if lab_low[:1] != low[:1]:
+                continue
             if abs(len(lab_low) - len(low)) > max(3, int(0.6 * len(low))) and low not in lab_low:
                 continue
             sim = jaro_winkler(lab_low, low)
@@ -371,21 +388,145 @@ def link_entities_join(
              "conf": pa.array(out_c, pa.float64())}
         )
 
+    def _band_rows(src: "rd.Dataset", text_col: str, out_id: str,
+                   keep_cols: tuple = ()) -> "rd.Dataset":
+        """Explode lowercased strings to (band_id, band_hash, id64) rows —
+        the ONLY columns the blocking exchange moves (payload-free, the
+        dedup.py band-exchange pattern).  id64 = blake2b64(row key)."""
+        import hashlib as _hl
+
+        from ..kernels.minhash import band_keys, char_shingles, minhash_signatures
+
+        def explode(batch: pa.Table) -> pa.Table:
+            lows = batch.column(text_col).to_pylist()
+            extra = [batch.column(c).to_pylist() for c in keep_cols]
+            row_keys = [
+                "\x00".join([low, *[e[i] for e in extra]])
+                for i, low in enumerate(lows)
+            ]
+            # 21 bands x 3 rows: >=99.8% band recall at shingle-Jaccard
+            # 0.64 (a one-char edit on a short name) while filtering
+            # syllable-sharing non-matches ~4x harder than 2-row bands
+            sigs = minhash_signatures(
+                [char_shingles(low) for low in lows], num_perm=63
+            )
+            ob, oh, oi = [], [], []
+            for rk, sig in zip(row_keys, sigs):
+                rid = int.from_bytes(
+                    _hl.blake2b(rk.encode(), digest_size=8).digest(), "little"
+                ) >> 1
+                for bi, bh in enumerate(band_keys(sig, 21)):
+                    ob.append(bi)
+                    oh.append(bh)
+                    oi.append(rid)
+            return pa.table(
+                {
+                    "band_id": pa.array(ob, pa.int32()),
+                    "band_hash": pa.array(oh, pa.int64()),
+                    out_id: pa.array(oi, pa.int64()),
+                }
+            )
+
+        return _solid(src.map_batches(explode, batch_format="pyarrow"))
+
     if no_exact.count() == 0:
         # every surface had an exact hit: an empty left side would feed the
         # join schema-less blocks
         fuzzy = rd.from_arrow(_LINK_SCHEMA.empty_table())
     else:
+        # distinct label rows with a stable 64-bit id (the band join moves
+        # only ids; strings re-attach via hash joins on the tiny candidate
+        # set)
+        import hashlib as _hl
+
+        def label_ids(batch: pa.Table) -> pa.Table:
+            lows = batch.column("kb_low").to_pylist()
+            uris = batch.column("kb_uri").to_pylist()
+            ids = [
+                int.from_bytes(
+                    _hl.blake2b(f"{low}\x00{uri}".encode(), digest_size=8).digest(),
+                    "little",
+                ) >> 1
+                for low, uri in zip(lows, uris)
+            ]
+            return pa.table(
+                {
+                    "lid": pa.array(ids, pa.int64()),
+                    "kb_label": batch.column("kb_label"),
+                    "kb_uri": batch.column("kb_uri"),
+                    "kb_low": batch.column("kb_low"),
+                }
+            )
+
+        def surface_ids(batch: pa.Table) -> pa.Table:
+            lows = batch.column("low").to_pylist()
+            # row key = low alone — must match _band_rows' "\x00".join([low])
+            ids = [
+                int.from_bytes(
+                    _hl.blake2b(low.encode(), digest_size=8).digest(), "little"
+                ) >> 1
+                for low in lows
+            ]
+            return pa.table(
+                {
+                    "sid": pa.array(ids, pa.int64()),
+                    "surface": batch.column("surface"),
+                    "low": batch.column("low"),
+                }
+            )
+
+        labels_with_id = _solid(
+            labels_ds.map_batches(label_ids, batch_format="pyarrow"))
+        surfaces_with_id = _solid(
+            no_exact.map_batches(surface_ids, batch_format="pyarrow"))
+
+        surf_bands = _band_rows(
+            surfaces_with_id.map_batches(
+                lambda t: pa.table({"low": t.column("low")}),
+                batch_format="pyarrow"), "low", "sid")
+        # label id must hash (low, uri) exactly like label_ids: rebuild the
+        # same row key by keeping uri alongside
+        label_bands = _band_rows(
+            labels_with_id.map_batches(
+                lambda t: pa.table({"kb_low": t.column("kb_low"),
+                                    "kb_uri": t.column("kb_uri")}),
+                batch_format="pyarrow"), "kb_low", "lid", keep_cols=("kb_uri",))
+
+        def cand_part(t: pa.Table) -> pa.Table:
+            # batch-local dedup (combiner) + a single int partition key for
+            # the global pair dedup — NEVER a per-pair map_groups (hundreds
+            # of thousands of one-row python groups)
+            g = pa.table({"sid": t.column("sid"), "lid": t.column("lid")})
+            g = g.group_by(["sid", "lid"]).aggregate([])
+            s = g.column("sid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            l_ = g.column("lid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pp = ((s * np.uint64(0x9E3779B97F4A7C15)) ^ l_) % np.uint64(64)
+            return g.append_column("ppart", pa.array(pp.astype(np.int32), pa.int32()))
+
+        cand_ids = _solid(
+            surf_bands.join(
+                label_bands, join_type="inner",
+                num_partitions=num_partitions, on=("band_id", "band_hash"),
+            ).map_batches(cand_part, batch_format="pyarrow", batch_size=65536)
+            .groupby("ppart")
+            .map_groups(
+                lambda g: g.drop_duplicates(["sid", "lid"])[["sid", "lid"]],
+                batch_format="pandas",
+            )
+            .map_batches(
+                lambda t: pa.table({"sid": t.column("sid"),
+                                    "lid": t.column("lid")}),
+                batch_format="pyarrow",
+            )
+        )
+        with_surface = _solid(
+            cand_ids.join(surfaces_with_id, join_type="inner",
+                          num_partitions=num_partitions, on=("sid",))
+        )
         fuzzy = _solid(
-            no_exact.join(
-                _solid(labels_ds.map_batches(
-                    lambda t: pa.table({"first": t.column("kb_first"),
-                                        "kb_label": t.column("kb_label"),
-                                        "kb_uri": t.column("kb_uri")}),
-                    batch_format="pyarrow",
-                )),
-                join_type="inner", num_partitions=num_partitions, on=("first",),
-            ).map_batches(fuzzy_score, batch_format="pyarrow")
+            with_surface.join(labels_with_id, join_type="inner",
+                              num_partitions=num_partitions, on=("lid",))
+            .map_batches(fuzzy_score, batch_format="pyarrow")
         )
 
     def top1(g: pd.DataFrame) -> pd.DataFrame:
