@@ -490,7 +490,9 @@ def _knn_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
 
 def _embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     def fn(batch: pa.Table) -> pa.Table:
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from text_to_rdf_ray.stages.knn import _emb_matrix
+
+        m = _emb_matrix(batch, "embedding").astype(np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
         return pa.table(
             {

@@ -135,6 +135,60 @@ def test_ntriples_sink(pages_dir, tmp_path):
     assert "<https://schema.org/" in content
 
 
+def test_ntriples_sink_identical_blocks_not_collapsed(tmp_path):
+    """Two distinct blocks rendering byte-identical bodies (duplicate
+    triples with dedup disabled) must yield distinct shard files — the
+    round-2 content-hash-only naming silently dropped one block's rows."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.pipelines.kg import write_ntriples
+
+    def block(n):
+        return pa.table({
+            "subj": pa.array(["Alan Bean"] * n, pa.string()),
+            "pred": pa.array(["birthdat"] * n, pa.string()),
+            "obj": pa.array(["1932-03-15"] * n, pa.string()),
+            "obj_type": pa.array([""] * n, pa.string()),
+        })
+
+    ds = rd.from_arrow([block(3), block(3)])  # two identical 3-row blocks
+    out = str(tmp_path / "nt_dup")
+    write_ntriples(ds, out)
+    files = sorted(os.listdir(out))
+    total = sum(
+        len(open(os.path.join(out, f)).read().strip().splitlines())
+        for f in files
+    )
+    assert total == 6, (files, total)
+
+
+def test_document_shaped_rule_rejected_at_build(pages_dir):
+    """A rule requiring a property outside the relational row view must
+    fail LOUDLY at graph build, not silently invalidate every triple."""
+    import pytest as _pytest
+
+    from text_to_rdf_ray.functions.registry import (
+        ValidationRule,
+        add_rule,
+        clear_rules,
+    )
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+
+    clear_rules()
+    try:
+        add_rule(ValidationRule(
+            name="needs_birthdate", description="", entity_type="Person",
+            required_properties=["birthDate"],
+        ))
+        with _pytest.raises(ValueError, match="birthDate"):
+            build_triples(read_pages(pages_dir), link=False,
+                          canonicalize=False, dedup=False)
+    finally:
+        clear_rules()
+
+
 def test_link_actor_and_task_modes_agree(pages_dir):
     """Actor-pool and task-mode linkers produce identical links."""
     from text_to_rdf_ray.pipelines.kg import build_triples, read_pages

@@ -176,6 +176,24 @@ def build_triples(
 
         rules = tuple(get_rules())
         if rules:
+            # reject document-shaped rules LOUDLY at graph build: the
+            # relational validator only sees {@type, name, pred_key, obj},
+            # so a rule requiring e.g. 'birthDate' would silently fail
+            # every matching triple instead of checking anything
+            from ..stages.kg_stages import RELATIONAL_RULE_KEYS
+
+            for rule in rules:
+                unknown = [p for p in rule.required_properties
+                           if p not in RELATIONAL_RULE_KEYS]
+                if unknown:
+                    raise ValueError(
+                        f"validation rule {rule.name!r} requires properties "
+                        f"{unknown} that the relational pipeline row view "
+                        f"does not carry ({sorted(RELATIONAL_RULE_KEYS)}); "
+                        "document-shaped rules apply via "
+                        "functions.registry.apply_custom_rules / "
+                        "kernels.validation.validate_document"
+                    )
             ds = ds.map_batches(
                 lambda t, r=rules: validate_triples(t, rules=r),
                 batch_format="pyarrow",
@@ -292,18 +310,15 @@ def run_partitioned(
                 triples = triples.sort(["subj", "pred", "obj"])
             if subject_buckets:
                 # co-locate triples of one subject for downstream graph
-                # consumers (hash(subj) % B layout, SURVEY.md §7.2 item 7)
-                import hashlib
+                # consumers (hash(subj) % B layout, SURVEY.md §7.2 item 7);
+                # vectorized FNV — the same kernel the dedup salt uses
+                import numpy as _np
+
+                from ..kernels.minhash import _hash_shingles
 
                 def add_bucket(batch: pa.Table) -> pa.Table:
-                    buckets = [
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=4).digest(),
-                            "little",
-                        )
-                        % subject_buckets
-                        for s in batch.column("subj").to_pylist()
-                    ]
+                    h = _hash_shingles(batch.column("subj").to_pylist())
+                    buckets = (h % _np.uint64(subject_buckets)).astype(_np.int32)
                     return batch.append_column(
                         "subj_bucket", pa.array(buckets, pa.int32())
                     )
@@ -331,42 +346,65 @@ def run_partitioned(
     return report
 
 
-def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
-    """Render canonical triples as N-Triples text shards.
+class _NTriplesDatasink(rd.Datasink):
+    """Datasink writing raw ``part-<task>-<hash>.nt`` text shards.
 
-    Each task writes a raw ``part-*.nt`` text shard directly (a CSV sink
-    would add a header row and re-quote lines containing ``"`` — not valid
-    N-Triples).  Shards are named by a content hash and written
-    tmp-then-rename, so a Ray task retry reproduces the SAME file
-    atomically instead of adding a duplicate beside a partial one."""
-    import hashlib
+    A CSV sink would add a header row and re-quote lines containing ``"``
+    — not valid N-Triples — so each write task renders and writes its
+    blocks directly.  Shard names combine the Ray task index with a
+    content hash and the file commits tmp-then-rename: a task RETRY
+    reproduces the same (task_idx, content) name atomically, while two
+    DISTINCT tasks that happen to render byte-identical bodies (possible
+    with dedup disabled: duplicate triples tile into identical blocks)
+    get distinct files instead of silently overwriting each other."""
 
-    from ..kernels.jsonld import render_ntriples
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
 
-    os.makedirs(out_dir, exist_ok=True)
+    def get_name(self) -> str:
+        return "NTriples"
 
-    def write_shard(batch: pa.Table) -> pa.Table:
-        lines = [
-            render_ntriples(s, p, o, bool(t))
-            for s, p, o, t in zip(
-                batch.column("subj").to_pylist(),
-                batch.column("pred").to_pylist(),
-                batch.column("obj").to_pylist(),
-                batch.column("obj_type").to_pylist(),
+    def on_write_start(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        import hashlib
+
+        from ray.data.block import BlockAccessor
+
+        from ..kernels.jsonld import render_ntriples
+
+        written = 0
+        for seq, block in enumerate(blocks):
+            batch = BlockAccessor.for_block(block).to_arrow()
+            lines = [
+                render_ntriples(s, p, o, bool(t))
+                for s, p, o, t in zip(
+                    batch.column("subj").to_pylist(),
+                    batch.column("pred").to_pylist(),
+                    batch.column("obj").to_pylist(),
+                    batch.column("obj_type").to_pylist(),
+                )
+            ]
+            if not lines:
+                continue
+            body = "\n".join(lines) + "\n"
+            tag = hashlib.blake2b(body.encode("utf-8"), digest_size=10).hexdigest()
+            path = os.path.join(
+                self.out_dir, f"part-{ctx.task_idx:05d}-{seq:03d}-{tag}.nt"
             )
-        ]
-        if not lines:
-            return pa.table({"written": pa.array([0], pa.int64())})
-        body = "\n".join(lines) + "\n"
-        tag = hashlib.blake2b(body.encode("utf-8"), digest_size=10).hexdigest()
-        path = os.path.join(out_dir, f"part-{tag}.nt")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(body)
-        os.replace(tmp, path)
-        return pa.table({"written": pa.array([len(lines)], pa.int64())})
+            tmp = path + f".tmp-{ctx.task_idx}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            os.replace(tmp, path)
+            written += len(lines)
+        return written
 
-    triples.map_batches(write_shard, batch_format="pyarrow").sum("written")
+
+def write_ntriples(triples: rd.Dataset, out_dir: str) -> None:
+    """Render canonical triples as N-Triples text shards (see
+    ``_NTriplesDatasink`` for the naming/idempotency contract)."""
+    triples.write_datasink(_NTriplesDatasink(out_dir))
 
 
 def compact_partitions(out_dir: str, final_dir: str) -> dict:

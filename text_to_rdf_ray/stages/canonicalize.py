@@ -402,8 +402,6 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
         # task mode: the broadcast dict is fetched once per worker process
         # (a class here would become an actor pool and cap the parallelism
         # of every stage Ray fuses with it)
-        from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
-
         m = cache.get("m")
         if m is None:
             m = cache["m"] = ray.get(map_ref)
@@ -414,15 +412,29 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
         cols = {name: batch.column(name) for name in batch.column_names}
         cols["subj"] = pa.array(subj, pa.string())
         cols["obj"] = pa.array(obj, pa.string())
-        cols["subj_slug"] = pa.array(
-            [normalize_entity_name(s) for s in subj], pa.string()
-        )
-        cols["subj_lower"] = pa.array(
-            [normalize_docred_subject(s) for s in subj], pa.string()
-        )
+        slug, lower = _subject_norm_columns(subj)
+        cols["subj_slug"] = slug
+        cols["subj_lower"] = lower
         return pa.table(cols)
 
     return triples.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _subject_norm_columns(subj: list) -> tuple[pa.Array, pa.Array]:
+    """(subj_slug, subj_lower) columns computed per DISTINCT subject —
+    subjects repeat heavily across a document's triples, so the slug
+    kernels run once per distinct value, not once per row."""
+    from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
+
+    cache: dict[str, tuple[str, str]] = {}
+    slugs, lowers = [], []
+    for s in subj:
+        v = cache.get(s)
+        if v is None:
+            v = cache[s] = (normalize_entity_name(s), normalize_docred_subject(s))
+        slugs.append(v[0])
+        lowers.append(v[1])
+    return pa.array(slugs, pa.string()), pa.array(lowers, pa.string())
 
 
 def apply_canonical_join(
@@ -455,8 +467,6 @@ def apply_canonical_join(
     def rewrite(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..kernels.normalize import normalize_docred_subject, normalize_entity_name
-
         subj = pc.fill_null(batch.column("subj_canon"), batch.column("subj"))
         is_ent = pc.invert(pc.equal(batch.column("obj_type"), ""))
         obj = pc.if_else(
@@ -468,15 +478,11 @@ def apply_canonical_join(
             for name in batch.column_names
             if name not in ("subj_canon", "obj_canon")
         }
-        subj_l = subj.to_pylist()
         cols["subj"] = subj
         cols["obj"] = obj
-        cols["subj_slug"] = pa.array(
-            [normalize_entity_name(s) for s in subj_l], pa.string()
-        )
-        cols["subj_lower"] = pa.array(
-            [normalize_docred_subject(s) for s in subj_l], pa.string()
-        )
+        slug, lower = _subject_norm_columns(subj.to_pylist())
+        cols["subj_slug"] = slug
+        cols["subj_lower"] = lower
         return pa.table(cols)
 
     return joined.map_batches(rewrite, batch_format="pyarrow")

@@ -25,6 +25,12 @@ from ..kernels.extractor import extract_document
 from ..kernels.text import extract_text
 from ..kernels.validation import DATE_PREDICATES
 
+#: the relational row view custom ValidationRules are evaluated against in
+#: ``validate_triples`` — a rule requiring any other property (e.g. a real
+#: per-document entity property like 'birthDate') would silently fail
+#: every matching triple, so the pipeline REJECTS such rules at build time
+RELATIONAL_RULE_KEYS = frozenset({"@type", "name", "pred_key", "obj"})
+
 TRIPLE_FIELDS = [
     ("url", pa.string()),
     ("subj", pa.string()),

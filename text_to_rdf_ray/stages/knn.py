@@ -29,6 +29,23 @@ def _to_matrix(col) -> np.ndarray:
     return np.array(col, dtype=np.float32)
 
 
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    """(n, d) float32 matrix from a list<float> column, near-zero-copy:
+    flatten the Arrow list values and reshape — the ``to_pylist()`` +
+    ``np.array`` round trip doubles the scan cost of every KNN stage at
+    scale.  Assumes equal-length lists (a constant embedding dim)."""
+    col = batch.column(emb_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(
+            flat.reshape(len(arr), -1), dtype=np.float32
+        )
+    except Exception:
+        # ragged/null lists: fall back to the copying path
+        return _to_matrix(arr.to_pylist())
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -56,8 +73,8 @@ def knn_bruteforce(
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-            m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_emb_matrix(batch, emb_col))
             sims = self.q @ m.T  # (n_queries, batch)
             kk = min(k, sims.shape[1])
             # local top-k per query (combiner before the tiny driver merge)
@@ -126,12 +143,11 @@ def knn_ivf(
 ) -> pd.DataFrame:
     """IVF top-k: coarse-quantize the corpus, probe nprobe lists per query.
 
-    The quantizer trains on a bounded deterministic sample (rows with
-    ``id < sample_size`` — stable across parallelism levels, selected by a
-    streaming vectorized filter, NOT a global sort of the corpus; assumes
-    dense-ish ids starting near 0, which the embeddings table satisfies);
-    at 10^12 scale the bucketed corpus would be written partitioned-by-list
-    once and probed many times.
+    The quantizer trains on a bounded deterministic sample (the
+    ``sample_size`` smallest ids via a per-batch min-k combiner — stable
+    across parallelism levels, one streaming pass, no global sort, no
+    dense-id assumption); at 10^12 scale the bucketed corpus would be
+    written partitioned-by-list once and probed many times.
     """
     centers = _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
                                id_col=id_col, sample_size=sample_size, seed=seed)
@@ -147,8 +163,8 @@ def knn_ivf(
             self.q, self.probes = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-            m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_emb_matrix(batch, emb_col))
             assign = (m @ self.centers.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
             for qi, probe in enumerate(self.probes):
@@ -191,18 +207,25 @@ def knn_ivf(
 
 def _train_quantizer(ds: rd.Dataset, *, n_clusters: int, emb_col: str,
                      id_col: str, sample_size: int, seed: int) -> np.ndarray:
-    import pyarrow.compute as pc
+    """Bounded deterministic training sample: the ``sample_size`` SMALLEST
+    ids, via a per-batch local min-k combiner + tiny driver merge (the
+    top-k pattern — one streaming pass, no global sort, and unlike the
+    round-2 ``id < sample_size`` filter it does not assume dense ids
+    starting at 0: hashed/offset id spaces yield the same sample-size
+    sample instead of an empty or skewed one)."""
 
-    def sample_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch.column(id_col), pa.scalar(sample_size)))
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(id_col).head(sample_size)
 
-    sample_rows = (
+    partials = (
         ds.select_columns([id_col, emb_col])
-        .map_batches(sample_filter, batch_format="pyarrow")
-        .take_all()
+        .map_batches(local_min, batch_format="pandas", batch_size=65536)
+        .to_pandas()
     )
-    sample_rows.sort(key=lambda r: r[id_col])
-    sm = _normalize(_to_matrix([r[emb_col] for r in sample_rows]))
+    sample = partials.sort_values(id_col).head(sample_size)
+    if not len(sample):
+        raise ValueError("cannot train IVF quantizer on an empty dataset")
+    sm = _normalize(_to_matrix(list(sample[emb_col])))
     return _kmeans_lite(sm, n_clusters, seed=seed)
 
 
@@ -234,7 +257,7 @@ def build_ivf_index(
         c = cache.get("c")
         if c is None:
             c = cache["c"] = ray.get(c_ref)
-        m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+        m = _normalize(_emb_matrix(batch, emb_col))
         lists = (m @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("list_id", pa.array(lists, pa.int32()))
 
@@ -311,9 +334,9 @@ def knn_ivf_indexed(
         if got is None:
             got = cache["q"] = ray.get(q_ref)
         q, probes = got
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        lists = np.array(batch.column("list_id").to_pylist(), dtype=np.int64)
-        m = _normalize(_to_matrix(batch.column(emb_col).to_pylist()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch.column("list_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_col))
         out_q, out_n, out_s = [], [], []
         for qi, probe in enumerate(probes):
             mask = np.isin(lists, list(probe))
