@@ -366,9 +366,27 @@ def _dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
 
 def _dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash pairs.  The 4x16-bit banding is EXACT for Hamming <= 3
+    (pigeonhole), so dumping the per-doc simhash values as a side table
+    lets DuckDB replay the whole pair generation + verify as an exact
+    Hamming cross join (bit_count(xor(...)) <= 3) — a full oracle for the
+    LSH machinery (the hash function itself is shared, as with the other
+    side-table oracles)."""
     from text_to_rdf_ray.stages.dedup import simhash_pairs
 
-    out = _pairs_df(simhash_pairs(_documents(sf_dir)).to_pandas())
+    docs = _documents(sf_dir)
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        from text_to_rdf_ray.kernels.minhash import simhash64
+
+        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": pa.array(hs, pa.uint64())})
+
+    side = docs.map_batches(hashes, batch_format="pyarrow").to_pandas()
+    _side_write("dedup_simhash_pairs", "simhash.parquet",
+                side.sort_values("doc_id").reset_index(drop=True))
+    out = _pairs_df(simhash_pairs(docs).to_pandas())
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -440,10 +458,25 @@ def _knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def _knn_ivf(sf_dir: str) -> pd.DataFrame:
-    from text_to_rdf_ray.stages.knn import knn_ivf
+    """IVF with nprobe < n_clusters: recall < 1 vs brute force by design,
+    but the result is EXACTLY the top-k among vectors in the probed lists
+    — so dumping (vec_id, cluster) assignments and the per-query probed
+    clusters lets DuckDB replay that semantics precisely (candidates =
+    join on probed clusters, then windowed top-10 by cosine)."""
+    from text_to_rdf_ray.stages.knn import ivf_assignments, knn_ivf
 
     q, qids = _knn_queries(sf_dir)
-    out = knn_ivf(_embeddings(sf_dir), q, qids, k=10, n_clusters=16, nprobe=4)
+    emb = _embeddings(sf_dir)
+    side: dict = {}
+    out = knn_ivf(emb, q, qids, k=10, n_clusters=16, nprobe=4, side_out=side)
+    assign = ivf_assignments(emb, side["centers"]).to_pandas()
+    _side_write("knn_ivf", "assign.parquet",
+                assign.sort_values("vec_id").reset_index(drop=True))
+    probes = pd.DataFrame(
+        [(qid, c) for qid, clusters in side["probes"] for c in clusters],
+        columns=["query_id", "cluster"],
+    )
+    _side_write("knn_ivf", "probes.parquet", probes)
     return out[["query_id", "neighbor_id", "rank"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
@@ -1280,6 +1313,34 @@ def oracle_sql() -> dict[str, str]:
                  s AS (SELECT q.qid, e.vec_id AS nid,
                               list_cosine_similarity(q.qe, e.embedding) AS sim
                        FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT qid, nid, sim,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH h AS (SELECT doc_id, h
+                       FROM read_parquet('{os.path.join(_SIDE, "dedup_simhash_pairs", "simhash.parquet")}')),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              bit_count(xor(a.h, b.h)) AS d
+                       FROM h a JOIN h b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(d AS DOUBLE) AS score
+            FROM p WHERE d <= 3 ORDER BY id_a, id_b
+        """,
+        "knn_ivf": f"""
+            WITH a AS (SELECT vec_id, cluster
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_ivf", "assign.parquet")}')),
+                 p AS (SELECT query_id, cluster
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_ivf", "probes.parquet")}')),
+                 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < {_QUERY_N}),
+                 s AS (SELECT p.query_id AS qid, a.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM p JOIN a ON a.cluster = p.cluster
+                              JOIN q ON q.qid = p.query_id
+                              JOIN embeddings e ON e.vec_id = a.vec_id),
                  r AS (SELECT qid, nid, sim,
                               row_number() OVER (PARTITION BY qid
                                                  ORDER BY sim DESC, nid ASC) AS rnk

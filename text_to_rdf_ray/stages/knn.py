@@ -140,6 +140,8 @@ def knn_ivf(
     id_col: str = "vec_id",
     sample_size: int = 10_000,
     seed: int = 42,
+    centers: np.ndarray | None = None,
+    side_out: dict | None = None,
 ) -> pd.DataFrame:
     """IVF top-k: coarse-quantize the corpus, probe nprobe lists per query.
 
@@ -148,13 +150,26 @@ def knn_ivf(
     across parallelism levels, one streaming pass, no global sort, no
     dense-id assumption); at 10^12 scale the bucketed corpus would be
     written partitioned-by-list once and probed many times.
+
+    ``centers`` skips training (reuse a quantizer from
+    ``train_ivf_quantizer``).  ``side_out``, if a dict, receives
+    ``{"centers": ndarray, "probes": [(query_id, [cluster, ...]), ...]}``
+    so a caller can replay the probed-lists semantics externally (the
+    DuckDB oracle verifies top-k-within-probed-lists exactly).
     """
-    centers = _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
-                               id_col=id_col, sample_size=sample_size, seed=seed)
+    if centers is None:
+        centers = _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
+                                   id_col=id_col, sample_size=sample_size,
+                                   seed=seed)
     c_ref = ray.put(centers)
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     q_assign = np.argsort(-(qm @ centers.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe_sets = [set(row.tolist()) for row in q_assign]
+    if side_out is not None:
+        side_out["centers"] = centers
+        side_out["probes"] = [
+            (int(query_ids[qi]), sorted(p)) for qi, p in enumerate(probe_sets)
+        ]
     q_ref = ray.put((qm, probe_sets))
 
     class ScoreIVF:
@@ -227,6 +242,51 @@ def _train_quantizer(ds: rd.Dataset, *, n_clusters: int, emb_col: str,
         raise ValueError("cannot train IVF quantizer on an empty dataset")
     sm = _normalize(_to_matrix(list(sample[emb_col])))
     return _kmeans_lite(sm, n_clusters, seed=seed)
+
+
+def train_ivf_quantizer(
+    ds: rd.Dataset,
+    *,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Public form of the deterministic quantizer trainer (normalized
+    (n_clusters, d) centroid matrix) — reusable across ``knn_ivf`` calls
+    and for dumping cluster assignments."""
+    return _train_quantizer(ds, n_clusters=n_clusters, emb_col=emb_col,
+                            id_col=id_col, sample_size=sample_size, seed=seed)
+
+
+def ivf_assignments(
+    ds: rd.Dataset,
+    centers: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """(id, cluster) for every row: nearest-centroid assignment exactly as
+    the IVF scorers compute it (normalized float32 matmul + argmax) — the
+    side table a SQL oracle needs to replay probed-list candidate sets."""
+    c_ref = ray.put(centers)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cache.get("c")
+        if c is None:
+            c = cache["c"] = ray.get(c_ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        cl = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl, pa.int32()),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
 
 
 def build_ivf_index(
