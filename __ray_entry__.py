@@ -823,6 +823,106 @@ def _events_props_extract(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _events_pc(sf_dir: str, etype: str, cols: dict) -> "rd.Dataset":
+    """Project one event_type slice of the events table to renamed columns
+    (vectorized mask + rename in a single map_batches pass)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "event_type", "value"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), etype))
+        return pa.table({out: b.column(src) for out, src in cols.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (attribution shape): for each 'purchase' event, the
+    latest 'click' by the same user at or before it — the co-partitioned
+    single-exchange form (stages/joins.py::asof_join)."""
+    from text_to_rdf_ray.stages.joins import asof_join
+
+    left = _events_pc(sf_dir, "purchase",
+                      {"user_id": "user_id", "p_event_id": "event_id", "ts": "ts"})
+    right = _events_pc(sf_dir, "click",
+                       {"user_id": "user_id", "c_event_id": "event_id",
+                        "c_ts": "ts", "c_value": "value"})
+    out = asof_join(left, right, key_col="user_id", left_ts="ts",
+                    right_ts="c_ts", tiebreak_col="c_event_id").to_pandas()
+    out["c_value"] = _r(out["c_value"], 2)
+    return (out[["user_id", "p_event_id", "ts", "c_event_id", "c_value"]]
+            .sort_values("p_event_id").reset_index(drop=True))
+
+
+def _events_range_agg(sf_dir: str) -> pd.DataFrame:
+    """Range join (windowed attribution): per 'purchase', count + value-sum
+    of same-user 'click' events in the preceding hour [ts-1h, ts)
+    (stages/joins.py::range_join_agg — searchsorted window endpoints, no
+    pairwise expansion)."""
+    from text_to_rdf_ray.stages.joins import range_join_agg
+
+    left = _events_pc(sf_dir, "purchase",
+                      {"user_id": "user_id", "p_event_id": "event_id", "ts": "ts"})
+    right = _events_pc(sf_dir, "click",
+                       {"user_id": "user_id", "c_ts": "ts", "c_value": "value"})
+    out = range_join_agg(left, right, key_col="user_id", left_ts="ts",
+                         right_ts="c_ts", lower_us=-3_600_000_000, upper_us=0,
+                         value_col="c_value").to_pandas()
+    out["sum_value"] = _r(out["sum_value"], 2)
+    return (out[["user_id", "p_event_id", "ts", "n_matched", "sum_value"]]
+            .sort_values("p_event_id").reset_index(drop=True))
+
+
+def _events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows: 1h width / 15min hop over event time
+    (stages/windows.py::hopping_agg — combiner-side fan-out, partials on
+    the exchange)."""
+    from text_to_rdf_ray.stages.windows import hopping_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    out = hopping_agg(ds, width_us=3_600_000_000, hop_us=900_000_000).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = _r(out["sum_value"], 2)
+    return (out[["event_type", "window_start", "n", "sum_value"]]
+            .sort_values(["event_type", "window_start"]).reset_index(drop=True))
+
+
+def _topk_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k: each customer's 2 largest orders
+    (stages/analytics.py::topk_per_group — batch-local top-k combiner
+    before the key exchange)."""
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = topk_per_group(ds, key_col="o_custkey", sort_col="o_totalprice",
+                         tiebreak_col="o_orderkey", k=2).to_pandas()
+    out["o_totalprice"] = _r(out["o_totalprice"], 2)
+    return (out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+            .sort_values(["o_custkey", "rank"]).reset_index(drop=True))
+
+
+def _lineitem_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles (median / p95 of extendedprice per
+    returnflag) without a sort: histogram-locate + exact value-counts of
+    the target bins only (stages/analytics.py::group_quantiles_exact)."""
+    from text_to_rdf_ray.stages.analytics import group_quantiles_exact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = group_quantiles_exact(ds, key_col="l_returnflag",
+                                value_col="l_extendedprice", qs=[0.5, 0.95])
+    out = out.rename(columns={"q_0.5": "q_50", "q_0.95": "q_95"})
+    out["n"] = out["n"].astype("int64")
+    out["q_50"] = _r(out["q_50"], 2)
+    out["q_95"] = _r(out["q_95"], 2)
+    return (out[["l_returnflag", "n", "q_50", "q_95"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
 def _corpus_clean_pipeline(sf_dir: str) -> pd.DataFrame:
     """Composite training-data cleaning pipeline: exact dedup -> English
     language-ID -> quality/length filter -> token stats.  Every step is the
@@ -1023,6 +1123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_totals": _events_user_totals,
         "events_sessions": _events_sessions,
         "events_props_extract": _events_props_extract,
+        "events_asof_attribution": _events_asof,
+        "events_range_attribution": _events_range_agg,
+        "events_hopping": _events_hopping,
+        "topk_orders_per_customer": _topk_orders_per_customer,
+        "lineitem_quantiles": _lineitem_quantiles,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1518,5 +1623,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '_') AS slug
             FROM part ORDER BY p_partkey
+        """,
+        "events_asof_attribution": """
+            WITH p AS (SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS c_event_id, epoch_us(ts) AS c_ts,
+                              value AS c_value
+                       FROM events WHERE event_type = 'click')
+            SELECT user_id, p_event_id, ts, c_event_id, round(c_value, 2) AS c_value
+            FROM (
+              SELECT p.user_id, p.p_event_id, p.ts, c.c_event_id, c.c_value,
+                     row_number() OVER (PARTITION BY p.p_event_id
+                                        ORDER BY c.c_ts DESC, c.c_event_id DESC) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.ts
+            ) WHERE rn = 1 ORDER BY p_event_id
+        """,
+        "events_range_attribution": """
+            WITH p AS (SELECT user_id, event_id AS p_event_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts AS c_ts, value AS c_value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.p_event_id, epoch_us(p.ts) AS ts,
+                   CAST(count(c.c_ts) AS BIGINT) AS n_matched,
+                   round(coalesce(sum(c.c_value), 0), 2) AS sum_value
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.c_ts >= p.ts - INTERVAL 1 HOUR AND c.c_ts < p.ts
+            GROUP BY p.user_id, p.p_event_id, p.ts ORDER BY p_event_id
+        """,
+        "events_hopping": """
+            WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+                 w AS (SELECT e.event_type, e.value,
+                              (e.us // 900000000 - g.i) * 900000000 AS window_start
+                       FROM e CROSS JOIN range(4) g(i))
+            SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 2 ORDER BY o_custkey, rank
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS q_50,
+                   round(quantile_cont(l_extendedprice, 0.95), 2) AS q_95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

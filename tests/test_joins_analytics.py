@@ -1,0 +1,185 @@
+"""Temporal joins (stages/joins.py) and grouped analytics
+(stages/analytics.py): brute-force references, variant parity, edges."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+RNG = np.random.default_rng(7)
+
+
+def _mk_events(n_left=300, n_right=800, n_keys=17, t_max=100_000):
+    """Synthetic two-sided event tables with interleaved int64-us times
+    (includes keys present on only one side and exact-tie timestamps)."""
+    left = pd.DataFrame({
+        "k": RNG.integers(0, n_keys, n_left),
+        "l_id": np.arange(n_left, dtype=np.int64),
+        "lt": RNG.integers(0, t_max, n_left),
+    })
+    right = pd.DataFrame({
+        "k": RNG.integers(2, n_keys + 2, n_right),  # some right-only keys
+        "r_id": np.arange(n_right, dtype=np.int64),
+        "rt": RNG.integers(0, t_max, n_right),
+        "rv": np.round(RNG.random(n_right) * 10, 3),
+    })
+    # force exact timestamp ties (tiebreak path): clone some times
+    nt = min(40, n_right - 1)
+    ties = np.repeat(right.loc[0:nt // 2, "rt"].to_numpy(), 2)[:nt + 1]
+    right.loc[0:nt, "rt"] = ties
+    nl = min(10, n_left - 1, n_right - 1)
+    left.loc[0:nl, "lt"] = right.loc[0:nl, "rt"].to_numpy()
+    return left, right
+
+
+def _brute_asof(left, right, inclusive=True):
+    rows = []
+    for t in left.itertuples():
+        cand = right[right.k == t.k]
+        cand = cand[cand.rt <= t.lt] if inclusive else cand[cand.rt < t.lt]
+        if cand.empty:
+            continue
+        best = cand.sort_values(["rt", "r_id"]).iloc[-1]
+        rows.append((t.k, t.lt, t.l_id, int(best.r_id), best.rv))
+    return (pd.DataFrame(rows, columns=["k", "lt", "l_id", "r_id", "rv"])
+            .sort_values("l_id").reset_index(drop=True))
+
+
+def _sorted(df, by):
+    return df.sort_values(by).reset_index(drop=True).astype({c: "int64" for c in by})
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_join_vs_brute(ray_session, inclusive):
+    from text_to_rdf_ray.stages.joins import asof_join
+
+    left, right = _mk_events()
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="k", left_ts="lt", right_ts="rt",
+                    tiebreak_col="r_id", inclusive=inclusive).to_pandas()
+    want = _brute_asof(left, right, inclusive)
+    got = _sorted(got[["k", "lt", "l_id", "r_id", "rv"]], ["l_id"])
+    pd.testing.assert_frame_equal(got, _sorted(want, ["l_id"]))
+
+
+def test_asof_broadcast_parity(ray_session):
+    from text_to_rdf_ray.stages.joins import asof_join, asof_join_broadcast
+
+    left, right = _mk_events()
+    kw = dict(key_col="k", left_ts="lt", right_ts="rt", tiebreak_col="r_id")
+    a = asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw).to_pandas()
+    b = asof_join_broadcast(rd.from_pandas(left), rd.from_pandas(right),
+                            **kw).to_pandas()
+    cols = ["k", "lt", "l_id", "r_id", "rv"]
+    pd.testing.assert_frame_equal(_sorted(a[cols], ["l_id"]),
+                                  _sorted(b[cols], ["l_id"]))
+
+
+def test_asof_empty_right_and_payload_collision(ray_session):
+    from text_to_rdf_ray.stages.joins import asof_join
+
+    left, right = _mk_events(n_left=50, n_right=30)
+    empty = right[right.k < 0]
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(empty),
+                    key_col="k", left_ts="lt", right_ts="rt",
+                    tiebreak_col="r_id").to_pandas()
+    assert len(got) == 0
+    clash = right.rename(columns={"r_id": "l_id"})
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(clash),
+                  key_col="k", left_ts="lt", right_ts="rt",
+                  tiebreak_col="l_id")
+
+
+def test_range_join_agg_vs_brute(ray_session):
+    from text_to_rdf_ray.stages.joins import range_join_agg
+
+    left, right = _mk_events()
+    lo, hi = -5_000, 2_500
+    got = range_join_agg(rd.from_pandas(left), rd.from_pandas(right),
+                         key_col="k", left_ts="lt", right_ts="rt",
+                         lower_us=lo, upper_us=hi, value_col="rv").to_pandas()
+    want_rows = []
+    for t in left.itertuples():
+        cand = right[(right.k == t.k) & (right.rt >= t.lt + lo)
+                     & (right.rt < t.lt + hi)]
+        want_rows.append((t.k, t.lt, t.l_id, len(cand), float(cand.rv.sum())))
+    want = pd.DataFrame(want_rows,
+                        columns=["k", "lt", "l_id", "n_matched", "sum_value"])
+    got = _sorted(got[["k", "lt", "l_id", "n_matched", "sum_value"]], ["l_id"])
+    want = _sorted(want, ["l_id"])
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_hopping_agg_fanout_invariant(ray_session):
+    from text_to_rdf_ray.stages.windows import hopping_agg
+
+    n = 500
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(RNG.integers(0, 10**7, n) * 1000, unit="us"),
+        "event_type": RNG.choice(["a", "b"], n),
+        "value": np.round(RNG.random(n), 3),
+    })
+    out = hopping_agg(rd.from_pandas(df), width_us=4_000_000,
+                      hop_us=1_000_000).to_pandas()
+    # every event appears in exactly width/hop = 4 windows
+    assert out["n"].sum() == 4 * n
+    assert np.isclose(out["sum_value"].sum(), 4 * df["value"].sum())
+    # spot-check one (key, window): brute-force membership
+    row = out.iloc[len(out) // 2]
+    us = df["ts"].astype("int64") // 1000
+    mask = ((df["event_type"] == row["event_type"])
+            & (us >= row["window_start"])
+            & (us < row["window_start"] + 4_000_000))
+    assert int(mask.sum()) == int(row["n"])
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_agg(rd.from_pandas(df), width_us=3_500_000, hop_us=1_000_000)
+
+
+def test_topk_per_group_vs_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+
+    n = 2_000
+    df = pd.DataFrame({
+        "g": RNG.integers(0, 40, n),
+        "v": np.round(RNG.random(n) * 100, 1),  # coarse -> real ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    got = topk_per_group(rd.from_pandas(df), key_col="g", sort_col="v",
+                         tiebreak_col="id", k=3).to_pandas()
+    want = (df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=False).head(3))
+    want = want.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    want["rank"] = want.groupby("g").cumcount() + 1
+    got = _sorted(got[["g", "v", "id", "rank"]], ["g", "rank"])
+    pd.testing.assert_frame_equal(got, _sorted(want.reset_index(drop=True), ["g", "rank"]))
+
+
+def test_group_quantiles_exact_vs_numpy(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_quantiles_exact
+
+    parts = [
+        pd.DataFrame({"g": "cont", "v": RNG.random(5_000) * 1e4}),
+        pd.DataFrame({"g": "ties", "v": RNG.choice([1.0, 2.0, 2.0, 7.5], 4_000)}),
+        pd.DataFrame({"g": "tiny", "v": [42.0]}),
+    ]
+    df = pd.concat(parts, ignore_index=True)
+    qs = [0.5, 0.95, 0.0, 1.0]
+    out = group_quantiles_exact(rd.from_pandas(df), key_col="g", value_col="v",
+                                qs=qs, n_bins=64)
+    for _, row in out.iterrows():
+        vals = df[df.g == row["g"]]["v"].to_numpy()
+        assert row["n"] == len(vals)
+        for q in qs:
+            assert np.isclose(row[f"q_{q}"], np.quantile(vals, q), atol=1e-9), \
+                (row["g"], q)
+
+
+def test_group_quantiles_max_collect_raises(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_quantiles_exact
+
+    df = pd.DataFrame({"g": "x", "v": RNG.random(3_000)})
+    with pytest.raises(ValueError, match="max_collect"):
+        group_quantiles_exact(rd.from_pandas(df), key_col="g", value_col="v",
+                              qs=[0.5], n_bins=2, max_collect=10)

@@ -1,0 +1,226 @@
+"""Grouped analytics operators: per-group top-k and EXACT distributed
+quantiles — both expressed as combiner-before-exchange Ray Data patterns
+(no full-data sort, no per-group materialization of raw rows).
+
+- ``topk_per_group``: per-batch partial top-k per key (the only rows
+  that can survive globally), then a per-key final top-k — the grouped
+  generalization of the global ``topk_orders`` combiner in
+  ``__ray_entry__.py``.
+- ``group_quantiles_exact``: exact ``quantile_cont``-style interpolated
+  quantiles per group WITHOUT sorting the data: (A) per-group
+  count/min/max, (B) per-group fixed-width histogram to locate the bins
+  holding the needed order statistics, (C) exact value-counts of only
+  those bins (narrow by construction: 1/n_bins of the range — and
+  heavy-tie bins have few DISTINCT values by definition, so the
+  value-counts stay small either way).  Every pass is a vectorized
+  map_batches combiner followed by one groupby aggregate; only
+  |groups|- and |bins|-sized state ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    sort_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+) -> rd.Dataset:
+    """Top-``k`` rows per key by ``(sort_col, tiebreak_col)``; ties break
+    ascending on ``tiebreak_col`` for determinism.  Emits the input
+    columns plus ``rank`` (1-based within the key).
+
+    A batch-local top-k per key runs before the exchange, so at most
+    ``k x distinct_keys_in_batch`` rows shuffle — not the full table.
+    """
+    asc = [not descending, True]
+    by = [sort_col, tiebreak_col]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(by, ascending=asc)
+                .groupby(key_col, sort=False).head(k))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(by, ascending=asc).head(k).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (ds.map_batches(local_topk, batch_format="pandas", batch_size=65536)
+            .groupby(key_col).map_groups(final_topk, batch_format="pandas"))
+
+
+def group_quantiles_exact(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 2048,
+    max_collect: int = 5_000_000,
+) -> pd.DataFrame:
+    """Exact linear-interpolated quantiles (numpy 'linear' == SQL
+    ``quantile_cont``) of ``value_col`` per ``key_col`` group.
+
+    Three distributed passes (see module docstring); raises if pass C's
+    exact value-counts exceed ``max_collect`` distinct (group, value)
+    pairs — the documented escape hatch is more ``n_bins``.  Returns a
+    driver DataFrame with one row per group: (key, q_<q>..., n).
+    """
+    stats_ds = _pass_stats(ds, key_col, value_col)
+    stats = stats_ds.to_pandas()
+    if stats.empty:
+        return pd.DataFrame(columns=[key_col, "n", *[f"q_{q}" for q in qs]])
+
+    # per-group histogram geometry + needed order-statistic ranks
+    geo: dict = {}
+    for _, row in stats.iterrows():
+        key, n, lo, hi = row[key_col], int(row["n"]), row["vmin"], row["vmax"]
+        ranks = sorted({int(np.floor((n - 1) * q)) for q in qs}
+                       | {int(np.ceil((n - 1) * q)) for q in qs})
+        geo[key] = {"n": n, "lo": float(lo), "hi": float(hi), "ranks": ranks}
+
+    hist = _pass_hist(ds, key_col, value_col, geo, n_bins).to_pandas()
+
+    # locate, per group, the bins containing each needed rank
+    targets: dict = {}
+    below: dict = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        bins = g["bin"].to_numpy()
+        want = set()
+        for r in geo[key]["ranks"]:
+            i = int(np.searchsorted(cum, r + 1, side="left"))
+            b = int(bins[i])
+            want.add(b)
+            below[(key, b)] = int(cum[i - 1]) if i > 0 else 0
+        targets[key] = want
+
+    vc = _pass_value_counts(ds, key_col, value_col, geo, targets, n_bins,
+                            max_collect).to_pandas()
+
+    out_rows = []
+    for key, info in geo.items():
+        n = info["n"]
+        g = vc[vc[key_col] == key].sort_values("value")
+        vals = g["value"].to_numpy()
+        cnts = g["cnt"].to_numpy().astype(np.int64)
+        # global rank of the first copy of each collected distinct value
+        first_rank = {}
+        for b in sorted(targets[key]):
+            sel = g["bin"].to_numpy() == b
+            vb, cb = vals[sel], cnts[sel]
+            start = below[(key, b)]
+            offs = np.concatenate(([0], np.cumsum(cb[:-1])))
+            for v, o, c in zip(vb, offs, cb):
+                first_rank[float(v)] = (start + int(o), int(c))
+
+        def order_stat(r: int) -> float:
+            for v, (s, c) in first_rank.items():
+                if s <= r < s + c:
+                    return v
+            raise AssertionError(f"rank {r} not covered for group {key!r}")
+
+        row = {key_col: key, "n": n}
+        for q in qs:
+            h = (n - 1) * q
+            k0, k1 = int(np.floor(h)), int(np.ceil(h))
+            v0 = order_stat(k0)
+            v1 = v0 if k1 == k0 else order_stat(k1)
+            row[f"q_{q}"] = v0 + (h - k0) * (v1 - v0)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows).sort_values(key_col).reset_index(drop=True)
+
+
+def _pass_stats(ds: rd.Dataset, key_col: str, value_col: str) -> rd.Dataset:
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      value_col: batch.column(value_col)})
+        return t.group_by(key_col).aggregate(
+            [(value_col, "count"), (value_col, "min"), (value_col, "max")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(key_col)
+            .aggregate(Sum(f"{value_col}_count", alias_name="n"),
+                       Min(f"{value_col}_min", alias_name="vmin"),
+                       Max(f"{value_col}_max", alias_name="vmax")))
+
+
+def _bin_of(vals: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
+    """Shared pass-B/pass-C bin assignment (must be bit-identical)."""
+    if hi <= lo:
+        return np.zeros(len(vals), np.int64)
+    b = np.floor((vals - lo) / (hi - lo) * n_bins).astype(np.int64)
+    return np.clip(b, 0, n_bins - 1)
+
+
+def _pass_hist(ds: rd.Dataset, key_col: str, value_col: str,
+               geo: dict, n_bins: int) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(geo)
+    cache: dict = {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = cache.get("g")
+        if g is None:
+            g = cache["g"] = ray.get(ref)
+        vals = batch[value_col].to_numpy()
+        bins = np.zeros(len(batch), np.int64)
+        for key, grp in batch.groupby(key_col, sort=False).indices.items():
+            info = g[key]
+            bins[grp] = _bin_of(vals[grp], info["lo"], info["hi"], n_bins)
+        out = pd.DataFrame({key_col: batch[key_col], "bin": bins})
+        return out.groupby([key_col, "bin"], sort=False).size().reset_index(name="cnt")
+
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+            .groupby([key_col, "bin"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
+                       geo: dict, targets: dict, n_bins: int,
+                       max_collect: int) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    ref = ray.put((geo, targets))
+    cache: dict = {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        got = cache.get("g")
+        if got is None:
+            got = cache["g"] = ray.get(ref)
+        g, tg = got
+        vals = batch[value_col].to_numpy()
+        keep = np.zeros(len(batch), bool)
+        bins = np.zeros(len(batch), np.int64)
+        for key, grp in batch.groupby(key_col, sort=False).indices.items():
+            info = g[key]
+            b = _bin_of(vals[grp], info["lo"], info["hi"], n_bins)
+            bins[grp] = b
+            keep[grp] = np.isin(b, list(tg[key]))
+        out = pd.DataFrame({key_col: batch[key_col][keep],
+                            "bin": bins[keep], "value": vals[keep]})
+        return (out.groupby([key_col, "bin", "value"], sort=False)
+                .size().reset_index(name="cnt"))
+
+    res = (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby([key_col, "bin", "value"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .materialize())
+    if res.count() > max_collect:
+        raise ValueError(
+            f"quantile pass C exceeds max_collect={max_collect} distinct "
+            "(group, value) pairs; raise n_bins to narrow the target bins")
+    return res

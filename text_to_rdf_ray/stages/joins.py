@@ -1,0 +1,275 @@
+"""Temporal joins (as-of, range) the reference lacks but a web-scale
+event pipeline needs (SURVEY.md §2.5 notes "no range/as-of joins
+anywhere" in the reference; the brief names them as first-class custom
+operators).
+
+Two execution shapes, mirroring the linker's broadcast/join duality
+(stages/kg_stages.py):
+
+- ``asof_join`` / ``range_join_agg``: the general co-partitioned form.
+  Both sides are padded to a common Arrow schema, tagged, unioned, and
+  hash-exchanged once via ``groupby(key)``; inside each group the merge
+  is a vectorized ``np.searchsorted`` over the time axis — no per-row
+  Python.  ONE all-to-all for arbitrarily large sides.  Partitioning
+  assumption (same as ``stages/windows.py::sessionize``): one key's rows
+  fit in one group — true for bounded per-user histories; a hot key
+  needs a time-bucketed pre-split.
+- ``asof_join_broadcast``: when the right side is a small dimension
+  table, ship it once via ``ray.put`` (per-key presorted arrays) and
+  stream the left side through ``map_batches`` — no shuffle at all.
+
+Tie semantics are deterministic: among right rows sharing the maximal
+admissible timestamp, the one with the greatest ``tiebreak_col`` wins
+(callers replay this in SQL as ``ORDER BY ts DESC, tiebreak DESC ...
+rn = 1``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+_SIDE = "_side"
+_TS64 = "_ts_us"
+
+
+def _ts_to_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Timestamp (any unit) or integer column -> int64 microseconds."""
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
+def _pad_union(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+) -> tuple[rd.Dataset, list[tuple[str, pa.DataType]], list[tuple[str, pa.DataType]]]:
+    """Tag-and-union the two sides under one schema.
+
+    Payload column names must be disjoint between the sides (callers
+    project/rename first); the shared key column and one int64 ``_ts_us``
+    axis (from each side's own ts column) are the only common fields.
+    Returns (union_ds, left_payload_fields, right_payload_fields).
+    """
+    ls, rs = left.schema(), right.schema()
+    l_fields = [(n, t) for n, t in zip(ls.names, ls.types) if n not in (key_col, left_ts)]
+    r_fields = [(n, t) for n, t in zip(rs.names, rs.types) if n not in (key_col, right_ts)]
+    overlap = {n for n, _ in l_fields} & {n for n, _ in r_fields}
+    if overlap:
+        raise ValueError(f"payload column collision between sides: {sorted(overlap)}")
+    all_fields = l_fields + r_fields
+
+    def pad(ts_name: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols: dict = {key_col: batch.column(key_col)}
+            cols[_TS64] = _ts_to_us(batch.column(ts_name))
+            for name, typ in all_fields:
+                cols[name] = (batch.column(name) if name in batch.column_names
+                              else pa.nulls(n, typ))
+            cols[_SIDE] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    u = left.map_batches(pad(left_ts, 0), batch_format="pyarrow").union(
+        right.map_batches(pad(right_ts, 1), batch_format="pyarrow"))
+    return u, l_fields, r_fields
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak_col: str,
+    inclusive: bool = True,
+    out_left_ts: str | None = None,
+) -> rd.Dataset:
+    """For each left row, the single latest right row of the same key with
+    ``right_ts <= left_ts`` (``<`` when ``inclusive=False``); unmatched
+    left rows are dropped (inner as-of).  Output = key + left payload +
+    matched right payload; the left time axis is re-emitted as int64
+    microseconds under ``out_left_ts`` (default: ``left_ts``).
+    """
+    out_ts = out_left_ts or left_ts
+    u, l_fields, r_fields = _pad_union(left, right, key_col, left_ts, right_ts)
+    l_names = [n for n, _ in l_fields]
+    r_names = [n for n, _ in r_fields]
+    side = "right" if inclusive else "left"
+
+    def merge(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g.column(_SIDE), 0)
+        L = g.filter(mask)
+        R = g.filter(pc.invert(mask))
+        empty = {
+            key_col: L.column(key_col).slice(0, 0),
+            out_ts: pa.array([], pa.int64()),
+            **{n: g.column(n).slice(0, 0) for n in l_names + r_names},
+        }
+        if len(L) == 0 or len(R) == 0:
+            return pa.table(empty)
+        order = pc.sort_indices(
+            R, sort_keys=[(_TS64, "ascending"), (tiebreak_col, "ascending")])
+        R = R.take(order)
+        rts = R.column(_TS64).to_numpy(zero_copy_only=False)
+        lts = L.column(_TS64).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rts, lts, side=side) - 1
+        keep = idx >= 0
+        if not keep.any():
+            return pa.table(empty)
+        L = L.filter(pa.array(keep))
+        take = pa.array(idx[keep], pa.int64())
+        cols = {key_col: L.column(key_col), out_ts: _ts_to_us(L.column(_TS64))}
+        for n in l_names:
+            cols[n] = L.column(n)
+        for n in r_names:
+            cols[n] = R.column(n).take(take)
+        return pa.table(cols)
+
+    return u.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_broadcast(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak_col: str,
+    inclusive: bool = True,
+    out_left_ts: str | None = None,
+    max_right_rows: int = 5_000_000,
+) -> rd.Dataset:
+    """Shuffle-free as-of join for a SMALL right side: per-key presorted
+    time/payload arrays go to the object store once (``ray.put``); every
+    left batch resolves its matches locally with ``np.searchsorted``.
+    Raises if the right side exceeds ``max_right_rows`` (use
+    ``asof_join`` then).  Output schema matches ``asof_join``.
+    """
+    out_ts = out_left_ts or left_ts
+    rt = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+    if len(rt) > max_right_rows:
+        raise ValueError(
+            f"right side has {len(rt)} rows > max_right_rows={max_right_rows}; "
+            "use the co-partitioned asof_join")
+    r_names = [n for n in rt.column_names if n not in (key_col, right_ts)]
+    rdf = pd.DataFrame({
+        "_k": rt.column(key_col).to_numpy(zero_copy_only=False),
+        "_t": _ts_to_us(rt.column(right_ts)).to_numpy(zero_copy_only=False),
+        **{n: rt.column(n).to_pandas() for n in r_names},
+    }).sort_values(["_k", "_t", tiebreak_col]).reset_index(drop=True)
+    # per-key slice offsets into the fully sorted frame
+    keys, starts = np.unique(rdf["_k"].to_numpy(), return_index=True)
+    bounds = np.append(starts, len(rdf))
+    index = {int(k): (int(bounds[i]), int(bounds[i + 1])) for i, k in enumerate(keys)}
+    ref = ray.put((index, rdf))
+    side = "right" if inclusive else "left"
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        got = cache.get("r")
+        if got is None:
+            got = cache["r"] = ray.get(ref)
+        idx_map, frame = got
+        rts_all = frame["_t"].to_numpy()
+        lk = batch.column(key_col).to_numpy(zero_copy_only=False)
+        lt = _ts_to_us(batch.column(left_ts)).to_numpy(zero_copy_only=False)
+        match = np.full(len(lk), -1, np.int64)
+        order = np.argsort(lk, kind="stable")
+        sk, sstart = np.unique(lk[order], return_index=True)
+        send = np.append(sstart[1:], len(order))
+        for j, k in enumerate(sk):
+            span = idx_map.get(int(k))
+            if span is None:
+                continue
+            lo, hi = span
+            rows = order[sstart[j]:send[j]]
+            pos = np.searchsorted(rts_all[lo:hi], lt[rows], side=side) - 1
+            ok = pos >= 0
+            match[rows[ok]] = lo + pos[ok]
+        keep = match >= 0
+        kept = pa.array(np.flatnonzero(keep), pa.int64())
+        L = batch.take(kept)
+        cols = {key_col: L.column(key_col),
+                out_ts: _ts_to_us(L.column(left_ts))}
+        for n in batch.column_names:
+            if n not in (key_col, left_ts):
+                cols[n] = L.column(n)
+        hit = match[keep]
+        for n in r_names:
+            cols[n] = pa.array(frame[n].to_numpy()[hit])
+        return pa.table(cols)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+def range_join_agg(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    value_col: str | None = None,
+    out_left_ts: str | None = None,
+) -> rd.Dataset:
+    """Per left row, aggregate the right rows of the same key whose time
+    falls in ``[left_ts + lower_us, left_ts + upper_us)``: emits
+    ``n_matched`` (int64) and, when ``value_col`` is given, ``sum_value``
+    over the window.  LEFT-join semantics: left rows with no matches get
+    n_matched = 0 / sum_value = 0.0.
+
+    Same single hash exchange as ``asof_join``; inside a group both
+    window endpoints resolve with two ``searchsorted`` calls and the sum
+    via a cumulative-sum difference — O((|L|+|R|) log |R|) per key, no
+    pairwise expansion (the naive inequality join is |L|x|R|).
+    """
+    out_ts = out_left_ts or left_ts
+    u, l_fields, _ = _pad_union(left, right, key_col, left_ts, right_ts)
+    l_names = [n for n, _ in l_fields]
+
+    def merge(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g.column(_SIDE), 0)
+        L = g.filter(mask)
+        if len(L) == 0:
+            return pa.table({
+                key_col: g.column(key_col).slice(0, 0),
+                out_ts: pa.array([], pa.int64()),
+                **{n: g.column(n).slice(0, 0) for n in l_names},
+                "n_matched": pa.array([], pa.int64()),
+                **({"sum_value": pa.array([], pa.float64())} if value_col else {}),
+            })
+        R = g.filter(pc.invert(mask))
+        lts = L.column(_TS64).to_numpy(zero_copy_only=False)
+        rts = np.sort(R.column(_TS64).to_numpy(zero_copy_only=False)) if len(R) else np.empty(0, np.int64)
+        lo = np.searchsorted(rts, lts + lower_us, side="left")
+        hi = np.searchsorted(rts, lts + upper_us, side="left")
+        cols = {key_col: L.column(key_col), out_ts: _ts_to_us(L.column(_TS64))}
+        for n in l_names:
+            cols[n] = L.column(n)
+        cols["n_matched"] = pa.array(hi - lo, pa.int64())
+        if value_col:
+            if len(R):
+                order = np.argsort(R.column(_TS64).to_numpy(zero_copy_only=False))
+                vals = R.column(value_col).to_numpy(zero_copy_only=False)[order]
+                csum = np.concatenate(([0.0], np.cumsum(vals)))
+                cols["sum_value"] = pa.array(csum[hi] - csum[lo], pa.float64())
+            else:
+                cols["sum_value"] = pa.array(np.zeros(len(L)), pa.float64())
+        return pa.table(cols)
+
+    return u.groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -61,6 +61,56 @@ def tumbling_agg(
     )
 
 
+def hopping_agg(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> rd.Dataset:
+    """Hopping (sliding) event-time windows: width ``width_us``, advancing
+    by ``hop_us`` — each event lands in exactly ``width_us // hop_us``
+    overlapping windows, identified by their start ``window_start`` (epoch
+    us).  Emits (key, window_start, n, sum_value).
+
+    Same shape as ``tumbling_agg``: the replication happens INSIDE the
+    per-batch combiner (np.repeat/np.tile, vectorized), which then
+    pre-aggregates, so the exchange still moves one partial row per
+    (key, window) per batch — never ``fan x n_rows`` raw rows.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    fan = width_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        base = ts_us.to_numpy(zero_copy_only=False) // hop_us
+        # windows containing ts: starts (base - i) * hop for i in 0..fan-1
+        starts = (np.repeat(base, fan) - np.tile(np.arange(fan), len(base))) * hop_us
+        keys = batch.column(key_col).take(
+            pa.array(np.repeat(np.arange(len(base)), fan), pa.int64()))
+        vals = batch.column(value_col).take(
+            pa.array(np.repeat(np.arange(len(base)), fan), pa.int64()))
+        t = pa.table({key_col: keys,
+                      "window_start": pa.array(starts, pa.int64()),
+                      value_col: vals})
+        return t.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "count"), (value_col, "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum(f"{value_col}_count", alias_name="n"),
+                   Sum(f"{value_col}_sum", alias_name="sum_value"))
+    )
+
+
 def sessionize(
     ds: rd.Dataset,
     *,
