@@ -362,44 +362,37 @@ def knn_ivf_indexed(
     # partition pruning at the PATH level: only the probed lists' hive
     # directories are opened (Ray 2.49 binds `filter` against the fragment
     # schema, which excludes partition columns, so directory selection is
-    # the reliable pruning mechanism); the partition value is re-attached
-    # as a column per directory read
-    def read_list(lid: int) -> "rd.Dataset | None":
-        path = os.path.join(index_dir, "data", f"list_id={lid}")
-        if not os.path.isdir(path):
-            # the quantizer can leave centroids with zero assigned rows
-            # (argmax ties); an empty list has no directory and nothing
-            # to score
-            return None
-        part = rd.read_parquet(path)
-
-        def norm(t: pa.Table, lid=lid) -> pa.Table:
-            # the subdir read auto-attaches list_id as a hive STRING (or, on
-            # empty blocks, not at all) — replace with a typed constant
-            cols = {n: t.column(n) for n in t.column_names if n != "list_id"}
-            cols["list_id"] = pa.array([lid] * len(t), pa.int32())
-            return pa.table(cols)
-
-        return part.map_batches(norm, batch_format="pyarrow")
-
-    parts = [p for p in (read_list(lid) for lid in needed) if p is not None]
-    if not parts:
+    # the reliable pruning mechanism).  All probed directories go into ONE
+    # read_parquet call — a single Dataset, not a per-list union (the
+    # per-list form built nprobe+ datasets and paid driver/metadata cost
+    # per list).  The list assignment is RECOMPUTED per batch from the
+    # broadcast centroid matrix (one small matmul, bit-identical to the
+    # build-time argmax) instead of re-attached from the path.
+    paths = [os.path.join(index_dir, "data", f"list_id={lid}") for lid in needed]
+    # the quantizer can leave centroids with zero assigned rows (argmax
+    # ties); an empty list has no directory and nothing to score
+    files = [os.path.join(p, f) for p in paths if os.path.isdir(p)
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "rank", "score"])
-    corpus = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-    q_ref = ray.put((qm, probe_sets))
+    corpus = rd.read_parquet(files, columns=[id_col, emb_col])
+    probe_mask = np.zeros((len(probe_sets), len(centers)), bool)
+    for qi, probe in enumerate(probe_sets):
+        probe_mask[qi, list(probe)] = True
+    q_ref = ray.put((qm, probe_mask, centers))
     cache: dict = {}
 
     def score(batch: pa.Table) -> pa.Table:
         got = cache.get("q")
         if got is None:
             got = cache["q"] = ray.get(q_ref)
-        q, probes = got
+        q, pmask, cents = got
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        lists = batch.column("list_id").to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(batch, emb_col))
+        lists = (m @ cents.T).argmax(axis=1)
         out_q, out_n, out_s = [], [], []
-        for qi, probe in enumerate(probes):
-            mask = np.isin(lists, list(probe))
+        for qi in range(len(q)):
+            mask = pmask[qi][lists]
             if not mask.any():
                 continue
             sub = m[mask]
@@ -407,15 +400,20 @@ def knn_ivf_indexed(
             sims = q[qi] @ sub.T
             kk = min(k, len(sub_ids))
             idx = np.argpartition(-sims, kth=kk - 1)[:kk]
-            for j in idx:
-                out_q.append(qi)
-                out_n.append(int(sub_ids[j]))
-                out_s.append(float(sims[j]))
+            out_q.append(np.full(kk, qi, np.int32))
+            out_n.append(sub_ids[idx])
+            out_s.append(sims[idx].astype(np.float64))
+        if out_q:
+            oq, on, os_ = (np.concatenate(out_q), np.concatenate(out_n),
+                           np.concatenate(out_s))
+        else:
+            oq, on, os_ = (np.empty(0, np.int32), np.empty(0, np.int64),
+                           np.empty(0, np.float64))
         return pa.table(
             {
-                "qidx": pa.array(out_q, pa.int32()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "qidx": pa.array(oq, pa.int32()),
+                "neighbor_id": pa.array(on, pa.int64()),
+                "score": pa.array(os_, pa.float64()),
             }
         )
 
