@@ -20,6 +20,8 @@ Pairs outputs are (id_a, id_b, score) with id_a < id_b, globally deduped.
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
 
 import numpy as np
 import pandas as pd
@@ -96,6 +98,26 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 #: joins.  The decision keys on ids (feature-dict volume), not pairs: pair
 #: verification streams through map_batches either way.
 BROADCAST_CANDIDATES_THRESHOLD = 200_000
+
+#: per-WORKER-PROCESS broadcast-object cache.  map_batches task closures
+#: are re-pickled per task, so closure-level `ray.get` memoization would
+#: refetch (and re-deserialize) the broadcast object on every task; this
+#: module-global survives across tasks in one worker process.  Bounded to
+#: the last few refs so long-lived workers don't pin stale broadcasts.
+_WORKER_OBJ_CACHE: dict = {}
+
+
+def _worker_obj_cache(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _WORKER_OBJ_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        if len(_WORKER_OBJ_CACHE) >= 4:
+            _WORKER_OBJ_CACHE.pop(next(iter(_WORKER_OBJ_CACHE)))
+        _WORKER_OBJ_CACHE[key] = obj
+    return obj
 
 
 def _minhash_bands_feat_batch(shingle_fn, num_perm: int, bands: int,
@@ -332,6 +354,10 @@ def _pairs_from_buckets(
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
 
+    import time as _time
+
+    _dbg = os.environ.get("GRAFT_LSH_DEBUG")
+    _t0 = _time.time()
     cands = (
         _explode_bands(ds, bands_feat_fn, id_col, payload_col,
                        bands_feat_batch_fn=bands_feat_batch_fn)
@@ -346,6 +372,10 @@ def _pairs_from_buckets(
     )
 
     n_cands = cands.count()
+    if _dbg:
+        print(f"[lsh-debug] cands {n_cands} in {_time.time() - _t0:.1f}s",
+              file=sys.stderr)
+        _t0 = _time.time()
     if n_cands == 0:
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
 
@@ -393,6 +423,10 @@ def _pairs_from_buckets(
                 batch_format="pyarrow")
         )
         n_ids = need_ids.count()
+    if _dbg:
+        print(f"[lsh-debug] distinct ids {n_ids} in {_time.time() - _t0:.1f}s",
+              file=sys.stderr)
+        _t0 = _time.time()
 
     # The broadcast-vs-join decision keys on the DISTINCT-ID count (feature
     # volume), not the pair count: pairs verify streaming through
@@ -413,20 +447,42 @@ def _pairs_from_buckets(
                 keep = cache["k"] = ray.get(need_ref)
             return featurize(batch, keep)
 
+        # features stay PICKLED BYTES end-to-end: a dict of bytes
+        # deserializes as memcpys on ray.get, where a dict of Python
+        # feature objects (shingle SETS — millions of small strings) costs
+        # seconds PER TASK to rebuild (measured: 5.4s/task x 64 tasks =
+        # 347 core-s on the 120k-surface canonicalization bench, 700x the
+        # 0.4s of actual verify work).  Workers unpickle lazily, only the
+        # features their pair partition touches, memoized per id.
         feat_rows = ds.map_batches(extract_feats, batch_format="pyarrow").take_all()
-        feats = {int(r[id_col]): pickle.loads(r["feat"]) for r in feat_rows}
+        feats = {int(r[id_col]): r["feat"] for r in feat_rows}
         feats_ref = ray.put(feats)
         fcache: dict = {}
+        if _dbg:
+            print(f"[lsh-debug] featurize+put {len(feats)} in "
+                  f"{_time.time() - _t0:.1f}s", file=sys.stderr)
 
         def verify_batch(batch: pa.Table) -> pa.Table:
             f = fcache.get("f")
             if f is None:
-                f = fcache["f"] = ray.get(feats_ref)
+                # per-worker-PROCESS cache (module global), not per task:
+                # map_batches re-pickles the closure per task, so a
+                # closure-level cache would re-ray.get every task
+                f = _worker_obj_cache(feats_ref)
+                fcache["f"] = f
+            local: dict = {}
+
+            def feat(i):
+                v = local.get(i)
+                if v is None:
+                    v = local[i] = pickle.loads(f[i])
+                return v
+
             a_ids = batch.column("id_a").to_pylist()
             b_ids = batch.column("id_b").to_pylist()
             oa, ob_, sc = [], [], []
             for a, b in zip(a_ids, b_ids):
-                score = verify_fn(f[a], f[b])
+                score = verify_fn(feat(a), feat(b))
                 if score is not None:
                     oa.append(a)
                     ob_.append(b)
