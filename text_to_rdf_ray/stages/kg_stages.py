@@ -268,21 +268,33 @@ def link_entities_join(
     else:
         kb_ds = kb_records
 
+    import hashlib as _hl
+
+    def _id64(key: str) -> int:
+        return int.from_bytes(
+            _hl.blake2b(key.encode(), digest_size=8).digest(), "little"
+        ) >> 1
+
+    # lid/sid 64-bit row ids ride along from the FIRST pass (one shared
+    # materialization instead of separate *_with_id re-maps — every
+    # materialize is a full executor run, and this operator's cost at
+    # small scale is almost entirely such fixed barriers)
     def kb_labels(batch: pa.Table) -> pa.Table:
-        uris, labels, lows, firsts = [], [], [], []
+        uris, labels, lows, lids = [], [], [], []
         for row in batch.to_pylist():
             for lab in [row["label"], *(row.get("aliases") or ())]:
                 low = lab.lower()
                 uris.append(row["uri"])
                 labels.append(lab)
                 lows.append(low)
-                firsts.append(low[:1])
+                # must match _band_rows' row key "\x00".join([low, uri])
+                lids.append(_id64(f"{low}\x00{row['uri']}"))
         return pa.table(
             {
                 "kb_uri": pa.array(uris, pa.string()),
                 "kb_label": pa.array(labels, pa.string()),
                 "kb_low": pa.array(lows, pa.string()),
-                "kb_first": pa.array(firsts, pa.string()),
+                "lid": pa.array(lids, pa.int64()),
             }
         )
 
@@ -295,11 +307,14 @@ def link_entities_join(
         names = {s for s in subs if s}
         names |= {o for o, ot in zip(objs, ots) if ot and o}
         names = sorted(names)
+        lows = [n.lower() for n in names]
         return pa.table(
             {
                 "surface": pa.array(names, pa.string()),
-                "low": pa.array([n.lower() for n in names], pa.string()),
-                "first": pa.array([n.lower()[:1] for n in names], pa.string()),
+                "low": pa.array(lows, pa.string()),
+                # sid keys the LOWERCASED form (same as the band row key):
+                # case-variant surfaces share a sid and re-attach together
+                "sid": pa.array([_id64(low) for low in lows], pa.int64()),
             }
         )
 
@@ -308,7 +323,7 @@ def link_entities_join(
         .groupby("surface")
         .map_groups(lambda g: g.head(1), batch_format="pandas")
         .map_batches(
-            lambda t: pa.table({n: t.column(n) for n in ("surface", "low", "first")}),
+            lambda t: pa.table({n: t.column(n) for n in ("surface", "low", "sid")}),
             batch_format="pyarrow",
         )
     )
@@ -357,7 +372,7 @@ def link_entities_join(
             ).map_batches(
                 lambda t: pa.table(
                     {"surface": t.column("surface"), "low": t.column("low"),
-                     "first": t.column("first")}
+                     "sid": t.column("sid")}
                 ).filter(pc.is_null(t.column("hit"))),
                 batch_format="pyarrow",
             )
@@ -433,65 +448,28 @@ def link_entities_join(
                 }
             )
 
-        return _solid(src.map_batches(explode, batch_format="pyarrow"))
+        # lazy over a materialized parent: the explode output always has a
+        # schema (typed empty tables included), so the band join consumes
+        # it directly — no extra materialization barrier per side
+        return src.map_batches(explode, batch_format="pyarrow")
 
     if no_exact.count() == 0:
         # every surface had an exact hit: an empty left side would feed the
         # join schema-less blocks
         fuzzy = rd.from_arrow(_LINK_SCHEMA.empty_table())
     else:
-        # distinct label rows with a stable 64-bit id (the band join moves
-        # only ids; strings re-attach via hash joins on the tiny candidate
-        # set)
-        import hashlib as _hl
-
-        def label_ids(batch: pa.Table) -> pa.Table:
-            lows = batch.column("kb_low").to_pylist()
-            uris = batch.column("kb_uri").to_pylist()
-            ids = [
-                int.from_bytes(
-                    _hl.blake2b(f"{low}\x00{uri}".encode(), digest_size=8).digest(),
-                    "little",
-                ) >> 1
-                for low, uri in zip(lows, uris)
-            ]
-            return pa.table(
-                {
-                    "lid": pa.array(ids, pa.int64()),
-                    "kb_label": batch.column("kb_label"),
-                    "kb_uri": batch.column("kb_uri"),
-                    "kb_low": batch.column("kb_low"),
-                }
-            )
-
-        def surface_ids(batch: pa.Table) -> pa.Table:
-            lows = batch.column("low").to_pylist()
-            # row key = low alone — must match _band_rows' "\x00".join([low])
-            ids = [
-                int.from_bytes(
-                    _hl.blake2b(low.encode(), digest_size=8).digest(), "little"
-                ) >> 1
-                for low in lows
-            ]
-            return pa.table(
-                {
-                    "sid": pa.array(ids, pa.int64()),
-                    "surface": batch.column("surface"),
-                    "low": batch.column("low"),
-                }
-            )
-
-        labels_with_id = _solid(
-            labels_ds.map_batches(label_ids, batch_format="pyarrow"))
-        surfaces_with_id = _solid(
-            no_exact.map_batches(surface_ids, batch_format="pyarrow"))
+        # lid/sid already ride on labels_ds / no_exact (hashed in the
+        # first-pass maps above); the band join moves only ids, strings
+        # re-attach via hash joins on the tiny candidate set
+        labels_with_id = labels_ds
+        surfaces_with_id = no_exact
 
         surf_bands = _band_rows(
             surfaces_with_id.map_batches(
                 lambda t: pa.table({"low": t.column("low")}),
                 batch_format="pyarrow"), "low", "sid")
-        # label id must hash (low, uri) exactly like label_ids: rebuild the
-        # same row key by keeping uri alongside
+        # label id must hash (low, uri) exactly like kb_labels' lid: rebuild
+        # the same row key by keeping uri alongside
         label_bands = _band_rows(
             labels_with_id.map_batches(
                 lambda t: pa.table({"kb_low": t.column("kb_low"),
@@ -529,7 +507,9 @@ def link_entities_join(
             cand_ids.join(surfaces_with_id, join_type="inner",
                           num_partitions=num_partitions, on=("sid",))
         )
-        fuzzy = _solid(
+        # lazy: with_surface is materialized, so this single join + score
+        # runs inside the union->groupby(top1) execution (one less barrier)
+        fuzzy = (
             with_surface.join(labels_with_id, join_type="inner",
                               num_partitions=num_partitions, on=("lid",))
             .map_batches(fuzzy_score, batch_format="pyarrow")
@@ -557,13 +537,15 @@ def link_entities_join(
     )
 
     def rename_links(key: str, ucol: str, ccol: str) -> "rd.Dataset":
-        return _solid(links.map_batches(
+        # lazy rename over the materialized links — the join right side
+        # consumes it directly (barrier-free; output schema is always typed)
+        return links.map_batches(
             lambda t, key=key, ucol=ucol, ccol=ccol: pa.table(
                 {key: t.column("surface"), ucol: t.column("uri"),
                  ccol: t.column("conf")}
             ),
             batch_format="pyarrow",
-        ))
+        )
 
     out = _solid(
         _solid(triples).join(
