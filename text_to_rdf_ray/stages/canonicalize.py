@@ -152,7 +152,7 @@ def connected_components(
     )
     und = _solid(fwd.union(rev))
 
-    labels = (
+    labels = _solid(
         und.groupby("src")
         .count()
         .map_batches(
@@ -161,9 +161,7 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        .materialize()
     )
-    labels = _solid(labels)
     def _as(ds, mapping):
         """Column projection/rename via arrow rebuild — rename_columns
         interacts badly with the 2.49 join planner on some plans."""
@@ -186,9 +184,12 @@ def connected_components(
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
+        # the relabel map is lazy over the materialized labels (typed
+        # schema, no groupby lineage) — the join consumes it without an
+        # extra materialization barrier per round
         msgs = _as(
             und.join(
-                _solid(_as(labels, [("name_id", "src"), ("component", "component")])),
+                _as(labels, [("name_id", "src"), ("component", "component")]),
                 join_type="inner",
                 num_partitions=16,
                 on=("src",),
@@ -356,32 +357,39 @@ def canonicalize_surfaces(
             batch_format="pyarrow",
         )
 
-    comp = _solid(connected_components(edges, driver_threshold=cc_driver_threshold))
-    # attach component to every (name_id, surface); nodes without edges keep themselves
-    with_comp = _solid(ids).join(
-        comp, join_type="left_outer", num_partitions=16, on=("name_id",)
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "surface": t.column("surface"),
-                "component": pa.array(
-                    [
-                        c if c is not None else nid
-                        for c, nid in zip(
-                            t.column("component").to_pylist(),
-                            t.column("name_id").to_pylist(),
-                        )
-                    ],
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
+    # connected_components already returns a materialized (or from_arrow)
+    # labels table; ids was materialized above — both join sides are solid
+    # without further barriers
+    comp = connected_components(edges, driver_threshold=cc_driver_threshold)
+    # attach component to every (name_id, surface); nodes without edges
+    # keep themselves.  Materialized ONCE — it feeds both the per-component
+    # canonical-pick groupby and the final application join.
+    with_comp = _solid(
+        ids.join(
+            comp, join_type="left_outer", num_partitions=16, on=("name_id",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "surface": t.column("surface"),
+                    "component": pa.array(
+                        [
+                            c if c is not None else nid
+                            for c, nid in zip(
+                                t.column("component").to_pylist(),
+                                t.column("name_id").to_pylist(),
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
     canon = _solid(
         with_comp.groupby("component").aggregate(Min("surface", alias_name="canonical"))
     )
-    return _solid(with_comp).join(
+    return with_comp.join(
         canon, join_type="inner", num_partitions=16, on=("component",)
     ).select_columns(["surface", "canonical"])
 

@@ -403,7 +403,7 @@ def _pairs_from_buckets(
     from .canonicalize import _solid
 
     need_ids = None
-    if n_cands <= 100_000:
+    if n_cands <= broadcast_threshold:
         pair_rows = cands.take_all()
         need_set = {int(r["id_a"]) for r in pair_rows} | {
             int(r["id_b"]) for r in pair_rows
