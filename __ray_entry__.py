@@ -299,10 +299,62 @@ def _doc_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints + SimHash.  Side tables carry the RAW
+    pre-selection artifacts (per-window Rabin-Karp hashes, distinct
+    char-trigram hashes — the hash functions themselves are shared, as in
+    the other side-table oracles); the DuckDB oracle independently replays
+    the winnowing selection (h % 64 == 0, first-hash fallback, distinct
+    count) and the SimHash bit-vote packing."""
     from text_to_rdf_ray.stages.textstats_stage import add_fingerprints
 
-    df = add_fingerprints(_documents(sf_dir)).to_pandas()
-    return df[["doc_id", "n_fingerprints", "simhash"]].sort_values("doc_id").reset_index(drop=True)
+    docs = _documents(sf_dir)
+
+    def raw_hashes(batch: pa.Table) -> pa.Table:
+        from text_to_rdf_ray.kernels.minhash import (
+            _hash_shingles,
+            char_shingles,
+            short_doc_fingerprint,
+            window_hashes,
+        )
+
+        w_doc, w_pos, w_h = [], [], []
+        s_doc, s_fp = [], []
+        g_doc, g_h = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            hs = window_hashes(t)
+            if hs is None:
+                s_doc.append(i)
+                s_fp.append(short_doc_fingerprint(t))
+            else:
+                w_doc.extend([i] * len(hs))
+                w_pos.extend(range(len(hs)))
+                w_h.extend(hs.tolist())
+            sh = np.unique(_hash_shingles(sorted(char_shingles(t))))
+            g_doc.extend([i] * len(sh))
+            g_h.extend(sh.tolist())
+        return pa.table(
+            {
+                "kind": pa.array(["w"] * len(w_doc) + ["s"] * len(s_doc)
+                                 + ["g"] * len(g_doc), pa.string()),
+                "doc_id": pa.array(w_doc + s_doc + g_doc, pa.int64()),
+                "pos": pa.array(w_pos + [-1] * len(s_doc) + [-1] * len(g_doc),
+                                pa.int64()),
+                "h": pa.array(w_h + s_fp + g_h, pa.uint64()),
+            }
+        )
+
+    raw = docs.map_batches(raw_hashes, batch_format="pyarrow").to_pandas()
+    for kind, fname in (("w", "win.parquet"), ("s", "short.parquet"),
+                        ("g", "shingle.parquet")):
+        part = raw[raw["kind"] == kind][["doc_id", "pos", "h"]]
+        _side_write("doc_fingerprints", fname,
+                    part.sort_values(["doc_id", "pos", "h"]).reset_index(drop=True))
+
+    df = add_fingerprints(docs).to_pandas()
+    df = df[["doc_id", "n_fingerprints", "simhash"]]
+    df["n_fingerprints"] = df["n_fingerprints"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _stem_tokens(sf_dir: str) -> pd.DataFrame:
@@ -1293,6 +1345,51 @@ def _kg_llm_mode_sql() -> str:
     """
 
 
+def _doc_fingerprints_sql() -> str:
+    """Replay of the winnowing selection + SimHash bit-vote over the raw
+    hash side tables (kernels/minhash.py::rolling_fingerprint selection
+    semantics: keep h % 64 == 0, else the first window hash; n = distinct
+    kept; simhash bit j set iff a majority of shingle hashes carry bit j,
+    then shifted into int64 range)."""
+    win = os.path.join(_SIDE, "doc_fingerprints", "win.parquet")
+    short = os.path.join(_SIDE, "doc_fingerprints", "short.parquet")
+    shingle = os.path.join(_SIDE, "doc_fingerprints", "shingle.parquet")
+    return f"""
+      WITH win AS (SELECT doc_id, pos, h FROM read_parquet('{win}')),
+      sel AS (SELECT doc_id, h FROM win WHERE (h & 63) = 0),
+      fallback AS (
+        SELECT w.doc_id, w.h
+        FROM (SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+              FROM win) w
+        WHERE w.rn = 1
+          AND w.doc_id NOT IN (SELECT DISTINCT doc_id FROM sel)),
+      picked AS (SELECT DISTINCT doc_id, h FROM
+                 (SELECT * FROM sel UNION ALL SELECT * FROM fallback)),
+      nf AS (SELECT doc_id, count(*) AS n FROM picked GROUP BY doc_id
+             UNION ALL
+             SELECT doc_id, 1 AS n FROM read_parquet('{short}')),
+      sh AS (SELECT doc_id, h FROM read_parquet('{shingle}')),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      bits AS (
+        SELECT s.doc_id, j.j,
+               sum(CAST((s.h >> CAST(j.j AS INTEGER)) & 1 AS BIGINT)) AS c
+        FROM sh s CROSS JOIN range(64) j(j)
+        GROUP BY s.doc_id, j.j),
+      simv AS (
+        SELECT b.doc_id,
+               sum(CASE WHEN 2 * b.c - cnt.n > 0
+                        THEN CAST(1::UBIGINT << CAST(b.j AS INTEGER) AS HUGEINT)
+                        ELSE 0::HUGEINT END) AS u
+        FROM bits b JOIN cnt USING (doc_id) GROUP BY b.doc_id)
+      SELECT nf.doc_id,
+             CAST(nf.n AS BIGINT) AS n_fingerprints,
+             CAST(simv.u - 9223372036854775808 AS BIGINT) AS simhash
+      FROM nf JOIN simv ON simv.doc_id = nf.doc_id
+      ORDER BY nf.doc_id
+    """
+
+
 def _stopword_sql_list() -> str:
     from text_to_rdf_ray.kernels.textstats import STOPWORDS_EN
 
@@ -1310,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_fixture": _kg_fixture_sql(),
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
+        "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -158,26 +158,41 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def rolling_fingerprint(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
-    """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
-    ``window``-char windows, keeping hashes ≡ 0 (mod 2^mod_bits)."""
+def window_hashes(text: str, window: int = 16) -> np.ndarray | None:
+    """Raw Rabin-Karp rolling hashes of every ``window``-char window, in
+    position order (None when the doc is shorter than one window).  The
+    pre-selection hash stream is exposed so oracles can replay the
+    winnowing selection independently of this kernel."""
     data = text.encode("utf-8", errors="ignore")
     n = len(data)
     if n < window:
-        h = hashlib.blake2b(data, digest_size=8).digest()
-        return [int.from_bytes(h, "little") >> 1]
+        return None
     base = 1099511628211
-    mask = np.uint64((1 << mod_bits) - 1)
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     # powers of the base mod 2^64 (Python ints, then cast — wraparound intended)
     pw_int = [1] * window
     for i in range(1, window):
         pw_int[i] = (pw_int[i - 1] * base) & 0xFFFFFFFFFFFFFFFF
     pw = np.array(pw_int, dtype=np.uint64)
-    m = n - window + 1
     # windows matrix trick is memory-heavy for big docs; stride over view
     strided = np.lib.stride_tricks.sliding_window_view(arr, window)
-    hashes = (strided * pw[::-1]).sum(axis=1, dtype=np.uint64)
+    return (strided * pw[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+def short_doc_fingerprint(text: str) -> int:
+    """The single fingerprint of a sub-window document."""
+    data = text.encode("utf-8", errors="ignore")
+    h = hashlib.blake2b(data, digest_size=8).digest()
+    return int.from_bytes(h, "little") >> 1
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
+    ``window``-char windows, keeping hashes ≡ 0 (mod 2^mod_bits)."""
+    hashes = window_hashes(text, window)
+    if hashes is None:
+        return [short_doc_fingerprint(text)]
+    mask = np.uint64((1 << mod_bits) - 1)
     sel = hashes & mask == 0
     picked = hashes[sel]
     if picked.size == 0:
