@@ -403,11 +403,14 @@ def _pairs_from_buckets(
     from .canonicalize import _solid
 
     need_ids = None
-    if n_cands <= broadcast_threshold:
-        pair_rows = cands.take_all()
-        need_set = {int(r["id_a"]) for r in pair_rows} | {
-            int(r["id_b"]) for r in pair_rows
-        }
+    if n_cands <= 2_000_000:
+        # vectorized driver-side distinct (a 2M-pair table is ~32 MB of
+        # int64 — trivial to pull; the distributed union+groupby below
+        # costs two exchanges, which dominate when the candidate ID set is
+        # small, e.g. templated corpora: 400k pairs over 4k ids)
+        pdf = cands.to_pandas()
+        need_arr = np.union1d(pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())
+        need_set = set(int(x) for x in need_arr)
         n_ids = len(need_set)
     else:
         def ids_table(col: str) -> rd.Dataset:
