@@ -1007,6 +1007,47 @@ def _corpus_clean_pipeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source subsample (stages/curation.py::
+    stratified_sample — Knuth-hash rank, batch-local top-k combiner)."""
+    from text_to_rdf_ray.stages.curation import stratified_sample
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "source"])
+    out = stratified_sample(ds, key_col="source", id_col="doc_id",
+                            n_per_group=20).to_pandas()
+    out["sample_rank"] = out["sample_rank"].astype("int64")
+    return (out[["source", "doc_id", "sample_rank"]]
+            .sort_values(["source", "sample_rank"]).reset_index(drop=True))
+
+
+def _docs_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sequence packing by distributed prefix sum
+    (stages/curation.py::pack_sequences; n_chars stands in for the token
+    count — the packing math is identical)."""
+    from text_to_rdf_ray.stages.curation import pack_sequences
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "n_chars"])
+    out = pack_sequences(ds, id_col="doc_id", token_col="n_chars",
+                         budget=2000).to_pandas()
+    out["seq_id"] = out["seq_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (stages/curation.py::tfidf_top_terms
+    — exploded term table joined to the df aggregate, topk_per_group
+    combiner)."""
+    from text_to_rdf_ray.stages.curation import tfidf_top_terms
+
+    out = tfidf_top_terms(_documents(sf_dir), k=3).to_pandas()
+    out["tfidf"] = _r(out["tfidf"], 6)
+    for c in ("tf", "df", "rank"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "term", "tf", "df", "tfidf", "rank"]]
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
 def _kg_llm_mode(sf_dir: str) -> pd.DataFrame:
     """ST1/ST2 LLM-mode path: actor-pool extraction with instructor
     retries over a deterministic stand-in client.  The per-url instructor
@@ -1180,6 +1221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _events_hopping,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
+        # curation (training-data prep)
+        "docs_stratified_sample": _docs_stratified_sample,
+        "docs_pack_sequences": _docs_pack_sequences,
+        "docs_tfidf_top_terms": _docs_tfidf_top_terms,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1774,5 +1819,51 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.5), 2) AS q_50,
                    round(quantile_cont(l_extendedprice, 0.95), 2) AS q_95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_stratified_sample": """
+            -- Knuth multiplicative hash rank (curation.py::sample_hash):
+            -- (id * 11400714819323198485) mod 2^64, smallest n per group
+            WITH h AS (
+              SELECT source, doc_id,
+                     (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616 AS hv
+              FROM documents),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hv ASC) AS rnk
+                  FROM h)
+            SELECT source, doc_id, CAST(rnk AS BIGINT) AS sample_rank
+            FROM r WHERE rnk <= 20 ORDER BY source, sample_rank
+        """,
+        "docs_pack_sequences": """
+            -- global token prefix sum -> seq_id = tokens_before // budget
+            SELECT doc_id, n_chars,
+                   CAST(coalesce(sum(n_chars) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2000 AS BIGINT) AS seq_id
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_tfidf_top_terms": """
+            WITH terms AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id,
+                           unnest(list_filter(str_split(lower(text), ' '),
+                                              x -> x <> '')) AS term
+                    FROM documents)
+              GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+              FROM terms t JOIN dfs d USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY tfidf DESC, term ASC) AS rnk
+                  FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, round(tfidf, 6) AS tfidf,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, "rank"
         """,
     }

@@ -1,0 +1,104 @@
+"""Tests for the training-data curation operators (stages/curation.py):
+deterministic stratified sampling, prefix-sum sequence packing, TF-IDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from text_to_rdf_ray.stages.curation import (
+    pack_sequences,
+    sample_hash,
+    stratified_sample,
+    tfidf_terms,
+    tfidf_top_terms,
+)
+
+
+def test_stratified_sample_matches_local_hash_rank(ray_session):
+    ids = np.arange(1, 201, dtype=np.int64)
+    groups = ["a" if i % 2 == 0 else "b" for i in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "grp": groups})).repartition(8)
+    out = stratified_sample(ds, key_col="grp", id_col="doc_id",
+                            n_per_group=7).to_pandas()
+    assert set(out.columns) == {"doc_id", "grp", "sample_rank"}
+    local = pd.DataFrame({"doc_id": ids, "grp": groups,
+                          "h": sample_hash(ids)})
+    for g, sub in local.groupby("grp"):
+        want = sub.sort_values("h").head(7)["doc_id"].tolist()
+        got = (out[out["grp"] == g].sort_values("sample_rank")["doc_id"]
+               .tolist())
+        assert got == want, g
+        assert sorted(out[out["grp"] == g]["sample_rank"]) == list(range(1, 8))
+
+
+def test_stratified_sample_deterministic_across_partitionings(ray_session):
+    ids = np.arange(0, 300, dtype=np.int64)
+    tbl = pa.table({"doc_id": ids, "grp": ["g"] * 300})
+    a = stratified_sample(rd.from_arrow(tbl).repartition(3),
+                          key_col="grp", id_col="doc_id",
+                          n_per_group=11).to_pandas()
+    b = stratified_sample(rd.from_arrow(tbl).repartition(17),
+                          key_col="grp", id_col="doc_id",
+                          n_per_group=11).to_pandas()
+    key = ["grp", "sample_rank", "doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_pack_sequences_matches_numpy_prefix_sum(ray_session):
+    rng = np.random.RandomState(7)
+    ids = np.arange(1000, dtype=np.int64)
+    toks = rng.randint(1, 500, size=1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "n_tok": toks})).repartition(13)
+    out = pack_sequences(ds, id_col="doc_id", token_col="n_tok",
+                         budget=1000).to_pandas().sort_values("doc_id")
+    before = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    want = before // 1000
+    assert (out["seq_id"].to_numpy() == want).all()
+    assert (out["n_tok"].to_numpy() == toks).all()
+    # sequence ids are contiguous from 0 (every budget window with tokens
+    # is represented, since no document exceeds the budget here)
+    seqs = np.unique(out["seq_id"].to_numpy())
+    assert seqs[0] == 0 and (np.diff(seqs) >= 1).all()
+
+
+def test_pack_sequences_straddle_starts_in_first_window(ray_session):
+    # doc of 1500 tokens against budget 1000 starting at offset 500:
+    # its seq_id is the window its FIRST token lands in (0)
+    ds = rd.from_items([
+        {"doc_id": 0, "n_tok": 500},
+        {"doc_id": 1, "n_tok": 1500},
+        {"doc_id": 2, "n_tok": 10},
+    ])
+    out = pack_sequences(ds, id_col="doc_id", token_col="n_tok",
+                         budget=1000).to_pandas().sort_values("doc_id")
+    assert out["seq_id"].tolist() == [0, 0, 2]
+
+
+def test_tfidf_counts_and_topk(ray_session):
+    docs = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry durian"},
+    ]
+    ds = rd.from_items(docs)
+    t = tfidf_terms(ds).to_pandas()
+    t = t.set_index(["doc_id", "term"])
+    assert t.loc[(0, "apple"), "tf"] == 2
+    assert t.loc[(0, "apple"), "df"] == 1
+    assert t.loc[(1, "banana"), "df"] == 2
+    n = 3
+    want = 2 * (math.log((n + 1) / (1 + 1)) + 1)
+    assert abs(t.loc[(0, "apple"), "tfidf"] - want) < 1e-12
+
+    # doc 1: banana and cherry tie (tf=1, df=2) -> term asc picks banana
+    top = tfidf_top_terms(ds, k=1).to_pandas().sort_values("doc_id")
+    assert top["term"].tolist() == ["apple", "banana", "cherry"]
+    assert (top["rank"] == 1).all()

@@ -1,0 +1,246 @@
+"""Training-data curation operators: deterministic stratified sampling,
+token-budget sequence packing (distributed prefix sum), and TF-IDF
+term scoring.
+
+All three are Ray-Data-first and deterministic (hash/order-derived, no
+RNG at call time) so task retries and N-vs-4N runs produce identical
+outputs, and each has an exact DuckDB replay in ``__ray_entry__``:
+
+- ``stratified_sample``: per-group uniform-rate subsample keyed by a
+  Knuth multiplicative hash of the id — a per-batch top-k combiner keeps
+  only possible survivors before the key exchange (the ``topk_per_group``
+  pattern), so the shuffle moves O(n_per_group x groups), not the corpus.
+- ``pack_sequences``: assigns documents to fixed-token-budget training
+  sequences by global token prefix sum.  The scan is the classic two-pass
+  distributed prefix sum: per-block partial sums -> driver prefix of the
+  tiny per-block table -> per-block offset + local cumsum.  No
+  sequential driver loop over rows, no full sort beyond the one
+  range-partitioning sort that defines document order.
+- ``tfidf_terms`` / ``tfidf_top_terms``: per-document TF-IDF scores via
+  an exploded (doc, term, tf) table hash-joined to the (term, df)
+  aggregate — join, not broadcast, so a 100 TB vocabulary shuffles
+  candidate-proportionally; top-k per doc reuses ``topk_per_group``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+#: Knuth/Fibonacci multiplicative constant (2^64 / phi) — the sampling
+#: hash must be exactly reproducible in DuckDB HUGEINT arithmetic.
+_KNUTH = 11400714819323198485
+
+
+def sample_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform 64-bit hash of int64 ids: (id * KNUTH) mod
+    2^64 (wraparound multiply).  SQL replay: (CAST(id AS HUGEINT) *
+    11400714819323198485) % 18446744073709551616."""
+    return ids.astype(np.uint64) * np.uint64(_KNUTH)
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> rd.Dataset:
+    """The ``n_per_group`` rows with the smallest ``sample_hash(id)`` per
+    key (ties impossible: the hash is a bijection on uint64).  Emits the
+    input columns plus ``sample_rank`` (1-based within the key).
+
+    Batch-local top-k per key runs before the exchange — only rows that
+    can survive globally shuffle.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sample_hash(ids)
+        # store as int64 bit-pattern; ORDER preserved via the shift to
+        # signed? no — keep uint64 semantics by comparing as uint64 in
+        # numpy and exporting the unsigned value (DuckDB UBIGINT)
+        return batch.append_column("_h", pa.array(h, pa.uint64()))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values("_h")
+                .groupby(key_col, sort=False).head(n_per_group))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values("_h").head(n_per_group).reset_index(drop=True)
+        out["sample_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.drop(columns=["_h"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pandas", batch_size=65536)
+        .groupby(key_col)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> rd.Dataset:
+    """Assign each row (document) to a training-sequence id by global
+    token prefix sum in ``id_col`` order:
+
+        seq_id = floor(tokens_before_this_doc / budget)
+
+    (the streaming-pack semantics: a document straddling a budget
+    boundary starts in the sequence its first token lands in).  Output:
+    ``(id_col, token_col, seq_id)``.
+
+    Distributed two-pass prefix sum: sort by id (range partition), then
+    (1) per-BLOCK (batch_size=None) partial sums keyed by the block's
+    min id — a tiny table; (2) driver computes the prefix offsets of
+    that table (O(blocks)); (3) second pass adds block offset + local
+    cumsum.  Both passes stream; only per-block partials reach the
+    driver.
+    """
+    import ray
+
+    sorted_ds = ds.select_columns([id_col, token_col]).sort(id_col).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = batch.column(token_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "tok_sum": pa.array([], pa.int64())})
+        return pa.table({
+            "min_id": pa.array([int(ids.min())], pa.int64()),
+            "tok_sum": pa.array([int(toks.sum())], pa.int64()),
+        })
+
+    # batch_size=None => one batch per block, so pass-2 batches partition
+    # the id range exactly like these partials (blocks are range-disjoint
+    # after the sort)
+    partials = sorted_ds.map_batches(
+        block_stats, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("min_id")
+    offsets = dict(zip(
+        partials["min_id"],
+        np.concatenate([[0], np.cumsum(partials["tok_sum"].to_numpy())[:-1]]),
+    ))
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        off = cache.get("o")
+        if off is None:
+            off = cache["o"] = ray.get(off_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = batch.column(token_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             token_col: pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        before = int(off[int(ids.min())]) + np.concatenate(
+            [[0], np.cumsum(toks)[:-1]]
+        )
+        seq = before // budget
+        return pa.table({
+            id_col: batch.column(id_col),
+            token_col: pa.array(toks, pa.int64()),
+            "seq_id": pa.array(seq.astype(np.int64), pa.int64()),
+        })
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def _terms(text: str) -> list[str]:
+    """Lowercased whitespace terms (SQL replay: list_filter(str_split(
+    lower(text), ' '), x -> x <> ''))."""
+    return [t for t in text.lower().split(" ") if t]
+
+
+def tfidf_terms(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """(doc_id, term, tf, df, tfidf) — tf = in-doc term count, df =
+    number of docs containing the term, tfidf = tf * (ln((N+1)/(df+1)) + 1)
+    (smoothed idf).  The (term, df) side is JOINED, not broadcast: at a
+    100 TB vocabulary the df table shuffles candidate-proportionally."""
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import _solid
+
+    n_docs = ds.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_i, out_t, out_c = [], [], []
+        for i, txt in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            counts: dict[str, int] = {}
+            for t in _terms(txt):
+                counts[t] = counts.get(t, 0) + 1
+            out_i.extend([i] * len(counts))
+            out_t.extend(counts.keys())
+            out_c.extend(counts.values())
+        return pa.table({
+            id_col: pa.array(out_i, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_c, pa.int64()),
+        })
+
+    doc_terms = _solid(ds.map_batches(explode, batch_format="pyarrow"))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: one (term, partial_df) row per distinct term
+        g = batch.group_by("term").aggregate([("tf", "count")])
+        return pa.table({"term": g.column("term"),
+                         "df_part": g.column("tf_count").cast(pa.int64())})
+
+    df_tbl = _solid(
+        doc_terms.map_batches(df_partial, batch_format="pyarrow",
+                              batch_size=65536)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        return pa.table({
+            id_col: batch.column(id_col),
+            "term": batch.column("term"),
+            "tf": batch.column("tf"),
+            "df": pa.array(dfv.astype(np.int64), pa.int64()),
+            "tfidf": pa.array(tf * idf, pa.float64()),
+        })
+
+    return (
+        doc_terms.join(df_tbl, join_type="inner",
+                       num_partitions=num_partitions, on=("term",))
+        .map_batches(score, batch_format="pyarrow")
+    )
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> rd.Dataset:
+    """Each document's ``k`` highest-TF-IDF terms (score desc, term asc
+    for determinism) — composes ``tfidf_terms`` with the
+    ``topk_per_group`` combiner."""
+    from .analytics import topk_per_group
+
+    scored = tfidf_terms(ds, text_col=text_col, id_col=id_col)
+    return topk_per_group(scored, key_col=id_col, sort_col="tfidf",
+                          tiebreak_col="term", k=k)
