@@ -113,7 +113,15 @@ def minhash_signatures(
         flat = [sh for s in sets[i:j] for sh in s]
         if flat:
             hv = _hash_shingles(flat)
-            prod = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+            # x mod (2^61-1) via Mersenne folding: numpy's u64 % is a
+            # per-element division (~10x the cost of the whole hash);
+            # for x < 2^64, (x >> 61) + (x & p) < p + 8, so one
+            # conditional subtract finishes the reduction — bit-identical
+            # to % _MERSENNE
+            p = np.uint64(_MERSENNE)
+            x = np.outer(a, hv) + b[:, None]
+            x = (x >> np.uint64(61)) + (x & p)
+            prod = np.where(x >= p, x - p, x)
             offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
             ne = np.nonzero(lens > 0)[0]
             # empty segments occupy zero elements, so consecutive nonempty
