@@ -132,15 +132,31 @@ def minhash_signatures(
     return out
 
 
+def band_keys_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized band keys for an (n, num_perm) signature matrix ->
+    (n, bands) int64: FNV-1a over each band's ``r`` uint64 lanes
+    (little-endian byte order, as if hashing the segment's raw bytes).
+    A band key is only a compact label for the band SIGNATURE — bucket
+    membership is signature equality, so the choice of hash does not
+    change LSH recall; FNV here replaces a per-(doc, band) blake2b call
+    (the explode stage's former per-row Python cost)."""
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    segs = sigs[:, : bands * r].reshape(n, bands, r)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    for lane in range(r):
+        v = segs[:, :, lane]
+        for shift in range(0, 64, 8):
+            h = (h ^ ((v >> np.uint64(shift)) & np.uint64(0xFF))) * _FNV_PRIME
+    return (h >> np.uint64(1)).astype(np.int64)  # fits int64
+
+
 def band_keys(signature: np.ndarray, bands: int) -> list[int]:
-    """Split signature into ``bands`` bands; return a stable hash per band."""
-    r = len(signature) // bands
-    keys = []
-    for bi in range(bands):
-        seg = signature[bi * r : (bi + 1) * r].tobytes()
-        h = hashlib.blake2b(seg, digest_size=8).digest()
-        keys.append(int.from_bytes(h, "little") >> 1)  # fits int64
-    return keys
+    """Split signature into ``bands`` bands; return a stable hash per band
+    (single-signature form of ``band_keys_batch`` — identical keys)."""
+    return band_keys_batch(np.asarray(signature, dtype=np.uint64).reshape(1, -1),
+                           bands)[0].tolist()
 
 
 def jaccard(a: set, b: set) -> float:

@@ -123,19 +123,24 @@ def _worker_obj_cache(ref):
 def _minhash_bands_feat_batch(shingle_fn, num_perm: int, bands: int,
                               sketch_perms: int | None = None):
     """Batch bands+sketch: one vectorized minhash pass per input batch
-    (kernels.minhash.minhash_signatures) instead of a per-doc signature.
+    (kernels.minhash.minhash_signatures) + one vectorized band-key pass
+    (band_keys_batch) — returns the COLUMNAR protocol consumed by
+    ``_explode_bands``: ``((n, bands) int64 keys, list[bytes] sketches)``.
     ``sketch_perms`` caps the b-bit sketch width (keeps the in-band
     feature at 64 bytes even when extra permutations widen the bands)."""
-    from ..kernels.minhash import band_keys, minhash_signatures
+    from ..kernels.minhash import band_keys_batch, minhash_signatures
 
     def batch_fn(payloads):
         sets = [shingle_fn(p) for p in payloads]
         sigs = minhash_signatures(sets, num_perm=num_perm)
-        return [
-            (list(enumerate(band_keys(sig, bands))),
-             _bbit_sketch(sig if sketch_perms is None else sig[:sketch_perms]))
-            for sig in sigs
-        ]
+        keys = band_keys_batch(sigs, bands)
+        sk = sigs if sketch_perms is None else sigs[:, :sketch_perms]
+        # one row-major tobytes + slicing beats n per-row astype calls
+        flat = np.ascontiguousarray(sk & np.uint64(0xFF)).astype(np.uint8)
+        w = flat.shape[1]
+        blob = flat.tobytes()
+        feats = [blob[i * w:(i + 1) * w] for i in range(len(payloads))]
+        return keys, feats
 
     return batch_fn
 
@@ -162,30 +167,50 @@ def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str,
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         payloads = batch.column(payload_col).to_pylist()
-        ob, oh, oi, of = [], [], [], []
-        has_feat = False
         if bands_feat_batch_fn is not None:
-            results = bands_feat_batch_fn(payloads)
+            res = bands_feat_batch_fn(payloads)
         else:
-            results = None
-        for row_idx, (i, p) in enumerate(zip(ids, payloads)):
-            bands, feat = results[row_idx] if results is not None else bands_feat_fn(p)
-            if feat is not None:
-                has_feat = True
-            for band_id, band_hash in bands:
-                ob.append(band_id)
-                oh.append(band_hash)
-                oi.append(i)
-                of.append(feat)
-        shard = [(h ^ (bi << 56)) % 512 for bi, h in zip(ob, oh)]
+            res = None
+        if isinstance(res, tuple):
+            # columnar protocol: ((n, bands) int64 keys, list feats) —
+            # band-row columns assemble as numpy repeats/tiles, no
+            # per-(doc, band) Python loop
+            keys, feats = res
+            n, nb = keys.shape
+            oi_arr = np.repeat(np.asarray(ids, dtype=np.int64), nb)
+            ob_arr = np.tile(np.arange(nb, dtype=np.int64), n)
+            oh_arr = keys.ravel()
+            of_list = (None if feats is None
+                       else [f for f in feats for _ in range(nb)])
+            has_feat = feats is not None
+        else:
+            ob, oh, oi, of = [], [], [], []
+            has_feat = False
+            for row_idx, (i, p) in enumerate(zip(ids, payloads)):
+                bands, feat = (res[row_idx] if res is not None
+                               else bands_feat_fn(p))
+                if feat is not None:
+                    has_feat = True
+                for band_id, band_hash in bands:
+                    ob.append(band_id)
+                    oh.append(band_hash)
+                    oi.append(i)
+                    of.append(feat)
+            oi_arr = np.array(oi, dtype=np.int64)
+            ob_arr = np.array(ob, dtype=np.int64)
+            oh_arr = np.array(oh, dtype=np.int64)
+            of_list = of if has_feat else None
+        shard = ((oh_arr.astype(np.uint64)
+                  ^ (ob_arr.astype(np.uint64) << np.uint64(56)))
+                 % np.uint64(512)).astype(np.int32)
         cols = {
             "shard": pa.array(shard, pa.int32()),
-            "band_id": pa.array(ob, pa.int32()),
-            "band_hash": pa.array(oh, pa.int64()),
-            id_col: pa.array(oi, pa.int64()),
+            "band_id": pa.array(ob_arr.astype(np.int32), pa.int32()),
+            "band_hash": pa.array(oh_arr, pa.int64()),
+            id_col: pa.array(oi_arr, pa.int64()),
         }
         if has_feat:
-            cols["feat"] = pa.array(of, pa.binary())
+            cols["feat"] = pa.array(of_list, pa.binary())
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
