@@ -416,9 +416,13 @@ def link_entities_join(
         dedup.py band-exchange pattern).  id64 = blake2b64(row key)."""
         import hashlib as _hl
 
-        from ..kernels.minhash import band_keys, char_shingles, minhash_signatures
+        from ..kernels.minhash import char_shingles, minhash_signatures
 
         def explode(batch: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from ..kernels.minhash import band_keys_batch
+
             lows = batch.column(text_col).to_pylist()
             extra = [batch.column(c).to_pylist() for c in keep_cols]
             row_keys = [
@@ -431,20 +435,23 @@ def link_entities_join(
             sigs = minhash_signatures(
                 [char_shingles(low) for low in lows], num_perm=63
             )
-            ob, oh, oi = [], [], []
-            for rk, sig in zip(row_keys, sigs):
-                rid = int.from_bytes(
-                    _hl.blake2b(rk.encode(), digest_size=8).digest(), "little"
-                ) >> 1
-                for bi, bh in enumerate(band_keys(sig, 21)):
-                    ob.append(bi)
-                    oh.append(bh)
-                    oi.append(rid)
+            keys = band_keys_batch(sigs, 21)  # (n, 21) int64, one numpy pass
+            rids = _np.array(
+                [
+                    int.from_bytes(
+                        _hl.blake2b(rk.encode(), digest_size=8).digest(), "little"
+                    ) >> 1
+                    for rk in row_keys
+                ],
+                dtype=_np.int64,
+            )
+            n, nb = keys.shape
             return pa.table(
                 {
-                    "band_id": pa.array(ob, pa.int32()),
-                    "band_hash": pa.array(oh, pa.int64()),
-                    out_id: pa.array(oi, pa.int64()),
+                    "band_id": pa.array(
+                        _np.tile(_np.arange(nb, dtype=_np.int32), n), pa.int32()),
+                    "band_hash": pa.array(keys.ravel(), pa.int64()),
+                    out_id: pa.array(_np.repeat(rids, nb), pa.int64()),
                 }
             )
 
