@@ -236,7 +236,8 @@ def run_bench() -> dict:
         for name in ("agg_lineitem_pricing", "join_revenue_by_nation",
                      "dedup_exact_docs", "dedup_minhash_docs",
                      "dedup_ngram_pairs", "knn_bruteforce",
-                     "doc_quality", "events_hourly"):
+                     "doc_quality", "events_hourly",
+                     "docs_pack_sequences", "docs_tfidf_top_terms"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         # distributed canonicalization + connected-components path, forced
