@@ -1048,6 +1048,55 @@ def _docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+def _docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality fractions (stages/curation.py::
+    repetition_stats — pure per-document map, no shuffle)."""
+    from text_to_rdf_ray.stages.curation import repetition_stats
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = repetition_stats(ds).to_pandas()
+    for c in ("top_word_frac", "top_bigram_frac", "dup_5gram_frac"):
+        out[c] = _r(out[c], 6)
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_passage_dedup(sf_dir: str) -> pd.DataFrame:
+    """Passage-level exact dedup, first-(doc_id, idx)-wins
+    (stages/curation.py::passage_dedup — 128-bit-hash keyed exchange,
+    vectorized groupby-transform reduce)."""
+    from text_to_rdf_ray.stages.curation import passage_dedup
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = passage_dedup(ds, window=32).to_pandas()
+    for c in ("doc_id", "passage_idx", "n_words"):
+        out[c] = out[c].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return (out.sort_values(["doc_id", "passage_idx"])
+            .reset_index(drop=True))
+
+
+def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark 8-gram decontamination (stages/curation.py::decontaminate
+    — distinct-combined benchmark gram set broadcast once via ray.put;
+    corpus side a pure map).  Benchmark = docs with doc_id % 97 == 0
+    (deterministic stand-in for a held-out eval set)."""
+    from text_to_rdf_ray.stages.curation import decontaminate
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    out = decontaminate(docs, bench, n=8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["contam_grams"] = out["contam_grams"].astype("int64")
+    out["contaminated"] = out["contaminated"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _kg_llm_mode(sf_dir: str) -> pd.DataFrame:
     """ST1/ST2 LLM-mode path: actor-pool extraction with instructor
     retries over a deterministic stand-in client.  The per-url instructor
@@ -1225,6 +1274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_tfidf_top_terms": _docs_tfidf_top_terms,
+        "docs_repetition_stats": _docs_repetition_stats,
+        "docs_passage_dedup": _docs_passage_dedup,
+        "docs_decontaminate": _docs_decontaminate,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1865,5 +1917,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(df AS BIGINT) AS df, round(tfidf, 6) AS tfidf,
                    CAST(rnk AS BIGINT) AS "rank"
             FROM r WHERE rnk <= 3 ORDER BY doc_id, "rank"
+        """,
+        "docs_repetition_stats": """
+            -- Gopher-style repetition fractions, occurrence-weighted
+            -- (curation.py::repetition_stats)
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                    FROM words),
+            wc AS (SELECT doc_id, max(c) AS topw FROM (
+                     SELECT doc_id, w[i] AS t, count(*) AS c
+                     FROM pos GROUP BY doc_id, t) GROUP BY doc_id),
+            bg AS (SELECT doc_id, max(c) AS topb FROM (
+                     SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+                     FROM pos WHERE i < len(w) GROUP BY doc_id, g)
+                   GROUP BY doc_id),
+            g5 AS (SELECT doc_id, count(*) AS total,
+                          count(DISTINCT g) AS dist FROM (
+                     SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                     FROM pos WHERE i + 4 <= len(w))
+                   GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+                   round(coalesce(wc.topw / nullif(len(d.w), 0), 0.0), 6)
+                     AS top_word_frac,
+                   round(coalesce(bg.topb / nullif(len(d.w) - 1, 0), 0.0), 6)
+                     AS top_bigram_frac,
+                   round(coalesce((g5.total - g5.dist) * 1.0
+                                  / nullif(g5.total, 0), 0.0), 6)
+                     AS dup_5gram_frac
+            FROM words d
+            LEFT JOIN wc USING (doc_id) LEFT JOIN bg USING (doc_id)
+            LEFT JOIN g5 USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "docs_passage_dedup": """
+            -- passage-level exact dedup: 32-word non-overlapping windows,
+            -- first (doc_id, passage_idx) wins (curation.py::passage_dedup)
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            pos AS (SELECT doc_id, w[i] AS word,
+                           CAST((i - 1) // 32 AS BIGINT) AS passage_idx, i
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                          FROM words)),
+            passages AS (
+              SELECT doc_id, passage_idx,
+                     string_agg(word, ' ' ORDER BY i) AS ptext,
+                     CAST(count(*) AS BIGINT) AS n_words
+              FROM pos GROUP BY doc_id, passage_idx),
+            ranked AS (
+              SELECT doc_id, passage_idx, n_words,
+                     row_number() OVER (PARTITION BY ptext
+                                        ORDER BY doc_id, passage_idx) AS rn
+              FROM passages)
+            SELECT doc_id, passage_idx, n_words, (rn = 1) AS keep
+            FROM ranked ORDER BY doc_id, passage_idx
+        """,
+        "docs_decontaminate": """
+            -- benchmark 8-gram overlap (curation.py::decontaminate);
+            -- benchmark = docs with doc_id % 97 == 0
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                     || ' ' || w[i+7] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM words)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, count(DISTINCT g) AS ch
+                     FROM grams WHERE g IN (SELECT g FROM bench)
+                     GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(h.ch, 0) AS BIGINT) AS contam_grams,
+                   coalesce(h.ch, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -102,3 +102,74 @@ def test_tfidf_counts_and_topk(ray_session):
     top = tfidf_top_terms(ds, k=1).to_pandas().sort_values("doc_id")
     assert top["term"].tolist() == ["apple", "banana", "cherry"]
     assert (top["rank"] == 1).all()
+
+
+def test_repetition_stats_known_values(ray_session):
+    from text_to_rdf_ray.stages.curation import repetition_stats
+
+    docs = [
+        # 6 words: "a b a b a b" -> top word a:3/6; bigrams (5): "a b" x3,
+        # "b a" x2 -> 3/5; 5-grams (2): "a b a b a","b a b a b" distinct -> 0
+        {"doc_id": 0, "text": "a b a b a b"},
+        # pure repetition: "x x x x x x" -> topw 1.0, topb 5/5, 5-grams
+        # total 2 distinct 1 -> 0.5
+        {"doc_id": 1, "text": "x x x x x x"},
+        {"doc_id": 2, "text": ""},           # empty -> all zeros
+        {"doc_id": 3, "text": "one"},        # too short for bigrams/5-grams
+    ]
+    out = (repetition_stats(rd.from_items(docs)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "n_words"] == 6
+    assert abs(out.loc[0, "top_word_frac"] - 0.5) < 1e-12
+    assert abs(out.loc[0, "top_bigram_frac"] - 0.6) < 1e-12
+    assert out.loc[0, "dup_5gram_frac"] == 0.0
+    assert out.loc[1, "top_word_frac"] == 1.0
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+    assert abs(out.loc[1, "dup_5gram_frac"] - 0.5) < 1e-12
+    assert (out.loc[2] == 0).all()
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[3, "top_word_frac"] == 1.0
+    assert out.loc[3, "top_bigram_frac"] == 0.0
+
+
+def test_passage_dedup_first_occurrence_wins(ray_session):
+    from text_to_rdf_ray.stages.curation import passage_dedup
+
+    p1 = " ".join(["w%d" % i for i in range(32)])
+    p2 = " ".join(["v%d" % i for i in range(32)])
+    docs = [
+        {"doc_id": 10, "text": p1 + " " + p2},   # passages 0,1 original
+        {"doc_id": 11, "text": p2 + " " + p1},   # both dups (later doc)
+        {"doc_id": 12, "text": p1},              # dup of (10, 0)
+        {"doc_id": 13, "text": "tail words only"},  # unique short passage
+    ]
+    out = (passage_dedup(rd.from_items(docs).repartition(3), window=32)
+           .to_pandas())
+    got = {(r.doc_id, r.passage_idx): (r.keep, r.n_words)
+           for r in out.itertuples()}
+    assert got[(10, 0)] == (True, 32)
+    assert got[(10, 1)] == (True, 32)
+    assert got[(11, 0)] == (False, 32)
+    assert got[(11, 1)] == (False, 32)
+    assert got[(12, 0)] == (False, 32)
+    assert got[(13, 0)] == (True, 3)
+    assert len(got) == 6
+
+
+def test_decontaminate_counts_distinct_bench_grams(ray_session):
+    from text_to_rdf_ray.stages.curation import decontaminate
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9"   # 8-grams: [b1..b8], [b2..b9]
+    docs = [
+        {"doc_id": 0, "text": bench_text},                      # both grams
+        {"doc_id": 1, "text": "x " + bench_text},               # both grams
+        {"doc_id": 2, "text": "b1 b2 b3 b4 b5 b6 b7 b8 zz"},    # one gram
+        {"doc_id": 3, "text": "clean text with no overlap at all here ok"},
+        {"doc_id": 4, "text": "short"},
+    ]
+    ds = rd.from_items(docs)
+    bench = rd.from_items([{"doc_id": 100, "text": bench_text}])
+    out = (decontaminate(ds, bench, n=8).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out["contam_grams"].tolist() == [2, 2, 1, 0, 0]
+    assert out["contaminated"].tolist() == [True, True, True, False, False]

@@ -20,9 +20,17 @@ outputs, and each has an exact DuckDB replay in ``__ray_entry__``:
   an exploded (doc, term, tf) table hash-joined to the (term, df)
   aggregate — join, not broadcast, so a 100 TB vocabulary shuffles
   candidate-proportionally; top-k per doc reuses ``topk_per_group``.
+- ``repetition_stats``: Gopher-style repetition quality fractions
+  (top-word / top-bigram / duplicate-5-gram) — pure map, no shuffle.
+- ``passage_dedup``: sub-document exact dedup over fixed word windows;
+  the exchange ships a 128-bit passage hash, never the text.
+- ``decontaminate``: benchmark n-gram overlap flagging — the (small)
+  benchmark gram set broadcast once via ray.put, corpus side a pure map.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -160,6 +168,190 @@ def _terms(text: str) -> list[str]:
     """Lowercased whitespace terms (SQL replay: list_filter(str_split(
     lower(text), ' '), x -> x <> ''))."""
     return [t for t in text.lower().split(" ") if t]
+
+
+def repetition_stats(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, occurrence-weighted variant so the
+    DuckDB oracle can replay them exactly):
+
+    - ``top_word_frac``: count of the most frequent word / n_words
+    - ``top_bigram_frac``: count of the most frequent word 2-gram / (n_words-1)
+    - ``dup_5gram_frac``: fraction of word 5-gram occurrences that are
+      repeats of an earlier occurrence, i.e. (total - distinct) / total
+
+    Fractions are 0.0 when the document is too short to form the n-gram.
+    Pure per-document map — no shuffle; scales embarrassingly.
+    """
+    from collections import Counter
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        nw_o, twf_o, tbf_o, d5_o = [], [], [], []
+        for txt in batch.column(text_col).to_pylist():
+            words = _terms(txt)
+            nw = len(words)
+            nw_o.append(nw)
+            if nw == 0:
+                twf_o.append(0.0); tbf_o.append(0.0); d5_o.append(0.0)
+                continue
+            twf_o.append(max(Counter(words).values()) / nw)
+            if nw >= 2:
+                big = Counter(zip(words, words[1:]))
+                tbf_o.append(max(big.values()) / (nw - 1))
+            else:
+                tbf_o.append(0.0)
+            if nw >= 5:
+                total = nw - 4
+                distinct = len({tuple(words[i:i + 5]) for i in range(total)})
+                d5_o.append((total - distinct) / total)
+            else:
+                d5_o.append(0.0)
+        return pa.table({
+            id_col: ids,
+            "n_words": pa.array(nw_o, pa.int64()),
+            "top_word_frac": pa.array(twf_o, pa.float64()),
+            "top_bigram_frac": pa.array(tbf_o, pa.float64()),
+            "dup_5gram_frac": pa.array(d5_o, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+#: passage index must fit in the low bits of the packed (doc_id, idx) key
+_PASSAGE_IDX_BITS = 20
+
+
+def passage_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Passage-level exact dedup (the C4/"docs repeat boilerplate" move at
+    sub-document granularity): split each document into non-overlapping
+    ``window``-word passages and keep only the globally FIRST occurrence
+    of each distinct passage text — first = smallest (doc_id, passage_idx).
+
+    Output: (id_col, passage_idx, n_words, keep) for every passage.
+
+    Scale shape: the exchange ships a 128-bit content hash per passage
+    (two int64 columns), never the passage text; the reduce is a
+    vectorized pandas groupby-transform min over the packed
+    (doc_id << 20 | idx) key.  One all-to-all total, keyed by hash —
+    collision probability ~n^2/2^128, documented in lieu of shipping text.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_nw, out_h1, out_h2 = [], [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            words = _terms(txt)
+            for p, start in enumerate(range(0, len(words), window)):
+                if p >= (1 << _PASSAGE_IDX_BITS):
+                    raise ValueError(
+                        f"document {did} has >= 2^{_PASSAGE_IDX_BITS} "
+                        f"passages; raise _PASSAGE_IDX_BITS")
+                chunk = words[start:start + window]
+                dig = hashlib.blake2b(" ".join(chunk).encode("utf-8"),
+                                      digest_size=16).digest()
+                out_id.append(did)
+                out_idx.append(p)
+                out_nw.append(len(chunk))
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+        h1 = np.array(out_h1, dtype=np.int64)
+        part = (h1.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "passage_idx": pa.array(out_idx, pa.int64()),
+            "n_words": pa.array(out_nw, pa.int64()),
+            "_h1": pa.array(out_h1, pa.int64()),
+            "_h2": pa.array(out_h2, pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        packed = (group[id_col].to_numpy(np.int64) << _PASSAGE_IDX_BITS
+                  | group["passage_idx"].to_numpy(np.int64))
+        group = group.assign(_packed=packed)
+        win = group.groupby(["_h1", "_h2"], sort=False)["_packed"].transform("min")
+        out = group.assign(keep=(group["_packed"] == win))
+        return out[[id_col, "passage_idx", "n_words", "keep"]]
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+def _word_ngrams(words: list[str], n: int) -> list[str]:
+    return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    bench: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> rd.Dataset:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a (small) benchmark set — the standard eval-overlap
+    check run before training (e.g. GPT-3 appendix C's 13-gram rule;
+    ``n`` configurable).
+
+    Output: (id_col, contam_grams = count of DISTINCT benchmark n-grams
+    present in the doc, contaminated = contam_grams > 0).
+
+    Scale shape: benchmarks are small by definition, so the benchmark
+    n-gram set is collected once (via a distributed per-batch distinct
+    combiner) and broadcast with ``ray.put``; the corpus side is a pure
+    map — no shuffle touches the 100 TB side.  Gram strings (not hashes)
+    are broadcast, so membership is exact.
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for txt in batch.column(text_col).to_pylist():
+            grams.update(_word_ngrams(_terms(txt), n))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    # per-batch distinct combiner, then a driver-side union of the small
+    # per-batch gram tables (benchmark side is small by contract)
+    gset = frozenset(
+        bench.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["g"]
+    )
+    gref = ray.put(gset)
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        gs = cache.get("g")
+        if gs is None:
+            gs = cache["g"] = ray.get(gref)
+        hits = []
+        for txt in batch.column(text_col).to_pylist():
+            grams = set(_word_ngrams(_terms(txt), n))
+            hits.append(len(grams & gs))
+        h = np.array(hits, dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "contam_grams": pa.array(h, pa.int64()),
+            "contaminated": pa.array(h > 0, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def tfidf_terms(
