@@ -1076,6 +1076,74 @@ def _docs_passage_dedup(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the supplier->customer edge graph (distinct edges from
+    lineitem ⋈ orders; stages/graph.py::pagerank — per-iteration hash join
+    + arrow-reduce contribution sum, shuffle join for the edge build)."""
+    from text_to_rdf_ray.stages.graph import _project, pagerank
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = _project(li, [("l_orderkey", "okey"), ("l_suppkey", "supp")]).join(
+        _project(orders, [("o_orderkey", "okey"), ("o_custkey", "cust")]),
+        join_type="inner", num_partitions=16, on=("okey",))
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "S" + batch["supp"].astype(str),
+            "dst": "C" + batch["cust"].astype(str),
+        }).drop_duplicates()
+
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+
+    edges = distinct_rows(
+        joined.map_batches(to_edges, batch_format="pandas", batch_size=65536),
+        cols=["src", "dst"])
+    # 3 iterations: enough to differentiate hub ranks at bench scale while
+    # keeping the per-iteration barrier cost (executor-run-dominated at toy
+    # scale, like canonicalize_distributed) inside the correctness-gate
+    # budget; the operator itself takes any iteration count.
+    out = pagerank(edges, iterations=3, damping=0.85,
+                   num_partitions=8, sum_parts=16).to_pandas()
+    out["rank"] = _r(out["rank"], 9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB replay of _graph_pagerank: the same distinct supplier->
+    customer edges, then an unrolled power-iteration CTE chain."""
+    prev = "it0"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            it{i} AS (
+              SELECT nd.node,
+                     (1 - {damping}) / nn.c
+                     + {damping} * coalesce(x.s, 0) AS r
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN (SELECT e.dst AS node, sum(p.r / o.od) AS s
+                         FROM edges e
+                         JOIN {prev} p ON e.src = p.node
+                         JOIN outdeg o ON e.src = o.src
+                         GROUP BY e.dst) x USING (node))""")
+        prev = f"it{i}"
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'C' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS c FROM nodes),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        it0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT node, round(r, 9) AS "rank" FROM {prev} ORDER BY node
+    """
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark 8-gram decontamination (stages/curation.py::decontaminate
     — distinct-combined benchmark gram set broadcast once via ray.put;
@@ -1277,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": _docs_repetition_stats,
         "docs_passage_dedup": _docs_passage_dedup,
         "docs_decontaminate": _docs_decontaminate,
+        "graph_pagerank_suppcust": _graph_pagerank,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1504,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_fixture": _kg_fixture_sql(),
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
+        "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
         "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_token_counts": """
             SELECT doc_id,

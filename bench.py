@@ -164,6 +164,49 @@ def run_linkjoin_bench(n_kb: int = 20_000, n_surf: int = 4_000) -> dict:
     }
 
 
+def run_pagerank_bench(n_nodes: int = 50_000, n_edges: int = 500_000,
+                       iterations: int = 5) -> dict:
+    """Distributed PageRank path, forced (driver_threshold=0): 500k edges
+    with a skewed in-degree distribution (hot dst keys stress the
+    contribution exchange); output checked exactly (to float-sum noise)
+    against the driver numpy power iteration on the same edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from text_to_rdf_ray.stages.graph import _pagerank_driver, pagerank
+
+    rng = np.random.RandomState(42)
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    dst = (dst * dst) // n_nodes  # skew in-degree toward low node ids
+    sa = pd.Series(src).map(lambda i: f"n{i}").to_numpy()
+    da = pd.Series(dst).map(lambda i: f"n{i}").to_numpy()
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(sa, pa.string()), "dst": pa.array(da, pa.string()),
+    })).repartition(64)
+    t0 = time.time()
+    # fan sized for the workload: wall time here is barrier-dominated (like
+    # canonicalize_distributed), so 16/32 partitions beats the 32/64 default
+    out = pagerank(edges, iterations=iterations, driver_threshold=0,
+                   num_partitions=16, sum_parts=32).materialize()
+    wall = time.time() - t0
+    got = out.to_pandas()
+    want = _pagerank_driver(pd.DataFrame({"src": sa, "dst": da}),
+                            iterations, 0.85).to_pandas()
+    m = got.merge(want, on="node", suffixes=("_d", "_l"))
+    exact = bool(len(m) == len(want) == len(got)
+                 and np.allclose(m["rank_d"], m["rank_l"], atol=1e-12))
+    return {
+        "pagerank_sec": round(wall, 2),
+        "pagerank_edges": n_edges,
+        "pagerank_nodes": int(pd.concat(
+            [pd.Series(sa), pd.Series(da)]).nunique()),
+        "pagerank_exact": exact,
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -247,6 +290,10 @@ def run_bench() -> dict:
         # shuffle-join linker with band-blocked fuzzy matching
         extras.update(run_linkjoin_bench())
         queries["link_join_fuzzy_20k"] = extras.pop("linkjoin_sec")
+
+        # distributed PageRank path, forced + parity-checked
+        extras.update(run_pagerank_bench())
+        queries["pagerank_distributed_500k"] = extras.pop("pagerank_sec")
 
         # no-silent-caps: LSH bucket counters (oversized processed volume,
         # capped-skip volume, candidate counts) from the whole run

@@ -1,0 +1,90 @@
+"""Tests for stages/graph.py (PageRank power iteration)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from text_to_rdf_ray.stages.graph import pagerank
+
+
+def _numpy_pagerank(edges, iterations, damping=0.85):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nr = np.full(n, (1.0 - damping) / n)
+        for s, d in edges:
+            nr[idx[d]] += damping * r[idx[s]] / outdeg[s]
+        r = nr
+    return dict(zip(nodes, r))
+
+
+EDGES = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C"),
+         ("D", "A"), ("E", "A")]
+
+
+def test_pagerank_driver_path_matches_reference(ray_session):
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in EDGES]).repartition(3)
+    out = pagerank(ds, iterations=5).to_pandas()
+    want = _numpy_pagerank(EDGES, 5)
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # dangling-in node E has only the base rank
+    assert abs(got["E"] - 0.15 / 5) < 1e-12
+
+
+def test_pagerank_distributed_parity(ray_session):
+    """Forced distributed path (driver_threshold=0) must match the driver
+    numpy path to float-sum noise."""
+    rng = np.random.RandomState(11)
+    edges = [("n%d" % rng.randint(0, 40), "n%d" % rng.randint(0, 40))
+             for _ in range(300)]
+    edges = sorted(set(edges))
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(7)
+    dist = pagerank(ds, iterations=4, driver_threshold=0,
+                    num_partitions=4, sum_parts=8).to_pandas()
+    drv = pagerank(ds, iterations=4).to_pandas()
+    m = dist.merge(drv, on="node", suffixes=("_d", "_l"))
+    assert len(m) == len(drv) == len(dist)
+    assert np.allclose(m["rank_d"], m["rank_l"], atol=1e-12)
+    want = _numpy_pagerank(edges, 4)
+    got = dict(zip(drv["node"], drv["rank"]))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_pagerank_multi_edges_each_contribute(ray_session):
+    # A->B twice: outdeg(A)=2, both edges land on B
+    edges = [("A", "B"), ("A", "B")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = pagerank(ds, iterations=1, damping=0.85).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    # B gets full A mass: 0.075 + 0.85 * (0.5/2 + 0.5/2)
+    assert abs(got["B"] - (0.15 / 2 + 0.85 * 0.5)) < 1e-12
+    assert abs(got["A"] - 0.15 / 2) < 1e-12
+
+
+def test_distinct_rows_matches_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.randint(0, 5, 500),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    out = (distinct_rows(ds, cols=["a", "b"], num_partitions=8)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = (df.drop_duplicates().sort_values(["a", "b"])
+            .reset_index(drop=True))
+    want["b"] = want["b"].astype(out["b"].dtype)
+    assert out.equals(want)

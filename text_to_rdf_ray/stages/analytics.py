@@ -224,3 +224,36 @@ def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
             f"quantile pass C exceeds max_collect={max_collect} distinct "
             "(group, value) pairs; raise n_bins to narrow the target bins")
     return res
+
+
+def distinct_rows(
+    ds: rd.Dataset,
+    *,
+    cols: list[str],
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """DISTINCT over ``cols``: per-batch drop_duplicates combiner, then one
+    int32 hash-partition exchange with a vectorized per-partition
+    drop_duplicates reduce.
+
+    Exists because ``ds.groupby([c1, c2]).count()`` reduces per key in
+    Python under Ray 2.49 (measured 153s for a 48k-row two-string-key
+    distinct vs <2s for this exchange) — the same pathology the (s,p,o)
+    dedup routes around in stages/canonicalize.py.
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[cols].drop_duplicates()
+        key = batch[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        part = (_hash_shingles(key.tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.assign(_part=part)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_part"]).drop_duplicates()
+
+    return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(reduce_part, batch_format="pandas"))

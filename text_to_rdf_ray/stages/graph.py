@@ -1,0 +1,201 @@
+"""Graph operators over edge-table Datasets: PageRank power iteration.
+
+An iterative-join workload the KG engine needs once triples form a graph
+(entity importance ranking over the extracted entity graph, or
+supplier/customer influence over relational edges).
+
+``pagerank`` is Ray-Data-first: each power-iteration step is one hash
+join (ranks onto the static edge/outdeg table) + one hash-partitioned
+arrow-reduce sum of contributions per destination — the standard
+distributed PageRank shape, so a 100 TB edge table shuffles
+candidate-proportionally per step and never materializes on one node.
+The per-dst sum uses the repo's combiner + group_by("part").map_groups
+arrow-reduce exchange (Ray's built-in ``Sum`` aggregate reduces per key
+in Python — see stages/canonicalize.py's (s,p,o) dedup note).
+Zero-in-degree nodes are handled by unioning a zero-contribution row per
+node before the sum (no outer join needed).  Ranks are materialized per
+iteration: a lazy k-iteration lineage would recompute iteration k-1 for
+every consumer of iteration k.
+
+Semantics (simplified dangling-mass variant, exactly replayable in SQL):
+
+    PR_0(v)   = 1 / N
+    PR_t+1(v) = (1 - d) / N + d * sum_{u -> v} PR_t(u) / outdeg(u)
+
+Dangling nodes' mass is dropped (ranks sum to < 1) — the common
+SQL-replayable simplification; the fixed iteration count keeps the
+computation deterministic for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..kernels.minhash import _hash_shingles
+from .canonicalize import _solid
+
+
+def _project(ds: rd.Dataset, mapping: list[tuple[str, str]]) -> rd.Dataset:
+    """Column projection/rename via arrow rebuild (rename_columns interacts
+    badly with the 2.49 join planner on some plans)."""
+    return ds.map_batches(
+        lambda t, m=tuple(mapping): pa.table({new: t.column(old) for old, new in m}),
+        batch_format="pyarrow",
+    )
+
+
+#: below this many edges the graph fits comfortably on the driver and the
+#: numpy power iteration beats the per-iteration exchange barriers (same
+#: tiering as canonicalize's DRIVER_UNION_FIND_THRESHOLD)
+DRIVER_PAGERANK_THRESHOLD = 200_000
+
+
+def _pagerank_driver(edges_df, iterations: int, damping: float) -> rd.Dataset:
+    """Driver-side numpy power iteration (same semantics as the
+    distributed path; used below DRIVER_PAGERANK_THRESHOLD edges)."""
+    src = edges_df["src"].to_numpy()
+    dst = edges_df["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[s] for s in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((idx[d] for d in dst), dtype=np.int64, count=len(dst))
+    n = len(nodes)
+    outdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(outdeg, si, 1.0)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = r[si] / outdeg[si]
+        s = np.zeros(n, dtype=np.float64)
+        np.add.at(s, di, contrib)
+        r = base + damping * s
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes.tolist(), pa.string()),
+        "rank": pa.array(r, pa.float64()),
+    }))
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    num_partitions: int = 32,
+    sum_parts: int = 64,
+    driver_threshold: int = DRIVER_PAGERANK_THRESHOLD,
+) -> rd.Dataset:
+    """PageRank over an edge Dataset (one row per directed edge; parallel
+    edges each contribute).  Node columns are strings.  Returns
+    (node: string, rank: float64) — every node present.
+
+    Tiered like canonicalize's connected components: below
+    ``driver_threshold`` edges the graph collects to the driver and runs a
+    numpy power iteration (per-iteration exchange barriers dominate at toy
+    scale); above it, the distributed join/arrow-reduce path runs.  Pass
+    ``driver_threshold=0`` to force the distributed path (tests/bench).
+    """
+    if driver_threshold > 0:
+        head = _project(edges, [(src_col, "src"), (dst_col, "dst")]).materialize()
+        if head.count() <= driver_threshold:
+            return _pagerank_driver(head.to_pandas(), iterations, damping)
+        edges = head
+        src_col, dst_col = "src", "dst"
+    from .analytics import distinct_rows
+
+    nodes = _solid(
+        distinct_rows(
+            _project(edges, [(src_col, "node")])
+            .union(_project(edges, [(dst_col, "node")])),
+            cols=["node"])
+    )
+    n = nodes.count()
+
+    # static per-edge factor: 1 / outdeg(src), attached once
+    outdeg = (
+        edges.groupby(src_col).count()
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column(src_col),
+                "outdeg": t.column("count()").cast(pa.float64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    e = _project(edges, [(src_col, "node"), (dst_col, "dst")]).join(
+        _solid(outdeg), join_type="inner", num_partitions=num_partitions,
+        on=("node",))
+
+    def edge_factor(batch: pa.Table) -> pa.Table:
+        od = batch.column("outdeg").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "dst": batch.column("dst"),
+            "factor": pa.array(1.0 / od, pa.float64()),
+        })
+
+    e = _solid(e.map_batches(edge_factor, batch_format="pyarrow"))
+
+    init = 1.0 / n
+    base = (1.0 - damping) / n
+
+    def const_rows(val: float, out_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "dst" if out_col != "rank" else "node": batch.column("node"),
+                out_col: pa.array(np.full(batch.num_rows, val), pa.float64()),
+            })
+        return fn
+
+    ranks = _solid(nodes.map_batches(const_rows(init, "rank"),
+                                     batch_format="pyarrow"))
+    zeros = nodes.map_batches(const_rows(0.0, "contrib"),
+                              batch_format="pyarrow")
+
+    def contrib_combine(batch: pa.Table) -> pa.Table:
+        """Per-batch partial: contribution per dst, plus the hash part the
+        exchange keys on (vectorized FNV over the dst strings)."""
+        f = batch.column("factor").to_numpy(zero_copy_only=False)
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        t = pa.table({"dst": batch.column("dst"),
+                      "contrib": pa.array(f * r, pa.float64())})
+        g = t.group_by("dst").aggregate([("contrib", "sum")])
+        part = (_hash_shingles(g.column("dst").to_pylist())
+                % np.uint64(sum_parts)).astype(np.int32)
+        return pa.table({
+            "dst": g.column("dst"),
+            "contrib": g.column("contrib_sum"),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def zero_part(batch: pa.Table) -> pa.Table:
+        part = (_hash_shingles(batch.column("dst").to_pylist())
+                % np.uint64(sum_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    zeros = _solid(zeros.map_batches(zero_part, batch_format="pyarrow"))
+
+    def reduce_rank(g: pa.Table) -> pa.Table:
+        r = g.group_by("dst").aggregate([("contrib", "sum")])
+        s = r.column("contrib_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": r.column("dst"),
+            "rank": pa.array(base + damping * s, pa.float64()),
+        })
+
+    for _ in range(iterations):
+        joined = e.join(ranks, join_type="inner",
+                        num_partitions=num_partitions, on=("node",))
+        ranks = _solid(
+            joined.map_batches(contrib_combine, batch_format="pyarrow",
+                               batch_size=65536)
+            .union(zeros)
+            .groupby("part")
+            .map_groups(reduce_rank, batch_format="pyarrow")
+        )
+
+    return ranks
