@@ -856,6 +856,21 @@ def _events_sessions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _events_rolling_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user row-based rolling mean (last 3 events) + inter-event gap
+    (stages/windows.py::rolling_agg)."""
+    from text_to_rdf_ray.stages.windows import rolling_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    out = rolling_agg(ds, window_rows=3).to_pandas()
+    out["rolling_avg"] = _r(out["rolling_avg"], 6)
+    for c in ("user_id", "event_id", "gap_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "event_id", "rolling_avg", "gap_us"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
 def _events_props_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured parsing: JSON props column -> typed value."""
     import json as _json
@@ -1332,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "events_user_totals": _events_user_totals,
         "events_sessions": _events_sessions,
+        "events_rolling_avg": _events_rolling_avg,
         "events_props_extract": _events_props_extract,
         "events_asof_attribution": _events_asof,
         "events_range_attribution": _events_range_agg,
@@ -1857,6 +1873,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "events_rolling_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_avg,
+                   CAST(coalesce(
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id),
+                       -1) AS BIGINT) AS gap_us
+            FROM events ORDER BY user_id, event_id
         """,
         "events_sessions": """
             WITH x AS (

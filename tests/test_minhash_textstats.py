@@ -157,3 +157,29 @@ def test_window_operators(ray_session):
     assert [(r.event_type, int(r.n), float(r.sum_value)) for r in tw.itertuples()] == [
         ("a", 2, 3.0), ("a", 1, 4.0), ("b", 1, 3.0),
     ]
+
+
+def test_rolling_agg_window_and_gaps(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import rolling_agg
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        # user 1: values 10, 20, 40 at +0s, +5s, +65s
+        {"user_id": 1, "event_id": 1, "ts": t0, "value": 10.0},
+        {"user_id": 1, "event_id": 2, "ts": t0 + pd.Timedelta(seconds=5), "value": 20.0},
+        {"user_id": 1, "event_id": 3, "ts": t0 + pd.Timedelta(seconds=65), "value": 40.0},
+        # user 2: same-ts tie broken by event_id
+        {"user_id": 2, "event_id": 5, "ts": t0, "value": 100.0},
+        {"user_id": 2, "event_id": 4, "ts": t0, "value": 50.0},
+    ]
+    out = (rolling_agg(rd.from_items(rows).repartition(2), window_rows=2)
+           .to_pandas().set_index("event_id").sort_index())
+    assert out.loc[1, "rolling_avg"] == 10.0 and out.loc[1, "gap_us"] == -1
+    assert out.loc[2, "rolling_avg"] == 15.0 and out.loc[2, "gap_us"] == 5_000_000
+    assert out.loc[3, "rolling_avg"] == 30.0 and out.loc[3, "gap_us"] == 60_000_000
+    # tie order: event 4 first (gap -1), event 5 second (gap 0)
+    assert out.loc[4, "rolling_avg"] == 50.0 and out.loc[4, "gap_us"] == -1
+    assert out.loc[5, "rolling_avg"] == 75.0 and out.loc[5, "gap_us"] == 0

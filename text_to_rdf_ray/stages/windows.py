@@ -13,6 +13,9 @@ Data expression of streaming windows over a bounded event table).
 - ``session_summary``: per-key rollup of ``sessionize`` output
   (n_sessions, max_session_events) — the shape of the driver's
   ``events_sessions`` query.
+- ``rolling_agg``: per-key row-based rolling mean + inter-event gap
+  (the SQL ``ROWS BETWEEN n-1 PRECEDING`` window shape), same
+  per-key-group execution and partitioning assumption as ``sessionize``.
 """
 
 from __future__ import annotations
@@ -153,3 +156,40 @@ def session_summary(sessions: rd.Dataset, key_col: str = "user_id") -> rd.Datase
         .aggregate(Count(alias_name="n_sessions"),
                    Max("n_events", alias_name="max_session_events"))
     )
+
+
+def rolling_agg(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 3,
+) -> rd.Dataset:
+    """Per-key row-based rolling window (the SQL ``ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW`` shape): for each event, the mean of the
+    last ``window_rows`` values (fewer at the head) and the microseconds
+    since the key's previous event (-1 for the key's first event), ordered
+    by ``(ts, order_col)``.
+
+    Emits (key, order_col, rolling_avg, gap_us).  Same partitioning
+    assumption as ``sessionize``: one key's events fit in one group.
+    """
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, order_col])
+        # unit-safe epoch µs: parquet may load as datetime64[ns] or [us]
+        ts_us = pd.Series(
+            g[ts_col].values.astype("datetime64[us]").astype("int64"),
+            index=g.index)
+        gap = ts_us.diff()
+        return pd.DataFrame({
+            key_col: g[key_col],
+            order_col: g[order_col],
+            "rolling_avg": g[value_col]
+                .rolling(window_rows, min_periods=1).mean(),
+            "gap_us": gap.fillna(-1).astype("int64"),
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
