@@ -1091,6 +1091,44 @@ def _docs_passage_dedup(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _orders_semi_rich_custs(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi-join: orders of customers with acctbal > 9000
+    (stages/joins.py::semi_join_filter — sorted-key-array broadcast +
+    vectorized np.isin; no shuffle touches the fact table)."""
+    from text_to_rdf_ray.stages.joins import semi_join_filter
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bal > 9000.0))
+
+    keys = cust.map_batches(rich, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = semi_join_filter(orders, keys, key_col="o_custkey",
+                           keys_col="c_custkey").to_pandas()
+    out["o_totalprice"] = _r(out["o_totalprice"], 2)
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: (term, df, postings) with sorted distinct
+    doc-id posting lists (stages/curation.py::inverted_index — term-hash
+    exchange, per-partition vectorized reduce)."""
+    from text_to_rdf_ray.stages.curation import inverted_index
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = inverted_index(ds).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return (out[["term", "df", "postings"]]
+            .sort_values("term").reset_index(drop=True))
+
+
 def _graph_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the supplier->customer edge graph (distinct edges from
     lineitem ⋈ orders; stages/graph.py::pagerank — per-iteration hash join
@@ -1362,6 +1400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_passage_dedup": _docs_passage_dedup,
         "docs_decontaminate": _docs_decontaminate,
         "graph_pagerank_suppcust": _graph_pagerank,
+        "orders_semi_rich_custs": _orders_semi_rich_custs,
+        "docs_inverted_index": _docs_inverted_index,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1590,6 +1630,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
+        "orders_semi_rich_custs": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+            ORDER BY o_orderkey
+        """,
+        "docs_inverted_index": """
+            WITH terms AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(str_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM terms GROUP BY term ORDER BY term
+        """,
         "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_token_counts": """
             SELECT doc_id,

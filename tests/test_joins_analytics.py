@@ -183,3 +183,39 @@ def test_group_quantiles_max_collect_raises(ray_session):
     with pytest.raises(ValueError, match="max_collect"):
         group_quantiles_exact(rd.from_pandas(df), key_col="g", value_col="v",
                               qs=[0.5], n_bins=2, max_collect=10)
+
+
+def test_semi_and_anti_join_filter(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.joins import semi_join_filter
+
+    big = rd.from_items([{"k": i, "v": i * 10} for i in range(100)]).repartition(5)
+    keys = rd.from_items([{"k": i} for i in (3, 7, 7, 50, 999)])
+    semi = semi_join_filter(big, keys, key_col="k").to_pandas()
+    assert sorted(semi["k"]) == [3, 7, 50]
+    anti = semi_join_filter(big, keys, key_col="k", anti=True).to_pandas()
+    assert len(anti) == 97 and not set(anti["k"]) & {3, 7, 50}
+    # key-side cap raises
+    import pytest
+
+    with pytest.raises(ValueError, match="max_keys"):
+        semi_join_filter(big, keys, key_col="k", max_keys=2).to_pandas()
+
+
+def test_inverted_index_postings_sorted_distinct(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import inverted_index
+
+    docs = [
+        {"doc_id": 2, "text": "b a b"},
+        {"doc_id": 1, "text": "a c"},
+        {"doc_id": 3, "text": "a"},
+    ]
+    out = (inverted_index(rd.from_items(docs).repartition(3))
+           .to_pandas().set_index("term").sort_index())
+    assert out.loc["a", "df"] == 3 and out.loc["a", "postings"] == "1,2,3"
+    assert out.loc["b", "df"] == 1 and out.loc["b", "postings"] == "2"
+    assert out.loc["c", "df"] == 1 and out.loc["c", "postings"] == "1"

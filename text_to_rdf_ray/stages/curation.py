@@ -436,3 +436,50 @@ def tfidf_top_terms(
     scored = tfidf_terms(ds, text_col=text_col, id_col=id_col)
     return topk_per_group(scored, key_col=id_col, sort_col="tfidf",
                           tiebreak_col="term", k=k)
+
+
+def inverted_index(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Inverted index build: one row per term with its document frequency
+    and posting list (sorted distinct doc ids, comma-joined — the
+    write-once text-search layout, sibling of the IVF index in
+    stages/knn.py).
+
+    Explode is per-doc distinct (a doc contributes once per term); the
+    exchange is hash-partitioned on the term (vectorized FNV), and the
+    per-partition reduce is a pandas sort + groupby join — partitioning
+    assumption: one PARTITION's postings fit in a worker (a single hot
+    term's postings are bounded by |corpus|/num_partitions spread; a
+    stop-word-scale term would need posting-list sharding, which the
+    caller controls by dropping high-df terms first).
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_t, out_i = [], []
+        for i, txt in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            terms = set(_terms(txt))
+            out_t.extend(terms)
+            out_i.extend([i] * len(terms))
+        part = (_hash_shingles(out_t) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            id_col: pa.array(out_i, pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_col]).drop_duplicates(["term", id_col])
+        agg = g.groupby("term", sort=False)[id_col].agg(
+            df="size", postings=lambda s: ",".join(map(str, s)))
+        agg["df"] = agg["df"].astype("int64")
+        return agg.reset_index()
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("_part").map_groups(reduce_part, batch_format="pandas"))

@@ -273,3 +273,50 @@ def range_join_agg(
         return pa.table(cols)
 
     return u.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def semi_join_filter(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    *,
+    key_col: str,
+    keys_col: str | None = None,
+    anti: bool = False,
+    max_keys: int = 50_000_000,
+) -> rd.Dataset:
+    """Broadcast semi-join (``anti=True`` for anti-join): keep rows of
+    ``ds`` whose ``key_col`` is (not) present in the ``keys`` side.
+
+    The scale pattern for "filter a 100 TB fact table by a small key set":
+    the distinct key set is collected once (per-batch distinct combiner,
+    driver union), broadcast via ``ray.put`` as a SORTED numpy array, and
+    each batch filters with a vectorized ``np.isin`` — no shuffle touches
+    the big side.  Raises if the key side exceeds ``max_keys`` (at that
+    size a shuffle join is the right tool, not a broadcast).
+    """
+    import ray
+
+    kc = keys_col or key_col
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        arr = np.unique(batch.column(kc).to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(arr)})
+
+    parts = keys.map_batches(distinct_keys, batch_format="pyarrow").to_pandas()
+    key_arr = np.unique(parts["k"].to_numpy())
+    if len(key_arr) > max_keys:
+        raise ValueError(
+            f"semi_join_filter: {len(key_arr)} keys exceeds max_keys="
+            f"{max_keys}; use a shuffle join for key sets this large")
+    ref = ray.put(key_arr)
+    cache: dict = {}
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = cache.get("k")
+        if ks is None:
+            ks = cache["k"] = ray.get(ref)
+        vals = batch.column(key_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(vals, ks, invert=anti)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
