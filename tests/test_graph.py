@@ -88,3 +88,15 @@ def test_distinct_rows_matches_pandas(ray_session):
             .reset_index(drop=True))
     want["b"] = want["b"].astype(out["b"].dtype)
     assert out.equals(want)
+
+
+def test_pagerank_empty_edges(ray_session):
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    out = pagerank(empty, iterations=2)
+    assert out.count() == 0
+    # forced distributed path must also degrade to empty, not crash
+    out_d = pagerank(empty, iterations=2, driver_threshold=0)
+    assert out_d.count() == 0

@@ -53,9 +53,16 @@ def _project(ds: rd.Dataset, mapping: list[tuple[str, str]]) -> rd.Dataset:
 DRIVER_PAGERANK_THRESHOLD = 200_000
 
 
+def _empty_ranks() -> rd.Dataset:
+    return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                   "rank": pa.array([], pa.float64())}))
+
+
 def _pagerank_driver(edges_df, iterations: int, damping: float) -> rd.Dataset:
     """Driver-side numpy power iteration (same semantics as the
     distributed path; used below DRIVER_PAGERANK_THRESHOLD edges)."""
+    if len(edges_df) == 0:
+        return _empty_ranks()
     src = edges_df["src"].to_numpy()
     dst = edges_df["dst"].to_numpy()
     nodes = np.unique(np.concatenate([src, dst]))
@@ -114,6 +121,8 @@ def pagerank(
             cols=["node"])
     )
     n = nodes.count()
+    if n == 0:
+        return _empty_ranks()
 
     # static per-edge factor: 1 / outdeg(src), attached once
     outdeg = (
