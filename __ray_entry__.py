@@ -1091,6 +1091,84 @@ def _docs_passage_dedup(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _lineitem_distinct_orders_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct orders via a mergeable HyperLogLog sketch
+    (stages/analytics.py::approx_distinct — per-batch 4 KB register
+    partials, elementwise-max merge, NO shuffle) alongside the exact
+    count; the DuckDB oracle replays the sketch bit-for-bit (Knuth hash,
+    integer rank cascade) so even the approximation is hash-verified."""
+    from text_to_rdf_ray.stages.analytics import approx_distinct, distinct_rows
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    est = approx_distinct(li, col="l_orderkey", p=12)
+    n_exact = distinct_rows(li, cols=["l_orderkey"]).count()
+    return pd.DataFrame({"n_exact": pd.array([n_exact], dtype="int64"),
+                         "hll_estimate": [round(est, 4)]})
+
+
+def _hll_sql(p: int = 12) -> str:
+    """DuckDB replay of the HyperLogLog sketch: same splitmix64 hash
+    (mod-2^64 multiplies split into 32-bit halves — a 64x64 product
+    overflows DuckDB's signed HUGEINT), bucket = hash div 2^(64-p), rank
+    via an exact integer CASE cascade (floating log2 rounds differently
+    across libms), same estimator + linear-count correction."""
+    m = 1 << p
+    low = 64 - p
+    cases = "\n".join(
+        f"                WHEN v >= {1 << k} THEN {low - k}"
+        for k in range(low - 1, -1, -1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def mul64(zcol: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (f"CAST(((((CAST({zcol} AS HUGEINT) % 4294967296) * {bh})"
+                f" % 4294967296) * 4294967296"
+                f" + CAST({zcol} AS HUGEINT) * {bl})"
+                f" % 18446744073709551616 AS UBIGINT)")
+
+    return f"""
+        WITH s1 AS (
+          SELECT CAST((CAST(l_orderkey AS HUGEINT) + 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS z
+          FROM lineitem),
+        x1 AS (SELECT xor(z, z >> 30) AS z FROM s1),
+        s2 AS (SELECT {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM x1),
+        x2 AS (SELECT xor(z, z >> 27) AS z FROM s2),
+        s3 AS (SELECT {mul64('z', 0x94D049BB133111EB)} AS z FROM x2),
+        h AS (SELECT CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM s3),
+        parts AS (
+          SELECT CAST(hv // {1 << low} AS BIGINT) AS bucket,
+                 CAST(hv % {1 << low} AS BIGINT) AS v
+          FROM h),
+        ranked AS (
+          SELECT bucket,
+                 CASE WHEN v = 0 THEN {low + 1}
+{cases}
+                 END AS r
+          FROM parts),
+        regs AS (SELECT bucket, max(r) AS r FROM ranked GROUP BY bucket),
+        allregs AS (
+          SELECT t.bucket, coalesce(regs.r, 0) AS r
+          FROM (SELECT unnest(range(0, {m})) AS bucket) t
+          LEFT JOIN regs USING (bucket)),
+        est AS (
+          SELECT sum(power(2.0, -r)) AS s,
+                 sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM allregs),
+        final AS (
+          SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} / s)
+                        <= {2.5 * m} AND zeros > 0
+                      THEN {m} * ln({m} / zeros)
+                      ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / s
+                 END AS e
+          FROM est)
+        SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+               round(e, 4) AS hll_estimate
+        FROM final
+    """
+
+
 def _orders_semi_rich_custs(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi-join: orders of customers with acctbal > 9000
     (stages/joins.py::semi_join_filter — sorted-key-array broadcast +
@@ -1401,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _docs_decontaminate,
         "graph_pagerank_suppcust": _graph_pagerank,
         "orders_semi_rich_custs": _orders_semi_rich_custs,
+        "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
         # multimodal plumbing
         "media_features_fake": _media_features,
@@ -1630,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
+        "lineitem_distinct_orders_hll": _hll_sql(),
         "orders_semi_rich_custs": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders

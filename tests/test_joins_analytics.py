@@ -219,3 +219,31 @@ def test_inverted_index_postings_sorted_distinct(ray_session):
     assert out.loc["a", "df"] == 3 and out.loc["a", "postings"] == "1,2,3"
     assert out.loc["b", "df"] == 1 and out.loc["b", "postings"] == "2"
     assert out.loc["c", "df"] == 1 and out.loc["c", "postings"] == "1"
+
+
+def test_hll_accuracy_merge_and_linear_counting(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import (
+        approx_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ids = np.arange(100_000, dtype=np.int64) * 7919 + 13
+    ds = rd.from_arrow(pa.table({"k": ids})).repartition(8)
+    est = approx_distinct(ds, col="k", p=12)
+    # 3-sigma bound: 3 * 1.04/sqrt(4096) ~ 4.9%
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # the sketch is mergeable: max of half-registers == full registers
+    r_all = hll_registers(ids)
+    r1, r2 = hll_registers(ids[:50_000]), hll_registers(ids[50_000:])
+    assert (np.maximum(r1, r2) == r_all).all()
+    # duplicates don't move the estimate
+    dup = np.concatenate([ids, ids[:30_000]])
+    assert hll_estimate(hll_registers(dup)) == hll_estimate(r_all)
+    # small cardinality takes the linear-counting branch: near exact
+    est_s = hll_estimate(hll_registers(np.arange(500, dtype=np.int64)))
+    assert abs(est_s - 500) < 25

@@ -269,3 +269,70 @@ def distinct_rows(
 
     return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
             .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
+
+
+def splitmix64(ids: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al.; public domain
+    constants).  A full-avalanche mixer — the Knuth multiplicative hash
+    alone leaves the low bits structured and biases the HLL rank statistic
+    ~50% high on arithmetic-progression ids (measured).  Exactly
+    SQL-replayable: xor/shift on UBIGINT + mod-2^64 multiplies split into
+    32-bit halves (a 64x64 product overflows DuckDB's signed HUGEINT)."""
+    x = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_registers(ids: np.ndarray, p: int = 12) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) for a batch of int64 ids.
+
+    Deterministic and exactly SQL-replayable: h = splitmix64(id),
+    bucket = top p bits, rank = leading zeros of the low (64-p) bits + 1.
+    The floor(log2) is extracted with np.frexp (exact for values < 2^53),
+    never floating log2 (whose last-ulp rounding differs across libms).
+    """
+    m = 1 << p
+    low_bits = 64 - p
+    h = splitmix64(ids)
+    bucket = (h >> np.uint64(low_bits)).astype(np.int64)
+    v = (h & np.uint64((1 << low_bits) - 1)).astype(np.float64)
+    _, e = np.frexp(v)
+    fl = e - 1  # floor(log2 v) for v > 0, exact
+    rank = np.where(v == 0, low_bits + 1, low_bits - fl).astype(np.uint8)
+    reg = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(reg, bucket, rank)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Flajolet et al. 2007 estimator with the small-range linear-counting
+    correction (the large-range correction is unnecessary at 64-bit
+    hashes)."""
+    m = len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds: rd.Dataset, *, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via a mergeable HyperLogLog sketch:
+    each batch reduces to a 2^p-byte register array (map_batches partial),
+    partials stream to the driver as one tiny row per batch, and the merge
+    is an elementwise max — the canonical sketch shape: a 100 TB column
+    reduces to 4 KB per batch with no shuffle at all.  Standard error
+    ~1.04/sqrt(2^p) (~1.6% at p=12)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"reg": pa.array([hll_registers(ids, p).tobytes()],
+                                         pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536).iter_rows():
+        merged = np.maximum(merged, np.frombuffer(row["reg"], dtype=np.uint8))
+    return hll_estimate(merged)
