@@ -871,6 +871,36 @@ def _events_rolling_avg(sf_dir: str) -> pd.DataFrame:
             .sort_values(["user_id", "event_id"]).reset_index(drop=True))
 
 
+def _events_cube_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS over (event_type, hour): all four sets in
+    one combiner pass + one hash exchange (stages/analytics.py::
+    grouping_sets_agg)."""
+    from text_to_rdf_ray.stages.analytics import grouping_sets_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hours = ts_us.to_numpy(zero_copy_only=False) // 3_600_000_000
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": pa.array(hours, pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    sets = [(), ("event_type",), ("hour",), ("event_type", "hour")]
+    out = grouping_sets_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        sets=sets, value_col="value").to_pandas()
+    out["sum_value"] = _r(out["sum_value"], 2)
+    for c in ("gid", "n"):
+        out[c] = out[c].astype("int64")
+    return (out[["gid", "event_type", "hour", "n", "sum_value"]]
+            .sort_values(["gid", "event_type", "hour"])
+            .reset_index(drop=True))
+
+
 def _events_props_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured parsing: JSON props column -> typed value."""
     import json as _json
@@ -1464,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_totals": _events_user_totals,
         "events_sessions": _events_sessions,
         "events_rolling_avg": _events_rolling_avg,
+        "events_cube_counts": _events_cube_counts,
         "events_props_extract": _events_props_extract,
         "events_asof_attribution": _events_asof,
         "events_range_attribution": _events_range_agg,
@@ -2011,6 +2042,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "events_cube_counts": """
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                                AS hour, value
+                       FROM events)
+            SELECT CAST(0 AS BIGINT) AS gid, '(all)' AS event_type,
+                   '(all)' AS hour, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value FROM e
+            UNION ALL
+            SELECT 1, event_type, '(all)', count(*), round(sum(value), 2)
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT 2, '(all)', CAST(hour AS VARCHAR), count(*),
+                   round(sum(value), 2)
+            FROM e GROUP BY hour
+            UNION ALL
+            SELECT 3, event_type, CAST(hour AS VARCHAR), count(*),
+                   round(sum(value), 2)
+            FROM e GROUP BY event_type, hour
+            ORDER BY gid, event_type, hour
         """,
         "events_rolling_avg": """
             SELECT user_id, event_id,

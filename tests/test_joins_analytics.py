@@ -247,3 +247,39 @@ def test_hll_accuracy_merge_and_linear_counting(ray_session):
     # small cardinality takes the linear-counting branch: near exact
     est_s = hll_estimate(hll_registers(np.arange(500, dtype=np.int64)))
     assert abs(est_s - 500) < 25
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import grouping_sets_agg
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 400),
+        "b": rng.randint(0, 3, 400),
+        "v": rng.rand(400),
+    })
+    sets = [(), ("a",), ("b",), ("a", "b")]
+    out = (grouping_sets_agg(rd.from_pandas(df).repartition(5),
+                             sets=sets, value_col="v")
+           .to_pandas().sort_values(["gid", "a", "b"]).reset_index(drop=True))
+    # gid 0: one global row
+    g0 = out[out["gid"] == 0]
+    assert len(g0) == 1 and g0["a"].iloc[0] == "(all)" == g0["b"].iloc[0]
+    assert g0["n"].iloc[0] == 400
+    assert abs(g0["sum_value"].iloc[0] - df["v"].sum()) < 1e-9
+    # gid 3: full cross grouping matches pandas
+    want = (df.assign(a=df["a"].astype(str), b=df["b"].astype(str))
+            .groupby(["a", "b"], as_index=False)
+            .agg(n=("v", "size"), sum_value=("v", "sum")))
+    g3 = out[out["gid"] == 3].reset_index(drop=True)
+    m = g3.merge(want, on=["a", "b"], suffixes=("_got", "_want"))
+    assert len(m) == len(want) == len(g3)
+    assert (m["n_got"] == m["n_want"]).all()
+    assert np.allclose(m["sum_value_got"], m["sum_value_want"], atol=1e-9)
+    # per-set row counts
+    assert len(out[out["gid"] == 1]) == df["a"].nunique()
+    assert len(out[out["gid"] == 2]) == df["b"].nunique()

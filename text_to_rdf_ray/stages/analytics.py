@@ -336,3 +336,59 @@ def approx_distinct(ds: rd.Dataset, *, col: str, p: int = 12) -> float:
                               batch_size=65536).iter_rows():
         merged = np.maximum(merged, np.frombuffer(row["reg"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouping_sets_agg(
+    ds: rd.Dataset,
+    *,
+    sets: list[tuple[str, ...]],
+    value_col: str,
+    all_label: str = "(all)",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """GROUP BY GROUPING SETS (the rollup/cube family) in one pass:
+    emits, for every grouping set, one row per group with (gid = the
+    set's index, every key column as a string — ``all_label`` where the
+    set omits it — n, sum_value).
+
+    One combiner pass computes every set's partials per batch (the fan is
+    |sets|, applied to already-aggregated rows, not raw rows), and a
+    single int32 hash exchange reduces all sets together — not |sets|
+    separate groupby jobs over the input.  Key columns are emitted as
+    strings so the (gid, keys) tuple is one homogeneous exchange key.
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    key_cols = sorted({c for s in sets for c in s})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for gid, s in enumerate(sets):
+            cols = list(s)
+            if cols:
+                g = batch.groupby(cols, as_index=False, dropna=False).agg(
+                    n=(value_col, "size"), sum_value=(value_col, "sum"))
+            else:
+                g = pd.DataFrame({"n": [len(batch)],
+                                  "sum_value": [batch[value_col].sum()]})
+            for c in key_cols:
+                g[c] = g[c].astype(str) if c in cols else all_label
+            g["gid"] = np.int64(gid)
+            frames.append(g[["gid", *key_cols, "n", "sum_value"]])
+        out = pd.concat(frames, ignore_index=True)
+        key = out["gid"].astype(str)
+        for c in key_cols:
+            key = key + "\x1f" + out[c]
+        part = (_hash_shingles(key.tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return out.assign(_part=part)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop(columns=["_part"])
+               .groupby(["gid", *key_cols], as_index=False)
+               .agg(n=("n", "sum"), sum_value=("sum_value", "sum")))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
