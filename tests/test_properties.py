@@ -93,3 +93,43 @@ def test_html_roundtrip_escaped(text):
     from text_to_rdf_ray.sources.fixtures import wrap_html
 
     assert extract_text(wrap_html("t", text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), max_size=300))
+def test_hll_registers_invariants(ids):
+    import numpy as np
+
+    from text_to_rdf_ray.stages.analytics import hll_estimate, hll_registers
+
+    arr = np.array(ids, dtype=np.int64)
+    reg = hll_registers(arr, p=12)
+    assert reg.shape == (4096,) and reg.dtype == np.uint8
+    assert reg.max(initial=0) <= 53  # rank bounded by low-bit width + 1
+    # deterministic, insensitive to order and duplication
+    rng = np.random.RandomState(0)
+    perm = arr[rng.permutation(len(arr))] if len(arr) else arr
+    assert (hll_registers(perm, p=12) == reg).all()
+    assert (hll_registers(np.concatenate([arr, arr]), p=12) == reg).all()
+    # merge property: max of split halves == whole
+    h = len(arr) // 2
+    merged = np.maximum(hll_registers(arr[:h], p=12),
+                        hll_registers(arr[h:], p=12))
+    assert (merged == reg).all()
+    est = hll_estimate(reg)
+    assert est >= 0.0
+    if len(arr) == 0:
+        assert est == 0.0 or est < 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_splitmix64_bijective_sample(ids):
+    import numpy as np
+
+    from text_to_rdf_ray.stages.analytics import splitmix64
+
+    arr = np.array(sorted(set(ids)), dtype=np.int64)
+    h = splitmix64(arr)
+    # splitmix64 is a bijection on 64-bit ints: distinct in -> distinct out
+    assert len(np.unique(h)) == len(arr)
