@@ -280,7 +280,8 @@ def run_bench() -> dict:
                      "dedup_exact_docs", "dedup_minhash_docs",
                      "dedup_ngram_pairs", "knn_bruteforce",
                      "doc_quality", "events_hourly",
-                     "docs_pack_sequences", "docs_tfidf_top_terms"):
+                     "docs_pack_sequences", "docs_tfidf_top_terms",
+                     "docs_repetition_stats", "lineitem_distinct_orders_hll"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         # distributed canonicalization + connected-components path, forced
