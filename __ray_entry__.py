@@ -1225,16 +1225,20 @@ def _orders_semi_rich_custs(sf_dir: str) -> pd.DataFrame:
 
 
 def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
-    """Inverted-index build: (term, df, postings) with sorted distinct
-    doc-id posting lists (stages/curation.py::inverted_index — term-hash
-    exchange, per-partition vectorized reduce)."""
+    """Inverted-index build: (term, chunk_seq, df, postings) rows with
+    sorted distinct doc-id posting lists CHUNKED at 16 ids per row (small
+    on purpose so the oracle exercises multi-chunk terms; production
+    default is 65536 — bounds the largest cell under stop-word skew).
+    stages/curation.py::inverted_index — term-hash exchange,
+    per-partition vectorized reduce."""
     from text_to_rdf_ray.stages.curation import inverted_index
 
     ds = _documents(sf_dir).select_columns(["doc_id", "text"])
-    out = inverted_index(ds).to_pandas()
+    out = inverted_index(ds, chunk_ids=16).to_pandas()
     out["df"] = out["df"].astype("int64")
-    return (out[["term", "df", "postings"]]
-            .sort_values("term").reset_index(drop=True))
+    out["chunk_seq"] = out["chunk_seq"].astype("int64")
+    return (out[["term", "chunk_seq", "df", "postings"]]
+            .sort_values(["term", "chunk_seq"]).reset_index(drop=True))
 
 
 def _graph_pagerank(sf_dir: str) -> pd.DataFrame:
@@ -1753,11 +1757,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id,
                      unnest(list_filter(str_split(lower(text), ' '),
                                         x -> x <> '')) AS term
-              FROM documents)
-            SELECT term, CAST(count(*) AS BIGINT) AS df,
+              FROM documents),
+            numbered AS (
+              SELECT term, doc_id,
+                     (row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                      - 1) // 16 AS chunk_seq,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM terms)
+            SELECT term, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+                   CAST(max(df) AS BIGINT) AS df,
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
-            FROM terms GROUP BY term ORDER BY term
+            FROM numbered GROUP BY term, chunk_seq ORDER BY term, chunk_seq
         """,
         "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_token_counts": """

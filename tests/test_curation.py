@@ -173,3 +173,43 @@ def test_decontaminate_counts_distinct_bench_grams(ray_session):
            .set_index("doc_id").sort_index())
     assert out["contam_grams"].tolist() == [2, 2, 1, 0, 0]
     assert out["contaminated"].tolist() == [True, True, True, False, False]
+
+
+def test_pack_sequences_rejects_duplicate_ids():
+    # ADVICE round-3: offsets are keyed by block min id; duplicate ids
+    # straddling a block boundary would silently shift seq_ids, so the
+    # disjointness guard must catch both the shared-min and the
+    # overlapping-range forms (tested directly — where Ray places block
+    # boundaries on a duplicated id is not deterministic).
+    import pandas as pd
+    import pytest
+
+    from text_to_rdf_ray.stages.curation import _check_blocks_disjoint
+
+    ok = pd.DataFrame({"min_id": [0, 10, 20], "max_id": [9, 19, 30],
+                       "tok_sum": [5, 5, 5]})
+    _check_blocks_disjoint(ok, "doc_id")  # disjoint: passes
+
+    shared_min = pd.DataFrame({"min_id": [0, 7, 7], "max_id": [7, 7, 12],
+                               "tok_sum": [5, 5, 5]}).sort_values("min_id")
+    with pytest.raises(ValueError, match="unique"):
+        _check_blocks_disjoint(shared_min, "doc_id")
+
+    overlap = pd.DataFrame({"min_id": [0, 7], "max_id": [9, 12],
+                            "tok_sum": [5, 5]})
+    with pytest.raises(ValueError, match="unique"):
+        _check_blocks_disjoint(overlap, "doc_id")
+
+
+def test_passage_dedup_rejects_oversized_doc_id(ray_session):
+    # ADVICE round-3: doc_id >= 2^43 overflows the packed int64 first-wins
+    # key, flipping which occurrence is "first" — rejected loudly.
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import passage_dedup
+
+    ds = rd.from_items([{"doc_id": 1 << 43, "text": "a b c"}])
+    # Ray 2.49 wraps task-side user exceptions in RayTaskError(UserCodeException)
+    with pytest.raises(Exception, match="overflow"):
+        passage_dedup(ds).to_pandas()

@@ -283,3 +283,83 @@ def test_grouping_sets_matches_pandas(ray_session):
     # per-set row counts
     assert len(out[out["gid"] == 1]) == df["a"].nunique()
     assert len(out[out["gid"] == 2]) == df["b"].nunique()
+
+
+def test_asof_broadcast_string_and_numericstring_keys(ray_session):
+    # ADVICE round-3: the broadcast index used int(k), crashing on string
+    # keys and collapsing '01'/'1'.  Parity with the co-partitioned form
+    # must hold for arbitrary key types.
+    from text_to_rdf_ray.stages.joins import asof_join, asof_join_broadcast
+
+    left = pd.DataFrame({"k": ["01", "1", "a", "a", "zz"],
+                         "lt": [10, 10, 5, 50, 7],
+                         "l_id": [0, 1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["01", "1", "a", "b"],
+                          "rt": [3, 8, 4, 1],
+                          "r_id": [10, 11, 12, 13],
+                          "rv": [0.1, 0.2, 0.3, 0.4]})
+    kw = dict(key_col="k", left_ts="lt", right_ts="rt", tiebreak_col="r_id")
+    a = asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw).to_pandas()
+    b = asof_join_broadcast(rd.from_pandas(left), rd.from_pandas(right),
+                            **kw).to_pandas()
+    cols = ["k", "lt", "l_id", "r_id", "rv"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("l_id").reset_index(drop=True),
+        b[cols].sort_values("l_id").reset_index(drop=True))
+    # '01' and '1' must resolve to DIFFERENT right rows
+    byid = b.set_index("l_id")
+    assert byid.loc[0, "r_id"] == 10 and byid.loc[1, "r_id"] == 11
+
+
+def test_group_quantiles_null_values_ignored(ray_session):
+    # ADVICE round-3: NaN ran through floor->int64 into bin 0, injecting
+    # phantom histogram counts.  Policy: nulls are skipped in every pass
+    # (matching pyarrow count/min/max in pass A).
+    from text_to_rdf_ray.stages.analytics import group_quantiles_exact
+
+    vals = np.concatenate([RNG.random(2_000) * 100, [np.nan] * 137])
+    RNG.shuffle(vals)
+    df = pd.DataFrame({"g": "x", "v": vals})
+    out = group_quantiles_exact(rd.from_pandas(df), key_col="g",
+                                value_col="v", qs=[0.25, 0.5, 0.9], n_bins=32)
+    clean = df["v"].dropna().to_numpy()
+    row = out.iloc[0]
+    assert row["n"] == len(clean)
+    for q in (0.25, 0.5, 0.9):
+        assert np.isclose(row[f"q_{q}"], np.quantile(clean, q), atol=1e-9)
+
+
+def test_hll_registers_rejects_inexact_p(ray_session):
+    # ADVICE round-3: frexp rank extraction is exact only when the low-bit
+    # field fits float64's 53-bit mantissa (p >= 11).
+    from text_to_rdf_ray.stages.analytics import hll_registers
+
+    with pytest.raises(ValueError, match="p >= 11"):
+        hll_registers(np.arange(10, dtype=np.int64), p=10)
+    assert hll_registers(np.arange(10, dtype=np.int64), p=11).shape == (2048,)
+
+
+def test_inverted_index_chunked_and_stoplist(ray_session):
+    from text_to_rdf_ray.stages.curation import inverted_index
+    from text_to_rdf_ray.state import counters
+
+    # "the" appears in all 10 docs -> 4 chunks at chunk_ids=3; chunk
+    # reassembly in chunk_seq order must equal the unchunked posting list
+    docs = [{"doc_id": i, "text": f"the x{i}"} for i in range(10)]
+    out = (inverted_index(rd.from_items(docs).repartition(4), chunk_ids=3)
+           .to_pandas())
+    the = out[out["term"] == "the"].sort_values("chunk_seq")
+    assert list(the["chunk_seq"]) == [0, 1, 2, 3]
+    assert (the["df"] == 10).all()
+    assert ",".join(the["postings"]) == ",".join(str(i) for i in range(10))
+    assert all(len(p.split(",")) == 3 for p in the["postings"].iloc[:-1])
+
+    # df-threshold stop-list drops the hot term, counted (no silent caps)
+    counters.snapshot(reset=True)
+    out2 = (inverted_index(rd.from_items(docs).repartition(4),
+                           chunk_ids=3, max_df=5).to_pandas())
+    assert "the" not in set(out2["term"])
+    assert len(out2) == 10  # the x0..x9 singleton terms survive
+    snap = counters.snapshot()
+    assert snap.get("invindex_stoplist_terms", 0) == 1
+    assert snap.get("invindex_stoplist_postings", 0) == 10

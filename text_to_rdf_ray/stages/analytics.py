@@ -189,6 +189,10 @@ def _pass_hist(ds: rd.Dataset, key_col: str, value_col: str,
         g = cache.get("g")
         if g is None:
             g = cache["g"] = ray.get(ref)
+        # pass A's pyarrow count/min/max skip nulls; keep B consistent —
+        # a NaN run through floor->astype(int64) is undefined and would
+        # inject phantom counts into bin 0.
+        batch = batch[~pd.isna(batch[value_col])]
         vals = batch[value_col].to_numpy()
         bins = np.zeros(len(batch), np.int64)
         for key, grp in batch.groupby(key_col, sort=False).indices.items():
@@ -214,6 +218,7 @@ def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
         if got is None:
             got = cache["g"] = ray.get(ref)
         g, tg = got
+        batch = batch[~pd.isna(batch[value_col])]  # match pass A/B null policy
         vals = batch[value_col].to_numpy()
         keep = np.zeros(len(batch), bool)
         bins = np.zeros(len(batch), np.int64)
@@ -291,7 +296,16 @@ def hll_registers(ids: np.ndarray, p: int = 12) -> np.ndarray:
     bucket = top p bits, rank = leading zeros of the low (64-p) bits + 1.
     The floor(log2) is extracted with np.frexp (exact for values < 2^53),
     never floating log2 (whose last-ulp rounding differs across libms).
+    That exactness requires the low-bit field to fit in a float64
+    mantissa: 64 - p <= 53, i.e. p >= 11 — below that the uint->float
+    conversion can round UP across a power of two and overstate the
+    rank, so we refuse rather than silently break the SQL replay.
     """
+    if 64 - p > 53:
+        raise ValueError(
+            f"hll_registers requires p >= 11 (got p={p}): the {64 - p}-bit "
+            "low field exceeds float64's 53-bit mantissa, making the frexp "
+            "rank extraction inexact")
     m = 1 << p
     low_bits = 64 - p
     h = splitmix64(ids)

@@ -90,6 +90,25 @@ def stratified_sample(
     )
 
 
+def _check_blocks_disjoint(partials: pd.DataFrame, id_col: str) -> None:
+    """Guard for ``pack_sequences``'s uniqueness precondition: after the
+    range sort, block id-ranges must be strictly disjoint.  A duplicate id
+    straddling a block boundary shows up as either two blocks sharing a
+    ``min_id`` (dict-key collision on the offset table) or a block whose
+    ``min_id`` <= the previous block's ``max_id`` — both would silently
+    shift every later ``seq_id``, so raise instead.  ``partials`` must be
+    sorted by ``min_id``."""
+    mins = partials["min_id"].to_numpy()
+    maxs = partials["max_id"].to_numpy()
+    if len(mins) > 1 and (mins[1:] <= maxs[:-1]).any():
+        i = int(np.flatnonzero(mins[1:] <= maxs[:-1])[0])
+        raise ValueError(
+            f"pack_sequences: sorted blocks overlap on {id_col} "
+            f"(block max {maxs[i]} >= next block min {mins[i + 1]}) — "
+            f"{id_col} values must be unique; a duplicate id straddling a "
+            "block boundary would silently shift seq_id")
+
+
 def pack_sequences(
     ds: rd.Dataset,
     *,
@@ -105,6 +124,11 @@ def pack_sequences(
     (the streaming-pack semantics: a document straddling a budget
     boundary starts in the sequence its first token lands in).  Output:
     ``(id_col, token_col, seq_id)``.
+
+    Precondition: ``id_col`` values are UNIQUE (document ids).  Per-block
+    offsets are keyed by each block's min id; duplicate ids straddling a
+    block boundary would make two blocks share a key and silently shift
+    every later seq_id — detected and raised below.
 
     Distributed two-pass prefix sum: sort by id (range partition), then
     (1) per-BLOCK (batch_size=None) partial sums keyed by the block's
@@ -122,9 +146,11 @@ def pack_sequences(
         toks = batch.column(token_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({"min_id": pa.array([], pa.int64()),
+                             "max_id": pa.array([], pa.int64()),
                              "tok_sum": pa.array([], pa.int64())})
         return pa.table({
             "min_id": pa.array([int(ids.min())], pa.int64()),
+            "max_id": pa.array([int(ids.max())], pa.int64()),
             "tok_sum": pa.array([int(toks.sum())], pa.int64()),
         })
 
@@ -134,6 +160,7 @@ def pack_sequences(
     partials = sorted_ds.map_batches(
         block_stats, batch_format="pyarrow", batch_size=None
     ).to_pandas().sort_values("min_id")
+    _check_blocks_disjoint(partials, id_col)
     offsets = dict(zip(
         partials["min_id"],
         np.concatenate([[0], np.cumsum(partials["tok_sum"].to_numpy())[:-1]]),
@@ -251,8 +278,15 @@ def passage_dedup(
 
     def explode(batch: pa.Table) -> pa.Table:
         out_id, out_idx, out_nw, out_h1, out_h2 = [], [], [], [], []
+        max_doc_id = 1 << (63 - _PASSAGE_IDX_BITS)
         for did, txt in zip(batch.column(id_col).to_pylist(),
                             batch.column(text_col).to_pylist()):
+            if did >= max_doc_id or did < 0:
+                raise ValueError(
+                    f"passage_dedup: doc_id {did} outside [0, 2^"
+                    f"{63 - _PASSAGE_IDX_BITS}) — the packed "
+                    "(doc_id << idx_bits | idx) first-wins key would "
+                    "overflow int64 and flip which occurrence is 'first'")
             words = _terms(txt)
             for p, start in enumerate(range(0, len(words), window)):
                 if p >= (1 << _PASSAGE_IDX_BITS):
@@ -444,21 +478,33 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 64,
+    chunk_ids: int = 65536,
+    max_df: int | None = None,
 ) -> rd.Dataset:
-    """Inverted index build: one row per term with its document frequency
-    and posting list (sorted distinct doc ids, comma-joined — the
-    write-once text-search layout, sibling of the IVF index in
-    stages/knn.py).
+    """Inverted index build: rows of ``(term, chunk_seq, df, postings)``
+    — the write-once text-search layout, sibling of the IVF index in
+    stages/knn.py.  ``postings`` is a comma-joined run of at most
+    ``chunk_ids`` sorted distinct doc ids; a term's full posting list is
+    the concatenation of its chunks in ``chunk_seq`` order (SQL replay:
+    ``string_agg(postings, ',' ORDER BY chunk_seq)``).  ``df`` is the
+    term's TOTAL document frequency, repeated on every chunk row.
+
+    Chunking is what makes this survive stop-words at corpus scale: an
+    unchunked "the" row at 10^9 docs is a multi-GB single cell landing in
+    one reduce group — a memory bomb and a skew magnet.  With chunks the
+    largest cell is bounded by ``chunk_ids`` regardless of df.  An
+    optional ``max_df`` stop-list drops terms ABOVE the threshold before
+    emitting rows, counted under ``invindex_stoplist_terms`` /
+    ``invindex_stoplist_postings`` (no silent caps).
 
     Explode is per-doc distinct (a doc contributes once per term); the
     exchange is hash-partitioned on the term (vectorized FNV), and the
-    per-partition reduce is a pandas sort + groupby join — partitioning
-    assumption: one PARTITION's postings fit in a worker (a single hot
-    term's postings are bounded by |corpus|/num_partitions spread; a
-    stop-word-scale term would need posting-list sharding, which the
-    caller controls by dropping high-df terms first).
+    per-partition reduce is one vectorized pandas pass over ALL terms in
+    the partition — partitioning assumption: one PARTITION's postings fit
+    in a worker (bounded by |corpus|/num_partitions spread).
     """
     from ..kernels.minhash import _hash_shingles
+    from ..state import counters
 
     def explode(batch: pa.Table) -> pa.Table:
         out_t, out_i = [], []
@@ -476,9 +522,26 @@ def inverted_index(
 
     def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["term", id_col]).drop_duplicates(["term", id_col])
-        agg = g.groupby("term", sort=False)[id_col].agg(
-            df="size", postings=lambda s: ",".join(map(str, s)))
-        agg["df"] = agg["df"].astype("int64")
+        grp = g.groupby("term", sort=False)
+        g = g.assign(df=grp[id_col].transform("size").astype("int64"))
+        if max_df is not None:
+            dropped = g[g["df"] > max_df]
+            if len(dropped):
+                counters.incr({
+                    "invindex_stoplist_terms": dropped["term"].nunique(),
+                    "invindex_stoplist_postings": len(dropped),
+                })
+            g = g[g["df"] <= max_df]
+        if g.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "chunk_seq": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype=str)})
+        g = g.assign(chunk_seq=(g.groupby("term", sort=False).cumcount()
+                                // chunk_ids).astype("int64"))
+        agg = (g.groupby(["term", "chunk_seq"], sort=False)
+               .agg(df=("df", "first"),
+                    postings=(id_col, lambda s: ",".join(map(str, s)))))
         return agg.reset_index()
 
     return (ds.map_batches(explode, batch_format="pyarrow")

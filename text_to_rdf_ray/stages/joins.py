@@ -38,6 +38,14 @@ _SIDE = "_side"
 _TS64 = "_ts_us"
 
 
+def _key_scalar(k):
+    """Normalize a numpy scalar to its Python value for dict keying; a
+    plain Python object (str, int) passes through.  Both the index-build
+    and probe sides go through this, so hashing is consistent regardless
+    of key dtype (int64, string, …)."""
+    return k.item() if isinstance(k, np.generic) else k
+
+
 def _ts_to_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Timestamp (any unit) or integer column -> int64 microseconds."""
     if pa.types.is_timestamp(col.type):
@@ -170,10 +178,14 @@ def asof_join_broadcast(
         "_t": _ts_to_us(rt.column(right_ts)).to_numpy(zero_copy_only=False),
         **{n: rt.column(n).to_pandas() for n in r_names},
     }).sort_values(["_k", "_t", tiebreak_col]).reset_index(drop=True)
-    # per-key slice offsets into the fully sorted frame
+    # per-key slice offsets into the fully sorted frame.  Keys are stored
+    # raw (numpy scalar -> .item()) so string / non-numeric key columns
+    # work and numeric-strings ('01' vs '1') never collapse — parity with
+    # the co-partitioned asof_join, which supports arbitrary key types.
     keys, starts = np.unique(rdf["_k"].to_numpy(), return_index=True)
     bounds = np.append(starts, len(rdf))
-    index = {int(k): (int(bounds[i]), int(bounds[i + 1])) for i, k in enumerate(keys)}
+    index = {_key_scalar(k): (int(bounds[i]), int(bounds[i + 1]))
+             for i, k in enumerate(keys)}
     ref = ray.put((index, rdf))
     side = "right" if inclusive else "left"
     cache: dict = {}
@@ -191,7 +203,7 @@ def asof_join_broadcast(
         sk, sstart = np.unique(lk[order], return_index=True)
         send = np.append(sstart[1:], len(order))
         for j, k in enumerate(sk):
-            span = idx_map.get(int(k))
+            span = idx_map.get(_key_scalar(k))
             if span is None:
                 continue
             lo, hi = span
@@ -282,7 +294,7 @@ def semi_join_filter(
     key_col: str,
     keys_col: str | None = None,
     anti: bool = False,
-    max_keys: int = 50_000_000,
+    max_keys: int = 5_000_000,
 ) -> rd.Dataset:
     """Broadcast semi-join (``anti=True`` for anti-join): keep rows of
     ``ds`` whose ``key_col`` is (not) present in the ``keys`` side.
@@ -293,6 +305,13 @@ def semi_join_filter(
     each batch filters with a vectorized ``np.isin`` — no shuffle touches
     the big side.  Raises if the key side exceeds ``max_keys`` (at that
     size a shuffle join is the right tool, not a broadcast).
+
+    ``max_keys`` budget: 5M int64 keys ≈ 40 MB resident per worker
+    PROCESS (the object-store copy is shared, but ``np.isin``'s sort
+    working set is private) plus O(n log k) probe cost per batch.  At
+    32 workers that is ~1.3 GB aggregate — acceptable; the old 50M
+    default was ~400 MB/worker ≈ 13 GB aggregate, past where a shuffle
+    join wins.
     """
     import ray
 
