@@ -320,3 +320,44 @@ def test_link_join_mode_fuzzy_only_kb(ray_session):
     idx = KBIndex(KB)
     assert out.loc["Alan Beam", "subj_uri"] == idx.link("Alan Beam").uri
     assert out.loc["Zzzzqqq", "subj_uri"] is None
+
+
+def test_jaro_winkler_batch_parity_scalar():
+    """The vectorized scoring kernel must be bit-identical to the scalar
+    jaro_winkler on fixture surfaces, classic JW test pairs, and random
+    strings (including empties, ties, repeats, unicode)."""
+    import json
+    import random
+
+    import numpy as np
+
+    from text_to_rdf_ray.kernels.linker import jaro_winkler, jaro_winkler_batch
+
+    pairs = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("ab", "ba"), ("crate", "trace"),
+        ("a" * 40, "a" * 39 + "b"), ("münchen", "munchen"),
+    ]
+    # fixture surfaces x a few KB-label-like variants
+    try:
+        cases = json.load(open("/root/reference/tests/fixtures/test_cases.json"))
+        names = []
+        for c in cases if isinstance(cases, list) else cases.get("cases", []):
+            s = str(c)[:60].lower()
+            names.append(s)
+        for a in names[:30]:
+            for b in names[:10]:
+                pairs.append((a, b))
+    except Exception:
+        pass
+    rng = random.Random(99)
+    alph = "abcdefg -'é"
+    for _ in range(2000):
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
+        pairs.append((a, b))
+    got = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs],
+                             chunk=313)
+    want = np.array([jaro_winkler(a, b) for a, b in pairs])
+    assert np.max(np.abs(got - want)) < 1e-12

@@ -77,6 +77,90 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
     return j + prefix * prefix_scale * (1.0 - j)
 
 
+def jaro_winkler_batch(s1s, s2s, prefix_scale: float = 0.1,
+                       chunk: int = 16384):
+    """Vectorized Jaro-Winkler over N string pairs -> float64[N].
+
+    Bit-identical to the scalar ``jaro_winkler`` (parity-tested): the
+    greedy window matching runs as a column sweep — one numpy pass over
+    all N pairs per character position, O(L1) python iterations total
+    instead of O(N x L1 x L2) interpreted char comparisons.  This is the
+    fuzzy link join's scoring kernel: candidate volume is
+    band-blocking-proportional, so at 10^8 surfaces the per-candidate
+    cost must be a numpy op, not an interpreted loop.  Row-chunked so the
+    (chunk x L2) working set stays cache-sized regardless of N.
+    """
+    import numpy as np
+
+    s1s, s2s = list(s1s), list(s2s)
+    n = len(s1s)
+    out = np.zeros(n, np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        out[lo:hi] = _jw_chunk(s1s[lo:hi], s2s[lo:hi], prefix_scale)
+    return out
+
+
+def _jw_chunk(s1s: list, s2s: list, prefix_scale: float):
+    import numpy as np
+
+    n = len(s1s)
+    len1 = np.fromiter((len(s) for s in s1s), np.int64, n)
+    len2 = np.fromiter((len(s) for s in s2s), np.int64, n)
+    L1 = max(int(len1.max()), 1)
+    L2 = max(int(len2.max()), 1)
+    # numpy U-dtype arrays pad with \0 -> (n, L) uint32 codepoint grids
+    A = np.asarray(s1s, dtype=f"U{L1}").view(np.uint32).reshape(n, L1)
+    B = np.asarray(s2s, dtype=f"U{L2}").view(np.uint32).reshape(n, L2)
+
+    w = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    cols2 = np.arange(L2, dtype=np.int64)
+    used = np.zeros((n, L2), bool)
+    m1 = np.zeros((n, L1), np.uint32)  # matched s1 chars, in i order
+    mcnt = np.zeros(n, np.int64)
+    ridx = np.arange(n)
+    for i in range(L1):
+        active = i < len1
+        if not active.any():
+            break
+        lo_b = np.maximum(0, i - w)[:, None]
+        hi_b = np.minimum(len2, i + w + 1)[:, None]
+        cand = ((B == A[:, i][:, None]) & ~used
+                & (cols2 >= lo_b) & (cols2 < hi_b) & active[:, None])
+        hit = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        r = ridx[hit]
+        used[r, j[hit]] = True
+        m1[r, mcnt[r]] = A[r, i]
+        mcnt[r] += 1
+    # matched s2 chars in j order
+    m2 = np.zeros((n, L1), np.uint32)
+    c2 = np.zeros(n, np.int64)
+    for j in range(L2):
+        r = ridx[used[:, j]]
+        m2[r, c2[r]] = B[r, j]
+        c2[r] += 1
+    valid = np.arange(L1) < mcnt[:, None]
+    trans = ((m1 != m2) & valid).sum(axis=1)
+    m = mcnt.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro_v = (m / len1 + m / len2 + (m - trans / 2.0) / m) / 3.0
+    jaro_v = np.where(mcnt == 0, 0.0, jaro_v)
+    # scalar jaro short-circuits s1 == s2 -> 1.0 (covers the empty==empty
+    # case its length guard would otherwise zero)
+    eq = np.fromiter((a == b for a, b in zip(s1s, s2s)), bool, n)
+    jaro_v = np.where(eq, 1.0, jaro_v)
+    # winkler prefix: leading equal chars, capped at 4, within both lengths
+    P = min(4, L1, L2)
+    if P:
+        pref_eq = (A[:, :P] == B[:, :P]) & \
+            (np.arange(P) < np.minimum(len1, len2)[:, None])
+        prefix = np.cumprod(pref_eq, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, np.int64)
+    return jaro_v + prefix * prefix_scale * (1.0 - jaro_v)
+
+
 @dataclass
 class LinkedEntity:
     surface_form: str

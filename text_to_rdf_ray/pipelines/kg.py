@@ -132,14 +132,15 @@ def build_triples(
         from ..stages.canonicalize import canonicalize_local
 
         ds = ds.materialize()
-        # distinct surfaces: per-batch set (combiner) + groupby (one exec)
-        surfaces_ds = (
-            ds.map_batches(_surface_rows, batch_format="pyarrow")
-            .groupby("surface")
-            .count()
-            .select_columns(["surface"])
-            .materialize()
-        )
+        # distinct surfaces: per-batch set (combiner) + hash-exchange
+        # distinct — groupby("surface").count() reduces per key in Python
+        # under Ray 2.49 (measured 153s vs <2s on a 48k-key distinct)
+        from ..stages.analytics import distinct_rows
+
+        surfaces_ds = distinct_rows(
+            ds.map_batches(_surface_rows, batch_format="pyarrow"),
+            cols=["surface"],
+        ).materialize()
         from ..stages.canonicalize import DEFAULT_TAU
 
         tau = DEFAULT_TAU if canonicalize_tau is None else canonicalize_tau

@@ -73,20 +73,27 @@ def stratified_sample(
         # numpy and exporting the unsigned value (DuckDB UBIGINT)
         return batch.append_column("_h", pa.array(h, pa.uint64()))
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return (batch.sort_values("_h")
-                .groupby(key_col, sort=False).head(n_per_group))
+    from .windows import _part_of
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values("_h").head(n_per_group).reset_index(drop=True)
-        out["sample_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.sort_values("_h")
+               .groupby(key_col, sort=False).head(n_per_group))
+        return out.assign(_part=_part_of(out[key_col], 64))
+
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL strata in the partition (not one Python
+        # call per stratum): sort (key, hash), head-k per key, rank
+        g = g.drop(columns=["_part"]).sort_values([key_col, "_h"])
+        out = g.groupby(key_col, sort=False).head(n_per_group).copy()
+        out["sample_rank"] = (out.groupby(key_col, sort=False).cumcount()
+                              + 1).astype(np.int64)
         return out.drop(columns=["_h"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .map_batches(local_topk, batch_format="pandas", batch_size=65536)
-        .groupby(key_col)
-        .map_groups(final_topk, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final_part, batch_format="pandas")
     )
 
 

@@ -260,7 +260,7 @@ def link_entities_join(
     """
     import ray.data as rd
 
-    from ..kernels.linker import EXACT_CONFIDENCE, jaro_winkler
+    from ..kernels.linker import EXACT_CONFIDENCE, jaro_winkler_batch
     from .canonicalize import _solid
 
     if not isinstance(kb_records, rd.Dataset):
@@ -308,20 +308,30 @@ def link_entities_join(
         names |= {o for o, ot in zip(objs, ots) if ot and o}
         names = sorted(names)
         lows = [n.lower() for n in names]
+        sids = [_id64(low) for low in lows]
         return pa.table(
             {
                 "surface": pa.array(names, pa.string()),
                 "low": pa.array(lows, pa.string()),
                 # sid keys the LOWERCASED form (same as the band row key):
                 # case-variant surfaces share a sid and re-attach together
-                "sid": pa.array([_id64(low) for low in lows], pa.int64()),
+                "sid": pa.array(sids, pa.int64()),
+                # partition key for the distinct exchange below: equal
+                # surfaces share a sid, so they land in one partition
+                "_part": pa.array(
+                    np.asarray(sids, np.uint64) % np.uint64(64), pa.int32()),
             }
         )
 
+    # distinct surfaces via hash exchange + per-PARTITION vectorized
+    # drop_duplicates — NOT groupby("surface").map_groups (one Python
+    # call per distinct surface: the measured Ray-2.49 per-key pathology,
+    # 153s vs <2s at 48k keys — NOTES_r3.md)
     surfaces = _solid(
         triples.map_batches(surface_rows, batch_format="pyarrow")
-        .groupby("surface")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(lambda g: g.drop_duplicates("surface"),
+                    batch_format="pandas")
         .map_batches(
             lambda t: pa.table({n: t.column(n) for n in ("surface", "low", "sid")}),
             batch_format="pyarrow",
@@ -357,16 +367,34 @@ def link_entities_join(
         exact = rd.from_arrow(_LINK_SCHEMA.empty_table())
         no_exact = surfaces
     else:
-        # surfaces with no exact hit -> fuzzy, blocked on first character
+        # surfaces with no exact hit -> fuzzy.  Distinct exact-hit
+        # surfaces via batch combiner + hash exchange (same per-key-
+        # Python avoidance as the `surfaces` distinct above).
+        from ..kernels.minhash import _hash_shingles
+
+        def exact_combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("surface").aggregate([])
+            part = (_hash_shingles(g.column("surface").to_pylist())
+                    % np.uint64(64)).astype(np.int32)
+            return pa.table({"surface": g.column("surface"),
+                             "_part": pa.array(part, pa.int32())})
+
+        exact_hit = (
+            exact.map_batches(exact_combine, batch_format="pyarrow",
+                              batch_size=65536)
+            .groupby("_part")
+            .map_groups(lambda g: g.drop_duplicates("surface")[["surface"]],
+                        batch_format="pandas")
+            .map_batches(
+                lambda t: pa.table(
+                    {"surface": t.column("surface"),
+                     "hit": pa.array(np.ones(len(t), np.int32), pa.int32())}),
+                batch_format="pyarrow",
+            )
+        )
         no_exact = _solid(
             surfaces.join(
-                _solid(exact.groupby("surface").map_groups(
-                    lambda g: g.head(1), batch_format="pandas"
-                ).map_batches(
-                    lambda t: pa.table({"surface": t.column("surface"),
-                                        "hit": pa.array([1] * len(t), pa.int32())}),
-                    batch_format="pyarrow",
-                )),
+                _solid(exact_hit),
                 join_type="left_outer", num_partitions=num_partitions,
                 on=("surface",),
             ).map_batches(
@@ -389,24 +417,31 @@ def link_entities_join(
         # band-blocked candidates (vs |no_exact| x |KB|/~30 under
         # first-char blocking)
         incr({"linkjoin_fuzzy_candidates": len(surfs)})
-        out_s, out_u, out_c = [], [], []
-        for s, low, lab, uri in zip(surfs, lows, labs, uris):
-            lab_low = lab.lower()
-            # KBIndex.candidates blocking parity (linker.py): same first
-            # char (by_first bucket membership) + length window
-            if lab_low[:1] != low[:1]:
-                continue
-            if abs(len(lab_low) - len(low)) > max(3, int(0.6 * len(low))) and low not in lab_low:
-                continue
-            sim = jaro_winkler(lab_low, low)
-            if sim >= fuzzy_threshold:
-                out_s.append(s)
-                out_u.append(uri)
-                out_c.append(sim)
+        lab_lows = [lab.lower() for lab in labs]
+        # KBIndex.candidates blocking parity (linker.py), vectorized:
+        # same first char (by_first bucket membership) + length window;
+        # the substring escape hatch is interpreted ONLY on the (rare)
+        # pairs that fail the window — not per candidate
+        n = len(lows)
+        l_low = np.fromiter((len(x) for x in lows), np.int64, n)
+        l_lab = np.fromiter((len(x) for x in lab_lows), np.int64, n)
+        first_ok = np.fromiter(
+            (a[:1] == b[:1] for a, b in zip(lab_lows, lows)), bool, n)
+        win_bad = np.abs(l_lab - l_low) > np.maximum(
+            3, (0.6 * l_low).astype(np.int64))
+        keep = first_ok.copy()
+        for i in np.flatnonzero(first_ok & win_bad):
+            if lows[i] not in lab_lows[i]:
+                keep[i] = False
+        idx = np.flatnonzero(keep)
+        sims = jaro_winkler_batch([lab_lows[i] for i in idx],
+                                  [lows[i] for i in idx])
+        good = idx[sims >= fuzzy_threshold]
+        good_sims = sims[sims >= fuzzy_threshold]
         return pa.table(
-            {"surface": pa.array(out_s, pa.string()),
-             "uri": pa.array(out_u, pa.string()),
-             "conf": pa.array(out_c, pa.float64())}
+            {"surface": pa.array([surfs[i] for i in good], pa.string()),
+             "uri": pa.array([uris[i] for i in good], pa.string()),
+             "conf": pa.array(good_sims, pa.float64())}
         )
 
     def _band_rows(src: "rd.Dataset", text_col: str, out_id: str,
@@ -522,21 +557,36 @@ def link_entities_join(
             .map_batches(fuzzy_score, batch_format="pyarrow")
         )
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
+    def top1_vec(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic top-1 per surface (conf desc, uri asc), vectorized
+        # across ALL surfaces in the frame: after the sort the first row of
+        # each surface IS its max-conf / smallest-uri candidate (alias
+        # duplicates of one uri can never occupy the first slot ahead of
+        # it) — KBIndex.link parity without one Python call per surface
         g = g[g["conf"] >= confidence_threshold]
         if not len(g):
             return g[["surface", "uri", "conf"]]
-        # drop duplicate (uri) candidates (aliases of one entity), then
-        # deterministic top-1 (conf desc, uri asc) — KBIndex.link parity
-        g = g.sort_values(["conf", "uri"], ascending=[False, True])
-        g = g.drop_duplicates(["surface", "uri"], keep="first")
-        g = g.sort_values(["conf", "uri"], ascending=[False, True]).head(1)
-        return g[["surface", "uri", "conf"]]
+        g = g.sort_values(["surface", "conf", "uri"],
+                          ascending=[True, False, True])
+        return g.drop_duplicates("surface", keep="first")[
+            ["surface", "uri", "conf"]]
+
+    def top1_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # batch-local top-1 is a safe combiner: the global top-1 under the
+        # (conf desc, uri asc) total order is the max of batch maxima
+        from ..kernels.minhash import _hash_shingles
+
+        b = top1_vec(b)
+        part = (_hash_shingles(b["surface"].tolist())
+                % np.uint64(64)).astype(np.int32)
+        return b.assign(_part=part)
 
     links = _solid(
         exact.union(fuzzy)
-        .groupby("surface")
-        .map_groups(top1, batch_format="pandas")
+        .map_batches(top1_combine, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(lambda g: top1_vec(g.drop(columns=["_part"])),
+                    batch_format="pandas")
         .map_batches(
             lambda t: pa.table({n: t.column(n) for n in ("surface", "uri", "conf")}),
             batch_format="pyarrow",

@@ -5,25 +5,45 @@ Data expression of streaming windows over a bounded event table).
   groupby(key, window_id) with a per-batch pyarrow combiner in front of
   the exchange (partials move, not rows).
 - ``sessionize``: per-key session windows split on inactivity gaps —
-  one output row PER SESSION (key, session_id, n_events, start/end ts) —
-  expressed as groupby(key).map_groups over ts-sorted groups (the
-  ray_guide 'streaming-shaped workloads' pattern).  Partitioning
-  assumption: one key's events fit in one group (true for bounded user
-  histories; a hot key would need a time-bucketed pre-split).
+  one output row PER SESSION (key, session_id, n_events, start/end ts).
+  Executed as ONE key-hash exchange into ``num_partitions`` partitions
+  with a single vectorized pandas pass per partition (groupby.diff /
+  cumsum / agg — C kernels across ALL keys in the partition), NOT
+  ``groupby(key).map_groups``: Ray 2.49 makes one Python call per key
+  there (measured 153s vs <2s at 48k keys — NOTES_r3.md), which at
+  millions of users is the stage ceiling.  Partitioning assumption: one
+  PARTITION's events fit in a worker (~|events|/num_partitions — raise
+  ``num_partitions`` with data size); a single hot key still needs a
+  time-bucketed pre-split.
 - ``session_summary``: per-key rollup of ``sessionize`` output
   (n_sessions, max_session_events) — the shape of the driver's
   ``events_sessions`` query.
 - ``rolling_agg``: per-key row-based rolling mean + inter-event gap
   (the SQL ``ROWS BETWEEN n-1 PRECEDING`` window shape), same
-  per-key-group execution and partitioning assumption as ``sessionize``.
+  exchange shape and partitioning assumption as ``sessionize``.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+
+def _part_of(s: pd.Series, num_partitions: int) -> np.ndarray:
+    """int32 hash-partition ids for a key series (splitmix64 for integer
+    keys, vectorized FNV for everything else)."""
+    if pd.api.types.is_integer_dtype(s):
+        from .analytics import splitmix64
+
+        return (splitmix64(s.to_numpy().astype(np.int64))
+                % np.uint64(num_partitions)).astype(np.int32)
+    from ..kernels.minhash import _hash_shingles
+
+    return (_hash_shingles(s.astype(str).tolist())
+            % np.uint64(num_partitions)).astype(np.int32)
 
 
 def tumbling_agg(
@@ -121,6 +141,7 @@ def sessionize(
     ts_col: str = "ts",
     order_col: str = "event_id",
     gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_partitions: int = 64,
 ) -> rd.Dataset:
     """One row per session: (key, session_id, n_events, start_ts, end_ts).
 
@@ -129,21 +150,30 @@ def sessionize(
     session_id numbers sessions 1..n per key in time order.
     """
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, order_col])
-        gaps = g[ts_col].diff()
-        brk = gaps.isna() | (gaps > gap)
-        sid = brk.cumsum()
-        out = g.groupby(sid).agg(
-            n_events=(order_col, "size"),
-            start_ts=(ts_col, "min"),
-            end_ts=(ts_col, "max"),
-        ).reset_index(drop=True)
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out.insert(1, "session_id", range(1, len(out) + 1))
-        return out
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL keys in the partition: groupby.diff
+        # restarts the gap at each key boundary, groupby.cumsum numbers
+        # sessions per key (the first row of every key breaks -> 1-based)
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col]))
+        gaps = g.groupby(key_col, sort=False)[ts_col].diff()
+        brk = gaps.isna() | (gaps > gap)
+        sid = brk.groupby(g[key_col], sort=False).cumsum()
+        out = (g.assign(_sid=sid)
+               .groupby([key_col, "_sid"], sort=False)
+               .agg(n_events=(order_col, "size"),
+                    start_ts=(ts_col, "min"),
+                    end_ts=(ts_col, "max"))
+               .reset_index()
+               .rename(columns={"_sid": "session_id"}))
+        out["session_id"] = out["session_id"].astype("int64")
+        return out[[key_col, "session_id", "n_events", "start_ts", "end_ts"]]
+
+    return (ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
 
 
 def session_summary(sessions: rd.Dataset, key_col: str = "user_id") -> rd.Dataset:
@@ -166,6 +196,7 @@ def rolling_agg(
     order_col: str = "event_id",
     value_col: str = "value",
     window_rows: int = 3,
+    num_partitions: int = 64,
 ) -> rd.Dataset:
     """Per-key row-based rolling window (the SQL ``ROWS BETWEEN n-1
     PRECEDING AND CURRENT ROW`` shape): for each event, the mean of the
@@ -173,23 +204,32 @@ def rolling_agg(
     since the key's previous event (-1 for the key's first event), ordered
     by ``(ts, order_col)``.
 
-    Emits (key, order_col, rolling_avg, gap_us).  Same partitioning
-    assumption as ``sessionize``: one key's events fit in one group.
+    Emits (key, order_col, rolling_avg, gap_us).  Same exchange shape and
+    partitioning assumption as ``sessionize`` (one PARTITION per worker,
+    vectorized across all keys in it).
     """
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, order_col])
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col]))
         # unit-safe epoch µs: parquet may load as datetime64[ns] or [us]
         ts_us = pd.Series(
             g[ts_col].values.astype("datetime64[us]").astype("int64"),
             index=g.index)
-        gap = ts_us.diff()
+        grp = g.groupby(key_col, sort=False)
+        roll = (grp[value_col]
+                .rolling(window_rows, min_periods=1).mean()
+                .reset_index(level=0, drop=True))
+        gap = ts_us.groupby(g[key_col], sort=False).diff()
         return pd.DataFrame({
             key_col: g[key_col],
             order_col: g[order_col],
-            "rolling_avg": g[value_col]
-                .rolling(window_rows, min_periods=1).mean(),
+            "rolling_avg": roll,
             "gap_us": gap.fillna(-1).astype("int64"),
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
