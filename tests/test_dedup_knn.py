@@ -519,3 +519,27 @@ def test_ivf_indexed_handles_empty_lists(tmp_path):
     out = knn_ivf_indexed(idx_dir, corpus[:2].astype(np.float64), [0, 1],
                           k=5, nprobe=8)
     assert len(out) == 10 and set(out.query_id) == {0, 1}
+
+
+def test_connected_components_pointer_jump_log_rounds(ray_session):
+    """A 120-hop path must converge within O(log diameter) rounds — the
+    pointer-jump move (Hash-to-Min) makes max_rounds=16 enough where pure
+    min-propagation would need ~120 rounds."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import connected_components
+    from text_to_rdf_ray.state import counters
+
+    n = 120
+    edges = rd.from_items(
+        [{"src": i, "dst": i + 1} for i in range(n)]).repartition(8)
+    counters.snapshot(reset=True)
+    comp = {
+        r["name_id"]: r["component"]
+        for r in connected_components(
+            edges, max_rounds=16, driver_threshold=0).take_all()
+    }
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {0}
+    rounds = counters.snapshot().get("cc_rounds", 0)
+    assert 0 < rounds <= 16, rounds

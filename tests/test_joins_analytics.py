@@ -363,3 +363,45 @@ def test_inverted_index_chunked_and_stoplist(ray_session):
     snap = counters.snapshot()
     assert snap.get("invindex_stoplist_terms", 0) == 1
     assert snap.get("invindex_stoplist_postings", 0) == 10
+
+
+def test_exchange_join_parity_and_bigint_payloads(ray_session):
+    """exchange_join must match Dataset.join for inner and left_outer —
+    including 63-bit int64 payloads under null padding (a pandas-merge
+    implementation would coerce them to float64 and corrupt them)."""
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.exchange import exchange_join
+
+    big = (1 << 62) + 12345  # not exactly representable in float64
+    a = rd.from_arrow(pa.table({
+        "k": [f"s{i}" for i in range(200)],
+        "k2": pa.array(list(range(200)), pa.int64()),
+        "v": pa.array([big + i for i in range(200)], pa.int64()),
+    })).repartition(4).materialize()
+    b = rd.from_arrow(pa.table({
+        "k": [f"s{i}" for i in range(0, 400, 2)],
+        "k2": pa.array(list(range(0, 400, 2)), pa.int64()),
+        "w": pa.array([big + 7 * i for i in range(200)], pa.int64()),
+        "lbl": [f"w{i}" for i in range(200)],
+    })).repartition(3).materialize()
+
+    for how, rayhow in (("inner", "inner"), ("left_outer", "left_outer")):
+        got = exchange_join(a, b, on=("k", "k2"), how=how,
+                            num_partitions=8).to_pandas()
+        want = a.join(b, join_type=rayhow, num_partitions=8,
+                      on=("k", "k2")).to_pandas()
+        cols = ["k", "k2", "v", "w", "lbl"]
+        gs = got[cols].sort_values("k2").reset_index(drop=True)
+        ws = want[cols].sort_values("k2").reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, ws)
+        # the matched big ints survived exactly
+        matched = gs[gs["w"].notna()]
+        assert (matched["v"].astype("int64") - big
+                == matched["k2"].astype("int64")).all()
+
+    # key missing from a side / payload collision raise
+    with pytest.raises(ValueError, match="missing"):
+        exchange_join(a, b.select_columns(["k", "w"]), on=("k", "k2"))
+    with pytest.raises(ValueError, match="collision"):
+        exchange_join(a, a, on="k")

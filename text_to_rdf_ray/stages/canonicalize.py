@@ -104,16 +104,25 @@ def connected_components(
     max_rounds: int = 64,
     driver_threshold: int = DRIVER_UNION_FIND_THRESHOLD,
 ) -> rd.Dataset:
-    """Min-label propagation over undirected edges -> (name_id, component).
+    """Min-label propagation + pointer jumping over undirected edges ->
+    (name_id, component).
 
-    Each round: component(node) = min(component(node), min over neighbors'
-    components) — expressed as a hash join (edges x labels) + groupby-min.
-    This formulation needs O(component diameter) rounds; labels only
-    decrease, so a stable global label sum IS convergence (the stop test).
-    LSH-blocked near-dup components have tiny diameters, so the round count
-    stays small in practice; if ``max_rounds`` is hit while labels are
-    still changing the function RAISES rather than silently returning
-    split clusters.
+    Each round combines TWO shrink moves before one groupby-min:
+
+    - neighbor propagation: component(x) <= min over neighbors'
+      components (a hash join edges x labels) — the classic min-label
+      step, O(diameter) rounds alone;
+    - pointer jump: component(x) <= component(component(x)) (labels
+      self-join on the label value) — the path-halving move of
+      pointer-doubling / Hash-to-Min (Rastogi et al. 2013), which cuts
+      the round count to O(log diameter): a 10^9-edge graph with a
+      1000-hop chain converges in ~10 rounds instead of ~1000.
+
+    Labels only decrease, so a stable global label sum IS convergence
+    (the stop test).  The observed round count is exported via the
+    ``cc_rounds`` operator counter.  If ``max_rounds`` is hit while
+    labels are still changing the function RAISES rather than silently
+    returning split clusters.
 
     Candidate-pair sets from LSH blocking are a vanishing fraction of the
     corpus, so when the edge set is provably small (< driver_threshold,
@@ -150,7 +159,12 @@ def connected_components(
         lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
         batch_format="pyarrow",
     )
-    und = _solid(fwd.union(rev))
+    # coalesce: und feeds every round's exchange, and Ray's sort-groupby
+    # cost grows with BLOCK count (0.3s at 16 blocks vs 3.2s at 232 for
+    # identical rows) — a 2x-union of a 64-block edge set would otherwise
+    # drag 128 tiny blocks through every round
+    und = _solid(fwd.union(rev).map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=16384))
 
     labels = _solid(
         und.groupby("src")
@@ -181,31 +195,63 @@ def connected_components(
         rows = lbl.map_batches(part, batch_format="pyarrow").take_all()
         return sum(int(r["s"]) for r in rows)
 
+    from .exchange import exchange_join
+
+    _S_EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _S_LBL_SRC = pa.schema([("src", pa.int64()), ("component", pa.int64())])
+    _S_C1 = pa.schema([("name_id", pa.int64()), ("c1", pa.int64())])
+    _S_C1C2 = pa.schema([("c1", pa.int64()), ("c2", pa.int64())])
+
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
-        # the relabel map is lazy over the materialized labels (typed
-        # schema, no groupby lineage) — the join consumes it without an
-        # extra materialization barrier per round
+        rounds += 1
+        # BOTH shrink moves ride in ONE executor plan per round — exchange
+        # joins are plain tasks (no JoinOperator actor pool), so two of
+        # them plus the groupby-min fuse safely at any CPU budget.
+        # Neighbor propagation: component(x) <= min over neighbors.
         msgs = _as(
-            und.join(
+            exchange_join(
+                und,
                 _as(labels, [("name_id", "src"), ("component", "component")]),
-                join_type="inner",
-                num_partitions=16,
-                on=("src",),
+                on="src", num_partitions=16,
+                left_schema=_S_EDGE, right_schema=_S_LBL_SRC,
             ),
             [("dst", "name_id"), ("component", "component")],
         )
-        combined = labels.union(msgs)
+        # Pointer jump: (x, c) joined to (c, c') -> (x, c').  Every label
+        # value is a node id, so the inner self-join is total; c' <= c by
+        # the min invariant, so this only shrinks labels.
+        ptr = _as(
+            exchange_join(
+                _as(labels, [("name_id", "name_id"), ("component", "c1")]),
+                _as(labels, [("name_id", "c1"), ("component", "c2")]),
+                on="c1", num_partitions=16,
+                left_schema=_S_C1, right_schema=_S_C1C2,
+            ),
+            [("name_id", "name_id"), ("c2", "component")],
+        )
         labels = _solid(
-            combined.groupby("name_id")
+            labels.union(msgs).union(ptr)
+            .groupby("name_id")
             .aggregate(Min("component", alias_name="component"))
         )
+        # stop test: a stable sum under the COMBINED update means the
+        # propagation alone changed nothing, which (und is symmetric)
+        # forces labels equal across every edge — uniform per component,
+        # the global fixed point.
         cur = _label_sum(labels)
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break
         prev_sum = cur
+    try:
+        from ..state.counters import incr
+
+        incr({"cc_rounds": rounds})
+    except Exception:
+        pass
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} rounds "

