@@ -73,6 +73,80 @@ def join_out_schema(
     return pa.schema(keys + pay)
 
 
+def exchange_agg(
+    ds: rd.Dataset,
+    keys: tuple[str, ...] | list[str] | str,
+    aggs: list[tuple[str, str] | tuple[str, str, str]] = (),
+    *,
+    num_partitions: int = 32,
+    combine: bool = True,
+) -> rd.Dataset:
+    """Grouped aggregation as hash exchange + vectorized Arrow reduce.
+
+    Ray 2.49's ``Dataset.groupby(keys).aggregate(...)`` / ``.count()``
+    reduces ONE PYTHON CALL PER KEY (measured here: 5.0s vs 0.85s for
+    this helper on a 360k-row / 120k-key min — and 153s vs <2s on a
+    48k-key two-string-column distinct, NOTES_r3).  This helper runs the
+    same logical aggregation as: optional per-batch Arrow ``group_by``
+    combiner -> ONE hash exchange on the key -> per-partition Arrow
+    ``group_by`` (C++ hash aggregation, vectorized across every key in
+    the partition).
+
+    ``aggs``: ``(col, fn)`` or ``(col, fn, out_name)`` with fn in
+    ``min | max | sum | count`` (count re-aggregates as sum of partial
+    counts).  Empty ``aggs`` = DISTINCT over the key columns.  Output
+    columns: keys + out names.  ``combine=True`` (all supported fns are
+    decomposable) shrinks each batch to its distinct keys before the
+    exchange, so shuffle volume is per-batch-distinct, not raw rows.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    norm: list[tuple[str, str, str]] = []
+    for a in aggs:
+        col, fn = a[0], a[1]
+        out = a[2] if len(a) > 2 else col
+        if fn not in ("min", "max", "sum", "count"):
+            raise ValueError(f"unsupported agg fn {fn!r}")
+        norm.append((col, fn, out))
+
+    def _agg(t: pa.Table, specs: list[tuple[str, str, str]]) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, fn) for c, fn, _ in specs])
+        cols = {k: g.column(k) for k in keys}
+        for c, fn, out in specs:
+            cols[out] = g.column(f"{c}_{fn}")
+        return pa.table(cols) if cols else g
+
+    # after the combiner, partial columns carry the OUT name and partial
+    # counts re-aggregate as sums; without it the reduce applies the
+    # original fn to the (renamed) raw column
+    reduce_specs = [
+        (out, ("sum" if fn == "count" else fn) if combine else fn, out)
+        for _, fn, out in norm]
+
+    def part_of(t: pa.Table) -> pa.Table:
+        h = (_key_hash(t, keys) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column(_PART, pa.array(h, pa.int32()))
+
+    def combine_batch(t: pa.Table) -> pa.Table:
+        return part_of(_agg(t, norm))
+
+    def tag_batch(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        for c, fn, out in norm:
+            cols[out] = t.column(c)
+        return part_of(pa.table(cols))
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_PART])
+        if not reduce_specs:
+            return t.group_by(keys).aggregate([])
+        return _agg(t, reduce_specs)
+
+    first = combine_batch if combine else tag_batch
+    return (ds.map_batches(first, batch_format="pyarrow")
+            .groupby(_PART)
+            .map_groups(reduce_part, batch_format="pyarrow"))
+
+
 def exchange_join(
     left: rd.Dataset,
     right: rd.Dataset,

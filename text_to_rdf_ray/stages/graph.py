@@ -124,18 +124,23 @@ def pagerank(
     if n == 0:
         return _empty_ranks()
 
-    # static per-edge factor: 1 / outdeg(src), attached once
+    # static per-edge factor: 1 / outdeg(src), attached once.  Arrow-
+    # reduce count — Ray's groupby().count() reduces per key in Python
+    from .exchange import exchange_agg, exchange_join
+
     outdeg = (
-        edges.groupby(src_col).count()
+        exchange_agg(
+            _project(edges, [(src_col, "node")]),
+            "node", [("node", "count", "cnt")],
+            num_partitions=num_partitions)
         .map_batches(
             lambda t: pa.table({
-                "node": t.column(src_col),
-                "outdeg": t.column("count()").cast(pa.float64()),
+                "node": t.column("node"),
+                "outdeg": t.column("cnt").cast(pa.float64()),
             }),
             batch_format="pyarrow",
         )
     )
-    from .exchange import exchange_join
 
     _S_EDGE = pa.schema([("node", pa.string()), ("dst", pa.string())])
     _S_OUTDEG = pa.schema([("node", pa.string()), ("outdeg", pa.float64())])
