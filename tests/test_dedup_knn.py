@@ -543,3 +543,31 @@ def test_connected_components_pointer_jump_log_rounds(ray_session):
     assert set(comp.values()) == {0}
     rounds = counters.snapshot().get("cc_rounds", 0)
     assert 0 < rounds <= 16, rounds
+
+
+def test_connected_components_engine_parity(ray_session):
+    """BSP and Dataset-exchange CC must produce identical component
+    labelings on a graph mixing chains, cliques, and singleton-free
+    star shapes."""
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.canonicalize import connected_components
+
+    rng = np.random.RandomState(7)
+    edges = []
+    for c in range(30):  # 30 chains of length 5
+        base = 1000 * c
+        edges += [(base + i, base + i + 1) for i in range(4)]
+    for s in range(10):  # stars
+        hub = 100000 + 1000 * s
+        edges += [(hub, hub + i) for i in range(1, 6)]
+    rng.shuffle(edges)
+    ds = rd.from_items(
+        [{"src": a, "dst": b} for a, b in edges]).repartition(6)
+    by_engine = {}
+    for eng in ("bsp", "dataset"):
+        rows = connected_components(
+            ds, driver_threshold=0, engine=eng).take_all()
+        by_engine[eng] = {r["name_id"]: r["component"] for r in rows}
+    assert by_engine["bsp"] == by_engine["dataset"]
+    assert len({v for v in by_engine["bsp"].values()}) == 40

@@ -100,3 +100,24 @@ def test_pagerank_empty_edges(ray_session):
     # forced distributed path must also degrade to empty, not crash
     out_d = pagerank(empty, iterations=2, driver_threshold=0)
     assert out_d.count() == 0
+
+
+def test_pagerank_engine_parity_bsp_vs_dataset(ray_session):
+    """The stationary-partition BSP engine and the Dataset-exchange
+    engine must agree to float-sum noise on the same forced-distributed
+    input (and both match the driver numpy path)."""
+    rng = np.random.RandomState(23)
+    edges = [("n%d" % rng.randint(0, 60), "n%d" % rng.randint(0, 60))
+             for _ in range(400)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(9)
+    bsp = pagerank(ds, iterations=4, driver_threshold=0,
+                   num_partitions=4, engine="bsp").to_pandas()
+    dset = pagerank(ds, iterations=4, driver_threshold=0,
+                    num_partitions=4, sum_parts=8,
+                    engine="dataset").to_pandas()
+    m = bsp.merge(dset, on="node", suffixes=("_b", "_d"))
+    assert len(m) == len(bsp) == len(dset)
+    assert np.allclose(m["rank_b"], m["rank_d"], atol=1e-12)
+    want = _numpy_pagerank(edges, 4)
+    got = dict(zip(bsp["node"], bsp["rank"]))
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)

@@ -104,6 +104,7 @@ def connected_components(
     edges: rd.Dataset,
     max_rounds: int = 64,
     driver_threshold: int = DRIVER_UNION_FIND_THRESHOLD,
+    engine: str = "bsp",
 ) -> rd.Dataset:
     """Min-label propagation + pointer jumping over undirected edges ->
     (name_id, component).
@@ -162,6 +163,24 @@ def connected_components(
     # cost grows with BLOCK count (0.3s at 16 blocks vs 3.2s at 232 for
     # identical rows) — a 2x-union of a 64-block edge set would otherwise
     # drag 128 tiny blocks through every round
+    if engine == "bsp":
+        # stationary-partition BSP (stages/bsp.py): edges exchanged ONCE
+        # into pinned hash partitions; per round only the O(nodes) label
+        # table moves.  Same semantics (min-label + pointer jump, exact
+        # label-sum convergence test) as the Dataset path below.
+        from .bsp import connected_components_bsp
+
+        und_lazy = fwd.union(rev)
+        labels_ds, rounds = connected_components_bsp(
+            und_lazy, num_parts=16, max_rounds=max_rounds)
+        try:
+            from ..state.counters import incr
+
+            incr({"cc_rounds": rounds})
+        except Exception:
+            pass
+        return labels_ds
+
     und = _solid(fwd.union(rev).map_batches(
         lambda t: t, batch_format="pyarrow", batch_size=16384))
 

@@ -95,6 +95,7 @@ def pagerank(
     num_partitions: int = 32,
     sum_parts: int = 64,
     driver_threshold: int = DRIVER_PAGERANK_THRESHOLD,
+    engine: str = "bsp",
 ) -> rd.Dataset:
     """PageRank over an edge Dataset (one row per directed edge; parallel
     edges each contribute).  Node columns are strings.  Returns
@@ -103,15 +104,24 @@ def pagerank(
     Tiered like canonicalize's connected components: below
     ``driver_threshold`` edges the graph collects to the driver and runs a
     numpy power iteration (per-iteration exchange barriers dominate at toy
-    scale); above it, the distributed join/arrow-reduce path runs.  Pass
+    scale); above it, the distributed path runs.  Pass
     ``driver_threshold=0`` to force the distributed path (tests/bench).
+
+    ``engine``: "bsp" (default) pins the factor-attached edge set once
+    as stationary hash partitions and iterates with raw Ray tasks —
+    only the O(nodes) rank table moves per iteration (stages/bsp.py);
+    "dataset" keeps the Dataset-exchange formulation (one exchange_join
+    + arrow-reduce per iteration), which re-shuffles the edge table
+    every iteration — retained for parity testing and as the reference
+    semantics.
     """
-    if driver_threshold > 0:
-        head = _project(edges, [(src_col, "src"), (dst_col, "dst")]).materialize()
-        if head.count() <= driver_threshold:
-            return _pagerank_driver(head.to_pandas(), iterations, damping)
-        edges = head
-        src_col, dst_col = "src", "dst"
+    # one materialization of the projected edges — three consumers below
+    # (node distinct, outdeg, factor attach) would each re-run a lazy
+    # input lineage otherwise
+    edges = _project(edges, [(src_col, "src"), (dst_col, "dst")]).materialize()
+    src_col, dst_col = "src", "dst"
+    if driver_threshold > 0 and edges.count() <= driver_threshold:
+        return _pagerank_driver(edges.to_pandas(), iterations, damping)
     from .analytics import distinct_rows
 
     nodes = _solid(
@@ -162,7 +172,15 @@ def pagerank(
             "factor": pa.array(1.0 / od, pa.float64()),
         })
 
-    e = _solid(e.map_batches(edge_factor, batch_format="pyarrow"))
+    efact = e.map_batches(edge_factor, batch_format="pyarrow")
+
+    if engine == "bsp":
+        from .bsp import pagerank_bsp
+
+        return pagerank_bsp(efact, nodes, n, iterations=iterations,
+                            damping=damping, num_parts=num_partitions)
+
+    e = _solid(efact)
 
     init = 1.0 / n
     base = (1.0 - damping) / n
