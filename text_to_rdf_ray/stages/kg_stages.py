@@ -277,7 +277,6 @@ def link_entities_join(
     _S_SURF = pa.schema([("surface", pa.string()), ("low", pa.string()),
                          ("sid", pa.int64())])
     _S_EXACT_PROJ = pa.schema([("low", pa.string()), ("kb_uri", pa.string())])
-    _S_HIT = pa.schema([("surface", pa.string()), ("hit", pa.int32())])
     _S_BAND_S = pa.schema([("band_id", pa.int32()), ("band_hash", pa.int64()),
                            ("sid", pa.int64())])
     _S_BAND_L = pa.schema([("band_id", pa.int32()), ("band_hash", pa.int64()),
@@ -364,7 +363,12 @@ def link_entities_join(
     _LINK_SCHEMA = pa.schema([("surface", pa.string()), ("uri", pa.string()),
                               ("conf", pa.float64())])
 
-    exact = _solid(
+    # ONE left_outer exchange splits the surfaces: matched rows ARE the
+    # exact links (duplicated per matching label, same as the old inner
+    # join), unmatched rows ARE the fuzzy side — the separate exact-hit
+    # projection + anti-join exchange is gone (one fewer shuffle of the
+    # surface table and one fewer materialization barrier)
+    matched = _solid(
         exchange_join(
             surfaces,
             labels_ds.map_batches(
@@ -372,45 +376,31 @@ def link_entities_join(
                                     "kb_uri": t.column("kb_uri")}),
                 batch_format="pyarrow",
             ),
-            on="low", num_partitions=num_partitions,
+            on="low", how="left_outer", num_partitions=num_partitions,
             left_schema=_S_SURF, right_schema=_S_EXACT_PROJ,
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "surface": t.column("surface"),
-                    "uri": t.column("kb_uri"),
-                    "conf": pa.array([EXACT_CONFIDENCE] * len(t), pa.float64()),
-                }
-            ),
-            batch_format="pyarrow",
         )
     )
 
-    # surfaces with no exact hit -> fuzzy.  Right side: BATCH-LOCAL
-    # distinct only — cross-batch duplicate hit rows merely duplicate
-    # left rows that the is_null filter drops, so no global exchange is
-    # spent on deduping them.  Typed empties flow through exchange_join,
-    # so the empty-exact special case is gone.
-    def exact_hit_rows(t: pa.Table) -> pa.Table:
-        g = pa.table({"surface": t.column("surface")}).group_by(
-            "surface").aggregate([])
-        return pa.table({
-            "surface": g.column("surface"),
-            "hit": pa.array(np.ones(len(g), np.int32), pa.int32()),
-        })
+    exact = matched.map_batches(
+        lambda t: (lambda f: pa.table(
+            {
+                "surface": f.column("surface"),
+                "uri": f.column("kb_uri"),
+                "conf": pa.array([EXACT_CONFIDENCE] * len(f), pa.float64()),
+            }
+        ))(t.filter(pc.is_valid(t.column("kb_uri")))),
+        batch_format="pyarrow",
+    )
 
+    # a surface with ANY match contributes no unmatched row, so the null
+    # filter is exactly the anti-join (one row per unmatched surface —
+    # surfaces are distinct)
     no_exact = _solid(
-        exchange_join(
-            surfaces,
-            exact.map_batches(exact_hit_rows, batch_format="pyarrow",
-                              batch_size=65536),
-            on="surface", how="left_outer", num_partitions=num_partitions,
-            left_schema=_S_SURF, right_schema=_S_HIT,
-        ).map_batches(
-            lambda t: pa.table(
-                {"surface": t.column("surface"), "low": t.column("low"),
-                 "sid": t.column("sid")}
-            ).filter(pc.is_null(t.column("hit"))),
+        matched.map_batches(
+            lambda t: (lambda f: pa.table(
+                {"surface": f.column("surface"), "low": f.column("low"),
+                 "sid": f.column("sid")}
+            ))(t.filter(pc.is_null(t.column("kb_uri")))),
             batch_format="pyarrow",
         )
     )
