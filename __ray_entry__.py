@@ -809,8 +809,24 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.from_arrow(make_fake_media(200))
     out = decode_features(ds, fake=True).to_pandas()
-    out["feat_dim"] = out["features"].map(len)
-    out["feat_sum"] = out["features"].map(lambda f: round(float(sum(f)), 5))
+    out["feat_dim"] = out["features"].map(len).astype("int64")
+    # float64 accumulation on both sides (the raw features are float32;
+    # a float32-precision sum can flip the 5th rounded decimal vs the
+    # oracle's float64 SUM)
+    out["feat_sum"] = out["features"].map(
+        lambda f: round(float(np.asarray(f, dtype=np.float64).sum()), 5))
+    # side tables: raw INPUT metadata + per-dim feature values; the SQL
+    # oracle independently replays the per-media aggregation (dim count,
+    # rounded sum) and the metadata join
+    _side_write("media_features_fake", "media.parquet",
+                out[["media_id", "media_type", "mime"]]
+                .sort_values("media_id").reset_index(drop=True))
+    feats = out[["media_id", "features"]].explode("features")
+    feats["dim_idx"] = feats.groupby("media_id").cumcount()
+    feats["feat_val"] = feats["features"].astype("float64")
+    _side_write("media_features_fake", "feats.parquet",
+                feats[["media_id", "dim_idx", "feat_val"]]
+                .sort_values(["media_id", "dim_idx"]).reset_index(drop=True))
     return (
         out[["media_id", "media_type", "mime", "feat_dim", "feat_sum"]]
         .sort_values("media_id").reset_index(drop=True)
@@ -828,16 +844,27 @@ def _media_frames(sf_dir: str) -> pd.DataFrame:
         sample_frames,
     )
 
-    ds = rd.from_arrow(make_fake_media(200))
+    media = make_fake_media(200)
+    ds = rd.from_arrow(media)
     resized = resize_images(ds, 224, 224, fake=True)
     frames = sample_frames(resized, fps_n=4, fake=True).to_pandas()
     frames["frame_hash"] = frames["frame"].map(
         lambda b: _hl.blake2b(b, digest_size=8).hexdigest()
     )
-    return (
+    out = (
         frames[["media_id", "frame_idx", "ts_ms", "frame_hash"]]
         .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     )
+    # side tables: raw INPUT metadata + (media_id, frame_idx) -> hash;
+    # the SQL oracle independently replays the sampling decisions (video
+    # filter, frame count n, integer-division timestamps) and joins the
+    # hashes by position
+    _side_write(
+        "media_frames_fake", "media.parquet",
+        media.select(["media_id", "media_type", "duration_ms"]).to_pandas())
+    _side_write("media_frames_fake", "hashes.parquet",
+                out[["media_id", "frame_idx", "frame_hash"]])
+    return out
 
 
 def _events_sessions(sf_dir: str) -> pd.DataFrame:
@@ -1771,6 +1798,39 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY term, chunk_seq ORDER BY term, chunk_seq
         """,
         "doc_fingerprints": _doc_fingerprints_sql(),
+        # media oracles: per-dim feature values / per-frame hashes are the
+        # side-table RAW artifacts (blake2b is shared, like the other
+        # hash side tables); the SQL replays the aggregation (features)
+        # and the sampling decisions + timestamps (frames)
+        "media_features_fake": f"""
+            SELECT m.media_id, m.media_type, m.mime,
+                   CAST(count(*) AS BIGINT) AS feat_dim,
+                   ROUND(SUM(f.feat_val), 5) AS feat_sum
+            FROM read_parquet('{os.path.join(_SIDE, "media_features_fake", "media.parquet")}') m
+            JOIN read_parquet('{os.path.join(_SIDE, "media_features_fake", "feats.parquet")}') f
+              USING (media_id)
+            GROUP BY m.media_id, m.media_type, m.mime
+            ORDER BY m.media_id
+        """,
+        "media_frames_fake": f"""
+            WITH vids AS (
+              SELECT media_id, GREATEST(duration_ms, 0) AS dur,
+                     CASE WHEN GREATEST(duration_ms, 0) > 0 THEN 4 ELSE 1 END AS n
+              FROM read_parquet('{os.path.join(_SIDE, "media_frames_fake", "media.parquet")}')
+              WHERE media_type = 'video'),
+            idx AS (
+              SELECT media_id,
+                     UNNEST(generate_series(0, n - 1)) AS k, dur, n
+              FROM vids)
+            SELECT i.media_id,
+                   CAST(i.k AS INTEGER) AS frame_idx,
+                   CAST((i.dur * i.k) // i.n AS INTEGER) AS ts_ms,
+                   h.frame_hash
+            FROM idx i
+            JOIN read_parquet('{os.path.join(_SIDE, "media_frames_fake", "hashes.parquet")}') h
+              ON h.media_id = i.media_id AND h.frame_idx = CAST(i.k AS INTEGER)
+            ORDER BY i.media_id, frame_idx
+        """,
         "doc_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
