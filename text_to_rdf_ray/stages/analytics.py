@@ -201,8 +201,11 @@ def _pass_hist(ds: rd.Dataset, key_col: str, value_col: str,
         out = pd.DataFrame({key_col: batch[key_col], "bin": bins})
         return out.groupby([key_col, "bin"], sort=False).size().reset_index(name="cnt")
 
-    return (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-            .groupby([key_col, "bin"]).aggregate(Sum("cnt", alias_name="cnt")))
+    from .exchange import exchange_agg
+
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        [key_col, "bin"], [("cnt", "sum", "cnt")])
 
 
 def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
@@ -232,10 +235,12 @@ def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
         return (out.groupby([key_col, "bin", "value"], sort=False)
                 .size().reset_index(name="cnt"))
 
-    res = (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-           .groupby([key_col, "bin", "value"])
-           .aggregate(Sum("cnt", alias_name="cnt"))
-           .materialize())
+    from .exchange import exchange_agg
+
+    res = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        [key_col, "bin", "value"], [("cnt", "sum", "cnt")],
+    ).materialize()
     if res.count() > max_collect:
         raise ValueError(
             f"quantile pass C exceeds max_collect={max_collect} distinct "

@@ -436,11 +436,16 @@ def tfidf_terms(
         return pa.table({"term": g.column("term"),
                          "df_part": g.column("tf_count").cast(pa.int64())})
 
+    # hash-exchange arrow reduce: one group per distinct TERM — Ray's
+    # Aggregate would pay one Python call per term
+    from .exchange import exchange_agg
+
     df_tbl = _solid(
-        doc_terms.map_batches(df_partial, batch_format="pyarrow",
-                              batch_size=65536)
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"))
+        exchange_agg(
+            doc_terms.map_batches(df_partial, batch_format="pyarrow",
+                                  batch_size=65536),
+            "term", [("df_part", "sum", "df")],
+        )
     )
 
     def score(batch: pa.Table) -> pa.Table:

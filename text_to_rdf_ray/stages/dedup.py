@@ -444,8 +444,11 @@ def _pairs_from_buckets(
                 batch_format="pyarrow",
             )
 
+        from .exchange import exchange_agg
+
         need_ids = _solid(
-            ids_table("id_a").union(ids_table("id_b")).groupby(id_col).count()
+            exchange_agg(
+                ids_table("id_a").union(ids_table("id_b")), id_col)
             .map_batches(
                 lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64())}),
                 batch_format="pyarrow")

@@ -47,6 +47,12 @@ def _key_hash(tbl: pa.Table, on: list[str]) -> np.ndarray:
         col = tbl.column(c)
         if pa.types.is_integer(col.type):
             h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        elif pa.types.is_floating(col.type):
+            # hash the IEEE bit pattern (equal float64 keys — including
+            # +0.0 after the canonicalization below — share a partition)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v + 0.0  # -0.0 -> +0.0 so it groups with +0.0
+            h = splitmix64(v.view(np.int64))
         else:
             from ..kernels.minhash import _hash_shingles
 

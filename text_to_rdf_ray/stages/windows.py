@@ -59,7 +59,7 @@ def tumbling_agg(
     window_id = epoch_us(ts) // width_us.  The per-batch pyarrow combiner
     shrinks the exchange to one partial row per (key, window) per batch.
     """
-    from ray.data.aggregate import Sum
+    from .exchange import exchange_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         # normalize the timestamp unit (parquet gives us, from_items gives s)
@@ -76,11 +76,14 @@ def tumbling_agg(
             [(value_col, "count"), (value_col, "sum")]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby([key_col, "window_id"])
-        .aggregate(Sum(f"{value_col}_count", alias_name="n"),
-                   Sum(f"{value_col}_sum", alias_name="sum_value"))
+    # final reduce via hash exchange + arrow group_by: Ray's Aggregate
+    # reduces one Python call per (key, window) group — fine at a few
+    # hundred groups, the measured per-key pathology at #keys x #windows
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        [key_col, "window_id"],
+        [(f"{value_col}_count", "sum", "n"),
+         (f"{value_col}_sum", "sum", "sum_value")],
     )
 
 
@@ -105,7 +108,7 @@ def hopping_agg(
     """
     import numpy as np
 
-    from ray.data.aggregate import Sum
+    from .exchange import exchange_agg
 
     if width_us % hop_us:
         raise ValueError("width_us must be a multiple of hop_us")
@@ -126,11 +129,11 @@ def hopping_agg(
         return t.group_by([key_col, "window_start"]).aggregate(
             [(value_col, "count"), (value_col, "sum")])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby([key_col, "window_start"])
-        .aggregate(Sum(f"{value_col}_count", alias_name="n"),
-                   Sum(f"{value_col}_sum", alias_name="sum_value"))
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        [key_col, "window_start"],
+        [(f"{value_col}_count", "sum", "n"),
+         (f"{value_col}_sum", "sum", "sum_value")],
     )
 
 
@@ -178,13 +181,15 @@ def sessionize(
 
 def session_summary(sessions: rd.Dataset, key_col: str = "user_id") -> rd.Dataset:
     """Per-key rollup of ``sessionize`` output:
-    (key, n_sessions, max_session_events)."""
-    from ray.data.aggregate import Count, Max
+    (key, n_sessions, max_session_events).  Hash-exchange arrow reduce —
+    one group per USER, so Ray's per-key-Python Aggregate is the
+    measured pathology at millions of users."""
+    from .exchange import exchange_agg
 
-    return (
-        sessions.groupby(key_col)
-        .aggregate(Count(alias_name="n_sessions"),
-                   Max("n_events", alias_name="max_session_events"))
+    return exchange_agg(
+        sessions, key_col,
+        [("n_events", "count", "n_sessions"),
+         ("n_events", "max", "max_session_events")],
     )
 
 
