@@ -48,27 +48,36 @@ def evaluate_datasets(
         expected.map_batches(tag("exp"), batch_format="pandas")
     )
 
-    def classify(group: pd.DataFrame) -> pd.DataFrame:
-        has_pred = bool(group["pred_n"].max())
-        has_exp = bool(group["exp_n"].max())
-        return pd.DataFrame(
-            {
-                case_col: [group[case_col].iloc[0]],
-                "tp": [1 if has_pred and has_exp else 0],
-                "fp": [1 if has_pred and not has_exp else 0],
-                "fn": [1 if has_exp and not has_pred else 0],
-            }
-        )
+    # one hash exchange per reduce, vectorized across keys — NOT one
+    # Python map_groups call per (case, s, p, o) triple (the Ray 2.49
+    # per-key pathology; large eval corpora have millions of triples)
+    from ..stages.exchange import exchange_agg
 
-    per_triple = tagged.groupby([case_col, "s", "p", "o"]).map_groups(
-        classify, batch_format="pandas"
+    import pyarrow as pa
+
+    per_triple = exchange_agg(
+        tagged, [case_col, "s", "p", "o"],
+        [("pred_n", "max", "has_pred"), ("exp_n", "max", "has_exp")],
     )
-    per_case = (
-        per_triple.groupby(case_col).sum(["tp", "fp", "fn"]).to_pandas()
-    )
+
+    def classify_vec(t: pa.Table) -> pa.Table:
+        hp = t.column("has_pred").to_numpy(zero_copy_only=False).astype(bool)
+        he = t.column("has_exp").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            case_col: t.column(case_col),
+            "tp": pa.array((hp & he).astype("int64")),
+            "fp": pa.array((hp & ~he).astype("int64")),
+            "fn": pa.array((~hp & he).astype("int64")),
+        })
+
+    per_case = exchange_agg(
+        per_triple.map_batches(classify_vec, batch_format="pyarrow"),
+        case_col,
+        [("tp", "sum"), ("fp", "sum"), ("fn", "sum")],
+    ).to_pandas()
     metrics = []
     for _, row in per_case.sort_values(case_col).iterrows():
-        tp, fp, fn = int(row["sum(tp)"]), int(row["sum(fp)"]), int(row["sum(fn)"])
+        tp, fp, fn = int(row["tp"]), int(row["fp"]), int(row["fn"])
         precision = tp / (tp + fp) if tp + fp else 0.0
         recall = tp / (tp + fn) if tp + fn else 0.0
         f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
