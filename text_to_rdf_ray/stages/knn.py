@@ -52,6 +52,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _driver_topk(partial: pd.DataFrame, query_ids, k: int) -> pd.DataFrame:
+    """Vectorized final top-k over collected partials: one sort + grouped
+    head across ALL queries (no per-qidx Python loop)."""
+    red = partial.sort_values(["qidx", "score", "neighbor_id"],
+                              ascending=[True, False, True])
+    red = red.groupby("qidx", sort=False).head(k).copy()
+    red["rank"] = (red.groupby("qidx", sort=False).cumcount() + 1).astype("int64")
+    return pd.DataFrame({
+        "query_id": np.asarray(query_ids, dtype=np.int64)[
+            red["qidx"].to_numpy()],
+        "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
+        "rank": red["rank"].to_numpy(),
+        "score": red["score"].round(6).to_numpy(),
+    })
+
+
 def knn_bruteforce(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -221,19 +237,7 @@ def knn_ivf(
 
     partial = ds.map_batches(ScoreIVF, batch_format="pyarrow", batch_size=4096,
                              concurrency=(1, 8)).to_pandas()
-    rows = []
-    for qi, group in partial.groupby("qidx"):
-        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(top.iterrows(), start=1):
-            rows.append(
-                {
-                    "query_id": int(query_ids[qi]),
-                    "neighbor_id": int(r["neighbor_id"]),
-                    "rank": rank,
-                    "score": round(float(r["score"]), 6),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])
+    return _driver_topk(partial, query_ids, k)
 
 
 def _train_quantizer(ds: rd.Dataset, *, n_clusters: int, emb_col: str,
@@ -435,16 +439,4 @@ def knn_ivf_indexed(
 
     partial = corpus.map_batches(score, batch_format="pyarrow",
                                  batch_size=4096).to_pandas()
-    rows = []
-    for qi, group in partial.groupby("qidx"):
-        top = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(top.iterrows(), start=1):
-            rows.append(
-                {
-                    "query_id": int(query_ids[qi]),
-                    "neighbor_id": int(r["neighbor_id"]),
-                    "rank": rank,
-                    "score": round(float(r["score"]), 6),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "score"])
+    return _driver_topk(partial, query_ids, k)
