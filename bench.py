@@ -288,14 +288,26 @@ def run_bench() -> dict:
     extras: dict = {}
 
     if not os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        from text_to_rdf_ray.state import counters as op_counters
+
+        # counters must reflect ONE run of each operator, not the sum over
+        # best-of-N repeats: reset around every attempt and keep the best
+        # attempt's snapshot
+        bench_counters: dict = {}
+
         def timed(name, fn):
-            best = None
+            best, best_c = None, {}
             for _ in range(max(1, BEST_OF)):
+                op_counters.snapshot(reset=True)
                 t = time.time()
                 fn()
                 dt = time.time() - t
-                best = dt if best is None or dt < best else best
+                c = op_counters.snapshot(reset=True)
+                if best is None or dt < best:
+                    best, best_c = dt, c
             queries[name] = round(best, 3)
+            for k, v in best_c.items():
+                bench_counters[k] = bench_counters.get(k, 0) + v
 
         import __ray_entry__ as entry
 
@@ -311,11 +323,15 @@ def run_bench() -> dict:
         def best_extra(fn, sec_key):
             # best-of-N for the self-timing benches: keep the run with the
             # smallest wall time (counters/flags come from that run)
-            best = None
+            best, best_c = None, {}
             for _ in range(max(1, BEST_OF)):
+                op_counters.snapshot(reset=True)
                 got = fn()
+                c = op_counters.snapshot(reset=True)
                 if best is None or got[sec_key] < best[sec_key]:
-                    best = got
+                    best, best_c = got, c
+            for k, v in best_c.items():
+                bench_counters[k] = bench_counters.get(k, 0) + v
             return best
 
         # distributed canonicalization + connected-components path, forced
@@ -331,10 +347,9 @@ def run_bench() -> dict:
         queries["pagerank_distributed_500k"] = extras.pop("pagerank_sec")
 
         # no-silent-caps: LSH bucket counters (oversized processed volume,
-        # capped-skip volume, candidate counts) from the whole run
-        from text_to_rdf_ray.state import counters as op_counters
-
-        extras["op_counters"] = op_counters.snapshot()
+        # capped-skip volume, candidate counts) — one run's worth per
+        # query (best attempt), not the best-of-N sum
+        extras["op_counters"] = bench_counters
 
     result = {
         "metric": "kg_pipeline_sec",
