@@ -238,7 +238,14 @@ def run_bench() -> dict:
     # best-of-N headline: repeat the full pipeline in-process, keep the
     # fastest wall time (least host interference); the triple SET is
     # deterministic across repeats (asserted via count)
-    headline_n = 1 if os.environ.get("RAY_GRAFT_HEADLINE_ONLY") else HEADLINE_BEST_OF
+    # headline-only (scaling subprocess) defaults to one pass, but an
+    # EXPLICIT RAY_GRAFT_HEADLINE_BEST_OF wins — run_scaling sets it so
+    # each parallelism level is itself a best-of (noise shaving inside
+    # the subprocess is cheaper than more subprocess attempts)
+    if os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        headline_n = int(os.environ.get("RAY_GRAFT_HEADLINE_BEST_OF", "1"))
+    else:
+        headline_n = HEADLINE_BEST_OF
     headline, triples, n_triples = None, None, None
     for _ in range(max(1, headline_n)):
         t0 = time.time()
@@ -374,7 +381,9 @@ def run_scaling() -> dict:
         # headline-only: the per-query block and canon bench are measured by
         # the default mode; scaling times just the headline pipeline
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_HEADLINE_ONLY="1")
+                   RAY_GRAFT_HEADLINE_ONLY="1",
+                   RAY_GRAFT_HEADLINE_BEST_OF=os.environ.get(
+                       "RAY_GRAFT_HEADLINE_BEST_OF", "2"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -132,26 +132,30 @@ def build_triples(
         from ..stages.canonicalize import canonicalize_local
 
         ds = ds.materialize()
-        # distinct surfaces: per-batch set (combiner) + hash-exchange
-        # distinct — groupby("surface").count() reduces per key in Python
-        # under Ray 2.49 (measured 153s vs <2s on a 48k-key distinct)
-        from ..stages.analytics import distinct_rows
-
-        surfaces_ds = distinct_rows(
-            ds.map_batches(_surface_rows, batch_format="pyarrow"),
-            cols=["surface"],
-        ).materialize()
+        # per-batch distinct surfaces (combiner), NO exchange yet: the
+        # materialized row count is an UPPER bound on the distinct count,
+        # so the driver tier can collect these rows directly (bounded by
+        # the threshold) and finish the distinct in one set() — skipping
+        # the hash-exchange a global distinct would cost.  Only when the
+        # upper bound exceeds the threshold does the distributed
+        # distinct (hash exchange; Ray's groupby().count() reduces per
+        # key in Python — 153s vs <2s at 48k keys) run.
+        comb = ds.map_batches(
+            _surface_rows, batch_format="pyarrow").materialize()
         from ..stages.canonicalize import DEFAULT_TAU
 
         tau = DEFAULT_TAU if canonicalize_tau is None else canonicalize_tau
-        if surfaces_ds.count() <= canonicalize_local_threshold:
+        if comb.count() <= canonicalize_local_threshold:
             # small distinct-surface set: identical LSH+union-find
             # semantics computed driver-side (broadcast-small-side path)
-            surfaces = [r["surface"] for r in surfaces_ds.take_all()]
+            surfaces = sorted({r["surface"] for r in comb.take_all()})
             mapping = canonicalize_local(surfaces, tau=tau)
             if mapping:
                 ds = apply_canonical_map(ds, mapping)
         else:
+            from ..stages.analytics import distinct_rows
+
+            surfaces_ds = distinct_rows(comb, cols=["surface"]).materialize()
             from ..stages.canonicalize import _solid, apply_canonical_join
 
             cmap = canonicalize_surfaces(surfaces_ds, tau=tau)

@@ -101,6 +101,81 @@ def dataset_to_part_refs(
     ]
 
 
+@ray.remote
+def _split_col_task(tbl: pa.Table, col: str, num_parts: int):
+    """Split a typed Arrow block by an existing int partition column."""
+    v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return tuple(tbl.filter(pa.array(v % num_parts == p))
+                 for p in range(num_parts))
+
+
+@ray.remote
+def _reduce_split_task(reduce_fn, col: str, num_parts: int, *tbls: pa.Table):
+    """Concat one partition's slices, reduce, and re-split the result by
+    the NEXT phase's partition column — the middle stage of a two-phase
+    exchange fused into one task."""
+    cat = pa.concat_tables([t for t in tbls if t.num_rows]) \
+        if any(t.num_rows for t in tbls) else tbls[0]
+    red = reduce_fn(cat)
+    v = red.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return tuple(red.filter(pa.array(v % num_parts == q))
+                 for q in range(num_parts))
+
+
+@ray.remote
+def _reduce_task(reduce_fn, *tbls: pa.Table) -> pa.Table:
+    cat = pa.concat_tables([t for t in tbls if t.num_rows]) \
+        if any(t.num_rows for t in tbls) else tbls[0]
+    return reduce_fn(cat)
+
+
+def two_phase_reduce(
+    ds: rd.Dataset,
+    p1_col: str,
+    p2_col: str,
+    reduce1,
+    reduce2,
+    *,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Two chained hash exchanges + vectorized reduces as RAW Ray tasks.
+
+    The Dataset formulation (``groupby(p1).map_groups(r1).groupby(p2)
+    .map_groups(r2)``) pays two sort-based all-to-all operators — ~1.5s
+    fixed each at any input size.  Here the input's materialized blocks
+    are split by the precomputed ``p1_col``, each partition reduced and
+    re-split by ``p2_col`` inside ONE task, and the second-phase
+    partitions reduced to the output refs — no sorts, no executor
+    barriers between phases.  ``reduce1`` must emit ``p2_col``;
+    ``reduce2`` receives the concatenated second-phase partition.
+
+    Scale shape: identical shuffle volume to the Dataset form; one
+    partition must fit in a worker (raise ``num_parts`` with data, and
+    beyond ~512 partitions switch to the Dataset form or add a tree
+    combine — same caveat as the module docstring).
+    """
+    blocks = ds.materialize().to_arrow_refs()
+    if not blocks:
+        raise ValueError("two_phase_reduce: empty input dataset")
+    P = num_parts
+    s1 = [_split_col_task.options(num_returns=P).remote(b, p1_col, P)
+          for b in blocks]
+    if P == 1:
+        s1 = [[s] for s in s1]
+    mid = [
+        _reduce_split_task.options(num_returns=P).remote(
+            reduce1, p2_col, P, *[s[p] for s in s1])
+        for p in range(P)
+    ]
+    if P == 1:
+        mid = [[m] for m in mid]
+    out = [
+        _reduce_task.remote(reduce2, *[mid[p][q] for p in range(P)])
+        for q in range(P)
+    ]
+    return rd.from_arrow_refs(out)
+
+
 # ---------------------------------------------------------------- PageRank
 
 

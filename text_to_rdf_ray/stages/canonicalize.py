@@ -572,7 +572,8 @@ def apply_canonical_join(
 _PACK_SEP = "\x1f"
 
 
-def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
+def dedup_triples(triples: rd.Dataset, salt: int = 16,
+                  engine: str = "tasks") -> rd.Dataset:
     """Global exact (subj, pred, obj) dedup — the final canonical shuffle
     (HashSet semantics of integration_tests.rs:70, A3 in SURVEY.md).
 
@@ -747,11 +748,25 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16) -> rd.Dataset:
             }
         )
 
-    agg = (
-        triples.map_batches(pack, batch_format="pyarrow", batch_size=65536)
-        .groupby("p1")
-        .map_groups(reduce1, batch_format="pyarrow")
-        .groupby("p2")
-        .map_groups(reduce2, batch_format="pyarrow")
-    )
+    if engine == "tasks":
+        # raw-task two-phase exchange (stages/bsp.py): same shuffle
+        # volume and identical output set, none of the two sort-based
+        # all-to-all operators' ~1.5s-each fixed cost — this tail is on
+        # the headline path, where that cost neither shrinks with CPUs
+        # nor with data (measured: dedup 4.8-8.3s Dataset form vs ~1.5s
+        # task form at 663k rows, 16 CPUs)
+        from .bsp import two_phase_reduce
+
+        packed = triples.map_batches(pack, batch_format="pyarrow",
+                                     batch_size=65536)
+        agg = two_phase_reduce(packed, "p1", "p2", reduce1, reduce2,
+                               num_parts=32)
+    else:
+        agg = (
+            triples.map_batches(pack, batch_format="pyarrow", batch_size=65536)
+            .groupby("p1")
+            .map_groups(reduce1, batch_format="pyarrow")
+            .groupby("p2")
+            .map_groups(reduce2, batch_format="pyarrow")
+        )
     return agg.map_batches(unpack, batch_format="pyarrow")
