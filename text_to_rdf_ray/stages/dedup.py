@@ -363,12 +363,6 @@ def _pairs_from_buckets(
             {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
         )
 
-    def norm_cands(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "id_a" not in t.column_names:
-            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
-        return pa.table({"id_a": t.column("id_a").cast(pa.int64()),
-                         "id_b": t.column("id_b").cast(pa.int64())})
-
     def add_pair_part(t: pa.Table) -> pa.Table:
         # cheap vectorized partition key for the cross-shard pair dedup
         a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -376,25 +370,35 @@ def _pairs_from_buckets(
         pp = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(64)
         return t.append_column("ppart", pa.array(pp.astype(np.int32), pa.int32()))
 
-    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
     import time as _time
 
     _dbg = os.environ.get("GRAFT_LSH_DEBUG")
     _t0 = _time.time()
-    cands = (
+    # candidate generation as a raw-task two-phase exchange (bsp.py):
+    # split band rows by shard (bucket-key hash — co-locates each
+    # bucket), per-shard pair generation + ppart tagging in one task,
+    # re-split by ppart, cross-shard pair dedup in the second task —
+    # the Dataset form's two sort-based all-to-all operators (~1.5s
+    # fixed each) are gone; shuffle volume identical
+    from .bsp import two_phase_reduce
+
+    def reduce1_tbl(t: pa.Table) -> pa.Table:
+        out = shard_candidates(t.to_pandas())
+        tt = pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(), pa.int64()),
+        })
+        return add_pair_part(tt)
+
+    def reduce2_tbl(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id_a", "id_b"]).aggregate([])
+        return pa.table({"id_a": g.column("id_a"), "id_b": g.column("id_b")})
+
+    cands = two_phase_reduce(
         _explode_bands(ds, bands_feat_fn, id_col, payload_col,
-                       bands_feat_batch_fn=bands_feat_batch_fn)
-        .groupby("shard")
-        .map_groups(shard_candidates, batch_format="pandas")
-        .map_batches(norm_cands, batch_format="pyarrow")
-        .map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("ppart")
-        .map_groups(dedup_part, batch_format="pandas")
-        .map_batches(norm_cands, batch_format="pyarrow")
-        .materialize()
-    )
+                       bands_feat_batch_fn=bands_feat_batch_fn),
+        "shard", "ppart", reduce1_tbl, reduce2_tbl, num_parts=64,
+    ).materialize()
 
     n_cands = cands.count()
     if _dbg:
