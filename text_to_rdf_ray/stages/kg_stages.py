@@ -348,9 +348,13 @@ def link_entities_join(
     # distinct surfaces via hash exchange + per-PARTITION vectorized
     # drop_duplicates — NOT groupby("surface").map_groups (one Python
     # call per distinct surface: the measured Ray-2.49 per-key pathology,
-    # 153s vs <2s at 48k keys — NOTES_r3.md)
-    surfaces = _solid(
-        triples.map_batches(surface_rows, batch_format="pyarrow")
+    # 153s vs <2s at 48k keys — NOTES_r3.md).  LAZY: since the exact
+    # join and anti-join merged into one left_outer exchange, `surfaces`
+    # has exactly one consumer (`matched`), so the distinct fuses into
+    # that plan instead of paying its own materialization barrier.
+    triples_solid = _solid(triples)
+    surfaces = (
+        triples_solid.map_batches(surface_rows, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(lambda g: g.drop_duplicates("surface"),
                     batch_format="pandas")
@@ -609,7 +613,6 @@ def link_entities_join(
 
     # both link-attach joins fuse into the caller's one consuming plan:
     # schemas are static, so no probe executions and no barrier between
-    triples_solid = _solid(triples)
     ts = triples_solid.schema()
     _S_TRIPLES = pa.schema(list(zip(ts.names, ts.types)))
     _S_LINK_SUBJ = pa.schema([("subj", pa.string()),
