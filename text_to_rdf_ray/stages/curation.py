@@ -437,15 +437,15 @@ def tfidf_terms(
                          "df_part": g.column("tf_count").cast(pa.int64())})
 
     # hash-exchange arrow reduce: one group per distinct TERM — Ray's
-    # Aggregate would pay one Python call per term
-    from .exchange import exchange_agg
+    # Aggregate would pay one Python call per term.  LAZY: its single
+    # consumer is the exchange_join below (schema passed explicitly), so
+    # the whole df side fuses into the join plan
+    from .exchange import exchange_agg, exchange_join
 
-    df_tbl = _solid(
-        exchange_agg(
-            doc_terms.map_batches(df_partial, batch_format="pyarrow",
-                                  batch_size=65536),
-            "term", [("df_part", "sum", "df")],
-        )
+    df_tbl = exchange_agg(
+        doc_terms.map_batches(df_partial, batch_format="pyarrow",
+                              batch_size=65536),
+        "term", [("df_part", "sum", "df")],
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -460,9 +460,14 @@ def tfidf_terms(
             "tfidf": pa.array(tf * idf, pa.float64()),
         })
 
+    _S_DT = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                       ("tf", pa.int64())])
+    _S_DF = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    # task-based exchange join (no JoinOperator actor-pool fixed cost)
     return (
-        doc_terms.join(df_tbl, join_type="inner",
-                       num_partitions=num_partitions, on=("term",))
+        exchange_join(doc_terms, df_tbl, on="term",
+                      num_partitions=num_partitions,
+                      left_schema=_S_DT, right_schema=_S_DF)
         .map_batches(score, batch_format="pyarrow")
     )
 

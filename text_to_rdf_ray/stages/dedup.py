@@ -538,27 +538,43 @@ def _pairs_from_buckets(
     if need_ids is None:  # small-pairs shortcut skipped the distributed distinct
         need_ids = _solid(rd.from_arrow(pa.table(
             {id_col: pa.array(sorted(need_set), pa.int64())})))
+    from .exchange import exchange_join, join_out_schema
+
+    corpus = _solid(ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            payload_col: t.column(payload_col)}),
+        batch_format="pyarrow"))
+    # payload type varies by caller (string text / list<float> embedding):
+    # corpus is materialized, so reading its schema is free
+    _cs = corpus.schema()
+    _S_CORPUS = pa.schema(list(zip(_cs.names, _cs.types)))
+    _S_NEED = pa.schema([(id_col, pa.int64())])
     feats_ds = _solid(
-        _solid(ds).join(need_ids, join_type="inner", num_partitions=16, on=(id_col,))
+        exchange_join(corpus, need_ids, on=id_col, num_partitions=16,
+                      left_schema=_S_CORPUS, right_schema=_S_NEED)
         .map_batches(lambda b: featurize(b, None), batch_format="pyarrow")
     )
+    _S_FEAT_A = pa.schema([("id_a", pa.int64()), ("feat_a", pa.binary())])
+    _S_FEAT_B = pa.schema([("id_b", pa.int64()), ("feat_b", pa.binary())])
+    _S_CANDS = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
     def rename_feats(suffix: str) -> rd.Dataset:
-        return _solid(feats_ds.map_batches(
+        # lazy over the materialized feats — exchange joins are plain
+        # tasks, so both attach joins fuse into one consuming plan
+        return feats_ds.map_batches(
             lambda t, s=suffix: pa.table({f"id_{s}": t.column(id_col),
                                           f"feat_{s}": t.column("feat")}),
             batch_format="pyarrow",
-        ))
-
-    # one join per plan (chained un-materialized hash joins can starve each
-    # other's resource reservation under a small CPU budget)
-    half = _solid(
-        _solid(cands).join(
-            rename_feats("a"), join_type="inner", num_partitions=16, on=("id_a",)
         )
-    )
-    joined = half.join(
-        rename_feats("b"), join_type="inner", num_partitions=16, on=("id_b",)
+
+    joined = exchange_join(
+        exchange_join(
+            _solid(cands), rename_feats("a"), on="id_a", num_partitions=16,
+            left_schema=_S_CANDS, right_schema=_S_FEAT_A,
+        ),
+        rename_feats("b"), on="id_b", num_partitions=16,
+        left_schema=join_out_schema(_S_CANDS, _S_FEAT_A, "id_a"),
+        right_schema=_S_FEAT_B,
     )
 
     def verify_joined(batch: pa.Table) -> pa.Table:
@@ -775,26 +791,26 @@ def minhash_dedup(
         return ds.select_columns([id_col]).map_batches(
             Attach, batch_format="pyarrow", concurrency=(1, 4)
         )
-    comp = _solid(comp.map_batches(
+    from .exchange import exchange_join
+
+    comp = comp.map_batches(
         lambda t: pa.table({id_col: t.column("name_id"), "component": t.column("component")}),
         batch_format="pyarrow",
-    ))
+    )
     ids = _solid(ds.select_columns([id_col]))
-    joined = ids.join(comp, join_type="left_outer", num_partitions=16, on=(id_col,))
+    _S_IDS = pa.schema([(id_col, pa.int64())])
+    _S_COMP = pa.schema([(id_col, pa.int64()), ("component", pa.int64())])
+    joined = exchange_join(ids, comp, on=id_col, how="left_outer",
+                           num_partitions=16,
+                           left_schema=_S_IDS, right_schema=_S_COMP)
+    import pyarrow.compute as pc
+
     return joined.map_batches(
         lambda t: pa.table(
             {
                 id_col: t.column(id_col),
-                "canonical_id": pa.array(
-                    [
-                        c if c is not None else i
-                        for c, i in zip(
-                            t.column("component").to_pylist(),
-                            t.column(id_col).to_pylist(),
-                        )
-                    ],
-                    pa.int64(),
-                ),
+                "canonical_id": pc.coalesce(t.column("component"),
+                                            t.column(id_col)),
             }
         ),
         batch_format="pyarrow",
