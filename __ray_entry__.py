@@ -358,21 +358,42 @@ def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def _stem_tokens(sf_dir: str) -> pd.DataFrame:
-    """Distinct document tokens -> Snowball stems (M11 parity surface).
-    No local Snowball oracle exists (duckdb fts unavailable offline);
-    golden parity lives in tests/test_normalize.py."""
-    from text_to_rdf_ray.kernels.stemmer import stem
+    """Distinct document tokens -> Snowball stems (M11 parity surface),
+    fully distributed: per-batch distinct -> exchange_agg distinct ->
+    stems computed inside map_batches (never a driver loop).
+
+    Oracle: no local Snowball exists (duckdb fts unavailable offline),
+    so the stem MAPPING itself is a raw side table (the stemmer is
+    golden-parity-tested in tests/test_normalize.py) while the SQL
+    independently replays the tokenization, the distinct, the join
+    coverage, and the ordering — the same shared-kernel trade as the
+    doc_fingerprints / media side-table oracles."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg
 
     def explode(batch: pa.Table) -> pa.Table:
         words = set()
         for t in batch.column("text").to_pylist():
             words.update(t.split())
-        words = sorted(words)
-        return pa.table({"token": pa.array(words, pa.string())})
+        return pa.table({"token": pa.array(sorted(words), pa.string())})
 
-    toks = _documents(sf_dir).map_batches(explode, batch_format="pyarrow").unique("token")
-    toks = sorted(toks)
-    return pd.DataFrame({"token": toks, "stemmed": [stem(t) for t in toks]})
+    def stem_batch(batch: pa.Table) -> pa.Table:
+        from text_to_rdf_ray.kernels.stemmer import stem
+
+        toks = batch.column("token").to_pylist()
+        return pa.table({
+            "token": batch.column("token"),
+            "stemmed": pa.array([stem(t) for t in toks], pa.string()),
+        })
+
+    out = (
+        exchange_agg(
+            _documents(sf_dir).map_batches(explode, batch_format="pyarrow"),
+            "token")
+        .map_batches(stem_batch, batch_format="pyarrow")
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    _side_write("stem_tokens", "stems.parquet", out)
+    return out
 
 
 def _chunk_counts(sf_dir: str) -> pd.DataFrame:
@@ -1798,6 +1819,21 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY term, chunk_seq ORDER BY term, chunk_seq
         """,
         "doc_fingerprints": _doc_fingerprints_sql(),
+        # stems: the mapping is the raw side table (Snowball is
+        # golden-parity-tested; duckdb fts can't download offline); the
+        # SQL replays tokenization + distinct + coverage + ordering
+        "stem_tokens": f"""
+            WITH toks AS (
+              SELECT DISTINCT unnest(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS token
+              FROM documents)
+            SELECT t.token, s.stemmed
+            FROM toks t
+            JOIN read_parquet('{os.path.join(_SIDE, "stem_tokens", "stems.parquet")}') s
+              USING (token)
+            ORDER BY t.token
+        """,
         # media oracles: per-dim feature values / per-frame hashes are the
         # side-table RAW artifacts (blake2b is shared, like the other
         # hash side tables); the SQL replays the aggregation (features)
