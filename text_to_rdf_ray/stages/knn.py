@@ -124,7 +124,7 @@ def knn_bruteforce(
 
     reduced = (
         ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
-                       concurrency=(1, 8))
+                       concurrency=(1, 16))
         .groupby("_part")
         .map_groups(topk_part, batch_format="pandas")
         .to_pandas()
@@ -236,7 +236,7 @@ def knn_ivf(
             )
 
     partial = ds.map_batches(ScoreIVF, batch_format="pyarrow", batch_size=4096,
-                             concurrency=(1, 8)).to_pandas()
+                             concurrency=(1, 16)).to_pandas()
     return _driver_topk(partial, query_ids, k)
 
 
