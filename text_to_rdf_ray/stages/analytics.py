@@ -155,19 +155,29 @@ def group_quantiles_exact(
 
 
 def _pass_stats(ds: rd.Dataset, key_col: str, value_col: str) -> rd.Dataset:
-    from ray.data.aggregate import Max, Min, Sum
+    # exchange_agg: quantile group keys are usually low-cardinality, but
+    # the operator is generic — a high-cardinality key under Ray's
+    # Aggregate would pay one Python call per key
+    from .exchange import exchange_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({key_col: batch.column(key_col),
                       value_col: batch.column(value_col)})
-        return t.group_by(key_col).aggregate(
+        g = t.group_by(key_col).aggregate(
             [(value_col, "count"), (value_col, "min"), (value_col, "max")])
+        return pa.table({
+            key_col: g.column(key_col),
+            "n": g.column(f"{value_col}_count").cast(pa.int64()),
+            "vmin": g.column(f"{value_col}_min"),
+            "vmax": g.column(f"{value_col}_max"),
+        })
 
-    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            .groupby(key_col)
-            .aggregate(Sum(f"{value_col}_count", alias_name="n"),
-                       Min(f"{value_col}_min", alias_name="vmin"),
-                       Max(f"{value_col}_max", alias_name="vmax")))
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        key_col,
+        [("n", "sum", "n"), ("vmin", "min", "vmin"), ("vmax", "max", "vmax")],
+        combine=False,
+    )
 
 
 def _bin_of(vals: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
