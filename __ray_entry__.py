@@ -787,15 +787,14 @@ def _events_user_totals(sf_dir: str) -> pd.DataFrame:
             [("value", "sum"), ("value", "count")]
         )
 
-    from ray.data.aggregate import Sum
+    from text_to_rdf_ray.stages.exchange import exchange_agg
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("user_id")
-        .aggregate(Sum("value_sum", alias_name="total"),
-                   Sum("value_count", alias_name="n_events"))
-        .to_pandas()
-    )
+    # one group per USER — exchange_agg, not Ray's per-key Aggregate
+    agg = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        [("value_sum", "sum", "total"), ("value_count", "sum", "n_events")],
+    ).to_pandas()
     out = agg.sort_values(["total", "user_id"], ascending=[False, True]).head(10)
     out["total"] = _r(out["total"], 2)
     out["n_events"] = out["n_events"].astype("int64")

@@ -707,12 +707,14 @@ def _pairs_inband(
         .map_groups(shard_pairs, batch_format="pandas")
         .map_batches(norm_pairs, batch_format="pyarrow")
     )
-    # a pair can surface from several bands -> different shards: dedup
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Min("score", alias_name="score"))
-        .map_batches(norm_pairs, batch_format="pyarrow")
-    )
+    # a pair can surface from several bands -> different shards: dedup.
+    # exchange_agg, not Ray's Aggregate — one group per PAIR (millions
+    # at scale = the per-key-Python pathology)
+    from .exchange import exchange_agg
+
+    return exchange_agg(
+        pairs, ["id_a", "id_b"], [("score", "min", "score")],
+    ).map_batches(norm_pairs, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(
