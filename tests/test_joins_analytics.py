@@ -405,3 +405,79 @@ def test_exchange_join_parity_and_bigint_payloads(ray_session):
         exchange_join(a, b.select_columns(["k", "w"]), on=("k", "k2"))
     with pytest.raises(ValueError, match="collision"):
         exchange_join(a, a, on="k")
+
+
+def test_exchange_agg_matches_pandas_groupby(ray_session):
+    """exchange_agg (combine on and off) must equal a pandas groupby on
+    random multi-type keys, including count re-reduction and floats."""
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.choice(list("abcdefgh"), n),
+        "k2": rng.randint(0, 37, n).astype("int64"),
+        "v": rng.randn(n),
+        "w": rng.randint(-1000, 1000, n).astype("int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(9)
+    want = (df.groupby(["k1", "k2"], as_index=False)
+            .agg(vmin=("v", "min"), vmax=("v", "max"), wsum=("w", "sum"),
+                 cnt=("w", "count")))
+    for combine in (True, False):
+        got = exchange_agg(
+            ds, ["k1", "k2"],
+            [("v", "min", "vmin"), ("v", "max", "vmax"),
+             ("w", "sum", "wsum"), ("w", "count", "cnt")],
+            num_partitions=7, combine=combine,
+        ).to_pandas()
+        g = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+        w = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["k1", "k2", "vmin", "vmax", "wsum"]],
+            w[["k1", "k2", "vmin", "vmax", "wsum"]])
+        assert (g["cnt"].to_numpy() == w["cnt"].to_numpy()).all()
+    # bare distinct
+    got = exchange_agg(ds, ["k1", "k2"], num_partitions=5).to_pandas()
+    assert len(got) == len(want)
+    assert set(map(tuple, got[["k1", "k2"]].itertuples(index=False))) == \
+        set(map(tuple, want[["k1", "k2"]].itertuples(index=False)))
+
+
+def test_two_phase_reduce_matches_dataset_form(ray_session):
+    """two_phase_reduce must equal the groupby(p1)->groupby(p2) Dataset
+    formulation for a salted min-reduce."""
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.bsp import two_phase_reduce
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    key = rng.randint(0, 130, n).astype("int64")
+    salt = rng.randint(0, 4, n).astype("int64")
+    val = rng.randint(0, 10**9, n).astype("int64")
+    t = pa.table({
+        "key": pa.array(key), "salt": pa.array(salt), "val": pa.array(val),
+        "p1": pa.array(((key * 31 + salt) % 16).astype("int32"), pa.int32()),
+        "p2": pa.array((key % 16).astype("int32"), pa.int32()),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+
+    def r1(g: pa.Table) -> pa.Table:
+        r = g.group_by(["key", "salt"]).aggregate([("val", "min"), ("p2", "min")])
+        return pa.table({"key": r.column("key"), "val": r.column("val_min"),
+                         "p2": r.column("p2_min")})
+
+    def r2(g: pa.Table) -> pa.Table:
+        r = g.group_by("key").aggregate([("val", "min")])
+        return pa.table({"key": r.column("key"), "val": r.column("val_min")})
+
+    got = two_phase_reduce(ds, "p1", "p2", r1, r2, num_parts=8).to_pandas()
+    want = (pd.DataFrame({"key": key, "val": val})
+            .groupby("key", as_index=False)["val"].min())
+    g = got.sort_values("key").reset_index(drop=True)
+    w = want.sort_values("key").reset_index(drop=True)
+    assert (g["key"].to_numpy() == w["key"].to_numpy()).all()
+    assert (g["val"].to_numpy() == w["val"].to_numpy()).all()
