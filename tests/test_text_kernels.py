@@ -177,3 +177,69 @@ def test_pipeline_config_reaches_extractor(ray_session):
     kw = cfg.build_kwargs()
     assert kw["extract_kwargs"]["coref_strategy"] == "none"
     assert kw["extract_kwargs"]["chunk_max_chars"] == 3500
+
+
+def test_fast_html_path_differential():
+    """The fast regex scanner must be byte-identical to the HTMLParser
+    path wherever it engages (None = fallback, always allowed)."""
+    from text_to_rdf_ray.kernels.text import (
+        _extract_text_fast,
+        _TextExtractor,
+    )
+
+    def via_parser(h: str) -> str:
+        p = _TextExtractor()
+        p.feed(h)
+        p.close()
+        return "".join(p.parts)
+
+    cases = [
+        "",
+        "plain text only",
+        "entities &amp; stuff &copy; &#65; &unknown; &amp",
+        "<html><body>hello</body></html>",
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><nav>a|b</nav><article>Alan Bean was born.</article>"
+        "<footer>&copy; 2026</footer></body></html>",
+        "<div><p>a<br>b<br/>c</p></div>",
+        "<SCRIPT>if (a<b) x();</SCRIPT>tail",
+        "<script>s = '</script>';</script>",
+        "<script>document.write(\"<b>hi</b>\")</script>after",
+        "<style>p {margin: 0}</style>kept",
+        "<nav><div>deep</div><span>boiler</span></nav>kept",
+        "<nav/>kept",
+        "<script/>kept",
+        "<article>text with &lt;tag&gt; inside</article>",
+        "<b>unclosed",
+        "</b>stray close",
+        "<nav>unclosed skip",
+        "<script>never closed",
+        "<!-- comment --><p>x</p>",
+        "<!DOCTYPE html><p>x</p>",
+        "<?pi ?><p>x</p>",
+        "<div attr='q'>x</div>",
+        '<div attr="q>y">x</div>',
+        "<1bad>x",
+        "a < b and c > d",
+        "<div foo=bar/baz>x</div>",
+        "<scriptx>not raw</scriptx>",
+        "<script></scriptx></script>done",
+        "<nav><script>x</script></nav>after",
+        "text&#x41;more<p>seg&amp;ment</p>",
+    ]
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    frags = ["<div>", "</div>", "<nav>", "</nav>", "<br>", "text ",
+             "&amp;", "<script>", "</script>", "&copy;", "x<y", "a>b ",
+             "<p class='c'>", "<img src=x>", "</p>", "words here "]
+    for _ in range(300):
+        k = rng.randint(1, 12)
+        cases.append("".join(rng.choice(frags, k)))
+    engaged = 0
+    for h in cases:
+        fast = _extract_text_fast(h)
+        if fast is not None:
+            engaged += 1
+            assert fast == via_parser(h), repr(h)
+    assert engaged >= 10  # the fast path actually engages on simple docs
