@@ -135,7 +135,7 @@ def scan_mentions(text: str) -> list[Mention]:
     token ("UT Austin"), and corporate-abbreviation repair ("Apple Inc ."
     -> "Apple Inc.").
     """
-    toks = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    toks = [(m.group(), *m.span()) for m in _TOKEN_RE.finditer(text)]
     mentions: list[Mention] = []
     i = 0
     n = len(toks)
