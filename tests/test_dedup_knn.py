@@ -571,3 +571,19 @@ def test_connected_components_engine_parity(ray_session):
         by_engine[eng] = {r["name_id"]: r["component"] for r in rows}
     assert by_engine["bsp"] == by_engine["dataset"]
     assert len({v for v in by_engine["bsp"].values()}) == 40
+
+
+def test_connected_components_bsp_single_partition(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.bsp import connected_components_bsp
+
+    import pyarrow as pa
+    edges = pa.table({"src": pa.array([1, 2, 10], pa.int64()),
+                      "dst": pa.array([2, 3, 11], pa.int64())})
+    rev = pa.table({"src": edges.column("dst"), "dst": edges.column("src")})
+    und = rd.from_arrow(pa.concat_tables([edges, rev]))
+    labels, rounds = connected_components_bsp(und, num_parts=1, max_rounds=8)
+    comp = {r["name_id"]: r["component"] for r in labels.take_all()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert rounds <= 8

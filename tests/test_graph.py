@@ -121,3 +121,15 @@ def test_pagerank_engine_parity_bsp_vs_dataset(ray_session):
     want = _numpy_pagerank(edges, 4)
     got = dict(zip(bsp["node"], bsp["rank"]))
     assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
+def test_pagerank_bsp_single_partition(ray_session):
+    """num_partitions=1 exercises the num_returns=1 fan-out special case
+    in the BSP engine (Ray returns a bare ref, not a tuple)."""
+    edges = [("A", "B"), ("B", "C"), ("C", "A"), ("A", "C")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    got = pagerank(ds, iterations=3, driver_threshold=0,
+                   num_partitions=1).to_pandas()
+    want = _numpy_pagerank(edges, 3)
+    g = dict(zip(got["node"], got["rank"]))
+    assert all(abs(g[k] - want[k]) < 1e-12 for k in want)

@@ -45,6 +45,12 @@ def _empty_like(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
 
 
+def _rets(out: tuple, num_parts: int):
+    """num_returns=1 does not unpack a returned tuple: hand back the bare
+    element when there is only one partition."""
+    return out[0] if num_parts == 1 else out
+
+
 def _split(tbl: pa.Table, key_cols: list[str], num_parts: int) -> tuple:
     h = (_key_hash(tbl, key_cols) % np.uint64(num_parts)).astype(np.int64)
     out = []
@@ -60,8 +66,12 @@ def _split_task(tbl: pa.Table, key_cols: list[str], num_parts: int,
     # artifact); replace them with typed empties so downstream phases
     # always see the declared schema
     if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
-        return tuple(_empty_like(schema) for _ in range(num_parts))
-    return _split(tbl.select(schema.names), key_cols, num_parts)
+        out = tuple(_empty_like(schema) for _ in range(num_parts))
+    else:
+        out = _split(tbl.select(schema.names), key_cols, num_parts)
+    # num_returns=1 does NOT unpack a returned tuple — the single object
+    # must be the bare table
+    return out[0] if num_parts == 1 else out
 
 
 @ray.remote
@@ -104,6 +114,8 @@ def dataset_to_part_refs(
 @ray.remote
 def _split_col_task(tbl: pa.Table, col: str, num_parts: int):
     """Split a typed Arrow block by an existing int partition column."""
+    if num_parts == 1:
+        return tbl
     v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
     return tuple(tbl.filter(pa.array(v % num_parts == p))
                  for p in range(num_parts))
@@ -117,6 +129,8 @@ def _reduce_split_task(reduce_fn, col: str, num_parts: int, *tbls: pa.Table):
     cat = pa.concat_tables([t for t in tbls if t.num_rows]) \
         if any(t.num_rows for t in tbls) else tbls[0]
     red = reduce_fn(cat)
+    if num_parts == 1:
+        return red
     v = red.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
     return tuple(red.filter(pa.array(v % num_parts == q))
                  for q in range(num_parts))
@@ -187,7 +201,8 @@ def _pr_contrib(epart: pa.Table, rankpart: pa.Table, num_parts: int):
     split by hash(dst) for the reduce side."""
     if epart.num_rows == 0 or rankpart.num_rows == 0:
         empty = pa.schema([("dst", pa.string()), ("contrib", pa.float64())])
-        return tuple(_empty_like(empty) for _ in range(num_parts))
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
     e = pd.DataFrame({
         "node": epart.column("node").to_pandas(),
         "dst": epart.column("dst").to_pandas(),
@@ -205,7 +220,7 @@ def _pr_contrib(epart: pa.Table, rankpart: pa.Table, num_parts: int):
     })
     g = t.group_by("dst").aggregate([("contrib", "sum")])
     g = pa.table({"dst": g.column("dst"), "contrib": g.column("contrib_sum")})
-    return _split(g, ["dst"], num_parts)
+    return _rets(_split(g, ["dst"], num_parts), num_parts)
 
 
 @ray.remote
@@ -287,7 +302,8 @@ def _cc_prop(epart: pa.Table, lblpart: pa.Table, num_parts: int):
     hash(dst)."""
     empty = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
     if epart.num_rows == 0 or lblpart.num_rows == 0:
-        return tuple(_empty_like(empty) for _ in range(num_parts))
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
     e = pd.DataFrame({
         "src": epart.column("src").to_numpy(zero_copy_only=False),
         "dst": epart.column("dst").to_numpy(zero_copy_only=False),
@@ -302,7 +318,7 @@ def _cc_prop(epart: pa.Table, lblpart: pa.Table, num_parts: int):
         "name_id": pa.array(g["dst"].to_numpy(), pa.int64()),
         "component": pa.array(g["component"].to_numpy(), pa.int64()),
     })
-    return _split(t, ["name_id"], num_parts)
+    return _rets(_split(t, ["name_id"], num_parts), num_parts)
 
 
 @ray.remote
@@ -311,12 +327,13 @@ def _cc_jump_req(lblpart: pa.Table, num_parts: int):
     value c, so the owner can answer with component(c)."""
     empty = pa.schema([("name_id", pa.int64()), ("c", pa.int64())])
     if lblpart.num_rows == 0:
-        return tuple(_empty_like(empty) for _ in range(num_parts))
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
     t = pa.table({
         "name_id": lblpart.column("name_id"),
         "c": lblpart.column("component"),
     })
-    return _split(t, ["c"], num_parts)
+    return _rets(_split(t, ["c"], num_parts), num_parts)
 
 
 @ray.remote
@@ -326,7 +343,8 @@ def _cc_jump_serve(lblpart: pa.Table, num_parts: int, *reqs: pa.Table):
     empty = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
     live = [t for t in reqs if t.num_rows]
     if not live or lblpart.num_rows == 0:
-        return tuple(_empty_like(empty) for _ in range(num_parts))
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
     req = pa.concat_tables(live)
     r = pd.DataFrame({
         "name_id": req.column("name_id").to_numpy(zero_copy_only=False),
@@ -341,7 +359,7 @@ def _cc_jump_serve(lblpart: pa.Table, num_parts: int, *reqs: pa.Table):
         "name_id": pa.array(m["name_id"].to_numpy(), pa.int64()),
         "component": pa.array(m["component"].to_numpy(), pa.int64()),
     })
-    return _split(t, ["name_id"], num_parts)
+    return _rets(_split(t, ["name_id"], num_parts), num_parts)
 
 
 @ray.remote(num_returns=2)
