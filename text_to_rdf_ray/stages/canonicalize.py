@@ -525,24 +525,38 @@ def apply_canonical_join(
     hash-partitioned left joins — the at-scale form of
     ``apply_canonical_map`` (same output contract) for mappings too large
     to broadcast.  ``cmap`` needs only the CHANGED surfaces (surface !=
-    canonical); unmatched rows keep their surface."""
+    canonical); unmatched rows keep their surface.
 
-    def rename(key: str, ccol: str) -> rd.Dataset:
-        return _solid(cmap.map_batches(
+    Both joins run as chained ``exchange_join``s (plain tasks, no
+    JoinOperator actor pools) with schemas passed through, so the two
+    rewrites and the final column surgery fuse into ONE executor plan
+    with no materialization barrier."""
+    from .exchange import exchange_join, join_out_schema
+
+    def rename(key: str, ccol: str) -> tuple[rd.Dataset, pa.Schema]:
+        side = cmap.map_batches(
             lambda t, key=key, ccol=ccol: pa.table(
-                {key: t.column("surface"), ccol: t.column("canonical")}
+                {key: t.column("surface").cast(pa.string()),
+                 ccol: t.column("canonical").cast(pa.string())}
             ),
             batch_format="pyarrow",
-        ))
-
-    joined = _solid(
-        _solid(triples).join(
-            rename("subj", "subj_canon"), join_type="left_outer",
-            num_partitions=num_partitions, on=("subj",),
         )
-    ).join(
-        rename("obj", "obj_canon"), join_type="left_outer",
-        num_partitions=num_partitions, on=("obj",),
+        return side, pa.schema([(key, pa.string()), (ccol, pa.string())])
+
+    t_schema = triples.schema()
+    ts = pa.schema(list(zip(t_schema.names, t_schema.types)))
+    subj_side, subj_schema = rename("subj", "subj_canon")
+    obj_side, obj_schema = rename("obj", "obj_canon")
+    j1 = exchange_join(
+        triples, subj_side, on="subj", how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=ts, right_schema=subj_schema,
+    )
+    joined = exchange_join(
+        j1, obj_side, on="obj", how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=join_out_schema(ts, subj_schema, "subj"),
+        right_schema=obj_schema,
     )
 
     def rewrite(batch: pa.Table) -> pa.Table:

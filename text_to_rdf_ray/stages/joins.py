@@ -8,12 +8,17 @@ Two execution shapes, mirroring the linker's broadcast/join duality
 
 - ``asof_join`` / ``range_join_agg``: the general co-partitioned form.
   Both sides are padded to a common Arrow schema, tagged, unioned, and
-  hash-exchanged once via ``groupby(key)``; inside each group the merge
-  is a vectorized ``np.searchsorted`` over the time axis — no per-row
-  Python.  ONE all-to-all for arbitrarily large sides.  Partitioning
-  assumption (same as ``stages/windows.py::sessionize``): one key's rows
-  fit in one group — true for bounded per-user histories; a hot key
-  needs a time-bucketed pre-split.
+  hash-exchanged ONCE on ``hash(key) % num_partitions`` (NOT on the raw
+  key: Ray 2.49's ``groupby(key).map_groups`` dispatches one Python call
+  per distinct key — the 153s-vs-2s pathology documented in NOTES_r3 —
+  whereas partition-keyed dispatch makes ``num_partitions`` calls
+  total).  Inside each partition the merge is ``pd.merge_asof(by=key)``
+  — a single Cython pass vectorized across every key in the partition —
+  used only to compute MATCH INDICES; payload columns are then gathered
+  with Arrow ``take`` so they never round-trip through pandas dtypes.
+  Partitioning assumption (same as ``stages/windows.py::sessionize``):
+  one partition's rows fit in a worker — raise ``num_partitions`` with
+  data size.
 - ``asof_join_broadcast``: when the right side is a small dimension
   table, ship it once via ``ray.put`` (per-key presorted arrays) and
   stream the left side through ``map_batches`` — no shuffle at all.
@@ -36,6 +41,7 @@ import ray.data as rd
 
 _SIDE = "_side"
 _TS64 = "_ts_us"
+_PART = "_tj_part"
 
 
 def _key_scalar(k):
@@ -59,14 +65,19 @@ def _pad_union(
     key_col: str,
     left_ts: str,
     right_ts: str,
+    num_partitions: int,
 ) -> tuple[rd.Dataset, list[tuple[str, pa.DataType]], list[tuple[str, pa.DataType]]]:
-    """Tag-and-union the two sides under one schema.
+    """Tag-and-union the two sides under one schema, with a
+    ``hash(key) % num_partitions`` exchange column so the downstream
+    groupby dispatches per PARTITION, not per key.
 
     Payload column names must be disjoint between the sides (callers
     project/rename first); the shared key column and one int64 ``_ts_us``
     axis (from each side's own ts column) are the only common fields.
     Returns (union_ds, left_payload_fields, right_payload_fields).
     """
+    from .exchange import _key_hash
+
     ls, rs = left.schema(), right.schema()
     l_fields = [(n, t) for n, t in zip(ls.names, ls.types) if n not in (key_col, left_ts)]
     r_fields = [(n, t) for n, t in zip(rs.names, rs.types) if n not in (key_col, right_ts)]
@@ -84,6 +95,9 @@ def _pad_union(
                 cols[name] = (batch.column(name) if name in batch.column_names
                               else pa.nulls(n, typ))
             cols[_SIDE] = pa.array(np.full(n, side, np.int8))
+            cols[_PART] = pa.array(
+                (_key_hash(batch, [key_col]) % np.uint64(num_partitions))
+                .astype(np.int32))
             return pa.table(cols)
 
         return fn
@@ -103,18 +117,27 @@ def asof_join(
     tiebreak_col: str,
     inclusive: bool = True,
     out_left_ts: str | None = None,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """For each left row, the single latest right row of the same key with
     ``right_ts <= left_ts`` (``<`` when ``inclusive=False``); unmatched
     left rows are dropped (inner as-of).  Output = key + left payload +
     matched right payload; the left time axis is re-emitted as int64
     microseconds under ``out_left_ts`` (default: ``left_ts``).
+
+    Per partition the match is ONE ``pd.merge_asof(by=key)`` over
+    (key, ts, row-position) triples — Cython, vectorized across all keys
+    in the partition; payloads are gathered afterwards with Arrow
+    ``take`` on the matched positions (typed output, no pandas dtype
+    coercion).  Ties on the maximal admissible timestamp resolve to the
+    greatest ``tiebreak_col`` (right side pre-sorted by (ts, tiebreak);
+    merge_asof takes the LAST positional row among equal timestamps).
     """
     out_ts = out_left_ts or left_ts
-    u, l_fields, r_fields = _pad_union(left, right, key_col, left_ts, right_ts)
+    u, l_fields, r_fields = _pad_union(
+        left, right, key_col, left_ts, right_ts, num_partitions)
     l_names = [n for n, _ in l_fields]
     r_names = [n for n, _ in r_fields]
-    side = "right" if inclusive else "left"
 
     def merge(g: pa.Table) -> pa.Table:
         mask = pc.equal(g.column(_SIDE), 0)
@@ -127,25 +150,34 @@ def asof_join(
         }
         if len(L) == 0 or len(R) == 0:
             return pa.table(empty)
-        order = pc.sort_indices(
-            R, sort_keys=[(_TS64, "ascending"), (tiebreak_col, "ascending")])
-        R = R.take(order)
-        rts = R.column(_TS64).to_numpy(zero_copy_only=False)
-        lts = L.column(_TS64).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(rts, lts, side=side) - 1
-        keep = idx >= 0
-        if not keep.any():
+        rdf = pd.DataFrame({
+            key_col: R.column(key_col).to_pandas(),
+            _TS64: R.column(_TS64).to_numpy(zero_copy_only=False),
+            "_tb": R.column(tiebreak_col).to_pandas(),
+            "_ri": np.arange(len(R), dtype=np.int64),
+        }).sort_values([_TS64, "_tb"], kind="stable").reset_index(drop=True)
+        ldf = pd.DataFrame({
+            key_col: L.column(key_col).to_pandas(),
+            _TS64: L.column(_TS64).to_numpy(zero_copy_only=False),
+            "_li": np.arange(len(L), dtype=np.int64),
+        }).sort_values(_TS64, kind="stable").reset_index(drop=True)
+        m = pd.merge_asof(
+            ldf, rdf.drop(columns=["_tb"]), on=_TS64, by=key_col,
+            direction="backward", allow_exact_matches=inclusive)
+        hit = m["_ri"].notna().to_numpy()
+        if not hit.any():
             return pa.table(empty)
-        L = L.filter(pa.array(keep))
-        take = pa.array(idx[keep], pa.int64())
-        cols = {key_col: L.column(key_col), out_ts: _ts_to_us(L.column(_TS64))}
+        li = pa.array(m["_li"].to_numpy()[hit], pa.int64())
+        ri = pa.array(m["_ri"].to_numpy()[hit].astype(np.int64), pa.int64())
+        cols = {key_col: L.column(key_col).take(li),
+                out_ts: L.column(_TS64).take(li)}
         for n in l_names:
-            cols[n] = L.column(n)
+            cols[n] = L.column(n).take(li)
         for n in r_names:
-            cols[n] = R.column(n).take(take)
+            cols[n] = R.column(n).take(ri)
         return pa.table(cols)
 
-    return u.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+    return u.groupby(_PART).map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join_broadcast(
@@ -238,6 +270,7 @@ def range_join_agg(
     upper_us: int,
     value_col: str | None = None,
     out_left_ts: str | None = None,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Per left row, aggregate the right rows of the same key whose time
     falls in ``[left_ts + lower_us, left_ts + upper_us)``: emits
@@ -245,13 +278,21 @@ def range_join_agg(
     over the window.  LEFT-join semantics: left rows with no matches get
     n_matched = 0 / sum_value = 0.0.
 
-    Same single hash exchange as ``asof_join``; inside a group both
-    window endpoints resolve with two ``searchsorted`` calls and the sum
-    via a cumulative-sum difference — O((|L|+|R|) log |R|) per key, no
-    pairwise expansion (the naive inequality join is |L|x|R|).
+    Same single hash exchange as ``asof_join``; inside a partition the
+    right side gets per-key running (count, sum) columns over the
+    ts-sorted frame — pandas ``groupby(...).cumcount()/cumsum()``, both
+    Cython kernels vectorized across every key in the partition — and
+    each window endpoint resolves with one ``pd.merge_asof(by=key)``:
+    with ``F(x)`` = per-key count of rows with ts <= x, the half-open
+    window [a, b) over integer-microsecond timestamps is
+    ``F(b-1) - F(a-1)`` (the sum is the same difference over the running
+    sum).  O((|L|+|R|) log(|L|+|R|)) per partition, no per-key Python
+    dispatch, no pairwise expansion (the naive inequality join is
+    |L|x|R|).
     """
     out_ts = out_left_ts or left_ts
-    u, l_fields, _ = _pad_union(left, right, key_col, left_ts, right_ts)
+    u, l_fields, _ = _pad_union(
+        left, right, key_col, left_ts, right_ts, num_partitions)
     l_names = [n for n, _ in l_fields]
 
     def merge(g: pa.Table) -> pa.Table:
@@ -267,24 +308,51 @@ def range_join_agg(
             })
         R = g.filter(pc.invert(mask))
         lts = L.column(_TS64).to_numpy(zero_copy_only=False)
-        rts = np.sort(R.column(_TS64).to_numpy(zero_copy_only=False)) if len(R) else np.empty(0, np.int64)
-        lo = np.searchsorted(rts, lts + lower_us, side="left")
-        hi = np.searchsorted(rts, lts + upper_us, side="left")
-        cols = {key_col: L.column(key_col), out_ts: _ts_to_us(L.column(_TS64))}
+        n_matched = np.zeros(len(L), np.int64)
+        sum_value = np.zeros(len(L), np.float64)
+        if len(R):
+            rdf = pd.DataFrame({
+                key_col: R.column(key_col).to_pandas(),
+                _TS64: R.column(_TS64).to_numpy(zero_copy_only=False),
+                **({"_v": R.column(value_col).to_numpy(zero_copy_only=False)}
+                   if value_col else {}),
+            }).sort_values(_TS64, kind="stable").reset_index(drop=True)
+            grp = rdf.groupby(key_col, sort=False)
+            rdf["_cn"] = (grp.cumcount() + 1).astype(np.int64)
+            if value_col:
+                rdf["_cv"] = grp["_v"].cumsum()
+                rdf = rdf.drop(columns=["_v"])
+            lkey = L.column(key_col).to_pandas()
+
+            def f_at(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                """Per-key running (count, sum) at time <= x, 0 if none."""
+                q = pd.DataFrame({key_col: lkey, _TS64: x,
+                                  "_qi": np.arange(len(x), dtype=np.int64)})
+                q = q.sort_values(_TS64, kind="stable").reset_index(drop=True)
+                m = pd.merge_asof(q, rdf, on=_TS64, by=key_col,
+                                  direction="backward",
+                                  allow_exact_matches=True)
+                qi = m["_qi"].to_numpy()
+                cn = np.zeros(len(x), np.int64)
+                cn[qi] = m["_cn"].fillna(0).to_numpy().astype(np.int64)
+                cv = np.zeros(len(x), np.float64)
+                if value_col:
+                    cv[qi] = m["_cv"].fillna(0.0).to_numpy()
+                return cn, cv
+
+            hi_n, hi_v = f_at(lts + upper_us - 1)
+            lo_n, lo_v = f_at(lts + lower_us - 1)
+            n_matched = hi_n - lo_n
+            sum_value = hi_v - lo_v
+        cols = {key_col: L.column(key_col), out_ts: L.column(_TS64)}
         for n in l_names:
             cols[n] = L.column(n)
-        cols["n_matched"] = pa.array(hi - lo, pa.int64())
+        cols["n_matched"] = pa.array(n_matched, pa.int64())
         if value_col:
-            if len(R):
-                order = np.argsort(R.column(_TS64).to_numpy(zero_copy_only=False))
-                vals = R.column(value_col).to_numpy(zero_copy_only=False)[order]
-                csum = np.concatenate(([0.0], np.cumsum(vals)))
-                cols["sum_value"] = pa.array(csum[hi] - csum[lo], pa.float64())
-            else:
-                cols["sum_value"] = pa.array(np.zeros(len(L)), pa.float64())
+            cols["sum_value"] = pa.array(sum_value, pa.float64())
         return pa.table(cols)
 
-    return u.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+    return u.groupby(_PART).map_groups(merge, batch_format="pyarrow")
 
 
 def semi_join_filter(
