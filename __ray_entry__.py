@@ -1288,6 +1288,21 @@ def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
             .sort_values(["term", "chunk_seq"]).reset_index(drop=True))
 
 
+def _docs_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact phi-heavy-hitter terms (phi=0.032) with exact counts and
+    (count desc, term asc) rank.  stages/curation.py::heavy_hitters —
+    Misra-Gries per-batch summaries (bounded exchange) -> sound candidate
+    cut from the run's own decrement total -> broadcast exact verify
+    pass."""
+    from text_to_rdf_ray.stages.curation import heavy_hitters
+
+    ds = _documents(sf_dir).select_columns(["text"])
+    out = heavy_hitters(ds, phi=0.032).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["term", "cnt", "rank"]].reset_index(drop=True)
+
+
 def _graph_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the supplier->customer edge graph (distinct edges from
     lineitem ⋈ orders; stages/graph.py::pagerank — per-iteration hash join
@@ -1563,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_rich_custs": _orders_semi_rich_custs,
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
+        "docs_heavy_hitters": _docs_heavy_hitters,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1816,6 +1832,22 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM numbered GROUP BY term, chunk_seq ORDER BY term, chunk_seq
+        """,
+        "docs_heavy_hitters": """
+            -- exact phi-heavy-hitters, phi = 0.032
+            -- (curation.py::heavy_hitters: MG sketch -> exact verify)
+            WITH toks AS (
+              SELECT unnest(list_filter(str_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            n AS (SELECT count(*) AS n FROM toks),
+            c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+            SELECT term, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                        AS BIGINT) AS "rank"
+            FROM c CROSS JOIN n
+            WHERE cnt >= ceil(0.032 * n.n)
+            ORDER BY "rank"
         """,
         "doc_fingerprints": _doc_fingerprints_sql(),
         # stems: the mapping is the raw side table (Snowball is

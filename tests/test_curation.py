@@ -213,3 +213,58 @@ def test_passage_dedup_rejects_oversized_doc_id(ray_session):
     # Ray 2.49 wraps task-side user exceptions in RayTaskError(UserCodeException)
     with pytest.raises(Exception, match="overflow"):
         passage_dedup(ds).to_pandas()
+
+
+def _hh_corpus() -> tuple[rd.Dataset, pd.Series]:
+    """Skewed synthetic corpus: 5 hot terms (300x), 45 warm (40x),
+    550 cold (2x) — vocabulary far above the test capacity so the
+    Misra-Gries compression genuinely fires."""
+    rows = []
+    for i in range(600):
+        reps = 300 if i < 5 else (40 if i < 50 else 2)
+        rows.append({"text": " ".join([f"t{i:04d}"] * reps)})
+    exact = pd.Series({f"t{i:04d}": (300 if i < 5 else 40 if i < 50 else 2)
+                       for i in range(600)})
+    return rd.from_items(rows).repartition(8), exact
+
+
+def test_heavy_hitters_exact_via_mg_sketch(ray_session):
+    from text_to_rdf_ray.stages.curation import heavy_hitters
+
+    ds, exact = _hh_corpus()
+    n = int(exact.sum())
+    phi = 0.05  # thresh = ceil(0.05 * 4400) = 220: only the 5 hot terms
+    out = heavy_hitters(ds, phi=phi, capacity=32).to_pandas()
+    thresh = math.ceil(phi * n)
+    want = exact[exact >= thresh].sort_values(ascending=False)
+    assert out["term"].tolist() == sorted(want.index)
+    assert out["cnt"].tolist() == [300] * 5  # EXACT counts, not MG lower bounds
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_heavy_hitters_fallback_matches_sketch_path(ray_session):
+    from text_to_rdf_ray.state import counters
+    from text_to_rdf_ray.stages.curation import heavy_hitters
+
+    ds, _ = _hh_corpus()
+    a = heavy_hitters(ds, phi=0.05, capacity=32).to_pandas()
+    counters.snapshot(reset=True)
+    # capacity=1 makes the summaries swallow whole hitters (thresh <= U):
+    # the operator must detect it, count it, and recount exactly
+    b = heavy_hitters(ds, phi=0.05, capacity=1).to_pandas()
+    assert counters.snapshot().get("heavyhit_fallback") == 1
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitters_threshold_boundary(ray_session):
+    from text_to_rdf_ray.stages.curation import heavy_hitters
+
+    # 10 terms x 10 occurrences each, N = 100; phi = 0.1 -> thresh = 10:
+    # EVERY term sits exactly on the boundary and must be included,
+    # ranked by term asc at equal counts
+    rows = [{"text": " ".join([f"w{i}"] * 10)} for i in range(10)]
+    out = heavy_hitters(rd.from_items(rows).repartition(4),
+                        phi=0.1, capacity=4096).to_pandas()
+    assert out["term"].tolist() == [f"w{i}" for i in range(10)]
+    assert out["cnt"].tolist() == [10] * 10
+    assert out["rank"].tolist() == list(range(1, 11))

@@ -26,6 +26,10 @@ outputs, and each has an exact DuckDB replay in ``__ray_entry__``:
   the exchange ships a 128-bit passage hash, never the text.
 - ``decontaminate``: benchmark n-gram overlap flagging — the (small)
   benchmark gram set broadcast once via ray.put, corpus side a pure map.
+- ``heavy_hitters``: exact phi-frequent terms via Misra-Gries per-batch
+  summaries (exchange volume capped at batches x capacity regardless of
+  vocabulary) + a broadcast exact-verify second pass; falls back to a
+  counted full recount when the sketch can't guarantee recall.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -563,3 +568,148 @@ def inverted_index(
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+#: Sentinel "terms" for the Misra-Gries summary's side totals.  ``_terms``
+#: splits on single spaces and drops empty strings, so neither value can
+#: collide with a real term.
+_HH_N = ""     # per-batch token total
+_HH_U = " "    # per-batch Misra-Gries decrement
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    phi: float = 0.001,
+    capacity: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT phi-heavy-hitters over the corpus token stream: every term
+    whose total count is ``>= ceil(phi * N)`` (N = total tokens), with its
+    exact count and dense rank (count desc, term asc).
+
+    Sketch-then-verify, the mergeable-summary shape (Misra & Gries 1982;
+    Agarwal et al. 2012 "Mergeable Summaries"):
+
+    - **Pass 1 (candidates):** each batch's term counts are compressed to
+      a Misra-Gries summary of at most ``capacity`` entries by
+      subtracting the (capacity+1)-th largest per-batch count ``d`` and
+      keeping terms with count > d, so the exchange ships
+      O(batches x capacity) rows regardless of vocabulary size.  Each
+      batch also emits its ACTUAL decrement ``d`` and token total under
+      two sentinel keys, so after one ``exchange_agg`` sum the driver
+      knows N, the total undercount U = sum(d_b), and each surviving
+      term's count lower bound.  Every true heavy hitter satisfies
+      ``mg_sum(t) >= true(t) - U >= thresh - U``, so the candidate cut
+      ``mg_sum >= thresh - U`` is sound — no recall loss, by arithmetic
+      on the run's own decrements rather than a worst-case bound.
+      Candidate volume is <= N/(thresh-U) terms (their lower bounds sum
+      to <= N), i.e. ~2/phi when ``capacity`` is sized >= 2/phi.
+    - **Pass 2 (verify):** the candidate set is broadcast once via
+      ``ray.put`` and the corpus re-counted for candidates only —
+      per-batch combiner then one ``exchange_agg`` sum — giving EXACT
+      counts; the final ``>= thresh`` filter runs distributed and only
+      the <= 1/phi result rows reach the driver.
+
+    If ``capacity`` is too small for the corpus (``thresh - U <= 0``,
+    i.e. the summaries could have swallowed a whole hitter) the operator
+    falls back to an exact full-vocabulary recount — correct, but the
+    exchange is vocabulary-sized; counted via ``heavyhit_fallback`` (no
+    silent degradation).  Two passes over the corpus total, like every
+    sketch-verify operator.
+
+    SQL replay: tokenize with ``list_filter(str_split(lower(text), ' '),
+    x -> x <> '')``, GROUP BY term, ``HAVING count(*) >= ceil(phi * n)``.
+    """
+    import math
+
+    import ray
+
+    from ..state import counters
+    from .exchange import exchange_agg
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        n_b = 0
+        for txt in batch.column(text_col).to_pylist():
+            for t in _terms(txt):
+                counts[t] = counts.get(t, 0) + 1
+                n_b += 1
+        d = 0
+        if len(counts) > capacity:
+            cnts = np.fromiter(counts.values(), np.int64, len(counts))
+            d = int(np.partition(cnts, len(cnts) - capacity - 1)
+                    [len(cnts) - capacity - 1])
+            out_t = [t for t, c in counts.items() if c > d]
+            out_c = [counts[t] - d for t in out_t]
+        else:
+            out_t, out_c = list(counts), list(counts.values())
+        out_t += [_HH_N, _HH_U]
+        out_c += [n_b, d]
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    mg = exchange_agg(
+        ds.map_batches(mg_summary, batch_format="pyarrow"),
+        "term", [("c", "sum", "c")], num_partitions=num_partitions,
+        combine=False,  # mg_summary rows are already per-batch-distinct
+    ).materialize()
+
+    sent = mg.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("term"),
+                                    value_set=pa.array([_HH_N, _HH_U]))),
+        batch_format="pyarrow").to_pandas().set_index("term")["c"]
+    n_tokens = int(sent.get(_HH_N, 0))
+    undercount = int(sent.get(_HH_U, 0))
+    thresh = int(math.ceil(phi * n_tokens))
+    cand_cut = thresh - undercount
+
+    if cand_cut > 0:
+        cand_df = mg.map_batches(
+            lambda t, cut=cand_cut: t.filter(pc.and_(
+                pc.greater_equal(t.column("c"), pa.scalar(cut, pa.int64())),
+                pc.invert(pc.is_in(t.column("term"),
+                                   value_set=pa.array([_HH_N, _HH_U]))))),
+            batch_format="pyarrow").to_pandas()
+        counters.incr({"heavyhit_candidates": len(cand_df)})
+        cand_ref = ray.put(frozenset(cand_df["term"]))
+    else:
+        # summaries lossy enough to hide a hitter: exact full recount
+        counters.incr({"heavyhit_fallback": 1})
+        cand_ref = None
+    cache: dict = {}
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = None
+        if cand_ref is not None:
+            cand = cache.get("c")
+            if cand is None:
+                cand = cache["c"] = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for txt in batch.column(text_col).to_pylist():
+            for t in _terms(txt):
+                if cand is None or t in cand:
+                    counts[t] = counts.get(t, 0) + 1
+        return pa.table({"term": pa.array(list(counts), pa.string()),
+                         "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    exact = exchange_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        "term", [("cnt", "sum", "cnt")], num_partitions=num_partitions,
+        combine=False,
+    ).map_batches(
+        lambda t, th=thresh: t.filter(
+            pc.greater_equal(t.column("cnt"), pa.scalar(th, pa.int64()))),
+        batch_format="pyarrow")
+
+    # <= 1/phi rows survive the threshold: the global (count desc, term
+    # asc) rank is a bounded driver-side sort
+    out = exact.to_pandas().sort_values(
+        ["cnt", "term"], ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return rd.from_pandas(out) if len(out) else rd.from_arrow(pa.table({
+        "term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64())}))
