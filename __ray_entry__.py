@@ -1288,6 +1288,27 @@ def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
             .sort_values(["term", "chunk_seq"]).reset_index(drop=True))
 
 
+def _docs_source_quality_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain quality cap — the standard web-corpus curation step
+    (keep at most k best documents per source/domain, e.g. RefinedWeb /
+    Dolma per-domain caps): composite quality score (textstats_stage::
+    add_quality, explicit formula for oracle parity) ranked per source by
+    analytics.py::topk_per_group (per-batch top-k combiner, one hash
+    exchange on source — no full sort)."""
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+    from text_to_rdf_ray.stages.textstats_stage import add_quality
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "source", "text"])
+    scored = add_quality(docs, keep_cols=("source",)).select_columns(
+        ["source", "doc_id", "quality"])
+    out = topk_per_group(scored, key_col="source", sort_col="quality",
+                         tiebreak_col="doc_id", k=20).to_pandas()
+    out["quality"] = _r(out["quality"], 6)
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["source", "doc_id", "quality", "rank"]]
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+
+
 def _docs_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact phi-heavy-hitter terms (phi=0.032) with exact counts and
     (count desc, term asc) rank.  stages/curation.py::heavy_hitters —
@@ -1579,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
         "docs_heavy_hitters": _docs_heavy_hitters,
+        "docs_source_quality_cap": _docs_source_quality_cap,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1832,6 +1854,48 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM numbered GROUP BY term, chunk_seq ORDER BY term, chunk_seq
+        """,
+        "docs_source_quality_cap": f"""
+            -- per-source quality cap: composite quality score replayed in
+            -- the same IEEE operation order as kernels/textstats.py::
+            -- quality_score, top-20 per source (quality desc, doc_id asc)
+            WITH w AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                       AS words
+              FROM documents),
+            f AS (
+              SELECT doc_id, source, len(words) AS n_words,
+                     CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                       list_aggregate(list_transform(words, x -> length(x)),
+                                      'sum') * 1.0 / len(words) END AS mean_wl,
+                     CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                       len(list_filter(words,
+                                       x -> lower(x) IN {_stopword_sql_list()}))
+                       * 1.0 / len(words) END AS stop_r,
+                     CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1.0 / length(text) END AS alpha_r
+              FROM w),
+            q AS (
+              SELECT doc_id, source,
+                     CASE WHEN n_words = 0 THEN 0.0 ELSE
+                       greatest(0.0, least(1.0,
+                         0.4 * least(1.0, n_words / 50.0)
+                         + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(1.0, 2.0 * stop_r)
+                         + 0.2 * alpha_r)) END AS quality
+              FROM f),
+            r AS (SELECT source, doc_id, quality,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY quality DESC, doc_id ASC)
+                           AS rnk
+                  FROM q)
+            SELECT source, doc_id, round(quality, 6) AS quality,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 20 ORDER BY source, "rank"
         """,
         "docs_heavy_hitters": """
             -- exact phi-heavy-hitters, phi = 0.032

@@ -268,3 +268,29 @@ def test_heavy_hitters_threshold_boundary(ray_session):
     assert out["term"].tolist() == [f"w{i}" for i in range(10)]
     assert out["cnt"].tolist() == [10] * 10
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+def test_add_quality_keep_cols_and_source_cap(ray_session):
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+    from text_to_rdf_ray.stages.textstats_stage import add_quality
+    from text_to_rdf_ray.kernels.textstats import quality_score
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}",
+         "text": " ".join(["the quick brown fox"] * (1 + i % 7))}
+        for i in range(60)
+    ]
+    ds = rd.from_items(rows).repartition(6)
+    scored = add_quality(ds, keep_cols=("source",)).select_columns(
+        ["source", "doc_id", "quality"])
+    out = topk_per_group(scored, key_col="source", sort_col="quality",
+                         tiebreak_col="doc_id", k=4).to_pandas()
+    local = pd.DataFrame([
+        {"doc_id": r["doc_id"], "source": r["source"],
+         "quality": quality_score(r["text"])["quality"]} for r in rows])
+    for s, sub in local.groupby("source"):
+        want = (sub.sort_values(["quality", "doc_id"],
+                                ascending=[False, True]).head(4)
+                ["doc_id"].tolist())
+        got = (out[out["source"] == s].sort_values("rank")["doc_id"].tolist())
+        assert got == want, s

@@ -43,11 +43,14 @@ def add_lang_id(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
 
 
-def add_quality(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def add_quality(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                keep_cols: tuple[str, ...] = ()) -> rd.Dataset:
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         feats = batch[text_col].map(quality_score)
         out = pd.DataFrame(list(feats))
         out.insert(0, id_col, batch[id_col].to_numpy())
+        for i, c in enumerate(keep_cols):
+            out.insert(i + 1, c, batch[c].to_numpy())
         return out
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
