@@ -1309,6 +1309,30 @@ def _docs_source_quality_cap(sf_dir: str) -> pd.DataFrame:
             .sort_values(["source", "rank"]).reset_index(drop=True))
 
 
+def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM perplexity scoring (CCNet/Gopher-style quality filter):
+    reference = every 20th document; counts broadcast once via ray.put,
+    corpus side a pure map (stages/curation.py::lm_perplexity)."""
+    from text_to_rdf_ray.stages.curation import lm_perplexity
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def ref_filter(t, pa=pa):
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    out = lm_perplexity(docs, ref).to_pandas()
+    out["avg_nll"] = _r(out["avg_nll"], 6)
+    out["ppl"] = _r(out["ppl"], 6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return (out[["doc_id", "n_tokens", "avg_nll", "ppl"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact phi-heavy-hitter terms (phi=0.032) with exact counts and
     (count desc, term asc) rank.  stages/curation.py::heavy_hitters —
@@ -1601,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _docs_inverted_index,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_source_quality_cap": _docs_source_quality_cap,
+        "docs_lm_perplexity": _docs_lm_perplexity,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1896,6 +1921,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, round(quality, 6) AS quality,
                    CAST(rnk AS BIGINT) AS "rank"
             FROM r WHERE rnk <= 20 ORDER BY source, "rank"
+        """,
+        "docs_lm_perplexity": """
+            -- add-one-smoothed bigram LM trained on every 20th document,
+            -- scoring all documents (curation.py::lm_perplexity)
+            WITH rtok AS (
+              SELECT list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 20 = 0),
+            rpos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM rtok),
+            runi AS (SELECT w[i] AS w1, count(*) AS c1 FROM rpos GROUP BY w1),
+            rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+                    FROM rpos WHERE i < len(w) GROUP BY w1, w2),
+            v AS (SELECT count(*) + 1 AS v FROM runi),
+            dtok AS (
+              SELECT doc_id, list_filter(str_split(lower(text), ' '),
+                                         x -> x <> '') AS w
+              FROM documents),
+            dpos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                     FROM dtok),
+            dbi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM dpos WHERE i < len(w)),
+            sc AS (
+              SELECT d.doc_id,
+                     ln((coalesce(b.c12, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + v.v)) AS lp
+              FROM dbi d
+              LEFT JOIN rbi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN runi u ON d.w1 = u.w1
+              CROSS JOIN v),
+            agg AS (SELECT doc_id, -sum(lp) / count(*) AS nll
+                    FROM sc GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   round(coalesce(a.nll, 0.0), 6) AS avg_nll,
+                   round(coalesce(exp(a.nll), 1.0), 6) AS ppl
+            FROM dtok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
         """,
         "docs_heavy_hitters": """
             -- exact phi-heavy-hitters, phi = 0.032

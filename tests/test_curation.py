@@ -294,3 +294,40 @@ def test_add_quality_keep_cols_and_source_cap(ray_session):
                 ["doc_id"].tolist())
         got = (out[out["source"] == s].sort_values("rank")["doc_id"].tolist())
         assert got == want, s
+
+
+def test_lm_perplexity_matches_local_model(ray_session):
+    from text_to_rdf_ray.stages.curation import _terms, lm_perplexity
+
+    ref_rows = [{"doc_id": i, "text": "the cat sat on the mat"} for i in range(3)]
+    corpus_rows = [
+        {"doc_id": 10, "text": "the cat sat on the mat"},   # in-distribution
+        {"doc_id": 11, "text": "quantum flux capacitor"},   # all-OOV
+        {"doc_id": 12, "text": "single"},                   # < 2 tokens
+        {"doc_id": 13, "text": ""},                         # empty
+    ]
+    out = (lm_perplexity(rd.from_items(corpus_rows), rd.from_items(ref_rows))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    uni, bi = {}, {}
+    for r in ref_rows:
+        toks = _terms(r["text"])
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni) + 1
+    for r in corpus_rows:
+        toks = _terms(r["text"])
+        if len(toks) < 2:
+            want_nll, want_ppl = 0.0, 1.0
+        else:
+            s = sum(math.log((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + v))
+                    for a, b in zip(toks, toks[1:]))
+            want_nll = -s / (len(toks) - 1)
+            want_ppl = math.exp(want_nll)
+        got = out.loc[r["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["avg_nll"] == want_nll and got["ppl"] == want_ppl, r
+    # the in-distribution doc must score better than the OOV doc
+    assert out.loc[10, "ppl"] < out.loc[11, "ppl"]

@@ -26,6 +26,8 @@ outputs, and each has an exact DuckDB replay in ``__ray_entry__``:
   the exchange ships a 128-bit passage hash, never the text.
 - ``decontaminate``: benchmark n-gram overlap flagging — the (small)
   benchmark gram set broadcast once via ray.put, corpus side a pure map.
+- ``lm_perplexity``: CCNet/Gopher-style bigram-LM perplexity scoring —
+  reference counts broadcast once via ray.put, corpus side a pure map.
 - ``heavy_hitters``: exact phi-frequent terms via Misra-Gries per-batch
   summaries (exchange volume capped at batches x capacity regardless of
   vocabulary) + a broadcast exact-verify second pass; falls back to a
@@ -713,3 +715,89 @@ def heavy_hitters(
     return rd.from_pandas(out) if len(out) else rd.from_arrow(pa.table({
         "term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
         "rank": pa.array([], pa.int64())}))
+
+
+def lm_perplexity(
+    ds: rd.Dataset,
+    ref: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Bigram-LM perplexity scoring — the CCNet/Gopher-style quality
+    filter: train token statistics on a (small) reference corpus, score
+    every corpus document by how well the reference model predicts it,
+    then filter/bucket on perplexity downstream.
+
+    Model: add-one-smoothed bigram LM.  For doc tokens ``w_1..w_n``
+    (n >= 2), ``nll = -mean_i ln((c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V))``
+    with unigram/bigram counts from the reference and ``V`` = reference
+    vocabulary size + 1 (the +1 holds out unseen-word mass); perplexity =
+    ``exp(nll)``.  Docs with < 2 tokens score nll = 0 / ppl = 1.
+
+    Scale shape (same contract as ``decontaminate``): the reference side
+    is small by definition, so its counts are reduced by a per-batch
+    combiner, merged on the driver, and broadcast ONCE via ``ray.put``;
+    the corpus side is a pure ``map_batches`` — no shuffle touches the
+    100 TB side.  Counts are exact, so the score is deterministic and
+    SQL-replayable (LEFT JOIN to the count tables + the same ln/avg).
+
+    Output: (id_col, n_tokens, avg_nll, ppl).
+    """
+    import math
+
+    import ray
+
+    def ref_counts(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt)
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return pa.table({
+            "w1": pa.array([k for k in uni] + [a for a, _ in bi], pa.string()),
+            "w2": pa.array([None] * len(uni) + [b for _, b in bi], pa.string()),
+            "c": pa.array(list(uni.values()) + list(bi.values()), pa.int64()),
+        })
+
+    # per-batch combiner, driver-side merge of the small per-batch tables
+    # (reference is small by contract — the decontaminate pattern)
+    parts = ref.map_batches(ref_counts, batch_format="pyarrow").to_pandas()
+    is_uni = parts["w2"].isna()
+    uni_counts = parts[is_uni].groupby("w1")["c"].sum().to_dict()
+    bi_counts = {(r.w1, r.w2): r.c for r in
+                 parts[~is_uni].groupby(["w1", "w2"], as_index=False)["c"]
+                 .sum().itertuples()}
+    v_size = len(uni_counts) + 1
+    model_ref = ray.put((uni_counts, bi_counts, v_size))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = cache.get("m")
+        if m is None:
+            m = cache["m"] = ray.get(model_ref)
+        uni, bi, v = m
+        ids = batch.column(id_col).to_pylist()
+        out_n, out_nll, out_ppl = [], [], []
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt)
+            n = len(toks)
+            if n < 2:
+                out_n.append(n); out_nll.append(0.0); out_ppl.append(1.0)
+                continue
+            s = 0.0
+            for a, b in zip(toks, toks[1:]):
+                s += math.log((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + v))
+            nll = -s / (n - 1)
+            out_n.append(n); out_nll.append(nll); out_ppl.append(math.exp(nll))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "avg_nll": pa.array(out_nll, pa.float64()),
+            "ppl": pa.array(out_ppl, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
