@@ -502,6 +502,35 @@ def _dedup_embedding(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _dedup_embedding_docs(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup CLUSTERS (SemDeDup-style semantic dedup): the
+    same planted-duplicate augmentation as dedup_embedding_pairs, then
+    stages/dedup.py::embedding_dedup (cosine-LSH pairs -> connected
+    components -> min-id canonical per cluster)."""
+    from text_to_rdf_ray.stages.dedup import embedding_dedup
+
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = [[2.0 * float(x) for x in v]
+                  for v in batch.column("embedding").to_pylist()]
+        return pa.table(
+            {
+                "vec_id": pc.add(batch.column("vec_id"), pa.scalar(_EMB_DUP_OFFSET)),
+                "embedding": scaled,
+            }
+        )
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+    out = embedding_dedup(aug, threshold=0.98).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return (out[["vec_id", "canonical_id"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
 # --------------------------------------------------------- similarity search
 
 
@@ -1589,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_ngram_pairs": _dedup_ngram,
         "dedup_embedding_pairs": _dedup_embedding,
+        "dedup_embedding_docs": _dedup_embedding_docs,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
@@ -2209,6 +2239,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(sim, 5) AS score
             FROM s WHERE sim >= 0.98 ORDER BY id_a, id_b
+        """,
+        "dedup_embedding_docs": f"""
+            -- cosine pairs (same augmentation as dedup_embedding_pairs)
+            -- -> connected components (recursive reach) -> min-id canonical
+            WITH RECURSIVE aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id,
+                     [2.0 * x FOR x IN embedding] AS embedding
+              FROM embeddings
+            ),
+            e0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.embedding, b.embedding)
+                         >= 0.98),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+                      UNION ALL SELECT id_b, id_a FROM e0),
+            reach(id, r) AS (
+              SELECT vec_id, vec_id FROM aug
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS vec_id, min(r) AS canonical_id
+            FROM reach GROUP BY id ORDER BY vec_id
         """,
         "dedup_ngram_pairs": """
             WITH tri AS (

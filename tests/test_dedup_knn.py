@@ -587,3 +587,26 @@ def test_connected_components_bsp_single_partition(ray_session):
     comp = {r["name_id"]: r["component"] for r in labels.take_all()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert rounds <= 8
+
+
+def test_embedding_dedup_clusters_planted_duplicates(ray_session):
+    """Planted exact-direction duplicates must cluster to the original's
+    id; unrelated vectors stay their own canonical."""
+    import numpy as np
+
+    import ray.data as rd
+    from text_to_rdf_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # ids 100..119 duplicate ids 0..19 (scaled: same direction)
+    rows += [{"vec_id": 100 + i, "embedding": (3.0 * base[i]).tolist()}
+             for i in range(20)]
+    ds = rd.from_items(rows).repartition(4)
+    out = (embedding_dedup(ds, threshold=0.995).to_pandas()
+           .set_index("vec_id")["canonical_id"])
+    for i in range(20):
+        assert out[100 + i] == i and out[i] == i
+    for i in range(20, 40):
+        assert out[i] == i

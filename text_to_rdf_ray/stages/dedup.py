@@ -749,9 +749,35 @@ def minhash_dedup(
 ) -> rd.Dataset:
     """(id, canonical_id): every doc mapped to the min id of its near-dup
     cluster (connected components over verified pairs)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
+    return pairs_to_canonical(ds, pairs, id_col)
+
+
+def embedding_dedup(
+    ds: rd.Dataset, emb_col: str = "embedding", id_col: str = "vec_id", **kwargs
+) -> rd.Dataset:
+    """(id, canonical_id) over embedding near-dup clusters: cosine-LSH
+    pairs (``embedding_neardup_pairs``) -> connected components -> every
+    vector mapped to the min id of its cluster.  Same composition as
+    ``minhash_dedup``; the semantic-dedup step of an embedding-based
+    curation pipeline (e.g. SemDeDup-style pruning keeps one
+    representative per cluster)."""
+    pairs = embedding_neardup_pairs(ds, emb_col, id_col, **kwargs)
+    return pairs_to_canonical(ds.select_columns([id_col]), pairs, id_col)
+
+
+def pairs_to_canonical(
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str
+) -> rd.Dataset:
+    """Map every id to the min id of its connected near-dup cluster.
+
+    Shared tail of the ``*_dedup`` cluster operators: (id_a, id_b) pairs
+    -> connected components -> attach.  Components are a tiny fraction
+    of the corpus, so below DRIVER_UNION_FIND_THRESHOLD the component
+    map broadcasts via ``ray.put`` (no shuffle of the big side); above
+    it, one hash-exchange left join."""
     from .canonicalize import connected_components
 
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
     # map_groups emits pandas blocks; convert to arrow + rename in one pass
     # (Dataset.rename_columns chokes on pandas blocks in Ray 2.49)
     edges = pairs.map_batches(
