@@ -1362,6 +1362,80 @@ def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_curate_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Capstone end-to-end curation chain, every stage the library
+    operator, all in one streaming composition: exact dedup -> English
+    lang-ID + length >= 20 -> composite quality >= 0.5 -> benchmark
+    8-gram decontamination (bench = doc_id % 97) -> bigram-LM perplexity
+    <= 40 (ref = doc_id % 20) -> token-budget sequence packing.  Output:
+    (doc_id, n_tokens, seq_id) of the packed survivors."""
+    import pyarrow.compute as pc
+
+    from text_to_rdf_ray.kernels.textstats import lang_id, token_count_ws
+    from text_to_rdf_ray.stages.curation import (
+        decontaminate,
+        lm_perplexity,
+        pack_sequences,
+    )
+    from text_to_rdf_ray.stages.dedup import exact_dedup
+    from text_to_rdf_ray.stages.textstats_stage import add_quality
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def clean_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_tx = [], []
+        for i, t in zip(ids, texts):
+            if lang_id(t) == "en" and token_count_ws(t) >= 20:
+                out_id.append(i)
+                out_tx.append(t)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    cleaned = exact_dedup(docs).map_batches(clean_fn, batch_format="pyarrow")
+
+    def hq_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("quality"), pa.scalar(0.5))
+        f = t.filter(keep)
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "text": f.column("text")})
+
+    hq = add_quality(cleaned, keep_cols=("text",)).map_batches(
+        hq_filter, batch_format="pyarrow")
+
+    def mod_filter(m):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % m == 0))
+        return fn
+
+    bench = docs.map_batches(mod_filter(97), batch_format="pyarrow")
+    dec = decontaminate(hq, bench, keep_cols=("text",))
+
+    def not_contam(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t.column("contaminated")))
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "text": f.column("text")})
+
+    survivors = dec.map_batches(not_contam, batch_format="pyarrow")
+    ref = docs.map_batches(mod_filter(20), batch_format="pyarrow")
+
+    def ppl_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less_equal(t.column("ppl"), pa.scalar(40.0)))
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "n_tokens": f.column("n_tokens")})
+
+    kept = lm_perplexity(survivors, ref).map_batches(
+        ppl_filter, batch_format="pyarrow")
+    out = pack_sequences(kept, id_col="doc_id", token_col="n_tokens",
+                         budget=2000).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["seq_id"] = out["seq_id"].astype("int64")
+    return (out[["doc_id", "n_tokens", "seq_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact phi-heavy-hitter terms (phi=0.032) with exact counts and
     (count desc, term asc) rank.  stages/curation.py::heavy_hitters —
@@ -1656,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_source_quality_cap": _docs_source_quality_cap,
         "docs_lm_perplexity": _docs_lm_perplexity,
+        "docs_curate_pipeline": _docs_curate_pipeline,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1951,6 +2026,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, round(quality, 6) AS quality,
                    CAST(rnk AS BIGINT) AS "rank"
             FROM r WHERE rnk <= 20 ORDER BY source, "rank"
+        """,
+        "docs_curate_pipeline": f"""
+            -- capstone curation chain: dedup -> langid+len -> quality
+            -- -> decontaminate -> perplexity -> pack (every stage the
+            -- same SQL fragment as its standalone-oracled operator)
+            WITH dedup AS (SELECT min(doc_id) AS doc_id, text
+                           FROM documents GROUP BY text),
+            lc AS (
+              SELECT doc_id, text,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('the','and','of','is','a'))) AS c_en,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS c_de,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('le','la','et','les','des'))) AS c_fr,
+                len(list_filter(str_split(lower(text), ' '), x -> x IN ('el','los','las','una','es'))) AS c_es
+              FROM dedup),
+            langed AS (
+              SELECT doc_id, text FROM lc
+              WHERE NOT (c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0)
+                AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es),
+            cleaned AS (
+              SELECT doc_id, text FROM langed
+              WHERE CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END >= 20),
+            qw AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                       AS words
+              FROM cleaned),
+            qf AS (
+              SELECT doc_id, text, len(words) AS n_words,
+                     CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                       list_aggregate(list_transform(words, x -> length(x)),
+                                      'sum') * 1.0 / len(words) END AS mean_wl,
+                     CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                       len(list_filter(words,
+                                       x -> lower(x) IN {_stopword_sql_list()}))
+                       * 1.0 / len(words) END AS stop_r,
+                     CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1.0 / length(text) END AS alpha_r
+              FROM qw),
+            hq AS (
+              SELECT doc_id, text FROM qf
+              WHERE (CASE WHEN n_words = 0 THEN 0.0 ELSE
+                       greatest(0.0, least(1.0,
+                         0.4 * least(1.0, n_words / 50.0)
+                         + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(1.0, 2.0 * stop_r)
+                         + 0.2 * alpha_r)) END) >= 0.5),
+            rawwords AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            bgrams AS (
+              SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+                     || w[i+6] || ' ' || w[i+7] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM rawwords WHERE doc_id % 97 = 0)),
+            hqw AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM hq),
+            contam AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id,
+                           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                           || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+                           || w[i+6] || ' ' || w[i+7] AS g
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                          FROM hqw))
+              WHERE g IN (SELECT g FROM bgrams)),
+            dec AS (SELECT h.doc_id, h.w FROM hqw h
+                    WHERE h.doc_id NOT IN (SELECT doc_id FROM contam)),
+            rtok AS (SELECT w FROM rawwords WHERE doc_id % 20 = 0),
+            rpos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM rtok),
+            runi AS (SELECT w[i] AS w1, count(*) AS c1 FROM rpos GROUP BY w1),
+            rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+                    FROM rpos WHERE i < len(w) GROUP BY w1, w2),
+            v AS (SELECT count(*) + 1 AS v FROM runi),
+            dpos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                     FROM dec),
+            dbi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM dpos WHERE i < len(w)),
+            sc AS (
+              SELECT d.doc_id,
+                     ln((coalesce(b.c12, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + v.v)) AS lp
+              FROM dbi d
+              LEFT JOIN rbi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN runi u ON d.w1 = u.w1
+              CROSS JOIN v),
+            agg AS (SELECT doc_id, -sum(lp) / count(*) AS nll
+                    FROM sc GROUP BY doc_id),
+            surv AS (
+              SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens
+              FROM dec t LEFT JOIN agg a USING (doc_id)
+              WHERE coalesce(exp(a.nll), 1.0) <= 40.0)
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2000 AS BIGINT) AS seq_id
+            FROM surv ORDER BY doc_id
         """,
         "docs_lm_perplexity": """
             -- add-one-smoothed bigram LM trained on every 20th document,

@@ -324,7 +324,9 @@ def run_bench() -> dict:
                      "dedup_ngram_pairs", "knn_bruteforce",
                      "doc_quality", "events_hourly",
                      "docs_pack_sequences", "docs_tfidf_top_terms",
-                     "docs_repetition_stats", "lineitem_distinct_orders_hll"):
+                     "docs_repetition_stats", "lineitem_distinct_orders_hll",
+                     "docs_heavy_hitters", "docs_lm_perplexity",
+                     "docs_source_quality_cap"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):

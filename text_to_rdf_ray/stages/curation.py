@@ -352,6 +352,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    keep_cols: tuple[str, ...] = (),
 ) -> rd.Dataset:
     """Benchmark decontamination: flag corpus documents sharing any word
     ``n``-gram with a (small) benchmark set — the standard eval-overlap
@@ -393,11 +394,12 @@ def decontaminate(
             grams = set(_word_ngrams(_terms(txt), n))
             hits.append(len(grams & gs))
         h = np.array(hits, dtype=np.int64)
-        return pa.table({
-            id_col: batch.column(id_col),
-            "contam_grams": pa.array(h, pa.int64()),
-            "contaminated": pa.array(h > 0, pa.bool_()),
-        })
+        cols = {id_col: batch.column(id_col)}
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        cols["contam_grams"] = pa.array(h, pa.int64())
+        cols["contaminated"] = pa.array(h > 0, pa.bool_())
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
