@@ -1362,6 +1362,29 @@ def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _custs_no_big_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXCEPT (shuffle set op — the non-broadcast anti form):
+    customer keys with no order above 400k (stages/analytics.py::
+    set_op_rows — per-batch distinct combiner both sides, one hash
+    exchange, per-partition merge-indicator reduce)."""
+    import pyarrow.compute as pc
+
+    from text_to_rdf_ray.stages.analytics import set_op_rows
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater(t.column("o_totalprice"), pa.scalar(400000.0))
+        ).column("o_custkey")}),
+        batch_format="pyarrow")
+    out = set_op_rows(cust, orders, cols=["c_custkey"],
+                      op="except").to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _docs_curate_pipeline(sf_dir: str) -> pd.DataFrame:
     """Capstone end-to-end curation chain, every stage the library
     operator, all in one streaming composition: exact dedup -> English
@@ -1731,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_quality_cap": _docs_source_quality_cap,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "docs_curate_pipeline": _docs_curate_pipeline,
+        "custs_no_big_orders": _custs_no_big_orders,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2026,6 +2050,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, round(quality, 6) AS quality,
                    CAST(rnk AS BIGINT) AS "rank"
             FROM r WHERE rnk <= 20 ORDER BY source, "rank"
+        """,
+        "custs_no_big_orders": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_totalprice > 400000
+            ORDER BY c_custkey
         """,
         "docs_curate_pipeline": f"""
             -- capstone curation chain: dedup -> langid+len -> quality

@@ -481,3 +481,28 @@ def test_two_phase_reduce_matches_dataset_form(ray_session):
     w = want.sort_values("key").reset_index(drop=True)
     assert (g["key"].to_numpy() == w["key"].to_numpy()).all()
     assert (g["val"].to_numpy() == w["val"].to_numpy()).all()
+
+
+def test_set_op_rows_except_intersect_match_pandas(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import set_op_rows
+
+    left_rows = [{"a": i % 13, "b": f"s{i % 7}"} for i in range(300)]
+    right_rows = [{"a": i % 9, "b": f"s{i % 7}"} for i in range(200)]
+    la = rd.from_items(left_rows).repartition(5)
+    rb = rd.from_items(right_rows).repartition(3)
+
+    ldf = pd.DataFrame(left_rows).drop_duplicates()
+    rdf = pd.DataFrame(right_rows).drop_duplicates()
+    m = ldf.merge(rdf, on=["a", "b"], how="left", indicator=True)
+
+    for op, keep in (("except", "left_only"), ("intersect", "both")):
+        got = (set_op_rows(la, rb, cols=["a", "b"], op=op).to_pandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        want = (m[m["_merge"] == keep][["a", "b"]]
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        set_op_rows(la, rb, cols=["a"], op="union")

@@ -291,6 +291,55 @@ def distinct_rows(
             .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
 
 
+def set_op_rows(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    cols: list[str],
+    op: str,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Distributed EXCEPT / INTERSECT (DISTINCT semantics) over ``cols``
+    — the shuffle form of the set ops, for right sides too large to
+    broadcast through ``joins.py::semi_join_filter``.
+
+    Same shape as ``distinct_rows``: per-batch drop_duplicates combiner
+    on BOTH sides (shuffle volume is per-batch-distinct, not raw rows),
+    each side tagged, ONE int32 hash-partition exchange, then a
+    vectorized per-partition pandas merge-indicator reduce — identical
+    rows land in the same partition, so membership is decided locally.
+    ``op``: ``"except"`` (left distinct rows absent from right) or
+    ``"intersect"`` (present in both).
+    """
+    if op not in ("except", "intersect"):
+        raise ValueError(f"set_op_rows: op must be except|intersect, got {op!r}")
+    from ..kernels.minhash import _hash_shingles
+
+    def combine(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[cols].drop_duplicates()
+            key = batch[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x1f" + batch[c].astype(str)
+            part = (_hash_shingles(key.tolist())
+                    % np.uint64(num_partitions)).astype(np.int32)
+            return batch.assign(_part=part, _side=np.int8(side))
+        return fn
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        la = g[g["_side"] == 0][cols].drop_duplicates()
+        rb = g[g["_side"] == 1][cols].drop_duplicates()
+        m = la.merge(rb, on=cols, how="left", indicator=True)
+        keep = "left_only" if op == "except" else "both"
+        return m[m["_merge"] == keep][cols]
+
+    u = (left.map_batches(combine(0), batch_format="pandas", batch_size=65536)
+         .union(right.map_batches(combine(1), batch_format="pandas",
+                                  batch_size=65536)))
+    return u.groupby("_part").map_groups(reduce_part, batch_format="pandas")
+
+
 def splitmix64(ids: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (Steele et al.; public domain
     constants).  A full-avalanche mixer — the Knuth multiplicative hash
