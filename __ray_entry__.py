@@ -1213,6 +1213,111 @@ def _lineitem_distinct_orders_hll(sf_dir: str) -> pd.DataFrame:
                          "hll_estimate": [round(est, 4)]})
 
 
+def _events_hourly_unique_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per tumbling hour via a per-window
+    mergeable HLL sketch (stages/analytics.py::windowed_approx_distinct
+    — per-(window,bucket) max-rank exchange, <= 2^p rows of state per
+    window) alongside the exact count; the oracle replays both, the
+    sketch bit-for-bit in its grouped form."""
+    from text_to_rdf_ray.stages.analytics import (
+        distinct_rows,
+        windowed_approx_distinct,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    est = windowed_approx_distinct(ev, ts_col="ts", id_col="user_id",
+                                   width_us=3_600_000_000, p=12).to_pandas()
+
+    def win(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        import numpy as np
+
+        wins = ts_us.to_numpy(zero_copy_only=False) // 3_600_000_000
+        return pa.table({"window_id": pa.array(wins, pa.int64()),
+                         "user_id": batch.column("user_id")})
+
+    exact = (distinct_rows(ev.map_batches(win, batch_format="pyarrow"),
+                           cols=["window_id", "user_id"])
+             .to_pandas().groupby("window_id").size()
+             .rename("n_exact").reset_index())
+    out = est.merge(exact, on="window_id", how="left")
+    out["hll_estimate"] = _r(out["hll_estimate"], 4)
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return (out[["window_id", "n_exact", "hll_estimate"]]
+            .sort_values("window_id").reset_index(drop=True))
+
+
+def _hll_window_sql(p: int = 12, width_us: int = 3_600_000_000) -> str:
+    """Grouped form of ``_hll_sql``: the same splitmix64 chain / integer
+    rank cascade / estimator, GROUPed BY tumbling window, with the exact
+    per-window distinct alongside."""
+    m = 1 << p
+    low = 64 - p
+    cases = "\n".join(
+        f"                WHEN v >= {1 << k} THEN {low - k}"
+        for k in range(low - 1, -1, -1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def mul64(zcol: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (f"CAST(((((CAST({zcol} AS HUGEINT) % 4294967296) * {bh})"
+                f" % 4294967296) * 4294967296"
+                f" + CAST({zcol} AS HUGEINT) * {bl})"
+                f" % 18446744073709551616 AS UBIGINT)")
+
+    return f"""
+        WITH base AS (
+          SELECT epoch_us(ts) // {width_us} AS window_id, user_id
+          FROM events),
+        s1 AS (
+          SELECT window_id,
+                 CAST((CAST(user_id AS HUGEINT) + 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS z
+          FROM base),
+        x1 AS (SELECT window_id, xor(z, z >> 30) AS z FROM s1),
+        s2 AS (SELECT window_id, {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM x1),
+        x2 AS (SELECT window_id, xor(z, z >> 27) AS z FROM s2),
+        s3 AS (SELECT window_id, {mul64('z', 0x94D049BB133111EB)} AS z FROM x2),
+        h AS (SELECT window_id, CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM s3),
+        parts AS (
+          SELECT window_id,
+                 CAST(hv // {1 << low} AS BIGINT) AS bucket,
+                 CAST(hv % {1 << low} AS BIGINT) AS v
+          FROM h),
+        ranked AS (
+          SELECT window_id, bucket,
+                 CASE WHEN v = 0 THEN {low + 1}
+{cases}
+                 END AS r
+          FROM parts),
+        regs AS (SELECT window_id, bucket, max(r) AS r
+                 FROM ranked GROUP BY window_id, bucket),
+        stats AS (
+          SELECT window_id, sum(power(2.0, -r)) AS s_nz,
+                 count(*) AS n_nz
+          FROM regs GROUP BY window_id),
+        est AS (
+          SELECT window_id, s_nz + ({m} - n_nz) AS s, {m} - n_nz AS zeros
+          FROM stats),
+        final AS (
+          SELECT window_id,
+                 CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} / s)
+                        <= {2.5 * m} AND zeros > 0
+                      THEN {m} * ln({m} / zeros)
+                      ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / s
+                 END AS e
+          FROM est),
+        exact AS (SELECT window_id, count(DISTINCT user_id) AS n_exact
+                  FROM base GROUP BY window_id)
+        SELECT f.window_id, CAST(x.n_exact AS BIGINT) AS n_exact,
+               round(f.e, 4) AS hll_estimate
+        FROM final f JOIN exact x USING (window_id)
+        ORDER BY f.window_id
+    """
+
+
 def _hll_sql(p: int = 12) -> str:
     """DuckDB replay of the HyperLogLog sketch: same splitmix64 hash
     (mod-2^64 multiplies split into 32-bit halves — a 64x64 product
@@ -1755,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_perplexity": _docs_lm_perplexity,
         "docs_curate_pipeline": _docs_curate_pipeline,
         "custs_no_big_orders": _custs_no_big_orders,
+        "events_hourly_unique_users": _events_hourly_unique_users,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -1984,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
         "lineitem_distinct_orders_hll": _hll_sql(),
+        "events_hourly_unique_users": _hll_window_sql(),
         "orders_semi_rich_custs": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders

@@ -506,3 +506,33 @@ def test_set_op_rows_except_intersect_match_pandas(ray_session):
 
     with pytest.raises(ValueError):
         set_op_rows(la, rb, cols=["a"], op="union")
+
+
+def test_windowed_approx_distinct_accuracy_and_p_guard(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import windowed_approx_distinct
+
+    # 3 windows x known distinct counts (users overlap across windows)
+    rows = []
+    for w, n_users in ((0, 50), (1, 400), (2, 3)):
+        for u in range(n_users):
+            for rep in range(2):  # duplicates must not inflate the estimate
+                rows.append({"ts": w * 3_600_000_000 + u * 1000 + rep,
+                             "user_id": u})
+    ds = rd.from_items(rows).repartition(6)
+    # from_items gives int ts; operator casts via timestamp("us")
+    import pyarrow as pa
+
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "ts": t.column("ts").cast(pa.int64()).cast(pa.timestamp("us")),
+            "user_id": t.column("user_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = (windowed_approx_distinct(ds, ts_col="ts", id_col="user_id",
+                                    width_us=3_600_000_000, p=12)
+           .to_pandas().set_index("window_id")["hll_estimate"])
+    for w, n in ((0, 50), (1, 400), (2, 3)):
+        assert abs(out[w] - n) / n < 0.1, (w, n, out[w])
+    with pytest.raises(ValueError):
+        windowed_approx_distinct(ds, p=8)

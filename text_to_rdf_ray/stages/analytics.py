@@ -416,6 +416,93 @@ def approx_distinct(ds: rd.Dataset, *, col: str, p: int = 12) -> float:
     return hll_estimate(merged)
 
 
+def windowed_approx_distinct(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    width_us: int = 3_600_000_000,
+    p: int = 12,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """(window_id, hll_estimate): approximate COUNT(DISTINCT id) per
+    tumbling event-time window — the mergeable-sketch form of streaming
+    distinct-per-window.  Each (window, bucket) cell carries ONE uint8
+    max-rank through the exchange, so per-window shuffle state is
+    <= 2^p rows no matter how many ids the window saw (an exact distinct
+    would shuffle every id).
+
+    Same hash/rank/estimator as ``hll_registers``/``hll_estimate``
+    (splitmix64, exact frexp rank, Flajolet alpha + linear-counting
+    correction), so the DuckDB replay is the grouped form of the
+    single-sketch oracle.  Two ``exchange_agg`` rounds: (window, bucket)
+    -> max rank, then window -> (n_nonzero, sum 2^-rank); the estimate
+    is a final vectorized map.
+    """
+    if 64 - p > 53:
+        raise ValueError(
+            f"windowed_approx_distinct requires p >= 11 (got p={p}); see "
+            "hll_registers")
+    from .exchange import exchange_agg
+
+    m = 1 << p
+    low = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        ids = (batch.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        h = splitmix64(ids)
+        bucket = (h >> np.uint64(low)).astype(np.int64)
+        v = (h & np.uint64((1 << low) - 1)).astype(np.float64)
+        _, e = np.frexp(v)
+        rank = np.where(v == 0, low + 1, low - (e - 1)).astype(np.int64)
+        g = (pd.DataFrame({"window_id": wins, "bucket": bucket, "r": rank})
+             .groupby(["window_id", "bucket"], sort=False)["r"].max()
+             .reset_index())
+        return pa.table({
+            "window_id": pa.array(g["window_id"].to_numpy(), pa.int64()),
+            "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+            "r": pa.array(g["r"].to_numpy(), pa.int64()),
+        })
+
+    regs = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["window_id", "bucket"], [("r", "max", "r")],
+        num_partitions=num_partitions)
+
+    def inv(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "window_id": batch.column("window_id"),
+            "inv": pa.array(np.power(2.0, -r), pa.float64()),
+            "one": pa.array(np.ones(len(r), np.int64), pa.int64()),
+        })
+
+    stats = exchange_agg(
+        regs.map_batches(inv, batch_format="pyarrow"),
+        "window_id", [("inv", "sum", "s_nz"), ("one", "sum", "n_nz")],
+        num_partitions=num_partitions)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def final(batch: pa.Table) -> pa.Table:
+        s_nz = batch.column("s_nz").to_numpy(zero_copy_only=False)
+        n_nz = batch.column("n_nz").to_numpy(zero_copy_only=False)
+        zeros = m - n_nz
+        s = s_nz + zeros.astype(np.float64)  # each zero register adds 2^0
+        e = alpha * m * m / s
+        zl = np.where(zeros > 0, zeros, 1).astype(np.float64)
+        lin = m * np.log(m / zl)
+        est = np.where((e <= 2.5 * m) & (zeros > 0), lin, e)
+        return pa.table({
+            "window_id": batch.column("window_id"),
+            "hll_estimate": pa.array(est, pa.float64()),
+        })
+
+    return stats.map_batches(final, batch_format="pyarrow")
+
+
 def grouping_sets_agg(
     ds: rd.Dataset,
     *,
