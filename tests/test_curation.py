@@ -331,3 +331,14 @@ def test_lm_perplexity_matches_local_model(ray_session):
         assert got["avg_nll"] == want_nll and got["ppl"] == want_ppl, r
     # the in-distribution doc must score better than the OOV doc
     assert out.loc[10, "ppl"] < out.loc[11, "ppl"]
+
+
+def test_heavy_hitters_empty_corpus(ray_session):
+    from text_to_rdf_ray.stages.curation import heavy_hitters
+
+    out = heavy_hitters(rd.from_items([{"text": ""}, {"text": "   "}]),
+                        phi=0.1)
+    # typed empty result (Ray's to_pandas drops columns at zero rows, so
+    # assert on the Dataset schema)
+    assert out.schema().names == ["term", "cnt", "rank"]
+    assert out.count() == 0

@@ -710,13 +710,19 @@ def heavy_hitters(
         batch_format="pyarrow")
 
     # <= 1/phi rows survive the threshold: the global (count desc, term
-    # asc) rank is a bounded driver-side sort
-    out = exact.to_pandas().sort_values(
-        ["cnt", "term"], ascending=[False, True]).reset_index(drop=True)
+    # asc) rank is a bounded driver-side sort.  An all-filtered result
+    # yields a column-less empty frame from to_pandas — return the typed
+    # empty schema instead of sorting it.
+    out = exact.to_pandas()
+    if not len(out):
+        return rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    out = out.sort_values(["cnt", "term"],
+                          ascending=[False, True]).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return rd.from_pandas(out) if len(out) else rd.from_arrow(pa.table({
-        "term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
-        "rank": pa.array([], pa.int64())}))
+    return rd.from_pandas(out)
 
 
 def lm_perplexity(
