@@ -342,3 +342,15 @@ def test_heavy_hitters_empty_corpus(ray_session):
     # assert on the Dataset schema)
     assert out.schema().names == ["term", "cnt", "rank"]
     assert out.count() == 0
+
+
+def test_lm_perplexity_tokenless_reference(ray_session):
+    """An empty LM (no reference tokens) scores every bigram ln(1/V)=0
+    at V=1 -> nll 0 / ppl 1, instead of crashing on the column-less
+    zero-row count table."""
+    from text_to_rdf_ray.stages.curation import lm_perplexity
+
+    docs = rd.from_items([{"doc_id": 1, "text": "a b c"}])
+    ref = rd.from_items([{"doc_id": 9, "text": ""}])
+    out = lm_perplexity(docs, ref).to_pandas()
+    assert out["ppl"].tolist() == [1.0] and out["n_tokens"].tolist() == [3]

@@ -774,11 +774,16 @@ def lm_perplexity(
     # per-batch combiner, driver-side merge of the small per-batch tables
     # (reference is small by contract — the decontaminate pattern)
     parts = ref.map_batches(ref_counts, batch_format="pyarrow").to_pandas()
-    is_uni = parts["w2"].isna()
-    uni_counts = parts[is_uni].groupby("w1")["c"].sum().to_dict()
-    bi_counts = {(r.w1, r.w2): r.c for r in
-                 parts[~is_uni].groupby(["w1", "w2"], as_index=False)["c"]
-                 .sum().itertuples()}
+    if len(parts):
+        is_uni = parts["w2"].isna()
+        uni_counts = parts[is_uni].groupby("w1")["c"].sum().to_dict()
+        bi_counts = {(r.w1, r.w2): r.c for r in
+                     parts[~is_uni].groupby(["w1", "w2"], as_index=False)["c"]
+                     .sum().itertuples()}
+    else:
+        # token-less reference (to_pandas drops columns at zero rows):
+        # an empty model — every bigram scores the same ln(1/V)
+        uni_counts, bi_counts = {}, {}
     v_size = len(uni_counts) + 1
     model_ref = ray.put((uni_counts, bi_counts, v_size))
     cache: dict = {}
