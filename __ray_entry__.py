@@ -1796,6 +1796,47 @@ def entry() -> Any:
     return build_triples(pages, kb_records=kb_records())
 
 
+def _graph_triangles_parts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-node triangle counts over the part co-occurrence graph
+    (parts appearing in the same order are connected).  Edge construction
+    is a self exchange_join of lineitem on l_orderkey; counting is
+    stages/graph.py::triangle_count — degree orientation + wedge join +
+    closing-edge join, every step a plain-task hash exchange."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import triangle_count
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("pk2").to_numpy(zero_copy_only=False)
+        k = a < b
+        return pa.table({"src": pa.array(a[k], pa.int64()),
+                         "dst": pa.array(b[k], pa.int64())})
+
+    out = triangle_count(
+        pairs.map_batches(lt, batch_format="pyarrow")).to_pandas()
+    if out.empty or "node" not in out.columns:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    out = out.rename(columns={"node": "l_partkey"})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["n_tri"] = out["n_tri"].astype("int64")
+    return (out[["l_partkey", "n_tri"]]
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -1852,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_passage_dedup": _docs_passage_dedup,
         "docs_decontaminate": _docs_decontaminate,
         "graph_pagerank_suppcust": _graph_pagerank,
+        "graph_triangles_parts": _graph_triangles_parts,
         "orders_semi_rich_custs": _orders_semi_rich_custs,
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
@@ -2089,6 +2131,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
+        # Independent triangle replay: canonical u<v distinct edges, then
+        # the classic three-way self-join (each triangle counted once as
+        # u<v<w) — no reliance on the Ray side's degree orientation.
+        "graph_triangles_parts": """
+            WITH inst AS (
+              SELECT least(a.l_partkey, b.l_partkey) AS u,
+                     greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            e AS (SELECT DISTINCT u, v FROM inst),
+            tri AS (
+              SELECT ab.u AS a, ab.v AS b, ac.v AS c
+              FROM e ab
+              JOIN e bc ON bc.u = ab.v
+              JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+            SELECT node AS l_partkey, CAST(count(*) AS BIGINT) AS n_tri
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node ORDER BY l_partkey
+        """,
         "lineitem_distinct_orders_hll": _hll_sql(),
         "events_hourly_unique_users": _hll_window_sql(),
         "orders_semi_rich_custs": """

@@ -133,3 +133,56 @@ def test_pagerank_bsp_single_partition(ray_session):
     want = _numpy_pagerank(edges, 3)
     g = dict(zip(got["node"], got["rank"]))
     assert all(abs(g[k] - want[k]) < 1e-12 for k in want)
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute force over canonical edges."""
+    import itertools
+
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(7)
+    edges = [(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+             for _ in range(180)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(5)
+    out = triangle_count(ds, num_partitions=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["n_tri"].astype(int)))
+    want = _brute_triangles(edges)
+    assert got == want
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_count_direction_dupes_selfloops(ray_session):
+    """Duplicate instances, reversed direction, and self-loops must not
+    change the count: the operator canonicalizes + dedups first."""
+    from text_to_rdf_ray.stages.graph import triangle_count
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    noisy = base + [(b, a) for a, b in base] + base + [(1, 1), (4, 4)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in noisy])
+    out = triangle_count(ds, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["n_tri"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_no_triangles(ray_session):
+    from text_to_rdf_ray.stages.graph import triangle_count
+
+    # a path graph has zero triangles
+    ds = rd.from_items([{"src": i, "dst": i + 1} for i in range(20)])
+    out = triangle_count(ds, num_partitions=4)
+    assert out.count() == 0

@@ -247,3 +247,120 @@ def pagerank(
         )
 
     return ranks
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exact per-node triangle counts over an undirected edge table.
+
+    Input: any edge-instance Dataset with integer endpoint columns
+    ``src``/``dst`` (direction and duplicates ignored; self-loops
+    dropped).  Output: ``(node:int64, n_tri:int64)`` — one row per node
+    that participates in >= 1 triangle; total triangles = sum(n_tri)/3.
+
+    Distributed shape (the standard degree-orientation algorithm, e.g.
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): canonical distinct edges and degrees via hash
+    exchanges; each edge oriented from its lower (degree, node) endpoint
+    so every out-adjacency is O(sqrt(m)); wedges generated by a
+    self-``exchange_join`` on the source; each wedge closed by one more
+    hash join against the oriented edge set.  Every step is a plain-task
+    hash exchange (no JoinOperator actor pools, no per-key Python
+    reduces); wedge volume is sum_a d_out(a)^2 — the orientation bound,
+    candidate-proportional, never materialized on one node.
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    e = _solid(exchange_agg(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], num_partitions=num_partitions), n=num_partitions // 4)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t.column("u").combine_chunks(),
+                                 t.column("v").combine_chunks()])
+        return pa.table({"node": node})
+
+    deg = exchange_agg(
+        e.map_batches(endpoints, batch_format="pyarrow"),
+        "node", [("node", "count", "deg")], num_partitions=num_partitions)
+
+    _S_E = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    _S_DU = pa.schema([("u", pa.int64()), ("du", pa.int64())])
+    _S_DV = pa.schema([("v", pa.int64()), ("dv", pa.int64())])
+    du = _project(deg, [("node", "u"), ("deg", "du")])
+    dv = _project(deg, [("node", "v"), ("deg", "dv")])
+    ed = exchange_join(
+        exchange_join(e, du, on="u", num_partitions=num_partitions,
+                      left_schema=_S_E, right_schema=_S_DU),
+        dv, on="v", num_partitions=num_partitions,
+        left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                               ("du", pa.int64())]),
+        right_schema=_S_DV)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        duv = t.column("du").to_numpy(zero_copy_only=False)
+        dvv = t.column("dv").to_numpy(zero_copy_only=False)
+        lu = (duv < dvv) | ((duv == dvv) & (u < v))
+        return pa.table({
+            "a": pa.array(np.where(lu, u, v), pa.int64()),
+            "b": pa.array(np.where(lu, v, u), pa.int64()),
+            "db": pa.array(np.where(lu, dvv, duv), pa.int64()),
+        })
+
+    o = _solid(ed.map_batches(orient, batch_format="pyarrow"),
+               n=num_partitions // 4)
+    _S_O = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                      ("db", pa.int64())])
+    o2 = _project(o, [("a", "a"), ("b", "c"), ("db", "dc")])
+    _S_O2 = pa.schema([("a", pa.int64()), ("c", pa.int64()),
+                       ("dc", pa.int64())])
+
+    def wedge_filter(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        dc = t.column("dc").to_numpy(zero_copy_only=False)
+        keep = (db < dc) | ((db == dc) & (b < c))
+        f = t.filter(pa.array(keep))
+        # wedge (b, c) witnessed by a: closing edge, if present, is
+        # oriented b -> c (same (degree, node) order as the orientation)
+        return pa.table({"b": f.column("b"), "c": f.column("c"),
+                         "wit": f.column("a")})
+
+    wedges = (
+        exchange_join(o, o2, on="a", num_partitions=num_partitions,
+                      left_schema=_S_O, right_schema=_S_O2)
+        .map_batches(wedge_filter, batch_format="pyarrow"))
+
+    closing = _project(o, [("a", "b"), ("b", "c")])
+    tri = exchange_join(
+        wedges, closing, on=["b", "c"], num_partitions=num_partitions,
+        left_schema=pa.schema([("b", pa.int64()), ("c", pa.int64()),
+                               ("wit", pa.int64())]),
+        right_schema=pa.schema([("b", pa.int64()), ("c", pa.int64())]))
+
+    def tri_nodes(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t.column("b").combine_chunks(),
+                                 t.column("c").combine_chunks(),
+                                 t.column("wit").combine_chunks()])
+        return pa.table({"node": node})
+
+    return exchange_agg(
+        tri.map_batches(tri_nodes, batch_format="pyarrow"),
+        "node", [("node", "count", "n_tri")], num_partitions=num_partitions)
