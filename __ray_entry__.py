@@ -1796,6 +1796,32 @@ def entry() -> Any:
     return build_triples(pages, kb_records=kb_records())
 
 
+def _kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means (k=8, 5 iterations, deterministic
+    lowest-id init) over the embeddings table — stages/knn.py::
+    kmeans_lloyd.  The oracle reads the final centroids side table and
+    replays only the assignment argmin (per-vec squared-L2, ties to the
+    lowest cluster id); the iteration loop itself is pure streaming
+    passes + O(k*d) driver reduces, not SQL-expressible state."""
+    from text_to_rdf_ray.stages.knn import kmeans_lloyd
+
+    emb = _embeddings(sf_dir)
+    assign, cent = kmeans_lloyd(emb, id_col="vec_id", emb_col="embedding",
+                                k=8, iters=5)
+    k, d = cent.shape
+    _side_write("kmeans_embeddings", "centroids.parquet", pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), k),
+        "val": cent.ravel(),
+    }))
+    out = assign.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["dist"] = _r(out["dist"], 6)
+    return (out[["vec_id", "cluster", "dist"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
 def _graph_triangles_parts(sf_dir: str) -> pd.DataFrame:
     """Exact per-node triangle counts over the part co-occurrence graph
     (parts appearing in the same order are connected).  Edge construction
@@ -1868,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "embedding_label_stats": _embedding_label_stats,
+        "kmeans_embeddings": _kmeans_embeddings,
         # relational / streaming-shaped
         "agg_lineitem_pricing": _agg_lineitem_pricing,
         "join_revenue_by_nation": _join_revenue_by_nation,
@@ -2131,6 +2158,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
+        # assignment argmin replayed from the final centroid side table;
+        # squared-L2 recomputed from raw dims (independent of the Ray
+        # side's matmul expansion), ties to the lowest cluster id
+        "kmeans_embeddings": f"""
+            WITH c AS (SELECT cluster, dim, val
+                       FROM read_parquet('{os.path.join(_SIDE, "kmeans_embeddings", "centroids.parquet")}')),
+            u AS (SELECT vec_id, unnest(embedding) AS ev,
+                         generate_subscripts(embedding, 1) - 1 AS dim
+                  FROM embeddings),
+            dist AS (SELECT u.vec_id, c.cluster,
+                            sum((u.ev - c.val) * (u.ev - c.val)) AS dist
+                     FROM u JOIN c ON c.dim = u.dim
+                     GROUP BY u.vec_id, c.cluster),
+            best AS (SELECT vec_id, cluster, round(dist, 6) AS dist,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist, cluster) AS rn
+                     FROM dist)
+            SELECT vec_id, cluster, dist FROM best WHERE rn = 1
+            ORDER BY vec_id
+        """,
         # Independent triangle replay: canonical u<v distinct edges, then
         # the classic three-way self-join (each triangle counted once as
         # u<v<w) — no reliance on the Ray side's degree orientation.

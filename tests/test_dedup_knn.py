@@ -610,3 +610,67 @@ def test_embedding_dedup_clusters_planted_duplicates(ray_session):
         assert out[100 + i] == i and out[i] == i
     for i in range(20, 40):
         assert out[i] == i
+
+
+def _numpy_lloyd(X, k, iters):
+    cent = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((X * X).sum(1, keepdims=True) - 2.0 * (X @ cent.T)
+              + (cent * cent).sum(1))
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                cent[j] = X[a == j].mean(axis=0)
+    d2 = ((X * X).sum(1, keepdims=True) - 2.0 * (X @ cent.T)
+          + (cent * cent).sum(1))
+    a = np.argmin(d2, axis=1)
+    return a, cent
+
+
+def test_kmeans_lloyd_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from text_to_rdf_ray.stages.knn import kmeans_lloyd
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(200, 16).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(7)
+    assign, cent = kmeans_lloyd(ds, k=4, iters=3, num_partitions=4)
+    out = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # ids are 0..n-1 in row order, so init (lowest ids) == X[:k]
+    want_a, want_c = _numpy_lloyd(X.astype(np.float64), 4, 3)
+    assert np.array_equal(out["cluster"].to_numpy(), want_a)
+    assert np.allclose(cent, want_c, atol=1e-9)
+    d2 = ((X.astype(np.float64) - want_c[want_a]) ** 2).sum(axis=1)
+    assert np.allclose(out["dist"].to_numpy(), d2, atol=1e-9)
+
+
+def test_kmeans_lloyd_duplicate_points_empty_cluster(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from text_to_rdf_ray.stages.knn import kmeans_lloyd
+
+    # all points identical: clusters 1..k-1 go empty and must keep their
+    # seed centroid; every point lands in cluster 0 (lowest-id tie-break)
+    X = np.ones((50, 4), np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": list(X)})
+    assign, cent = kmeans_lloyd(rd.from_pandas(df).repartition(3),
+                                k=3, iters=2)
+    out = assign.to_pandas()
+    assert (out["cluster"] == 0).all()
+    assert np.allclose(cent, 1.0)
+
+
+def test_kmeans_lloyd_k_exceeds_n_raises(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    import pytest
+
+    from text_to_rdf_ray.stages.knn import kmeans_lloyd
+
+    df = pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.0, 1.0], [1.0, 0.0]]})
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_lloyd(rd.from_pandas(df), k=5, iters=1)

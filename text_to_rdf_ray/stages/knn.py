@@ -440,3 +440,105 @@ def knn_ivf_indexed(
     partial = corpus.map_batches(score, batch_format="pyarrow",
                                  batch_size=4096).to_pandas()
     return _driver_topk(partial, query_ids, k)
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    num_partitions: int = 16,
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Distributed Lloyd's k-means over an embedding column (squared-L2,
+    un-normalized) — the clustering step of SemDeDup-style embedding
+    curation and of IVF coarse quantizer training at corpus scale.
+
+    Deterministic init: the ``k`` vectors with the LOWEST ids (per-batch
+    local top-k, driver reduce over batches*k rows).  Each iteration is
+    ONE streaming pass: centroids broadcast once via ``ray.put``; every
+    batch computes assignments with a float64 matmul and emits per-batch
+    partial sums as (cluster, dim, s, n) rows — at most k*d rows per
+    batch regardless of batch size — reduced by one ``exchange_agg``
+    hash exchange; the k*d centroid table collects to the driver (O(k*d),
+    independent of corpus size).  Empty clusters keep their previous
+    centroid.  Returns ``(assignments, centroids)``: an ``(id, cluster,
+    dist)`` Dataset (dist = squared L2 to the winning centroid, ties
+    broken by lowest cluster id) and the final (k, d) float64 centroids.
+    """
+    import ray
+
+    from .exchange import exchange_agg
+
+    # --- deterministic seed: k lowest-id vectors -------------------------
+    def low_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            take = np.argsort(ids, kind="stable")[:k]
+            batch = batch.take(pa.array(take, pa.int64()))
+        return pa.table({id_col: batch.column(id_col),
+                         emb_col: batch.column(emb_col)})
+
+    seed = (ds.map_batches(low_ids, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col).head(k))
+    if len(seed) < k:
+        raise ValueError(f"kmeans_lloyd: k={k} but only {len(seed)} vectors")
+    cent = _to_matrix(list(seed[emb_col])).astype(np.float64)
+    d = cent.shape[1]
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # ||x-c||^2 = x.x - 2 x.c + c.c; argmin ties -> lowest cluster id
+        d2 = ((m * m).sum(axis=1, keepdims=True)
+              - 2.0 * (m @ c.T) + (c * c).sum(axis=1))
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            c = ray.get(ref)
+            m = _emb_matrix(batch, emb_col).astype(np.float64)
+            a, _ = _assign(m, c)
+            cnt = np.bincount(a, minlength=k)
+            nz = np.flatnonzero(cnt)
+            # sort + reduceat: one vectorized grouped sum (np.add.at is an
+            # unbuffered ufunc loop — ~10x slower on wide rows)
+            order = np.argsort(a, kind="stable")
+            starts = np.searchsorted(a[order], nz)
+            sums = np.zeros((k, d), np.float64)
+            sums[nz] = np.add.reduceat(m[order], starts, axis=0)
+            cl = np.repeat(nz, d).astype(np.int32)
+            dim = np.tile(np.arange(d, dtype=np.int32), len(nz))
+            return pa.table({
+                "cluster": pa.array(cl, pa.int32()),
+                "dim": pa.array(dim, pa.int32()),
+                "s": pa.array(sums[nz].ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt[nz], d), pa.int64()),
+            })
+
+        red = exchange_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["cluster", "dim"], [("s", "sum", "s"), ("n", "sum", "n")],
+            num_partitions=min(num_partitions, 8)).to_pandas()
+        nxt = cent.copy()  # empty clusters keep their previous centroid
+        if len(red):
+            cl = red["cluster"].to_numpy()
+            dim = red["dim"].to_numpy()
+            nxt[cl, dim] = red["s"].to_numpy() / red["n"].to_numpy()
+        cent = nxt
+
+    ref = ray.put(cent)
+
+    def final(batch: pa.Table, ref=ref) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_matrix(batch, emb_col).astype(np.float64)
+        a, dist = _assign(m, c)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist": pa.array(dist, pa.float64()),
+        })
+
+    return ds.map_batches(final, batch_format="pyarrow"), cent
