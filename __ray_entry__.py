@@ -1796,6 +1796,24 @@ def entry() -> Any:
     return build_triples(pages, kb_records=kb_records())
 
 
+def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
+    """Within-document term-pair PMI (collocation mining) — stages/
+    curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
+    pair counting with per-batch np.unique combiner, one hash exchange."""
+    from text_to_rdf_ray.stages.curation import pmi_pairs
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = pmi_pairs(docs, min_df=5, min_pair=5).to_pandas()
+    if out.empty or "term_a" not in out.columns:
+        return pd.DataFrame({"term_a": pd.Series(dtype=str),
+                             "term_b": pd.Series(dtype=str),
+                             "n_ab": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return (out[["term_a", "term_b", "n_ab", "pmi"]]
+            .sort_values(["term_a", "term_b"]).reset_index(drop=True))
+
+
 def _kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd k-means (k=8, 5 iterations, deterministic
     lowest-id init) over the embeddings table — stages/knn.py::
@@ -1925,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
         "docs_heavy_hitters": _docs_heavy_hitters,
+        "docs_pmi_pairs": _docs_pmi_pairs,
         "docs_source_quality_cap": _docs_source_quality_cap,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "docs_curate_pipeline": _docs_curate_pipeline,
@@ -2416,6 +2435,33 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.nll, 0.0), 6) AS avg_nll,
                    round(coalesce(exp(a.nll), 1.0), 6) AS ppl
             FROM dtok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
+        # document-level co-occurrence PMI: distinct terms per doc,
+        # unordered pairs a < b over the df>=5 vocabulary; BIGINT/BIGINT
+        # division is double in DuckDB — same value as numpy int64/int64
+        "docs_pmi_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(str_split(lower(text), ' '),
+                                        x -> x <> '')) AS t
+              FROM documents),
+            d AS (SELECT DISTINCT doc_id, t FROM toks),
+            df AS (SELECT t, count(*) AS c FROM d GROUP BY t),
+            vocab AS (SELECT t, c FROM df WHERE c >= 5),
+            pairs AS (
+              SELECT a.t AS term_a, b.t AS term_b, count(*) AS n_ab
+              FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.t < b.t
+              WHERE a.t IN (SELECT t FROM vocab)
+                AND b.t IN (SELECT t FROM vocab)
+              GROUP BY 1, 2),
+            n AS (SELECT count(*) AS nd FROM documents)
+            SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   round(ln((n_ab * nd) / (va.c * vb.c)), 6) AS pmi
+            FROM pairs, n
+            JOIN vocab va ON va.t = term_a
+            JOIN vocab vb ON vb.t = term_b
+            WHERE n_ab >= 5
+            ORDER BY term_a, term_b
         """,
         "docs_heavy_hitters": """
             -- exact phi-heavy-hitters, phi = 0.032

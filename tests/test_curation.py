@@ -354,3 +354,58 @@ def test_lm_perplexity_tokenless_reference(ray_session):
     ref = rd.from_items([{"doc_id": 9, "text": ""}])
     out = lm_perplexity(docs, ref).to_pandas()
     assert out["ppl"].tolist() == [1.0] and out["n_tokens"].tolist() == [3]
+
+
+def _brute_pmi(texts, min_df, min_pair):
+    import itertools
+
+    docs = [set(t.lower().split()) for t in texts]
+    df = {}
+    for d in docs:
+        for t in d:
+            df[t] = df.get(t, 0) + 1
+    vocab = {t: c for t, c in df.items() if c >= min_df}
+    pc = {}
+    for d in docs:
+        for a, b in itertools.combinations(sorted(t for t in d if t in vocab), 2):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    n = len(docs)
+    out = {}
+    for (a, b), c in pc.items():
+        if c >= min_pair:
+            out[(a, b)] = (c, round(math.log(c * n / (vocab[a] * vocab[b])), 6))
+    return out
+
+
+def test_pmi_pairs_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.curation import pmi_pairs
+
+    rng = np.random.RandomState(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "rare1", "rare2"]
+    texts = [" ".join(rng.choice(words, rng.randint(2, 7)))
+             for _ in range(120)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)]).repartition(5)
+    out = pmi_pairs(ds, min_df=10, min_pair=4, num_partitions=4).to_pandas()
+    got = {(r.term_a, r.term_b): (r.n_ab, r.pmi) for r in out.itertuples()}
+    want = _brute_pmi(texts, 10, 4)
+    assert got == want
+    assert len(got) > 5  # the fixture actually exercises pairs
+
+
+def test_pmi_pairs_empty_and_tiny_vocab(ray_session):
+    from text_to_rdf_ray.stages.curation import pmi_pairs
+
+    ds = rd.from_items([{"doc_id": 1, "text": "x"}, {"doc_id": 2, "text": ""}])
+    out = pmi_pairs(ds, min_df=1, min_pair=1).to_pandas()
+    assert len(out) == 0  # vocab < 2 terms -> typed empty result
+
+
+def test_pmi_pairs_max_vocab_raises(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.curation import pmi_pairs
+
+    ds = rd.from_items([{"doc_id": i, "text": f"w{i} common"} for i in range(20)])
+    with pytest.raises(ValueError, match="max_vocab"):
+        pmi_pairs(ds, min_df=1, min_pair=1, max_vocab=3)

@@ -814,3 +814,119 @@ def lm_perplexity(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_pairs(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    min_pair: int = 5,
+    n_docs: int | None = None,
+    max_vocab: int = 2_000_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Pointwise mutual information over within-document term pairs —
+    the collocation / phrase-mining primitive (Church & Hanks 1990; the
+    word2phrase step of Mikolov et al. 2013 is the same statistic).
+
+    PMI(a, b) = ln( n_ab * N / (df_a * df_b) ) over DOCUMENT-level
+    co-occurrence (distinct terms per doc, unordered pairs a < b).
+
+    Distributed shape: pass 1 explodes distinct (doc, term) rows and
+    reduces document frequencies with one hash exchange; terms with
+    df >= ``min_df`` form the vocabulary, which is collected and
+    broadcast ONCE via ``ray.put`` (budget: ``max_vocab`` rows — raises
+    above it; df thresholding bounds vocab at total_tokens/min_df, so
+    pick min_df proportional to corpus size at scale).  Pass 2 generates
+    each document's vocab-term pairs as packed int64 keys, pre-reduces
+    per batch with ``np.unique`` (the combiner), and sums counts with one
+    more hash exchange; PMI is computed vectorized against the broadcast
+    df table.  ``ds`` is consumed twice — materialize upstream lineage
+    before calling if it is expensive.
+
+    Output: ``(term_a, term_b, n_ab:int64, pmi:float64)`` for pairs with
+    n_ab >= ``min_pair``; pmi is round()ed to 6 dp (DuckDB-replayable).
+    """
+    import ray
+
+    from .dedup import _worker_obj_cache
+    from .exchange import exchange_agg
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_i: list = []
+        out_t: list = []
+        for i, tx in zip(ids, texts):
+            for t in set(_terms(tx or "")):
+                out_i.append(i)
+                out_t.append(t)
+        return pa.table({"term": pa.array(out_t, pa.string())})
+
+    df = exchange_agg(
+        ds.map_batches(doc_terms, batch_format="pyarrow"),
+        "term", [("term", "count", "df")],
+        num_partitions=num_partitions).to_pandas()
+    df = df[df["df"] >= min_df].sort_values("term").reset_index(drop=True)
+    if len(df) > max_vocab:
+        raise ValueError(
+            f"pmi_pairs: vocabulary {len(df)} exceeds max_vocab="
+            f"{max_vocab} (raise min_df or max_vocab; broadcast budget "
+            f"~{max_vocab * 48 // 2**20} MB per worker)")
+    terms = df["term"].to_numpy()
+    dfs = df["df"].to_numpy().astype(np.int64)
+    V = len(terms)
+    vocab_ref = ray.put((terms, dfs))
+    if V < 2:
+        return rd.from_arrow(pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+
+    def pair_counts(batch: pa.Table, ref=vocab_ref) -> pa.Table:
+        t_arr, _ = _worker_obj_cache(ref)
+        v2i = {t: i for i, t in enumerate(t_arr)}
+        keys_parts = []
+        for tx in batch.column(text_col).to_pylist():
+            idxs = np.fromiter(
+                sorted({v2i[t] for t in set(_terms(tx or "")) if t in v2i}),
+                np.int64)
+            if len(idxs) >= 2:
+                ii, jj = np.triu_indices(len(idxs), k=1)
+                keys_parts.append(idxs[ii] * V + idxs[jj])
+        if not keys_parts:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        k, c = np.unique(np.concatenate(keys_parts), return_counts=True)
+        return pa.table({"pk": pa.array(k, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    red = exchange_agg(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        "pk", [("c", "sum", "c")], num_partitions=num_partitions,
+        combine=False)  # pair_counts already combined per batch
+
+    def score(batch: pa.Table, ref=vocab_ref,
+              n_docs=n_docs, min_pair=min_pair) -> pa.Table:
+        t_arr, df_arr = _worker_obj_cache(ref)
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        keep = c >= min_pair
+        pk, c = pk[keep], c[keep]
+        ia, ib = pk // V, pk % V
+        pmi = np.log((c * n_docs) / (df_arr[ia] * df_arr[ib]))
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "term_a": pa.array(t_arr[ia], pa.string()),
+            "term_b": pa.array(t_arr[ib], pa.string()),
+            "n_ab": pa.array(c, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    return red.map_batches(score, batch_format="pyarrow")
