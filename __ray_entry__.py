@@ -1796,6 +1796,25 @@ def entry() -> Any:
     return build_triples(pages, kb_records=kb_records())
 
 
+def _events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel signup -> view -> purchase with strictly-after,
+    earliest-qualifying-event semantics (stages/windows.py::funnel —
+    one user-hash exchange, vectorized per-partition frontier merges)."""
+    from text_to_rdf_ray.stages.windows import funnel
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    out = funnel(ev, steps=["signup", "view", "purchase"]).to_pandas()
+    if out.empty or "step" not in out.columns:
+        return pd.DataFrame({"step": pd.Series(dtype="int64"),
+                             "step_name": pd.Series(dtype=str),
+                             "n_users": pd.Series(dtype="int64")})
+    out["step"] = out["step"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out[["step", "step_name", "n_users"]]
+            .sort_values("step").reset_index(drop=True))
+
+
 def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     """Within-document term-pair PMI (collocation mining) — stages/
     curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
@@ -1928,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_attribution": _events_asof,
         "events_range_attribution": _events_range_agg,
         "events_hopping": _events_hopping,
+        "events_funnel": _events_funnel,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
         # curation (training-data prep)
@@ -2435,6 +2455,26 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.nll, 0.0), 6) AS avg_nll,
                    round(coalesce(exp(a.nll), 1.0), 6) AS ppl
             FROM dtok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
+        # step-k frontier = earliest step-k event strictly after the
+        # user's step-(k-1) frontier; counts are frontier sizes
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 1 AS step, 'signup' AS step_name,
+                     (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+              UNION ALL
+              SELECT 2, 'view', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+            ORDER BY step
         """,
         # document-level co-occurrence PMI: distinct terms per doc,
         # unordered pairs a < b over the df>=5 vocabulary; BIGINT/BIGINT

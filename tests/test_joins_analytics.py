@@ -536,3 +536,56 @@ def test_windowed_approx_distinct_accuracy_and_p_guard(ray_session):
         assert abs(out[w] - n) / n < 0.1, (w, n, out[w])
     with pytest.raises(ValueError):
         windowed_approx_distinct(ds, p=8)
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.windows import funnel
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for i in range(600):
+        rows.append({
+            "user_id": int(rng.randint(0, 40)),
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(
+                seconds=int(rng.randint(0, 86400))),
+            "event_type": str(rng.choice(["a", "b", "c", "noise"])),
+        })
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+    out = (funnel(ds, steps=["a", "b", "c"], num_partitions=8)
+           .to_pandas().sort_values("step").reset_index(drop=True))
+
+    # brute force: per user, earliest qualifying event per step
+    counts = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        prev = None
+        for si, s in enumerate(["a", "b", "c"]):
+            ev = g[(g["event_type"] == s)
+                   & ((g["ts"] > prev) if prev is not None else True)]
+            if ev.empty:
+                break
+            prev = ev["ts"].min()
+            counts[si] += 1
+    assert out["n_users"].tolist() == counts
+    assert out["step_name"].tolist() == ["a", "b", "c"]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+
+
+def test_funnel_strictly_after_semantics(ray_session):
+    from text_to_rdf_ray.stages.windows import funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1 converts fully; u2's 'b' is simultaneous with 'a' (excluded);
+        # u3 does b before a (no conversion past step 1)
+        {"user_id": 1, "ts": t0, "event_type": "a"},
+        {"user_id": 1, "ts": t0 + pd.Timedelta(seconds=1), "event_type": "b"},
+        {"user_id": 2, "ts": t0, "event_type": "a"},
+        {"user_id": 2, "ts": t0, "event_type": "b"},
+        {"user_id": 3, "ts": t0 - pd.Timedelta(seconds=5), "event_type": "b"},
+        {"user_id": 3, "ts": t0, "event_type": "a"},
+    ]
+    out = (funnel(rd.from_pandas(pd.DataFrame(rows)), steps=["a", "b"],
+                  num_partitions=4)
+           .to_pandas().sort_values("step"))
+    assert out["n_users"].tolist() == [3, 1]

@@ -238,3 +238,61 @@ def rolling_agg(
 
     return (ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def funnel(
+    ds: rd.Dataset,
+    *,
+    steps: list[str] | tuple[str, ...],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Ordered-funnel conversion counts: ``(step, step_name, n_users)``
+    — how many keys performed step 1, then step 2 STRICTLY after their
+    earliest qualifying step 1, and so on (the product-analytics funnel;
+    unbounded window, earliest-qualifying-event semantics).
+
+    Same exchange shape as ``sessionize``: ONE key-hash exchange, then a
+    single vectorized pandas pass per partition — per step, a C-kernel
+    ``groupby(key).min`` frontier + merge against the previous frontier
+    (len(steps) passes over the partition, zero per-key Python).  Every
+    non-empty partition emits all len(steps) partial rows; a final
+    ``exchange_agg`` sums them (len(steps) rows total).
+    """
+    from .exchange import exchange_agg
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[type_col].isin(steps)  # shrink the exchange to
+        batch = batch[keep]                  # funnel-relevant events only
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        cur = (g[g[type_col] == steps[0]]
+               .groupby(key_col, sort=False)[ts_col].min())
+        counts = [len(cur)]
+        for s in steps[1:]:
+            ev = g[g[type_col] == s]
+            m = ev.merge(cur.rename("_prev"), left_on=key_col,
+                         right_index=True)
+            m = m[m[ts_col] > m["_prev"]]
+            cur = m.groupby(key_col, sort=False)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+            "step_name": steps,
+            "n_users": pd.Series(counts, dtype="int64"),
+        })
+
+    partials = (ds.map_batches(add_part, batch_format="pandas",
+                               batch_size=65536)
+                .groupby("_part").map_groups(per_part, batch_format="pandas"))
+    return exchange_agg(partials, ["step", "step_name"],
+                        [("n_users", "sum", "n_users")],
+                        num_partitions=min(num_partitions, 8))
