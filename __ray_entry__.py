@@ -1815,6 +1815,26 @@ def _events_funnel(sf_dir: str) -> pd.DataFrame:
             .sort_values("step").reset_index(drop=True))
 
 
+def _events_retention(sf_dir: str) -> pd.DataFrame:
+    """Daily cohort retention over events (stages/windows.py::retention
+    — distinct-activity exchange, per-user min-day cohort, one join,
+    combiner-fronted (cohort, offset) count)."""
+    from text_to_rdf_ray.stages.windows import retention
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = retention(ev, max_offset=30).to_pandas()
+    if out.empty or "cohort_day" not in out.columns:
+        return pd.DataFrame({"cohort_day": pd.Series(dtype="int64"),
+                             "day_offset": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["cohort_day", "day_offset", "n_users"]]
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
 def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     """Within-document term-pair PMI (collocation mining) — stages/
     curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
@@ -1948,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_attribution": _events_range_agg,
         "events_hopping": _events_hopping,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
         # curation (training-data prep)
@@ -2455,6 +2476,20 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.nll, 0.0), 6) AS avg_nll,
                    round(coalesce(exp(a.nll), 1.0), 6) AS ppl
             FROM dtok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
+        # cohort = per-user min activity day (epoch days, us // 86400e6
+        # == floor(epoch(ts)/86400) for post-1970 timestamps)
+        "events_retention": """
+            WITH act AS (SELECT DISTINCT user_id,
+                                CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                         FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort_day
+                       FROM act GROUP BY user_id)
+            SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act a JOIN cohort c ON a.user_id = c.user_id
+            WHERE a.day - c.cohort_day <= 30
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # step-k frontier = earliest step-k event strictly after the
         # user's step-(k-1) frontier; counts are frontier sizes

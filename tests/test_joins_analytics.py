@@ -589,3 +589,34 @@ def test_funnel_strictly_after_semantics(ray_session):
                   num_partitions=4)
            .to_pandas().sort_values("step"))
     assert out["n_users"].tolist() == [3, 1]
+
+
+def test_retention_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.windows import retention
+
+    rng = np.random.RandomState(29)
+    rows = [{"user_id": int(rng.randint(0, 25)),
+             "ts": pd.Timestamp("2024-03-01")
+             + pd.Timedelta(hours=int(rng.randint(0, 24 * 40)))}
+            for _ in range(800)]
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+    out = (retention(ds, max_offset=10, num_partitions=8).to_pandas()
+           .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True))
+
+    act = df.assign(day=df["ts"].dt.normalize().astype("int64")
+                    // 86_400_000_000_000).drop_duplicates(
+        ["user_id", "day"])[["user_id", "day"]]
+    coh = act.groupby("user_id")["day"].min().rename("cohort_day")
+    m = act.merge(coh, on="user_id")
+    m["day_offset"] = m["day"] - m["cohort_day"]
+    want = (m[m["day_offset"] <= 10]
+            .groupby(["cohort_day", "day_offset"]).size()
+            .rename("n_users").reset_index()
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert out.equals(want)
+    # day-0 cohort sizes must sum to the distinct user count
+    assert out[out["day_offset"] == 0]["n_users"].sum() == df["user_id"].nunique()

@@ -296,3 +296,53 @@ def funnel(
     return exchange_agg(partials, ["step", "step_name"],
                         [("n_users", "sum", "n_users")],
                         num_partitions=min(num_partitions, 8))
+
+
+def retention(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 30,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Cohort retention: ``(cohort_day, day_offset, n_users)`` — users
+    whose FIRST activity fell on ``cohort_day`` (epoch days) and who were
+    active again ``day_offset`` days later (0 <= offset <= max_offset).
+
+    Shape: per-batch (key, day) dedup combiner, then ONE key-hash
+    exchange — because all of a user's rows land in one partition, the
+    per-partition pass computes distinct activity, the per-user min-day
+    cohort (groupby.transform, C kernel), and the offsets in one
+    vectorized sweep (no separate cohort exchange, no join); a final
+    combiner-fronted (cohort, offset) count exchange finishes.  Two
+    exchanges total, no per-key Python, nothing on the driver.
+    """
+    from .exchange import exchange_agg
+
+    us_per_day = 86_400_000_000
+
+    def day_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // us_per_day)
+        out = pd.DataFrame({key_col: batch[key_col], "day": day})
+        out = out.drop_duplicates()  # per-batch combiner
+        return out.assign(_part=_part_of(out[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).drop_duplicates()
+        coh = g.groupby(key_col, sort=False)["day"].transform("min")
+        off = g["day"].to_numpy() - coh.to_numpy()
+        keep = off <= max_offset
+        return pd.DataFrame({
+            "cohort_day": pd.Series(coh.to_numpy()[keep], dtype="int64"),
+            "day_offset": pd.Series(off[keep], dtype="int64"),
+        })
+
+    fused = (ds.map_batches(day_rows, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+    return exchange_agg(
+        fused, ["cohort_day", "day_offset"],
+        [("cohort_day", "count", "n_users")],
+        num_partitions=min(num_partitions, 16))
