@@ -1835,6 +1835,34 @@ def _events_retention(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Pearson correlation of value vs hour-of-day —
+    stages/analytics.py::group_corr (decomposable sufficient statistics,
+    one partial row per key per batch, one hash exchange)."""
+    from text_to_rdf_ray.stages.analytics import group_corr
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def hod(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        x = ((ts // 3_600_000_000) % 24).astype(np.float64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "x": pa.array(x, pa.float64()),
+                         "y": batch.column("value").cast(pa.float64())})
+
+    out = group_corr(ev.map_batches(hod, batch_format="pyarrow"),
+                     key_col="event_type", x_col="x", y_col="y").to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                             "n": pd.Series(dtype="int64"),
+                             "corr": pd.Series(dtype="float64")})
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "n", "corr"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     """Within-document term-pair PMI (collocation mining) — stages/
     curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
@@ -1969,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _events_hopping,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "events_value_hour_corr": _events_value_hour_corr,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
         # curation (training-data prep)
@@ -2476,6 +2505,27 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.nll, 0.0), 6) AS avg_nll,
                    round(coalesce(exp(a.nll), 1.0), 6) AS ppl
             FROM dtok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
+        # Pearson r from the same sufficient statistics and the same
+        # final expression (numpy and DuckDB both evaluate in float64)
+        "events_value_hour_corr": """
+            WITH e AS (SELECT event_type,
+                              CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24
+                                   AS DOUBLE) AS x,
+                              value AS y
+                       FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                         sum(y * y) AS syy, sum(x * y) AS sxy
+                  FROM e GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) AS corr
+            FROM s
+            WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+              AND (n * syy - sy * sy) > 0
+            ORDER BY event_type
         """,
         # cohort = per-user min activity day (epoch days, us // 86400e6
         # == floor(epoch(ts)/86400) for post-1970 timestamps)

@@ -620,3 +620,39 @@ def test_retention_matches_bruteforce(ray_session):
     assert out.equals(want)
     # day-0 cohort sizes must sum to the distinct user count
     assert out[out["day_offset"] == 0]["n_users"].sum() == df["user_id"].nunique()
+
+
+def test_group_corr_matches_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_corr
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 900),
+        "x": rng.randn(900),
+    })
+    df["y"] = 0.5 * df["x"] + rng.randn(900) * 0.3
+    ds = rd.from_pandas(df).repartition(7)
+    out = (group_corr(ds, key_col="k", x_col="x", y_col="y",
+                      num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = df.groupby("k").apply(
+        lambda g: g["x"].corr(g["y"]), include_groups=False)
+    assert out["k"].tolist() == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        assert abs(row["corr"] - want[row["k"]]) < 1e-6
+        assert row["n"] == (df["k"] == row["k"]).sum()
+
+
+def test_group_corr_drops_degenerate_keys(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_corr
+
+    df = pd.DataFrame({
+        "k": ["const", "const", "single", "ok", "ok", "ok"],
+        "x": [1.0, 1.0, 2.0, 1.0, 2.0, 3.0],   # zero variance for 'const'
+        "y": [5.0, 6.0, 2.0, 1.0, 2.0, 3.0],
+    })
+    df = pd.concat([df, df[df["k"] == "ok"]])  # n>=2 for 'ok'
+    out = group_corr(rd.from_pandas(df), key_col="k", x_col="x",
+                     y_col="y").to_pandas()
+    assert set(out["k"]) == {"ok"}
+    assert abs(out["corr"].iloc[0] - 1.0) < 1e-9

@@ -557,3 +557,62 @@ def grouping_sets_agg(
 
     return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
             .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
+
+
+def group_corr(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-key Pearson correlation from decomposable sufficient
+    statistics: each batch emits one (key, n, sx, sy, sxx, syy, sxy)
+    partial row per key (pandas groupby C kernels), one hash exchange
+    sums them, and r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) *
+    (n*syy - sy^2)) is computed vectorized per key — the textbook
+    one-pass parallel corr, shuffle volume = keys-per-batch partials.
+    Keys with n < 2 or zero variance in either column are dropped
+    (their r is undefined).  Output: (key, n:int64, corr:float64
+    rounded to 6 dp, matching DuckDB round())."""
+    from .exchange import exchange_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].astype("float64")
+        y = batch[y_col].astype("float64")
+        d = pd.DataFrame({key_col: batch[key_col], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        g = d.groupby(key_col, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return g.reset_index()
+
+    red = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        key_col,
+        [("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("sxx", "sum", "sxx"), ("syy", "sum", "syy"),
+         ("sxy", "sum", "sxy")],
+        num_partitions=num_partitions, combine=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        keep = (n >= 2) & (vx > 0) & (vy > 0)
+        r = (n[keep] * sxy[keep] - sx[keep] * sy[keep]) / np.sqrt(
+            vx[keep] * vy[keep])
+        r = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            key_col: t.column(key_col).filter(pa.array(keep)),
+            "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "corr": pa.array(r, pa.float64()),
+        })
+
+    return red.map_batches(finish, batch_format="pyarrow")
