@@ -326,7 +326,9 @@ def run_bench() -> dict:
                      "docs_pack_sequences", "docs_tfidf_top_terms",
                      "docs_repetition_stats", "lineitem_distinct_orders_hll",
                      "docs_heavy_hitters", "docs_lm_perplexity",
-                     "docs_source_quality_cap"):
+                     "docs_source_quality_cap", "kmeans_embeddings",
+                     "docs_pmi_pairs", "events_funnel", "events_retention",
+                     "events_value_hour_corr", "graph_triangles_parts"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):

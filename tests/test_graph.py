@@ -186,3 +186,37 @@ def test_triangle_count_no_triangles(ray_session):
     ds = rd.from_items([{"src": i, "dst": i + 1} for i in range(20)])
     out = triangle_count(ds, num_partitions=4)
     assert out.count() == 0
+
+
+def test_triangle_tiers_parity(ray_session):
+    """Broadcast-closing tier and shuffle tier must agree exactly."""
+    from text_to_rdf_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(41)
+    edges = [(int(rng.randint(0, 60)), int(rng.randint(0, 60)))
+             for _ in range(400)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(5)
+    bc = (triangle_count(ds, num_partitions=8).to_pandas()
+          .sort_values("node").reset_index(drop=True))
+    sh = (triangle_count(ds, num_partitions=8, broadcast_threshold=0)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert bc.equals(sh)
+    assert dict(zip(bc["node"].astype(int), bc["n_tri"].astype(int))) \
+        == _brute_triangles(edges)
+
+
+def test_pairs_within_groups_chunked():
+    from text_to_rdf_ray.stages.graph import _pairs_within_groups
+
+    a = np.array([1, 1, 1, 1, 2, 3, 3, 5, 5, 5], np.int64)
+    b = np.arange(10, dtype=np.int64)
+    for chunk in (2, 3, 1000):
+        got = [(int(b[f]), int(b[s]))
+               for fs, ss in _pairs_within_groups(a, b, max_chunk_pairs=chunk)
+               for f, s in zip(fs, ss)]
+        want = [(i, j) for g in (range(0, 4), range(4, 5), range(5, 7),
+                                 range(7, 10))
+                for i in g for j in g if i < j]
+        assert got == want, chunk
+    assert list(_pairs_within_groups(np.array([], np.int64),
+                                     np.array([], np.int64))) == []

@@ -249,12 +249,55 @@ def pagerank(
     return ranks
 
 
+def _pairs_within_groups(a: np.ndarray, b: np.ndarray,
+                         max_chunk_pairs: int = 8_000_000):
+    """Yield (first_idx, sec_idx) index arrays enumerating all ordered
+    pairs (i < j) WITHIN runs of equal ``a`` (``a`` must be sorted; ``b``
+    ascending within each run) — fully vectorized (repeat/cumsum integer
+    arithmetic, no per-group Python), chunked so no more than
+    ``max_chunk_pairs`` pairs are materialized at once."""
+    n = len(a)
+    if n == 0:
+        return
+    change = np.flatnonzero(a[1:] != a[:-1]) + 1
+    ends = np.concatenate([change, [n]])
+    starts = np.concatenate([[0], change])
+    sizes = ends - starts
+    end_of_row = np.repeat(ends, sizes)
+    pos = np.arange(n, dtype=np.int64)
+    reps = end_of_row - pos - 1  # pairs led by each row
+    csum = np.concatenate([[0], np.cumsum(reps)])
+    total = int(csum[-1])
+    lo = 0
+    while lo < total:
+        hi = min(lo + max_chunk_pairs, total)
+        r0 = int(np.searchsorted(csum, lo, side="right") - 1)
+        r1 = int(np.searchsorted(csum, hi, side="left"))
+        rows = np.arange(r0, r1, dtype=np.int64)
+        rreps = reps[rows]
+        first = np.repeat(rows, rreps)
+        block_start = np.repeat(csum[rows], rreps)
+        offset = np.arange(csum[r0], csum[r1], dtype=np.int64) - block_start
+        sec = first + 1 + offset
+        # trim to the [lo, hi) slice (chunk boundaries fall mid-row)
+        sl = slice(int(lo - csum[r0]), int(hi - csum[r0]))
+        yield first[sl], sec[sl]
+        lo = hi
+
+
+#: above this many distinct edges the closing-edge set is too large to
+#: broadcast (sorted packed-key int64 array: 5M edges = 40 MB per worker
+#: process) and the shuffle tier takes over
+TRIANGLE_BROADCAST_THRESHOLD = 5_000_000
+
+
 def triangle_count(
     edges: rd.Dataset,
     *,
     src: str = "src",
     dst: str = "dst",
     num_partitions: int = 64,
+    broadcast_threshold: int = TRIANGLE_BROADCAST_THRESHOLD,
 ) -> rd.Dataset:
     """Exact per-node triangle counts over an undirected edge table.
 
@@ -263,18 +306,30 @@ def triangle_count(
     dropped).  Output: ``(node:int64, n_tri:int64)`` — one row per node
     that participates in >= 1 triangle; total triangles = sum(n_tri)/3.
 
-    Distributed shape (the standard degree-orientation algorithm, e.g.
-    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
-    Reducer", WWW'11): canonical distinct edges and degrees via hash
-    exchanges; each edge oriented from its lower (degree, node) endpoint
-    so every out-adjacency is O(sqrt(m)); wedges generated by a
-    self-``exchange_join`` on the source; each wedge closed by one more
-    hash join against the oriented edge set.  Every step is a plain-task
-    hash exchange (no JoinOperator actor pools, no per-key Python
-    reduces); wedge volume is sum_a d_out(a)^2 — the orientation bound,
-    candidate-proportional, never materialized on one node.
+    Algorithm: degree orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11) — each edge is
+    oriented from its lower (degree, node) endpoint, so out-adjacencies
+    are O(sqrt(m)) and wedge volume is sum_a d_out(a)^2, skew-proof.
+
+    Two tiers (same pattern as pagerank's driver tier / the broadcast
+    semi-join):
+
+    - **broadcast closing set** (<= ``broadcast_threshold`` distinct
+      edges): the deduped edge list is collected once (bounded: 16
+      bytes/edge), degrees + orientation ranks computed in numpy, and
+      the oriented edge set broadcast via ``ray.put`` as ONE sorted
+      packed-key array (rank_a * n_nodes + rank_b — ranks are dense, so
+      the pack is exact for any int64 node ids).  Wedge generation runs
+      distributed: one hash exchange on the wedge source, per-partition
+      vectorized pair enumeration (``_pairs_within_groups``) checked
+      against the broadcast keys with searchsorted.  No wedge ever
+      crosses the network.
+    - **shuffle tier** (above threshold): degrees attached by two hash
+      joins, wedges by a self-``exchange_join`` on the source, closed by
+      one more hash join — every step a plain-task exchange, wedge
+      volume candidate-proportional.
     """
-    from .exchange import exchange_agg, exchange_join
+    from .exchange import exchange_agg
 
     def canon(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -288,6 +343,81 @@ def triangle_count(
     e = _solid(exchange_agg(
         edges.map_batches(canon, batch_format="pyarrow"),
         ["u", "v"], num_partitions=num_partitions), n=num_partitions // 4)
+    n_edges = e.count()
+
+    if n_edges <= broadcast_threshold:
+        return _triangle_broadcast(e, n_edges,
+                                   num_partitions=num_partitions)
+    return _triangle_shuffle(e, num_partitions=num_partitions)
+
+
+def _triangle_broadcast(e: rd.Dataset, n_edges: int, *,
+                        num_partitions: int) -> rd.Dataset:
+    import ray
+
+    from ..stages.dedup import _worker_obj_cache
+    from .exchange import exchange_agg
+
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "n_tri": pa.array([], pa.int64())}))
+    df = e.to_pandas()
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+    n_nodes = len(nodes)
+    # orientation rank = position in the (degree, node) lexicographic
+    # order; dense ranks make rank_a * n_nodes + rank_b an exact pack
+    order = np.lexsort((nodes, counts))
+    rank = np.empty(n_nodes, np.int64)
+    rank[order] = np.arange(n_nodes, dtype=np.int64)
+    ru = rank[np.searchsorted(nodes, u)]
+    rv = rank[np.searchsorted(nodes, v)]
+    ra = np.minimum(ru, rv)
+    rb = np.maximum(ru, rv)
+    keys = np.sort(ra * n_nodes + rb)
+    ref = ray.put((keys, nodes[order]))  # nodes indexed by rank
+
+    oriented = rd.from_arrow(pa.table({
+        "ra": pa.array(ra, pa.int64()), "rb": pa.array(rb, pa.int64()),
+    })).repartition(max(num_partitions // 4, 1))
+
+    def part_of(t: pa.Table) -> pa.Table:
+        from .analytics import splitmix64
+
+        h = (splitmix64(t.column("ra").to_numpy(zero_copy_only=False))
+             % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(h, pa.int32()))
+
+    def wedges_check(g: pa.Table, ref=ref, n_nodes=n_nodes) -> pa.Table:
+        keys, node_by_rank = _worker_obj_cache(ref)
+        a = g.column("ra").to_numpy(zero_copy_only=False)
+        b = g.column("rb").to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        out = []
+        for first, sec in _pairs_within_groups(a, b):
+            wk = b[first] * n_nodes + b[sec]
+            pos = np.searchsorted(keys, wk)
+            hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                       == wk)
+            if hit.any():
+                out.append(np.concatenate([a[first][hit], b[first][hit],
+                                           b[sec][hit]]))
+        ranks = (np.concatenate(out) if out
+                 else np.array([], np.int64))
+        return pa.table({"node": pa.array(node_by_rank[ranks], pa.int64())})
+
+    wedged = (oriented.map_batches(part_of, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(lambda g: wedges_check(g.drop_columns(["_part"])),
+                          batch_format="pyarrow"))
+    return exchange_agg(wedged, "node", [("node", "count", "n_tri")],
+                        num_partitions=min(num_partitions, 16))
+
+
+def _triangle_shuffle(e: rd.Dataset, *, num_partitions: int) -> rd.Dataset:
+    from .exchange import exchange_agg, exchange_join
 
     def endpoints(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays([t.column("u").combine_chunks(),
