@@ -1881,6 +1881,60 @@ def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
             .sort_values(["term_a", "term_b"]).reset_index(drop=True))
 
 
+def _graph_components_parts(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the strong part co-occurrence graph
+    (parts sharing >= 2 orders), via the stationary-partition BSP engine
+    (stages/bsp.py::connected_components_bsp — Hash-to-Min pointer
+    jumping, O(log diameter) rounds).  component = min part id in the
+    component; isolated parts (no qualifying edge) are absent."""
+    from text_to_rdf_ray.stages.bsp import connected_components_bsp
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("pk2").to_numpy(zero_copy_only=False)
+        k = a < b
+        return pa.table({"u": pa.array(a[k], pa.int64()),
+                         "v": pa.array(b[k], pa.int64())})
+
+    counted = exchange_agg(pairs.map_batches(lt, batch_format="pyarrow"),
+                           ["u", "v"], [("u", "count", "c")])
+
+    def strong_sym(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.greater_equal(t.column("c"), pa.scalar(2)))
+        u = f.column("u").combine_chunks()
+        v = f.column("v").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([u, v]),
+                         "dst": pa.concat_arrays([v, u])})
+
+    und = counted.map_batches(strong_sym, batch_format="pyarrow")
+    labels, _rounds = connected_components_bsp(und, num_parts=8)
+    out = labels.to_pandas()
+    if out.empty or "name_id" not in out.columns:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "component": pd.Series(dtype="int64")})
+    out = out.rename(columns={"name_id": "l_partkey"})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return (out[["l_partkey", "component"]]
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
 def _kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd k-means (k=8, 5 iterations, deterministic
     lowest-id init) over the embeddings table — stages/knn.py::
@@ -2009,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _docs_decontaminate,
         "graph_pagerank_suppcust": _graph_pagerank,
         "graph_triangles_parts": _graph_triangles_parts,
+        "graph_components_parts": _graph_components_parts,
         "orders_semi_rich_custs": _orders_semi_rich_custs,
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
@@ -2266,6 +2321,28 @@ def oracle_sql() -> dict[str, str]:
                      FROM dist)
             SELECT vec_id, cluster, dist FROM best WHERE rn = 1
             ORDER BY vec_id
+        """,
+        # independent min-reach CC replay over the same >=2-order edges
+        "graph_components_parts": """
+            WITH RECURSIVE inst AS (
+              SELECT least(a.l_partkey, b.l_partkey) AS u,
+                     greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            e2 AS (SELECT u, v FROM inst GROUP BY u, v
+                   HAVING count(*) >= 2),
+            edges AS (SELECT u AS src, v AS dst FROM e2
+                      UNION ALL SELECT v, u FROM e2),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach
+              JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS l_partkey, min(r) AS component
+            FROM reach GROUP BY id ORDER BY l_partkey
         """,
         # Independent triangle replay: canonical u<v distinct edges, then
         # the classic three-way self-join (each triangle counted once as
