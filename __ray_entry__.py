@@ -1863,6 +1863,26 @@ def _events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _events_winsorized_value(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type winsorized mean of value (clipped to the exact
+    [p5, p95] group quantiles) — stages/analytics.py::winsorized_mean:
+    histogram-locate quantiles (no global sort) feeding one partial-sums
+    hash exchange."""
+    from text_to_rdf_ray.stages.analytics import winsorized_mean
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = winsorized_mean(ev, key_col="event_type", value_col="value",
+                          q_lo=0.05, q_hi=0.95).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                             "n": pd.Series(dtype="int64"),
+                             "w_mean": pd.Series(dtype="float64")})
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "n", "w_mean"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     """Within-document term-pair PMI (collocation mining) — stages/
     curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
@@ -2052,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
         "events_value_hour_corr": _events_value_hour_corr,
+        "events_winsorized_value": _events_winsorized_value,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
         # curation (training-data prep)
@@ -2603,6 +2624,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE n >= 2 AND (n * sxx - sx * sx) > 0
               AND (n * syy - sy * sy) > 0
             ORDER BY event_type
+        """,
+        # winsorized mean: clip to the exact linear-interpolated group
+        # p5/p95 (quantile_cont == numpy linear interpolation), then avg
+        "events_winsorized_value": """
+            WITH q AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(greatest(q.lo, least(q.hi, e.value))), 6) AS w_mean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         # cohort = per-user min activity day (epoch days, us // 86400e6
         # == floor(epoch(ts)/86400) for post-1970 timestamps)

@@ -656,3 +656,36 @@ def test_group_corr_drops_degenerate_keys(ray_session):
                      y_col="y").to_pandas()
     assert set(out["k"]) == {"ok"}
     assert abs(out["corr"].iloc[0] - 1.0) < 1e-9
+
+
+def test_winsorized_mean_matches_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import winsorized_mean
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 3_000),
+        "v": rng.lognormal(3.0, 1.5, 3_000),  # heavy right tail
+    })
+    out = (winsorized_mean(rd.from_pandas(df).repartition(6),
+                           key_col="k", value_col="v", num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        vals = df[df["k"] == row["k"]]["v"].to_numpy()
+        lo, hi = np.quantile(vals, 0.05), np.quantile(vals, 0.95)
+        want = np.clip(vals, lo, hi).mean()
+        assert row["n"] == len(vals)
+        assert abs(row["w_mean"] - want) < 1e-5, (row["k"], row["w_mean"], want)
+        # winsorizing a heavy tail must pull the mean DOWN vs the raw mean
+        assert row["w_mean"] < vals.mean()
+
+
+def test_winsorized_mean_empty(ray_session):
+    from text_to_rdf_ray.stages.analytics import winsorized_mean
+
+    ds = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype=str),
+                                      "v": pd.Series(dtype="float64")}))
+    out = winsorized_mean(ds, key_col="k", value_col="v")
+    # zero-row to_pandas loses columns in Ray 2.49 — assert on the schema
+    assert out.schema().names == ["k", "n", "w_mean"]
+    assert out.count() == 0

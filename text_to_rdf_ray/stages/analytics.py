@@ -616,3 +616,62 @@ def group_corr(
         })
 
     return red.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorized_mean(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-key winsorized mean: values clipped to the exact
+    [q_lo, q_hi] linear-interpolated group quantiles, then averaged —
+    the robust-statistics filter step (outlier-insensitive per-domain
+    means for quality dashboards / reward normalization).
+
+    Composition: ``group_quantiles_exact`` (three histogram-locate
+    passes, no global sort) supplies the per-group bounds — a
+    driver-side table of one row per group, broadcast in the clip
+    closure — then ONE streaming pass emits per-batch (key, n, s)
+    partials reduced by a single hash exchange.  Output:
+    ``(key, n:int64, w_mean:float64 rounded to 6 dp)``.
+    """
+    from .exchange import exchange_agg
+
+    qdf = group_quantiles_exact(ds, key_col=key_col, value_col=value_col,
+                                qs=[q_lo, q_hi])
+    if qdf.empty:
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "w_mean": pa.array([], pa.float64())}))
+    lo_map = dict(zip(qdf[key_col], qdf[f"q_{q_lo}"]))
+    hi_map = dict(zip(qdf[key_col], qdf[f"q_{q_hi}"]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch[key_col].map(lo_map).to_numpy(dtype=np.float64)
+        hi = batch[key_col].map(hi_map).to_numpy(dtype=np.float64)
+        v = np.clip(batch[value_col].to_numpy(dtype=np.float64), lo, hi)
+        g = (pd.DataFrame({key_col: batch[key_col], "v": v})
+             .groupby(key_col, sort=False)["v"].agg(["size", "sum"])
+             .reset_index())
+        return g.rename(columns={"size": "n", "sum": "s"})
+
+    red = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        key_col, [("n", "sum", "n"), ("s", "sum", "s")],
+        num_partitions=num_partitions, combine=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        m = s / n
+        m = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        return pa.table({key_col: t.column(key_col),
+                         "n": pa.array(n.astype(np.int64), pa.int64()),
+                         "w_mean": pa.array(m, pa.float64())})
+
+    return red.map_batches(finish, batch_format="pyarrow")
