@@ -1883,6 +1883,62 @@ def _events_winsorized_value(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _orders_price_buckets(sf_dir: str) -> pd.DataFrame:
+    """Within-group quantile-bucket assignment (quartiles of totalprice
+    per order status) — stages/analytics.py::quantile_bucket: exact
+    histogram-locate bounds broadcast into one streaming pass."""
+    from text_to_rdf_ray.stages.analytics import quantile_bucket
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = quantile_bucket(orders, key_col="o_orderstatus",
+                          value_col="o_totalprice", n_buckets=4).to_pandas()
+    if out.empty or "o_orderkey" not in out.columns:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "o_orderstatus": pd.Series(dtype=str),
+                             "o_totalprice": pd.Series(dtype="float64"),
+                             "bucket": pd.Series(dtype="int64")})
+    return (out[["o_orderkey", "o_orderstatus", "o_totalprice", "bucket"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def _events_zscore_value(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score standardization of value — stages/
+    analytics.py::group_zscore: one partial-sums exchange for the
+    per-group constants (rounded to 6 dp so the SQL replay applies
+    bit-identical mean/std), then a streaming apply pass."""
+    from text_to_rdf_ray.stages.analytics import group_zscore
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = group_zscore(ev, key_col="event_type", value_col="value").to_pandas()
+    if out.empty or "event_id" not in out.columns:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype=str),
+                             "value": pd.Series(dtype="float64"),
+                             "z": pd.Series(dtype="float64")})
+    return (out[["event_id", "event_type", "value", "z"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _docs_dominant_lang(sf_dir: str) -> pd.DataFrame:
+    """Dominant language per source domain — stages/analytics.py::
+    group_mode: (key, value) counts via exchange_agg, top-1 per key with
+    ascending-value tiebreak (integer/string exact, fully SQL-replayable)."""
+    from text_to_rdf_ray.stages.analytics import group_mode
+
+    docs = _documents(sf_dir).select_columns(["source", "lang"])
+    out = group_mode(docs, key_col="source", value_col="lang").to_pandas()
+    if out.empty or "source" not in out.columns:
+        return pd.DataFrame({"source": pd.Series(dtype=str),
+                             "lang": pd.Series(dtype=str),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return (out[["source", "lang", "n"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def _docs_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     """Within-document term-pair PMI (collocation mining) — stages/
     curation.py::pmi_pairs: df reduce + broadcast vocabulary + packed-key
@@ -2073,6 +2129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _events_retention,
         "events_value_hour_corr": _events_value_hour_corr,
         "events_winsorized_value": _events_winsorized_value,
+        "events_zscore_value": _events_zscore_value,
+        "orders_price_buckets": _orders_price_buckets,
+        "docs_dominant_lang": _docs_dominant_lang,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "lineitem_quantiles": _lineitem_quantiles,
         # curation (training-data prep)
@@ -2636,6 +2695,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(greatest(q.lo, least(q.hi, e.value))), 6) AS w_mean
             FROM events e JOIN q USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        # z-score: constants rounded to 6dp on BOTH sides, so the per-row
+        # (value - m) / sd is a bit-identical IEEE op sequence
+        "events_zscore_value": """
+            WITH s AS (SELECT event_type, count(*) AS n, sum(value) AS s1,
+                              sum(value * value) AS s2
+                       FROM events GROUP BY event_type),
+            m AS (SELECT event_type, round(s1 / n, 6) AS m,
+                         round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                             0.0)), 6) AS sd
+                  FROM s)
+            SELECT e.event_id, e.event_type, e.value,
+                   round(CASE WHEN m.sd > 0 THEN (e.value - m.m) / m.sd
+                              ELSE 0.0 END, 6) AS z
+            FROM events e JOIN m USING (event_type)
+            ORDER BY event_id
+        """,
+        # bucket i covers (q_{(i-1)/4}, q_{i/4}]: an interpolated bound lies
+        # strictly between adjacent order statistics, so v > bound is
+        # engine-independent (see quantile_bucket docstring)
+        "orders_price_buckets": """
+            WITH q AS (SELECT o_orderstatus,
+                              quantile_cont(o_totalprice, 0.25) AS b1,
+                              quantile_cont(o_totalprice, 0.50) AS b2,
+                              quantile_cont(o_totalprice, 0.75) AS b3
+                       FROM orders GROUP BY o_orderstatus)
+            SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+                   CAST(1 + CAST(o.o_totalprice > q.b1 AS INT)
+                          + CAST(o.o_totalprice > q.b2 AS INT)
+                          + CAST(o.o_totalprice > q.b3 AS INT) AS BIGINT)
+                     AS bucket
+            FROM orders o JOIN q USING (o_orderstatus)
+            ORDER BY o_orderkey
+        """,
+        "docs_dominant_lang": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY source, lang),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+                  FROM c)
+            SELECT source, lang, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1 ORDER BY source
         """,
         # cohort = per-user min activity day (epoch days, us // 86400e6
         # == floor(epoch(ts)/86400) for post-1970 timestamps)

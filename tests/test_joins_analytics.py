@@ -689,3 +689,65 @@ def test_winsorized_mean_empty(ray_session):
     # zero-row to_pandas loses columns in Ray 2.49 — assert on the schema
     assert out.schema().names == ["k", "n", "w_mean"]
     assert out.count() == 0
+
+
+def test_quantile_bucket_matches_numpy(ray_session):
+    from text_to_rdf_ray.stages.analytics import quantile_bucket
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 2_000),
+        "id": np.arange(2_000),
+        "v": np.round(rng.random(2_000) * 100, 2),  # 2dp ties like prices
+    })
+    out = (quantile_bucket(rd.from_pandas(df).repartition(5),
+                           key_col="k", value_col="v", n_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    for g, sub in df.groupby("k"):
+        bounds = np.quantile(sub["v"].to_numpy(), [0.25, 0.5, 0.75])
+        want = 1 + (sub["v"].to_numpy()[:, None] > bounds).sum(axis=1)
+        got = out[out["k"] == g].sort_values("id")["bucket"].to_numpy()
+        assert (got == want).all()
+    # each bucket ~25% of its group
+    for (g, b), sub in out.groupby(["k", "bucket"]):
+        n_g = (out["k"] == g).sum()
+        assert abs(len(sub) / n_g - 0.25) < 0.05, (g, b, len(sub), n_g)
+
+
+def test_group_zscore_matches_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_zscore
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 1_500),
+        "id": np.arange(1_500),
+        "v": rng.randn(1_500) * 40 + 500,
+    })
+    df.loc[df["k"] == "c", "v"] = 7.0  # zero-variance group -> z = 0
+    out = (group_zscore(rd.from_pandas(df).repartition(4),
+                        key_col="k", value_col="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.sort_values("id").groupby("k")["v"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=0) if s.std(ddof=0) > 0 else 0.0)
+    assert np.allclose(out["z"].to_numpy(), want.to_numpy(), atol=2e-6)
+
+
+def test_group_mode_matches_pandas(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_mode
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 3_000),
+        "v": rng.choice(["en", "de", "fr", "es"], 3_000, p=[.5, .3, .1, .1]),
+    })
+    # force a tie in one group: mode must break ascending on value
+    df = pd.concat([df, pd.DataFrame({"k": ["tie"] * 4,
+                                      "v": ["bb", "aa", "bb", "aa"]})])
+    out = (group_mode(rd.from_pandas(df).repartition(6),
+                      key_col="k", value_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        vc = df[df["k"] == row["k"]]["v"].value_counts()
+        top = vc[vc == vc.max()].index.min()  # ties -> lexicographic min
+        assert row["v"] == top and row["n"] == vc.max(), row["k"]
+    assert out[out["k"] == "tie"]["v"].iloc[0] == "aa"

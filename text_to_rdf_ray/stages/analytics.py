@@ -675,3 +675,146 @@ def winsorized_mean(
                          "w_mean": pa.array(m, pa.float64())})
 
     return red.map_batches(finish, batch_format="pyarrow")
+
+
+def quantile_bucket(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 4,
+    out_col: str = "bucket",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group quantile-bucket assignment (curriculum / quality tiers):
+    each row gets bucket 1..n_buckets where bucket i covers values in
+    (q_{(i-1)/n}, q_{i/n}] of ITS group — the deterministic alternative
+    to SQL ``ntile``, whose equal-size tie-breaking is order-dependent.
+
+    ``group_quantiles_exact`` supplies the n_buckets-1 interior bounds
+    (driver table, one row per group, broadcast in the map closure);
+    assignment is then a single streaming vectorized pass — no shuffle
+    of the data itself.  Boundary determinism: an interpolated bound
+    lies strictly between two adjacent order statistics, so no data
+    value can sit within one ulp of it; a bound that IS a data value is
+    bit-exact in any quantile_cont implementation (lerp with frac=0 or
+    equal endpoints), so ``v > bound`` replays identically in SQL.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qdf = group_quantiles_exact(ds, key_col=key_col, value_col=value_col,
+                                qs=qs)
+    bounds = {row[key_col]: np.array([row[f"q_{q}"] for q in qs],
+                                     dtype=np.float64)
+              for _, row in qdf.iterrows()}
+    key_ix = {k: i for i, k in enumerate(bounds)}
+    bmat = (np.stack(list(bounds.values()))
+            if bounds else np.zeros((0, len(qs))))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(**{out_col: pd.Series(dtype="int64")})
+        ix = batch[key_col].map(key_ix).to_numpy(dtype=np.int64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        b = 1 + (v[:, None] > bmat[ix]).sum(axis=1)
+        return batch.assign(**{out_col: b.astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=65536)
+
+
+def group_zscore(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "z",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group z-score standardization (population std): the reward /
+    quality normalization step.  One partial-sums pass (per-batch
+    (key, n, s, ss) rows) reduced by a hash exchange gives the per-group
+    mean/std — a |groups|-sized driver table broadcast into a second
+    streaming pass that appends ``out_col`` rounded to 6 dp.  Groups
+    with zero variance get z = 0.0 (documented; SQL replays via
+    coalesce).  No shuffle of the data rows themselves.
+    """
+    from .exchange import exchange_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        g = (pd.DataFrame({key_col: batch[key_col], "v": v, "vv": v * v})
+             .groupby(key_col, sort=False)
+             .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+             .reset_index())
+        return g
+
+    red = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        key_col, [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss")],
+        num_partitions=num_partitions, combine=False).to_pandas()
+
+    # round the per-group constants to 6 dp BEFORE applying: the engines'
+    # sums differ in the last ulp (summation order), but the rounded
+    # constants agree, making every per-row z bit-identical to the SQL
+    # replay computed from the same rounded mean/std
+    def _r6(x: float) -> float:
+        return float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+
+    stats: dict = {}
+    for _, row in red.iterrows():
+        n, s, ss = row["n"], row["s"], row["ss"]
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        stats[row[key_col]] = (_r6(mean), _r6(float(np.sqrt(var))))
+
+    def apply_z(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(**{out_col: pd.Series(dtype="float64")})
+        mean = batch[key_col].map({k: v[0] for k, v in stats.items()}) \
+            .to_numpy(dtype=np.float64)
+        std = batch[key_col].map({k: v[1] for k, v in stats.items()}) \
+            .to_numpy(dtype=np.float64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0, (v - mean) / std, 0.0)
+        z = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6
+        return batch.assign(**{out_col: z})
+
+    return ds.map_batches(apply_z, batch_format="pandas", batch_size=65536)
+
+
+def group_mode(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key modal value (e.g. dominant language per source domain):
+    (key, value) counts via ``exchange_agg`` (per-batch combiner, one
+    hash exchange), then top-1 per key by (count desc, value asc) via
+    ``topk_per_group``'s partition-vectorized reduce.  Output:
+    ``(key, value, n:int64)`` — fully integer/string-deterministic, so
+    the SQL replay is exact.
+    """
+    from .exchange import exchange_agg
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    counts = exchange_agg(
+        ds.select_columns([key_col, value_col])
+          .map_batches(ones, batch_format="pyarrow"),
+        [key_col, value_col], [("_one", "sum", "n")],
+        num_partitions=num_partitions)
+    top = topk_per_group(counts, key_col=key_col, sort_col="n",
+                         tiebreak_col=value_col, k=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t.column(key_col),
+                         value_col: t.column(value_col),
+                         "n": t.column("n").cast(pa.int64())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
