@@ -1405,6 +1405,34 @@ def _orders_semi_rich_custs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _orders_anti_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom anti-join: orders whose customer does NOT have acctbal > 9000
+    (stages/joins.py::semi_join_bloom — the exact-result scale path past
+    the broadcast budget: word-OR'd bitmap exchange + survivors-only
+    verify exchange; n_bits kept small here on purpose so false
+    positives exercise the verify)."""
+    from text_to_rdf_ray.stages.joins import semi_join_bloom
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bal > 9000.0))
+
+    keys = cust.map_batches(rich, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = semi_join_bloom(orders, keys, key_col="o_custkey",
+                          keys_col="c_custkey", anti=True,
+                          n_bits=1 << 10).to_pandas()
+    out["o_totalprice"] = _r(out["o_totalprice"], 2)
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build: (term, chunk_seq, df, postings) rows with
     sorted distinct doc-id posting lists CHUNKED at 16 ids per row (small
@@ -2145,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_parts": _graph_triangles_parts,
         "graph_components_parts": _graph_components_parts,
         "orders_semi_rich_custs": _orders_semi_rich_custs,
+        "orders_anti_bloom": _orders_anti_bloom,
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
         "docs_heavy_hitters": _docs_heavy_hitters,
@@ -2453,6 +2482,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_acctbal > 9000)
+            ORDER BY o_orderkey
+        """,
+        "orders_anti_bloom": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_acctbal > 9000)
             ORDER BY o_orderkey
         """,
         "docs_inverted_index": """

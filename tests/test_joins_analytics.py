@@ -751,3 +751,41 @@ def test_group_mode_matches_pandas(ray_session):
         top = vc[vc == vc.max()].index.min()  # ties -> lexicographic min
         assert row["v"] == top and row["n"] == vc.max(), row["k"]
     assert out[out["k"] == "tie"]["v"].iloc[0] == "aa"
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_join_bloom_parity(ray_session, anti):
+    from text_to_rdf_ray.stages.joins import semi_join_bloom, semi_join_filter
+
+    rng = np.random.RandomState(23)
+    big = rd.from_pandas(pd.DataFrame({
+        "k": rng.randint(0, 5_000, 20_000).astype(np.int64),
+        "v": np.arange(20_000, dtype=np.int64),
+    })).repartition(8)
+    keys = rd.from_pandas(pd.DataFrame({
+        "k": rng.randint(0, 5_000, 3_000).astype(np.int64)}))
+    # 256-bit bloom -> saturated filter, heavy false-positive load on the
+    # verify exchange; result must still be EXACT
+    got = (semi_join_bloom(big, keys, key_col="k", anti=anti, n_bits=256)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    want = (semi_join_filter(big, keys, key_col="k", anti=anti)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+
+def test_semi_join_bloom_string_keys_and_empty(ray_session):
+    from text_to_rdf_ray.stages.joins import semi_join_bloom
+
+    big = rd.from_pandas(pd.DataFrame({
+        "k": [f"dom{i % 7}.com" for i in range(200)],
+        "v": np.arange(200, dtype=np.int64)}))
+    keys = rd.from_pandas(pd.DataFrame({"kc": ["dom1.com", "dom3.com"]}))
+    semi = semi_join_bloom(big, keys, key_col="k", keys_col="kc",
+                           n_bits=1 << 10).to_pandas()
+    assert set(semi["k"]) == {"dom1.com", "dom3.com"}
+    # empty key side: semi empty, anti keeps everything
+    empty = rd.from_pandas(pd.DataFrame({"kc": pd.Series(dtype=str)}))
+    assert semi_join_bloom(big, empty, key_col="k", keys_col="kc",
+                           n_bits=1 << 10).count() == 0
+    assert semi_join_bloom(big, empty, key_col="k", keys_col="kc", anti=True,
+                           n_bits=1 << 10).count() == 200

@@ -62,6 +62,22 @@ def _key_hash(tbl: pa.Table, on: list[str]) -> np.ndarray:
     return acc
 
 
+def as_arrow_schema(schema) -> pa.Schema:
+    """Ray ``Dataset.schema()`` -> ``pa.Schema``.  A pandas-block-backed
+    dataset (``from_pandas``) reports numpy dtypes / Python ``object``
+    for strings instead of Arrow types; normalize so schema-driven
+    operators (``exchange_join``, ``semi_join_bloom``) accept either."""
+    fields = []
+    for n, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        elif t is object or t is str:
+            fields.append((n, pa.string()))
+        else:
+            fields.append((n, pa.from_numpy_dtype(np.dtype(t))))
+    return pa.schema(fields)
+
+
 def join_out_schema(
     left_schema: pa.Schema,
     right_schema: pa.Schema,
