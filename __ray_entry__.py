@@ -1433,6 +1433,24 @@ def _orders_anti_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level duplicate 5-gram fraction per document (cross-doc
+    repetition signal) — stages/curation.py::dup_ngram_fraction: 128-bit
+    gram-hash exchange for global counts, doc-keyed partial reduce,
+    exchange_join back to per-doc totals."""
+    from text_to_rdf_ray.stages.curation import dup_ngram_fraction
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = dup_ngram_fraction(docs, n=5).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_grams": pd.Series(dtype="int64"),
+                             "n_dup": pd.Series(dtype="int64"),
+                             "dup_frac": pd.Series(dtype="float64")})
+    return (out[["doc_id", "n_grams", "n_dup", "dup_frac"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build: (term, chunk_seq, df, postings) rows with
     sorted distinct doc-id posting lists CHUNKED at 16 ids per row (small
@@ -2176,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_bloom": _orders_anti_bloom,
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
+        "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
         "docs_source_quality_cap": _docs_source_quality_cap,
@@ -3428,6 +3447,31 @@ def oracle_sql() -> dict[str, str]:
               FROM passages)
             SELECT doc_id, passage_idx, n_words, (rn = 1) AS keep
             FROM ranked ORDER BY doc_id, passage_idx
+        """,
+        "docs_dup_ngram_frac": """
+            -- 5-gram occurrences; dup = gram appears >= 2 times corpus-wide
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                    FROM words)),
+            cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            per AS (SELECT doc_id, count(*) AS n_grams,
+                           sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+                    FROM grams JOIN cnt USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+                   round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                              THEN per.n_dup / per.n_grams ELSE 0.0 END, 6)
+                     AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "docs_decontaminate": """
             -- benchmark 8-gram overlap (curation.py::decontaminate);

@@ -409,3 +409,42 @@ def test_pmi_pairs_max_vocab_raises(ray_session):
     ds = rd.from_items([{"doc_id": i, "text": f"w{i} common"} for i in range(20)])
     with pytest.raises(ValueError, match="max_vocab"):
         pmi_pairs(ds, min_df=1, min_pair=1, max_vocab=3)
+
+
+def test_dup_ngram_fraction_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import _terms, _word_ngrams, dup_ngram_fraction
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the cat sat on the mat and the cat sat on the mat",  # self-repeat
+            "the cat sat on the mat quite happily today it seems",  # shares grams with 0
+            "completely unique words alpha beta gamma delta epsilon zeta",
+            "short text",                                           # < n words
+            "completely unique words alpha beta gamma delta epsilon zeta",  # dup of 2
+            "one more document with no overlap whatsoever here now",
+        ],
+    })
+    out = (dup_ngram_fraction(rd.from_pandas(docs).repartition(3), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force: global n-gram counts over occurrences
+    from collections import Counter
+    allc = Counter()
+    per_doc = []
+    for t in docs["text"]:
+        gs = _word_ngrams(_terms(t), 5)
+        per_doc.append(gs)
+        allc.update(gs)
+    for i, gs in enumerate(per_doc):
+        nd = sum(1 for g in gs if allc[g] >= 2)
+        row = out.iloc[i]
+        assert row["n_grams"] == len(gs), i
+        assert row["n_dup"] == nd, i
+        want = round(nd / len(gs), 6) if gs else 0.0
+        assert abs(row["dup_frac"] - want) < 1e-9, i
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
+    assert out.loc[0, "n_dup"] > 0 and out.loc[2, "dup_frac"] == 1.0

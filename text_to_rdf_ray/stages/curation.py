@@ -930,3 +930,100 @@ def pmi_pairs(
         })
 
     return red.map_batches(score, batch_format="pyarrow")
+
+
+def dup_ngram_fraction(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Corpus-level duplicate-n-gram fraction per document (the
+    Gopher/RefinedWeb repetition signal computed ACROSS documents, not
+    within one): for each doc, the fraction of its n-gram occurrences
+    whose n-gram appears >= 2 times in the whole corpus (within-doc
+    repeats count — the corpus total includes them).
+
+    Output: (id_col, n_grams, n_dup: int64, dup_frac: float64 6 dp);
+    docs with fewer than ``n`` words get (0, 0, 0.0).
+
+    Scale shape: the exchange ships one 128-bit n-gram hash + an int64
+    occurrence count per DISTINCT (doc, gram) — never gram text.  All
+    rows of a gram land in one hash partition, so global counts resolve
+    per partition with a vectorized transform('sum'); per-doc dup
+    partials then reduce by one doc-keyed exchange, and a final
+    ``exchange_join`` attaches them to the per-doc totals.  Three
+    exchanges total, each O(#distinct (doc, gram) pairs).
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_h1, out_h2, out_occ = [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            words = _terms(txt)
+            counts: dict = {}
+            for g in _word_ngrams(words, n):
+                dig = hashlib.blake2b(g.encode("utf-8"),
+                                      digest_size=16).digest()
+                counts[dig] = counts.get(dig, 0) + 1
+            for dig, occ in counts.items():
+                out_id.append(did)
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+                out_occ.append(occ)
+        h1 = np.array(out_h1, dtype=np.int64)
+        part = (h1.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "_h1": pa.array(out_h1, pa.int64()),
+            "_h2": pa.array(out_h2, pa.int64()),
+            "_occ": pa.array(out_occ, pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+        total = g.groupby(["_h1", "_h2"], sort=False)["_occ"].transform("sum")
+        dup = g["_occ"].to_numpy() * (total.to_numpy() >= 2)
+        out = (pd.DataFrame({id_col: g[id_col], "n_dup": dup})
+               .groupby(id_col, sort=False)["n_dup"].sum().reset_index())
+        return out
+
+    dups = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow")
+          .groupby("_part").map_groups(mark_part, batch_format="pandas"),
+        id_col, [("n_dup", "sum", "n_dup")],
+        num_partitions=num_partitions, combine=False)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, ng = [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ids.append(did)
+            ng.append(max(len(_terms(txt)) - n + 1, 0))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ng, pa.int64())})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    joined = exchange_join(
+        tot, dups, on=id_col, how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("n_dup", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nd = np.nan_to_num(
+            t.column("n_dup").to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(ng > 0, nd / ng, 0.0)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": pa.array(ng, pa.int64()),
+                         "n_dup": pa.array(nd, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
