@@ -584,6 +584,31 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN (stages/knn.py knn_lsh): random-hyperplane sign
+    buckets, multiprobe=1 (own bucket + every 1-bit flip).  Recall < 1 vs
+    brute force by design, but EXACT within the probed buckets — dumping
+    (vec_id, bucket) assignments and the per-query probed buckets lets
+    DuckDB replay that semantics precisely (same trick as knn_ivf)."""
+    from text_to_rdf_ray.stages.knn import knn_lsh, lsh_assignments
+
+    q, qids = _knn_queries(sf_dir)
+    emb = _embeddings(sf_dir)
+    side: dict = {}
+    out = knn_lsh(emb, q, qids, k=10, n_planes=6, multiprobe=1, side_out=side)
+    assign = lsh_assignments(emb, side["planes"]).to_pandas()
+    _side_write("knn_lsh", "assign.parquet",
+                assign.sort_values("vec_id").reset_index(drop=True))
+    probes = pd.DataFrame(
+        [(qid, b) for qid, buckets in side["probes"] for b in buckets],
+        columns=["query_id", "bucket"],
+    )
+    _side_write("knn_lsh", "probes.parquet", probes)
+    return out[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     """Write-once partitioned IVF index + probe (stages/knn.py
     build_ivf_index / knn_ivf_indexed).  nprobe = n_clusters, so the result
@@ -2154,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
         "knn_ivf_indexed": _knn_ivf_indexed,
+        "knn_lsh": _knn_lsh,
         "embedding_label_stats": _embedding_label_stats,
         "kmeans_embeddings": _kmeans_embeddings,
         # relational / streaming-shaped
@@ -3068,6 +3094,25 @@ def oracle_sql() -> dict[str, str]:
                  s AS (SELECT q.qid, e.vec_id AS nid,
                               list_cosine_similarity(q.qe, e.embedding) AS sim
                        FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT qid, nid, sim,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
+        """,
+        "knn_lsh": f"""
+            WITH a AS (SELECT vec_id, bucket
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_lsh", "assign.parquet")}')),
+                 p AS (SELECT query_id, bucket
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_lsh", "probes.parquet")}')),
+                 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < {_QUERY_N}),
+                 s AS (SELECT p.query_id AS qid, a.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM p JOIN a ON a.bucket = p.bucket
+                              JOIN q ON q.qid = p.query_id
+                              JOIN embeddings e ON e.vec_id = a.vec_id),
                  r AS (SELECT qid, nid, sim,
                               row_number() OVER (PARTITION BY qid
                                                  ORDER BY sim DESC, nid ASC) AS rnk

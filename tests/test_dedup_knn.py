@@ -674,3 +674,38 @@ def test_kmeans_lloyd_k_exceeds_n_raises(ray_session):
     df = pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.0, 1.0], [1.0, 0.0]]})
     with pytest.raises(ValueError, match="only 2 vectors"):
         kmeans_lloyd(rd.from_pandas(df), k=5, iters=1)
+
+
+def test_knn_lsh_exact_within_probed_buckets(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import (
+        _normalize, knn_lsh, lsh_bucket, lsh_planes)
+
+    rng = np.random.RandomState(3)
+    n, d = 2_000, 16
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb)})).repartition(4)
+    q = emb[:20]
+    qids = list(range(20))
+    side: dict = {}
+    out = knn_lsh(ds, q, qids, k=5, n_planes=6, multiprobe=1, side_out=side)
+
+    planes = side["planes"]
+    buckets = lsh_bucket(emb, planes)
+    qn, en = _normalize(q.astype(np.float32)), _normalize(emb)
+    probes = dict(side["probes"])
+    for qi, qid in enumerate(qids):
+        cand = np.flatnonzero(np.isin(buckets, probes[qid]))
+        sims = en[cand] @ qn[qi]
+        order = np.lexsort((cand, -sims))[:5]
+        want = cand[order]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert got["neighbor_id"].tolist() == want.tolist(), qid
+    # multiprobe recall sanity: each query's own vector is its own rank-1
+    own = out[out["rank"] == 1]
+    assert (own["query_id"].to_numpy() == own["neighbor_id"].to_numpy()).all()

@@ -564,3 +564,149 @@ def kmeans_lloyd(
         })
 
     return ds.map_batches(final, batch_format="pyarrow"), cent
+
+
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (n_planes, dim) float32."""
+    return (np.random.RandomState(seed)
+            .standard_normal((n_planes, dim)).astype(np.float32))
+
+
+def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row of ``m``: bit j set iff m @ planes[j] > 0.
+    Normalization does not change signs, so buckets match between the
+    normalized scorer path and any raw-vector replay."""
+    signs = (m @ planes.T) > 0
+    return (signs.astype(np.int64)
+            << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def lsh_assignments(
+    ds: rd.Dataset,
+    planes: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """(id, bucket) for every row — the side table a SQL oracle needs to
+    replay the probed-bucket candidate sets (mirrors ``ivf_assignments``)."""
+    p_ref = ray.put(planes)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = cache.get("p")
+        if p is None:
+            p = cache["p"] = ray.get(p_ref)
+        m = _emb_matrix(batch, emb_col)
+        b = lsh_bucket(m, p)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "bucket": pa.array(b, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    side_out: dict | None = None,
+) -> pd.DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures put the corpus into
+    2^n_planes buckets; each query probes its own bucket plus, with
+    ``multiprobe=1``, every 1-bit-flip neighbor (n_planes+1 probes) —
+    the standard recall lever.  Result = EXACT cosine top-k among the
+    vectors in the probed buckets (recall < 1 vs brute force by design;
+    the oracle replays the probed-bucket candidate-set semantics from
+    the ``lsh_assignments`` side table).
+
+    Scale shape vs IVF: no training pass at all — bucketing is a pure
+    function of the vector, so assignment parallelizes embarrassingly and
+    the bucketed corpus can be written partitioned-by-bucket once (same
+    partition-pruned probe path as ``build_ivf_index``).  Per batch only
+    rows whose bucket is probed by some query are scored (one matmul per
+    (bucket, probing-queries) group).
+    """
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1")
+    qm_raw = np.asarray(queries, dtype=np.float32)
+    planes = lsh_planes(qm_raw.shape[1], n_planes, seed)
+    qm = _normalize(qm_raw)
+    q_buckets = lsh_bucket(qm_raw, planes)
+    probes: list[set[int]] = []
+    for b in q_buckets:
+        p = {int(b)}
+        if multiprobe:
+            p |= {int(b) ^ (1 << j) for j in range(n_planes)}
+        probes.append(p)
+    if side_out is not None:
+        side_out["planes"] = planes
+        side_out["probes"] = [
+            (int(query_ids[qi]), sorted(p)) for qi, p in enumerate(probes)]
+    # bucket -> probing query indices (at most 2^n_planes keys)
+    bucket_q: dict[int, list[int]] = {}
+    for qi, p in enumerate(probes):
+        for b in p:
+            bucket_q.setdefault(b, []).append(qi)
+    bucket_q = {b: np.array(v, np.int64) for b, v in bucket_q.items()}
+    ref = ray.put((planes, qm, bucket_q))
+    n_parts = 32
+
+    class ScoreLSH:
+        def __init__(self):
+            self.planes, self.q, self.bq = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m_raw = _emb_matrix(batch, emb_col)
+            b = lsh_bucket(m_raw, self.planes)
+            m = _normalize(m_raw)
+            out_q, out_n, out_s = [], [], []
+            for bucket in np.unique(b):
+                qis = self.bq.get(int(bucket))
+                if qis is None:
+                    continue
+                mask = b == bucket
+                sub, sub_ids = m[mask], ids[mask]
+                sims = self.q[qis] @ sub.T  # (len(qis), n_sub)
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(qis, kk))
+                out_n.append(sub_ids[idx.ravel()])
+                out_s.append(np.take_along_axis(sims, idx, axis=1)
+                             .ravel().astype(np.float64))
+            if not out_q:
+                return pa.table({"qidx": pa.array([], pa.int32()),
+                                 "_part": pa.array([], pa.int32()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            qv = np.concatenate(out_q).astype(np.int32)
+            return pa.table({
+                "qidx": pa.array(qv, pa.int32()),
+                "_part": pa.array(qv % np.int32(n_parts), pa.int32()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values(["qidx", "score", "neighbor_id"],
+                          ascending=[True, False, True]))
+        return g.groupby("qidx", sort=False).head(k)
+
+    partial = (ds.map_batches(ScoreLSH, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, 16))
+               .groupby("_part").map_groups(topk_part, batch_format="pandas")
+               .to_pandas())
+    return _driver_topk(partial, query_ids, k)
