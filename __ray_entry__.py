@@ -1836,6 +1836,96 @@ def _eval_docred(sf_dir: str) -> pd.DataFrame:
     return _metrics_df(evaluate_datasets(pred, gold))
 
 
+# -------------------------------------------------- split / mix / lag window
+
+
+#: exact cumulative uint64 thresholds for the 0.9/0.05/0.05 split — shared
+#: by the Ray operator (via split_thresholds) and the DuckDB oracle literal
+_SPLIT_FRACS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+#: per-source keep weights for the mixing query (src1 dropped entirely,
+#: src0 halved, src2 quartered, everything else kept whole)
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.0, "src2": 0.25}
+
+
+def _split_thr() -> list[int]:
+    """Exact integer thresholds for _SPLIT_FRACS (shared with the oracle)."""
+    from text_to_rdf_ray.stages.curation import split_thresholds
+
+    return [t for _, t in split_thresholds(_SPLIT_FRACS)]
+
+
+def _mix_thr(source: str) -> int:
+    """Exact integer keep-threshold for a _MIX_WEIGHTS source."""
+    return min(int(_MIX_WEIGHTS[source] * 2.0**64), 2**64 - 1)
+
+
+def _sm64_sql(table: str, id_col: str, keep: list[str]) -> str:
+    """CTE chain replaying stages/analytics.py::splitmix64 over ``table``:
+    yields a relation ``h(<keep...>, hv HUGEINT)`` with hv = splitmix64(id)
+    (mod-2^64 multiplies split into 32-bit halves — a 64x64 product
+    overflows DuckDB's signed HUGEINT).  Same chain as _hll_sql, kept
+    per-row instead of folded into registers."""
+    cols = ", ".join(keep)
+
+    def mul64(zcol: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (f"CAST(((((CAST({zcol} AS HUGEINT) % 4294967296) * {bh})"
+                f" % 4294967296) * 4294967296"
+                f" + CAST({zcol} AS HUGEINT) * {bl})"
+                f" % 18446744073709551616 AS UBIGINT)")
+
+    return f"""
+        s1 AS (
+          SELECT {cols},
+                 CAST((CAST({id_col} AS HUGEINT) + 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS z
+          FROM {table}),
+        x1 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM s1),
+        s2 AS (SELECT {cols}, {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM x1),
+        x2 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM s2),
+        s3 AS (SELECT {cols}, {mul64('z', 0x94D049BB133111EB)} AS z FROM x2),
+        h AS (SELECT {cols}, CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM s3)"""
+
+
+def _docs_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (stages/curation.py
+    hash_split): split = pure function of splitmix64(doc_id) vs exact
+    integer thresholds — zero shuffle, stable under corpus growth."""
+    from text_to_rdf_ray.stages.curation import hash_split
+
+    out = (hash_split(_documents(sf_dir).select_columns(["doc_id", "source"]),
+                      id_col="doc_id", fractions=_SPLIT_FRACS)
+           .select_columns(["doc_id", "split"]).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_mix_sources(sf_dir: str) -> pd.DataFrame:
+    """Weighted source mixing (stages/curation.py mix_sources): keep each
+    doc iff splitmix64(doc_id) < weight[source] * 2^64 — deterministic
+    Dolma-style corpus re-weighting, pure per-batch filter."""
+    from text_to_rdf_ray.stages.curation import mix_sources
+
+    out = (mix_sources(_documents(sf_dir).select_columns(["doc_id", "source"]),
+                       weights=_MIX_WEIGHTS, id_col="doc_id")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _events_value_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG delta (stages/windows.py lag_delta): value change
+    since the user's previous event, ordered by (ts, event_id)."""
+    from text_to_rdf_ray.stages.windows import lag_delta
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = lag_delta(ev, key_col="user_id", ts_col="ts",
+                    order_col="event_id", value_col="value").to_pandas()
+    out["delta"] = _r(out["delta"], 6)
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "user_id", "value", "delta", "has_prev"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2228,6 +2318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curate_pipeline": _docs_curate_pipeline,
         "custs_no_big_orders": _custs_no_big_orders,
         "events_hourly_unique_users": _events_hourly_unique_users,
+        "docs_hash_split": _docs_hash_split,
+        "docs_mix_sources": _docs_mix_sources,
+        "events_value_delta": _events_value_delta,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2602,6 +2695,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS c_custkey FROM orders
             WHERE o_totalprice > 400000
             ORDER BY c_custkey
+        """,
+        "docs_hash_split": f"""
+            WITH {_sm64_sql("documents", "doc_id", ["doc_id"])}
+            SELECT doc_id,
+                   CASE WHEN hv < {_split_thr()[0]} THEN 'train'
+                        WHEN hv < {_split_thr()[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h ORDER BY doc_id
+        """,
+        "docs_mix_sources": f"""
+            WITH {_sm64_sql("documents", "doc_id", ["doc_id", "source"])}
+            SELECT doc_id, source FROM h
+            WHERE CASE source
+                    WHEN 'src0' THEN hv < {_mix_thr("src0")}
+                    WHEN 'src1' THEN hv < {_mix_thr("src1")}
+                    WHEN 'src2' THEN hv < {_mix_thr("src2")}
+                    ELSE TRUE END
+            ORDER BY doc_id
+        """,
+        "events_value_delta": """
+            WITH w AS (
+              SELECT event_id, user_id, value,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round(coalesce(value - prev, 0.0), 6) AS delta,
+                   prev IS NOT NULL AS has_prev
+            FROM w ORDER BY event_id
         """,
         "docs_curate_pipeline": f"""
             -- capstone curation chain: dedup -> langid+len -> quality

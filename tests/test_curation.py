@@ -448,3 +448,66 @@ def test_dup_ngram_fraction_vs_brute(ray_session):
         assert abs(row["dup_frac"] - want) < 1e-9, i
     assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
     assert out.loc[0, "n_dup"] > 0 and out.loc[2, "dup_frac"] == 1.0
+
+
+def test_hash_split_deterministic_and_stable(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import hash_split, split_thresholds
+
+    df = pd.DataFrame({"doc_id": np.arange(10_000, dtype=np.int64)})
+    out = (hash_split(rd.from_pandas(df).repartition(5), id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # fractions roughly honored
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # membership is a pure function of the id: a subset corpus gets the
+    # SAME labels (stability under corpus growth)
+    sub = (hash_split(rd.from_pandas(df.head(1000)), id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.head(1000), sub)
+    # distinct salts give (near-)independent splits
+    salted = (hash_split(rd.from_pandas(df), id_col="doc_id", salt=7)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    agree = (salted["split"] == out["split"]).mean()
+    assert 0.7 < agree < 0.95  # ~0.815 expected for 0.9/0.05/0.05
+    # threshold validation
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum"):
+        split_thresholds([("a", 0.5), ("b", 0.2)])
+
+
+def test_mix_sources_monotone_and_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.curation import mix_sources
+
+    n = 6000
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c"], size=n),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    w1 = {"a": 0.25, "b": 0.0}
+    out1 = mix_sources(ds, weights=w1, id_col="doc_id").to_pandas()
+    # exact membership replay
+    h = splitmix64(df["doc_id"].to_numpy())
+    keep = np.ones(n, dtype=bool)
+    keep[df["source"] == "a"] = h[df["source"] == "a"] < np.uint64(int(0.25 * 2.0**64))
+    keep[df["source"] == "b"] = False
+    assert sorted(out1["doc_id"]) == df.loc[keep, "doc_id"].tolist()
+    # c untouched (default weight 1.0)
+    assert (out1["source"] == "c").sum() == (df["source"] == "c").sum()
+    # monotone: raising a's weight only ADDS docs
+    out2 = mix_sources(ds, weights={"a": 0.75, "b": 0.0}, id_col="doc_id").to_pandas()
+    s1 = set(out1.loc[out1["source"] == "a", "doc_id"])
+    s2 = set(out2.loc[out2["source"] == "a", "doc_id"])
+    assert s1 < s2

@@ -183,3 +183,35 @@ def test_rolling_agg_window_and_gaps(ray_session):
     # tie order: event 4 first (gap -1), event 5 second (gap 0)
     assert out.loc[4, "rolling_avg"] == 50.0 and out.loc[4, "gap_us"] == -1
     assert out.loc[5, "rolling_avg"] == 75.0 and out.loc[5, "gap_us"] == 0
+
+
+def test_lag_delta_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import lag_delta
+
+    rng = np.random.RandomState(1)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 300, size=n).astype(np.int64),
+        "ts": pd.to_datetime("2026-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, size=n), unit="s"),
+        "value": rng.standard_normal(n),
+    })
+    out = (lag_delta(rd.from_pandas(df).repartition(6), num_partitions=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    d = ref.groupby("user_id", sort=False)["value"].diff()
+    ref["delta"] = d.fillna(0.0)
+    ref["has_prev"] = d.notna()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["event_id"] == ref["event_id"]).all()
+    assert (out["user_id"] == ref["user_id"]).all()
+    np.testing.assert_array_equal(out["delta"].to_numpy(),
+                                  ref["delta"].to_numpy())  # bit-identical
+    assert (out["has_prev"] == ref["has_prev"]).all()
+    # exactly one first-event row per user
+    assert (~out["has_prev"]).sum() == df["user_id"].nunique()

@@ -1027,3 +1027,109 @@ def dup_ngram_fraction(
                          "dup_frac": pa.array(frac, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def split_thresholds(fractions: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    """(label, cumulative uint64 threshold) for ``hash_split`` — the LAST
+    label's threshold is omitted (it is the catch-all).  Thresholds are
+    exact Python ints so the DuckDB oracle can embed the identical
+    HUGEINT literals: a row with hash h gets the first label whose
+    threshold exceeds h."""
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    tot = sum(f for _, f in fractions)
+    if not (0.999999 <= tot <= 1.000001):
+        raise ValueError(f"hash_split: fractions sum to {tot}, expected 1.0")
+    out, cum = [], 0.0
+    for label, f in fractions[:-1]:
+        if f < 0:
+            raise ValueError("hash_split: negative fraction")
+        cum += f
+        out.append((label, min(int(cum * 2.0**64), 2**64 - 1)))
+    return out
+
+
+def hash_split(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    fractions: list[tuple[str, float]] | None = None,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: ``split`` column derived
+    from splitmix64(id XOR salt) against cumulative fraction thresholds.
+
+    The canonical held-out-split operator for training corpora: membership
+    is a pure function of the id, so (a) it is stable across reruns,
+    parallelism levels, and corpus growth (a doc never migrates between
+    splits when new shards arrive), and (b) it needs ZERO shuffle — a
+    pure ``map_batches`` at any scale.  Distinct ``salt`` values give
+    independent splits (re-rolling without touching the data).
+
+    Exactly SQL-replayable: splitmix64 is the repo's HLL hash chain and
+    the thresholds are exact integers (``split_thresholds``).
+    """
+    from .analytics import splitmix64
+
+    if fractions is None:
+        fractions = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    thr = split_thresholds(fractions)
+    bounds = np.array([t for _, t in thr], dtype=np.uint64)
+    labels = np.array([lbl for lbl, _ in fractions], dtype=object)
+    salt_u = np.uint64(np.int64(salt).view(np.uint64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) ^ salt_u)
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            "split", pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def mix_sources(
+    ds: rd.Dataset,
+    *,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic weighted source mixing: keep each row with
+    probability ``weights[source]`` (Dolma/RedPajama-style corpus
+    re-weighting), decided by splitmix64(id XOR salt) < weight * 2^64.
+
+    Like ``hash_split`` this is a pure per-batch filter — no shuffle, no
+    RNG state, identical keep-set at any parallelism — and membership is
+    monotone in the weight: raising a source's weight only ADDS docs
+    (the retained set at w1 is a subset of the set at w2 > w1), which is
+    what you want when iterating on a mixture.  Weights >= 1.0 keep the
+    source whole; unlisted sources use ``default_weight``.
+    """
+    from .analytics import splitmix64
+
+    thr = {
+        s: (None if w >= 1.0 else min(int(w * 2.0**64), 2**64 - 1))
+        for s, w in weights.items()
+    }
+    if default_weight < 1.0:
+        thr_default = min(int(default_weight * 2.0**64), 2**64 - 1)
+    else:
+        thr_default = None
+    salt_u = np.uint64(np.int64(salt).view(np.uint64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) ^ salt_u)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(ids), dtype=bool)
+        for s in np.unique(src):
+            t = thr.get(s, thr_default)
+            if t is not None:
+                sel = src == s
+                mask[sel] = h[sel] < np.uint64(t)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -346,3 +346,45 @@ def retention(
         fused, ["cohort_day", "day_offset"],
         [("cohort_day", "count", "n_users")],
         num_partitions=min(num_partitions, 16))
+
+
+def lag_delta(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key LAG difference (the SQL ``value - LAG(value) OVER
+    (PARTITION BY key ORDER BY ts, order_col)`` window shape): for each
+    event, the change in ``value`` since the key's previous event.
+    Emits (key, order_col, value, delta, has_prev) — ``delta`` is 0.0 and
+    ``has_prev`` false on each key's first event (a NULL-free encoding
+    that keeps the Arrow schema fixed and the hash compare stable).
+
+    Same exchange shape and partitioning assumption as ``sessionize``:
+    ONE key-hash exchange, then a single vectorized pandas pass per
+    partition (groupby.diff is a C kernel across ALL keys in the
+    partition — never one Python call per key).  The subtraction order
+    matches the SQL replay exactly, so deltas are IEEE-bit-identical.
+    """
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col]))
+        d = g.groupby(key_col, sort=False)[value_col].diff()
+        return pd.DataFrame({
+            key_col: g[key_col],
+            order_col: g[order_col],
+            value_col: g[value_col],
+            "delta": d.fillna(0.0),
+            "has_prev": d.notna(),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
