@@ -1926,6 +1926,66 @@ def _events_value_delta(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _events_user_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-user linear value drift over time (stages/analytics.py
+    group_ols): slope/intercept of value vs epoch-day from decomposable
+    sums — one partial row per key per batch, one hash exchange."""
+    from text_to_rdf_ray.stages.analytics import group_ols
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def day_x(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        x = (ts // 86_400_000_000).astype(np.float64)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "x": pa.array(x, pa.float64()),
+                         "y": batch.column("value").cast(pa.float64())})
+
+    out = group_ols(ev.map_batches(day_x, batch_format="pyarrow"),
+                    key_col="user_id", x_col="x", y_col="y").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["user_id", "n", "slope", "intercept"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def _custs_orders_full(sf_dir: str) -> pd.DataFrame:
+    """Full outer join (stages/exchange.py exchange_join how=full_outer):
+    high-balance customers vs per-customer big-order counts — left-only,
+    right-only, and matched regions all present; keys coalesced from the
+    matching side, sentinel fills keep the schema NULL-free."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+    cust = cust.filter(expr="c_acctbal > 5000")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    orders = orders.filter(expr="o_totalprice > 300000")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("o_custkey")})
+
+    big = exchange_agg(orders.map_batches(tag, batch_format="pyarrow"),
+                       "c_custkey",
+                       [("c_custkey", "count", "n_big")])
+    joined = exchange_join(
+        cust, big, on="c_custkey", how="full_outer",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("n_big", pa.int64())]))
+
+    out = joined.to_pandas()
+    out["acctbal"] = _r(out["c_acctbal"].fillna(-1.0), 2)
+    out["n_big"] = out["n_big"].fillna(0).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return (out[["c_custkey", "acctbal", "n_big"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2321,6 +2381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _docs_hash_split,
         "docs_mix_sources": _docs_mix_sources,
         "events_value_delta": _events_value_delta,
+        "events_user_value_trend": _events_user_value_trend,
+        "custs_orders_full": _custs_orders_full,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2713,6 +2775,36 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'src2' THEN hv < {_mix_thr("src2")}
                     ELSE TRUE END
             ORDER BY doc_id
+        """,
+        "events_user_value_trend": """
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+                              value AS y
+                       FROM events),
+            s AS (SELECT user_id, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM e GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                         / n, 6) AS intercept
+            FROM s
+            WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+            ORDER BY user_id
+        """,
+        "custs_orders_full": """
+            WITH l AS (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_acctbal > 5000),
+                 r AS (SELECT o_custkey AS c_custkey,
+                              count(*) AS n_big
+                       FROM orders WHERE o_totalprice > 300000
+                       GROUP BY o_custkey)
+            SELECT c_custkey,
+                   round(coalesce(c_acctbal, -1.0), 2) AS acctbal,
+                   CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
+            FROM l FULL OUTER JOIN r USING (c_custkey)
+            ORDER BY c_custkey
         """,
         "events_value_delta": """
             WITH w AS (

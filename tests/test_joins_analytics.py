@@ -407,6 +407,45 @@ def test_exchange_join_parity_and_bigint_payloads(ray_session):
         exchange_join(a, a, on="k")
 
 
+def test_exchange_join_full_outer_matches_pandas(ray_session):
+    """full_outer: keys coalesced from whichever side matched, both
+    payloads nullable, row multiplicity identical to a pandas outer
+    merge (left-only + right-only + all match pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.exchange import exchange_join
+
+    rng = np.random.RandomState(5)
+    la = pd.DataFrame({
+        "k": rng.randint(0, 50, size=120).astype(np.int64),
+        "v": np.arange(120, dtype=np.int64),
+    })
+    rb = pd.DataFrame({
+        "k": rng.randint(25, 75, size=90).astype(np.int64),
+        "w": np.arange(90, dtype=np.int64) * 10,
+    })
+    got = (exchange_join(rd.from_pandas(la).repartition(3),
+                         rd.from_pandas(rb).repartition(4),
+                         on="k", how="full_outer", num_partitions=8)
+           .to_pandas())
+    want = la.merge(rb, on="k", how="outer")
+    # no null keys; sides null exactly where pandas says
+    assert got["k"].notna().all()
+    for df in (got, want):
+        df.sort_values(["k", "v", "w"], inplace=True,
+                       na_position="last")
+        df.reset_index(drop=True, inplace=True)
+    assert len(got) == len(want)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    pd.testing.assert_series_equal(got["v"].astype("float64"),
+                                   want["v"].astype("float64"),
+                                   check_names=False)
+    pd.testing.assert_series_equal(got["w"].astype("float64"),
+                                   want["w"].astype("float64"),
+                                   check_names=False)
+
+
 def test_exchange_agg_matches_pandas_groupby(ray_session):
     """exchange_agg (combine on and off) must equal a pandas groupby on
     random multi-type keys, including count re-reduction and floats."""
@@ -789,3 +828,35 @@ def test_semi_join_bloom_string_keys_and_empty(ray_session):
                            n_bits=1 << 10).count() == 0
     assert semi_join_bloom(big, empty, key_col="k", keys_col="kc", anti=True,
                            n_bits=1 << 10).count() == 200
+
+
+def test_group_ols_matches_numpy(ray_session):
+    """group_ols slope/intercept must equal numpy polyfit per key."""
+    import numpy as np
+
+    from text_to_rdf_ray.stages.analytics import group_ols
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, size=n).astype(np.int64),
+        "x": rng.uniform(0, 10, size=n),
+        "y": 0.0,
+    })
+    df["y"] = 3.0 * df["x"] - 2.0 + rng.standard_normal(n)
+    out = (group_ols(rd.from_pandas(df).repartition(5),
+                     key_col="k", x_col="x", y_col="y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(out) == 40
+    for _, row in out.iterrows():
+        sub = df[df["k"] == row["k"]]
+        want_m, want_b = np.polyfit(sub["x"], sub["y"], 1)
+        assert abs(row["slope"] - want_m) < 1e-4, row["k"]
+        assert abs(row["intercept"] - want_b) < 1e-4, row["k"]
+        assert row["n"] == len(sub)
+    # degenerate keys dropped: constant x and n=1
+    dg = pd.DataFrame({"k": [100, 100, 101], "x": [2.0, 2.0, 1.0],
+                       "y": [1.0, 2.0, 3.0]})
+    out2 = group_ols(rd.from_pandas(dg), key_col="k",
+                     x_col="x", y_col="y").to_pandas()
+    assert out2.empty or not set(out2["k"]) & {100, 101}

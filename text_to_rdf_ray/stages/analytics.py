@@ -618,6 +618,68 @@ def group_corr(
     return red.map_batches(finish, batch_format="pyarrow")
 
 
+def group_ols(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-key simple linear regression (y = slope*x + intercept) from
+    the same decomposable sufficient statistics as ``group_corr``:
+    per-batch (key, n, sx, sy, sxx, sxy) partials via pandas C kernels,
+    ONE hash exchange sums them, and
+    slope = (n*sxy - sx*sy) / (n*sxx - sx^2),
+    intercept = (sy - slope*sx) / n
+    finish vectorized per key — the textbook one-pass parallel OLS;
+    shuffle volume = keys-per-batch partials, never raw rows.  Keys with
+    n < 2 or zero x-variance are dropped (their slope is undefined).
+    Output: (key, n:int64, slope, intercept — both rounded to 6 dp,
+    matching DuckDB round())."""
+    from .exchange import exchange_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].astype("float64")
+        y = batch[y_col].astype("float64")
+        d = pd.DataFrame({key_col: batch[key_col], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y})
+        g = d.groupby(key_col, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"))
+        return g.reset_index()
+
+    red = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        key_col,
+        [("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("sxx", "sum", "sxx"), ("sxy", "sum", "sxy")],
+        num_partitions=num_partitions, combine=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        keep = (n >= 2) & (vx > 0)
+        slope = (n[keep] * sxy[keep] - sx[keep] * sy[keep]) / vx[keep]
+        intercept = (sy[keep] - slope * sx[keep]) / n[keep]
+
+        def r6(a: np.ndarray) -> np.ndarray:
+            return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+        return pa.table({
+            key_col: t.column(key_col).filter(pa.array(keep)),
+            "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "slope": pa.array(r6(slope), pa.float64()),
+            "intercept": pa.array(r6(intercept), pa.float64()),
+        })
+
+    return red.map_batches(finish, batch_format="pyarrow")
+
+
 def winsorized_mean(
     ds: rd.Dataset,
     *,

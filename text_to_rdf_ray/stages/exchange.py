@@ -181,12 +181,14 @@ def exchange_join(
 ) -> rd.Dataset:
     """Equi-join ``left`` with ``right`` on the shared key column(s).
 
-    ``how``: "inner" or "left_outer".  Payload column names must be
-    disjoint between the sides (same contract as the native join call
-    sites here); key columns must exist on both sides with identical
-    names.  Output columns: keys + left payload + right payload, typed
-    per the input schemas (right payload nullable under left_outer).
-    Row order is not defined (hash-partitioned), matching Dataset.join.
+    ``how``: "inner", "left_outer" or "full_outer".  Payload column
+    names must be disjoint between the sides (same contract as the
+    native join call sites here); key columns must exist on both sides
+    with identical names.  Output columns: keys + left payload + right
+    payload, typed per the input schemas (right payload nullable under
+    left_outer; both payloads nullable under full_outer, where key
+    columns are coalesced from whichever side matched).  Row order is
+    not defined (hash-partitioned), matching Dataset.join.
 
     ``left_schema``/``right_schema``: pass explicitly when a side is a
     lazy map_groups lineage (e.g. a previous exchange_join) — otherwise
@@ -194,7 +196,7 @@ def exchange_join(
     Chained exchange joins with schemas provided fuse into ONE executor
     plan (no actor pools, no intermediate materialization).
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported how={how!r}")
     on = [on] if isinstance(on, str) else list(on)
     ls = left_schema if left_schema is not None else left.schema()
@@ -249,14 +251,22 @@ def exchange_join(
         rdf = pd.DataFrame({k: R.column(k).to_pandas() for k in on})
         rdf["_ri"] = np.arange(len(R), dtype=np.int64)
         m = ldf.merge(rdf, on=on,
-                      how="left" if how == "left_outer" else "inner")
-        li = pa.array(m["_li"].to_numpy(), pa.int64())
-        # under left_outer unmatched _ri is NaN; a NULL take-index yields
-        # a null output element — exactly the outer-join semantics
+                      how={"inner": "inner", "left_outer": "left",
+                           "full_outer": "outer"}[how])
+        # under an outer merge an unmatched index is NaN; a NULL
+        # take-index yields a null output element — exactly the
+        # outer-join semantics
+        li = pa.Array.from_pandas(m["_li"], type=pa.int64())
         ri = pa.Array.from_pandas(m["_ri"], type=pa.int64())
         cols: dict = {}
         for k in on:
-            cols[k] = L.column(k).take(li)
+            if how == "full_outer":
+                # right-only rows have a null left index: take the key
+                # from whichever side actually matched
+                cols[k] = pc.coalesce(L.column(k).combine_chunks().take(li),
+                                      R.column(k).combine_chunks().take(ri))
+            else:
+                cols[k] = L.column(k).take(li)
         for n_ in l_names:
             cols[n_] = L.column(n_).take(li)
         for n_ in r_names:
