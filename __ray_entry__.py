@@ -609,6 +609,44 @@ def _knn_lsh(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _knn_lsh_indexed(sf_dir: str) -> pd.DataFrame:
+    """Write-once bucket-partitioned LSH index + probe (stages/knn.py
+    build_lsh_index / knn_lsh_indexed): only the probed multiprobe bucket
+    directories are read (path-level hive pruning).  Same probed-bucket
+    semantics as knn_lsh, so the oracle replays it from the
+    lsh_assignments side table identically."""
+    import hashlib as _hl
+
+    from text_to_rdf_ray.stages.knn import (
+        build_lsh_index, knn_lsh_indexed, lsh_assignments)
+
+    tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = os.path.join(_TMP, f"lsh_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        # meta.json is written LAST; its absence means a missing or
+        # half-built index — clear before rebuilding (write_parquet
+        # appends, it does not replace)
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_lsh_index(_embeddings(sf_dir), idx_dir, n_planes=6)
+    q, qids = _knn_queries(sf_dir)
+    side: dict = {}
+    out = knn_lsh_indexed(idx_dir, q, qids, k=10, multiprobe=1,
+                          side_out=side)
+    assign = lsh_assignments(_embeddings(sf_dir), side["planes"]).to_pandas()
+    _side_write("knn_lsh_indexed", "assign.parquet",
+                assign.sort_values("vec_id").reset_index(drop=True))
+    probes = pd.DataFrame(
+        [(qid, b) for qid, buckets in side["probes"] for b in buckets],
+        columns=["query_id", "bucket"],
+    )
+    _side_write("knn_lsh_indexed", "probes.parquet", probes)
+    return out[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     """Write-once partitioned IVF index + probe (stages/knn.py
     build_ivf_index / knn_ivf_indexed).  nprobe = n_clusters, so the result
@@ -2330,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
         "knn_ivf_indexed": _knn_ivf_indexed,
         "knn_lsh": _knn_lsh,
+        "knn_lsh_indexed": _knn_lsh_indexed,
         "embedding_label_stats": _embedding_label_stats,
         "kmeans_embeddings": _kmeans_embeddings,
         # relational / streaming-shaped
@@ -3320,6 +3359,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{os.path.join(_SIDE, "knn_lsh", "assign.parquet")}')),
                  p AS (SELECT query_id, bucket
                        FROM read_parquet('{os.path.join(_SIDE, "knn_lsh", "probes.parquet")}')),
+                 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < {_QUERY_N}),
+                 s AS (SELECT p.query_id AS qid, a.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM p JOIN a ON a.bucket = p.bucket
+                              JOIN q ON q.qid = p.query_id
+                              JOIN embeddings e ON e.vec_id = a.vec_id),
+                 r AS (SELECT qid, nid, sim,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
+        """,
+        "knn_lsh_indexed": f"""
+            WITH a AS (SELECT vec_id, bucket
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_lsh_indexed", "assign.parquet")}')),
+                 p AS (SELECT query_id, bucket
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_lsh_indexed", "probes.parquet")}')),
                  q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id < {_QUERY_N}),
                  s AS (SELECT p.query_id AS qid, a.vec_id AS nid,

@@ -709,3 +709,43 @@ def test_knn_lsh_exact_within_probed_buckets(ray_session):
     # multiprobe recall sanity: each query's own vector is its own rank-1
     own = out[out["rank"] == 1]
     assert (own["query_id"].to_numpy() == own["neighbor_id"].to_numpy()).all()
+
+
+def test_knn_lsh_indexed_parity_and_pruning(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import (
+        build_lsh_index, knn_lsh, knn_lsh_indexed)
+
+    rng = np.random.RandomState(9)
+    n, d = 1_500, 12
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb)})).repartition(3)
+    q = emb[5:25]
+    qids = list(range(5, 25))
+
+    idx = str(tmp_path / "lsh_idx")
+    meta = build_lsh_index(ds, idx, n_planes=5)
+    assert meta["n_planes"] == 5 and meta["dim"] == d
+    got = knn_lsh_indexed(idx, q, qids, k=7, multiprobe=1)
+    want = knn_lsh(ds, q, qids, k=7, n_planes=5, multiprobe=1)
+    for df in (got, want):
+        df.sort_values(["query_id", "rank"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the index is genuinely bucket-partitioned and probing reads a
+    # strict subset of the bucket directories
+    dirs = [p for p in os.listdir(os.path.join(idx, "data"))
+            if p.startswith("bucket=")]
+    assert len(dirs) > 4
+    side: dict = {}
+    knn_lsh_indexed(idx, q[:1], qids[:1], k=7, multiprobe=1, side_out=side)
+    probed = set(side["probes"][0][1])
+    assert len(probed) == 6  # own bucket + 5 one-bit flips
+    assert len(probed) < len(dirs) + 6  # sanity: bounded probe set

@@ -642,17 +642,45 @@ def knn_lsh(
     qm_raw = np.asarray(queries, dtype=np.float32)
     planes = lsh_planes(qm_raw.shape[1], n_planes, seed)
     qm = _normalize(qm_raw)
-    q_buckets = lsh_bucket(qm_raw, planes)
+    probes = _lsh_probe_sets(lsh_bucket(qm_raw, planes), n_planes, multiprobe)
+    if side_out is not None:
+        side_out["planes"] = planes
+        side_out["probes"] = [
+            (int(query_ids[qi]), sorted(p)) for qi, p in enumerate(probes)]
+    return _lsh_score_reduce(ds, planes, qm, probes, query_ids, k=k,
+                             emb_col=emb_col, id_col=id_col)
+
+
+def _lsh_probe_sets(q_buckets: np.ndarray, n_planes: int,
+                    multiprobe: int) -> list[set[int]]:
+    """Per-query probed-bucket sets: own bucket (+ every 1-bit flip when
+    ``multiprobe=1`` — the standard recall lever)."""
     probes: list[set[int]] = []
     for b in q_buckets:
         p = {int(b)}
         if multiprobe:
             p |= {int(b) ^ (1 << j) for j in range(n_planes)}
         probes.append(p)
-    if side_out is not None:
-        side_out["planes"] = planes
-        side_out["probes"] = [
-            (int(query_ids[qi]), sorted(p)) for qi, p in enumerate(probes)]
+    return probes
+
+
+def _lsh_score_reduce(
+    ds: rd.Dataset,
+    planes: np.ndarray,
+    qm: np.ndarray,
+    probes: list[set[int]],
+    query_ids: list[int],
+    *,
+    k: int,
+    emb_col: str,
+    id_col: str,
+) -> pd.DataFrame:
+    """Shared LSH scoring tail (used by ``knn_lsh`` and
+    ``knn_lsh_indexed``): per batch, recompute each row's bucket from the
+    broadcast plane matrix and score it against exactly the queries
+    probing that bucket (one matmul per (bucket, probing-queries) group);
+    then the qidx-hash-partitioned top-k reduce so the driver collects
+    O(n_queries x k) rows."""
     # bucket -> probing query indices (at most 2^n_planes keys)
     bucket_q: dict[int, list[int]] = {}
     for qi, p in enumerate(probes):
@@ -710,3 +738,99 @@ def knn_lsh(
                .groupby("_part").map_groups(topk_part, batch_format="pandas")
                .to_pandas())
     return _driver_topk(partial, query_ids, k)
+
+
+def build_lsh_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    n_planes: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Write-once LSH index: bucket every row by its random-hyperplane
+    signature and write the corpus PARTITIONED BY ``bucket`` (hive
+    layout), planes alongside.  Unlike IVF there is NO training pass —
+    bucketing is a pure function of the vector, so the build is a single
+    embarrassingly-parallel scan.  Probes then read only their
+    multiprobe bucket directories (partition-pruned scan), the same
+    write-once/probe-many shape as ``build_ivf_index``."""
+    import json
+    import os
+
+    # plane matrix needs the embedding dim: read ONE row (bounded driver
+    # collect), not the corpus
+    first = ds.limit(1).take(1)
+    if not first:
+        raise ValueError("build_lsh_index: empty dataset")
+    dim = len(first[0][emb_col])
+    planes = lsh_planes(dim, n_planes, seed)
+    p_ref = ray.put(planes)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = cache.get("p")
+        if p is None:
+            p = cache["p"] = ray.get(p_ref)
+        b = lsh_bucket(_emb_matrix(batch, emb_col), p)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "data"),
+                    partition_cols=["bucket"])
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+    meta = {"n_planes": int(n_planes), "dim": int(dim),
+            "emb_col": emb_col, "id_col": id_col}
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_lsh_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    multiprobe: int = 1,
+    side_out: dict | None = None,
+) -> pd.DataFrame:
+    """Probe a ``build_lsh_index`` index: only the union of the queries'
+    multiprobe bucket directories is READ (hive partition pruning at the
+    path level, same mechanism as ``knn_ivf_indexed``); scoring/merge
+    semantics match ``knn_lsh`` exactly (bit-identical results for the
+    same n_planes/seed/multiprobe)."""
+    import json
+    import os
+
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1")
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+
+    qm_raw = np.asarray(queries, dtype=np.float32)
+    qm = _normalize(qm_raw)
+    probes = _lsh_probe_sets(lsh_bucket(qm_raw, planes),
+                             meta["n_planes"], multiprobe)
+    if side_out is not None:
+        side_out["planes"] = planes
+        side_out["probes"] = [
+            (int(query_ids[qi]), sorted(p)) for qi, p in enumerate(probes)]
+    needed = sorted(set().union(*probes))
+    # path-level pruning (Ray 2.49 binds `filter` against the fragment
+    # schema, which excludes partition columns — directory selection is
+    # the reliable mechanism); a bucket nobody hashed into has no dir
+    paths = [os.path.join(index_dir, "data", f"bucket={b}") for b in needed]
+    files = [os.path.join(p, f) for p in paths if os.path.isdir(p)
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
+        return pd.DataFrame(columns=["query_id", "neighbor_id",
+                                     "rank", "score"])
+    corpus = rd.read_parquet(files, columns=[id_col, emb_col])
+    return _lsh_score_reduce(corpus, planes, qm, probes, query_ids, k=k,
+                             emb_col=emb_col, id_col=id_col)
