@@ -328,7 +328,8 @@ def run_bench() -> dict:
                      "docs_heavy_hitters", "docs_lm_perplexity",
                      "docs_source_quality_cap", "kmeans_embeddings",
                      "docs_pmi_pairs", "events_funnel", "events_retention",
-                     "events_value_hour_corr", "graph_triangles_parts"):
+                     "events_value_hour_corr", "graph_triangles_parts",
+                     "knn_lsh", "docs_hash_split", "events_value_delta"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
