@@ -1964,6 +1964,36 @@ def _events_value_delta(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (stages/curation.py weighted_sample): k=100 docs weighted by n_chars
+    — deterministic (no RNG state), key = ln(u)/w replayed in SQL."""
+    from text_to_rdf_ray.stages.curation import weighted_sample
+
+    out = (weighted_sample(
+        _documents(sf_dir).select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id", weight_col="n_chars", k=100)
+        .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return (out[["doc_id", "n_chars", "es_key", "sample_rank"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _docs_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch shuffle (stages/curation.py shuffle_rows):
+    global position = rank of splitmix64(doc_id) — identical at any
+    parallelism, SQL-replayable as ROW_NUMBER over the hash."""
+    from text_to_rdf_ray.stages.curation import shuffle_rows
+
+    out = shuffle_rows(_documents(sf_dir).select_columns(["doc_id"]),
+                       id_col="doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["shuffle_pos"] = out["shuffle_pos"].astype("int64")
+    return (out[["doc_id", "shuffle_pos"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _events_user_value_trend(sf_dir: str) -> pd.DataFrame:
     """Per-user linear value drift over time (stages/analytics.py
     group_ols): slope/intercept of value vs epoch-day from decomposable
@@ -2422,6 +2452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_delta": _events_value_delta,
         "events_user_value_trend": _events_user_value_trend,
         "custs_orders_full": _custs_orders_full,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_shuffle": _docs_shuffle,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2814,6 +2846,28 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'src2' THEN hv < {_mix_thr("src2")}
                     ELSE TRUE END
             ORDER BY doc_id
+        """,
+        "docs_weighted_sample": f"""
+            WITH {_sm64_sql("documents", "doc_id", ["doc_id", "n_chars"])},
+            r AS (SELECT doc_id, n_chars,
+                         ln((CAST(hv AS DOUBLE) + 1)
+                            / 18446744073709551616.0) / n_chars AS es_key
+                  FROM h WHERE n_chars > 0),
+            rk AS (SELECT doc_id, n_chars, es_key,
+                          row_number() OVER (ORDER BY es_key DESC,
+                                             doc_id ASC) AS rnk
+                   FROM r)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(es_key, 10) AS es_key,
+                   CAST(rnk AS BIGINT) AS sample_rank
+            FROM rk WHERE rnk <= 100 ORDER BY doc_id
+        """,
+        "docs_shuffle": f"""
+            WITH {_sm64_sql("documents", "doc_id", ["doc_id"])}
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY hv) - 1 AS BIGINT)
+                       AS shuffle_pos
+            FROM h ORDER BY doc_id
         """,
         "events_user_value_trend": """
             WITH e AS (SELECT user_id,

@@ -511,3 +511,80 @@ def test_mix_sources_monotone_and_exact(ray_session):
     s1 = set(out1.loc[out1["source"] == "a", "doc_id"])
     s2 = set(out2.loc[out2["source"] == "a", "doc_id"])
     assert s1 < s2
+
+
+def test_weighted_sample_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.curation import weighted_sample
+
+    n = 20_000
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # two strata: weight 10 vs weight 1 -> heavy stratum dominates
+        "w": np.where(np.arange(n) < n // 2, 10.0, 1.0),
+    })
+    out = (weighted_sample(rd.from_pandas(df).repartition(6),
+                           id_col="doc_id", weight_col="w", k=500)
+           .to_pandas())
+    assert len(out) == 500
+    assert out["sample_rank"].sort_values().tolist() == list(range(1, 501))
+    heavy = (out["doc_id"] < n // 2).mean()
+    assert heavy > 0.75  # E ~ 10/11 = 0.909
+    # exact replay: top-500 by ln(u)/w
+    h = splitmix64(df["doc_id"].to_numpy())
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    r = np.log(u) / df["w"].to_numpy()
+    want = set(np.lexsort((df["doc_id"].to_numpy(), -r))[:500])
+    assert set(out["doc_id"]) == want
+    # zero/negative weights never sampled
+    df2 = df.copy()
+    df2.loc[df2["doc_id"] < 100, "w"] = 0.0
+    out2 = weighted_sample(rd.from_pandas(df2), id_col="doc_id",
+                           weight_col="w", k=500).to_pandas()
+    assert (out2["doc_id"] >= 100).all()
+
+
+def test_shuffle_rows_permutation_and_salt(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import shuffle_rows
+
+    n = 10_000
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # sparse, unique
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(7)
+    out = (shuffle_rows(ds, id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # dense permutation 0..n-1
+    assert sorted(out["shuffle_pos"]) == list(range(n))
+    # not the identity order (it is a shuffle)
+    assert (out["shuffle_pos"].to_numpy()
+            != np.arange(n)).mean() > 0.99
+    # parallelism-invariant: 1 block == 7 blocks
+    out1 = (shuffle_rows(rd.from_pandas(pd.DataFrame({"doc_id": ids})),
+                         id_col="doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["shuffle_pos"].to_numpy()
+            == out1["shuffle_pos"].to_numpy()).all()
+    # a different salt is a different permutation
+    out2 = (shuffle_rows(ds, id_col="doc_id", salt=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["shuffle_pos"].to_numpy()
+            != out2["shuffle_pos"].to_numpy()).mean() > 0.99
+    # duplicate ids: the boundary-straddle guard raises when offsets
+    # would collide; when the sort keeps equal hashes in one block the
+    # result must still be a dense permutation (each ROW gets a position)
+    dup = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.r_[ids[:50], ids[:50]]})).repartition(4)
+    try:
+        outd = shuffle_rows(dup, id_col="doc_id").to_pandas()
+    except ValueError as e:
+        assert "unique" in str(e)
+    else:
+        assert sorted(outd["shuffle_pos"]) == list(range(100))

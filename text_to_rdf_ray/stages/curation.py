@@ -1133,3 +1133,149 @@ def mix_sources(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res, public algorithm): each row gets the key
+    ``r = ln(u) / w`` with ``u = (splitmix64(id XOR salt) + 1) / 2^64``
+    (so r = ln(u^(1/w)) — monotone in the classic u^(1/w) key) and the
+    ``k`` LARGEST r win.  Higher weight -> r closer to 0 -> more likely
+    sampled; inclusion probabilities match sequential weighted draws
+    without replacement.  No RNG state: identical sample at any
+    parallelism/retry, re-rollable via ``salt``, SQL-replayable
+    (same hash chain + ln/division in IEEE double).
+
+    Rows with weight <= 0 or null are never sampled (dropped before
+    ranking).  Shape: per-batch local top-k combiner -> one exchange ->
+    O(k) result (reuses ``topk_per_group`` with a constant group).
+    Emits the input columns plus ``es_key`` (rounded to 10 dp for a
+    stable hash compare) and ``sample_rank`` (1-based).
+    """
+    from .analytics import splitmix64, topk_per_group
+
+    salt_u = np.uint64(np.int64(salt).view(np.uint64))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = splitmix64(ids.view(np.uint64) ^ salt_u)
+        u = (h.astype(np.float64) + 1.0) / 2.0**64
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.log(u) / w
+        keep = np.isfinite(r) & (w > 0)
+        t = batch.filter(pa.array(keep))
+        return (t.append_column("es_key", pa.array(r[keep], pa.float64()))
+                .append_column("_g", pa.array(
+                    np.zeros(int(keep.sum()), np.int32), pa.int32())))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = topk_per_group(keyed, key_col="_g", sort_col="es_key",
+                         tiebreak_col=id_col, k=k)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop(columns=["_g"]).rename(
+            columns={"rank": "sample_rank"})
+        batch["es_key"] = (np.sign(batch["es_key"])
+                           * np.floor(np.abs(batch["es_key"]) * 1e10 + 0.5)
+                           / 1e10)
+        batch["sample_rank"] = batch["sample_rank"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def shuffle_rows(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic epoch shuffle for training: every row's global
+    position is the rank of ``splitmix64(id XOR salt)`` — a full-avalanche
+    bijection, so the order is uniform-pseudorandom, IDENTICAL at any
+    parallelism (unlike ``Dataset.random_shuffle``), and a new ``salt``
+    gives an independent epoch order without touching the data.
+
+    Shape: the hash is mapped order-preservingly into int64 (flip the
+    sign bit), ONE range-partitioning sort on it, then the
+    ``pack_sequences`` two-pass prefix count assigns dense positions
+    (per-block counts -> driver prefix of the tiny block table -> block
+    offset + local arange).  Ids should be unique (the hash is a
+    bijection, so distinct ids can never tie); duplicate ids that stay
+    inside one sorted block still get distinct consecutive positions,
+    and the boundary-straddle case — the only one that would corrupt the
+    offset table — is detected and raised (same guard as
+    ``pack_sequences``).  Emits ``(id_col, shuffle_pos)``, positions
+    0..n-1.
+    """
+    import ray
+
+    from .analytics import splitmix64
+
+    salt_u = np.uint64(np.int64(salt).view(np.uint64))
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) ^ salt_u)
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)  # unsigned order, signed domain
+        return pa.table({id_col: batch.column(id_col),
+                         "_hs": pa.array(hs, pa.int64())})
+
+    sorted_ds = (ds.select_columns([id_col])
+                 .map_batches(add_hash, batch_format="pyarrow")
+                 .sort("_hs").materialize())
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        hs = batch.column("_hs").to_numpy(zero_copy_only=False)
+        if len(hs) == 0:
+            return pa.table({"min_hs": pa.array([], pa.int64()),
+                             "max_hs": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"min_hs": pa.array([int(hs.min())], pa.int64()),
+                         "max_hs": pa.array([int(hs.max())], pa.int64()),
+                         "n": pa.array([len(hs)], pa.int64())})
+
+    partials = sorted_ds.map_batches(
+        block_stats, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("min_hs")
+    # duplicate ids -> duplicate hashes straddling a block boundary would
+    # collide the offset keys and silently shift positions (same guard as
+    # pack_sequences)
+    mins = partials["min_hs"].to_numpy()
+    maxs = partials["max_hs"].to_numpy()
+    if len(mins) > 1 and (mins[1:] <= maxs[:-1]).any():
+        raise ValueError(
+            f"shuffle_rows: sorted hash blocks overlap — {id_col} values "
+            "must be unique (splitmix64 is a bijection, so only duplicate "
+            "ids can produce duplicate hashes)")
+    offsets = dict(zip(
+        partials["min_hs"],
+        np.concatenate([[0], np.cumsum(partials["n"].to_numpy())[:-1]]),
+    ))
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        off = cache.get("o")
+        if off is None:
+            off = cache["o"] = ray.get(off_ref)
+        hs = batch.column("_hs").to_numpy(zero_copy_only=False)
+        if len(hs) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shuffle_pos": pa.array([], pa.int64())})
+        order = np.argsort(hs, kind="stable")  # rows within a block sorted
+        pos = np.empty(len(hs), np.int64)
+        pos[order] = int(off[int(hs.min())]) + np.arange(len(hs), dtype=np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "shuffle_pos": pa.array(pos, pa.int64())})
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)
