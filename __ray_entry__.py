@@ -1964,6 +1964,42 @@ def _events_value_delta(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+#: offset for the planted "incoming batch" ids in docs_dedup_against
+_DEDUPX_OFFSET = 1_000_000
+
+
+def _docs_dedup_against(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus incremental dedup (stages/dedup.py dedup_against):
+    an incoming batch — every 5th doc an exact copy of the corpus, the
+    rest word-reversed (near-zero shingle overlap) — filtered against
+    the full documents table at exact Jaccard >= 0.8 with a df<=50
+    stop-shingle guard; the oracle replays shingling, df filter,
+    intersection counting, and best-match ranking relationally."""
+    from text_to_rdf_ray.stages.dedup import dedup_against
+
+    ref = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, txts):
+            out.append(t if i % 5 == 0
+                       else " ".join(reversed((t or "").split())))
+        return pa.table({
+            "doc_id": pa.array([i + _DEDUPX_OFFSET for i in ids], pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    new = ref.map_batches(planted, batch_format="pyarrow")
+    out = dedup_against(new, ref, threshold=0.8, shingle_words=3,
+                        max_df=50).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ref_id"] = out["ref_id"].astype("int64")
+    return (out[["doc_id", "is_dup", "ref_id", "jaccard"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (stages/curation.py weighted_sample): k=100 docs weighted by n_chars
@@ -2454,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_orders_full": _custs_orders_full,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_shuffle": _docs_shuffle,
+        "docs_dedup_against": _docs_dedup_against,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2845,6 +2882,64 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'src1' THEN hv < {_mix_thr("src1")}
                     WHEN 'src2' THEN hv < {_mix_thr("src2")}
                     ELSE TRUE END
+            ORDER BY doc_id
+        """,
+        "docs_dedup_against": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            shingle_ref AS (
+              SELECT doc_id AS id,
+                     CASE WHEN len(w) = 0 THEN []
+                          WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(
+                            [array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+                     END AS g
+              FROM base),
+            wnew AS (
+              SELECT doc_id + {_DEDUPX_OFFSET} AS id,
+                     CASE WHEN doc_id % 5 = 0 THEN w
+                          ELSE list_reverse(w) END AS w
+              FROM base),
+            shingle_new AS (
+              SELECT id,
+                     CASE WHEN len(w) = 0 THEN []
+                          WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(
+                            [array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+                     END AS g
+              FROM wnew),
+            rs AS (SELECT id, unnest(g) AS s FROM shingle_ref),
+            ns AS (SELECT id, unnest(g) AS s FROM shingle_new),
+            dfk AS (SELECT s FROM (
+                      SELECT s, count(*) AS c
+                      FROM (SELECT * FROM rs UNION ALL SELECT * FROM ns)
+                      GROUP BY s) WHERE c <= 50),
+            rs2 AS (SELECT rs.id, rs.s FROM rs JOIN dfk USING (s)),
+            ns2 AS (SELECT ns.id, ns.s FROM ns JOIN dfk USING (s)),
+            na AS (SELECT id, count(*) AS n FROM ns2 GROUP BY id),
+            nb AS (SELECT id, count(*) AS n FROM rs2 GROUP BY id),
+            it AS (SELECT ns2.id AS nid, rs2.id AS rid, count(*) AS i
+                   FROM ns2 JOIN rs2 USING (s) GROUP BY 1, 2),
+            j AS (SELECT it.nid, it.rid,
+                         it.i * 1.0 / (na.n + nb.n - it.i) AS jac
+                  FROM it JOIN na ON na.id = it.nid
+                          JOIN nb ON nb.id = it.rid),
+            m AS (SELECT nid, rid, jac,
+                         row_number() OVER (PARTITION BY nid
+                                            ORDER BY jac DESC, rid ASC) AS rk
+                  FROM j WHERE jac >= 0.8),
+            best AS (SELECT nid, rid, jac FROM m WHERE rk = 1)
+            SELECT g.id AS doc_id,
+                   best.nid IS NOT NULL AS is_dup,
+                   CAST(coalesce(best.rid, -1) AS BIGINT) AS ref_id,
+                   round(coalesce(best.jac, 0.0), 6) AS jaccard
+            FROM shingle_new g LEFT JOIN best ON best.nid = g.id
             ORDER BY doc_id
         """,
         "docs_weighted_sample": f"""

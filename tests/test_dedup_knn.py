@@ -749,3 +749,70 @@ def test_knn_lsh_indexed_parity_and_pruning(ray_session, tmp_path):
     probed = set(side["probes"][0][1])
     assert len(probed) == 6  # own bucket + 5 one-bit flips
     assert len(probed) < len(dirs) + 6  # sanity: bounded probe set
+
+
+def test_dedup_against_brute_force_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.kernels.minhash import word_shingles
+    from text_to_rdf_ray.stages.dedup import dedup_against
+
+    rng = np.random.RandomState(4)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def mk_text(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    ref = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [mk_text(30) for _ in range(40)],
+    })
+    new_rows = []
+    for i in range(30):
+        if i % 3 == 0:     # exact copy of a ref doc
+            t = ref.loc[i, "text"]
+        elif i % 3 == 1:   # near-copy: one word appended
+            t = ref.loc[i, "text"] + " zzz"
+        else:              # fresh text
+            t = mk_text(30)
+        new_rows.append((1000 + i, t))
+    new = pd.DataFrame(new_rows, columns=["doc_id", "text"])
+
+    for max_df in (None, 25):
+        got = (dedup_against(rd.from_pandas(new).repartition(3),
+                             rd.from_pandas(ref).repartition(4),
+                             threshold=0.5, shingle_words=3, max_df=max_df)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # brute force with the same df semantics
+        sh_new = {r.doc_id: word_shingles(r.text, 3) for r in new.itertuples()}
+        sh_ref = {r.doc_id: word_shingles(r.text, 3) for r in ref.itertuples()}
+        if max_df is not None:
+            from collections import Counter
+            df = Counter()
+            for s in list(sh_new.values()) + list(sh_ref.values()):
+                df.update(s)
+            keep = {g for g, c in df.items() if c <= max_df}
+            sh_new = {k: v & keep for k, v in sh_new.items()}
+            sh_ref = {k: v & keep for k, v in sh_ref.items()}
+        assert len(got) == len(new)
+        for _, row in got.iterrows():
+            a = sh_new[row["doc_id"]]
+            cands = []
+            for rid, b in sh_ref.items():
+                un = len(a | b)
+                if un and a and b:
+                    j = len(a & b) / un
+                    if j >= 0.5:
+                        cands.append((-j, rid))
+            if cands:
+                cands.sort()
+                assert bool(row["is_dup"]), (max_df, row["doc_id"])
+                assert row["ref_id"] == cands[0][1], (max_df, row["doc_id"])
+                assert abs(row["jaccard"] - (-cands[0][0])) < 1e-6
+            else:
+                assert not row["is_dup"]
+                assert row["ref_id"] == -1 and row["jaccard"] == 0.0
+    # the exact copies and near-copies were flagged
+    assert got[got["doc_id"] % 3 == 1]["is_dup"].all()  # 1000+3k

@@ -1009,3 +1009,194 @@ def embedding_neardup_pairs(
         ds.select_columns([id_col, emb_col]), bands_feat, verify, id_col, emb_col,
         max_bucket=max_bucket, verify_vec=verify_vec, counter_prefix="emblsh",
     )
+
+
+def dedup_against(
+    new: rd.Dataset,
+    ref: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+    max_df: int | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Incremental (cross-corpus) near-dup filter: flag every NEW doc
+    whose exact word-shingle Jaccard against some REF doc reaches
+    ``threshold`` — the ingestion-time question ("is this incoming batch
+    already in the corpus?") that in-corpus ``minhash_dedup`` does not
+    answer.  Emits one row per new doc: ``(id_col, is_dup, ref_id,
+    jaccard)`` with ``ref_id`` the best match (jaccard desc, ref id asc)
+    or -1, jaccard rounded to 6 dp (0.0 when no match >= threshold).
+
+    EXACT by construction — no banding/recall question: intersections
+    are counted by a shingle-HASH equi-join (64-bit FNV of the shingle,
+    never the text), so the exchange ships (id, hash) pairs only.
+
+    ``max_df``: shingles occurring in more than ``max_df`` docs (df over
+    BOTH corpora) are excluded from intersections AND set sizes — the
+    standard stop-shingle guard, because a corpus-wide shingle ("in the
+    of") makes every bucket quadratic at 10^9 docs.  Dropped shingles
+    are counted (``dedupx_dropped_shingles``), never silent.
+
+    Shape: ONE shingle-hash exchange computes df-filter + per-doc
+    effective sizes + per-(new,ref) intersection partials in a single
+    vectorized per-partition pass (a hash lives in exactly one
+    partition; pair/size partials then sum in two small ``exchange_agg``
+    rounds keyed on doc ids); two ``exchange_join``s attach sizes, a
+    constant-free ``topk_per_group`` picks the best match, and a final
+    left-outer join restores never-matched new docs.  Partitioning
+    assumption: one hash-partition's (id, hash) rows fit in a worker.
+    """
+    from ..kernels.minhash import _hash_shingles, word_shingles
+    from ..state import counters
+    from .analytics import topk_per_group
+    from .exchange import exchange_agg, exchange_join
+
+    def explode(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            txts = batch.column(text_col).to_pylist()
+            id_out, h_out = [], []
+            for i, t in zip(ids, txts):
+                sh = word_shingles(t or "", shingle_words)
+                if not sh:
+                    continue
+                h = np.unique(_hash_shingles(sorted(sh)))
+                id_out.append(np.full(len(h), i, np.int64))
+                h_out.append(h)
+            if not id_out:
+                return pa.table({"id": pa.array([], pa.int64()),
+                                 "h": pa.array([], pa.int64()),
+                                 "side": pa.array([], pa.int8()),
+                                 "_part": pa.array([], pa.int32())})
+            idv = np.concatenate(id_out)
+            hv = np.concatenate(h_out)
+            return pa.table({
+                "id": pa.array(idv, pa.int64()),
+                "h": pa.array(hv.view(np.int64), pa.int64()),
+                "side": pa.array(np.full(len(idv), side, np.int8)),
+                "_part": pa.array(
+                    (hv % np.uint64(num_partitions)).astype(np.int32),
+                    pa.int32()),
+            })
+
+        return fn
+
+    exploded = new.map_batches(explode(0), batch_format="pyarrow").union(
+        ref.map_batches(explode(1), batch_format="pyarrow"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a hash is in THIS partition: df filter,
+        # per-doc effective-size partials, and pair-intersection partials
+        # all come from one vectorized pass
+        g = g.drop(columns=["_part"])
+        if max_df is not None:
+            dfc = g.groupby("h", sort=False)["id"].transform("size")
+            dropped = dfc > max_df
+            counters.incr({"dedupx_dropped_shingles":
+                           int(g.loc[dropped, "h"].nunique())})
+            g = g[~dropped]
+        sizes = (g.groupby(["side", "id"], sort=False).size()
+                 .rename("v").reset_index())
+        ns = g[g["side"] == 0][["h", "id"]].rename(columns={"id": "nid"})
+        rs = g[g["side"] == 1][["h", "id"]].rename(columns={"id": "rid"})
+        inter = (ns.merge(rs, on="h")
+                 .groupby(["nid", "rid"], sort=False).size()
+                 .rename("v").reset_index())
+        return pd.concat([
+            pd.DataFrame({"kind": np.int8(0),
+                          "x": sizes["side"].astype("int64"),
+                          "y": sizes["id"].astype("int64"),
+                          "v": sizes["v"].astype("int64")}),
+            pd.DataFrame({"kind": np.int8(1),
+                          "x": inter["nid"].astype("int64"),
+                          "y": inter["rid"].astype("int64"),
+                          "v": inter["v"].astype("int64")}),
+        ], ignore_index=True)
+
+    packed = (exploded.groupby("_part")
+              .map_groups(per_part, batch_format="pandas")
+              .materialize())  # consumed three times below
+
+    def split(kind: int, names: tuple[str, str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t.column("kind"), pa.scalar(kind, pa.int8())))
+            return pa.table({names[0]: t.column("x"),
+                             names[1]: t.column("y"),
+                             names[2]: t.column("v")})
+
+        return fn
+
+    p8 = min(num_partitions, 16)
+    new_sizes = exchange_agg(
+        packed.map_batches(split(0, ("side", "nid", "n")),
+                           batch_format="pyarrow")
+        .filter(expr="side == 0").drop_columns(["side"]),
+        "nid", [("n", "sum", "na")], num_partitions=p8)
+    ref_sizes = exchange_agg(
+        packed.map_batches(split(0, ("side", "rid", "n")),
+                           batch_format="pyarrow")
+        .filter(expr="side == 1").drop_columns(["side"]),
+        "rid", [("n", "sum", "nb")], num_partitions=p8)
+    inter = exchange_agg(
+        packed.map_batches(split(1, ("nid", "rid", "i")),
+                           batch_format="pyarrow"),
+        ["nid", "rid"], [("i", "sum", "inter")], num_partitions=p8)
+
+    i64 = pa.int64()
+    j1 = exchange_join(
+        inter, new_sizes, on="nid", num_partitions=p8,
+        left_schema=pa.schema([("nid", i64), ("rid", i64), ("inter", i64)]),
+        right_schema=pa.schema([("nid", i64), ("na", i64)]))
+    j2 = exchange_join(
+        j1, ref_sizes, on="rid", num_partitions=p8,
+        left_schema=pa.schema([("nid", i64), ("rid", i64), ("inter", i64),
+                               ("na", i64)]),
+        right_schema=pa.schema([("rid", i64), ("nb", i64)]))
+
+    def score(t: pa.Table) -> pa.Table:
+        inter_v = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter_v / (na + nb - inter_v)
+        keep = jac >= threshold
+        return pa.table({
+            "nid": t.column("nid").filter(pa.array(keep)),
+            "ref_id": t.column("rid").filter(pa.array(keep)),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    matches = j2.map_batches(score, batch_format="pyarrow")
+    best = topk_per_group(matches, key_col="nid", sort_col="jaccard",
+                          tiebreak_col="ref_id", k=1).drop_columns(["rank"])
+
+    def rename_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"nid": t.column(id_col)})
+
+    out = exchange_join(
+        new.select_columns([id_col]).map_batches(rename_ids,
+                                                 batch_format="pyarrow"),
+        best, on="nid", num_partitions=p8, how="left_outer",
+        left_schema=pa.schema([("nid", i64)]),
+        right_schema=pa.schema([("nid", i64), ("ref_id", i64),
+                                ("jaccard", pa.float64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        jac = t.column("jaccard").to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = t.column("ref_id").to_numpy(zero_copy_only=False).astype(np.float64)
+        isdup = ~np.isnan(jac)
+        jr = np.nan_to_num(jac, nan=0.0)
+        jr = np.floor(jr * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: t.column("nid"),
+            "is_dup": pa.array(isdup),
+            "ref_id": pa.array(np.where(isdup, rid, -1.0).astype(np.int64),
+                               pa.int64()),
+            "jaccard": pa.array(jr, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
