@@ -2000,6 +2000,47 @@ def _docs_dedup_against(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Line-level boilerplate removal (stages/curation.py line_dedup,
+    the MassiveText/RefinedWeb repeated-line rule): the synthetic docs
+    have no newlines, so a deterministic wrapper plants multi-line text
+    — 6-word body chunks plus boilerplate lines (cookie banner on even
+    ids, newsletter plug on ids % 3 == 0, a universal footer) — then
+    drops every line present in >= 10 distinct docs.  The planted input
+    is dumped as an oracle side table and DuckDB replays split / df /
+    rebuild relationally."""
+    from text_to_rdf_ray.stages.curation import line_dedup
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, txts):
+            words = (t or "").split()
+            lines = []
+            if i % 2 == 0:
+                lines.append("accept all cookies to continue")
+            lines.extend(" ".join(words[j:j + 6])
+                         for j in range(0, len(words), 6))
+            if i % 3 == 0:
+                lines.append("subscribe to our weekly newsletter")
+            lines.append("all rights reserved worldwide")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted_ds = docs.map_batches(planted, batch_format="pyarrow")
+    _side_write("docs_line_dedup", "input.parquet", planted_ds.to_pandas())
+    out = line_dedup(planted_ds, min_df=10).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return (out[["doc_id", "n_lines", "n_removed", "text_clean"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (stages/curation.py weighted_sample): k=100 docs weighted by n_chars
@@ -2491,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_shuffle": _docs_shuffle,
         "docs_dedup_against": _docs_dedup_against,
+        "docs_line_dedup": _docs_line_dedup,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -2940,6 +2982,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(best.rid, -1) AS BIGINT) AS ref_id,
                    round(coalesce(best.jac, 0.0), 6) AS jaccard
             FROM shingle_new g LEFT JOIN best ON best.nid = g.id
+            ORDER BY doc_id
+        """,
+        "docs_line_dedup": f"""
+            WITH input AS (
+              SELECT * FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_line_dedup", "input.parquet")}')),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS idx
+              FROM input),
+            df AS (SELECT line, count(DISTINCT doc_id) AS df
+                   FROM lines GROUP BY line)
+            SELECT l.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN d.df < 10 THEN l.line END,
+                                       chr(10) ORDER BY l.idx),
+                            '') AS text_clean
+            FROM lines l JOIN df d USING (line)
+            GROUP BY l.doc_id
             ORDER BY doc_id
         """,
         "docs_weighted_sample": f"""

@@ -588,3 +588,67 @@ def test_shuffle_rows_permutation_and_salt(ray_session):
         assert "unique" in str(e)
     else:
         assert sorted(outd["shuffle_pos"]) == list(range(100))
+
+
+def _line_dedup_brute(docs: dict[int, str], min_df: int) -> pd.DataFrame:
+    from collections import Counter
+
+    df = Counter()
+    for t in docs.values():
+        df.update(set(t.split("\n")))
+    rows = []
+    for did in sorted(docs):
+        lines = docs[did].split("\n")
+        kept = [ln for ln in lines if df[ln] < min_df]
+        rows.append({"doc_id": did, "n_lines": len(lines),
+                     "n_removed": len(lines) - len(kept),
+                     "text_clean": "\n".join(kept)})
+    return pd.DataFrame(rows)
+
+
+def test_line_dedup_matches_brute_both_tiers(ray_session):
+    from text_to_rdf_ray.stages.curation import line_dedup
+
+    docs = {}
+    for i in range(60):
+        body = f"unique body line {i} alpha\nsecond unique {i * 7}"
+        parts = []
+        if i % 2 == 0:
+            parts.append("shared cookie banner")
+        parts.append(body)
+        if i % 5 == 0:
+            parts.append("rare promo line")  # df=12
+        parts.append("global footer")
+        docs[i] = "\n".join(parts)
+    expect = _line_dedup_brute(docs, min_df=12)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })).repartition(6)
+    for tier_kw in ({"max_broadcast_pairs": 5_000_000},
+                    {"max_broadcast_pairs": 0}):  # force the join tier
+        out = (line_dedup(ds, min_df=12, **tier_kw).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "n_lines", "n_removed", "text_clean"]],
+            expect, check_dtype=False)
+    # boundary: df == min_df is removed ("rare promo line" df=12)
+    assert all("rare promo line" not in t for t in out["text_clean"])
+    # lines below threshold survive
+    assert any("unique body line" in t for t in out["text_clean"])
+
+
+def test_line_dedup_all_boilerplate_and_empty(ray_session):
+    from text_to_rdf_ray.stages.curation import line_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["same\nsame", "same", ""], pa.string()),
+    }))
+    out = (line_dedup(ds, min_df=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # "same" df=2 -> removed everywhere; doc 2's single empty line has
+    # df=1 and survives
+    assert out["text_clean"].tolist() == ["", "", ""]
+    assert out["n_removed"].tolist() == [2, 1, 0]
+    assert out["n_lines"].tolist() == [2, 1, 1]

@@ -1279,3 +1279,155 @@ def shuffle_rows(
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    num_partitions: int = 64,
+    max_broadcast_pairs: int = 5_000_000,
+) -> rd.Dataset:
+    """Line-level boilerplate removal (the MassiveText / RefinedWeb
+    "remove lines repeated across documents" rule): drop every line of
+    text that occurs in at least ``min_df`` DISTINCT documents —
+    cookie banners, nav bars, copyright footers — and return the
+    per-document cleaned text.
+
+    Output: one row per input doc — ``(id_col, n_lines, n_removed,
+    text_clean)`` with ``text_clean`` the surviving lines re-joined by
+    ``\\n`` in original order ('' when everything was boilerplate).
+
+    Scale shape: the df exchange ships a 128-bit line hash + (doc, idx)
+    — never the line text (collision odds ~n^2/2^128, documented in
+    lieu of shipping text).  Each hash lives in exactly one partition,
+    so the df count AND the removal flags come from one vectorized
+    per-partition pass.  The removal set (pairs of int64) is tiny
+    relative to the corpus — boilerplate occurrences only — so below
+    ``max_broadcast_pairs`` (~80 MB) it is broadcast once via
+    ``ray.put`` and the rebuild is a pure map over the original docs
+    (the 100 TB side is never re-shuffled); above it, removals are
+    csv-packed per doc in a doc-keyed exchange and attached with one
+    ``exchange_join`` (the corpus pays one hash exchange).  Removed
+    distinct lines / occurrences are counted
+    (``linededup_lines`` / ``linededup_occurrences``), never silent.
+    """
+    import ray
+
+    from ..state import counters
+    from .exchange import exchange_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_h1, out_h2 = [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            for i, line in enumerate((txt or "").split("\n")):
+                dig = hashlib.blake2b(line.encode("utf-8"),
+                                      digest_size=16).digest()
+                out_id.append(did)
+                out_idx.append(i)
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+        h1 = np.array(out_h1, dtype=np.int64)
+        part = (h1.astype(np.uint64) % np.uint64(num_partitions)).astype(
+            np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "line_idx": pa.array(out_idx, pa.int64()),
+            "_h1": pa.array(out_h1, pa.int64()),
+            "_h2": pa.array(out_h2, pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def flag_removed(group: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a hash is in THIS partition: df
+        # (distinct-doc count) and the removal flags in one pass
+        df = group.groupby(["_h1", "_h2"], sort=False)[id_col].transform(
+            "nunique")
+        rem = group[df >= min_df]
+        counters.incr({
+            "linededup_lines": int(rem.groupby(["_h1", "_h2"],
+                                               sort=False).ngroups),
+            "linededup_occurrences": int(len(rem)),
+        })
+        return rem[[id_col, "line_idx"]]
+
+    removed = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("_part")
+               .map_groups(flag_removed, batch_format="pandas")
+               .materialize())  # tiny: boilerplate occurrences only
+
+    def rebuild(removed_of):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            txts = batch.column(text_col).to_pylist()
+            n_lines, n_removed, clean = [], [], []
+            for did, txt in zip(ids, txts):
+                lines = (txt or "").split("\n")
+                drop = removed_of(did)
+                n_lines.append(len(lines))
+                n_removed.append(len(drop))
+                clean.append("\n".join(
+                    ln for i, ln in enumerate(lines) if i not in drop))
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "text_clean": pa.array(clean, pa.string()),
+            })
+
+        return fn
+
+    n_pairs = removed.count()
+    if n_pairs <= max_broadcast_pairs:
+        rem_df = removed.to_pandas()  # bounded by max_broadcast_pairs
+        rem_map: dict[int, frozenset] = {
+            int(k): frozenset(v)
+            for k, v in rem_df.groupby(id_col)["line_idx"].apply(set).items()
+        }
+        rem_ref = ray.put(rem_map)
+        cache: dict = {}
+
+        def lookup(did):
+            m = cache.get("m")
+            if m is None:
+                m = cache["m"] = ray.get(rem_ref)
+            return m.get(did, frozenset())
+
+        return ds.map_batches(rebuild(lookup), batch_format="pyarrow")
+
+    # join tier: csv-pack removals per doc in a doc-keyed exchange, then
+    # one exchange_join attaches them to the corpus
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids.astype(np.uint64) * np.uint64(_KNUTH)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_dpart", pa.array(part, pa.int32()))
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values("line_idx")
+             .groupby(id_col, sort=False)["line_idx"]
+             .agg(lambda s: ",".join(map(str, s))).reset_index())
+        return g.rename(columns={"line_idx": "_removed_csv"})
+
+    packed = (removed.map_batches(add_part, batch_format="pyarrow")
+              .groupby("_dpart").map_groups(pack, batch_format="pandas"))
+    packed_schema = pa.schema([(id_col, pa.int64()),
+                               ("_removed_csv", pa.string())])
+    joined = exchange_join(
+        ds, packed, on=id_col, how="left_outer",
+        num_partitions=num_partitions, right_schema=packed_schema)
+
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        # one row per doc (packed is per-doc), so a batch-local map is safe
+        drop_of = {
+            did: (frozenset(map(int, c.split(","))) if c else frozenset())
+            for did, c in zip(batch.column(id_col).to_pylist(),
+                              batch.column("_removed_csv").to_pylist())
+        }
+        sub = batch.drop_columns(["_removed_csv"])
+        return rebuild(lambda did: drop_of[did])(sub)
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")
