@@ -2131,6 +2131,40 @@ def _custs_orders_full(sf_dir: str) -> pd.DataFrame:
             .sort_values("c_custkey").reset_index(drop=True))
 
 
+def _docs_vocab(sf_dir: str) -> pd.DataFrame:
+    """Top-20 corpus vocabulary, token_id = rank under (count desc,
+    term asc) — per-batch Counter partials -> one term-keyed
+    exchange_agg sum -> constant-key topk_per_group funnel
+    (stages/curation.py::build_vocab); the full vocabulary is never
+    collected on the driver."""
+    from text_to_rdf_ray.stages.curation import build_vocab
+
+    out = (build_vocab(_documents(sf_dir).select_columns(["text"]),
+                       max_vocab=20).to_pandas()
+           .sort_values("token_id").reset_index(drop=True))
+    out["count"] = out["count"].astype("int64")
+    out["token_id"] = out["token_id"].astype("int64")
+    return out[["term", "count", "token_id"]]
+
+
+def _docs_vocab_encode(sf_dir: str) -> pd.DataFrame:
+    """Fixed-vocabulary token encoding (the tokenizer step of a training
+    pipeline): build_vocab(max_vocab=20, which BINDS on the
+    31-term synthetic vocabulary so real OOV ids appear) collected once (bounded BY
+    CONSTRUCTION), broadcast via ray.put, corpus side a pure map with a
+    vectorized Series.map over the flat token stream; OOV -> id 0
+    (stages/curation.py::encode_with_vocab)."""
+    from text_to_rdf_ray.stages.curation import build_vocab, encode_with_vocab
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    vocab = build_vocab(docs, max_vocab=20).to_pandas()
+    out = encode_with_vocab(docs, vocab).to_pandas()
+    for c in ("doc_id", "n_tokens", "n_oov"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_tokens", "n_oov", "ids_csv"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2533,6 +2567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle": _docs_shuffle,
         "docs_dedup_against": _docs_dedup_against,
         "docs_line_dedup": _docs_line_dedup,
+        "docs_vocab": _docs_vocab,
+        "docs_vocab_encode": _docs_vocab_encode,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -3005,6 +3041,50 @@ def oracle_sql() -> dict[str, str]:
                             '') AS text_clean
             FROM lines l JOIN df d USING (line)
             GROUP BY l.doc_id
+            ORDER BY doc_id
+        """,
+        "docs_vocab": """
+            -- top-20 vocab (binds: 31 distinct terms), token_id = row_number over (count desc,
+            -- term asc) (curation.py::build_vocab)
+            WITH toks AS (
+              SELECT unnest(list_filter(str_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+            SELECT term, CAST(cnt AS BIGINT) AS "count",
+                   CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                        AS BIGINT) AS token_id
+            FROM c QUALIFY token_id <= 20 ORDER BY token_id
+        """,
+        "docs_vocab_encode": """
+            -- fixed-vocab encoding, OOV -> 0
+            -- (curation.py::encode_with_vocab over build_vocab(20))
+            WITH d AS (SELECT doc_id,
+                              list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                           unnest(toks) AS term
+                    FROM d),
+            c AS (SELECT term, count(*) AS cnt FROM pos GROUP BY term),
+            v AS (SELECT term,
+                         row_number() OVER (ORDER BY cnt DESC, term ASC)
+                             AS tid
+                  FROM c QUALIFY tid <= 20),
+            m AS (SELECT p.doc_id, p.i, COALESCE(v.tid, 0) AS tid
+                  FROM pos p LEFT JOIN v ON v.term = p.term),
+            g AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(count(*) FILTER (WHERE tid = 0) AS BIGINT)
+                             AS n_oov,
+                         string_agg(CAST(tid AS VARCHAR), ','
+                                    ORDER BY i) AS ids_csv
+                  FROM m GROUP BY doc_id)
+            SELECT dd.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens,
+                   COALESCE(g.n_oov, 0) AS n_oov,
+                   COALESCE(g.ids_csv, '') AS ids_csv
+            FROM (SELECT doc_id FROM documents) dd
+            LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
         """,
         "docs_weighted_sample": f"""

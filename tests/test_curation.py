@@ -652,3 +652,56 @@ def test_line_dedup_all_boilerplate_and_empty(ray_session):
     assert out["text_clean"].tolist() == ["", "", ""]
     assert out["n_removed"].tolist() == [2, 1, 0]
     assert out["n_lines"].tolist() == [2, 1, 1]
+
+
+def _vocab_brute(texts: list[str], max_vocab: int) -> pd.DataFrame:
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(w for w in t.lower().split(" ") if w)
+    rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    return pd.DataFrame({
+        "term": [t for t, _ in rows],
+        "count": [n for _, n in rows],
+        "token_id": np.arange(1, len(rows) + 1, dtype=np.int64),
+    })
+
+
+def test_build_vocab_matches_brute(ray_session):
+    from text_to_rdf_ray.stages.curation import build_vocab
+
+    texts = [f"alpha beta gamma w{i % 7} w{i % 3} alpha" for i in range(40)]
+    texts += ["", "   ", "Alpha ALPHA tie tie2"]  # case fold + ties
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    ds = ds.repartition(5)
+    out = (build_vocab(ds, max_vocab=6).to_pandas()
+           .sort_values("token_id").reset_index(drop=True))
+    expect = _vocab_brute(texts, 6)
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+    # tie at the same count breaks term-ascending
+    grp = out.groupby("count")["term"].apply(list)
+    for terms in grp:
+        assert terms == sorted(terms)
+
+
+def test_encode_with_vocab_roundtrip(ray_session):
+    from text_to_rdf_ray.stages.curation import build_vocab, encode_with_vocab
+
+    texts = ["the cat sat", "the the unknownword cat", "", "dog"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    vocab = build_vocab(ds, max_vocab=3).to_pandas()
+    # vocab: the(3) cat(2) then first-alpha of the count-1 terms
+    assert vocab["term"].iloc[0] == "the"
+    out = (encode_with_vocab(ds, vocab).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    vmap = dict(zip(vocab["term"], vocab["token_id"]))
+    for _, r in out.iterrows():
+        toks = [w for w in texts[int(r["doc_id"])].lower().split(" ") if w]
+        ids = [int(vmap.get(w, 0)) for w in toks]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == sum(1 for i in ids if i == 0)
+        assert r["ids_csv"] == ",".join(map(str, ids))

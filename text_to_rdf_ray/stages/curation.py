@@ -1431,3 +1431,114 @@ def line_dedup(
         return rebuild(lambda did: drop_of[did])(sub)
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+def build_vocab(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    max_vocab: int = 30_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Corpus vocabulary for fixed-vocab token encoding: the top
+    ``max_vocab`` whitespace terms by frequency — ``(term, count,
+    token_id)`` with ``token_id`` the 1-based rank under
+    (count desc, term asc); id 0 is reserved for OOV.
+
+    Scale shape: per-batch ``Counter`` partials (one row per distinct
+    term per batch, never raw tokens) -> one term-keyed ``exchange_agg``
+    sum -> global top-``max_vocab`` via ``topk_per_group`` on a constant
+    key, whose batch-local combiner caps the final funnel at
+    ``batches x max_vocab`` rows — the full vocabulary table is never
+    collected anywhere.
+    """
+    from collections import Counter
+
+    from .analytics import topk_per_group
+    from .exchange import exchange_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in batch.column(text_col).to_pylist():
+            c.update(_terms(txt or ""))
+        terms = sorted(c)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "count": pa.array([c[t] for t in terms], pa.int64()),
+        })
+
+    counts = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "term", [("count", "sum", "count")],
+        num_partitions=num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_all", pa.array(np.zeros(len(batch), np.int32), pa.int32()))
+
+    top = topk_per_group(
+        counts.map_batches(tag, batch_format="pyarrow"),
+        key_col="_all", sort_col="count", tiebreak_col="term",
+        k=max_vocab, descending=True)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.rename(columns={"rank": "token_id"})
+        return out[["term", "count", "token_id"]]
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def encode_with_vocab(
+    ds: rd.Dataset,
+    vocab,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Fixed-vocabulary token encoding (the tokenizer step of a training
+    pipeline): map each document's whitespace terms to ``token_id``s from
+    ``vocab`` (a ``build_vocab`` result — Dataset or DataFrame), OOV -> 0.
+    Output: ``(id_col, n_tokens, n_oov, ids_csv)`` with ``ids_csv`` the
+    ids in document order.
+
+    Scale shape: the vocab is bounded by ``max_vocab`` BY CONSTRUCTION,
+    so it is collected once, broadcast via ``ray.put`` and cached per
+    worker process; the corpus side is a pure map — no shuffle touches
+    the big side.  Per-batch encoding is a single vectorized
+    ``Series.map`` over the flattened token stream, re-split by
+    document boundaries.
+    """
+    import itertools
+
+    import ray
+
+    vdf = vocab.to_pandas() if isinstance(vocab, rd.Dataset) else vocab
+    vmap = dict(zip(vdf["term"], vdf["token_id"].astype(np.int64)))
+    vref = ray.put(vmap)
+    cache: dict = {}
+
+    def enc(batch: pa.Table) -> pa.Table:
+        vd = cache.get("v")
+        if vd is None:
+            vd = cache["v"] = ray.get(vref)
+        ids = batch.column(id_col).to_pylist()
+        txts = batch.column(text_col).to_pylist()
+        toks = [_terms(t or "") for t in txts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = list(itertools.chain.from_iterable(toks))
+        if flat:
+            tid = (pd.Series(flat, dtype=object).map(vd)
+                   .fillna(0).astype(np.int64).to_numpy())
+        else:
+            tid = np.empty(0, np.int64)
+        parts = np.split(tid, np.cumsum(lens)[:-1]) if len(toks) else []
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_oov": pa.array([int((p == 0).sum()) for p in parts],
+                              pa.int64()),
+            "ids_csv": pa.array([",".join(map(str, p)) for p in parts],
+                                pa.string()),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
