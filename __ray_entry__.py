@@ -2165,6 +2165,28 @@ def _docs_vocab_encode(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+_BM25_QUERIES = {
+    "q1": ["hash", "join", "table"],
+    "q2": ["window", "agg", "stream"],
+    "q3": ["vector", "scan", "dup"],
+}
+
+
+def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-15 docs per query (stages/retrieval.py::bm25_topk):
+    bounded query-vocab df pass -> broadcast idf/avgdl -> pure-map
+    scoring -> topk_per_group funnel.  Scores rounded to 6dp BEFORE
+    ranking so the order is engine-independent."""
+    from text_to_rdf_ray.stages.retrieval import bm25_topk
+
+    out = (bm25_topk(_documents(sf_dir).select_columns(["doc_id", "text"]),
+                     _BM25_QUERIES, k=15).to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["query_id", "doc_id", "score", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2569,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_vocab": _docs_vocab,
         "docs_vocab_encode": _docs_vocab_encode,
+        "docs_bm25_topk": _docs_bm25_topk,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -3086,6 +3109,47 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
+        """,
+        "docs_bm25_topk": """
+            -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
+            -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)
+            -- (stages/retrieval.py::bm25_topk)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc)
+            SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+            FROM rk WHERE "rank" <= 15
+            ORDER BY query_id, "rank"
         """,
         "docs_weighted_sample": f"""
             WITH {_sm64_sql("documents", "doc_id", ["doc_id", "n_chars"])},

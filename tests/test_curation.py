@@ -705,3 +705,56 @@ def test_encode_with_vocab_roundtrip(ray_session):
         assert r["n_tokens"] == len(toks)
         assert r["n_oov"] == sum(1 for i in ids if i == 0)
         assert r["ids_csv"] == ",".join(map(str, ids))
+
+
+def test_bm25_topk_matches_brute(ray_session):
+    from text_to_rdf_ray.stages.retrieval import bm25_topk
+
+    texts = [
+        "hash join table scan",
+        "hash hash join",
+        "window agg stream window",
+        "table scan scan scan filter",
+        "",
+        "unrelated words only here",
+    ]
+    queries = {"q1": ["hash", "join"], "q2": ["scan", "window"]}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = (bm25_topk(ds, queries, k=3).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    # brute force
+    import math
+    from collections import Counter
+
+    toks = [t.lower().split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    k1, b = 1.2, 0.75
+
+    def idf(term):
+        df = sum(1 for t in toks if term in t)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    rows = []
+    for qid, terms in queries.items():
+        scores = []
+        for did, t in enumerate(toks):
+            tf = Counter(t)
+            s = sum(idf(w) * tf[w] * (k1 + 1)
+                    / (tf[w] + k1 * (1 - b + b * len(t) / avgdl))
+                    for w in terms if tf[w])
+            if any(tf[w] for w in terms):
+                scores.append((round(s, 6), did))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        for r, (s, did) in enumerate(scores[:3], 1):
+            rows.append({"query_id": qid, "doc_id": did,
+                         "score": s, "rank": r})
+    expect = (pd.DataFrame(rows)
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["query_id", "doc_id", "score", "rank"]], expect,
+        check_dtype=False)

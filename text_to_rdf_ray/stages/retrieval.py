@@ -1,0 +1,148 @@
+"""Distributed text retrieval over a document corpus.
+
+BM25 ranking (Robertson-Sparck Jones probabilistic idf in the Lucene
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, which is always positive) as
+a two-pass Ray Data composition:
+
+1. **Bounded statistics pass** — document frequency restricted to the
+   QUERY vocabulary (never the corpus vocabulary), plus corpus N and
+   total token length, via per-batch ``Counter`` partials -> one
+   term-keyed ``exchange_agg`` sum -> a driver collect bounded by
+   ``len(query_terms) + 1`` rows regardless of corpus size.
+2. **Pure-map scoring pass** — the per-term idf table, avgdl and the
+   query list are broadcast once via ``ray.put`` (cached per worker
+   process); each batch tokenizes its documents, keeps only query-term
+   tf counts, and emits ``(query_id, doc_id, score)`` rows for docs
+   matching >= 1 term.  No shuffle ever touches the corpus text.
+3. **Top-k funnel** — ``topk_per_group`` on ``query_id`` (batch-local
+   top-k combiner before a 64-way hash exchange), so at most
+   ``batches x queries x k`` rows move.
+
+Scores are rounded to 6 decimals BEFORE ranking and tie-broken on
+``doc_id`` ascending, making the ranking deterministic and replayable in
+SQL (the final sum's addend order differs between engines; rounding
+absorbs the <=1e-15 reassociation noise).
+
+The reference engine has no retrieval surface; this operator belongs to
+the large-scale training-data family (retrieval-based data selection /
+decontamination against a query set).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .curation import _terms
+
+
+def bm25_topk(
+    ds: rd.Dataset,
+    queries: dict[str, list[str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Top-``k`` documents per query under BM25.
+
+    ``queries`` maps query_id -> list of (already lowercased) terms.
+    Returns ``(query_id, doc_id, score, rank)`` with ``rank`` 1-based
+    per query under (score desc, doc_id asc); ``score`` rounded to 6
+    decimals (the ranking key — see module docstring).
+    """
+    from .analytics import topk_per_group
+    from .exchange import exchange_agg
+
+    qset = frozenset(t for ts in queries.values() for t in ts)
+    if not qset:
+        raise ValueError("bm25_topk: queries contain no terms")
+
+    # ---- pass 1: df over the query vocabulary + corpus N / total dl.
+    # The sentinel term "" carries (n_docs, sum_dl); real terms carry df.
+    def stats(batch: pa.Table) -> pa.Table:
+        dfc: Counter = Counter()
+        n = 0
+        sdl = 0
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt or "")
+            n += 1
+            sdl += len(toks)
+            dfc.update(qset.intersection(toks))
+        terms = [""] + sorted(dfc)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([0] + [dfc[t] for t in terms[1:]], pa.int64()),
+            "n_docs": pa.array([n] + [0] * (len(terms) - 1), pa.int64()),
+            "sum_dl": pa.array([sdl] + [0] * (len(terms) - 1), pa.int64()),
+        })
+
+    agg = exchange_agg(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        "term",
+        [("df", "sum", "df"), ("n_docs", "sum", "n_docs"),
+         ("sum_dl", "sum", "sum_dl")],
+        num_partitions=min(num_partitions, 16),
+    ).to_pandas()  # bounded: <= len(qset) + 1 rows BY CONSTRUCTION
+
+    sent = agg[agg["term"] == ""]
+    n_docs = int(sent["n_docs"].sum())
+    sum_dl = int(sent["sum_dl"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = sum_dl / n_docs
+    idf = {
+        t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+        for t, d in zip(agg["term"], agg["df"]) if t
+    }
+    qlist = sorted((qid, sorted(set(ts))) for qid, ts in queries.items())
+    bcast = ray.put((qlist, idf, avgdl))
+    cache: dict = {}
+
+    # ---- pass 2: pure map — score every doc against every query.
+    def score(batch: pa.Table) -> pa.Table:
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(bcast)
+        ql, idfm, adl = st
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        ids = batch.column(id_col).to_pylist()
+        for did, txt in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _terms(txt or "")
+            dl = len(toks)
+            tf = Counter(t for t in toks if t in idfm)
+            if not tf:
+                continue
+            norm = k1 * (1.0 - b + b * dl / adl)
+            for qid, terms in ql:
+                s = 0.0
+                hit = False
+                for t in terms:
+                    f = tf.get(t, 0)
+                    if f:
+                        hit = True
+                        s += idfm[t] * f * (k1 + 1.0) / (f + norm)
+                if hit:
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_s.append(round(s, 6))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(scored, key_col="query_id", sort_col="score",
+                          tiebreak_col="doc_id", k=k, descending=True)
