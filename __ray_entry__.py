@@ -2187,6 +2187,75 @@ def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+_BPE_STATE: dict = {}
+
+
+def _bpe_run(sf_dir: str):
+    """Run bpe_train once per sf_dir and share the (merges, segmentation)
+    result between the two BPE queries (same driver process)."""
+    if _BPE_STATE.get("dir") != sf_dir:
+        from text_to_rdf_ray.stages.bpe import bpe_train
+
+        merges, words = bpe_train(
+            _documents(sf_dir).select_columns(["text"]), n_merges=6)
+        _BPE_STATE.update(dir=sf_dir, merges=merges,
+                          words=words.to_pandas())
+    return _BPE_STATE["merges"], _BPE_STATE["words"]
+
+
+def _docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """First 6 learned BPE merges (stages/bpe.py::bpe_train): distributed
+    word-count state, per-iteration vectorized pair-count partials ->
+    pair-keyed exchange_agg -> constant-key top-1 funnel; ties
+    (count desc, pair asc)."""
+    merges, _ = _bpe_run(sf_dir)
+    out = merges.copy()
+    out["rank"] = out["rank"].astype("int64")
+    out["pair_cnt"] = out["pair_cnt"].astype("int64")
+    return (out[["rank", "left", "right", "merged", "pair_cnt"]]
+            .sort_values("rank").reset_index(drop=True))
+
+
+def _docs_bpe_segment(sf_dir: str) -> pd.DataFrame:
+    """Final word segmentation after the 6 merges (stages/bpe.py::
+    bpe_train) — double-space replace invariant makes the distributed
+    apply EXACTLY canonical greedy BPE, replayed bit-for-bit by the
+    unrolled SQL."""
+    _, words = _bpe_run(sf_dir)
+    out = words.copy()
+    out["cnt"] = out["cnt"].astype("int64")
+    return (out[["word", "cnt", "sym"]]
+            .sort_values("word").reset_index(drop=True))
+
+
+def _bpe_sql(n: int, select: str) -> str:
+    """Unrolled-CTE DuckDB replay of bpe_train (stages/bpe.py): per
+    iteration, adjacent-pair counts over the double-space symbol strings,
+    (cnt desc, pair asc) top-1, and the same single-pass replace."""
+    parts = ["""w0 AS (
+        SELECT word, cnt,
+               '  ' || array_to_string(str_split(word, ''), '  ')
+                    || '  </w>  ' AS sym
+        FROM (SELECT term AS word, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '')) AS term
+                FROM documents) GROUP BY term))"""]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, sum(cnt) AS cnt
+        FROM (SELECT cnt, str_split(trim(sym), '  ') AS l FROM w{i - 1}) t,
+             unnest(range(1, len(l))) AS r(i)
+        GROUP BY pair)""")
+        parts.append(f"""best{i} AS (
+        SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        parts.append(f"""w{i} AS (
+        SELECT word, w.cnt,
+               replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+        FROM w{i - 1} w CROSS JOIN best{i} b)""")
+    return "WITH " + ",\n".join(parts) + "\n" + select
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2592,6 +2661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab": _docs_vocab,
         "docs_vocab_encode": _docs_vocab_encode,
         "docs_bm25_topk": _docs_bm25_topk,
+        "docs_bpe_merges": _docs_bpe_merges,
+        "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -3110,6 +3181,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
         """,
+        "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
+        "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
         "docs_bm25_topk": """
             -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
             -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)

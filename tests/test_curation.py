@@ -758,3 +758,69 @@ def test_bm25_topk_matches_brute(ray_session):
     pd.testing.assert_frame_equal(
         out[["query_id", "doc_id", "score", "rank"]], expect,
         check_dtype=False)
+
+
+def _bpe_brute(texts, n_merges):
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split(" ") if w)
+    words = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append({"rank": rank, "left": a, "right": b,
+                       "merged": a + b, "pair_cnt": cnt})
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    seg = pd.DataFrame({
+        "word": sorted(words),
+        "cnt": [wc[w] for w in sorted(words)],
+        "sym": [" ".join(words[w]) for w in sorted(words)],
+    })
+    return pd.DataFrame(merges), seg
+
+
+def test_bpe_train_matches_brute(ray_session):
+    from text_to_rdf_ray.stages.bpe import bpe_train
+
+    texts = ["the theme there then", "hash hashing then the",
+             "aaaa aaa banana bandana", "theme theme hash the"]
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    merges, words = bpe_train(ds, n_merges=8)
+    em, es = _bpe_brute(texts, 8)
+    got_seg = (words.to_pandas().sort_values("word")
+               .reset_index(drop=True)[["word", "cnt", "sym"]])
+    pd.testing.assert_frame_equal(
+        merges[["rank", "left", "right", "merged", "pair_cnt"]], em,
+        check_dtype=False)
+    pd.testing.assert_frame_equal(got_seg, es, check_dtype=False)
+
+
+def test_bpe_repeated_symbol_run_greedy(ray_session):
+    # 'aaaa' must segment [aa, aa, </w>]-style under greedy BPE once
+    # (a,a) is merged — the double-space replace invariant
+    from text_to_rdf_ray.stages.bpe import bpe_train
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(["aaaa aaaa aaa"])}))
+    merges, words = bpe_train(ds, n_merges=1)
+    seg = dict(zip(words.to_pandas()["word"], words.to_pandas()["sym"]))
+    assert merges.iloc[0]["merged"] == "aa"
+    assert seg["aaaa"] == "aa aa </w>"
+    assert seg["aaa"] == "aa a </w>"
