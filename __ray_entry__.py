@@ -2187,6 +2187,40 @@ def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
+    """Dimension enrichment via map-side join (stages/joins.py::
+    broadcast_join — part table broadcast once via ray.put, lineitem
+    streams with NO shuffle), then a p_type-keyed exchange_agg revenue
+    sum.  Revenue parts pre-rounded per row so the sum is
+    order-independent across engines."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+    from text_to_rdf_ray.stages.joins import broadcast_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": batch.column("l_partkey"),
+            "rev": pa.array(np.round(ep * (1.0 - dc), 2), pa.float64()),
+        })
+
+    joined = broadcast_join(li.map_batches(rev, batch_format="pyarrow"),
+                            part, on="p_partkey")
+    out = exchange_agg(joined, "p_type",
+                       [("rev", "sum", "revenue"),
+                        ("rev", "count", "n_items")]).to_pandas()
+    out["revenue"] = _r(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out[["p_type", "revenue", "n_items"]]
+            .sort_values("p_type").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2661,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab": _docs_vocab,
         "docs_vocab_encode": _docs_vocab_encode,
         "docs_bm25_topk": _docs_bm25_topk,
+        "revenue_by_part_type": _revenue_by_part_type,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3180,6 +3215,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
+        """,
+        "revenue_by_part_type": """
+            -- map-side dimension join replay
+            -- (stages/joins.py::broadcast_join + exchange_agg)
+            SELECT p_type,
+                   round(sum(round(l_extendedprice * (1 - l_discount), 2)),
+                         2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_type ORDER BY p_type
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),

@@ -860,3 +860,31 @@ def test_group_ols_matches_numpy(ray_session):
     out2 = group_ols(rd.from_pandas(dg), key_col="k",
                      x_col="x", y_col="y").to_pandas()
     assert out2.empty or not set(out2["k"]) & {100, 101}
+
+
+def test_broadcast_join_inner_left_and_cap(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.joins import broadcast_join
+
+    big = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 2, 3, 9], "v": [10, 20, 21, 30, 90]})).repartition(3)
+    small = pd.DataFrame({"k": [1, 2, 2, 4], "name": ["a", "b", "b2", "d"]})
+
+    inner = (broadcast_join(big, small, on="k").to_pandas()
+             .sort_values(["k", "v", "name"]).reset_index(drop=True))
+    expect = (pd.DataFrame({"k": [1, 2, 2, 2, 2],
+                            "v": [10, 20, 20, 21, 21],
+                            "name": ["a", "b", "b2", "b", "b2"]})
+              .sort_values(["k", "v", "name"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(inner, expect, check_dtype=False)
+
+    left = (broadcast_join(big, small, on="k", how="left").to_pandas()
+            .sort_values(["k", "v", "name"]).reset_index(drop=True))
+    assert len(left) == 7  # 5 rows, k=2 rows doubled, k=3/9 kept null
+    assert left[left["k"] == 9]["name"].isna().all()
+
+    with pytest.raises(ValueError):
+        broadcast_join(big, small, on="k", max_rows=2)
+    with pytest.raises(ValueError):
+        broadcast_join(big, small, on="k", how="full_outer")

@@ -547,3 +547,53 @@ def semi_join_bloom(
     if not anti:
         return verified
     return ds.map_batches(keep_miss, batch_format="pyarrow").union(verified)
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small,
+    *,
+    on: str | list[str],
+    how: str = "inner",
+    max_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Generic map-side (broadcast) hash join: join a large Dataset to a
+    SMALL side with no shuffle touching the big side.
+
+    The small side (Dataset or DataFrame) is materialized once on the
+    driver, broadcast via ``ray.put`` (one shared object-store copy per
+    node) and merged into every batch with one vectorized
+    ``pandas.merge``.  This is the scale pattern for dimension-table
+    enrichment (the 100 TB fact scan keeps streaming; only the
+    dimension is resident) — the shuffle alternative
+    (``exchange.exchange_join``) is the tool when BOTH sides are large.
+
+    ``how`` is ``inner`` or ``left``.  Duplicate keys on the small side
+    replicate rows (standard join semantics).  Raises if the small side
+    exceeds ``max_rows`` (2M rows of a few int64/string cols ~ 100-300
+    MB resident per worker process after pandas-ification — past that a
+    shuffle join wins; same budget reasoning as ``semi_join_filter``).
+
+    Ray 2.49 gotcha, documented for callers: on ``how="left"``,
+    unmatched int64 payload columns become float64 + NaN (pandas merge
+    semantics).  Cast or fill on the result if downstream needs ints.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: unsupported how={how!r}")
+    sm = small.to_pandas() if isinstance(small, rd.Dataset) else small.copy()
+    if len(sm) > max_rows:
+        raise ValueError(
+            f"broadcast_join: small side has {len(sm)} rows > max_rows="
+            f"{max_rows}; use exchange_join for sides this large")
+    ref = ray.put(sm)
+    cache: dict = {}
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        s = cache.get("s")
+        if s is None:
+            s = cache["s"] = ray.get(ref)
+        return batch.merge(s, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
