@@ -2221,6 +2221,50 @@ def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
             .sort_values("p_type").reset_index(drop=True))
 
 
+def _kg_ntriples_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """N-Triples sink -> source round-trip (pipelines/kg.py::
+    write_ntriples / sources/ntriples.py::read_ntriples, the reference's
+    graph serialization — src/formatter.rs): a deterministic triples
+    table with planted escape-relevant literals (newline, CR, quote,
+    backslash) is written as .nt shards, read back with the streaming
+    regex parser, and the oracle re-parses the SAME shard files in
+    DuckDB (read_text + regexp_extract + the escape inversion done
+    relationally) — two independent parsers over one serialization."""
+    import shutil
+
+    from text_to_rdf_ray.pipelines.kg import write_ntriples
+    from text_to_rdf_ray.sources.ntriples import read_ntriples
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        subj, pred, obj, ot = [], [], [], []
+        for i, t in zip(ids, txts):
+            subj.append(f"doc {i}")
+            pred.append("note")
+            obj.append(f'l1\nl2\r"q{i}" \\ {(t or "")[:12]}')
+            ot.append(False)
+            subj.append(f"doc {i}")
+            pred.append("about")
+            obj.append(f"topic {i % 7}")
+            ot.append(True)
+        return pa.table({"subj": pa.array(subj, pa.string()),
+                         "pred": pa.array(pred, pa.string()),
+                         "obj": pa.array(obj, pa.string()),
+                         "obj_type": pa.array(ot, pa.bool_())})
+
+    out_dir = os.path.join(_SIDE, "kg_ntriples_roundtrip", "nt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ntriples(docs.map_batches(to_triples, batch_format="pyarrow"),
+                   out_dir)
+    out = read_ntriples(out_dir).to_pandas()
+    return (out[["subj_uri", "pred_uri", "obj", "obj_is_uri"]]
+            .sort_values(["subj_uri", "pred_uri", "obj"])
+            .reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2696,6 +2740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_encode": _docs_vocab_encode,
         "docs_bm25_topk": _docs_bm25_topk,
         "revenue_by_part_type": _revenue_by_part_type,
+        "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3215,6 +3260,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
+        """,
+        "kg_ntriples_roundtrip": f"""
+            -- independent DuckDB parse of the .nt shards the query wrote
+            -- (sources/ntriples.py regex parser vs read_text + regexp)
+            WITH raw AS (SELECT content FROM read_text(
+                   '{os.path.join(_SIDE, "kg_ntriples_roundtrip", "nt", "*.nt")}')),
+            lines AS (SELECT unnest(str_split(content, chr(10))) AS line
+                      FROM raw),
+            m AS (SELECT
+                    regexp_extract(line, '^<([^>]*)> <([^>]*)> (.*) \\.$', 1) AS s,
+                    regexp_extract(line, '^<([^>]*)> <([^>]*)> (.*) \\.$', 2) AS p,
+                    regexp_extract(line, '^<([^>]*)> <([^>]*)> (.*) \\.$', 3) AS o
+                  FROM lines WHERE line <> '')
+            SELECT s AS subj_uri, p AS pred_uri,
+                   CASE WHEN o LIKE '<%'
+                        THEN substr(o, 2, len(o) - 2)
+                        ELSE array_to_string(
+                               list_transform(
+                                 str_split(substr(o, 2, len(o) - 2), '\\\\'),
+                                 x -> replace(replace(replace(x, '\\n', chr(10)),
+                                                      '\\r', chr(13)),
+                                              '\\"', '"')),
+                               '\\')
+                   END AS obj,
+                   o LIKE '<%' AS obj_is_uri
+            FROM m ORDER BY subj_uri, pred_uri, obj
         """,
         "revenue_by_part_type": """
             -- map-side dimension join replay

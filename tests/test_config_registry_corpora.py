@@ -218,3 +218,49 @@ def test_stage_registry_actor_stage(ray_session):
     ds = rd.from_arrow(make_fake_media(12))
     out = registry.apply_stage(ds, "decode_media_fake").take_all()
     assert len(out) == 12 and all(len(r["features"]) == 16 for r in out)
+
+
+def test_ntriples_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.kernels.normalize import normalize_entity_name
+    from text_to_rdf_ray.pipelines.kg import write_ntriples
+    from text_to_rdf_ray.sources.ntriples import read_ntriples
+
+    rows = pd.DataFrame({
+        "subj": ["Alan Bean", "Weird \"Quote\"", "Back\\slash Co"],
+        "pred": ["birthDate", "note", "name"],
+        "obj": ["1932-03-15", 'line1\nline2\r"q" \\ end', "Acme"],
+        "obj_type": [False, False, True],
+    })
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_pandas(rows), out)
+    got = (read_ntriples(out).to_pandas()
+           .sort_values(["subj_uri", "pred_uri"]).reset_index(drop=True))
+    assert len(got) == 3
+    base = "https://kg.local/"
+    # subjects are slugged URIs
+    assert set(got["subj_uri"]) == {
+        base + normalize_entity_name(s) for s in rows["subj"]}
+    lit = got[~got["obj_is_uri"]].set_index("pred_uri")["obj"]
+    assert lit["https://schema.org/birthDate"] == "1932-03-15"
+    # escapes round-trip exactly
+    assert lit["https://schema.org/note"] == 'line1\nline2\r"q" \\ end'
+    uri_row = got[got["obj_is_uri"]]
+    assert uri_row["obj"].iloc[0] == base + normalize_entity_name("Acme")
+
+
+def test_ntriples_bad_lines_counted(ray_session, tmp_path):
+    from text_to_rdf_ray.sources.ntriples import read_ntriples
+    from text_to_rdf_ray.state import counters
+
+    p = tmp_path / "x.nt"
+    p.write_text('<a> <b> "ok" .\nnot a triple line\n'
+                 '<a> <b> <c> .\n\n<broken> <x> "unclosed .\n')
+    counters.snapshot(reset=True)
+    got = read_ntriples(str(p)).to_pandas()
+    assert len(got) == 2
+    snap = counters.snapshot()
+    assert snap.get("ntriples_bad_lines") == 2
