@@ -2265,6 +2265,78 @@ def _kg_ntriples_roundtrip(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
+    """Wide hourly aggregation (stages/analytics.py::pivot_agg): one row
+    per epoch-hour, one summed-value column per event_type.  Per-row
+    2dp pre-round keeps the sums order-independent across engines."""
+    from text_to_rdf_ray.stages.analytics import pivot_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+            "event_type": batch.column("event_type"),
+            "value": pa.array(np.round(v, 2), pa.float64()),
+        })
+
+    out = pivot_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    index_col="hour", pivot_col="event_type",
+                    value_col="value").to_pandas()
+    cols = [c for c in out.columns if c != "hour"]
+    for c in cols:
+        out[c] = _r(out[c], 2)
+    out["hour"] = out["hour"].astype("int64")
+    return (out[["hour"] + sorted(cols)]
+            .sort_values("hour").reset_index(drop=True))
+
+
+def _events_upsert_state(sf_dir: str) -> pd.DataFrame:
+    """Latest-wins state table from an event log (stages/joins.py::
+    upsert_merge — the lakehouse MERGE step): base = events with
+    event_id %% 3 != 0, updates = the rest; per user keep the greatest
+    (ts, update-wins, event_id)."""
+    from text_to_rdf_ray.stages.joins import upsert_merge
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+
+    p = ev.map_batches(prep, batch_format="pyarrow")
+
+    def side(keep_updates: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("event_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if keep_updates else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    base = p.map_batches(side(False), batch_format="pyarrow")
+    upd = p.map_batches(side(True), batch_format="pyarrow")
+    out = upsert_merge(base, upd, key_col="user_id", order_col="ts_us",
+                       tiebreak_col="event_id").to_pandas()
+    for c in ("user_id", "ts_us", "event_id"):
+        out[c] = out[c].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["user_id", "ts_us", "event_id", "event_type", "value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2741,6 +2813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": _docs_bm25_topk,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
+        "events_type_hour_pivot": _events_type_hour_pivot,
+        "events_upsert_state": _events_upsert_state,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3286,6 +3360,43 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "events_type_hour_pivot": """
+            -- pivot replay: CASE-summed wide columns
+            -- (stages/analytics.py::pivot_agg)
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                   round(sum(CASE WHEN event_type = 'click'
+                                  THEN round(value, 2) ELSE 0 END), 2)
+                       AS event_type_click,
+                   round(sum(CASE WHEN event_type = 'error'
+                                  THEN round(value, 2) ELSE 0 END), 2)
+                       AS event_type_error,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                                  THEN round(value, 2) ELSE 0 END), 2)
+                       AS event_type_purchase,
+                   round(sum(CASE WHEN event_type = 'signup'
+                                  THEN round(value, 2) ELSE 0 END), 2)
+                       AS event_type_signup,
+                   round(sum(CASE WHEN event_type = 'view'
+                                  THEN round(value, 2) ELSE 0 END), 2)
+                       AS event_type_view
+            FROM events GROUP BY hour ORDER BY hour
+        """,
+        "events_upsert_state": """
+            -- latest-wins merge replay (stages/joins.py::upsert_merge)
+            WITH t AS (
+              SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     event_id, event_type, value,
+                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS _src
+              FROM events),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us DESC, _src DESC, event_id DESC)
+                       AS rn
+                   FROM t)
+            SELECT user_id, ts_us, event_id, event_type,
+                   round(value, 6) AS value
+            FROM rk WHERE rn = 1 ORDER BY user_id
         """,
         "revenue_by_part_type": """
             -- map-side dimension join replay

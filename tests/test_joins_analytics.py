@@ -888,3 +888,51 @@ def test_broadcast_join_inner_left_and_cap(ray_session):
         broadcast_join(big, small, on="k", max_rows=2)
     with pytest.raises(ValueError):
         broadcast_join(big, small, on="k", how="full_outer")
+
+
+def test_pivot_agg_matches_pandas(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import pivot_agg
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 20, 500),
+        "t": rng.choice(["a", "b", "c", "dd"], 500),
+        "v": np.round(rng.rand(500), 3),
+    })
+    out = (pivot_agg(rd.from_pandas(df).repartition(5), index_col="g",
+                     pivot_col="t", value_col="v").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    expect = (pd.pivot_table(df, index="g", columns="t", values="v",
+                             aggfunc="sum", fill_value=0.0)
+              .reindex(columns=["a", "b", "c", "dd"], fill_value=0.0))
+    expect.columns = ["t_a", "t_b", "t_c", "t_dd"]
+    expect = expect.reset_index()
+    for c in ["t_a", "t_b", "t_c", "t_dd"]:
+        assert np.allclose(out[c], expect[c], atol=1e-9)
+    cnt = (pivot_agg(rd.from_pandas(df), index_col="g", pivot_col="t",
+                     value_col="v", agg="count").to_pandas())
+    assert cnt[["t_a", "t_b", "t_c", "t_dd"]].to_numpy().sum() == 500
+    with pytest.raises(ValueError):
+        pivot_agg(rd.from_pandas(df), index_col="g", pivot_col="t",
+                  value_col="v", max_pivot_values=2)
+
+
+def test_upsert_merge_latest_wins(ray_session):
+    from text_to_rdf_ray.stages.joins import upsert_merge
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 3], "ver": [5, 5, 1, 2],
+        "id": [10, 11, 12, 13], "val": ["b1", "b2", "b3a", "b3b"]})
+    upd = pd.DataFrame({
+        "k": [2, 3, 4], "ver": [5, 1, 9],
+        "id": [20, 12, 22], "val": ["u2", "u3", "u4"]})
+    out = (upsert_merge(rd.from_pandas(base).repartition(2),
+                        rd.from_pandas(upd),
+                        key_col="k", order_col="ver", tiebreak_col="id")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1: only base. k=2: tie on ver=5 -> update wins. k=3: base ver=2
+    # beats update ver=1. k=4: only update.
+    assert out["val"].tolist() == ["b1", "u2", "b3b", "u4"]
+    assert list(out.columns) == ["k", "ver", "id", "val"]

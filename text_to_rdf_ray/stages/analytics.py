@@ -880,3 +880,64 @@ def group_mode(
                          "n": t.column("n").cast(pa.int64())})
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_agg(
+    ds: rd.Dataset,
+    *,
+    index_col: str,
+    pivot_col: str,
+    value_col: str,
+    agg: str = "sum",
+    max_pivot_values: int = 256,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Wide aggregation (pivot): one output row per ``index_col`` value,
+    one column per distinct ``pivot_col`` value holding ``agg`` of
+    ``value_col`` (``sum`` or ``count``; absent combinations -> 0).
+
+    Scale shape: the pivot-value set is discovered with a per-batch
+    distinct combiner + bare-distinct ``exchange_agg`` and collected
+    once — RAISES above ``max_pivot_values`` because each value becomes
+    a physical column (wide schemas, not data volume, are the limit;
+    unpivoted long-form `exchange_agg` is the tool past that).  The
+    data pass is a per-batch pandas ``pivot_table`` partial (one row
+    per (batch, index) — never raw rows) into ONE index-keyed
+    ``exchange_agg`` sum over the fixed wide schema; counts ride the
+    same path as sums of ones.
+    """
+    from .exchange import exchange_agg
+
+    if agg not in ("sum", "count"):
+        raise ValueError(f"pivot_agg: unsupported agg={agg!r}")
+
+    def distinct_piv(batch: pa.Table) -> pa.Table:
+        vals = sorted(set(batch.column(pivot_col).to_pylist()))
+        return pa.table({pivot_col: pa.array(vals, pa.string())})
+
+    piv = exchange_agg(
+        ds.map_batches(distinct_piv, batch_format="pyarrow"),
+        pivot_col, [], num_partitions=min(num_partitions, 16)).to_pandas()
+    pvals = sorted(str(v) for v in piv[pivot_col])
+    if len(pvals) > max_pivot_values:
+        raise ValueError(
+            f"pivot_agg: {len(pvals)} distinct pivot values exceeds "
+            f"max_pivot_values={max_pivot_values}; keep long form at "
+            "that width")
+    cols = [f"{pivot_col}_{v}" for v in pvals]
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = (batch[value_col] if agg == "sum"
+                else pd.Series(np.ones(len(batch)), index=batch.index))
+        wide = pd.pivot_table(
+            batch.assign(_v=vals, **{pivot_col: batch[pivot_col].astype(str)}),
+            index=index_col, columns=pivot_col,
+            values="_v", aggfunc="sum", fill_value=0.0)
+        wide = wide.reindex(columns=pvals, fill_value=0.0)
+        wide.columns = cols
+        return wide.reset_index()
+
+    return exchange_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        index_col, [(c, "sum", c) for c in cols],
+        num_partitions=num_partitions)

@@ -597,3 +597,56 @@ def broadcast_join(
         return batch.merge(s, on=on, how=how)
 
     return ds.map_batches(merge, batch_format="pandas")
+
+
+def upsert_merge(
+    base: rd.Dataset,
+    updates: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Latest-wins keyed merge (the lakehouse MERGE/upsert compaction
+    step): union ``base`` and ``updates`` (same schema) and keep, per
+    ``key_col``, the single row with the greatest ``(order_col,
+    update-wins, tiebreak_col)`` — an update beats a base row at equal
+    ``order_col``, and ``tiebreak_col`` (desc) breaks exact ties
+    deterministically.
+
+    Scale shape: a batch-local winner-per-key combiner runs before the
+    exchange (at most one row per key per batch moves), then ONE int32
+    key-hash partition whose reduce handles every key in the partition
+    with one vectorized sort + ``groupby.head(1)`` — the
+    ``topk_per_group`` pattern, never one Python call per key.
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    by = [order_col, "_src", tiebreak_col]
+    asc = [False, False, False]
+
+    def tag(src: int):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.assign(_src=np.full(len(batch), src, np.int8))
+        return _t
+
+    u = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas"))
+
+    def local_win(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.sort_values(by, ascending=asc)
+               .groupby(key_col, sort=False).head(1))
+        part = (_hash_shingles(out[key_col].astype(str).tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return out.assign(_part=part)
+
+    def final_win(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col] + by, ascending=[True] + asc))
+        return (g.groupby(key_col, sort=False).head(1)
+                .drop(columns=["_src"]))
+
+    return (u.map_batches(local_win, batch_format="pandas",
+                          batch_size=65536)
+            .groupby("_part").map_groups(final_win, batch_format="pandas"))
