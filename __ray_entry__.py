@@ -2337,6 +2337,22 @@ def _events_upsert_state(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _events_value_pct_rank(sf_dir: str) -> pd.DataFrame:
+    """Global percentile-rank transform (stages/analytics.py::
+    percentile_rank): value-frequency exchange + bounded broadcast +
+    vectorized searchsorted per batch."""
+    from text_to_rdf_ray.stages.analytics import percentile_rank
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = percentile_rank(ev, value_col="value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    out["pct_rank"] = _r(out["pct_rank"], 9)
+    return (out[["event_id", "value", "pct_rank"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2815,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
+        "events_value_pct_rank": _events_value_pct_rank,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3360,6 +3377,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "events_value_pct_rank": """
+            -- percent_rank window replay
+            -- (stages/analytics.py::percentile_rank)
+            SELECT event_id, round(value, 6) AS value,
+                   round(percent_rank() OVER (ORDER BY value), 9)
+                       AS pct_rank
+            FROM events ORDER BY event_id
         """,
         "events_type_hour_pivot": """
             -- pivot replay: CASE-summed wide columns

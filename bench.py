@@ -329,7 +329,9 @@ def run_bench() -> dict:
                      "docs_source_quality_cap", "kmeans_embeddings",
                      "docs_pmi_pairs", "events_funnel", "events_retention",
                      "events_value_hour_corr", "graph_triangles_parts",
-                     "knn_lsh", "docs_hash_split", "events_value_delta"):
+                     "knn_lsh", "docs_hash_split", "events_value_delta",
+                     "docs_bm25_topk", "revenue_by_part_type",
+                     "events_type_hour_pivot"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):

@@ -936,3 +936,21 @@ def test_upsert_merge_latest_wins(ray_session):
     # beats update ver=1. k=4: only update.
     assert out["val"].tolist() == ["b1", "u2", "b3b", "u4"]
     assert list(out.columns) == ["k", "ver", "id", "val"]
+
+
+def test_percentile_rank_matches_pandas(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import percentile_rank
+
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.rand(400) * 10, 1)  # many ties
+    df = pd.DataFrame({"id": np.arange(400), "value": vals})
+    out = (percentile_rank(rd.from_pandas(df).repartition(5),
+                           value_col="value").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    expect = df["value"].rank(method="min").sub(1).div(len(df) - 1)
+    assert np.allclose(out["pct_rank"], expect, atol=1e-12)
+    with pytest.raises(ValueError):
+        percentile_rank(rd.from_pandas(df), value_col="value",
+                        max_distinct=3).to_pandas()
