@@ -2353,6 +2353,23 @@ def _events_value_pct_rank(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _events_range_sorted(sf_dir: str) -> pd.DataFrame:
+    """Distributed total sort with exact global positions
+    (stages/analytics.py::range_sort — sample-based range partitioning,
+    per-partition vectorized sort, prefix-summed offsets)."""
+    from text_to_rdf_ray.stages.analytics import range_sort
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = range_sort(ev, key_col="value",
+                     tiebreak_col="event_id").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["global_pos"] = out["global_pos"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "value", "global_pos"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2832,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
         "events_value_pct_rank": _events_value_pct_rank,
+        "events_range_sorted": _events_range_sorted,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3377,6 +3395,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "events_range_sorted": """
+            -- total-sort replay: row_number over the deterministic order
+            -- (stages/analytics.py::range_sort)
+            SELECT event_id, round(value, 6) AS value,
+                   CAST(row_number() OVER (ORDER BY value, event_id) - 1
+                        AS BIGINT) AS global_pos
+            FROM events ORDER BY event_id
         """,
         "events_value_pct_rank": """
             -- percent_rank window replay

@@ -954,3 +954,17 @@ def test_percentile_rank_matches_pandas(ray_session):
     with pytest.raises(ValueError):
         percentile_rank(rd.from_pandas(df), value_col="value",
                         max_distinct=3).to_pandas()
+
+
+def test_range_sort_exact_global_order(ray_session):
+    from text_to_rdf_ray.stages.analytics import range_sort
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"id": np.arange(2000),
+                       "v": np.round(rng.rand(2000) * 5, 2)})  # ties
+    out = (range_sort(rd.from_pandas(df).repartition(7), key_col="v",
+                      tiebreak_col="id", num_partitions=6).to_pandas())
+    expect = df.sort_values(["v", "id"]).reset_index(drop=True)
+    got = out.sort_values("global_pos").reset_index(drop=True)
+    assert got["global_pos"].tolist() == list(range(2000))
+    assert got["id"].tolist() == expect["id"].tolist()

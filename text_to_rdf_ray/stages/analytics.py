@@ -1007,3 +1007,96 @@ def percentile_rank(
         return batch.append_column(out_col, pa.array(pct, pa.float64()))
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def range_sort(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    tiebreak_col: str,
+    pos_col: str = "global_pos",
+    num_partitions: int = 64,
+    sample_per_batch: int = 64,
+) -> rd.Dataset:
+    """Distributed total sort with exact global positions: sample-based
+    range partitioning (the TeraSort shape), NOT Ray's built-in sort.
+
+    Three bounded passes over metadata, one over data:
+
+    1. **Sample** — each batch contributes ``sample_per_batch`` evenly
+       spaced keys from its locally sorted keys; the driver collect is
+       bounded by ``batches x sample_per_batch`` and cutpoints are the
+       sample quantiles.  Any cutpoints give a CORRECT order (ranges
+       are disjoint and ordered); sampling only controls balance.
+    2. **Range exchange** — each row's partition via one vectorized
+       ``np.searchsorted`` against the broadcast cutpoints; partition i
+       holds keys strictly below partition i+1's.
+    3. **Per-partition sort** — one vectorized ``sort_values((key,
+       tiebreak))`` per partition (the `_part` reduce pattern) with a
+       local ``arange`` position.
+    4. **Offsets** — per-partition row counts (a ``num_partitions``-row
+       aggregate) prefix-summed on the driver and broadcast;
+       ``pos_col = offset[part] + local_pos`` makes positions globally
+       exact: ORDER BY (key, tiebreak) == ORDER BY pos_col.
+
+    ``tiebreak_col`` must be unique for a deterministic total order
+    (same contract as SQL ``row_number`` replay).
+    """
+    import ray
+
+    from .exchange import exchange_agg
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column(key_col).to_numpy(zero_copy_only=False))
+        if len(v) == 0:
+            return pa.table({"k": pa.array([], pa.float64())})
+        idx = np.linspace(0, len(v) - 1, min(sample_per_batch, len(v)))
+        return pa.table({"k": pa.array(v[idx.astype(np.int64)])})
+
+    samp = np.sort(ds.map_batches(sample, batch_format="pyarrow")
+                   .to_pandas()["k"].to_numpy())
+    if len(samp) == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(pos_col, pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    cut_idx = np.linspace(0, len(samp) - 1, num_partitions + 1)[1:-1]
+    cuts = samp[cut_idx.astype(np.int64)]
+    cref = ray.put(cuts)
+    cache: dict = {}
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cache.get("c")
+        if c is None:
+            c = cache["c"] = ray.get(cref)
+        part = np.searchsorted(c, batch[key_col].to_numpy(),
+                               side="right").astype(np.int32)
+        return batch.assign(_part=part)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def part_counts(batch: pa.Table) -> pa.Table:
+        p, c = np.unique(batch.column("_part").to_numpy(), return_counts=True)
+        return pa.table({"_part": pa.array(p, pa.int32()),
+                         "n": pa.array(c, pa.int64())})
+
+    counts = exchange_agg(
+        tagged.map_batches(part_counts, batch_format="pyarrow"),
+        "_part", [("n", "sum", "n")],
+        num_partitions=8).to_pandas().sort_values("_part")
+    offs = dict(zip(
+        counts["_part"].astype(int),
+        np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])))
+    oref = ray.put(offs)
+
+    def sort_part(g: pd.DataFrame) -> pd.DataFrame:
+        o = cache.get("o")
+        if o is None:
+            o = cache["o"] = ray.get(oref)
+        part = int(g["_part"].iloc[0])
+        g = g.sort_values([key_col, tiebreak_col])
+        return (g.assign(**{pos_col: o[part] + np.arange(len(g),
+                                                         dtype=np.int64)})
+                .drop(columns=["_part"]))
+
+    return tagged.groupby("_part").map_groups(sort_part,
+                                              batch_format="pandas")
