@@ -2370,6 +2370,46 @@ def _events_range_sorted(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Version diff of a keyed table (stages/analytics.py::table_diff —
+    payload-free (key, fingerprint) exchange + one full-outer
+    exchange_join): new version = orders with keys %% 7 == 0 dropped,
+    prices bumped 10%% where key %% 5 == 0, and mirrored keys
+    (key + 10^9) appended."""
+    from text_to_rdf_ray.stages.analytics import table_diff
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderstatus"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        s = batch.column("o_orderstatus").to_pylist()
+        keep = k % 7 != 0
+        kk, pp = k[keep], p[keep].copy()
+        ss = [x for x, m in zip(s, keep) if m]
+        bump = kk % 5 == 0
+        pp[bump] = np.round(pp[bump] * 1.1, 2)
+        add = kk % 11 == 0
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([kk, kk[add] + 1_000_000_000]), pa.int64()),
+            "o_totalprice": pa.array(
+                np.concatenate([pp, pp[add]]), pa.float64()),
+            "o_orderstatus": pa.array(
+                ss + [x for x, m in zip(ss, add) if m], pa.string()),
+        })
+
+    new = orders.map_batches(mutate, batch_format="pyarrow")
+    out = table_diff(orders, new, key_col="o_orderkey",
+                     compare_cols=["o_totalprice", "o_orderstatus"])
+    df = out.to_pandas()
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return (df[["o_orderkey", "status"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2850,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_upsert_state": _events_upsert_state,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
+        "orders_snapshot_diff": _orders_snapshot_diff,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3395,6 +3436,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "orders_snapshot_diff": """
+            -- version-diff replay (stages/analytics.py::table_diff);
+            -- the oracle compares VALUES where the operator compares
+            -- 64-bit fingerprints (collision odds ~2^-64, documented)
+            WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                         FROM orders),
+            kept AS (SELECT * FROM old WHERE o_orderkey % 7 <> 0),
+            new AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN round(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM kept
+              UNION ALL
+              SELECT o_orderkey + 1000000000,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN round(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END,
+                     o_orderstatus
+              FROM kept WHERE o_orderkey % 11 = 0)
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice = n.o_totalprice
+                             AND o.o_orderstatus = n.o_orderstatus
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+            ORDER BY o_orderkey
         """,
         "events_range_sorted": """
             -- total-sort replay: row_number over the deterministic order

@@ -968,3 +968,19 @@ def test_range_sort_exact_global_order(ray_session):
     got = out.sort_values("global_pos").reset_index(drop=True)
     assert got["global_pos"].tolist() == list(range(2000))
     assert got["id"].tolist() == expect["id"].tolist()
+
+
+def test_table_diff_statuses(ray_session):
+    from text_to_rdf_ray.stages.analytics import table_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "a": ["x", "y", "z", "w"], "b": [1.0, 2, 3, 4]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "a": ["y", "zz", "w", "n"], "b": [2.0, 3, 4, 9]})
+    out = (table_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(3),
+                      key_col="k", compare_cols=["a", "b"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert dict(zip(out["k"], out["status"])) == {
+        1: "removed", 2: "unchanged", 3: "changed",
+        4: "unchanged", 5: "added"}

@@ -1100,3 +1100,62 @@ def range_sort(
 
     return tagged.groupby("_part").map_groups(sort_part,
                                               batch_format="pandas")
+
+
+def table_diff(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    compare_cols: list[str],
+    key_type: pa.DataType | None = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Snapshot diff between two versions of a keyed table: one row per
+    key with ``status`` in {added, removed, changed, unchanged}
+    (``added``/``removed`` relative to ``right`` being the NEW version).
+
+    Scale shape: each side is reduced to ``(key, fingerprint)`` rows —
+    the payload never shuffles — where the fingerprint is a vectorized
+    64-bit FNV over the ``compare_cols`` string forms
+    (``kernels/minhash._hash_shingles``; a fingerprint collision would
+    misreport ``changed`` as ``unchanged`` at ~2^-64 per pair, the
+    standard content-hash trade, stated here rather than hidden); then
+    ONE ``exchange_join`` full outer on the key classifies every key.
+    ``key_col`` must be unique per side (version tables), same contract
+    as ``upsert_merge``'s output.  ``key_type`` is the Arrow type of the
+    key (default int64) — passed through to the join's static schemas so
+    the fused plan needs no schema probe.
+    """
+    from ..kernels.minhash import _hash_shingles
+    from .exchange import exchange_join
+
+    def fp(out_col: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch[compare_cols[0]].astype(str)
+            for c in compare_cols[1:]:
+                s = s.str.cat(batch[c].astype(str), sep="\x1f")
+            h = _hash_shingles(s.tolist()).astype(np.int64)
+            return pd.DataFrame({key_col: batch[key_col],
+                                 out_col: h})
+        return f
+
+    lf = left.map_batches(fp("_lh"), batch_format="pandas")
+    rf = right.map_batches(fp("_rh"), batch_format="pandas")
+    key_t = key_type if key_type is not None else pa.int64()
+    joined = exchange_join(
+        lf, rf, on=key_col, how="full_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(key_col, key_t), ("_lh", pa.int64())]),
+        right_schema=pa.schema([(key_col, key_t), ("_rh", pa.int64())]))
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        lh, rh = batch["_lh"], batch["_rh"]
+        status = np.where(
+            lh.isna(), "added",
+            np.where(rh.isna(), "removed",
+                     np.where(lh.eq(rh), "unchanged", "changed")))
+        return pd.DataFrame({key_col: batch[key_col],
+                             "status": status})
+
+    return joined.map_batches(classify, batch_format="pandas")
