@@ -2410,6 +2410,58 @@ def _orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
             .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _docs_tokenize_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Capstone tokenizer chain: build_vocab(20) -> encode_with_vocab ->
+    pack_sequences(budget=500) as ONE streaming composition — the
+    tokenizer-training + encoding + sequence-packing steps of a training
+    pipeline, each the standalone-oracled operator."""
+    from text_to_rdf_ray.stages.curation import (
+        build_vocab, encode_with_vocab, pack_sequences)
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    vocab = build_vocab(docs, max_vocab=20).to_pandas()
+    enc = encode_with_vocab(docs, vocab)
+    out = pack_sequences(enc, id_col="doc_id", token_col="n_tokens",
+                         budget=500).to_pandas()
+    for c in ("doc_id", "n_tokens", "seq_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_tokens", "seq_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _docs_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Unicode cleaning pass (stages/curation.py::normalize_text): the
+    synthetic docs are already clean ASCII, so a deterministic wrapper
+    plants mess — decomposed accents (e + combining acute) on ids %% 3
+    == 0, tab/newline runs on even ids, padded ends everywhere — dumps
+    the planted input as an oracle side table, and DuckDB replays
+    nfc_normalize + lower + regexp_replace + trim."""
+    from text_to_rdf_ray.stages.curation import normalize_text
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, txts):
+            t = t or ""
+            if i % 3 == 0:
+                t = "café " + t  # NFC-combinable pair
+            if i % 2 == 0:
+                t = t.replace(" ", "\t \n", 1).upper()
+            out.append("  " + t + "  ")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow").materialize()
+    _side_write("docs_normalize_text", "input.parquet", planted.to_pandas())
+    out = normalize_text(planted).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "text_norm", "changed"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2891,6 +2943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
+        "docs_tokenize_pipeline": _docs_tokenize_pipeline,
+        "docs_normalize_text": _docs_normalize_text,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3436,6 +3490,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "docs_normalize_text": f"""
+            -- unicode cleaning replay over the planted side table
+            -- (stages/curation.py::normalize_text)
+            WITH input AS (SELECT * FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_normalize_text", "input.parquet")}'))
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                                       '[ \t\n\r\f\v]+', ' ', 'g'))
+                       AS text_norm,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                                       '[ \t\n\r\f\v]+', ' ', 'g'))
+                       <> text AS changed
+            FROM input ORDER BY doc_id
+        """,
+        "docs_tokenize_pipeline": """
+            -- full-chain replay: vocab -> encode n_tokens -> pack cumsum
+            WITH d AS (SELECT doc_id,
+                              list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING),
+                        0) // 500 AS BIGINT) AS seq_id
+            FROM n ORDER BY doc_id
         """,
         "orders_snapshot_diff": """
             -- version-diff replay (stages/analytics.py::table_diff);

@@ -824,3 +824,18 @@ def test_bpe_repeated_symbol_run_greedy(ray_session):
     assert merges.iloc[0]["merged"] == "aa"
     assert seg["aaaa"] == "aa aa </w>"
     assert seg["aaa"] == "aa a </w>"
+
+
+def test_normalize_text(ray_session):
+    from text_to_rdf_ray.stages.curation import normalize_text
+
+    texts = ["Héllo\t  World\n x  ", "plain text", "", "  A  B  "]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = (normalize_text(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # NFC combines e + combining-acute into é; ws runs collapse
+    assert out["text_norm"].tolist() == [
+        "héllo world x", "plain text", "", "a b"]
+    assert out["changed"].tolist() == [True, False, False, True]

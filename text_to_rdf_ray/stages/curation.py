@@ -37,6 +37,7 @@ outputs, and each has an exact DuckDB replay in ``__ray_entry__``:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -203,6 +204,9 @@ def pack_sequences(
         })
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+_WS_RUN_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def _terms(text: str) -> list[str]:
@@ -1542,3 +1546,37 @@ def encode_with_vocab(
         })
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> rd.Dataset:
+    """Unicode text normalization (the first cleaning step of a corpus
+    pipeline): NFC-normalize, casefold to lower, collapse ASCII
+    whitespace runs (``[ \\t\\n\\r\\f\\v]+``) to one space, strip ends.
+    Adds ``out_col`` plus ``changed`` (bool).
+
+    Pure map — no shuffle, no state; the regex is compiled once at
+    module import and the per-batch work is C-level (``re.sub`` +
+    ``unicodedata.normalize`` per string; strings are the unit here, as
+    in every tokenizer).  The whitespace class is EXPLICIT (not ``\\s``)
+    because Python ``\\s`` also matches unicode spaces while RE2/DuckDB
+    ``\\s`` does not — the explicit class keeps the operator
+    SQL-replayable (nfc_normalize + regexp_replace).
+    """
+    import unicodedata
+
+    ws = _WS_RUN_RE
+
+    def norm(batch: pa.Table) -> pa.Table:
+        txts = batch.column(text_col).to_pylist()
+        out = [ws.sub(" ", unicodedata.normalize(
+            "NFC", (t or "").lower())).strip() for t in txts]
+        changed = [a != (b or "") for a, b in zip(out, txts)]
+        return (batch.append_column(out_col, pa.array(out, pa.string()))
+                .append_column("changed", pa.array(changed, pa.bool_())))
+
+    return ds.map_batches(norm, batch_format="pyarrow")
