@@ -984,3 +984,14 @@ def test_table_diff_statuses(ray_session):
     assert dict(zip(out["k"], out["status"])) == {
         1: "removed", 2: "unchanged", 3: "changed",
         4: "unchanged", 5: "added"}
+
+
+def test_range_sort_int_keys_with_empty_blocks(ray_session):
+    from text_to_rdf_ray.stages.analytics import range_sort
+
+    df = pd.DataFrame({"id": np.arange(50), "v": np.arange(50)[::-1]})
+    ds = rd.from_pandas(df).repartition(20)  # some near-empty blocks
+    out = (range_sort(ds, key_col="v", tiebreak_col="id",
+                      num_partitions=4).to_pandas()
+           .sort_values("global_pos").reset_index(drop=True))
+    assert out["v"].tolist() == list(range(50))

@@ -1049,7 +1049,9 @@ def range_sort(
     def sample(batch: pa.Table) -> pa.Table:
         v = np.sort(batch.column(key_col).to_numpy(zero_copy_only=False))
         if len(v) == 0:
-            return pa.table({"k": pa.array([], pa.float64())})
+            # typed empty — dtype follows the input column so int and
+            # float key columns schema-merge across batches
+            return pa.table({"k": pa.array(v)})
         idx = np.linspace(0, len(v) - 1, min(sample_per_batch, len(v)))
         return pa.table({"k": pa.array(v[idx.astype(np.int64)])})
 
