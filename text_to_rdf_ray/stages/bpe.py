@@ -70,7 +70,9 @@ def _pair_partials(batch: pd.DataFrame) -> pd.DataFrame:
     syms = batch["sym"].str.strip().str.split("  ")
     lens = syms.str.len().to_numpy()
     if len(batch) == 0 or lens.sum() == 0:
-        return pd.DataFrame({"pair": pd.Series([], dtype="str"),
+        # typed empty: pandas "string" -> Arrow string (a bare object
+        # empty becomes Arrow null and breaks the schema merge)
+        return pd.DataFrame({"pair": pd.Series([], dtype="string"),
                              "cnt": pd.Series([], dtype="int64")})
     flat = np.concatenate([np.asarray(s, dtype=object) for s in syms])
     wid = np.repeat(np.arange(len(batch)), lens)
