@@ -2462,6 +2462,21 @@ def _docs_normalize_text(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _events_user_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-distribution diagnostics (stages/analytics.py::
+    key_skew_stats): top-10 heaviest user_ids with count, share, and
+    corpus totals — driver collect bounded by top_n + partitions."""
+    from text_to_rdf_ray.stages.analytics import key_skew_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    out = key_skew_stats(ev, key_col="user_id", top_n=10)
+    for c in ("user_id", "cnt", "rank", "n_rows", "n_keys"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "cnt", "rank", "share", "n_rows", "n_keys"]]
+            .sort_values("rank").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2945,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": _orders_snapshot_diff,
         "docs_tokenize_pipeline": _docs_tokenize_pipeline,
         "docs_normalize_text": _docs_normalize_text,
+        "events_user_skew": _events_user_skew,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3490,6 +3506,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "events_user_skew": """
+            -- skew diagnostics replay
+            -- (stages/analytics.py::key_skew_stats)
+            WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+                       GROUP BY user_id),
+            t AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM c),
+            rk AS (SELECT user_id, cnt,
+                          row_number() OVER (ORDER BY cnt DESC,
+                                             user_id ASC) AS "rank"
+                   FROM c)
+            SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+                   CAST("rank" AS BIGINT) AS "rank",
+                   round(CAST(cnt AS DOUBLE) / t.n_rows, 9) AS share,
+                   CAST(t.n_rows AS BIGINT) AS n_rows,
+                   CAST(t.n_keys AS BIGINT) AS n_keys
+            FROM rk CROSS JOIN t WHERE "rank" <= 10 ORDER BY "rank"
         """,
         "docs_normalize_text": f"""
             -- unicode cleaning replay over the planted side table

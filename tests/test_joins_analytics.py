@@ -995,3 +995,17 @@ def test_range_sort_int_keys_with_empty_blocks(ray_session):
                       num_partitions=4).to_pandas()
            .sort_values("global_pos").reset_index(drop=True))
     assert out["v"].tolist() == list(range(50))
+
+
+def test_key_skew_stats(ray_session):
+    from text_to_rdf_ray.stages.analytics import key_skew_stats
+
+    keys = np.r_[np.zeros(60, np.int64), np.arange(1, 41)]
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    out = key_skew_stats(ds, key_col="k", top_n=3)
+    assert out.iloc[0]["k"] == 0 and out.iloc[0]["cnt"] == 60
+    assert out.iloc[0]["share"] == round(60 / 100, 9)
+    assert (out["n_rows"] == 100).all() and (out["n_keys"] == 41).all()
+    assert out["rank"].tolist() == [1, 2, 3]
+    # ties among the count-1 keys break ascending on the key
+    assert out.iloc[1]["k"] == 1 and out.iloc[2]["k"] == 2

@@ -1161,3 +1161,59 @@ def table_diff(
                              "status": status})
 
     return joined.map_batches(classify, batch_format="pandas")
+
+
+def key_skew_stats(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    top_n: int = 20,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Key-distribution diagnostics for shuffle planning (the measurement
+    behind "salt hot keys"): the global top-``top_n`` heaviest keys with
+    counts, share of total rows, plus corpus totals (rows, distinct
+    keys) on every row.
+
+    Scale shape: per-batch ``np.unique`` count partials -> ONE key-hash
+    ``exchange_agg`` sum; totals come from per-partition (rows, keys)
+    partials — a ``num_partitions``-row aggregate — and the heavy keys
+    from the constant-key ``topk_per_group`` funnel, so the driver
+    collects ``top_n + num_partitions`` rows regardless of key
+    cardinality.  Returns a driver DataFrame (bounded by construction).
+    """
+    from .exchange import exchange_agg
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            batch.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(k),
+                         "cnt": pa.array(c, pa.int64())})
+
+    counts = exchange_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "k", [("cnt", "sum", "cnt")], num_partitions=num_partitions)
+
+    def totals_part(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({"rows": pa.array([int(c.sum())], pa.int64()),
+                         "keys": pa.array([len(c)], pa.int64())})
+
+    tot = counts.map_batches(totals_part, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    n_rows, n_keys = int(tot["rows"].sum()), int(tot["keys"].sum())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_all", pa.array(np.zeros(len(batch), np.int32), pa.int32()))
+
+    top = topk_per_group(counts.map_batches(tag, batch_format="pyarrow"),
+                         key_col="_all", sort_col="cnt", tiebreak_col="k",
+                         k=top_n, descending=True).to_pandas()
+    top = top.rename(columns={"k": key_col}).drop(columns=["_all"])
+    top["share"] = np.round(top["cnt"] / max(n_rows, 1), 9)
+    top["n_rows"] = np.int64(n_rows)
+    top["n_keys"] = np.int64(n_keys)
+    return (top[[key_col, "cnt", "rank", "share", "n_rows", "n_keys"]]
+            .sort_values("rank").reset_index(drop=True))
