@@ -2477,6 +2477,23 @@ def _events_user_skew(sf_dir: str) -> pd.DataFrame:
             .sort_values("rank").reset_index(drop=True))
 
 
+def _events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type dispersion (stages/analytics.py::group_mad):
+    exact median + MAD via the histogram-locate quantile passes, robust
+    outlier counts at z=3."""
+    from text_to_rdf_ray.stages.analytics import group_mad
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = group_mad(ev, key_col="event_type", value_col="value")
+    out["n"] = out["n"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["median"] = _r(out["median"], 6)
+    out["mad"] = _r(out["mad"], 6)
+    return (out[["event_type", "n", "median", "mad", "n_outliers"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2961,6 +2978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tokenize_pipeline": _docs_tokenize_pipeline,
         "docs_normalize_text": _docs_normalize_text,
         "events_user_skew": _events_user_skew,
+        "events_value_mad": _events_value_mad,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
         # multimodal plumbing
@@ -3506,6 +3524,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    o LIKE '<%' AS obj_is_uri
             FROM m ORDER BY subj_uri, pred_uri, obj
+        """,
+        "events_value_mad": """
+            -- robust stats replay (stages/analytics.py::group_mad)
+            WITH med AS (SELECT event_type,
+                                count(*) AS n,
+                                quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY event_type),
+            mad AS (SELECT e.event_type,
+                           quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                    FROM events e JOIN med m USING (event_type)
+                    GROUP BY e.event_type),
+            outl AS (SELECT e.event_type,
+                            sum(CASE WHEN abs(e.value - m.med)
+                                     > 3 * 1.4826 * d.mad
+                                     THEN 1 ELSE 0 END) AS n_outliers
+                     FROM events e JOIN med m USING (event_type)
+                     JOIN mad d USING (event_type)
+                     GROUP BY e.event_type)
+            SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+                   round(m.med, 6) AS median, round(d.mad, 6) AS mad,
+                   CAST(o.n_outliers AS BIGINT) AS n_outliers
+            FROM med m JOIN mad d USING (event_type)
+            JOIN outl o USING (event_type)
+            ORDER BY m.event_type
         """,
         "events_user_skew": """
             -- skew diagnostics replay

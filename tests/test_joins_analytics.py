@@ -1009,3 +1009,24 @@ def test_key_skew_stats(ray_session):
     assert out["rank"].tolist() == [1, 2, 3]
     # ties among the count-1 keys break ascending on the key
     assert out.iloc[1]["k"] == 1 and out.iloc[2]["k"] == 2
+
+
+def test_group_mad_matches_numpy(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_mad
+
+    rng = np.random.RandomState(5)
+    ks = np.repeat(["a", "b"], 300)
+    vs = np.r_[rng.normal(10, 1, 300), rng.normal(-5, 2, 300)]
+    vs[10] = 100.0  # outlier in group a
+    vs = np.round(vs, 4)
+    ds = rd.from_pandas(pd.DataFrame({"k": ks, "v": vs})).repartition(4)
+    out = group_mad(ds, key_col="k", value_col="v")
+    for _, r in out.iterrows():
+        g = vs[ks == r["k"]]
+        med = np.median(g)
+        mad = np.median(np.abs(g - med))
+        assert abs(r["median"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        assert r["n_outliers"] == int(
+            (np.abs(g - med) > 3 * 1.4826 * mad).sum())
+    assert out[out["k"] == "a"]["n_outliers"].iloc[0] >= 1
