@@ -2494,6 +2494,26 @@ def _events_value_mad(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _docs_bm25_topk_join(sf_dir: str) -> pd.DataFrame:
+    """Join-mode BM25 (stages/retrieval.py::bm25_topk_join — the
+    many-queries regime: query-vocab-pruned doc explode, term-keyed
+    exchange_join, packed-key score sum).  Same ranking contract and
+    oracle as docs_bm25_topk; parity-tested against the broadcast
+    form."""
+    from text_to_rdf_ray.stages.retrieval import bm25_topk_join
+
+    qrows = [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items())
+             for t in ts]
+    qds = rd.from_pandas(pd.DataFrame(qrows, columns=["query_id", "term"]))
+    out = (bm25_topk_join(
+        _documents(sf_dir).select_columns(["doc_id", "text"]), qds, k=15)
+        .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["query_id", "doc_id", "score", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 _BPE_STATE: dict = {}
 
 
@@ -2968,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab": _docs_vocab,
         "docs_vocab_encode": _docs_vocab_encode,
         "docs_bm25_topk": _docs_bm25_topk,
+        "docs_bm25_topk_join": _docs_bm25_topk_join,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "events_type_hour_pivot": _events_type_hour_pivot,
@@ -3691,6 +3712,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "docs_bm25_topk_join": """
+            -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
+            -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)
+            -- (stages/retrieval.py::bm25_topk)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc)
+            SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+            FROM rk WHERE "rank" <= 15
+            ORDER BY query_id, "rank"
+        """,
         "docs_bm25_topk": """
             -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
             -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)

@@ -839,3 +839,28 @@ def test_normalize_text(ray_session):
     assert out["text_norm"].tolist() == [
         "héllo world x", "plain text", "", "a b"]
     assert out["changed"].tolist() == [True, False, False, True]
+
+
+def test_bm25_join_mode_parity(ray_session):
+    from text_to_rdf_ray.stages.retrieval import bm25_topk, bm25_topk_join
+
+    rng = np.random.RandomState(9)
+    words = ["hash", "join", "scan", "table", "window", "agg", "dup",
+             "vector", "stream", "sort"]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 30)))
+             for _ in range(80)]
+    queries = {"q1": ["hash", "join"], "q2": ["scan", "window", "dup"],
+               "q3": ["vector"]}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    qrows = [(qid, t) for qid, ts in queries.items() for t in ts]
+    qds = rd.from_pandas(pd.DataFrame(qrows, columns=["query_id", "term"]))
+
+    cols = ["query_id", "doc_id", "score", "rank"]
+    a = (bm25_topk(ds, queries, k=7).to_pandas()[cols]
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    bj = (bm25_topk_join(ds, qds, k=7).to_pandas()[cols]
+          .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, bj, check_dtype=False)

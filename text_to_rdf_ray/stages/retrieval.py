@@ -146,3 +146,158 @@ def bm25_topk(
     scored = ds.map_batches(score, batch_format="pyarrow")
     return topk_per_group(scored, key_col="query_id", sort_col="score",
                           tiebreak_col="doc_id", k=k, descending=True)
+
+
+def bm25_topk_join(
+    ds: rd.Dataset,
+    query_terms: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """BM25 top-k for the MANY-queries regime: ``query_terms`` is a
+    Dataset of ``(query_id, term)`` rows (tens of thousands of queries —
+    too many to loop per document the way ``bm25_topk`` does).
+
+    Join shape, mirroring the repo's broadcast-vs-join duality
+    (``link_mode="join"``, ``semi_join_filter`` vs ``exchange_join``):
+
+    1. The query-term table's distinct terms are collected (bounded by
+       the query vocabulary — raises above 1M terms) and broadcast as a
+       filter set, so the doc explode emits ``(term, doc_id, tf, dl)``
+       rows for QUERY terms only — candidate-proportional, never the
+       full posting volume.
+    2. df per term + corpus N/avgdl from the same pruned explode
+       (plus a sentinel row for totals), one term-keyed exchange.
+    3. ONE term-keyed ``exchange_join`` of the pruned doc rows against
+       the query rows (idf attached to the term first), then a
+       per-(query, doc) score sum via packed-key ``exchange_agg`` and
+       the ``topk_per_group`` funnel.
+
+    Produces the SAME ranking contract as ``bm25_topk`` (scores rounded
+    to 6dp before ranking, doc_id tiebreak) — parity-tested.
+    """
+    from .analytics import topk_per_group
+    from .exchange import exchange_agg, exchange_join
+
+    qt = query_terms
+    qdf = qt.to_pandas()
+    if len(qdf) > 1_000_000:
+        raise ValueError("bm25_topk_join: query-term table too large to "
+                         "broadcast; shard the query set")
+    qset = frozenset(qdf["term"])
+    qref = ray.put(qset)
+    cache: dict = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        qs = cache.get("q")
+        if qs is None:
+            qs = cache["q"] = ray.get(qref)
+        terms_out: list[str] = []
+        docs_out: list[int] = []
+        tf_out: list[int] = []
+        dl_out: list[int] = []
+        n = 0
+        sdl = 0
+        ids = batch.column(id_col).to_pylist()
+        for did, txt in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _terms(txt or "")
+            n += 1
+            sdl += len(toks)
+            tf = Counter(t for t in toks if t in qs)
+            for t, f in tf.items():
+                terms_out.append(t)
+                docs_out.append(did)
+                tf_out.append(f)
+                dl_out.append(len(toks))
+        # sentinel row carries (n_docs, sum_dl) for N / avgdl
+        terms_out.append("")
+        docs_out.append(-1)
+        tf_out.append(n)
+        dl_out.append(sdl)
+        return pa.table({
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "dl": pa.array(dl_out, pa.int64()),
+        })
+
+    pruned = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("term").to_pylist()
+        mask = np.array([x == "" for x in t])
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        terms = [x for x, m in zip(t, mask) if not m] + [""]
+        dfs = [1] * (len(terms) - 1) + [0]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "n_docs": pa.array([0] * (len(terms) - 1)
+                               + [int(tf[mask].sum())], pa.int64()),
+            "sum_dl": pa.array([0] * (len(terms) - 1)
+                               + [int(dl[mask].sum())], pa.int64()),
+        })
+
+    agg = exchange_agg(
+        pruned.map_batches(df_partial, batch_format="pyarrow"),
+        "term",
+        [("df", "sum", "df"), ("n_docs", "sum", "n_docs"),
+         ("sum_dl", "sum", "sum_dl")],
+        num_partitions=min(num_partitions, 16)).to_pandas()
+    sent = agg[agg["term"] == ""]
+    n_docs = int(sent["n_docs"].sum())
+    sum_dl = int(sent["sum_dl"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_topk_join: empty corpus")
+    avgdl = sum_dl / n_docs
+    dfm = {t: int(d) for t, d in zip(agg["term"], agg["df"]) if t}
+
+    # attach idf to each query row (small side, driver compute)
+    qdf = qdf.copy()
+    qdf["idf"] = [
+        math.log(1.0 + (n_docs - dfm.get(t, 0) + 0.5)
+                 / (dfm.get(t, 0) + 0.5))
+        for t in qdf["term"]]
+    qds = rd.from_pandas(qdf[["query_id", "term", "idf"]])
+
+    def drop_sentinel(batch: pa.Table) -> pa.Table:
+        t = batch.column("term").to_pylist()
+        return batch.filter(pa.array([x != "" for x in t]))
+
+    docs_side = pruned.map_batches(drop_sentinel, batch_format="pyarrow")
+    joined = exchange_join(
+        docs_side, qds, on="term", how="inner",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("term", pa.string()),
+                               ("doc_id", pa.int64()),
+                               ("tf", pa.int64()), ("dl", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("query_id", pa.string()),
+                                ("idf", pa.float64())]))
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = batch["tf"].to_numpy(np.float64)
+        dl = batch["dl"].to_numpy(np.float64)
+        c = (batch["idf"].to_numpy()
+             * tf * (k1 + 1.0)
+             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return pd.DataFrame({"query_id": batch["query_id"],
+                             "doc_id": batch["doc_id"], "c": c})
+
+    contribs = joined.map_batches(contrib, batch_format="pandas")
+    summed = exchange_agg(contribs, ["query_id", "doc_id"],
+                          [("c", "sum", "score")],
+                          num_partitions=num_partitions)
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(score=batch["score"].round(6))
+
+    return topk_per_group(summed.map_batches(rnd, batch_format="pandas"),
+                          key_col="query_id", sort_col="score",
+                          tiebreak_col="doc_id", k=k, descending=True)
