@@ -2896,6 +2896,41 @@ def _graph_triangles_parts(sf_dir: str) -> pd.DataFrame:
             .sort_values("l_partkey").reset_index(drop=True))
 
 
+def _events_skew_join(sf_dir: str) -> pd.DataFrame:
+    """Skew-resilient salted join (stages/joins.py::skew_join): a planted
+    viral key (~70% of events share k=0) joined LEFT OUTER to an
+    even-keys-only dimension derived from range(0,1000,2).  The count
+    pass flags k=0 heavy; its rows spread over ``replicate`` salts while
+    the dimension's hot row is replicated once per salt — light keys and
+    left-unmatched odd keys take the ordinary single-salt path."""
+    from text_to_rdf_ray.stages.joins import skew_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        k = np.where(eid % 10 < 7, 0, eid % 1000).astype(np.int64)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    dim = pd.DataFrame({"k": np.arange(0, 1000, 2, dtype=np.int64)})
+    dim["dimv"] = dim["k"] * 3 + 1
+    out = skew_join(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        rd.from_pandas(dim).repartition(2),
+        on="k", how="left_outer", heavy_threshold=500, replicate=8,
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("dimv", pa.int64())]),
+    ).to_pandas()
+    out["dimv"] = out["dimv"].fillna(-1).astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    return (out[["event_id", "k", "dimv"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -2993,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
+        "events_skew_join": _events_skew_join,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
@@ -3699,6 +3735,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, event_id, event_type,
                    round(value, 6) AS value
             FROM rk WHERE rn = 1 ORDER BY user_id
+        """,
+        "events_skew_join": """
+            -- salted hot-key join replay (stages/joins.py::skew_join):
+            -- the salt machinery must be invisible in the result set
+            WITH l AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 10 < 7 THEN 0
+                          ELSE event_id % 1000 END AS k
+              FROM events),
+            d AS (SELECT range AS k, range * 3 + 1 AS dimv
+                  FROM range(0, 1000, 2))
+            SELECT l.event_id, l.k,
+                   CAST(COALESCE(d.dimv, -1) AS BIGINT) AS dimv
+            FROM l LEFT JOIN d USING (k)
+            ORDER BY event_id
         """,
         "revenue_by_part_type": """
             -- map-side dimension join replay

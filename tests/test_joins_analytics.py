@@ -1030,3 +1030,83 @@ def test_group_mad_matches_numpy(ray_session):
         assert r["n_outliers"] == int(
             (np.abs(g - med) > 3 * 1.4826 * mad).sum())
     assert out[out["k"] == "a"]["n_outliers"].iloc[0] >= 1
+
+
+def test_skew_join_parity_with_exchange_join(ray_session):
+    """Planted hot key: skew_join (salted replication) returns exactly
+    exchange_join's result for inner and left_outer, and the heavy path
+    actually fires (counters)."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.joins import skew_join
+    from text_to_rdf_ray.state import counters
+
+    # key 7 is viral (600 of 700 left rows); right is dimension-shaped
+    left = pd.DataFrame({
+        "k": np.concatenate([np.full(600, 7, np.int64),
+                             np.arange(100, dtype=np.int64) % 20]),
+        "lv": np.arange(700, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(15, dtype=np.int64),  # keys 15..19 left-unmatched
+        "rv": np.arange(15, dtype=np.int64) * 10,
+    })
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(3)
+
+    for how in ("inner", "left_outer"):
+        counters.snapshot(reset=True)
+        got = skew_join(lds, rds, on="k", how=how, heavy_threshold=50,
+                        replicate=4, num_partitions=8).to_pandas()
+        snap = counters.snapshot()
+        assert snap.get("skewjoin_heavy_keys") == 1
+        assert snap.get("skewjoin_replicated_rows", 0) >= 3  # key 7 x3 salts
+        want = exchange_join(lds, rds, on="k", how=how,
+                             num_partitions=8).to_pandas()
+        key = ["k", "lv"]
+        got = got.sort_values(key).reset_index(drop=True)[want.columns]
+        want = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_join_no_heavy_keys_falls_back(ray_session):
+    """Un-skewed input: no replication, same result, zero counters."""
+    from text_to_rdf_ray.stages.joins import skew_join
+    from text_to_rdf_ray.state import counters
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64) % 10,
+                         "lv": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64)})
+    counters.snapshot(reset=True)
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    heavy_threshold=100, replicate=4).to_pandas()
+    assert counters.snapshot().get("skewjoin_replicated_rows", 0) == 0
+    want = left.merge(right, on="k")
+    got = got.sort_values(["k", "lv"]).reset_index(drop=True)[
+        ["k", "lv", "rv"]]
+    want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_join_string_keys_and_guard(ray_session):
+    """String keys route through the Index membership path; the
+    max_heavy_keys guard raises."""
+    from text_to_rdf_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({
+        "k": ["hot"] * 80 + ["a", "b", "c", "d"] * 5,
+        "lv": np.arange(100, dtype=np.int64),
+    })
+    right = pd.DataFrame({"k": ["hot", "a", "b", "z"],
+                          "rv": np.arange(4, dtype=np.int64)})
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    heavy_threshold=50, replicate=3).to_pandas()
+    want = left.merge(right, on="k")
+    got = got.sort_values(["k", "lv"]).reset_index(drop=True)[
+        ["k", "lv", "rv"]]
+    want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError, match="max_heavy_keys"):
+        skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  heavy_threshold=1, max_heavy_keys=2)

@@ -650,3 +650,146 @@ def upsert_merge(
     return (u.map_batches(local_win, batch_format="pandas",
                           batch_size=65536)
             .groupby("_part").map_groups(final_win, batch_format="pandas"))
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    heavy_threshold: int = 1_000_000,
+    replicate: int = 8,
+    num_partitions: int = 32,
+    max_heavy_keys: int = 100_000,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Skew-resilient equi-join: salted replication for hot keys.
+
+    A plain hash exchange sends ALL rows of a key to one partition — a
+    single viral key (the web-crawl reality: one domain with 10^8 pages)
+    becomes one straggler worker holding the whole hot key.  This
+    operator runs the standard salted-join remedy end to end:
+
+    1. a COUNT pass over ``left`` pruned to the key column finds keys
+       with >= ``heavy_threshold`` rows (per-batch Arrow ``group_by``
+       combiner -> one hash exchange on the key via ``exchange_agg``;
+       the driver collects ONLY keys above the threshold, which is
+       bounded by total_rows / heavy_threshold and additionally guarded
+       by ``max_heavy_keys``);
+    2. the tiny heavy-key set is broadcast once (``ray.put`` + per-worker
+       cache);
+    3. ``left`` heavy rows get a cycling salt in [0, replicate) — the
+       hot key now spreads over ``replicate`` partitions — light rows
+       salt 0;
+    4. ``right`` heavy rows are REPLICATED once per salt (light rows
+       pass through with salt 0), so every left salt still finds its
+       match;
+    5. one ordinary ``exchange_join`` on ``(key, salt)``; the salt is
+       dropped from the output.
+
+    Exactly the same result set as ``exchange_join(on=key)`` for
+    ``inner`` and ``left_outer`` (each left row carries exactly one
+    salt, so no duplicate matches; parity-tested).  Partitioning
+    assumption: ``right`` is dimension-shaped on the heavy keys —
+    replication multiplies right heavy rows by ``replicate``, so a key
+    heavy on BOTH sides needs a different plan (pre-aggregate one side).
+    Counters: ``skewjoin_heavy_keys`` / ``skewjoin_replicated_rows``
+    (no silent behavior — an un-skewed input increments nothing).
+    """
+    from ..state.counters import incr
+    from .analytics import splitmix64
+    from .exchange import as_arrow_schema, exchange_agg, exchange_join
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"skew_join: unsupported how={how!r}")
+    if replicate < 2:
+        raise ValueError("skew_join: replicate must be >= 2")
+    ls = as_arrow_schema(left_schema if left_schema is not None
+                         else left.schema())
+    rs = as_arrow_schema(right_schema if right_schema is not None
+                         else right.schema())
+
+    counts = exchange_agg(
+        left.select_columns([on]), on, [(on, "count", "_n")],
+        num_partitions=num_partitions)
+
+    def heavy_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t.column("_n"), pa.scalar(heavy_threshold, pa.int64())))
+
+    heavy_tbl = (counts.map_batches(heavy_only, batch_format="pyarrow")
+                 .to_pandas())
+    if len(heavy_tbl) > max_heavy_keys:
+        raise ValueError(
+            f"skew_join: {len(heavy_tbl)} keys exceed heavy_threshold="
+            f"{heavy_threshold} (> max_heavy_keys={max_heavy_keys}); "
+            "raise heavy_threshold — broadcasting this many keys costs "
+            "more than the skew")
+    incr({"skewjoin_heavy_keys": len(heavy_tbl)})
+    if heavy_tbl.empty:
+        return exchange_join(left, right, on=on, how=how,
+                             num_partitions=num_partitions,
+                             left_schema=ls, right_schema=rs)
+
+    key_type = ls.field(on).type
+    is_int_key = pa.types.is_integer(key_type)
+    if is_int_key:
+        heavy_vals = np.sort(heavy_tbl[on].to_numpy().astype(np.int64))
+    else:
+        heavy_vals = pd.Index(heavy_tbl[on].astype(str))
+    h_ref = ray.put(heavy_vals)
+    cache: dict = {}
+
+    def _heavy_mask(col: pa.ChunkedArray) -> np.ndarray:
+        hv = cache.get("h")
+        if hv is None:
+            hv = cache["h"] = ray.get(h_ref)
+        if is_int_key:
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(hv, v)
+            pos[pos >= len(hv)] = 0
+            return hv[pos] == v
+        return pd.Index(pd.array(col.to_pylist(), dtype=str)).isin(hv)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        mask = _heavy_mask(t.column(on))
+        salt = np.zeros(len(t), np.int32)
+        if mask.any():
+            # any spread works for correctness; splitmix64 of the row's
+            # position within the batch avoids co-salting runs of equal
+            # keys while staying deterministic per batch content
+            idx = np.flatnonzero(mask)
+            salt[idx] = (splitmix64(idx.astype(np.int64))
+                         % np.uint64(replicate)).astype(np.int32)
+        return t.append_column("_salt", pa.array(salt, pa.int32()))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        mask = _heavy_mask(t.column(on))
+        n = len(t)
+        salt = np.zeros(n, np.int32)
+        if not mask.any():
+            return t.append_column("_salt", pa.array(salt, pa.int32()))
+        hot = np.flatnonzero(mask)
+        take = np.concatenate([np.arange(n, dtype=np.int64)]
+                              + [hot.astype(np.int64)] * (replicate - 1))
+        salts = np.concatenate(
+            [salt] + [np.full(len(hot), s, np.int32)
+                      for s in range(1, replicate)])
+        incr({"skewjoin_replicated_rows": int(len(hot) * (replicate - 1))})
+        out = t.take(pa.array(take, pa.int64()))
+        return out.append_column("_salt", pa.array(salts, pa.int32()))
+
+    ls2 = ls.append(pa.field("_salt", pa.int32()))
+    rs2 = rs.append(pa.field("_salt", pa.int32()))
+    joined = exchange_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        on=[on, "_salt"], how=how, num_partitions=num_partitions,
+        left_schema=ls2, right_schema=rs2)
+
+    def drop_salt(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_salt"])
+
+    return joined.map_batches(drop_salt, batch_format="pyarrow")
