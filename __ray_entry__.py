@@ -2931,6 +2931,24 @@ def _events_skew_join(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _docs_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source token-budget mixture (stages/curation.py::
+    token_budget_mix over analytics.grouped_prefix_sum): keep each
+    source's docs in splitmix64(doc_id) order while the source's
+    cumulative chars stay under 4000 — the mixture-recipe-as-token-counts
+    op; the oracle replays the hash chain + SUM OVER window."""
+    from text_to_rdf_ray.stages.curation import token_budget_mix
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    out = token_budget_mix(docs, id_col="doc_id", source_col="source",
+                           weight_col="n_chars", budget=4000).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["tokens_before"] = out["tokens_before"].astype("int64")
+    return (out[["doc_id", "source", "n_chars", "tokens_before"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3029,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
         "events_skew_join": _events_skew_join,
+        "docs_token_budget_mix": _docs_token_budget_mix,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
@@ -3735,6 +3754,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, event_id, event_type,
                    round(value, 6) AS value
             FROM rk WHERE rn = 1 ORDER BY user_id
+        """,
+        "docs_token_budget_mix": f"""
+            -- per-source token budget in hash order
+            -- (curation.py::token_budget_mix / analytics.py::
+            -- grouped_prefix_sum): exclusive running chars < 4000
+            WITH {_sm64_sql("documents", "doc_id",
+                            ["doc_id", "source", "n_chars"])},
+            p AS (
+              SELECT doc_id, source, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY hv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS tokens_before
+              FROM h)
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(tokens_before AS BIGINT) AS tokens_before
+            FROM p WHERE tokens_before < 4000 ORDER BY doc_id
         """,
         "events_skew_join": """
             -- salted hot-key join replay (stages/joins.py::skew_join):

@@ -864,3 +864,68 @@ def test_bm25_join_mode_parity(ray_session):
     bj = (bm25_topk_join(ds, qds, k=7).to_pandas()[cols]
           .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, bj, check_dtype=False)
+
+
+def test_grouped_prefix_sum_matches_pandas(ray_session):
+    """Segmented scan vs pandas window, int and string keys, many blocks,
+    a hot key spanning block boundaries."""
+    from text_to_rdf_ray.stages.analytics import grouped_prefix_sum
+
+    rng = np.random.default_rng(11)
+    n = 900
+    df = pd.DataFrame({
+        # key 3 is hot (spans many sorted blocks)
+        "k": np.where(rng.random(n) < 0.6, 3,
+                      rng.integers(0, 12, n)).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),   # unique order
+        "v": rng.integers(1, 50, n).astype(np.int64),
+    })
+    for key in ("k", "ks"):
+        d = df.copy()
+        if key == "ks":
+            d["ks"] = "s" + d["k"].astype(str)
+            d = d.drop(columns=["k"])
+        got = grouped_prefix_sum(
+            rd.from_pandas(d).repartition(8),
+            key_col=key, order_col="o", value_col="v").to_pandas()
+        want = d.sort_values([key, "o"]).reset_index(drop=True)
+        want["before"] = (want.groupby(key, sort=False)["v"].cumsum()
+                          - want["v"]).astype(float)
+        got = got.sort_values([key, "o"]).reset_index(drop=True)[
+            want.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_budget_mix_exact_budget(ray_session):
+    """Kept set = hash-ordered prefix whose preceding tokens < budget,
+    per source; straddling doc kept; deterministic across parallelism."""
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.curation import token_budget_mix
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+        "w": rng.integers(10, 100, n).astype(np.int64),
+    })
+
+    def brute(budget):
+        d = df.copy()
+        d["hk"] = splitmix64(d["doc_id"].to_numpy().astype(np.uint64))
+        d = d.sort_values(["source", "hk"])
+        d["before"] = (d.groupby("source", sort=False)["w"].cumsum()
+                       - d["w"])
+        return (d[d["before"] < budget]
+                .sort_values("doc_id").reset_index(drop=True))
+
+    for parts in (2, 9):
+        got = token_budget_mix(
+            rd.from_pandas(df).repartition(parts),
+            id_col="doc_id", source_col="source", weight_col="w",
+            budget=1500).to_pandas().sort_values("doc_id").reset_index(
+                drop=True)
+        want = brute(1500)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_allclose(got["tokens_before"].to_numpy(),
+                                   want["before"].to_numpy().astype(float))

@@ -1291,3 +1291,100 @@ def group_mad(
     res["n_outliers"] = res["n_outliers"].fillna(0).astype(np.int64)
     return (res[[key_col, "n", "median", "mad", "n_outliers"]]
             .sort_values(key_col).reset_index(drop=True))
+
+
+def grouped_prefix_sum(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "before",
+) -> rd.Dataset:
+    """Per-key running total (segmented scan): for every row,
+
+        out_col = SUM(value) OVER (PARTITION BY key ORDER BY order
+                                   ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+
+    i.e. the EXCLUSIVE prefix sum of ``value_col`` among rows of the
+    same key with smaller ``order_col``.  All input columns pass
+    through.  Precondition: ``order_col`` is unique within each key
+    (ties make any engine's window order — including SQL's — arbitrary).
+
+    Scale shape (the ``pack_sequences`` two-pass prefix generalized to
+    per-key segments): ONE global range sort on (key, order), then
+    (1) per-BLOCK partials — one tiny row per block carrying the block's
+    first/last key and their run sums (interior keys never span a block
+    boundary after the sort, so they need no cross-block state);
+    (2) the driver walks the O(blocks) partial table carrying the single
+    spanning key's running total forward; (3) a second streaming pass
+    adds block offset + local exclusive cumsum.  A hot key spanning many
+    blocks costs O(its block count) driver ROWS — it is never required
+    to fit in one worker (unlike the hash-partition + groupby.transform
+    shape used by ``sessionize``).
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+
+    from .exchange import as_arrow_schema
+
+    key_type = as_arrow_schema(sorted_ds.schema()).field(key_col).type
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({
+                "first_key": pa.array([], key_type),
+                "first_order": pa.array([], pa.int64()),
+                "last_key": pa.array([], key_type),
+                "sum_last": pa.array([], pa.float64()),
+            })
+        k = batch.column(key_col)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        kf, kl = k[0].as_py(), k[n - 1].as_py()
+        karr = np.asarray(k.to_pylist(), dtype=object)
+        sum_last = float(v[karr == kl].sum())
+        return pa.table({
+            "first_key": pa.array([kf], key_type),
+            "first_order": pa.array(
+                [int(batch.column(order_col)[0].as_py())], pa.int64()),
+            "last_key": pa.array([kl], key_type),
+            "sum_last": pa.array([sum_last], pa.float64()),
+        })
+
+    # native key dtype preserved so this driver sort ranks blocks exactly
+    # like the distributed sort did (str() would put key 10 before key 2)
+    partials = (sorted_ds.map_batches(block_stats, batch_format="pyarrow",
+                                      batch_size=None)
+                .to_pandas().sort_values(["first_key", "first_order"]))
+    offsets: dict = {}
+    running_key, running_sum = None, 0.0
+    for row in partials.itertuples(index=False):
+        off = running_sum if row.first_key == running_key else 0.0
+        offsets[(row.first_key, int(row.first_order))] = off
+        base = off if row.last_key == row.first_key else 0.0
+        running_key, running_sum = row.last_key, base + float(row.sum_last)
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.append_column(out_col, pa.array([], pa.float64()))
+        off = cache.get("o")
+        if off is None:
+            off = cache["o"] = ray.get(off_ref)
+        k = pd.Series(batch.column(key_col).to_pylist())
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        excl = (pd.Series(v).groupby(k, sort=False).cumsum() - v).to_numpy()
+        first_key = k.iloc[0]
+        block_off = off[(first_key,
+                         int(batch.column(order_col)[0].as_py()))]
+        excl[(k == first_key).to_numpy()] += block_off
+        return batch.append_column(out_col, pa.array(excl, pa.float64()))
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)

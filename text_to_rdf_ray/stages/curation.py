@@ -1580,3 +1580,59 @@ def normalize_text(
                 .append_column("changed", pa.array(changed, pa.bool_())))
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def token_budget_mix(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str,
+    budget: int,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Exact per-source token-budget subsampling (the mixture recipe
+    stated as token COUNTS, not keep-probabilities — how training mixes
+    are actually specified): keep each source's documents in
+    deterministic ``splitmix64(id XOR salt)`` order until the source's
+    cumulative ``weight_col`` reaches ``budget``.  A document whose
+    preceding same-source tokens are still under budget is kept (it may
+    straddle the boundary — streaming-pack semantics, same rule as
+    ``pack_sequences``).
+
+    Unlike ``mix_sources`` (probabilistic, expected-fraction), the
+    budget is exact and the kept set is a deterministic function of
+    (corpus, salt): identical at any parallelism, re-rollable via salt,
+    and stable under corpus growth only for already-seen ids (new ids
+    interleave — by design, the hash order IS the shuffle).
+
+    Scale shape: pure-map hash column, then
+    ``analytics.grouped_prefix_sum`` (one global range sort + two
+    streaming block passes; a hot source never has to fit in one
+    worker), then a pure-map filter.  Output: input columns +
+    ``tokens_before``.
+    """
+    from .analytics import grouped_prefix_sum, splitmix64
+
+    salt_u = np.uint64(np.int64(salt).view(np.uint64))
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = splitmix64(ids.astype(np.uint64) ^ salt_u)
+        # order-preserving uint64 -> int64 (flip the sign bit) so the
+        # range sort ranks exactly like the oracle's UBIGINT ordering
+        hk = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("_hk", pa.array(hk, pa.int64()))
+
+    pref = grouped_prefix_sum(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        key_col=source_col, order_col="_hk", value_col=weight_col,
+        out_col="tokens_before")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.column("tokens_before").to_numpy(zero_copy_only=False)
+        out = batch.filter(pa.array(b < float(budget)))
+        return out.drop_columns(["_hk"])
+
+    return pref.map_batches(keep, batch_format="pyarrow")
