@@ -25,6 +25,7 @@ if _REPO_DIR not in sys.path:
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -2949,6 +2950,82 @@ def _docs_token_budget_mix(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _revenue_by_nation_year(sf_dir: str) -> pd.DataFrame:
+    """Three-table star-join pipeline (TPC-H Q5 shape) as ONE fused lazy
+    plan: lineitem ⋈ orders ⋈ customer via two chained exchange_joins
+    (static schemas — no schema-probe executions, no JoinOperator actor
+    pools), the tiny nation dimension attached map-side
+    (joins.py::broadcast_join), and the final grouped revenue via
+    exchange_agg.  BUILDING segment only, revenue rounded per item."""
+    from text_to_rdf_ray.stages.exchange import (exchange_agg, exchange_join,
+                                                 join_out_schema)
+    from text_to_rdf_ray.stages.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev": pa.array(np.round(p * (1.0 - d), 2), pa.float64()),
+        })
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def okey(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        yr = pc.year(ts)
+        return pa.table({"l_orderkey": batch.column("o_orderkey"),
+                         "o_custkey": batch.column("o_custkey"),
+                         "o_year": yr.cast(pa.int64())})
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def ckey(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment")
+        keep = pc.equal(seg, pa.scalar("BUILDING"))
+        b = batch.filter(keep)
+        return pa.table({"o_custkey": b.column("c_custkey"),
+                         "c_nationkey": b.column("c_nationkey")})
+
+    li_s = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())])
+    or_s = pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                      ("o_year", pa.int64())])
+    cu_s = pa.schema([("o_custkey", pa.int64()),
+                      ("c_nationkey", pa.int64())])
+    # fact reads are wide-block lineages: coalesce each exchange's input
+    # to ~num_partitions blocks (see exchange.py block-count pathology)
+    j1 = exchange_join(li.map_batches(rev, batch_format="pyarrow"),
+                       orders.map_batches(okey, batch_format="pyarrow"),
+                       on="l_orderkey", left_schema=li_s, right_schema=or_s,
+                       coalesce_blocks=32)
+    j1_s = join_out_schema(li_s, or_s, ["l_orderkey"])
+    j2 = exchange_join(j1, cust.map_batches(ckey, batch_format="pyarrow"),
+                       on="o_custkey", left_schema=j1_s, right_schema=cu_s,
+                       coalesce_blocks=32)
+
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"})
+    j3 = broadcast_join(j2, nation, on="c_nationkey")
+    agg = exchange_agg(j3, ["n_name", "o_year"],
+                       [("rev", "sum", "revenue"),
+                        ("rev", "count", "n_items")])
+    out = agg.to_pandas()
+    out["revenue"] = _r(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out["o_year"] = out["o_year"].astype("int64")
+    return (out[["n_name", "o_year", "revenue", "n_items"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3048,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_upsert_state": _events_upsert_state,
         "events_skew_join": _events_skew_join,
         "docs_token_budget_mix": _docs_token_budget_mix,
+        "revenue_by_nation_year": _revenue_by_nation_year,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
@@ -3754,6 +3832,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, event_id, event_type,
                    round(value, 6) AS value
             FROM rk WHERE rn = 1 ORDER BY user_id
+        """,
+        "revenue_by_nation_year": """
+            -- three-table star join replay (chained exchange_join +
+            -- broadcast nation dim + exchange_agg, one fused plan)
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(round(l_extendedprice * (1 - l_discount), 2)),
+                         2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY n_name, o_year ORDER BY n_name, o_year
         """,
         "docs_token_budget_mix": f"""
             -- per-source token budget in hash order

@@ -19,7 +19,22 @@ Scale shape: one all-to-all on the key hash (same volume as the native
 join's shuffle), merge vectorized across ALL keys in a partition.
 Partitioning assumption: one partition's rows (|left|+|right|)/
 ``num_partitions`` fit in a worker — raise ``num_partitions`` with data
-size.  Output blocks are rebuilt as TYPED Arrow tables (missing
+size.
+
+Block-count pathology (measured, Ray 2.49): the ``groupby`` exchange is
+sort-based and emits as many output blocks as it gets INPUT blocks, so
+its intermediate object count grows ~O(B_in²) — 16 blocks/side join in
+0.55s, 128/side in 8-13s, 256/side in 26-46s on identical 60k-row data
+(SortMap 512 blocks x SortReduce 512 blocks = 262k refs; remote compute
+under 1s throughout).  When a side is a wide-block lineage (a large read
+or a many-task map), pass ``coalesce_blocks≈num_partitions`` to insert a
+cheap split/merge repartition in front of the exchange: same memory
+envelope as the per-partition merge already assumes, bounds the shuffle
+at O(P²) refs (256-block case back to ~3s).  Left None by default —
+the coalesce barrier costs ~0.35s, a net LOSS for the many-small-
+exchange KG paths whose inputs are already few-block.
+
+Output blocks are rebuilt as TYPED Arrow tables (missing
 left-outer payloads become proper Arrow nulls, not pandas NaN), so the
 result can feed further lazy stages — including more exchange joins —
 without a materialization barrier.
@@ -102,6 +117,7 @@ def exchange_agg(
     *,
     num_partitions: int = 32,
     combine: bool = True,
+    coalesce_blocks: int | None = None,
 ) -> rd.Dataset:
     """Grouped aggregation as hash exchange + vectorized Arrow reduce.
 
@@ -164,8 +180,12 @@ def exchange_agg(
         return _agg(t, reduce_specs)
 
     first = combine_batch if combine else tag_batch
-    return (ds.map_batches(first, batch_format="pyarrow")
-            .groupby(_PART)
+    tagged = ds.map_batches(first, batch_format="pyarrow")
+    if coalesce_blocks is not None:
+        # bound the sort exchange at O(coalesce_blocks^2) refs (see module
+        # docstring) — worth it only for wide-block lineages
+        tagged = tagged.repartition(coalesce_blocks)
+    return (tagged.groupby(_PART)
             .map_groups(reduce_part, batch_format="pyarrow"))
 
 
@@ -178,6 +198,7 @@ def exchange_join(
     num_partitions: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    coalesce_blocks: int | None = None,
 ) -> rd.Dataset:
     """Equi-join ``left`` with ``right`` on the shared key column(s).
 
@@ -276,4 +297,8 @@ def exchange_join(
 
     u = left.map_batches(pad(0), batch_format="pyarrow").union(
         right.map_batches(pad(1), batch_format="pyarrow"))
+    if coalesce_blocks is not None:
+        # bound the sort exchange at O(coalesce_blocks^2) refs (see module
+        # docstring) — worth it only for wide-block lineages
+        u = u.repartition(coalesce_blocks)
     return u.groupby(_PART).map_groups(merge_part, batch_format="pyarrow")
