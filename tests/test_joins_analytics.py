@@ -1110,3 +1110,29 @@ def test_skew_join_string_keys_and_guard(ray_session):
     with pytest.raises(ValueError, match="max_heavy_keys"):
         skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
                   heavy_threshold=1, max_heavy_keys=2)
+
+
+def test_exchange_coalesce_blocks_parity(ray_session):
+    """coalesce_blocks only changes block layout, never results."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    rng = np.random.default_rng(3)
+    l = pd.DataFrame({"k": rng.integers(0, 40, 500).astype(np.int64),
+                      "a": np.arange(500, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                      "b": np.arange(40, dtype=np.int64) * 2})
+    lds = rd.from_pandas(l).repartition(16)
+    rds = rd.from_pandas(r).repartition(4)
+    cols = ["k", "a", "b"]
+    plain = (exchange_join(lds, rds, on="k").to_pandas()
+             .sort_values(["k", "a"]).reset_index(drop=True)[cols])
+    coal = (exchange_join(lds, rds, on="k", coalesce_blocks=8).to_pandas()
+            .sort_values(["k", "a"]).reset_index(drop=True)[cols])
+    pd.testing.assert_frame_equal(coal, plain)
+
+    ap = (exchange_agg(lds, "k", [("a", "sum", "s"), ("a", "count", "n")])
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    ac = (exchange_agg(lds, "k", [("a", "sum", "s"), ("a", "count", "n")],
+                       coalesce_blocks=8)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ac, ap)

@@ -691,7 +691,9 @@ def skew_join(
 
     Exactly the same result set as ``exchange_join(on=key)`` for
     ``inner`` and ``left_outer`` (each left row carries exactly one
-    salt, so no duplicate matches; parity-tested).  Partitioning
+    salt, so no duplicate matches; parity-tested).  The count pass is a
+    SECOND execution of the left lineage — pass a read-backed or
+    materialized ``left``, not an expensive lazy chain.  Partitioning
     assumption: ``right`` is dimension-shaped on the heavy keys —
     replication multiplies right heavy rows by ``replicate``, so a key
     heavy on BOTH sides needs a different plan (pre-aggregate one side).
