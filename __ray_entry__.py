@@ -3026,6 +3026,46 @@ def _revenue_by_nation_year(sf_dir: str) -> pd.DataFrame:
             .sort_values(["n_name", "o_year"]).reset_index(drop=True))
 
 
+def _docs_url_dedup(sf_dir: str) -> pd.DataFrame:
+    """Canonical-URL dedup (stages/curation.py::url_dedup — the first
+    dedup pass of every web crawl): URLs planted deterministically with
+    the messiness the canonicalizer must erase (upper-case scheme/host,
+    www., trailing slash, utm_ params), dumped as an oracle side table;
+    the SQL replays component surgery, param filter/sort, and the
+    min-id winner window."""
+    from text_to_rdf_ray.stages.curation import url_dedup
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "source"])
+
+    def planted(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["doc_id"].to_numpy()
+        src = batch["source"].astype(str)
+        scheme = pd.Series(
+            np.where(i % 3 == 0, "HTTP", "https"), index=batch.index)
+        host = pd.Series(
+            np.where(i % 2 == 0,
+                     "WWW." + src.str.capitalize() + ".Example.COM",
+                     src + ".example.com"), index=batch.index)
+        path = ("/page/" + pd.Series(i % 40, index=batch.index).astype(str)
+                + pd.Series(np.where(i % 4 == 0, "/", ""),
+                            index=batch.index))
+        ref = pd.Series(i % 5, index=batch.index).astype(str)
+        query = pd.Series(
+            np.where(i % 2 == 0, "?utm_source=rss&ref=" + ref,
+                     "?ref=" + ref), index=batch.index)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "url": scheme + "://" + host + path + query,
+        })
+
+    planted_ds = docs.map_batches(planted, batch_format="pandas")
+    _side_write("docs_url_dedup", "input.parquet", planted_ds.to_pandas())
+    out = url_dedup(planted_ds, id_col="doc_id", url_col="url").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "url", "canon_url", "is_kept"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3126,6 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skew_join": _events_skew_join,
         "docs_token_budget_mix": _docs_token_budget_mix,
         "revenue_by_nation_year": _revenue_by_nation_year,
+        "docs_url_dedup": _docs_url_dedup,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
@@ -3832,6 +3873,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, event_id, event_type,
                    round(value, 6) AS value
             FROM rk WHERE rn = 1 ORDER BY user_id
+        """,
+        "docs_url_dedup": f"""
+            -- canonical-URL dedup replay (curation.py::url_dedup):
+            -- component surgery, tracking-param filter, sorted params,
+            -- min-doc_id winner per canonical URL
+            WITH u AS (
+              SELECT doc_id, url FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_url_dedup", "input.parquet")}')),
+            p AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\\.', ''), ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/$', '') AS path,
+                CASE WHEN url LIKE '%?%'
+                     THEN regexp_extract(url, '\\?([^#]*)', 1)
+                     ELSE '' END AS q
+              FROM u),
+            qp AS (
+              SELECT doc_id, url, scheme, host, path,
+                     list_sort(list_filter(str_split(q, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')
+                            AND str_split(x, '=')[1]
+                                NOT IN ('fbclid', 'gclid'))) AS params
+              FROM p),
+            c AS (
+              SELECT doc_id, url,
+                     scheme || '://' || host || path ||
+                     CASE WHEN len(params) > 0
+                          THEN '?' || array_to_string(params, '&')
+                          ELSE '' END AS canon_url
+              FROM qp),
+            k AS (
+              SELECT doc_id, url, canon_url,
+                     min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
+              FROM c)
+            SELECT doc_id, url, canon_url,
+                   (doc_id = keep_id) AS is_kept
+            FROM k ORDER BY doc_id
         """,
         "revenue_by_nation_year": """
             -- three-table star join replay (chained exchange_join +

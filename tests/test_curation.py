@@ -929,3 +929,47 @@ def test_token_budget_mix_exact_budget(ray_session):
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         np.testing.assert_allclose(got["tokens_before"].to_numpy(),
                                    want["before"].to_numpy().astype(float))
+
+
+def test_canonical_urls_rules():
+    from text_to_rdf_ray.stages.curation import canonical_urls
+
+    urls = pd.Series([
+        "HTTPS://WWW.Example.COM/Page/5/?utm_source=rss&ref=2&a=1#frag",
+        "https://example.com:443/Page/5?a=1&ref=2",
+        "http://example.com:80/",
+        "http://example.com",
+        "https://sub.example.com/x?fbclid=abc&gclid=z&b=1",
+        "not a url",
+        "https://example.com/x?utm_campaign=only",
+    ])
+    got = canonical_urls(urls).tolist()
+    assert got[0] == "https://example.com/Page/5?a=1&ref=2"
+    assert got[1] == got[0]                     # :443, no-www, sorted params
+    assert got[2] == "http://example.com"       # :80 + trailing slash
+    assert got[3] == "http://example.com"
+    assert got[4] == "https://sub.example.com/x?b=1"
+    assert got[5] == "not a url"                # unparsed passes through
+    assert got[6] == "https://example.com/x"    # all params tracking
+
+
+def test_url_dedup_keeps_min_id(ray_session):
+    from text_to_rdf_ray.stages.curation import url_dedup
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "url": [
+            "https://www.a.com/x/?utm_source=1",   # canon https://a.com/x
+            "https://a.com/x",                     # dup of 0 -> dropped
+            "HTTP://b.com/y#z",                    # canon http://b.com/y
+            "http://b.com/y",                      # dup of 2 -> dropped
+            "https://c.com/z?b=2&a=1",
+            "https://c.com/z?a=1&b=2",             # dup of 4 -> dropped
+        ],
+    })
+    out = (url_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["is_kept"].tolist() == [True, False, True, False, True, False]
+    assert out.loc[0, "canon_url"] == "https://a.com/x"
+    assert out.loc[2, "canon_url"] == "http://b.com/y"
+    assert out.loc[4, "canon_url"] == "https://c.com/z?a=1&b=2"

@@ -1636,3 +1636,115 @@ def token_budget_mix(
         return out.drop_columns(["_hk"])
 
     return pref.map_batches(keep, batch_format="pyarrow")
+
+
+_URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+#: tracking params dropped by canonical_urls (public convention:
+#: utm_* campaign tags, facebook/google click ids)
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_EXACT = ("fbclid", "gclid")
+
+
+def canonical_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalization (the crawl-dedup normal form):
+    lowercase scheme and host, strip a leading ``www.``, strip default
+    ports ``:80``/``:443``, drop the fragment, drop tracking params
+    (``utm_*``, ``fbclid``, ``gclid``), sort the surviving query params
+    lexicographically, strip one trailing slash from the path.  Rows
+    that do not parse as ``scheme://...`` pass through unchanged
+    (callers can count them).
+
+    All component surgery is pandas ``.str`` kernels; only the
+    per-URL param sort/join runs in Python, bounded by the handful of
+    params a URL carries — the explode/sort machinery for the 10^12-URL
+    regime is the same explode -> sort_values -> segment-join used
+    below, already vectorized up to that final join.
+    """
+    parts = urls.str.extract(_URL_PARTS_RE)
+    parts.columns = ["scheme", "host", "path", "query"]
+    ok = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    host = (parts["host"].str.lower()
+            .str.replace(r"^www\.", "", regex=True)
+            .str.replace(r":(80|443)$", "", regex=True))
+    path = parts["path"].fillna("").str.replace(r"/$", "", regex=True)
+
+    # query params: explode -> filter tracking -> sort -> re-join per row
+    q = parts["query"].fillna("")
+    long = q.str.split("&").explode()
+    long = long[(long != "") & long.notna()]
+    keyname = long.str.split("=").str[0]
+    keep = ~(keyname.str.startswith(_TRACKING_PREFIXES)
+             | keyname.isin(_TRACKING_EXACT))
+    long = long[keep]
+    if len(long):
+        srt = (long.rename("p").reset_index()
+               .sort_values(["index", "p"], kind="stable"))
+        joined = srt.groupby("index", sort=False)["p"].agg("&".join)
+        qcanon = pd.Series("", index=q.index, dtype=object)
+        qcanon.loc[joined.index] = "?" + joined
+    else:
+        qcanon = pd.Series("", index=q.index, dtype=object)
+
+    canon = scheme + "://" + host + path + qcanon
+    return canon.where(ok, urls)
+
+
+def url_dedup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Canonical-URL dedup (the first dedup pass of every web crawl —
+    CCNet/RefinedWeb run it before any content hashing): canonicalize
+    with :func:`canonical_urls`, then keep per canonical URL the single
+    row with the smallest ``id_col``.
+
+    Scale shape: canonicalization is a pure map (URL strings never
+    shuffle twice); the winner-per-URL reduce is a batch-local
+    min-combiner + ONE canonical-url-hash exchange_agg, so exchange
+    volume is per-batch-distinct canonical URLs.  The keep decision then
+    flows back as an exchange_join on (canon, min_id) — output rows are
+    the kept originals with their ``canon_url``.
+    """
+    from .exchange import as_arrow_schema, exchange_agg, exchange_join
+
+    # derive the post-map schema from the (metadata-cheap) input schema
+    # so the chained join never runs a schema-probe execution
+    left_schema = as_arrow_schema(ds.schema()).append(
+        pa.field("canon_url", pa.string()))
+
+    def add_canon(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["canon_url"] = canonical_urls(batch[url_col].astype(str))
+        return batch
+
+    with_canon = ds.map_batches(add_canon, batch_format="pandas")
+    winners = exchange_agg(with_canon, "canon_url",
+                           [(id_col, "min", "_keep_id")],
+                           num_partitions=num_partitions)
+
+    def tag_keep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "canon_url": batch.column("canon_url"),
+            id_col: batch.column("_keep_id").cast(pa.int64()),
+            "_keep": pa.array(np.ones(len(batch), np.bool_)),
+        })
+
+    keep_ds = winners.map_batches(tag_keep, batch_format="pyarrow")
+    joined = exchange_join(
+        with_canon, keep_ds, on=["canon_url", id_col], how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=left_schema, right_schema=pa.schema(
+            [("canon_url", pa.string()), (id_col, pa.int64()),
+             ("_keep", pa.bool_())]))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = pc.fill_null(batch.column("_keep"), False)
+        return batch.drop_columns(["_keep"]).append_column(
+            "is_kept", kept)
+
+    return joined.map_batches(mark, batch_format="pyarrow")
