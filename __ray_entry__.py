@@ -3066,6 +3066,101 @@ def _docs_url_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _events_profile(sf_dir: str) -> pd.DataFrame:
+    """Column profiler (stages/analytics.py::profile_table): per-column
+    row/null/EXACT-distinct counts + numeric min/max/sum + string
+    min/max over four events columns — the ingest-time table audit.
+    Stats pass ships one partial row per (column, batch); distinct pass
+    ships per-batch-distinct (column, value) pairs only."""
+    from text_to_rdf_ray.stages.analytics import profile_table
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value", "event_type"])
+    out = profile_table(
+        ev, columns=["event_id", "user_id", "value", "event_type"])
+    out["sum_num"] = _r(out["sum_num"], 2)
+    return out.reset_index(drop=True)
+
+
+def _events_user_types(sf_dir: str) -> pd.DataFrame:
+    """Distributed array_agg (stages/analytics.py::group_collect): per
+    user, the sorted distinct event types joined by ',' plus their
+    count — one hash exchange, one vectorized grouped join per
+    partition (never one Python call per key)."""
+    from text_to_rdf_ray.stages.analytics import group_collect
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    out = group_collect(ev, key_col="user_id", value_col="event_type",
+                        distinct=True, sep=",").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_values"] = out["n_values"].astype("int64")
+    return (out[["user_id", "n_values", "values"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def _graph_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Out-degree distribution of the supplier→customer graph: distinct
+    edges via exchange_join + distinct_rows, per-src degree and the
+    degree histogram via two chained exchange_aggs (no per-key Python
+    anywhere; the histogram is |distinct degrees| rows)."""
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def lkey(batch: pa.Table) -> pa.Table:
+        return pa.table({"okey": batch.column("l_orderkey"),
+                         "supp": batch.column("l_suppkey")})
+
+    def okey(batch: pa.Table) -> pa.Table:
+        return pa.table({"okey": batch.column("o_orderkey"),
+                         "cust": batch.column("o_custkey")})
+
+    joined = exchange_join(
+        li.map_batches(lkey, batch_format="pyarrow"),
+        orders.map_batches(okey, batch_format="pyarrow"),
+        on="okey",
+        left_schema=pa.schema([("okey", pa.int64()), ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()), ("cust", pa.int64())]),
+    )
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["supp", "cust"]].drop_duplicates()
+
+    edges = distinct_rows(
+        joined.map_batches(to_edges, batch_format="pandas",
+                           batch_size=65536),
+        cols=["supp", "cust"])
+    deg = exchange_agg(edges, "supp", [("cust", "count", "degree")])
+    hist = exchange_agg(deg, "degree", [("supp", "count", "n_nodes")])
+    out = hist.to_pandas()
+    out["degree"] = out["degree"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return (out[["degree", "n_nodes"]]
+            .sort_values("degree").reset_index(drop=True))
+
+
+def _docs_rag_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window passage extraction (stages/curation.py::rag_chunks):
+    40-word windows at stride 30 over whitespace words; emits offsets +
+    boundary words per chunk (text never re-shipped).  Oracle replays
+    the window arithmetic with generate_series over the split word
+    list."""
+    from text_to_rdf_ray.stages.curation import rag_chunks
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = rag_chunks(docs, id_col="doc_id", text_col="text",
+                     window=40, stride=30).to_pandas()
+    return (out[["doc_id", "chunk_idx", "start_word", "n_words",
+                 "first_word", "last_word"]]
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3167,6 +3262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget_mix": _docs_token_budget_mix,
         "revenue_by_nation_year": _revenue_by_nation_year,
         "docs_url_dedup": _docs_url_dedup,
+        "events_profile": _events_profile,
+        "events_user_types": _events_user_types,
+        "graph_degree_hist": _graph_degree_hist,
+        "docs_rag_chunks": _docs_rag_chunks,
         "events_value_pct_rank": _events_value_pct_rank,
         "events_range_sorted": _events_range_sorted,
         "orders_snapshot_diff": _orders_snapshot_diff,
@@ -3962,6 +4061,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(d.dimv, -1) AS BIGINT) AS dimv
             FROM l LEFT JOIN d USING (k)
             ORDER BY event_id
+        """,
+        "events_profile": """
+            -- column profiler replay (stages/analytics.py::profile_table):
+            -- one UNION ALL branch per profiled column
+            SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_num,
+                   CAST(max(event_id) AS DOUBLE) AS max_num,
+                   round(CAST(sum(event_id) AS DOUBLE), 2) AS sum_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+                   round(CAST(sum(user_id) AS DOUBLE), 2), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value),
+                   min(value), max(value), round(sum(value), 2), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type),
+                   NULL, NULL, NULL, min(event_type), max(event_type)
+            FROM events
+            ORDER BY "column"
+        """,
+        "events_user_types": """
+            -- distributed array_agg replay (analytics.py::group_collect):
+            -- sorted distinct event types per user
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_values,
+                   string_agg(event_type, ',' ORDER BY event_type)
+                     AS "values"
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "graph_degree_hist": """
+            -- out-degree histogram of the distinct supplier->customer graph
+            WITH edges AS (
+              SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS degree
+                    FROM edges GROUP BY supp)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "docs_rag_chunks": """
+            -- sliding-window chunk replay (stages/curation.py::rag_chunks):
+            -- 40-word windows, stride 30; a start is emitted while the
+            -- previous window hasn't reached the document end
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''),
+            w2 AS (SELECT doc_id, ws, len(ws) AS nw FROM words),
+            starts AS (
+              SELECT doc_id, ws, nw,
+                     unnest(generate_series(0, nw - 1, 30)) AS st
+              FROM w2)
+            SELECT doc_id, CAST(st // 30 AS BIGINT) AS chunk_idx,
+                   CAST(st AS BIGINT) AS start_word,
+                   CAST(least(40, nw - st) AS BIGINT) AS n_words,
+                   ws[st + 1] AS first_word,
+                   ws[st + least(40, nw - st)] AS last_word
+            FROM starts
+            WHERE st = 0 OR st - 30 + 40 < nw
+            ORDER BY doc_id, chunk_idx
         """,
         "revenue_by_part_type": """
             -- map-side dimension join replay

@@ -1136,3 +1136,80 @@ def test_exchange_coalesce_blocks_parity(ray_session):
                        coalesce_blocks=8)
           .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(ac, ap)
+
+
+def test_profile_table_matches_pandas(ray_session):
+    """profile_table vs pandas ground truth, incl. nulls + string cols."""
+    from text_to_rdf_ray.stages.analytics import profile_table
+
+    df = pd.DataFrame({
+        "i": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+        "x": [1.5, np.nan, 2.5, 2.5, -3.0],
+        "s": ["b", "a", None, "a", "c"],
+    })
+    out = profile_table(rd.from_pandas(df).repartition(3),
+                        columns=["i", "x", "s"]).set_index("column")
+    assert out.loc["i", "n_rows"] == 5 and out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_num"] == 1.0 and out.loc["i", "max_num"] == 5.0
+    assert out.loc["i", "sum_num"] == 10.0
+    assert out.loc["x", "n_nulls"] == 1 and out.loc["x", "n_distinct"] == 3
+    assert out.loc["x", "min_num"] == -3.0 and out.loc["x", "sum_num"] == 3.5
+    assert out.loc["s", "n_nulls"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "c"
+    assert pd.isna(out.loc["s", "min_num"])
+
+
+def test_group_collect_sorted_and_guard(ray_session):
+    """group_collect: sorted distinct lists; hot-key guard raises."""
+    from text_to_rdf_ray.stages.analytics import group_collect
+
+    df = pd.DataFrame({
+        "k": ["u1", "u2", "u1", "u1", "u2", "u3"],
+        "v": ["beta", "alpha", "alpha", "beta", "alpha", "gamma"],
+    })
+    out = (group_collect(rd.from_pandas(df).repartition(3),
+                         key_col="k", value_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["values"].tolist() == ["alpha,beta", "alpha", "gamma"]
+    assert out["n_values"].tolist() == [2, 1, 1]
+
+    import pytest as _pytest
+    big = pd.DataFrame({"k": ["hot"] * 50,
+                        "v": [f"v{i}" for i in range(50)]})
+    with _pytest.raises(Exception):
+        group_collect(rd.from_pandas(big), key_col="k", value_col="v",
+                      max_values_per_key=10).to_pandas()
+
+
+def test_rag_chunks_window_arithmetic(ray_session):
+    """rag_chunks: boundary cases — empty, short, exact, overlap-tail."""
+    from text_to_rdf_ray.stages.curation import rag_chunks
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["",                                   # no words
+                 "a b c",                              # one short chunk
+                 " ".join(f"w{i}" for i in range(8)),  # exactly window+stride
+                 " ".join(f"w{i}" for i in range(13))],
+    })
+    out = (rag_chunks(rd.from_pandas(docs).repartition(2), id_col="doc_id",
+                      text_col="text", window=5, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    assert 1 not in set(out["doc_id"])
+    d2 = out[out["doc_id"] == 2]
+    assert d2["n_words"].tolist() == [3]
+    assert d2["first_word"].tolist() == ["a"]
+    assert d2["last_word"].tolist() == ["c"]
+    # doc 3: nw=8 -> starts 0 (covers 0..4), 3 (covers 3..7, reaches end)
+    d3 = out[out["doc_id"] == 3]
+    assert d3["start_word"].tolist() == [0, 3]
+    assert d3["n_words"].tolist() == [5, 5]
+    # doc 4: nw=13 -> starts 0, 3, 6; next start 9 skipped? prev window
+    # 6..10 doesn't reach 13, so 9 (9..13) emitted; 12 skipped (prev
+    # window 9+5=14 >= 13)
+    d4 = out[out["doc_id"] == 4]
+    assert d4["start_word"].tolist() == [0, 3, 6, 9]
+    assert d4["n_words"].tolist() == [5, 5, 5, 4]
+    assert d4["last_word"].iloc[-1] == "w12"

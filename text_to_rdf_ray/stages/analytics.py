@@ -1388,3 +1388,158 @@ def grouped_prefix_sum(
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def profile_table(
+    ds: rd.Dataset,
+    *,
+    columns: list[str],
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Distributed column profiler (one output row per column): row/null
+    counts, numeric min/max/sum, lexicographic min/max for strings, and
+    EXACT distinct counts — the Spark ``describe`` / Deequ-profile
+    analogue a 100-TB ingest runs before trusting a new table.
+
+    Two scale-free passes: (a) a stats pass emitting ONE partial row per
+    (column, batch) — shuffle volume is n_cols × n_batches regardless of
+    row count — reduced by ``exchange_agg``; (b) a distinct pass shipping
+    only per-batch-DISTINCT ``(column, value)`` pairs through
+    ``distinct_rows`` + a count reduce.  Swap (b) for ``approx_distinct``
+    (mergeable HLL) when exact cardinalities aren't required at 10^12
+    rows.  Returns a driver DataFrame — the result is inherently n_cols
+    rows.  Numeric aggregates are float64; sums of int columns are exact
+    below 2^53.
+    """
+    from .exchange import exchange_agg
+
+    cols = list(columns)
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        names, n_rows, n_nulls = [], [], []
+        min_num, max_num, sum_num, min_str, max_str = [], [], [], [], []
+        for c in cols:
+            s = batch[c]
+            nonnull = s.dropna()
+            names.append(c)
+            n_rows.append(len(s))
+            n_nulls.append(int(len(s) - len(nonnull)))
+            if pd.api.types.is_numeric_dtype(s):
+                has = len(nonnull) > 0
+                min_num.append(float(nonnull.min()) if has else None)
+                max_num.append(float(nonnull.max()) if has else None)
+                sum_num.append(float(nonnull.sum()) if has else None)
+                min_str.append(None)
+                max_str.append(None)
+            else:
+                st = nonnull.astype(str)
+                has = len(st) > 0
+                min_num.append(None)
+                max_num.append(None)
+                sum_num.append(None)
+                min_str.append(st.min() if has else None)
+                max_str.append(st.max() if has else None)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "n_nulls": pa.array(n_nulls, pa.int64()),
+            "min_num": pa.array(min_num, pa.float64()),
+            "max_num": pa.array(max_num, pa.float64()),
+            "sum_num": pa.array(sum_num, pa.float64()),
+            "min_str": pa.array(min_str, pa.string()),
+            "max_str": pa.array(max_str, pa.string()),
+        })
+
+    stats = exchange_agg(
+        ds.map_batches(partials, batch_format="pandas", batch_size=65536),
+        "column",
+        [("n_rows", "sum"), ("n_nulls", "sum"),
+         ("min_num", "min"), ("max_num", "max"), ("sum_num", "sum"),
+         ("min_str", "min"), ("max_str", "max")],
+        num_partitions=min(num_partitions, max(1, len(cols))),
+        combine=False,  # partials are already one row per (column, batch)
+    ).to_pandas()
+
+    def dvals(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            u = batch[c].dropna().unique()
+            frames.append(pd.DataFrame({
+                "column": c, "value": pd.Series(u).astype(str)}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"column": str, "value": str})
+
+    dist = exchange_agg(
+        distinct_rows(
+            ds.map_batches(dvals, batch_format="pandas", batch_size=65536),
+            cols=["column", "value"], num_partitions=num_partitions),
+        "column", [("value", "count", "n_distinct")],
+        num_partitions=min(num_partitions, max(1, len(cols))),
+    ).to_pandas()
+
+    out = stats.merge(dist, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    order = ["column", "n_rows", "n_nulls", "n_distinct",
+             "min_num", "max_num", "sum_num", "min_str", "max_str"]
+    return out[order].sort_values("column").reset_index(drop=True)
+
+
+def group_collect(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    distinct: bool = True,
+    sep: str = ",",
+    num_partitions: int = 64,
+    max_values_per_key: int = 100_000,
+) -> rd.Dataset:
+    """Distributed ``array_agg`` / collect_list: per key, the values
+    joined by ``sep`` in ascending NATIVE order of ``value_col`` (so the
+    output is deterministic and SQL-replayable via
+    ``string_agg(... ORDER BY value)``), plus ``n_values``.
+
+    Shape: per-batch ``(key, value)`` distinct combiner (when
+    ``distinct``, shuffle volume is per-batch-distinct), ONE hash
+    exchange on the key, then a per-partition vectorized sort +
+    grouped join — one pandas call per PARTITION, not per key.  A key's
+    values must fit in one partition (the inverted_index partitioning
+    assumption); keys exceeding ``max_values_per_key`` raise rather than
+    silently emit a memory-bomb row (same posting-list guard class as
+    ``inverted_index``'s chunking — use that op for unbounded lists).
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key_col, value_col]]
+        if distinct:
+            batch = batch.drop_duplicates()
+        part = (_hash_shingles(batch[key_col].astype(str).tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.assign(_part=part)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        if distinct:
+            g = g.drop_duplicates()
+        if len(g) == 0:
+            return pd.DataFrame({key_col: g[key_col],
+                                 "n_values": pd.Series([], dtype="int64"),
+                                 "values": pd.Series([], dtype=str)})
+        sizes = g.groupby(key_col, sort=False)[value_col].size()
+        if int(sizes.max()) > max_values_per_key:
+            hot = sizes.idxmax()
+            raise ValueError(
+                f"group_collect: key {hot!r} has {int(sizes.max())} values "
+                f"(> max_values_per_key={max_values_per_key}); use "
+                "inverted_index-style chunked rows for unbounded lists")
+        g = g.sort_values([key_col, value_col], kind="mergesort")
+        out = (g.assign(_v=g[value_col].astype(str))
+               .groupby(key_col, sort=False)
+               .agg(n_values=(value_col, "size"), values=("_v", sep.join)))
+        return out.reset_index()
+
+    return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+            .groupby("_part").map_groups(reduce_part, batch_format="pandas"))

@@ -1748,3 +1748,63 @@ def url_dedup(
             "is_kept", kept)
 
     return joined.map_batches(mark, batch_format="pyarrow")
+
+
+def rag_chunks(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> rd.Dataset:
+    """Sliding-window passage extraction (RAG / training-context
+    chunking): split each document into whitespace words and emit one
+    row per window of ``window`` words advancing by ``stride``.
+
+    Start positions are 0, stride, 2·stride, …; a start is emitted while
+    the PREVIOUS window has not yet reached the end of the document
+    (``start == 0 or start - stride + window < n_words``), so the final
+    window is the first one whose end covers the last word — no fully
+    redundant trailing sub-windows.  Emits ``(id, chunk_idx, start_word,
+    n_words, first_word, last_word)`` — offsets + boundary words, not the
+    chunk text, so the exchange-free map stage ships O(chunks) small rows
+    and a consumer can slice the original text zero-copy.  Pure
+    ``map_batches`` (embarrassingly parallel; no shuffle).
+    """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            f"rag_chunks: need 0 < stride <= window, got "
+            f"window={window} stride={stride}")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        idxs: list[int] = []
+        starts: list[int] = []
+        ns: list[int] = []
+        firsts: list[str] = []
+        lasts: list[str] = []
+        for i, txt in zip(batch[id_col].to_numpy(),
+                          batch[text_col].astype(str)):
+            ws = txt.split()
+            nw = len(ws)
+            for ci, st in enumerate(range(0, max(nw, 1), stride)):
+                if st >= nw or (st > 0 and st - stride + window >= nw):
+                    break
+                n = min(window, nw - st)
+                ids.append(int(i))
+                idxs.append(ci)
+                starts.append(st)
+                ns.append(n)
+                firsts.append(ws[st])
+                lasts.append(ws[st + n - 1])
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "start_word": pd.Series(starts, dtype="int64"),
+            "n_words": pd.Series(ns, dtype="int64"),
+            "first_word": pd.Series(firsts, dtype=str),
+            "last_word": pd.Series(lasts, dtype=str),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
