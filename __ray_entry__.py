@@ -3161,6 +3161,70 @@ def _docs_rag_chunks(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
 
 
+def _events_clustered_scan(sf_dir: str) -> pd.DataFrame:
+    """Zone-map data skipping (stages/lakehouse.py): range-cluster events
+    by value into 16 Parquet files with a per-file min/max manifest, then
+    a pruned read of value ∈ [10, 20] that opens ONLY the overlapping
+    files (prunedscan_files_read / _total counters; the skip itself is
+    asserted in tests/test_joins_analytics.py)."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, pruned_read
+
+    path = os.path.join(_TMP, "lakehouse", "events_by_value")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    clustered_write(ev, path, key_col="value", num_files=16)
+    out = pruned_read(path, key_col="value", lo=10.0, hi=20.0).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _kg_cooccur_edges(sf_dir: str) -> pd.DataFrame:
+    """KG graph materialization: entity co-occurrence edges — subjects
+    sharing a page, weighted by distinct co-occurring pages (the edge
+    table entity-embedding trainers consume).  Distinct (url, subj_slug)
+    via distinct_rows, one self exchange_join on url, pair filter a < b,
+    exchange_agg count.  The canonical per-page entity table is dumped
+    as a side table; the SQL replays distinct → self-join → count."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    triples = build_triples(pages, kb_records=kb_records())
+    ents = triples.map_batches(
+        lambda t: pa.table({"url": t.column("url"),
+                            "subj_slug": t.column("subj_slug")}),
+        batch_format="pyarrow")
+    _side_write("kg_cooccur_edges", "page_entities.parquet",
+                ents.to_pandas().sort_values(["url", "subj_slug"]))
+    d = distinct_rows(ents, cols=["url", "subj_slug"]).materialize()
+    s = pa.schema([("url", pa.string()), ("subj_slug", pa.string())])
+    pairs = exchange_join(
+        d, d.map_batches(
+            lambda t: pa.table({"url": t.column("url"),
+                                "slug_b": t.column("subj_slug")}),
+            batch_format="pyarrow"),
+        on="url", left_schema=s,
+        right_schema=pa.schema([("url", pa.string()),
+                                ("slug_b", pa.string())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("subj_slug"), t.column("slug_b"))
+        f = t.filter(keep)
+        return pa.table({"src": f.column("subj_slug"),
+                         "dst": f.column("slug_b")})
+
+    out = exchange_agg(
+        pairs.map_batches(lt, batch_format="pyarrow"),
+        ["src", "dst"], [("dst", "count", "weight")]).to_pandas()
+    out["weight"] = out["weight"].astype("int64")
+    return (out[["src", "dst", "weight"]]
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3263,6 +3327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation_year": _revenue_by_nation_year,
         "docs_url_dedup": _docs_url_dedup,
         "events_profile": _events_profile,
+        "events_clustered_scan": _events_clustered_scan,
+        "kg_cooccur_edges": _kg_cooccur_edges,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -4061,6 +4127,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(d.dimv, -1) AS BIGINT) AS dimv
             FROM l LEFT JOIN d USING (k)
             ORDER BY event_id
+        """,
+        "events_clustered_scan": """
+            -- zone-map pruned scan (stages/lakehouse.py): the manifest
+            -- pruning must be invisible in the result set
+            SELECT event_id, round(value, 6) AS value
+            FROM events WHERE value BETWEEN 10.0 AND 20.0
+            ORDER BY event_id
+        """,
+        "kg_cooccur_edges": f"""
+            -- entity co-occurrence edge replay (distinct -> self-join ->
+            -- count over the canonical per-page entity side table)
+            WITH t AS (
+              SELECT DISTINCT url, subj_slug FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_cooccur_edges",
+                               "page_entities.parquet")}'))
+            SELECT a.subj_slug AS src, b.subj_slug AS dst,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM t a JOIN t b
+              ON a.url = b.url AND a.subj_slug < b.subj_slug
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_profile": """
             -- column profiler replay (stages/analytics.py::profile_table):

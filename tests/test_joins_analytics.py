@@ -1213,3 +1213,39 @@ def test_rag_chunks_window_arithmetic(ray_session):
     assert d4["start_word"].tolist() == [0, 3, 6, 9]
     assert d4["n_words"].tolist() == [5, 5, 5, 4]
     assert d4["last_word"].iloc[-1] == "w12"
+
+
+def test_clustered_write_pruned_read_skips_files(ray_session, tmp_path):
+    """Zone-map pruning: the range read opens only overlapping files,
+    results identical to a full-scan filter."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, pruned_read
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(5000, dtype=np.int64),
+                       "v": rng.uniform(0, 100, 5000)})
+    path = str(tmp_path / "tbl")
+    manifest = clustered_write(rd.from_pandas(df).repartition(8), path,
+                               key_col="v", num_files=10)
+    assert manifest["rows"].sum() == 5000
+    # zone maps are disjoint-ish ranges: min of file k+1 >= max of file k
+    m = manifest.sort_values("file")
+    assert (m["min_key"].to_numpy()[1:] >= m["max_key"].to_numpy()[:-1]
+            - 1e-12).all()
+
+    counters.snapshot(reset=True)
+    got = (pruned_read(path, key_col="v", lo=20.0, hi=30.0).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    snap = counters.snapshot()
+    assert snap["prunedscan_files_total"] == len(manifest)
+    assert snap["prunedscan_files_read"] < snap["prunedscan_files_total"]
+    want = (df[(df["v"] >= 20.0) & (df["v"] <= 30.0)]
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["id", "v"]], want[["id", "v"]])
+
+    # no-overlap predicate: zero files read, typed empty result
+    counters.snapshot(reset=True)
+    empty = pruned_read(path, key_col="v", lo=500.0, hi=600.0).to_pandas()
+    assert len(empty) == 0
+    # incr drops zero deltas, so the key is simply absent
+    assert counters.snapshot().get("prunedscan_files_read", 0) == 0
