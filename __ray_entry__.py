@@ -3180,6 +3180,28 @@ def _events_clustered_scan(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _events_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter point lookup (stages/lakehouse.py::point_lookup):
+    events clustered by value (so event_id is scattered randomly across
+    files) with per-file Blooms over event_id; looking up four ids opens
+    only the Bloom-hit files (~1 true file per id + fp).  The pruning is
+    asserted in tests; the result set must equal a plain IN filter."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, point_lookup
+
+    path = os.path.join(_TMP, "lakehouse", "events_bloom")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    clustered_write(ev, path, key_col="value", num_files=16,
+                    bloom_col="event_id")
+    ids = [1, 250, 999, 4242]
+    out = point_lookup(path, col="event_id", values=ids).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "user_id", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _kg_cooccur_edges(sf_dir: str) -> pd.DataFrame:
     """KG graph materialization: entity co-occurrence edges — subjects
     sharing a page, weighted by distinct co-occurring pages (the edge
@@ -3223,6 +3245,35 @@ def _kg_cooccur_edges(sf_dir: str) -> pd.DataFrame:
     out["weight"] = out["weight"].astype("int64")
     return (out[["src", "dst", "weight"]]
             .sort_values(["src", "dst"]).reset_index(drop=True))
+
+
+def _kg_provenance(sf_dir: str) -> pd.DataFrame:
+    """Triple provenance (KG product feature): per canonical (subj_slug,
+    pred, obj), the sorted distinct source pages joined by '|' plus
+    their count — composite-key group_collect over the pre-dedup linked
+    triples (dumped as the side table; SQL replays distinct →
+    string_agg)."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.analytics import group_collect
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    linked = build_triples(pages, kb_records=kb_records(), dedup=False)
+    t = linked.map_batches(
+        lambda b: pa.table({"subj_slug": b.column("subj_slug"),
+                            "pred": b.column("pred"),
+                            "obj": b.column("obj"),
+                            "url": b.column("url")}),
+        batch_format="pyarrow").materialize()
+    _side_write("kg_provenance", "linked.parquet",
+                t.to_pandas().sort_values(
+                    ["subj_slug", "pred", "obj", "url"]))
+    out = group_collect(t, key_col=["subj_slug", "pred", "obj"],
+                        value_col="url", sep="|").to_pandas()
+    out["n_values"] = out["n_values"].astype("int64")
+    return (out[["subj_slug", "pred", "obj", "n_values", "values"]]
+            .sort_values(["subj_slug", "pred", "obj"])
+            .reset_index(drop=True))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3328,7 +3379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_dedup": _docs_url_dedup,
         "events_profile": _events_profile,
         "events_clustered_scan": _events_clustered_scan,
+        "events_point_lookup": _events_point_lookup,
         "kg_cooccur_edges": _kg_cooccur_edges,
+        "kg_provenance": _kg_provenance,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -4135,6 +4188,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value BETWEEN 10.0 AND 20.0
             ORDER BY event_id
         """,
+        "events_point_lookup": """
+            -- Bloom point-lookup replay: the file skipping must be
+            -- invisible in the result set
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events WHERE event_id IN (1, 250, 999, 4242)
+            ORDER BY event_id
+        """,
         "kg_cooccur_edges": f"""
             -- entity co-occurrence edge replay (distinct -> self-join ->
             -- count over the canonical per-page entity side table)
@@ -4147,6 +4207,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kg_provenance": f"""
+            -- triple provenance replay (composite-key group_collect):
+            -- distinct source pages per (subj_slug, pred, obj)
+            WITH t AS (
+              SELECT DISTINCT subj_slug, pred, obj, url FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_provenance", "linked.parquet")}'))
+            SELECT subj_slug, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   string_agg(url, '|' ORDER BY url) AS "values"
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "events_profile": """
             -- column profiler replay (stages/analytics.py::profile_table):

@@ -1249,3 +1249,55 @@ def test_clustered_write_pruned_read_skips_files(ray_session, tmp_path):
     assert len(empty) == 0
     # incr drops zero deltas, so the key is simply absent
     assert counters.snapshot().get("prunedscan_files_read", 0) == 0
+
+
+def test_point_lookup_bloom_prunes(ray_session, tmp_path):
+    """Bloom point lookup: few files opened, exact results, string keys."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, point_lookup
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(8000, dtype=np.int64),
+        "v": rng.uniform(0, 100, 8000),
+        "name": [f"user_{i}" for i in range(8000)],
+    })
+    path = str(tmp_path / "tbl")
+    clustered_write(rd.from_pandas(df).repartition(8), path,
+                    key_col="v", num_files=16, bloom_col="id")
+    counters.snapshot(reset=True)
+    got = (point_lookup(path, col="id", values=[17, 4444]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    snap = counters.snapshot()
+    assert snap["bloomscan_files_total"] == 16
+    # two true files + ~16*2*0.6% expected fp — well under half the table
+    assert snap["bloomscan_files_read"] <= 6
+    assert got["id"].tolist() == [17, 4444]
+    assert got["name"].tolist() == ["user_17", "user_4444"]
+
+    # string bloom column
+    path2 = str(tmp_path / "tbl2")
+    clustered_write(rd.from_pandas(df).repartition(4), path2,
+                    key_col="v", num_files=8, bloom_col="name")
+    got2 = point_lookup(path2, col="name",
+                        values=["user_99"]).to_pandas()
+    assert got2["id"].tolist() == [99]
+
+    # missing value: correct empty result (fp files may still be read)
+    miss = point_lookup(path, col="id", values=[10**9]).to_pandas()
+    assert len(miss) == 0
+
+
+def test_group_collect_composite_keys(ray_session):
+    from text_to_rdf_ray.stages.analytics import group_collect
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "x"],
+        "b": [1, 1, 2, 1],
+        "v": ["q", "p", "r", "q"],
+    })
+    out = (group_collect(rd.from_pandas(df).repartition(2),
+                         key_col=["a", "b"], value_col="v")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert out["values"].tolist() == ["p,q", "r"]
+    assert out["n_values"].tolist() == [2, 1]

@@ -1489,7 +1489,7 @@ def profile_table(
 def group_collect(
     ds: rd.Dataset,
     *,
-    key_col: str,
+    key_col: str | list[str],
     value_col: str,
     distinct: bool = True,
     sep: str = ",",
@@ -1512,11 +1512,16 @@ def group_collect(
     """
     from ..kernels.minhash import _hash_shingles
 
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[key_col, value_col]]
+        batch = batch[keys + [value_col]]
         if distinct:
             batch = batch.drop_duplicates()
-        part = (_hash_shingles(batch[key_col].astype(str).tolist())
+        kstr = batch[keys[0]].astype(str)
+        for k in keys[1:]:
+            kstr = kstr + "\x1f" + batch[k].astype(str)
+        part = (_hash_shingles(kstr.tolist())
                 % np.uint64(num_partitions)).astype(np.int32)
         return batch.assign(_part=part)
 
@@ -1525,19 +1530,20 @@ def group_collect(
         if distinct:
             g = g.drop_duplicates()
         if len(g) == 0:
-            return pd.DataFrame({key_col: g[key_col],
-                                 "n_values": pd.Series([], dtype="int64"),
-                                 "values": pd.Series([], dtype=str)})
-        sizes = g.groupby(key_col, sort=False)[value_col].size()
+            return pd.DataFrame(
+                {**{k: g[k] for k in keys},
+                 "n_values": pd.Series([], dtype="int64"),
+                 "values": pd.Series([], dtype=str)})
+        sizes = g.groupby(keys, sort=False)[value_col].size()
         if int(sizes.max()) > max_values_per_key:
             hot = sizes.idxmax()
             raise ValueError(
                 f"group_collect: key {hot!r} has {int(sizes.max())} values "
                 f"(> max_values_per_key={max_values_per_key}); use "
                 "inverted_index-style chunked rows for unbounded lists")
-        g = g.sort_values([key_col, value_col], kind="mergesort")
+        g = g.sort_values(keys + [value_col], kind="mergesort")
         out = (g.assign(_v=g[value_col].astype(str))
-               .groupby(key_col, sort=False)
+               .groupby(keys, sort=False)
                .agg(n_values=(value_col, "size"), values=("_v", sep.join)))
         return out.reset_index()
 

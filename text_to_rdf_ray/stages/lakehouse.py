@@ -36,6 +36,29 @@ from ..state import counters
 MANIFEST = "manifest.parquet"
 
 
+def _bloom_nbits(n_rows: int, bits_per_key: int) -> int:
+    """Bloom size in bits, rounded up to a multiple of 64 (uint64 words)."""
+    return max(64, ((n_rows * bits_per_key + 63) // 64) * 64)
+
+
+def _bloom_hashes(vals) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams for double hashing (Kirsch &
+    Mitzenmacher: k probes from h1 + i·h2).  Int columns hash via
+    splitmix64; everything else via the string FNV already used for
+    exchange partitioning."""
+    from ..kernels.minhash import _hash_shingles
+    from .analytics import splitmix64
+
+    s = pd.Series(vals)
+    if pd.api.types.is_integer_dtype(s):
+        x = s.to_numpy(dtype=np.int64).astype(np.uint64)
+    else:
+        x = _hash_shingles(s.astype(str).tolist()).astype(np.uint64)
+    h1 = splitmix64(x)
+    h2 = splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    return h1, h2
+
+
 def clustered_write(
     ds: rd.Dataset,
     path: str,
@@ -43,6 +66,9 @@ def clustered_write(
     key_col: str,
     num_files: int = 16,
     sample_per_block: int = 256,
+    bloom_col: str | None = None,
+    bloom_bits_per_key: int = 16,
+    bloom_k: int = 6,
 ) -> pd.DataFrame:
     """Range-partition ``ds`` on ``key_col`` into ``num_files`` Parquet
     files under ``path`` and write a zone-map manifest.
@@ -52,6 +78,12 @@ def clustered_write(
     reduce task (``groupby`` exchange on the range id, one vectorized
     writer call per file).  Returns the manifest (``num_files`` rows —
     inherently driver-sized); also persisted as ``path/manifest.parquet``.
+
+    ``bloom_col``: additionally store a per-file Bloom filter over that
+    column (``bloom_bits_per_key`` bits/key, ``bloom_k`` probes ⇒ fp rate
+    ≈ 0.6% at 16/6) so ``point_lookup`` on a NON-clustered column can
+    skip files too — the zone map prunes range scans on the cluster key,
+    the Bloom prunes point lookups on anything else.
     """
     os.makedirs(path, exist_ok=True)
 
@@ -81,12 +113,24 @@ def clustered_write(
         fname = f"part_{fid:05d}.parquet"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
                        os.path.join(path, fname))
-        return pd.DataFrame({
+        row = {
             "file": [fname],
             "rows": pd.Series([len(g)], dtype="int64"),
             "min_key": [float(g[key_col].min())],
             "max_key": [float(g[key_col].max())],
-        })
+        }
+        if bloom_col is not None:
+            nbits = _bloom_nbits(len(g), bloom_bits_per_key)
+            bits = np.zeros(nbits // 64, dtype=np.uint64)
+            h1, h2 = _bloom_hashes(g[bloom_col])
+            for i in range(bloom_k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+                np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+            row["bloom"] = [bits.tobytes()]
+            row["bloom_nbits"] = pd.Series([nbits], dtype="int64")
+            row["bloom_k"] = pd.Series([bloom_k], dtype="int64")
+        return pd.DataFrame(row)
 
     manifest = (ds.map_batches(assign, batch_format="pandas",
                                batch_size=65536)
@@ -134,3 +178,59 @@ def pruned_read(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def point_lookup(
+    path: str,
+    *,
+    col: str,
+    values: list,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Point lookup through the per-file Bloom filters: open only the
+    files whose Bloom possibly contains ANY of ``values`` (for a value
+    present in exactly one file, that's ~1 + (files-1)·fp_rate opens),
+    then apply the exact ``isin`` filter.  Requires the table to have
+    been written with ``clustered_write(..., bloom_col=col)``.  Emits
+    ``bloomscan_files_total`` / ``bloomscan_files_read`` counters."""
+    manifest = pd.read_parquet(os.path.join(path, MANIFEST))
+    if manifest.empty:
+        raise ValueError(f"point_lookup: empty manifest at {path}")
+    if "bloom" not in manifest.columns:
+        raise ValueError(
+            f"point_lookup: no Bloom filters in manifest at {path}; "
+            "write with clustered_write(..., bloom_col=...)")
+    h1, h2 = _bloom_hashes(pd.Series(values))
+
+    def may_contain(row) -> bool:
+        bits = np.frombuffer(row["bloom"], dtype=np.uint64)
+        nbits = np.uint64(row["bloom_nbits"])
+        for a, b in zip(h1, h2):
+            hit = True
+            for i in range(int(row["bloom_k"])):
+                pos = (a + np.uint64(i) * b) % nbits
+                w = bits[int(pos >> np.uint64(6))]
+                if not (w >> (pos & np.uint64(63))) & np.uint64(1):
+                    hit = False
+                    break
+            if hit:
+                return True
+        return False
+
+    keep = manifest[[may_contain(r) for _, r in manifest.iterrows()]]
+    counters.incr({"bloomscan_files_total": len(manifest),
+                   "bloomscan_files_read": len(keep)})
+    if keep.empty:
+        schema = pq.read_schema(
+            os.path.join(path, manifest["file"].iloc[0]))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.from_arrow(schema.empty_table())
+    files = [os.path.join(path, f) for f in keep["file"]]
+    ds = rd.read_parquet(files, columns=columns)
+    vset = set(values)
+
+    def exact(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[col].isin(vset)]
+
+    return ds.map_batches(exact, batch_format="pandas")
