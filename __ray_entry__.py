@@ -3276,6 +3276,134 @@ def _kg_provenance(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_cdc_state(sf_dir: str) -> pd.DataFrame:
+    """CDC changelog apply (stages/joins.py::cdc_apply): snapshot = even
+    event_ids; changelog = ids ≡ 0,1 (mod 4) with op 'D'/'U' by
+    (id//4) parity and value+1000 — winning tombstones remove keys,
+    changelog upserts beat base rows at equal ts.  Oracle replays
+    union → row_number winner → tombstone filter."""
+    from text_to_rdf_ray.stages.joins import cdc_apply
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def base_f(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_id"] % 2 == 0]
+
+    def chg_f(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_id"] % 4 < 2].copy()
+        b["value"] = b["value"] + 1000.0
+        b["op"] = np.where((b["event_id"] // 4) % 2 == 0, "D", "U")
+        return b
+
+    out = cdc_apply(
+        ev.map_batches(base_f, batch_format="pandas"),
+        ev.map_batches(chg_f, batch_format="pandas"),
+        key_col="event_id", order_col="ts", tiebreak_col="value",
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "user_id", "ts", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _graph_common_neighbors(sf_dir: str) -> pd.DataFrame:
+    """Co-occurrence similarity (common-neighbor counts): supplier pairs
+    sharing ≥ 3 distinct customers in the supplier→customer graph —
+    distinct edges, self exchange_join on the customer, pair filter
+    a < b, exchange_agg count, threshold.  The per-customer pair explode
+    is the documented cost: O(Σ deg²); production caps hub customers
+    first (key_skew_stats + a degree threshold)."""
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(
+            lambda t: pa.table({"okey": t.column("l_orderkey"),
+                                "supp": t.column("l_suppkey")}),
+            batch_format="pyarrow"),
+        orders.map_batches(
+            lambda t: pa.table({"okey": t.column("o_orderkey"),
+                                "cust": t.column("o_custkey")}),
+            batch_format="pyarrow"),
+        on="okey",
+        left_schema=pa.schema([("okey", pa.int64()), ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()), ("cust", pa.int64())]))
+    edges = distinct_rows(
+        joined.map_batches(
+            lambda b: b[["supp", "cust"]].drop_duplicates(),
+            batch_format="pandas", batch_size=65536),
+        cols=["supp", "cust"]).materialize()
+    es = pa.schema([("cust", pa.int64()), ("supp", pa.int64())])
+    pairs = exchange_join(
+        edges.map_batches(
+            lambda t: pa.table({"cust": t.column("cust"),
+                                "supp": t.column("supp")}),
+            batch_format="pyarrow"),
+        edges.map_batches(
+            lambda t: pa.table({"cust": t.column("cust"),
+                                "supp_b": t.column("supp")}),
+            batch_format="pyarrow"),
+        on="cust", left_schema=es,
+        right_schema=pa.schema([("cust", pa.int64()),
+                                ("supp_b", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("supp"), t.column("supp_b"))
+        f = t.filter(keep)
+        return pa.table({"supp_a": f.column("supp"),
+                         "supp_b": f.column("supp_b")})
+
+    cnt = exchange_agg(pairs.map_batches(lt, batch_format="pyarrow"),
+                       ["supp_a", "supp_b"],
+                       [("supp_b", "count", "common")])
+    out = cnt.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("common"),
+                                            pa.scalar(3, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    for c in ("supp_a", "supp_b", "common"):
+        out[c] = out[c].astype("int64")
+    return (out[["supp_a", "supp_b", "common"]]
+            .sort_values(["supp_a", "supp_b"]).reset_index(drop=True))
+
+
+def _kg_negative_samples(sf_dir: str) -> pd.DataFrame:
+    """TransE-style negative sampling (stages/graph.py::negative_samples)
+    over the canonical fixture triples: k=2 corrupted objects per
+    positive, drawn via splitmix64(content_hash + j) mod |vocab| from
+    the sorted distinct-object vocabulary.  The side table carries the
+    triples + content hash; the SQL replays the vocabulary index and
+    the splitmix64 draw."""
+    from text_to_rdf_ray.kernels.minhash import _hash_shingles
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.graph import negative_samples
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    triples = build_triples(pages, kb_records=kb_records()).map_batches(
+        lambda b: pa.table({"subj_slug": b.column("subj_slug"),
+                            "pred": b.column("pred"),
+                            "obj": b.column("obj")}),
+        batch_format="pyarrow").materialize()
+    side = triples.to_pandas()
+    key = (side["subj_slug"].astype(str) + "\x1f"
+           + side["pred"].astype(str) + "\x1f" + side["obj"].astype(str))
+    side["h_base"] = _hash_shingles(key.tolist()).astype(np.uint64)
+    _side_write("kg_negative_samples", "triples.parquet",
+                side.sort_values(["subj_slug", "pred", "obj"]))
+    out = negative_samples(triples, subj_col="subj_slug", pred_col="pred",
+                           obj_col="obj", k=2).to_pandas()
+    out["neg_j"] = out["neg_j"].astype("int64")
+    return (out[["subj_slug", "pred", "obj", "neg_j", "obj_neg"]]
+            .sort_values(["subj_slug", "pred", "obj", "neg_j"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3380,6 +3508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _events_profile,
         "events_clustered_scan": _events_clustered_scan,
         "events_point_lookup": _events_point_lookup,
+        "events_cdc_state": _events_cdc_state,
+        "graph_common_neighbors": _graph_common_neighbors,
+        "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
         "kg_provenance": _kg_provenance,
         "events_user_types": _events_user_types,
@@ -4207,6 +4338,68 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_cdc_state": """
+            -- CDC apply replay (stages/joins.py::cdc_apply): union ->
+            -- per-key winner (ts desc, change-beats-base, value desc) ->
+            -- tombstone filter
+            WITH base AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_id % 2 = 0),
+            chg AS (
+              SELECT event_id, user_id, ts, value + 1000.0 AS value,
+                     CASE WHEN (event_id // 4) % 2 = 0 THEN 'D'
+                          ELSE 'U' END AS op
+              FROM events WHERE event_id % 4 < 2),
+            u AS (
+              SELECT event_id, user_id, ts, value, 0 AS src, 'U' AS op
+              FROM base
+              UNION ALL
+              SELECT event_id, user_id, ts, value, 1, op FROM chg),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_id
+                ORDER BY ts DESC, src DESC, value DESC) AS rn
+              FROM u)
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY event_id
+        """,
+        "graph_common_neighbors": """
+            -- common-neighbor counts over the distinct supplier->customer
+            -- graph: pairs of suppliers sharing >= 3 customers
+            WITH edges AS (
+              SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM edges a JOIN edges b
+              ON a.cust = b.cust AND a.supp < b.supp
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY 1, 2
+        """,
+        "kg_negative_samples": f"""
+            -- negative-sampling replay (stages/graph.py::negative_samples):
+            -- sorted distinct-object vocabulary, splitmix64(h + j) mod n
+            WITH t AS (SELECT * FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_negative_samples",
+                               "triples.parquet")}')),
+            ents AS (
+              SELECT entity,
+                     row_number() OVER (ORDER BY entity) - 1 AS idx
+              FROM (SELECT DISTINCT obj AS entity FROM t)),
+            nn AS (SELECT CAST(count(*) AS HUGEINT) AS c FROM ents),
+            reps AS (
+              SELECT subj_slug, pred, obj,
+                     CAST(h_base AS HUGEINT)
+                       + unnest(generate_series(0, 1)) AS hj,
+                     unnest(generate_series(0, 1)) AS j
+              FROM t),
+            {_sm64_sql("reps", "hj", ["subj_slug", "pred", "obj", "j"])}
+            SELECT h.subj_slug, h.pred, h.obj, CAST(h.j AS BIGINT) AS neg_j,
+                   e.entity AS obj_neg
+            FROM h CROSS JOIN nn JOIN ents e ON e.idx = h.hv % nn.c
+            ORDER BY 1, 2, 3, 4
         """,
         "kg_provenance": f"""
             -- triple provenance replay (composite-key group_collect):

@@ -1301,3 +1301,49 @@ def test_group_collect_composite_keys(ray_session):
            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert out["values"].tolist() == ["p,q", "r"]
     assert out["n_values"].tolist() == [2, 1]
+
+
+def test_cdc_apply_tombstones_and_upserts(ray_session):
+    from text_to_rdf_ray.stages.joins import cdc_apply
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": [10.0, 20.0, 30.0, 40.0],
+        "t": [1, 1, 1, 1],
+    })
+    chg = pd.DataFrame({
+        "k": [2, 3, 5, 5, 4],
+        "v": [21.0, 0.0, 50.0, 0.0, 41.0],
+        "t": [2, 2, 2, 3, 0],
+        "op": ["U", "D", "U", "D", "U"],
+    })
+    out = (cdc_apply(rd.from_pandas(base).repartition(2),
+                     rd.from_pandas(chg).repartition(2),
+                     key_col="k", order_col="t", tiebreak_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1 untouched; k=2 upserted; k=3 deleted; k=4 stale change loses
+    # (t=0 < base t=1); k=5 inserted then tombstoned at t=3 -> gone
+    assert out["k"].tolist() == [1, 2, 4]
+    assert out["v"].tolist() == [10.0, 21.0, 40.0]
+
+
+def test_negative_samples_deterministic_and_in_vocab(ray_session):
+    from text_to_rdf_ray.stages.graph import negative_samples
+
+    tr = pd.DataFrame({
+        "subj": ["a", "b", "c", "a"],
+        "pred": ["p", "p", "q", "q"],
+        "obj": ["x", "y", "z", "x"],
+    })
+    ds = rd.from_pandas(tr).repartition(2)
+    out1 = (negative_samples(ds, subj_col="subj", k=3).to_pandas()
+            .sort_values(["subj", "pred", "obj", "neg_j"])
+            .reset_index(drop=True))
+    out2 = (negative_samples(ds, subj_col="subj", k=3).to_pandas()
+            .sort_values(["subj", "pred", "obj", "neg_j"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out2)
+    assert len(out1) == 12
+    assert set(out1["obj_neg"]) <= {"x", "y", "z"}
+    assert out1.groupby(["subj", "pred", "obj"])["neg_j"].apply(
+        lambda s: s.tolist() == [0, 1, 2]).all()

@@ -494,3 +494,67 @@ def _triangle_shuffle(e: rd.Dataset, *, num_partitions: int) -> rd.Dataset:
     return exchange_agg(
         tri.map_batches(tri_nodes, batch_format="pyarrow"),
         "node", [("node", "count", "n_tri")], num_partitions=num_partitions)
+
+
+def negative_samples(
+    triples: rd.Dataset,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    k: int = 2,
+    max_entities: int = 5_000_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Uniform negative sampling for KG-embedding training (TransE-style
+    corrupted triples, Bordes et al. 2013): per positive triple, ``k``
+    rows with the object replaced by ``entities[splitmix64(h + j) % n]``
+    where ``h`` is the triple's content hash and ``entities`` is the
+    SORTED distinct object vocabulary — fully deterministic, so two runs
+    (or a run and its SQL replay) draw identical negatives.
+
+    Scale shape: the vocabulary is a bounded driver collect
+    (``max_entities`` guard — KG entity counts are ~10^8 max, far below
+    row counts) broadcast once via ``ray.put`` and read per worker from
+    the object-store cache; the corruption itself is a pure
+    ``map_batches`` (no shuffle, output = k × input rows streamed).
+    Accidental draws of the true object are NOT filtered (standard
+    uniform sampling; callers wanting filtered negatives re-draw on
+    collision with j offsets beyond k).  Output adds ``neg_j`` (0..k-1)
+    and ``obj_neg``.
+    """
+    import ray
+
+    from .analytics import distinct_rows, splitmix64
+    from ..kernels.minhash import _hash_shingles
+
+    ents_df = distinct_rows(
+        _project(triples, [(obj_col, "entity")]),
+        cols=["entity"], num_partitions=num_partitions).to_pandas()
+    if len(ents_df) > max_entities:
+        raise ValueError(
+            f"negative_samples: {len(ents_df)} entities exceeds "
+            f"max_entities={max_entities}; shard the vocabulary")
+    ents = np.sort(ents_df["entity"].astype(str).to_numpy())
+    n = len(ents)
+    if n == 0:
+        raise ValueError("negative_samples: empty entity vocabulary")
+    ents_ref = ray.put(ents)
+    cache: dict = {}
+
+    def corrupt(batch: pd.DataFrame) -> pd.DataFrame:
+        ev = cache.get("e")
+        if ev is None:
+            ev = cache["e"] = ray.get(ents_ref)
+        key = (batch[subj_col].astype(str) + "\x1f"
+               + batch[pred_col].astype(str) + "\x1f"
+               + batch[obj_col].astype(str))
+        h = _hash_shingles(key.tolist()).astype(np.uint64)
+        reps = batch.loc[batch.index.repeat(k)].reset_index(drop=True)
+        j = np.tile(np.arange(k, dtype=np.uint64), len(batch))
+        idx = (splitmix64(np.repeat(h, k) + j) % np.uint64(n)).astype(
+            np.int64)
+        return reps.assign(neg_j=j.astype(np.int64), obj_neg=ev[idx])
+
+    return triples.map_batches(corrupt, batch_format="pandas",
+                               batch_size=65536)

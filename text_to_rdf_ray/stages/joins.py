@@ -795,3 +795,61 @@ def skew_join(
         return t.drop_columns(["_salt"])
 
     return joined.map_batches(drop_salt, batch_format="pyarrow")
+
+
+def cdc_apply(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    op_col: str = "op",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Apply a CDC changelog (upsert + DELETE tombstones) to a snapshot —
+    the table-maintenance MERGE a streaming ingest compacts with.
+
+    ``changes`` carries ``op_col`` ∈ {'U', 'D'} (upsert / delete); base
+    rows are implicit upserts.  Per key, the winner is the row with the
+    greatest ``(order_col, change-beats-base, tiebreak_col)`` — exactly
+    ``upsert_merge``'s ordering — and a winning tombstone REMOVES the key
+    from the output.  Losing tombstones (a later upsert re-created the
+    key) are invisible.  Same scale shape as upsert_merge: batch-local
+    winner combiner, ONE key-hash exchange, vectorized per-partition
+    reduce; tombstones travel as ordinary rows.
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    by = [order_col, "_src", tiebreak_col]
+    asc = [False, False, False]
+
+    def tag_base(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_src=np.full(len(batch), 0, np.int8),
+                            _del=np.zeros(len(batch), np.int8))
+
+    def tag_chg(batch: pd.DataFrame) -> pd.DataFrame:
+        dele = (batch[op_col].astype(str) == "D").to_numpy()
+        return (batch.drop(columns=[op_col])
+                .assign(_src=np.full(len(batch), 1, np.int8),
+                        _del=dele.astype(np.int8)))
+
+    u = base.map_batches(tag_base, batch_format="pandas").union(
+        changes.map_batches(tag_chg, batch_format="pandas"))
+
+    def local_win(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.sort_values(by, ascending=asc)
+               .groupby(key_col, sort=False).head(1))
+        part = (_hash_shingles(out[key_col].astype(str).tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return out.assign(_part=part)
+
+    def final_win(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col] + by, ascending=[True] + asc))
+        w = g.groupby(key_col, sort=False).head(1)
+        return w[w["_del"] == 0].drop(columns=["_src", "_del"])
+
+    return (u.map_batches(local_win, batch_format="pandas",
+                          batch_size=65536)
+            .groupby("_part").map_groups(final_win, batch_format="pandas"))
