@@ -3404,6 +3404,24 @@ def _kg_negative_samples(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_watermark_late(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark replay (stages/windows.py::watermark_filter
+    over analytics.prefix_max): events arriving (event_id order) with
+    event time > 72h behind the high-watermark are flagged late — the
+    pane-closing rule of a streaming window, computed as a two-pass
+    distributed scan (range sort + O(blocks) driver partials)."""
+    from text_to_rdf_ray.stages.windows import watermark_filter
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    out = watermark_filter(ev, ts_col="ts", arrival_col="event_id",
+                           lateness_us=72 * 3600 * 1_000_000).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["is_late"] = out["is_late"].astype("int64")
+    return (out[["event_id", "is_late"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3509,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clustered_scan": _events_clustered_scan,
         "events_point_lookup": _events_point_lookup,
         "events_cdc_state": _events_cdc_state,
+        "events_watermark_late": _events_watermark_late,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4338,6 +4357,23 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_watermark_late": """
+            -- streaming high-watermark replay (windows.watermark_filter):
+            -- late = event time > 72h behind the max event time of
+            -- strictly earlier arrivals
+            WITH w AS (
+              SELECT event_id, epoch_us(ts) AS tsu,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS hw
+              FROM events)
+            SELECT event_id,
+                   CAST(CASE WHEN hw IS NOT NULL
+                              AND tsu < hw - 259200000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_late
+            FROM w ORDER BY event_id
         """,
         "events_cdc_state": """
             -- CDC apply replay (stages/joins.py::cdc_apply): union ->

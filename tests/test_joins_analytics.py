@@ -1347,3 +1347,28 @@ def test_negative_samples_deterministic_and_in_vocab(ray_session):
     assert set(out1["obj_neg"]) <= {"x", "y", "z"}
     assert out1.groupby(["subj", "pred", "obj"])["neg_j"].apply(
         lambda s: s.tolist() == [0, 1, 2]).all()
+
+
+def test_prefix_max_and_watermark(ray_session):
+    from text_to_rdf_ray.stages.analytics import prefix_max
+    from text_to_rdf_ray.stages.windows import watermark_filter
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({"arr": np.arange(n, dtype=np.int64),
+                       "t": rng.integers(0, 10**6, n).astype(np.int64)})
+    out = (prefix_max(rd.from_pandas(df).repartition(7),
+                      order_col="arr", value_col="t")
+           .to_pandas().sort_values("arr").reset_index(drop=True))
+    want = df["t"].astype(float).cummax().shift(1)
+    assert pd.isna(out["running_max"].iloc[0])
+    np.testing.assert_allclose(out["running_max"].iloc[1:].to_numpy(),
+                               want.iloc[1:].to_numpy())
+
+    wf = (watermark_filter(rd.from_pandas(df).repartition(7),
+                           ts_col="t", arrival_col="arr",
+                           lateness_us=200_000)
+          .to_pandas().sort_values("arr").reset_index(drop=True))
+    late_want = (df["t"] < want - 200_000).fillna(False)
+    assert wf["is_late"].astype(bool).tolist() == late_want.tolist()
+    assert wf["is_late"].iloc[0] == 0

@@ -1549,3 +1549,83 @@ def group_collect(
 
     return (ds.map_batches(combine, batch_format="pandas", batch_size=65536)
             .groupby("_part").map_groups(reduce_part, batch_format="pandas"))
+
+
+def prefix_max(
+    ds: rd.Dataset,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+) -> rd.Dataset:
+    """Global EXCLUSIVE running maximum in ``order_col`` order:
+
+        out_col = MAX(value) OVER (ORDER BY order
+                                   ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+
+    (null for the globally first row).  The streaming high-watermark
+    primitive — ``windows.watermark_filter`` builds late-event handling
+    on it.  Precondition: ``order_col`` unique (it is the arrival
+    sequence).
+
+    Scale shape (the ``grouped_prefix_sum`` two-pass scan without the
+    segment bookkeeping): ONE range sort on ``order_col``, per-block
+    (first_order, max) partials — O(blocks) driver rows — an exclusive
+    prefix-max walk over the partials, then a second streaming pass
+    combining each block's offset with the block-local exclusive
+    ``np.maximum.accumulate``.  No hash exchange; values never leave
+    their block twice.
+    """
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_order": pa.array([], pa.int64()),
+                             "max_val": pa.array([], pa.float64())})
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "first_order": pa.array(
+                [int(batch.column(order_col)[0].as_py())], pa.int64()),
+            "max_val": pa.array([float(v.max())], pa.float64()),
+        })
+
+    partials = (sorted_ds.map_batches(block_stats, batch_format="pyarrow",
+                                      batch_size=None)
+                .to_pandas().sort_values("first_order"))
+    offsets: dict[int, float] = {}
+    running = -np.inf
+    for row in partials.itertuples(index=False):
+        offsets[int(row.first_order)] = running
+        running = max(running, float(row.max_val))
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.float64()))
+        off = cache.get("o")
+        if off is None:
+            off = cache["o"] = ray.get(off_ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # exclusive local running max: shift the inclusive accumulate
+        local = np.empty_like(v)
+        local[0] = -np.inf
+        if len(v) > 1:
+            local[1:] = np.maximum.accumulate(v)[:-1]
+        block_off = off[int(batch.column(order_col)[0].as_py())]
+        out = np.maximum(local, block_off)
+        # -inf can only survive at the globally first row (every later
+        # row has at least one finite predecessor); emit it as null
+        if np.isfinite(out[0]):
+            arr = pa.array(out, pa.float64())
+        else:
+            arr = pa.array(np.where(np.isfinite(out), out, np.nan),
+                           pa.float64(), from_pandas=True)
+        return batch.append_column(out_col, arr)
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)

@@ -388,3 +388,53 @@ def lag_delta(
 
     return (ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def watermark_filter(
+    ds: rd.Dataset,
+    *,
+    ts_col: str,
+    arrival_col: str,
+    lateness_us: int,
+    out_col: str = "is_late",
+) -> rd.Dataset:
+    """Streaming late-event classification: replay the stream in
+    ``arrival_col`` order and flag every event whose ``ts_col`` lags the
+    high-watermark (max event time seen over STRICTLY EARLIER arrivals)
+    by more than ``lateness_us`` — exactly the event-time/arrival-time
+    watermark rule a streaming window applies before closing a pane.
+    The first arrival is never late.  Output adds ``out_col`` (int64
+    0/1) and passes everything else through; callers drop or
+    dead-letter the flagged rows.
+
+    Built on ``analytics.prefix_max`` (range sort + O(blocks) driver
+    partials + streaming combine — no hash exchange), so it holds the
+    whole corpus's arrival order without any single worker seeing more
+    than its blocks.
+    """
+    from .analytics import prefix_max
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        return batch.append_column("_ts_us", ts.cast(pa.float64()))
+
+    with_hw = prefix_max(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        order_col=arrival_col, value_col="_ts_us", out_col="_hw")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return (batch.drop_columns(["_ts_us", "_hw"])
+                    .append_column(out_col, pa.array([], pa.int64())))
+        ts = batch.column("_ts_us").to_numpy(zero_copy_only=False)
+        hw = batch.column("_hw").to_numpy(zero_copy_only=False)
+        late = (~np.isnan(hw)) & (ts < hw - float(lateness_us))
+        return (batch.drop_columns(["_ts_us", "_hw"])
+                .append_column(out_col,
+                               pa.array(late.astype(np.int64), pa.int64())))
+
+    return with_hw.map_batches(classify, batch_format="pyarrow",
+                               batch_size=None)
