@@ -3422,6 +3422,31 @@ def _events_watermark_late(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _orders_clustered_join(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-free co-clustered join (stages/lakehouse.py::
+    clustered_join): orders and customer both range-clustered on the
+    customer key, then joined by zone-map overlap — one task per orders
+    file, ZERO exchange (the reuse-one-partitioning-key payoff)."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_join, clustered_write
+
+    pa_dir = os.path.join(_TMP, "lakehouse", "orders_by_cust")
+    pb_dir = os.path.join(_TMP, "lakehouse", "customer_by_key")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    clustered_write(orders, pa_dir, key_col="o_custkey", num_files=12)
+    clustered_write(cust, pb_dir, key_col="c_custkey", num_files=8)
+    out = clustered_join(pa_dir, pb_dir, key_col_a="o_custkey",
+                         key_col_b="c_custkey").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_totalprice"] = _r(out["o_totalprice"], 2)
+    return (out[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3528,6 +3553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_point_lookup": _events_point_lookup,
         "events_cdc_state": _events_cdc_state,
         "events_watermark_late": _events_watermark_late,
+        "orders_clustered_join": _orders_clustered_join,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4357,6 +4383,14 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "orders_clustered_join": """
+            -- co-clustered zone-map join replay: the shuffle-free plan
+            -- must be invisible in the result set
+            SELECT o_orderkey, o_custkey, c_name,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
         "events_watermark_late": """
             -- streaming high-watermark replay (windows.watermark_filter):

@@ -1372,3 +1372,30 @@ def test_prefix_max_and_watermark(ray_session):
     late_want = (df["t"] < want - 200_000).fillna(False)
     assert wf["is_late"].astype(bool).tolist() == late_want.tolist()
     assert wf["is_late"].iloc[0] == 0
+
+
+def test_clustered_join_no_shuffle_parity(ray_session, tmp_path):
+    """clustered_join == pandas merge; B reads stay near |B files|."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_join, clustered_write
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.default_rng(13)
+    a = pd.DataFrame({"k": rng.integers(0, 500, 4000).astype(np.int64),
+                      "x": np.arange(4000, dtype=np.int64)})
+    b = pd.DataFrame({"k": np.arange(0, 600, dtype=np.int64)})
+    b["y"] = b["k"] * 7
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    clustered_write(rd.from_pandas(a).repartition(4), pa_dir,
+                    key_col="k", num_files=8)
+    clustered_write(rd.from_pandas(b).repartition(2), pb_dir,
+                    key_col="k", num_files=6)
+    counters.snapshot(reset=True)
+    got = (clustered_join(pa_dir, pb_dir, key_col_a="k").to_pandas()
+           .sort_values(["k", "x"]).reset_index(drop=True)[["k", "x", "y"]])
+    want = (a.merge(b, on="k").sort_values(["k", "x"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    snap = counters.snapshot()
+    assert snap["clusteredjoin_tasks"] == 8
+    # aligned distributions: each A file overlaps ~1-2 B files, not all 6
+    assert snap["clusteredjoin_b_reads"] <= 2 * 8

@@ -234,3 +234,71 @@ def point_lookup(
         return batch[batch[col].isin(vset)]
 
     return ds.map_batches(exact, batch_format="pandas")
+
+
+def clustered_join(
+    path_a: str,
+    path_b: str,
+    *,
+    key_col_a: str,
+    key_col_b: str | None = None,
+    columns_a: list[str] | None = None,
+    columns_b: list[str] | None = None,
+) -> rd.Dataset:
+    """Shuffle-FREE inner equi-join of two tables both written by
+    ``clustered_write`` on the join key: the zone maps already
+    co-partition the data, so the join plan is "for each A file, merge
+    the B files whose [min,max] overlaps" — one task per A file, zero
+    exchange.  This is the payoff of picking ONE partitioning key and
+    reusing it across stages: at 100 TB the same join as exchange_join
+    moves nothing but the narrow B overlaps each task reads.
+
+    ``clustered_write``'s ranges are disjoint by value (searchsorted
+    cutpoints), so every B row can match at most one A file — no
+    duplicate outputs.  Emits ``clusteredjoin_tasks`` /
+    ``clusteredjoin_b_reads`` counters (B files read, summed over
+    tasks; ≈ files_b when distributions align, ≫ when the two tables
+    were clustered with very different cutpoints — re-cluster one side
+    if the counter says so).
+    """
+    key_col_b = key_col_b or key_col_a
+    ma = pd.read_parquet(os.path.join(path_a, MANIFEST))
+    mb = pd.read_parquet(os.path.join(path_b, MANIFEST))
+    if ma.empty or mb.empty:
+        raise ValueError("clustered_join: empty manifest")
+    plan = []
+    b_reads = 0
+    for _, ra in ma.iterrows():
+        hits = mb[(mb["max_key"] >= ra["min_key"])
+                  & (mb["min_key"] <= ra["max_key"]) & (mb["rows"] > 0)]
+        if ra["rows"] > 0 and len(hits):
+            plan.append({"a_file": ra["file"],
+                         "b_files": ",".join(hits["file"])})
+            b_reads += len(hits)
+    counters.incr({"clusteredjoin_tasks": len(plan),
+                   "clusteredjoin_b_reads": b_reads})
+    if not plan:
+        sa = pq.read_schema(os.path.join(path_a, ma["file"].iloc[0]))
+        sb = pq.read_schema(os.path.join(path_b, mb["file"].iloc[0]))
+        cols_a = columns_a or sa.names
+        cols_b = columns_b or [c for c in sb.names if c != key_col_b]
+        fields = ([sa.field(c) for c in cols_a]
+                  + [sb.field(c) for c in cols_b if c in sb.names])
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    def join_task(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, row in batch.iterrows():  # one row per block (the plan)
+            a = pd.read_parquet(os.path.join(path_a, row["a_file"]),
+                                columns=columns_a)
+            bs = [pd.read_parquet(os.path.join(path_b, f),
+                                  columns=columns_b)
+                  for f in row["b_files"].split(",")]
+            b = pd.concat(bs, ignore_index=True)
+            outs.append(a.merge(
+                b, left_on=key_col_a, right_on=key_col_b, how="inner"))
+        return pd.concat(outs, ignore_index=True)
+
+    plan_ds = rd.from_pandas(pd.DataFrame(plan)).repartition(len(plan))
+    return plan_ds.map_batches(join_task, batch_format="pandas",
+                               batch_size=None)
