@@ -3447,6 +3447,25 @@ def _orders_clustered_join(sf_dir: str) -> pd.DataFrame:
             .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _events_interval_pairs(sf_dir: str) -> pd.DataFrame:
+    """Bounded-window stream-stream self join (stages/joins.py::
+    interval_self_join): per user, all event pairs within 24h — one
+    key-hash exchange, searchsorted spans + repeat/take pair
+    materialization per partition (O(output), no per-key Ray task)."""
+    from text_to_rdf_ray.stages.joins import interval_self_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    out = interval_self_join(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id",
+        window_us=24 * 3600 * 1_000_000).to_pandas()
+    for c in ("user_id", "id_a", "id_b", "dt_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "id_a", "id_b", "dt_us"]]
+            .sort_values(["user_id", "id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3554,6 +3573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cdc_state": _events_cdc_state,
         "events_watermark_late": _events_watermark_late,
         "orders_clustered_join": _orders_clustered_join,
+        "events_interval_pairs": _events_interval_pairs,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4383,6 +4403,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_interval_pairs": """
+            -- interval self-join replay (joins.py::interval_self_join):
+            -- each unordered within-24h pair once, as (earlier, later)
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT)
+                     AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+             AND (a.ts < b.ts OR a.event_id < b.event_id)
+            ORDER BY 1, 2, 3
         """,
         "orders_clustered_join": """
             -- co-clustered zone-map join replay: the shuffle-free plan

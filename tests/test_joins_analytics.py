@@ -1399,3 +1399,37 @@ def test_clustered_join_no_shuffle_parity(ray_session, tmp_path):
     assert snap["clusteredjoin_tasks"] == 8
     # aligned distributions: each A file overlaps ~1-2 B files, not all 6
     assert snap["clusteredjoin_b_reads"] <= 2 * 8
+
+
+def test_interval_self_join_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.joins import interval_self_join
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 6, 400).astype(np.int64),
+        "t": rng.integers(0, 5000, 400).astype(np.int64),
+        "i": np.arange(400, dtype=np.int64),
+    })
+    got = (interval_self_join(rd.from_pandas(df).repartition(4),
+                              key_col="u", ts_col="t", id_col="i",
+                              window_us=300)
+           .to_pandas().sort_values(["u", "id_a", "id_b"])
+           .reset_index(drop=True))
+    m = df.merge(df, on="u", suffixes=("_a", "_b"))
+    m = m[(m["t_b"] >= m["t_a"])
+          & (m["t_b"] - m["t_a"] <= 300)
+          & ((m["t_a"] < m["t_b"]) | (m["i_a"] < m["i_b"]))]
+    want = (m.rename(columns={"i_a": "id_a", "i_b": "id_b"})
+            .assign(dt_us=lambda x: x["t_b"] - x["t_a"])
+            [["u", "id_a", "id_b", "dt_us"]]
+            .sort_values(["u", "id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    import pytest as _pytest
+    hot = pd.DataFrame({"u": np.zeros(100, np.int64),
+                        "t": np.zeros(100, np.int64),
+                        "i": np.arange(100, dtype=np.int64)})
+    with _pytest.raises(Exception):
+        interval_self_join(rd.from_pandas(hot), key_col="u", ts_col="t",
+                           id_col="i", window_us=10,
+                           max_pairs_per_row=5).to_pandas()

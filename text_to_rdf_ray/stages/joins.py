@@ -853,3 +853,100 @@ def cdc_apply(
     return (u.map_batches(local_win, batch_format="pandas",
                           batch_size=65536)
             .groupby("_part").map_groups(final_win, batch_format="pandas"))
+
+
+def interval_self_join(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    window_us: int,
+    num_partitions: int = 64,
+    max_pairs_per_row: int = 100_000,
+) -> rd.Dataset:
+    """Stream-stream self join within a time bound: all ordered pairs of
+    rows sharing ``key_col`` with ``0 <= ts_b - ts_a <= window_us``,
+    each unordered pair emitted once as (earlier, later) — exact-tie
+    pairs ordered by ``id_col``, so ``id_a < id_b`` whenever
+    ``dt_us = 0``.  The windowed-join primitive of stream processors
+    (Flink interval join), expressed batch-side.
+
+    Shape: ONE hash exchange on the key, then per partition a
+    vectorized sort + two searchsorted sweeps give each row its
+    matching index span; pairs materialize via repeat/take — O(output)
+    work, no per-key Python.  Output volume is rows × (peers within the
+    window); ``max_pairs_per_row`` raises on pathological hot spans
+    rather than silently OOMing (the no-silent-caps rule; salt the key
+    or shrink the window when it fires).  A key's rows must fit in one
+    partition (the sessionize partitioning assumption).
+    """
+    from ..kernels.minhash import _hash_shingles
+
+    def part_of(batch: pd.DataFrame) -> pd.DataFrame:
+        part = (_hash_shingles(batch[key_col].astype(str).tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.assign(_part=part)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, id_col], kind="mergesort")
+             .reset_index(drop=True))
+        out_cols = {
+            key_col: pd.Series([], dtype=g[key_col].dtype),
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "dt_us": pd.Series([], dtype="int64"),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(out_cols)
+        ts = g[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            tsu = ts.astype("int64").to_numpy()
+        else:
+            tsu = ts.to_numpy(dtype=np.int64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        # segment loop (numpy work per key; the driver-visible structure
+        # stays ONE task per partition — a dict-iteration per key costs
+        # ~µs, vs the ms-scale Ray map_groups task the repo routes
+        # around); pair indices accumulate as arrays, ONE frame per
+        # partition
+        reps: list[np.ndarray] = []
+        takes: list[np.ndarray] = []
+        for _, idx in g.groupby(key_col, sort=False).indices.items():
+            t = tsu[idx]
+            # for row i: peers j AFTER i in (ts, id) order with
+            # t[j] <= t[i] + window
+            hi = np.searchsorted(t, t + window_us, side="right")
+            lo = np.arange(len(t)) + 1
+            n_pairs = np.maximum(hi - lo, 0)
+            mx = int(n_pairs.max()) if len(t) else 0
+            if mx > max_pairs_per_row:
+                raise ValueError(
+                    f"interval_self_join: a row matches {mx} peers "
+                    f"(> max_pairs_per_row={max_pairs_per_row}); "
+                    "shrink window_us or salt the key")
+            if mx == 0:
+                continue
+            rep = np.repeat(np.arange(len(t)), n_pairs)
+            # concatenated ranges lo[i]..hi[i]
+            take = (np.arange(len(rep))
+                    - np.repeat(np.cumsum(n_pairs) - n_pairs, n_pairs)
+                    + np.repeat(lo, n_pairs))
+            reps.append(idx[rep])
+            takes.append(idx[take])
+        if not reps:
+            return pd.DataFrame(out_cols)
+        ra = np.concatenate(reps)
+        ta = np.concatenate(takes)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy()[ra],
+            "id_a": ids[ra],
+            "id_b": ids[ta],
+            "dt_us": tsu[ta] - tsu[ra],
+        })
+
+    return (ds.map_batches(part_of, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(reduce_part,
+                                         batch_format="pandas"))
