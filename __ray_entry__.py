@@ -1577,6 +1577,48 @@ def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_ppl_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity tertiles: the lm_perplexity scores (rounded
+    to 6dp on BOTH sides so the bucket comparisons see identical
+    doubles) bucketed head/middle/tail by exact global tertile bounds
+    (analytics.py::quantile_bucket over a constant group) — the
+    composition CCNet uses to keep 'head' web text."""
+    from text_to_rdf_ray.stages.analytics import quantile_bucket
+    from text_to_rdf_ray.stages.curation import lm_perplexity
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def ref_filter(t, pa=pa):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    ppl = lm_perplexity(docs, docs.map_batches(ref_filter,
+                                               batch_format="pyarrow"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t.column("ppl").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "ppl": pa.array(_r(p, 6), pa.float64()),
+            "g": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        })
+
+    b = quantile_bucket(ppl.map_batches(prep, batch_format="pyarrow"),
+                        key_col="g", value_col="ppl", n_buckets=3)
+    names = np.array(["head", "middle", "tail"])
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "ppl": batch["ppl"],
+            "bucket": names[batch["bucket"].to_numpy(dtype=np.int64) - 1],
+        })
+
+    out = b.map_batches(label, batch_format="pandas").to_pandas()
+    return (out[["doc_id", "ppl", "bucket"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _custs_no_big_orders(sf_dir: str) -> pd.DataFrame:
     """Distributed EXCEPT (shuffle set op — the non-broadcast anti form):
     customer keys with no order above 400k (stages/analytics.py::
@@ -3574,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": _events_watermark_late,
         "orders_clustered_join": _orders_clustered_join,
         "events_interval_pairs": _events_interval_pairs,
+        "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4403,6 +4446,49 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_ppl_buckets": """
+            -- CCNet tertile buckets over the same bigram-LM ppl replay
+            -- as docs_lm_perplexity (both sides round ppl to 6dp BEFORE
+            -- the tertile comparison)
+            WITH rtok AS (
+              SELECT list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 20 = 0),
+            rpos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM rtok),
+            runi AS (SELECT w[i] AS w1, count(*) AS c1 FROM rpos GROUP BY w1),
+            rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+                    FROM rpos WHERE i < len(w) GROUP BY w1, w2),
+            v AS (SELECT count(*) + 1 AS v FROM runi),
+            dtok AS (
+              SELECT doc_id, list_filter(str_split(lower(text), ' '),
+                                         x -> x <> '') AS w
+              FROM documents),
+            dpos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                     FROM dtok),
+            dbi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM dpos WHERE i < len(w)),
+            sc AS (
+              SELECT d.doc_id,
+                     ln((coalesce(b.c12, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + v.v)) AS lp
+              FROM dbi d
+              LEFT JOIN rbi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN runi u ON d.w1 = u.w1
+              CROSS JOIN v),
+            agg AS (SELECT doc_id, -sum(lp) / count(*) AS nll
+                    FROM sc GROUP BY doc_id),
+            pplr AS (
+              SELECT t.doc_id,
+                     round(coalesce(exp(a.nll), 1.0), 6) AS ppl
+              FROM dtok t LEFT JOIN agg a USING (doc_id)),
+            qb AS (SELECT quantile_cont(ppl, 1.0/3) AS q1,
+                          quantile_cont(ppl, 2.0/3) AS q2 FROM pplr)
+            SELECT doc_id, ppl,
+                   CASE WHEN ppl > q2 THEN 'tail'
+                        WHEN ppl > q1 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM pplr CROSS JOIN qb ORDER BY doc_id
         """,
         "events_interval_pairs": """
             -- interval self-join replay (joins.py::interval_self_join):
