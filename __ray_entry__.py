@@ -3508,6 +3508,74 @@ def _events_interval_pairs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _graph_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core (k=10) of the supplier↔customer graph (stages/graph.py::
+    kcore — iterative peel, driver numpy tier here, distributed
+    degree-agg + semi-join tier above 200k edges; parity-tested).
+    Node encoding supplier→2·key, customer→2·key+1 keeps the two key
+    spaces disjoint.  Oracle: 6 unrolled peel rounds (peeling is
+    monotone, so rounds past convergence are no-ops)."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import kcore
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(
+            lambda t: pa.table({"okey": t.column("l_orderkey"),
+                                "supp": t.column("l_suppkey")}),
+            batch_format="pyarrow"),
+        orders.map_batches(
+            lambda t: pa.table({"okey": t.column("o_orderkey"),
+                                "cust": t.column("o_custkey")}),
+            batch_format="pyarrow"),
+        on="okey",
+        left_schema=pa.schema([("okey", pa.int64()), ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()), ("cust", pa.int64())]))
+
+    def enc(t: pa.Table) -> pa.Table:
+        s = t.column("supp").to_numpy(zero_copy_only=False)
+        c = t.column("cust").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(s * 2, pa.int64()),
+                         "dst": pa.array(c * 2 + 1, pa.int64())})
+
+    out = kcore(joined.map_batches(enc, batch_format="pyarrow"),
+                k=10).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64")})
+    out["node"] = out["node"].astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    return (out[["node", "deg"]]
+            .sort_values("node").reset_index(drop=True))
+
+
+def _kcore_sql(k: int = 10, n_rounds: int = 6) -> str:
+    """Unrolled peel replay for _graph_kcore (extra rounds idempotent)."""
+    parts = ["""
+        ed AS (
+          SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e0 AS (
+          SELECT s * 2 AS a, c * 2 + 1 AS b FROM ed
+          UNION ALL
+          SELECT c * 2 + 1, s * 2 FROM ed)"""]
+    prev = "e0"
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+        d{i} AS (SELECT a, count(*) AS dg FROM {prev} GROUP BY a),
+        k{i} AS (SELECT a FROM d{i} WHERE dg >= {k}),
+        e{i} AS (SELECT e.a, e.b FROM {prev} e
+                 JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)""")
+        prev = f"e{i}"
+    return ("WITH " + ",".join(parts)
+            + f"""
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM {prev} GROUP BY a ORDER BY node""")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3617,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_clustered_join": _orders_clustered_join,
         "events_interval_pairs": _events_interval_pairs,
         "docs_ppl_buckets": _docs_ppl_buckets,
+        "graph_kcore": _graph_kcore,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4447,6 +4516,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.url = b.url AND a.subj_slug < b.subj_slug
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "graph_kcore": _kcore_sql(k=10, n_rounds=6),
         "docs_ppl_buckets": """
             -- CCNet tertile buckets over the same bigram-LM ppl replay
             -- as docs_lm_perplexity (both sides round ppl to 6dp BEFORE

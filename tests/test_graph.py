@@ -220,3 +220,35 @@ def test_pairs_within_groups_chunked():
         assert got == want, chunk
     assert list(_pairs_within_groups(np.array([], np.int64),
                                      np.array([], np.int64))) == []
+
+
+def test_kcore_tiers_agree_and_counter(ray_session):
+    """Driver numpy peel == forced distributed peel; rounds counted."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import kcore
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.default_rng(23)
+    # a dense clique (survives k=4) + a sparse halo (peels away in waves)
+    clique = [(i, j) for i in range(8) for j in range(8) if i < j]
+    halo = [(100 + i, rng.integers(0, 8)) for i in range(40)]
+    chain = [(200 + i, 201 + i) for i in range(30)]
+    df = pd.DataFrame(clique + halo + chain, columns=["src", "dst"]).astype(
+        {"src": "int64", "dst": "int64"})
+    ds = rd.from_pandas(df).repartition(3)
+
+    counters.snapshot(reset=True)
+    drv = (kcore(ds, k=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    r1 = counters.snapshot(reset=True).get("kcore_rounds")
+    dist = (kcore(ds, k=4, max_driver_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    r2 = counters.snapshot().get("kcore_rounds")
+    pd.testing.assert_frame_equal(
+        drv.astype("int64"), dist.astype("int64"))
+    assert set(drv["node"]) == set(range(8))
+    assert (drv["deg"] == 7).all()
+    assert r1 and r2 and r1 >= 2 and r2 >= 2

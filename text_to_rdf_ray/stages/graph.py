@@ -30,7 +30,9 @@ computation deterministic for the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -558,3 +560,108 @@ def negative_samples(
 
     return triples.map_batches(corrupt, batch_format="pandas",
                                batch_size=65536)
+
+
+def kcore(
+    edges: rd.Dataset,
+    *,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_driver_edges: int = 200_000,
+    num_partitions: int = 32,
+    max_rounds: int = 200,
+) -> rd.Dataset:
+    """k-core of an undirected graph: the maximal subgraph where every
+    node has degree ≥ k, via iterative peeling (remove all nodes with
+    degree < k; repeat until stable).  Deterministic — the k-core is
+    unique, so peel order never matters.  Output: ``(node, deg)`` with
+    the degree INSIDE the core.
+
+    Tiers (the pagerank/CC pattern): ≤ ``max_driver_edges`` distinct
+    edges peel in one numpy loop on the driver (a 10^5-edge analytics
+    graph does not deserve a barrier per round); above it, each round is
+    one degree ``exchange_agg`` + one semi-join ``exchange_join`` pair
+    filtering surviving endpoints — O(peel-depth) rounds, every step
+    vectorized.  Emits a ``kcore_rounds`` counter.  Extra rounds after
+    convergence are no-ops (peeling is monotone), which is what makes
+    the unrolled-SQL oracle sound.
+    """
+    import ray
+
+    from ..state import counters
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    # undirect + distinct once: every algorithm step assumes (a,b) and
+    # (b,a) both present exactly once
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    e = distinct_rows(edges.map_batches(undirect, batch_format="pyarrow"),
+                      cols=["a", "b"],
+                      num_partitions=num_partitions).materialize()
+    n_edges = e.count()
+
+    if n_edges <= max_driver_edges:
+        df = e.to_pandas()
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        rounds = 0
+        while True:
+            rounds += 1
+            nodes, deg = np.unique(a, return_counts=True)
+            bad_nodes = nodes[deg < k]
+            if len(bad_nodes) == 0 or rounds > max_rounds:
+                break
+            keep = ~(np.isin(a, bad_nodes) | np.isin(b, bad_nodes))
+            a, b = a[keep], b[keep]
+        counters.incr({"kcore_rounds": rounds})
+        nodes, deg = np.unique(a, return_counts=True)
+        out = pd.DataFrame({"node": nodes.astype(np.int64),
+                            "deg": deg.astype(np.int64)})
+        return rd.from_pandas(out) if len(out) else rd.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "deg": pd.Series(dtype="int64")}))
+
+    es = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = exchange_agg(e, "a", [("b", "count", "deg")],
+                           num_partitions=num_partitions).materialize()
+        # bounded: only nodes BELOW k move to the driver per round, and
+        # the peel removes them immediately (never grows round over round)
+        bad_df = deg.map_batches(
+            lambda t: t.filter(pc.less(t.column("deg"),
+                                       pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+        if bad_df.empty:
+            break
+        keep = deg.map_batches(
+            lambda t: pa.table({"a": t.filter(
+                pc.greater_equal(t.column("deg"),
+                                 pa.scalar(k, pa.int64()))).column("a")}),
+            batch_format="pyarrow")
+        ks = pa.schema([("a", pa.int64())])
+        # semi-join both endpoints against the surviving node set
+        e = exchange_join(e, keep, on="a", left_schema=es, right_schema=ks)
+        e = exchange_join(
+            e.map_batches(lambda t: pa.table({"a": t.column("b"),
+                                              "b": t.column("a")}),
+                          batch_format="pyarrow"),
+            keep, on="a", left_schema=es, right_schema=ks)
+        e = e.map_batches(lambda t: pa.table({"a": t.column("b"),
+                                              "b": t.column("a")}),
+                          batch_format="pyarrow").materialize()
+    counters.incr({"kcore_rounds": rounds})
+    return exchange_agg(e, "a", [("b", "count", "deg")],
+                        num_partitions=num_partitions).map_batches(
+        lambda t: pa.table({"node": t.column("a"),
+                            "deg": t.column("deg")}),
+        batch_format="pyarrow")
