@@ -331,7 +331,8 @@ def run_bench() -> dict:
                      "events_value_hour_corr", "graph_triangles_parts",
                      "knn_lsh", "docs_hash_split", "events_value_delta",
                      "docs_bm25_topk", "revenue_by_part_type",
-                     "events_type_hour_pivot"):
+                     "events_type_hour_pivot", "events_clustered_scan",
+                     "orders_clustered_join"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
