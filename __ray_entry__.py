@@ -3576,6 +3576,28 @@ def _kcore_sql(k: int = 10, n_rounds: int = 6) -> str:
         FROM {prev} GROUP BY a ORDER BY node""")
 
 
+def _embeddings_unnest(sf_dir: str) -> pd.DataFrame:
+    """List-column explode (stages/analytics.py::explode_list): every
+    50th embedding vector unnested to (vec_id, pos, value) rows — the
+    posexplode primitive, zero-copy flatten + vectorized take."""
+    from text_to_rdf_ray.stages.analytics import explode_list
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    out = explode_list(emb.map_batches(pick, batch_format="pyarrow"),
+                       list_col="embedding").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    out["value"] = _r(out["value"].astype("float64"), 6)
+    return (out[["vec_id", "pos", "value"]]
+            .sort_values(["vec_id", "pos"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -3686,6 +3708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_pairs": _events_interval_pairs,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
+        "embeddings_unnest": _embeddings_unnest,
         "graph_common_neighbors": _graph_common_neighbors,
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
@@ -4517,6 +4540,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "graph_kcore": _kcore_sql(k=10, n_rounds=6),
+        "embeddings_unnest": """
+            -- posexplode replay (analytics.py::explode_list)
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 50 = 0),
+            p AS (SELECT vec_id, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM e)
+            SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                   round(CAST(embedding[i] AS DOUBLE), 6) AS value
+            FROM p ORDER BY vec_id, pos
+        """,
         "docs_ppl_buckets": """
             -- CCNet tertile buckets over the same bigram-LM ppl replay
             -- as docs_lm_perplexity (both sides round ppl to 6dp BEFORE

@@ -1433,3 +1433,38 @@ def test_interval_self_join_matches_bruteforce(ray_session):
         interval_self_join(rd.from_pandas(hot), key_col="u", ts_col="t",
                            id_col="i", window_us=10,
                            max_pairs_per_row=5).to_pandas()
+
+
+def test_explode_list_posexplode(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import explode_list
+
+    t = pa.table({
+        "id": pa.array([10, 20, 30], pa.int64()),
+        "xs": pa.array([[1.0, 2.0], [], [3.0, 4.0, 5.0]],
+                       pa.list_(pa.float64())),
+    })
+    got = (explode_list(rd.from_arrow(t), list_col="xs")
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    want = pd.DataFrame({"id": [10, 10, 30, 30, 30],
+                         "pos": [0, 1, 0, 1, 2],
+                         "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    pd.testing.assert_frame_equal(got[["id", "pos", "value"]], want)
+
+    # fixed_size_list path
+    fsl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "xs": pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()), 2),
+    })
+    got2 = (explode_list(rd.from_arrow(fsl), list_col="xs")
+            .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert got2["value"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert got2["pos"].tolist() == [0, 1, 0, 1]
+
+    # null list slots rejected loudly
+    bad = pa.table({"id": pa.array([1], pa.int64()),
+                    "xs": pa.array([None], pa.list_(pa.float64()))})
+    with pytest.raises(Exception, match="null list slots"):
+        explode_list(rd.from_arrow(bad), list_col="xs").to_pandas()

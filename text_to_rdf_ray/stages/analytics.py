@@ -1629,3 +1629,55 @@ def prefix_max(
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def explode_list(
+    ds: rd.Dataset,
+    *,
+    list_col: str,
+    out_col: str = "value",
+    pos_col: str = "pos",
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """UNNEST a list column into one row per element with its 0-based
+    position — the relational explode/posexplode primitive.  Pure
+    ``map_batches`` over Arrow (no shuffle): the flat child array comes
+    out of ``ListArray.flatten()`` without copying element storage, the
+    kept columns replicate via vectorized ``take`` on repeat indices,
+    and positions come from one arange-minus-offsets subtraction.
+    Output volume is Σ list lengths — size batches accordingly for
+    long lists (e.g. embeddings: batch_size ≈ target_rows / dim).
+    Handles list / large_list / fixed_size_list; null list slots are
+    rejected loudly (a null slot's offset span is unspecified, so a
+    silent flatten would misalign positions)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                f"explode_list: column {list_col!r} has {col.null_count} "
+                "null list slots; drop or fill them upstream")
+        if pa.types.is_fixed_size_list(col.type):
+            width = col.type.list_size
+            col = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(col) + 1, dtype=np.int64) * width,
+                         pa.int32()),
+                col.flatten())
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]  # sliced arrays carry a base offset
+        lengths = np.diff(offsets)
+        flat = col.flatten()
+        idx = np.repeat(np.arange(len(batch)), lengths)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(offsets[:-1], lengths))
+        cols = {}
+        for c in (keep_cols
+                  if keep_cols is not None
+                  else [n for n in batch.column_names if n != list_col]):
+            cols[c] = batch.column(c).take(pa.array(idx, pa.int64()))
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[out_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
