@@ -3108,6 +3108,44 @@ def _docs_url_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (stages/curation.py::redact_pii — the Dolma/CCNet
+    compliance pass): emails/IPv4s/phones planted deterministically by
+    doc_id residue, the planted input dumped as an oracle side table,
+    and DuckDB replays the SAME RE2-compatible patterns as chained
+    regexp_replace + regexp_extract_all counts in the same order."""
+    from text_to_rdf_ray.stages.curation import redact_pii
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["doc_id"].to_numpy()
+        pre = pd.Series([""] * len(batch), index=batch.index)
+        em = ("contact user" + pd.Series(i, index=batch.index).astype(str)
+              + "@mail" + pd.Series(i % 7, index=batch.index).astype(str)
+              + ".example.org ")
+        ip = ("from 10." + pd.Series(i % 256, index=batch.index).astype(str)
+              + "." + pd.Series((i * 7) % 256, index=batch.index).astype(str)
+              + "." + pd.Series(i % 200, index=batch.index).astype(str) + " ")
+        ph = ("call +1 415-555-"
+              + pd.Series(i % 10000, index=batch.index).astype(str)
+              .str.zfill(4) + " ")
+        pre = pre.where(i % 3 != 0, pre + em)
+        pre = pre.where(i % 4 != 0, pre + ip)
+        pre = pre.where(i % 5 != 0, pre + ph)
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "text": pre + batch["text"].astype(str)})
+
+    planted_ds = docs.map_batches(plant, batch_format="pandas")
+    _side_write("docs_pii_redact", "input.parquet", planted_ds.to_pandas())
+    out = redact_pii(planted_ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["red_prefix"] = out["text_redacted"].str[:100]
+    return (out[["doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+                 "red_prefix"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _events_profile(sf_dir: str) -> pd.DataFrame:
     """Column profiler (stages/analytics.py::profile_table): per-column
     row/null/EXACT-distinct counts + numeric min/max/sum + string
@@ -3699,6 +3737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget_mix": _docs_token_budget_mix,
         "revenue_by_nation_year": _revenue_by_nation_year,
         "docs_url_dedup": _docs_url_dedup,
+        "docs_pii_redact": _docs_pii_redact,
         "events_profile": _events_profile,
         "events_clustered_scan": _events_clustered_scan,
         "events_point_lookup": _events_point_lookup,
@@ -4422,6 +4461,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, event_id, event_type,
                    round(value, 6) AS value
             FROM rk WHERE rn = 1 ORDER BY user_id
+        """,
+        "docs_pii_redact": f"""
+            -- PII redaction replay (curation.py::redact_pii): the SAME
+            -- RE2-safe patterns, chained in the SAME order — each
+            -- category counts on the text AFTER the previous
+            -- replacement, exactly like the operator
+            WITH inp AS (
+              SELECT doc_id, text FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_pii_redact", "input.parquet")}')),
+            r1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                  AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                  '[EMAIL]', 'g') AS t
+              FROM inp),
+            r2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(t,
+                  '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                  AS n_ipv4,
+                regexp_replace(t,
+                  '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                  '[IP]', 'g') AS t
+              FROM r1),
+            r3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                len(regexp_extract_all(t,
+                  '\\+?[0-9][0-9 ().-]{{7,14}}[0-9]\\b')) AS n_phone,
+                regexp_replace(t,
+                  '\\+?[0-9][0-9 ().-]{{7,14}}[0-9]\\b',
+                  '[PHONE]', 'g') AS t
+              FROM r2)
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   (n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+                   substr(t, 1, 100) AS red_prefix
+            FROM r3 ORDER BY doc_id
         """,
         "docs_url_dedup": f"""
             -- canonical-URL dedup replay (curation.py::url_dedup):

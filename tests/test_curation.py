@@ -973,3 +973,36 @@ def test_url_dedup_keeps_min_id(ray_session):
     assert out.loc[0, "canon_url"] == "https://a.com/x"
     assert out.loc[2, "canon_url"] == "http://b.com/y"
     assert out.loc[4, "canon_url"] == "https://c.com/z?a=1&b=2"
+
+
+def test_redact_pii_counts_order_and_passthrough(ray_session):
+    from text_to_rdf_ray.stages.curation import redact_pii
+
+    texts = [
+        "mail me at a.b-c@foo.example.org please",
+        "server at 192.168.0.1 and backup 10.0.0.254.",
+        "call +1 415-555-0132 today",
+        "combo: x@y.co then 8.8.8.8 then 020 7946 0958 ok",
+        "clean text with no pii at all",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = redact_pii(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert out["n_email"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 0, 1, 1, 0, 0]
+    assert out["has_pii"].tolist() == [True, True, True, True, False, False]
+    assert out.loc[0, "text_redacted"] == "mail me at [EMAIL] please"
+    assert out.loc[1, "text_redacted"] == "server at [IP] and backup [IP]."
+    assert out.loc[2, "text_redacted"] == "call [PHONE] today"
+    # order contract: email redacted before its host could look like an IP,
+    # IP before the phone pattern could eat octet runs
+    assert out.loc[3, "text_redacted"] == "combo: [EMAIL] then [IP] then [PHONE] ok"
+    # non-PII text and schema pass through untouched
+    assert out.loc[4, "text_redacted"] == texts[4]
+    assert out.loc[5, "text_redacted"] == ""
+    assert "text" in out.columns

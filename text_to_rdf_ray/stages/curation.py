@@ -1808,3 +1808,62 @@ def rag_chunks(
         })
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+#: PII redaction patterns, applied IN ORDER (each counts/replaces on the
+#: text state left by the previous one — the same sequential semantics
+#: the DuckDB oracle replays with chained regexp_replace).  Every
+#: pattern is RE2-compatible (no backreferences / lookaround) so the
+#: exact same strings drive Python ``re`` and DuckDB.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9 ().-]{7,14}[0-9]\b", "[PHONE]"),
+]
+
+
+def redact_pii(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> rd.Dataset:
+    """Dolma/CCNet-style PII redaction: replace emails / IPv4 addresses /
+    phone numbers with typed placeholder tokens and count each category
+    per document (``n_<name>`` columns + ``has_pii``).
+
+    Pure map — no shuffle, no state beyond module-level compiled
+    patterns.  Order matters and is part of the contract: emails are
+    redacted before IPs (an email's host can contain dotted digits),
+    IPs before phones (a phone pattern would otherwise eat IP octet
+    runs); each pattern counts on the text AFTER the previous
+    replacements, exactly like the chained ``regexp_replace`` SQL
+    replay.  At 100 TB this is embarrassingly parallel; the per-batch
+    work is C-level regex over each string.
+    """
+    import re as _re
+
+    pats = [(name, _re.compile(rx), token)
+            for name, rx, token in (patterns or PII_PATTERNS)]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txts = batch.column(text_col).to_pylist()
+        counts = {name: np.zeros(len(txts), dtype=np.int64)
+                  for name, _, _ in pats}
+        out = []
+        for i, t in enumerate(txts):
+            t = t or ""
+            for name, rx, token in pats:
+                t, n = rx.subn(token, t)
+                counts[name][i] = n
+            out.append(t)
+        batch = batch.append_column(out_col, pa.array(out, pa.string()))
+        total = np.zeros(len(txts), dtype=np.int64)
+        for name, _, _ in pats:
+            batch = batch.append_column(
+                f"n_{name}", pa.array(counts[name], pa.int64()))
+            total += counts[name]
+        return batch.append_column("has_pii", pa.array(total > 0, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
