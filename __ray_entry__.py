@@ -3356,6 +3356,98 @@ def _kg_provenance(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
+    """SPARQL-style basic-graph-pattern query (stages/kgops.py::
+    bgp_match): entities located in a nation of region EUROPE plus the
+    nation's literal name — four patterns chained through shared-
+    variable exchange_joins in ONE fused plan, most-selective pattern
+    first.  The triple table (supplier/customer located_in nation,
+    nation part_of region, nation/region named literals) derives
+    identically from the TPC-H views in SQL, so no side table."""
+    from text_to_rdf_ray.stages.kgops import bgp_match
+
+    def rel(table, cols, fmt):
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=cols, override_num_blocks=2)
+        return ds.map_batches(fmt, batch_format="pandas")
+
+    def supp(b):
+        return pd.DataFrame({
+            "subj": "supplier_" + b["s_suppkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["s_nationkey"].astype(str)})
+
+    def cust(b):
+        return pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["c_nationkey"].astype(str)})
+
+    def nat(b):
+        part = pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "part_of",
+            "obj": "region_" + b["n_regionkey"].astype(str)})
+        named = pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "named", "obj": b["n_name"].astype(str)})
+        return pd.concat([part, named], ignore_index=True)
+
+    def reg(b):
+        return pd.DataFrame({
+            "subj": "region_" + b["r_regionkey"].astype(str),
+            "pred": "named", "obj": b["r_name"].astype(str)})
+
+    # materialize the shared triple table ONCE: every pattern scans it,
+    # and re-executing the 4-way union lineage per pattern multiplies
+    # the read tasks by the pattern count (same multi-consumer
+    # materialize as kg_cooccur_edges' self-join input)
+    triples = (rel("supplier", ["s_suppkey", "s_nationkey"], supp)
+               .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
+               .union(rel("nation",
+                          ["n_nationkey", "n_name", "n_regionkey"], nat))
+               .union(rel("region", ["r_regionkey", "r_name"], reg))
+               .materialize())
+    # coalesce: the 4-way union read fans into hundreds of tiny blocks;
+    # uncoalesced, 4 chained sort exchanges pay O(blocks²) refs each
+    # (~50s fixed at 8 CPUs; ~3s with the repartition barriers)
+    out = bgp_match(triples, [
+        ("?r", "named", "EUROPE"),
+        ("?n", "part_of", "?r"),
+        ("?e", "located_in", "?n"),
+        ("?n", "named", "?nname"),
+    ], coalesce_blocks=8).to_pandas()
+    return (out[["e", "n", "r", "nname"]]
+            .sort_values(["e", "n"]).reset_index(drop=True))
+
+
+def _kg_entity_fusion(sf_dir: str) -> pd.DataFrame:
+    """Truth-discovery fusion (stages/kgops.py::majority_vote): per
+    (subj_slug, pred) the object asserted by the most source pages wins,
+    ties toward the smaller object — run over the PRE-dedup linked
+    triples (the claim multiset), dumped as the side table; the SQL
+    replays count → row_number winner."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.kgops import majority_vote
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    linked = build_triples(pages, kb_records=kb_records(), dedup=False)
+    claims = linked.map_batches(
+        lambda b: pa.table({"subj_slug": b.column("subj_slug"),
+                            "pred": b.column("pred"),
+                            "obj": b.column("obj")}),
+        batch_format="pyarrow").materialize()
+    _side_write("kg_entity_fusion", "claims.parquet",
+                claims.to_pandas().sort_values(["subj_slug", "pred", "obj"]))
+    out = majority_vote(claims, key_cols=["subj_slug", "pred"],
+                        value_col="obj").to_pandas()
+    out["support"] = out["support"].astype("int64")
+    out["n_claims"] = out["n_claims"].astype("int64")
+    return (out[["subj_slug", "pred", "obj", "support", "n_claims"]]
+            .sort_values(["subj_slug", "pred"]).reset_index(drop=True))
+
+
 def _events_cdc_state(sf_dir: str) -> pd.DataFrame:
     """CDC changelog apply (stages/joins.py::cdc_apply): snapshot = even
     event_ids; changelog = ids ≡ 0,1 (mod 4) with op 'D'/'U' by
@@ -3752,6 +3844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _kg_negative_samples,
         "kg_cooccur_edges": _kg_cooccur_edges,
         "kg_provenance": _kg_provenance,
+        "kg_bgp_match": _kg_bgp_match,
+        "kg_entity_fusion": _kg_entity_fusion,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -4782,6 +4876,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_values,
                    string_agg(url, '|' ORDER BY url) AS "values"
             FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "kg_bgp_match": """
+            -- BGP replay (stages/kgops.py::bgp_match): the SAME derived
+            -- triple table, each pattern a self-join on its shared vars
+            WITH triples AS (
+              SELECT 'supplier_' || s_suppkey AS subj,
+                     'located_in' AS pred,
+                     'nation_' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'named', n_name FROM nation
+              UNION ALL
+              SELECT 'region_' || r_regionkey, 'named', r_name FROM region)
+            SELECT DISTINCT t3.subj AS e, t2.subj AS n, t1.subj AS r,
+                            t4.obj AS nname
+            FROM triples t1
+            JOIN triples t2 ON t2.pred = 'part_of' AND t2.obj = t1.subj
+            JOIN triples t3 ON t3.pred = 'located_in' AND t3.obj = t2.subj
+            JOIN triples t4 ON t4.pred = 'named' AND t4.subj = t2.subj
+            WHERE t1.pred = 'named' AND t1.obj = 'EUROPE'
+            ORDER BY e, n
+        """,
+        "kg_entity_fusion": f"""
+            -- majority-vote fusion replay: support counts per claim,
+            -- winner = max support, ties toward the smaller object
+            WITH c AS (
+              SELECT subj_slug, pred, obj, CAST(count(*) AS BIGINT)
+                     AS support
+              FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_entity_fusion",
+                               "claims.parquet")}')
+              GROUP BY 1, 2, 3),
+            w AS (
+              SELECT subj_slug, pred, obj, support,
+                     sum(support) OVER (PARTITION BY subj_slug, pred)
+                       AS n_claims,
+                     row_number() OVER (PARTITION BY subj_slug, pred
+                       ORDER BY support DESC, obj) AS rn
+              FROM c)
+            SELECT subj_slug, pred, obj, support,
+                   CAST(n_claims AS BIGINT) AS n_claims
+            FROM w WHERE rn = 1 ORDER BY subj_slug, pred
         """,
         "events_profile": """
             -- column profiler replay (stages/analytics.py::profile_table):

@@ -1,0 +1,186 @@
+"""KG-construction query operators: basic-graph-pattern matching and
+truth-discovery fusion over a triple table.
+
+The reference engine materializes triples and leaves querying to an
+external store (reference ``README.md`` positions the N-Triples/JSON-LD
+output as the product).  At 100 TB the first consumer of a triple table
+is the pipeline itself — joining patterns to build training pairs,
+fusing conflicting extractions — so these run AS Dataset stages:
+
+- :func:`bgp_match` — a mini-SPARQL basic-graph-pattern evaluator.
+  Each triple pattern becomes a constant-pushdown Arrow filter + column
+  projection; patterns chain through :func:`~.exchange.exchange_join`
+  on their shared variables (static string schemas, so the whole BGP
+  fuses into ONE executor plan with no schema probes).  All-to-all
+  volume per hop is the surviving bindings, never the triple table.
+- :func:`majority_vote` — per-key truth discovery: the value with the
+  highest support wins (ties break on the smaller value, so the result
+  is deterministic).  Support counting is a combiner-backed
+  ``exchange_agg``; the winner pick is one hash exchange with a
+  vectorized per-partition reduce (no per-key Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..kernels.minhash import _hash_shingles
+from .exchange import exchange_agg, exchange_join
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_relation(
+    triples: rd.Dataset, pat: tuple[str, str, str],
+) -> tuple[rd.Dataset, list[str]]:
+    """One triple pattern -> (relation of variable bindings, var names).
+
+    Constants become Arrow equality filters (pushed before any shuffle);
+    variable positions project to columns named after the variable.  A
+    variable repeated WITHIN the pattern (``?x knows ?x``) adds an
+    equality filter and binds once.
+    """
+    consts = [(c, t) for c, t in zip(_POS, pat) if not _is_var(t)]
+    var_pos: list[tuple[str, str]] = []
+    out_vars: list[str] = []
+    for c, t in zip(_POS, pat):
+        if _is_var(t):
+            name = t[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pat}")
+            var_pos.append((c, name))
+            if name not in out_vars:
+                out_vars.append(name)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in consts:
+            m = pc.equal(t.column(col), val)
+            mask = m if mask is None else pc.and_(mask, m)
+        first_col: dict[str, str] = {}
+        for col, name in var_pos:
+            if name in first_col:
+                m = pc.equal(t.column(first_col[name]), t.column(col))
+                mask = m if mask is None else pc.and_(mask, m)
+            else:
+                first_col[name] = col
+        f = t.filter(mask) if mask is not None else t
+        return pa.table({name: f.column(col)
+                         for name, col in first_col.items()})
+
+    return triples.map_batches(fn, batch_format="pyarrow"), out_vars
+
+
+def bgp_match(
+    triples: rd.Dataset,
+    patterns: list[tuple[str, str, str]],
+    *,
+    distinct: bool = True,
+    num_partitions: int = 32,
+    coalesce_blocks: int | None = None,
+) -> rd.Dataset:
+    """Evaluate a SPARQL-style basic graph pattern over a triple table.
+
+    ``triples`` must have string columns ``subj``/``pred``/``obj``.
+    Pattern terms starting with ``?`` are variables; anything else is a
+    constant matched exactly.  Returns one column per variable (in
+    first-appearance order); ``distinct=True`` (SELECT DISTINCT
+    semantics — deterministic regardless of duplicate triples) is the
+    default, ``False`` keeps SPARQL bag semantics.
+
+    Every pattern after the first must share >= 1 variable with the
+    bindings accumulated so far (a Cartesian product is refused loudly
+    — at 100 TB it is always a mistake).  Join order is the pattern
+    order the caller wrote; selective patterns (more constants) should
+    come first, exactly as in a SPARQL engine without an optimizer.
+
+    ``coalesce_blocks``: each pattern scans the full triple lineage, so
+    a many-small-block source (e.g. a union of reads) multiplies the
+    sort-exchange O(blocks²) ref cost by the number of patterns — pass
+    ~num_partitions to repartition in front of every exchange (the
+    exchange.py module docstring has the measurements).
+    """
+    if not patterns:
+        raise ValueError("bgp_match: empty pattern list")
+    rels = [_pattern_relation(triples, p) for p in patterns]
+
+    bound, bound_vars = rels[0]
+    for i, (rel, rel_vars) in enumerate(rels[1:], start=2):
+        shared = [v for v in rel_vars if v in bound_vars]
+        new = [v for v in rel_vars if v not in bound_vars]
+        if not shared:
+            raise ValueError(
+                f"bgp_match: pattern {i} ({patterns[i - 1]}) shares no "
+                f"variable with the previous patterns — Cartesian "
+                f"products are not supported; reorder the patterns")
+        # a rel var that is bound but NOT a payload column on either
+        # side: all shared vars are join keys, so payloads stay disjoint
+        bound = exchange_join(
+            bound, rel, on=shared, num_partitions=num_partitions,
+            coalesce_blocks=coalesce_blocks,
+            left_schema=pa.schema([(v, pa.string()) for v in bound_vars]),
+            right_schema=pa.schema([(v, pa.string()) for v in rel_vars]))
+        # exchange_join emits keys first, then left payload, then right
+        bound_vars = (shared + [v for v in bound_vars if v not in shared]
+                      + new)
+    if distinct:
+        bound = exchange_agg(bound, bound_vars,
+                             num_partitions=num_partitions,
+                             coalesce_blocks=coalesce_blocks)
+    return bound
+
+
+def majority_vote(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    support_col: str = "support",
+    total_col: str = "n_claims",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Truth-discovery fusion: per key, the value asserted most often.
+
+    Emits ``key_cols + [value_col, support_col, total_col]`` — the
+    winning value, how many claims back it, and the total claims for
+    the key.  Ties break toward the lexicographically/numerically
+    smaller value, so the output is a pure function of the multiset of
+    claims.  Two phases, both vectorized: support counting via the
+    combiner-backed ``exchange_agg`` (shuffle volume = per-batch
+    distinct (key, value) pairs), then winner-per-key as one int32
+    hash exchange + per-partition sort / ``groupby.head(1)`` — never
+    one Python call per key (NOTES_r3 pathology).
+    """
+    counted = exchange_agg(
+        ds, key_cols + [value_col],
+        [(value_col, "count", support_col)],
+        num_partitions=num_partitions)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        part = (_hash_shingles(key.tolist())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.assign(_part=part)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        totals = g.groupby(key_cols, sort=False)[support_col].transform("sum")
+        g = g.assign(**{total_col: totals})
+        g = g.sort_values(key_cols + [support_col, value_col],
+                          ascending=[True] * len(key_cols) + [False, True])
+        return g.groupby(key_cols, sort=False).head(1)
+
+    return (counted.map_batches(tag, batch_format="pandas",
+                                batch_size=65536)
+            .groupby("_part").map_groups(pick, batch_format="pandas"))
