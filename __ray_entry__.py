@@ -1940,13 +1940,55 @@ def _mix_thr(source: str) -> int:
     return min(int(_MIX_WEIGHTS[source] * 2.0**64), 2**64 - 1)
 
 
-def _sm64_sql(table: str, id_col: str, keep: list[str]) -> str:
+def _random_walk_sql(steps: int = 4, seed: int = 42) -> str:
+    """Unrolled-step replay of stages/graph.py::random_walks over the
+    supplier↔customer graph: one _sm64_sql chain per step (namespaced
+    CTEs), neighbor = row_number position matching hv % degree."""
+    parts: list[str] = []
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for t in range(steps):
+        parts.append(_sm64_sql(
+            f"w{t}", f"(node * 1000003 + {t * 7919 + seed})",
+            ["start", "node"], prefix=f"rw{t}"))
+        parts.append(f"""
+        w{t + 1} AS (
+          SELECT h.start, a.nbr AS node
+          FROM rw{t}h h JOIN adj a
+            ON a.node = h.node
+           AND a.pos = CAST(h.hv % a.deg AS BIGINT))""")
+        selects.append(
+            f"SELECT start, CAST({t + 1} AS BIGINT), node FROM w{t + 1}")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT l_suppkey AS src, 1000000 + o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+        adj AS (
+          SELECT src AS node, dst AS nbr,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                   AS pos,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM edges),
+        w0 AS (SELECT CAST(s_suppkey AS BIGINT) AS start,
+                      CAST(s_suppkey AS BIGINT) AS node FROM supplier),
+        {",".join(parts)}
+        {" UNION ALL ".join(selects)}
+        ORDER BY start, step
+    """
+
+
+def _sm64_sql(table: str, id_col: str, keep: list[str],
+              prefix: str = "") -> str:
     """CTE chain replaying stages/analytics.py::splitmix64 over ``table``:
-    yields a relation ``h(<keep...>, hv HUGEINT)`` with hv = splitmix64(id)
-    (mod-2^64 multiplies split into 32-bit halves — a 64x64 product
-    overflows DuckDB's signed HUGEINT).  Same chain as _hll_sql, kept
-    per-row instead of folded into registers."""
+    yields a relation ``{prefix}h(<keep...>, hv HUGEINT)`` with hv =
+    splitmix64(id) (mod-2^64 multiplies split into 32-bit halves — a
+    64x64 product overflows DuckDB's signed HUGEINT).  Same chain as
+    _hll_sql, kept per-row instead of folded into registers.  ``prefix``
+    namespaces the CTEs so several chains can coexist in one query
+    (e.g. one per unrolled random-walk step)."""
     cols = ", ".join(keep)
+    p = prefix
 
     def mul64(zcol: str, b: int) -> str:
         bh, bl = b >> 32, b & 0xFFFFFFFF
@@ -1956,16 +1998,19 @@ def _sm64_sql(table: str, id_col: str, keep: list[str]) -> str:
                 f" % 18446744073709551616 AS UBIGINT)")
 
     return f"""
-        s1 AS (
+        {p}s1 AS (
           SELECT {cols},
                  CAST((CAST({id_col} AS HUGEINT) + 11400714819323198485)
                       % 18446744073709551616 AS UBIGINT) AS z
           FROM {table}),
-        x1 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM s1),
-        s2 AS (SELECT {cols}, {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM x1),
-        x2 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM s2),
-        s3 AS (SELECT {cols}, {mul64('z', 0x94D049BB133111EB)} AS z FROM x2),
-        h AS (SELECT {cols}, CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM s3)"""
+        {p}x1 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM {p}s1),
+        {p}s2 AS (SELECT {cols}, {mul64('z', 0xBF58476D1CE4E5B9)} AS z
+                  FROM {p}x1),
+        {p}x2 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM {p}s2),
+        {p}s3 AS (SELECT {cols}, {mul64('z', 0x94D049BB133111EB)} AS z
+                  FROM {p}x2),
+        {p}h AS (SELECT {cols}, CAST(xor(z, z >> 31) AS HUGEINT) AS hv
+                 FROM {p}s3)"""
 
 
 def _docs_hash_split(sf_dir: str) -> pd.DataFrame:
@@ -3448,6 +3493,97 @@ def _kg_entity_fusion(sf_dir: str) -> pd.DataFrame:
             .sort_values(["subj_slug", "pred"]).reset_index(drop=True))
 
 
+#: schema.org subclass slice covering the extractor's entity kinds
+#: (kernels/entities.py mirrors the reference EntityType enum); shared
+#: verbatim by the Ray query and the oracle's recursive-CTE VALUES list
+#: — the closure computation itself is what the SQL replays.
+_SCHEMA_ONTOLOGY: list[tuple[str, str]] = [
+    ("Person", "Thing"),
+    ("Organization", "Thing"),
+    ("EducationalOrganization", "Organization"),
+    ("EducationalOrganization", "CivicStructure"),
+    ("Airport", "CivicStructure"),
+    ("CivicStructure", "Place"),
+    ("Place", "Thing"),
+    ("Country", "AdministrativeArea"),
+    ("AdministrativeArea", "Place"),
+    ("Event", "Thing"),
+    ("Award", "Thing"),
+]
+
+
+def _kg_type_infer(sf_dir: str) -> pd.DataFrame:
+    """RDFS-style type inference (stages/kgops.py::type_inference): each
+    extracted entity gains every supertype of its asserted kind under a
+    schema.org subclass DAG (incl. multiple inheritance:
+    EducationalOrganization ⊂ Organization AND CivicStructure).  The
+    asserted (subj_slug, subj_type) pairs are the side table; the SQL
+    recomputes the closure with a recursive CTE and the asserted-wins
+    min(inferred) rule."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.kgops import type_inference
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    triples = build_triples(pages, kb_records=kb_records())
+    asserted = triples.map_batches(
+        lambda b: pa.table({"entity": b.column("subj_slug"),
+                            "type": b.column("subj_type")}),
+        batch_format="pyarrow").materialize()
+    _side_write("kg_type_infer", "asserted.parquet",
+                asserted.to_pandas().sort_values(["entity", "type"]))
+    out = type_inference(asserted, _SCHEMA_ONTOLOGY).to_pandas()
+    return (out[["entity", "type", "inferred"]]
+            .sort_values(["entity", "type"]).reset_index(drop=True))
+
+
+def _graph_random_walks(sf_dir: str) -> pd.DataFrame:
+    """Deterministic DeepWalk corpus (stages/graph.py::random_walks):
+    4-step walks from every supplier over the undirected supplier↔
+    customer co-transaction graph (customer nodes offset by 1,000,000).
+    The neighbor choice is splitmix64(node·1000003 + step·7919 + 42)
+    mod degree over the (src,dst)-sorted adjacency — the oracle unrolls
+    the four steps with one _sm64_sql chain each and row_number
+    adjacency positions."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import random_walks
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["supp"].astype("int64")
+        c = b["cust"].astype("int64") + 1_000_000
+        return pd.DataFrame({"src": pd.concat([s, c], ignore_index=True),
+                             "dst": pd.concat([c, s], ignore_index=True)})
+
+    edges = joined.map_batches(both_dirs, batch_format="pandas")
+    starts = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"]).map_batches(
+        lambda b: pd.DataFrame({"node": b["s_suppkey"].astype("int64")}),
+        batch_format="pandas")
+    out = random_walks(edges, starts, walk_len=4, seed=42).to_pandas()
+    for c in ("start", "step", "node"):
+        out[c] = out[c].astype("int64")
+    return (out[["start", "step", "node"]]
+            .sort_values(["start", "step"]).reset_index(drop=True))
+
+
 def _events_cdc_state(sf_dir: str) -> pd.DataFrame:
     """CDC changelog apply (stages/joins.py::cdc_apply): snapshot = even
     event_ids; changelog = ids ≡ 0,1 (mod 4) with op 'D'/'U' by
@@ -3846,6 +3982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_provenance": _kg_provenance,
         "kg_bgp_match": _kg_bgp_match,
         "kg_entity_fusion": _kg_entity_fusion,
+        "kg_type_infer": _kg_type_infer,
+        "graph_random_walks": _graph_random_walks,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -4924,6 +5062,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_claims AS BIGINT) AS n_claims
             FROM w WHERE rn = 1 ORDER BY subj_slug, pred
         """,
+        "kg_type_infer": f"""
+            -- type-inference replay: recursive-CTE closure over the
+            -- SAME ontology VALUES, asserted-wins via bool_and
+            WITH RECURSIVE onto(cls, sup) AS (VALUES {", ".join(
+                f"('{c}', '{s}')" for c, s in _SCHEMA_ONTOLOGY)}),
+            clos(cls, anc) AS (
+              SELECT cls, sup FROM onto
+              UNION
+              SELECT c.cls, o.sup FROM clos c
+              JOIN onto o ON o.cls = c.anc),
+            a AS (
+              SELECT DISTINCT entity, "type" FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_type_infer",
+                               "asserted.parquet")}')),
+            un AS (
+              SELECT entity, "type", FALSE AS inferred FROM a
+              UNION ALL
+              SELECT a.entity, cl.anc, TRUE FROM a
+              JOIN clos cl ON cl.cls = a."type")
+            SELECT entity, "type", bool_and(inferred) AS inferred
+            FROM un GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "graph_random_walks": _random_walk_sql(steps=4, seed=42),
         "events_profile": """
             -- column profiler replay (stages/analytics.py::profile_table):
             -- one UNION ALL branch per profiled column

@@ -85,3 +85,88 @@ def test_majority_vote_winner_ties_and_totals(ray_session):
     assert list(map(tuple, out[["subj", "obj", "support", "n_claims"]]
                     .to_numpy())) == [
         ("e1", "1950", 3, 5), ("e2", "a", 1, 2), ("e3", "solo", 1, 1)]
+
+
+def test_ontology_closure_dag_and_cycle():
+    from text_to_rdf_ray.stages.kgops import ontology_closure
+
+    onto = [("Airport", "CivicStructure"), ("CivicStructure", "Place"),
+            ("Place", "Thing"), ("EducationalOrganization", "Organization"),
+            ("EducationalOrganization", "CivicStructure"),
+            ("Organization", "Thing")]
+    c = ontology_closure(onto)
+    got = set(map(tuple, c.to_numpy()))
+    assert ("Airport", "Thing") in got
+    assert ("EducationalOrganization", "Place") in got
+    assert ("EducationalOrganization", "Thing") in got
+    assert ("Thing", "Airport") not in got
+    # a cycle terminates and closes both ways, no self pairs
+    cyc = ontology_closure([("A", "B"), ("B", "A")])
+    assert set(map(tuple, cyc.to_numpy())) == {("A", "B"), ("B", "A")}
+
+
+def test_type_inference_asserted_wins(ray_session):
+    from text_to_rdf_ray.stages.kgops import type_inference
+
+    onto = [("Airport", "Place"), ("Place", "Thing")]
+    ds = rd.from_pandas(pd.DataFrame({
+        "entity": ["lax", "lax", "paris"],
+        # lax asserts both Airport and (redundantly derivable) Place
+        "type": ["Airport", "Place", "Place"],
+    })).repartition(2)
+    out = (type_inference(ds, onto).to_pandas()
+           .sort_values(["entity", "type"]).reset_index(drop=True))
+    rows = set(map(tuple, out[["entity", "type", "inferred"]].to_numpy()))
+    assert rows == {
+        ("lax", "Airport", False),
+        ("lax", "Place", False),      # asserted beats inferred duplicate
+        ("lax", "Thing", True),
+        ("paris", "Place", False),
+        ("paris", "Thing", True),
+    }
+
+
+def test_random_walks_match_local_reference(ray_session):
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.graph import random_walks
+    import numpy as np
+
+    rng_edges = [(i, (i * 3 + j) % 9 + 10) for i in range(9) for j in range(3)]
+    edges = pd.DataFrame(rng_edges, columns=["src", "dst"])
+    # bounce-back edges so walks of length 3 never die
+    back = edges.rename(columns={"src": "dst", "dst": "src"})
+    all_e = pd.concat([edges, back], ignore_index=True)
+    starts = pd.DataFrame({"node": list(range(9))})
+    out = random_walks(
+        rd.from_pandas(all_e).repartition(4),
+        rd.from_pandas(starts).repartition(2),
+        walk_len=3, seed=7,
+    ).to_pandas().sort_values(["start", "step"]).reset_index(drop=True)
+
+    adj = {}
+    for s, dd in sorted(set(map(tuple, all_e.to_numpy()))):
+        adj.setdefault(s, []).append(dd)
+    for s0 in starts["node"]:
+        cur = s0
+        for step in range(3):
+            nbrs = adj[cur]
+            z = np.uint64(np.int64(cur)) * np.uint64(1000003) + np.uint64(
+                step * 7919 + 7)
+            # NB: % must stay in uint64 (uint64 % python-int promotes to
+            # float64 and rounds the 64-bit hash)
+            cur = nbrs[int(splitmix64(np.array([z], dtype=np.uint64))[0]
+                           % np.uint64(len(nbrs)))]
+            row = out[(out["start"] == s0) & (out["step"] == step + 1)]
+            assert row["node"].tolist() == [cur], (s0, step)
+    assert len(out) == 9 * 4
+
+
+def test_random_walks_truncate_at_sink(ray_session):
+    from text_to_rdf_ray.stages.graph import random_walks
+
+    e = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})  # 3 is a sink
+    out = random_walks(rd.from_pandas(e),
+                       rd.from_pandas(pd.DataFrame({"node": [1]})),
+                       walk_len=5, seed=0).to_pandas()
+    assert (out.sort_values("step")[["step", "node"]].to_numpy().tolist()
+            == [[0, 1], [1, 2], [2, 3]])

@@ -665,3 +665,108 @@ def kcore(
         lambda t: pa.table({"node": t.column("a"),
                             "deg": t.column("deg")}),
         batch_format="pyarrow")
+
+
+def random_walks(
+    edges: rd.Dataset,
+    starts: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 4,
+    seed: int = 42,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Deterministic DeepWalk-style random walks over an int64 edge list.
+
+    One walk per row of ``starts`` (column ``node``); output rows
+    ``(start, step, node)`` with step 0 = the start node itself.  The
+    "random" neighbor choice is a pure function of position — neighbor
+    index = ``splitmix64(node * 1000003 + step * 7919 + seed) % degree``
+    over the (src, dst)-sorted adjacency — so walks are reproducible
+    across runs, partitionings and engines (the DuckDB oracle replays
+    the same choice with row_number over the same ordering).
+
+    Shape: adjacency = distinct edges -> ONE hash exchange -> vectorized
+    per-partition sort/cumcount giving (node, dst, pos, deg), then
+    ``walk_len`` rounds of exchange_join frontier⋈adjacency with an
+    Arrow filter keeping the one chosen neighbor.  Per-round traffic is
+    O(frontier + matched adjacency rows); the adjacency is materialized
+    once and the frontier (O(starts)) is the only iterated state —
+    same discipline as :func:`pagerank`.  Walks truncate early at sink
+    nodes (no out-edges): the inner join drops them, matching the
+    oracle's recursive semantics.
+    """
+    from .analytics import distinct_rows, splitmix64
+    from .exchange import exchange_join
+
+    d = distinct_rows(edges, cols=[src_col, dst_col])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        part = (splitmix64(b[src_col].to_numpy(np.int64).view(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return b.assign(_part=part)
+
+    def adj_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([src_col, dst_col], kind="mergesort"))
+        pos = g.groupby(src_col, sort=False).cumcount()
+        deg = g.groupby(src_col, sort=False)[dst_col].transform("size")
+        return pd.DataFrame({
+            "node": g[src_col].astype("int64"),
+            "nbr": g[dst_col].astype("int64"),
+            "pos": pos.astype("int64"),
+            "deg": deg.astype("int64")})
+
+    adjacency = (d.map_batches(tag, batch_format="pandas",
+                               batch_size=65536)
+                 .groupby("_part").map_groups(adj_part,
+                                              batch_format="pandas")
+                 .materialize())
+    adj_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                            ("pos", pa.int64()), ("deg", pa.int64())])
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].astype("int64")
+        return pd.DataFrame({"start": n, "node": n})
+
+    frontier = starts.map_batches(init, batch_format="pandas").materialize()
+    f_schema = pa.schema([("start", pa.int64()), ("node", pa.int64())])
+
+    out_parts: list[rd.Dataset] = []
+
+    def stamp(step: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"start": b["start"].astype("int64"),
+                                 "step": np.int64(step),
+                                 "node": b["node"].astype("int64")})
+        return fn
+
+    out_parts.append(frontier.map_batches(stamp(0), batch_format="pandas"))
+    for step in range(walk_len):
+        joined = exchange_join(frontier, adjacency, on="node",
+                               num_partitions=num_partitions,
+                               left_schema=f_schema,
+                               right_schema=adj_schema)
+
+        def choose(t: pa.Table, step=step) -> pa.Table:
+            node = np.asarray(t.column("node"), dtype=np.int64)
+            z = (node.view(np.uint64) * np.uint64(1000003)
+                 + np.uint64(step * 7919 + seed))
+            pick = splitmix64(z) % np.asarray(t.column("deg"),
+                                              dtype=np.int64).view(np.uint64)
+            keep = pick.view(np.int64) == np.asarray(t.column("pos"),
+                                                     dtype=np.int64)
+            f = t.filter(pa.array(keep))
+            return pa.table({"start": f.column("start"),
+                             "node": f.column("nbr")})
+
+        frontier = joined.map_batches(
+            choose, batch_format="pyarrow").materialize()
+        out_parts.append(frontier.map_batches(stamp(step + 1),
+                                              batch_format="pandas"))
+
+    walks = out_parts[0]
+    for p in out_parts[1:]:
+        walks = walks.union(p)
+    return walks

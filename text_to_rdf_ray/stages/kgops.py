@@ -139,6 +139,87 @@ def bgp_match(
     return bound
 
 
+def ontology_closure(
+    ontology: list[tuple[str, str]], *, max_classes: int = 100_000,
+) -> pd.DataFrame:
+    """Transitive closure of ``(class, superclass)`` edges as a
+    ``(cls, anc)`` DataFrame (self-pairs excluded).
+
+    Ontologies are the canonical small side of a KG pipeline (schema.org
+    ships ~800 classes; even UMLS is ~130k) — the closure is computed on
+    the driver and broadcast, never shuffled.  ``max_classes`` guards
+    the assumption loudly.  Cycles collapse to "every member reaches
+    every other" rather than hanging (the frontier fixpoint terminates
+    once no new (cls, anc) pair appears).
+    """
+    parents: dict[str, set[str]] = {}
+    classes: set[str] = set()
+    for cls, sup in ontology:
+        parents.setdefault(cls, set()).add(sup)
+        classes.update((cls, sup))
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"ontology_closure: {len(classes)} classes exceeds "
+            f"max_classes={max_classes} — this helper is driver-side by "
+            f"design; a bigger ontology needs a distributed closure")
+    anc: dict[str, set[str]] = {c: set(parents.get(c, ())) for c in classes}
+    changed = True
+    while changed:
+        changed = False
+        for c in classes:
+            add = set()
+            for a in anc[c]:
+                add |= anc.get(a, set())
+            add -= anc[c]
+            if add:
+                anc[c] |= add
+                changed = True
+    rows = [(c, a) for c in sorted(classes) for a in sorted(anc[c]) if a != c]
+    return pd.DataFrame(rows, columns=["cls", "anc"])
+
+
+def type_inference(
+    ds: rd.Dataset,
+    ontology: list[tuple[str, str]],
+    *,
+    entity_col: str = "entity",
+    type_col: str = "type",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """RDFS-style type inference: every entity gains all supertypes of
+    its asserted types under the ``(class, superclass)`` ontology.
+
+    Output: distinct ``(entity_col, type_col, inferred)`` rows — the
+    asserted types (``inferred=False``) plus the closure-derived ones
+    (``inferred=True``; a type both asserted and derivable stays
+    ``False``).  The ontology closure is driver-computed (bounded — see
+    :func:`ontology_closure`) and shipped inside the map function; the
+    per-batch expansion is ONE vectorized pandas merge against the
+    closure table, then a hash-exchange distinct, so the corpus-side
+    cost is a map plus one exchange of (entity, type) pairs.
+    """
+    closure = ontology_closure(ontology)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        direct = pd.DataFrame({
+            entity_col: batch[entity_col].astype(str),
+            type_col: batch[type_col].astype(str),
+            "inferred": False})
+        sup = direct.merge(closure, left_on=type_col, right_on="cls",
+                           how="inner")
+        sup = pd.DataFrame({entity_col: sup[entity_col],
+                            type_col: sup["anc"], "inferred": True})
+        return pd.concat([direct, sup], ignore_index=True)
+
+    expanded = ds.map_batches(expand, batch_format="pandas",
+                              batch_size=65536)
+    # distinct with asserted-wins: min(inferred) over (entity, type) —
+    # False < True, so an asserted type survives any inferred duplicate
+    return exchange_agg(expanded, [entity_col, type_col],
+                        [("inferred", "min", "inferred")],
+                        num_partitions=num_partitions)
+
+
 def majority_vote(
     ds: rd.Dataset,
     *,
