@@ -3191,6 +3191,62 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _events_resample_fill(sf_dir: str) -> pd.DataFrame:
+    """Time-series densification (stages/windows.py::resample_fill):
+    per-user hourly value sums with ZERO-filled rows for every silent
+    hour between a user's first and last event — combiner, one key-hash
+    exchange, vectorized np.repeat/arange span fill.  Oracle replays
+    with generate_series over each user's [min, max] hour."""
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = resample_fill(ev).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = _r(out["sum_value"], 6)
+    return (out[["user_id", "window_id", "n", "sum_value"]]
+            .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+
+def _orders_dq_check(sf_dir: str) -> pd.DataFrame:
+    """Data-quality gate (stages/analytics.py::dq_check): four dbt-style
+    rules over orders with violations PLANTED deterministically from
+    o_orderkey residues (dup keys, dangling fks, nulled dates) so every
+    rule actually fires; the SQL replays the same mutation CTE and
+    counts per rule."""
+    from text_to_rdf_ray.stages.analytics import dq_check
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": np.where(ok % 103 == 0, ok - 1, ok),
+            "o_custkey": np.where(ok % 97 == 0,
+                                  b["o_custkey"].to_numpy() + 9_999_999,
+                                  b["o_custkey"].to_numpy()),
+            "o_totalprice": b["o_totalprice"].to_numpy(),
+            "o_orderdate": b["o_orderdate"].where(
+                pd.Series(ok % 101 != 0, index=b.index)),
+        })
+
+    out = dq_check(
+        orders.map_batches(plant, batch_format="pandas"),
+        [("date_not_null", "not_null", "o_orderdate"),
+         ("fk_custkey", "fk", "o_custkey", cust, "c_custkey"),
+         ("orderkey_unique", "unique", "o_orderkey"),
+         ("price_range", "range", "o_totalprice", 1000.0, 300000.0)],
+    ).to_pandas()
+    return (out[["rule", "n_checked", "n_violations"]]
+            .sort_values("rule").reset_index(drop=True))
+
+
 def _events_profile(sf_dir: str) -> pd.DataFrame:
     """Column profiler (stages/analytics.py::profile_table): per-column
     row/null/EXACT-distinct counts + numeric min/max/sum + string
@@ -3966,6 +4022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation_year": _revenue_by_nation_year,
         "docs_url_dedup": _docs_url_dedup,
         "docs_pii_redact": _docs_pii_redact,
+        "events_resample_fill": _events_resample_fill,
+        "orders_dq_check": _orders_dq_check,
         "events_profile": _events_profile,
         "events_clustered_scan": _events_clustered_scan,
         "events_point_lookup": _events_point_lookup,
@@ -5085,6 +5143,68 @@ def oracle_sql() -> dict[str, str]:
             FROM un GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "graph_random_walks": _random_walk_sql(steps=4, seed=42),
+        "events_resample_fill": """
+            -- resample_fill replay: hourly sums + generate_series over
+            -- each user's [min, max] hour window, gaps as zeros
+            WITH b AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     value
+              FROM events),
+            a AS (
+              SELECT user_id, window_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(value) AS sum_value
+              FROM b GROUP BY 1, 2),
+            s AS (SELECT user_id, min(window_id) AS lo,
+                         max(window_id) AS hi
+                  FROM a GROUP BY 1),
+            f AS (SELECT user_id,
+                         unnest(generate_series(lo, hi)) AS window_id
+                  FROM s)
+            SELECT f.user_id, f.window_id,
+                   COALESCE(a.n, 0) AS n,
+                   round(COALESCE(a.sum_value, 0.0), 6) AS sum_value
+            FROM f LEFT JOIN a USING (user_id, window_id)
+            ORDER BY 1, 2
+        """,
+        "orders_dq_check": """
+            -- dq_check replay: same planted-violation mutation, one
+            -- count branch per rule
+            WITH o AS (
+              SELECT CASE WHEN o_orderkey % 103 = 0
+                          THEN o_orderkey - 1 ELSE o_orderkey END
+                       AS o_orderkey,
+                     CASE WHEN o_orderkey % 97 = 0
+                          THEN o_custkey + 9999999 ELSE o_custkey END
+                       AS o_custkey,
+                     o_totalprice,
+                     CASE WHEN o_orderkey % 101 = 0
+                          THEN NULL ELSE o_orderdate END AS o_orderdate
+              FROM orders)
+            SELECT 'date_not_null' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(count(*) - count(o_orderdate) AS BIGINT)
+                     AS n_violations
+            FROM o
+            UNION ALL
+            SELECT 'fk_custkey', CAST(count(*) AS BIGINT),
+                   CAST(count_if(o_custkey IS NOT NULL AND o_custkey
+                     NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+            FROM o
+            UNION ALL
+            SELECT 'orderkey_unique', CAST(count(o_orderkey) AS BIGINT),
+                   CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                        AS BIGINT)
+            FROM o
+            UNION ALL
+            SELECT 'price_range', CAST(count(*) AS BIGINT),
+                   CAST(count_if(o_totalprice IS NOT NULL AND
+                     (o_totalprice < 1000.0 OR o_totalprice > 300000.0))
+                     AS BIGINT)
+            FROM o
+            ORDER BY rule
+        """,
         "events_profile": """
             -- column profiler replay (stages/analytics.py::profile_table):
             -- one UNION ALL branch per profiled column

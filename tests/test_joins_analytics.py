@@ -1468,3 +1468,55 @@ def test_explode_list_posexplode(ray_session):
                     "xs": pa.array([None], pa.list_(pa.float64()))})
     with pytest.raises(Exception, match="null list slots"):
         explode_list(rd.from_arrow(bad), list_col="xs").to_pandas()
+
+
+def test_dq_check_all_rule_kinds(ray_session):
+    from text_to_rdf_ray.stages.analytics import dq_check
+
+    fact = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 5],          # dup id=2
+        "ref": [10, 10, 99, 11, None, 10],  # 99 missing from dim, one null
+        "v": [5.0, -1.0, 7.0, 100.0, None, 3.0],  # -1 and 100 out of range
+    })
+    dim = rd.from_pandas(pd.DataFrame({"k": [10, 11, 12]}))
+    out = dq_check(
+        rd.from_pandas(fact).repartition(3),
+        [("id_unique", "unique", "id"),
+         ("ref_fk", "fk", "ref", dim, "k"),
+         ("ref_not_null", "not_null", "ref"),
+         ("v_range", "range", "v", 0.0, 50.0)],
+    ).to_pandas().sort_values("rule").reset_index(drop=True)
+    got = {r["rule"]: (r["n_checked"], r["n_violations"])
+           for _, r in out.iterrows()}
+    assert got == {
+        "id_unique": (6, 1),
+        "ref_fk": (6, 1),
+        "ref_not_null": (6, 1),
+        "v_range": (6, 2),
+    }
+
+
+def test_dq_check_fk_guard_raises(ray_session):
+    from text_to_rdf_ray.stages.analytics import dq_check
+
+    fact = rd.from_pandas(pd.DataFrame({"ref": [1, 2]}))
+    dim = rd.from_pandas(pd.DataFrame({"k": list(range(100))}))
+    with pytest.raises(ValueError, match="max_fk_keys"):
+        dq_check(fact, [("r", "fk", "ref", dim, "k")], max_fk_keys=10)
+
+
+def test_resample_fill_gaps_zero(ray_session):
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    # user 1: events in hours 0, 0, 3 (gap at 1, 2); user 2: hour 5 only
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 1800, 3 * 3600, 5 * 3600], unit="s"),
+        "value": [2.0, 3.0, 7.0, 1.0],
+    })
+    out = (resample_fill(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["user_id", "window_id"])
+           .reset_index(drop=True))
+    assert out[["user_id", "window_id", "n"]].to_numpy().tolist() == [
+        [1, 0, 2], [1, 1, 0], [1, 2, 0], [1, 3, 1], [2, 5, 1]]
+    assert out["sum_value"].tolist() == [5.0, 0.0, 0.0, 7.0, 1.0]

@@ -1681,3 +1681,126 @@ def explode_list(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def dq_check(
+    ds: rd.Dataset,
+    rules: list[tuple],
+    *,
+    num_partitions: int = 32,
+    max_fk_keys: int = 5_000_000,
+) -> rd.Dataset:
+    """Data-quality rule evaluation over a fact table — the lakehouse
+    CI gate (dbt-style tests) run as ONE streaming pass plus one tiny
+    exchange.
+
+    ``rules`` entries (name first, then kind + params):
+      ``(name, "not_null", col)``            — violation: col IS NULL
+      ``(name, "range", col, lo, hi)``       — violation: non-null and
+                                               outside [lo, hi]
+      ``(name, "unique", col)``              — violations = non-null
+                                               rows minus distinct
+                                               non-null values
+      ``(name, "fk", col, dim_ds, dim_col)`` — violation: non-null col
+                                               absent from the dimension
+                                               key set
+
+    Shape: every per-row rule folds into ONE map_batches pass emitting
+    a partial-count row per (batch, rule) — O(batches x rules) rows
+    through a single exchange_agg, never the fact rows.  ``fk``
+    dimension keys are collected via a per-batch-distinct combiner and
+    broadcast once with ``ray.put`` (bounded by ``max_fk_keys`` — the
+    semi_join_filter bytes math); each batch probes with vectorized
+    ``np.isin``.  ``unique`` runs a distinct-count exchange per such
+    rule (combiner-backed; shuffle volume = per-batch distinct keys).
+    Output: one row per rule — ``(rule, n_checked, n_violations)``.
+    """
+    import ray
+
+    from .exchange import exchange_agg
+
+    per_row: list[tuple] = []      # (name, kind, col, extra)
+    uniques: list[tuple[str, str]] = []
+    fk_refs: dict[str, object] = {}
+    for r in rules:
+        name, kind = r[0], r[1]
+        if kind == "not_null":
+            per_row.append((name, kind, r[2], None))
+        elif kind == "range":
+            per_row.append((name, kind, r[2], (float(r[3]), float(r[4]))))
+        elif kind == "unique":
+            uniques.append((name, r[2]))
+        elif kind == "fk":
+            col, dim_ds, dim_col = r[2], r[3], r[4]
+
+            def dk(batch: pa.Table, c=dim_col) -> pa.Table:
+                arr = np.unique(
+                    batch.column(c).to_numpy(zero_copy_only=False))
+                return pa.table({"k": pa.array(arr)})
+
+            keys = np.unique(
+                dim_ds.map_batches(dk, batch_format="pyarrow")
+                .to_pandas()["k"].to_numpy())
+            if len(keys) > max_fk_keys:
+                raise ValueError(
+                    f"dq_check: fk rule {name!r} has {len(keys)} dimension "
+                    f"keys > max_fk_keys={max_fk_keys}; use a shuffle "
+                    f"anti-join instead of a broadcast")
+            fk_refs[name] = ray.put(keys)
+            per_row.append((name, kind, col, None))
+        else:
+            raise ValueError(f"dq_check: unknown rule kind {kind!r}")
+
+    cache: dict = {}
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        names, checked, viol = [], [], []
+        n = len(batch)
+        for name, kind, col, extra in per_row:
+            c = batch.column(col)
+            nulls = c.null_count
+            if kind == "not_null":
+                v = nulls
+            elif kind == "range":
+                lo, hi = extra
+                vals = c.to_numpy(zero_copy_only=False)
+                with np.errstate(invalid="ignore"):
+                    bad = (vals < lo) | (vals > hi)
+                v = int(np.count_nonzero(bad & ~pd.isna(vals)))
+            else:  # fk
+                ks = cache.get(name)
+                if ks is None:
+                    ks = cache[name] = ray.get(fk_refs[name])
+                vals = c.drop_null().to_numpy(zero_copy_only=False)
+                v = int(np.count_nonzero(
+                    np.isin(vals, ks, invert=True)))
+            names.append(name)
+            checked.append(n)
+            viol.append(v)
+        return pd.DataFrame({"rule": names,
+                             "n_checked": np.array(checked, dtype=np.int64),
+                             "n_violations": np.array(viol, dtype=np.int64)})
+
+    rows: list[pd.DataFrame] = []
+    if per_row:
+        summed = exchange_agg(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            "rule", [("n_checked", "sum"), ("n_violations", "sum")],
+            num_partitions=num_partitions).to_pandas()
+        rows.append(summed)
+    for name, col in uniques:
+        def nn(batch: pa.Table, c=col) -> pa.Table:
+            col_arr = batch.column(c).drop_null()
+            return pa.table({c: col_arr})
+
+        nonnull = ds.map_batches(nn, batch_format="pyarrow")
+        n_nonnull = nonnull.count()
+        n_distinct = distinct_rows(nonnull, cols=[col],
+                                   num_partitions=num_partitions).count()
+        rows.append(pd.DataFrame({
+            "rule": [name],
+            "n_checked": np.array([n_nonnull], dtype=np.int64),
+            "n_violations": np.array([n_nonnull - n_distinct],
+                                     dtype=np.int64)}))
+    out = pd.concat(rows, ignore_index=True).sort_values("rule")
+    return rd.from_pandas(out.reset_index(drop=True))

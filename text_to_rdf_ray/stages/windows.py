@@ -438,3 +438,63 @@ def watermark_filter(
 
     return with_hw.map_batches(classify, batch_format="pyarrow",
                                batch_size=None)
+
+
+def resample_fill(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key fixed-width resample with zero-filled gaps: one row per
+    key per window between that key's first and last event —
+    ``(key, window_id, n, sum_value)`` with ``n=0, sum_value=0.0`` for
+    empty windows (the time-series densification in front of lag/trend
+    features).
+
+    Shape: per-batch pyarrow combiner (one partial row per (key,
+    window) per batch) -> ONE key-hash exchange so a key's windows
+    co-locate -> per-partition vectorized fill (np.repeat/arange over
+    the per-key spans — no Python loop over keys or windows).  Output
+    volume is Σ per-key spans; a key's span is bounded by
+    total_time_range / width, so the per-partition working set is
+    O(keys_in_partition x max_span) — raise ``num_partitions`` (or
+    narrow the window) when spans are long.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_id": pa.array(wins, pa.int64()),
+                      value_col: batch.column(value_col)})
+        g = (t.group_by([key_col, "window_id"])
+             .aggregate([(value_col, "sum"), (value_col, "count")])
+             .to_pandas())
+        return g.assign(_part=_part_of(g[key_col], num_partitions))
+
+    sum_c, cnt_c = f"{value_col}_sum", f"{value_col}_count"
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        agg = (g.groupby([key_col, "window_id"], sort=False, as_index=False)
+               .agg(sum_value=(sum_c, "sum"), n=(cnt_c, "sum")))
+        spans = agg.groupby(key_col, sort=False)["window_id"].agg(
+            ["min", "max"])
+        lens = (spans["max"] - spans["min"] + 1).to_numpy(np.int64)
+        keys_rep = np.repeat(spans.index.to_numpy(), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = np.arange(lens.sum(), dtype=np.int64) - np.repeat(offs, lens)
+        wids = np.repeat(spans["min"].to_numpy(np.int64), lens) + idx
+        full = pd.DataFrame({key_col: keys_rep, "window_id": wids})
+        out = full.merge(agg, on=[key_col, "window_id"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        out["sum_value"] = out["sum_value"].fillna(0.0)
+        return out[[key_col, "window_id", "n", "sum_value"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_part").map_groups(fill, batch_format="pandas"))
