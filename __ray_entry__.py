@@ -2353,6 +2353,77 @@ def _kg_ntriples_roundtrip(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink -> source round-trip over Ray Data's NATIVE
+    write_json / read_json (the interchange format every crawl corpus
+    ships in): documents with planted escape-relevant text (newline,
+    tab, quote, backslash, non-ASCII) are written as newline-delimited
+    .json shards and read back; the oracle re-parses the SAME shard
+    files with DuckDB's independent JSON reader — two parsers over one
+    serialization, matching the kg_ntriples_roundtrip pattern."""
+    import shutil
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "source", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype(str)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"].astype(str),
+            "text": ('l1\nl2\t"q' + i + '" \\ café 中 '
+                     + b["text"].astype(str).str[:40]),
+        })
+
+    out_dir = os.path.join(_SIDE, "docs_jsonl_roundtrip", "jsonl")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.map_batches(plant, batch_format="pandas").write_json(out_dir)
+    out = rd.read_json(out_dir).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "source", "text"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _parts_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Co-purchase graph projection (the bipartite order↔part table
+    projected onto part–part edges): distinct (order, part) rows, self
+    exchange_join on the order, pair filter a < b, exchange_agg count,
+    weight >= 2 — the item-item edge list a recommender trains on.
+    Per-order pair fan-out is bounded by order size (≤7 lineitems in
+    TPC-H-shaped data); hub orders would need the documented degree cap
+    from graph_common_neighbors."""
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    d = distinct_rows(li, cols=["l_orderkey", "l_partkey"]).materialize()
+    s = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
+    pairs = exchange_join(
+        d, d.map_batches(
+            lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                                "part_b": t.column("l_partkey")}),
+            batch_format="pyarrow"),
+        on="l_orderkey", left_schema=s,
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("part_b", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less(t.column("l_partkey"), t.column("part_b")))
+        return pa.table({"part_a": f.column("l_partkey"),
+                         "part_b": f.column("part_b")})
+
+    counted = exchange_agg(
+        pairs.map_batches(lt, batch_format="pyarrow"),
+        ["part_a", "part_b"], [("part_b", "count", "weight")])
+    out = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("weight"),
+                                            pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    out["weight"] = out["weight"].astype("int64")
+    return (out[["part_a", "part_b", "weight"]]
+            .sort_values(["part_a", "part_b"]).reset_index(drop=True))
+
+
 def _events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
     """Wide hourly aggregation (stages/analytics.py::pivot_agg): one row
     per epoch-hour, one summed-value column per event_type.  Per-row
@@ -4015,6 +4086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk_join": _docs_bm25_topk_join,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
+        "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
+        "parts_copurchase": _parts_copurchase,
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
         "events_skew_join": _events_skew_join,
@@ -4571,6 +4644,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN g USING (doc_id)
             ORDER BY doc_id
+        """,
+        "docs_jsonl_roundtrip": f"""
+            -- independent re-parse of the Ray-written JSONL shards
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+            FROM read_json_auto(
+              '{os.path.join(_SIDE, "docs_jsonl_roundtrip", "jsonl",
+                             "*.json")}')
+            ORDER BY doc_id
+        """,
+        "parts_copurchase": """
+            -- co-purchase projection replay: distinct bipartite rows,
+            -- self-join per order, pair count, weight >= 2
+            WITH d AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM d a JOIN d b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+            SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS weight
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY 1, 2
         """,
         "kg_ntriples_roundtrip": f"""
             -- independent DuckDB parse of the .nt shards the query wrote
