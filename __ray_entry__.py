@@ -3262,6 +3262,40 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Hashed linear quality classifier (stages/curation.py::
+    hashed_classifier_score): hashing-trick buckets + splitmix64-derived
+    integer weights, exact order-independent int64 accumulation, sigmoid
+    score.  The distinct-token → FNV-base-hash vocab is the side table
+    (the string hash is the single golden step, as in doc_fingerprints);
+    bucketing, weight derivation, sums and sigmoid are all replayed in
+    SQL."""
+    from text_to_rdf_ray.kernels.minhash import _hash_shingles
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.curation import (_CLF_TOKEN_RE,
+                                                 hashed_classifier_score)
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": [
+            t for txt in b["text"]
+            for t in _CLF_TOKEN_RE.findall((txt or "").lower())]})
+
+    vocab = (distinct_rows(docs.map_batches(tok, batch_format="pandas"),
+                           cols=["token"])
+             .to_pandas().sort_values("token").reset_index(drop=True))
+    vocab["h_base"] = _hash_shingles(vocab["token"].tolist()).astype(np.uint64)
+    _side_write("docs_quality_classifier", "vocab.parquet", vocab)
+
+    out = hashed_classifier_score(docs, dim=512, seed=1234).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["clf_score"] = _r(out["clf_score"], 6)
+    return (out[["doc_id", "clf_n_tokens", "clf_raw", "clf_score",
+                 "clf_keep"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _events_resample_fill(sf_dir: str) -> pd.DataFrame:
     """Time-series densification (stages/windows.py::resample_fill):
     per-user hourly value sums with ZERO-filled rows for every silent
@@ -4095,6 +4129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation_year": _revenue_by_nation_year,
         "docs_url_dedup": _docs_url_dedup,
         "docs_pii_redact": _docs_pii_redact,
+        "docs_quality_classifier": _docs_quality_classifier,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
         "events_profile": _events_profile,
@@ -5238,6 +5273,39 @@ def oracle_sql() -> dict[str, str]:
             FROM un GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "graph_random_walks": _random_walk_sql(steps=4, seed=42),
+        "docs_quality_classifier": f"""
+            -- hashed-classifier replay: tokenize in SQL, FNV base hash
+            -- from the vocab side table, bucket % dim, splitmix64
+            -- weight chain, exact BIGINT sum, sigmoid
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents),
+            v AS (SELECT token, h_base FROM read_parquet(
+              '{os.path.join(_SIDE, "docs_quality_classifier",
+                             "vocab.parquet")}')),
+            tb AS (
+              SELECT t.doc_id, CAST(v.h_base % 512 AS BIGINT) AS bucket
+              FROM tok t JOIN v USING (token)),
+            {_sm64_sql("tb", "(bucket + 1234)", ["doc_id"])},
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS clf_n_tokens,
+                     CAST(sum(CAST(CAST(hv AS UBIGINT) >> 32 AS BIGINT)
+                              - 2147483648) AS BIGINT) AS clf_raw
+              FROM h GROUP BY 1),
+            sc AS (
+              SELECT d.doc_id,
+                     COALESCE(p.clf_n_tokens, 0) AS clf_n_tokens,
+                     COALESCE(p.clf_raw, 0) AS clf_raw,
+                     1.0 / (1.0 + exp(-(COALESCE(p.clf_raw, 0)
+                       / (greatest(COALESCE(p.clf_n_tokens, 0), 1)
+                          * 2147483648.0)))) AS s
+              FROM documents d LEFT JOIN per p USING (doc_id))
+            SELECT doc_id, clf_n_tokens, clf_raw,
+                   round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
+            FROM sc ORDER BY doc_id
+        """,
         "events_resample_fill": """
             -- resample_fill replay: hourly sums + generate_series over
             -- each user's [min, max] hour window, gaps as zeros

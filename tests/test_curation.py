@@ -1006,3 +1006,31 @@ def test_redact_pii_counts_order_and_passthrough(ray_session):
     assert out.loc[4, "text_redacted"] == texts[4]
     assert out.loc[5, "text_redacted"] == ""
     assert "text" in out.columns
+
+
+def test_hashed_classifier_score_exact_and_empty(ray_session):
+    from text_to_rdf_ray.kernels.minhash import _hash_shingles
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.curation import hashed_classifier_score
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Alpha beta ALPHA 42", "", "zzz"],
+    })).repartition(2)
+    out = (hashed_classifier_score(ds, dim=16, seed=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["clf_n_tokens"].tolist() == [4, 0, 1]
+    # empty doc: raw 0, score exactly 0.5
+    assert out.loc[1, "clf_raw"] == 0 and out.loc[1, "clf_score"] == 0.5
+
+    def w(tok):
+        b = _hash_shingles([tok])[0] % np.uint64(16)
+        return int((splitmix64(np.array([b + np.uint64(5)],
+                                        dtype=np.uint64))[0]
+                    >> np.uint64(32))) - 2**31
+
+    exp_raw = w("alpha") + w("beta") + w("alpha") + w("42")
+    assert out.loc[0, "clf_raw"] == exp_raw
+    assert abs(out.loc[0, "clf_score"]
+               - 1.0 / (1.0 + np.exp(-exp_raw / (4 * 2**31)))) < 1e-12
+    assert out.loc[0, "clf_keep"] == (out.loc[0, "clf_score"] >= 0.5)

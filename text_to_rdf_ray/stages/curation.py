@@ -1867,3 +1867,55 @@ def redact_pii(
         return batch.append_column("has_pii", pa.array(total > 0, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_CLF_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def hashed_classifier_score(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    dim: int = 512,
+    seed: int = 1234,
+) -> rd.Dataset:
+    """fastText-style hashed linear quality classifier: tokens hash into
+    ``dim`` weight buckets (hashing trick — no vocabulary is ever built
+    or shipped) and the document score is the sigmoid of the mean
+    bucket weight.  Weights here are pseudo-random, derived from
+    splitmix64(bucket + seed) — the REAL pipeline would broadcast a
+    trained weight vector; the Ray plumbing (pure map, integer-exact
+    accumulation, zero shuffle) is identical either way.
+
+    Adds ``clf_n_tokens``, ``clf_raw`` (int64 Σ of per-token integer
+    weights in [-2³¹, 2³¹) — an ORDER-INDEPENDENT exact sum, so any
+    engine/partitioning reproduces it bit-for-bit), ``clf_score`` =
+    sigmoid(clf_raw / (n_tokens·2³¹)) (0.5 for empty docs) and
+    ``clf_keep`` = score >= 0.5.  Embarrassingly parallel at 100 TB;
+    per-batch cost is one C-regex pass + vectorized hashing + one
+    grouped int64 sum.
+    """
+    from ..kernels.minhash import _hash_shingles
+    from .analytics import splitmix64
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [_CLF_TOKEN_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        raw = np.zeros(len(batch), dtype=np.int64)
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        if flat:
+            bucket = _hash_shingles(flat) % np.uint64(dim)
+            w = ((splitmix64(bucket + np.uint64(seed))
+                  >> np.uint64(32)).astype(np.int64) - 2**31)
+            seg = np.repeat(np.arange(len(batch)), lens)
+            # int64 groupby sum: exact at any token count (float64
+            # accumulation is only exact below 2^53)
+            sums = pd.Series(w).groupby(seg).sum()
+            raw[sums.index.to_numpy()] = sums.to_numpy()
+        denom = np.maximum(lens, 1).astype(np.float64) * float(2**31)
+        score = 1.0 / (1.0 + np.exp(-(raw / denom)))
+        return batch.assign(clf_n_tokens=lens, clf_raw=raw,
+                            clf_score=score, clf_keep=score >= 0.5)
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
