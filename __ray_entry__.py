@@ -3262,6 +3262,79 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _events_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """One-pass Pearson correlation matrix (stages/analytics.py::
+    corr_matrix) over (value, hour-of-day, ISO day-of-week) — one
+    partial-moment row per batch through a single-key exchange, O(1)
+    shuffle volume.  Small-magnitude derived columns by design: the
+    moment formula loses mean²/var digits on offset-heavy columns
+    (docstring note).  SQL replays the same raw moments + algebra."""
+    from text_to_rdf_ray.stages.analytics import corr_matrix
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "value": b["value"].astype(float),
+            "hod": b["ts"].dt.hour.astype(float),
+            "dow": (b["ts"].dt.dayofweek + 1).astype(float)})
+
+    out = corr_matrix(ev.map_batches(derive, batch_format="pandas"),
+                      ["value", "hod", "dow"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["corr"] = _r(out["corr"], 6)
+    return (out[["col_a", "col_b", "n", "corr"]]
+            .sort_values(["col_a", "col_b"]).reset_index(drop=True))
+
+
+def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
+    """BFS reachability (stages/analytics.py::khop_reach): every node
+    within 2 hops of every-5th supplier over the undirected supplier↔
+    customer graph, labelled with first-reach level — iterative
+    frontier ⋈ edges + EXCEPT-visited, edge table exchanged once.
+    Oracle: bounded recursive CTE + min(level)."""
+    from text_to_rdf_ray.stages.analytics import khop_reach
+    from text_to_rdf_ray.stages.exchange import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["supp"].astype("int64")
+        c = b["cust"].astype("int64") + 1_000_000
+        return pd.DataFrame({"src": pd.concat([s, c], ignore_index=True),
+                             "dst": pd.concat([c, s], ignore_index=True)})
+
+    edges = joined.map_batches(both_dirs, batch_format="pandas")
+    seeds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b.loc[b["s_suppkey"] % 5 == 0,
+                           "s_suppkey"].astype("int64")}),
+        batch_format="pandas")
+    out = khop_reach(edges, seeds, k=2).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["level"] = out["level"].astype("int64")
+    return (out[["node", "level"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def _docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
     """Hashed linear quality classifier (stages/curation.py::
     hashed_classifier_score): hashing-trick buckets + splitmix64-derived
@@ -4130,6 +4203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_dedup": _docs_url_dedup,
         "docs_pii_redact": _docs_pii_redact,
         "docs_quality_classifier": _docs_quality_classifier,
+        "events_corr_matrix": _events_corr_matrix,
+        "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
         "events_profile": _events_profile,
@@ -5305,6 +5380,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_corr_matrix": """
+            -- corr_matrix replay: same raw moments, same algebra
+            WITH b AS (
+              SELECT value,
+                     CAST(hour(ts) AS DOUBLE) AS hod,
+                     CAST(isodow(ts) AS DOUBLE) AS dow
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+            m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(value) AS sv, sum(hod) AS sh, sum(dow) AS sd,
+                     sum(value * value) AS pvv, sum(value * hod) AS pvh,
+                     sum(value * dow) AS pvd, sum(hod * hod) AS phh,
+                     sum(hod * dow) AS phd, sum(dow * dow) AS pdd
+              FROM b)
+            SELECT 'hod' AS col_a, 'dow' AS col_b,
+                   CAST(n AS BIGINT) AS n,
+                   round((n * phd - sh * sd)
+                     / sqrt((n * phh - sh * sh) * (n * pdd - sd * sd)), 6)
+                     AS corr FROM m
+            UNION ALL
+            SELECT 'value', 'dow', CAST(n AS BIGINT),
+                   round((n * pvd - sv * sd)
+                     / sqrt((n * pvv - sv * sv) * (n * pdd - sd * sd)), 6)
+              FROM m
+            UNION ALL
+            SELECT 'value', 'hod', CAST(n AS BIGINT),
+                   round((n * pvh - sv * sh)
+                     / sqrt((n * pvv - sv * sv) * (n * phh - sh * sh)), 6)
+              FROM m
+            ORDER BY col_a, col_b
+        """,
+        "graph_khop_reach": """
+            -- khop_reach replay: bounded recursive BFS, min(level)
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey AS src, 1000000 + o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e(src, dst) AS (SELECT src, dst FROM e0
+                            UNION ALL SELECT dst, src FROM e0),
+            r(node, lvl) AS (
+              SELECT CAST(s_suppkey AS BIGINT), 0 FROM supplier
+              WHERE s_suppkey % 5 = 0
+              UNION ALL
+              SELECT e.dst, r.lvl + 1 FROM r
+              JOIN e ON e.src = r.node WHERE r.lvl < 2)
+            SELECT node, CAST(min(lvl) AS BIGINT) AS level
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         "events_resample_fill": """
             -- resample_fill replay: hourly sums + generate_series over

@@ -1520,3 +1520,35 @@ def test_resample_fill_gaps_zero(ray_session):
     assert out[["user_id", "window_id", "n"]].to_numpy().tolist() == [
         [1, 0, 2], [1, 1, 0], [1, 2, 0], [1, 3, 1], [2, 5, 1]]
     assert out["sum_value"].tolist() == [5.0, 0.0, 0.0, 7.0, 1.0]
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    from text_to_rdf_ray.stages.analytics import corr_matrix
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.rand(400) * 10,
+        "b": rng.rand(400) * 5,
+        "c": np.arange(400, dtype=float),
+    })
+    df.loc[5, "b"] = np.nan  # complete-case: row dropped everywhere
+    out = (corr_matrix(rd.from_pandas(df).repartition(4), ["a", "b", "c"])
+           .to_pandas().sort_values(["col_a", "col_b"])
+           .reset_index(drop=True))
+    sub = df.dropna()
+    exp = sub.corr()
+    assert out["n"].unique().tolist() == [399]
+    for _, r in out.iterrows():
+        assert abs(r["corr"] - exp.loc[r["col_a"], r["col_b"]]) < 1e-9
+
+
+def test_khop_reach_levels_and_early_exit(ray_session):
+    from text_to_rdf_ray.stages.analytics import khop_reach
+
+    # 1 -> 2 -> 3 -> 4, plus 2 -> 1 cycle and isolated 9
+    e = pd.DataFrame({"src": [1, 2, 3, 2], "dst": [2, 3, 4, 1]})
+    seeds = pd.DataFrame({"node": [1]})
+    out = (khop_reach(rd.from_pandas(e), rd.from_pandas(seeds), k=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out[["node", "level"]].to_numpy().tolist() == [
+        [1, 0], [2, 1], [3, 2], [4, 3]]

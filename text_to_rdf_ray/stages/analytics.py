@@ -1804,3 +1804,128 @@ def dq_check(
                                      dtype=np.int64)}))
     out = pd.concat(rows, ignore_index=True).sort_values("rule")
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+def corr_matrix(
+    ds: rd.Dataset,
+    cols: list[str],
+    *,
+    num_partitions: int = 1,
+) -> rd.Dataset:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    streaming pass: each batch emits a single partial row (n, Σx per
+    column, Σxy per pair — complete-case: rows with any null among
+    ``cols`` are dropped first), all partials fold through one
+    single-key exchange_agg, and the O(|cols|²) final algebra runs on
+    the driver.  Output: ``(col_a, col_b, n, corr)`` for a < b.
+
+    Shuffle volume is one row of 1 + |cols| + |cols|(|cols|+1)/2
+    doubles per batch — independent of row count.  Numerical note: the
+    moment formula n·Σxy − Σx·Σy cancels catastrophically when a
+    column's mean dwarfs its spread (mean²/var digits are lost) —
+    pre-center such columns by a fixed constant (shift-invariant) as
+    the caller; the SQL oracle replays the same formula over the same
+    raw moments.
+    """
+    from .exchange import exchange_agg
+
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i, len(cols))]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[cols].dropna()
+        row: dict = {"_k": 0, "n": np.float64(len(sub))}
+        vals = [sub[c].to_numpy(np.float64) for c in cols]
+        for i, c in enumerate(cols):
+            row[f"s_{i}"] = vals[i].sum()
+        for i, j in pairs:
+            row[f"p_{i}_{j}"] = (vals[i] * vals[j]).sum()
+        return pd.DataFrame([row])
+
+    aggs = ([("n", "sum", "n")]
+            + [(f"s_{i}", "sum", f"s_{i}") for i in range(len(cols))]
+            + [(f"p_{i}_{j}", "sum", f"p_{i}_{j}") for i, j in pairs])
+    tot = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "_k", aggs, num_partitions=num_partitions).to_pandas().iloc[0]
+
+    n = tot["n"]
+    out_rows = []
+    for i, j in pairs:
+        if i == j:
+            continue
+        num = n * tot[f"p_{i}_{j}"] - tot[f"s_{i}"] * tot[f"s_{j}"]
+        va = n * tot[f"p_{i}_{i}"] - tot[f"s_{i}"] ** 2
+        vb = n * tot[f"p_{j}_{j}"] - tot[f"s_{j}"] ** 2
+        c = num / np.sqrt(va * vb) if va > 0 and vb > 0 else np.nan
+        out_rows.append({"col_a": cols[i], "col_b": cols[j],
+                         "n": np.int64(n), "corr": c})
+    return rd.from_pandas(pd.DataFrame(out_rows))
+
+
+def khop_reach(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """BFS reachability with levels: every node within ``k`` directed
+    hops of the seed set, labelled with its FIRST-reach level
+    (``level`` 0 = seed).  The iterative frontier pattern: per level,
+    frontier ⋈ edges (one exchange_join), distinct, minus the visited
+    set (``set_op_rows`` EXCEPT — a shuffle, never a broadcast, so hub
+    frontiers scale), visited grows by union.  Frontier and visited are
+    the only iterated state, materialized per level like
+    :func:`~.graph.pagerank`'s ranks; the edge table is materialized
+    once and never reshuffled between levels (each level's join
+    re-exchanges only the frontier side).  Early-exits when a level
+    adds nothing.
+    """
+    from .exchange import exchange_join
+
+    e = distinct_rows(edges, cols=[src_col, dst_col]).materialize()
+    es = pa.schema([("node", pa.int64()), ("_nxt", pa.int64())])
+    e_keyed = e.map_batches(
+        lambda t: pa.table({"node": t.column(src_col).cast(pa.int64()),
+                            "_nxt": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    frontier = distinct_rows(
+        seeds.map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["node"]).materialize()
+    fs = pa.schema([("node", pa.int64())])
+
+    def stamp(level: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "level": pa.array(np.full(len(t), level, dtype=np.int64))})
+        return fn
+
+    levels = [frontier.map_batches(stamp(0), batch_format="pyarrow")]
+    visited = frontier
+    for lvl in range(1, k + 1):
+        nb = exchange_join(frontier, e_keyed, on="node",
+                           num_partitions=num_partitions,
+                           left_schema=fs, right_schema=es)
+        nb = distinct_rows(
+            nb.map_batches(lambda t: pa.table({"node": t.column("_nxt")}),
+                           batch_format="pyarrow"),
+            cols=["node"])
+        new = set_op_rows(nb, visited, cols=["node"],
+                          op="except",
+                          num_partitions=num_partitions).materialize()
+        if new.count() == 0:
+            break
+        levels.append(new.map_batches(stamp(lvl), batch_format="pyarrow"))
+        visited = distinct_rows(visited.union(new),
+                                cols=["node"]).materialize()
+        frontier = new
+    out = levels[0]
+    for p in levels[1:]:
+        out = out.union(p)
+    return out
