@@ -3262,6 +3262,23 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _embeddings_cov_moments(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance/PCA moment pass (stages/knn.py::
+    embedding_moments): n, per-dim sums and upper-triangle Σx_i·x_j as
+    rows — one BLAS matmul per batch, d² shuffle rows per batch.  The
+    eigendecomposition consumer (embedding_pca) is numpy-vs-numpy
+    pytest-verified; this query oracles the distributed part, with the
+    SQL recomputing every moment from unnested embeddings."""
+    from text_to_rdf_ray.stages.knn import embedding_moments
+
+    out = embedding_moments(_embeddings(sf_dir)).to_pandas()
+    out["i"] = out["i"].astype("int64")
+    out["j"] = out["j"].astype("int64")
+    out["s"] = _r(out["s"], 6)
+    return (out[["i", "j", "s"]]
+            .sort_values(["i", "j"]).reset_index(drop=True))
+
+
 def _events_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """One-pass Pearson correlation matrix (stages/analytics.py::
     corr_matrix) over (value, hour-of-day, ISO day-of-week) — one
@@ -4203,6 +4220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_dedup": _docs_url_dedup,
         "docs_pii_redact": _docs_pii_redact,
         "docs_quality_classifier": _docs_quality_classifier,
+        "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
@@ -5380,6 +5398,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "embeddings_cov_moments": """
+            -- moment-pass replay: every (i, j) moment recomputed from
+            -- unnested embeddings
+            WITH u AS (
+              SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings),
+            x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+                         CAST(embedding[i] AS DOUBLE) AS v
+                  FROM u),
+            cnt AS (SELECT CAST(-1 AS BIGINT) AS i,
+                           CAST(-1 AS BIGINT) AS j,
+                           CAST(count(*) AS DOUBLE) AS s
+                    FROM embeddings),
+            firsts AS (SELECT i, CAST(-1 AS BIGINT) AS j, sum(v) AS s
+                       FROM x GROUP BY i),
+            secs AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+                     FROM x a JOIN x b
+                       ON a.vec_id = b.vec_id AND a.i <= b.i
+                     GROUP BY 1, 2)
+            SELECT i, j, round(s, 6) AS s FROM (
+              SELECT * FROM cnt
+              UNION ALL SELECT * FROM firsts
+              UNION ALL SELECT * FROM secs)
+            ORDER BY i, j
         """,
         "events_corr_matrix": """
             -- corr_matrix replay: same raw moments, same algebra

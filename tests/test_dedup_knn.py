@@ -816,3 +816,37 @@ def test_dedup_against_brute_force_parity(ray_session):
                 assert row["ref_id"] == -1 and row["jaccard"] == 0.0
     # the exact copies and near-copies were flagged
     assert got[got["doc_id"] % 3 == 1]["is_dup"].all()  # 1000+3k
+
+
+def test_embedding_moments_and_pca_match_numpy(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import embedding_moments, embedding_pca
+
+    rng = np.random.RandomState(11)
+    X = rng.rand(300, 6).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+    })).repartition(5)
+
+    m = embedding_moments(ds).to_pandas()
+    Xd = X.astype(np.float64)
+    n = m.loc[(m.i == -1) & (m.j == -1), "s"].iloc[0]
+    assert n == 300
+    s0 = m.loc[(m.i == 0) & (m.j == -1), "s"].iloc[0]
+    assert abs(s0 - Xd[:, 0].sum()) < 1e-9
+    s01 = m.loc[(m.i == 0) & (m.j == 1), "s"].iloc[0]
+    assert abs(s01 - (Xd[:, 0] * Xd[:, 1]).sum()) < 1e-9
+
+    vals, comps, mean = embedding_pca(ds, k=3)
+    cov = np.cov(Xd, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(vals, evals, atol=1e-9)
+    assert np.allclose(mean, Xd.mean(axis=0), atol=1e-12)
+    # components orthonormal and actually diagonalize cov
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert np.allclose(comps @ cov @ comps.T,
+                       np.diag(vals), atol=1e-9)

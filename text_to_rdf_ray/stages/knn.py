@@ -834,3 +834,74 @@ def knn_lsh_indexed(
     corpus = rd.read_parquet(files, columns=[id_col, emb_col])
     return _lsh_score_reduce(corpus, planes, qm, probes, query_ids, k=k,
                              emb_col=emb_col, id_col=id_col)
+
+
+def embedding_moments(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """First + second moments of an embedding column as ROWS:
+    ``(i, j, s)`` where ``(-1, -1)`` carries n, ``(i, -1)`` carries
+    Σx_i, and ``(i, j)`` for i <= j carries Σ x_i·x_j — everything a
+    covariance/PCA/whitening step needs, in ONE streaming pass.
+
+    Per batch: one float64 ``X.T @ X`` matmul (BLAS) + a column sum,
+    flattened to O(d²) partial rows; the exchange_agg reduce sums
+    partials per (i, j), so shuffle volume is d² rows per batch
+    regardless of corpus size.  Emitting moment ROWS (not a d×d-column
+    block) keeps the exchange schema fixed for any dim and makes each
+    entry independently reducible and SQL-replayable.
+    """
+    from .exchange import exchange_agg
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _emb_matrix(batch, emb_col).astype(np.float64)
+        n, d = X.shape
+        g = X.T @ X
+        s = X.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate(([-1], np.arange(d), iu)).astype(np.int64)
+        j = np.concatenate(([-1], np.full(d, -1), ju)).astype(np.int64)
+        v = np.concatenate(([float(n)], s, g[iu, ju]))
+        return pd.DataFrame({"i": i, "j": j, "s": v})
+
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["i", "j"], [("s", "sum", "s")], num_partitions=num_partitions)
+
+
+def embedding_pca(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    k: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact PCA from :func:`embedding_moments`: returns
+    ``(eigvals[:k], components (k, d), mean (d,))`` of the population
+    covariance.  The distributed part is the single moment pass; the
+    d×d eigendecomposition is driver-side numpy (d is hundreds to a
+    few thousand — never corpus-sized).  Sign convention: each
+    component's largest-|coefficient| entry is made positive, so
+    results are engine-independent.
+    """
+    m = embedding_moments(ds, emb_col=emb_col).to_pandas()
+    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "s"].iloc[0])
+    d = int(m["i"].max()) + 1
+    mean = np.zeros(d)
+    first = m[(m["j"] == -1) & (m["i"] >= 0)]
+    mean[first["i"].to_numpy(np.int64)] = first["s"].to_numpy() / n
+    cov = np.zeros((d, d))
+    sec = m[m["j"] >= 0]
+    ii = sec["i"].to_numpy(np.int64)
+    jj = sec["j"].to_numpy(np.int64)
+    cov[ii, jj] = sec["s"].to_numpy()
+    cov[jj, ii] = sec["s"].to_numpy()
+    cov = cov / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order].T
+    flip = np.sign(vecs[np.arange(len(vals)),
+                        np.abs(vecs).argmax(axis=1)])
+    return vals, vecs * flip[:, None], mean
