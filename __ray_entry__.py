@@ -3262,6 +3262,22 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase query (stages/retrieval.py::phrase_search): every
+    occurrence of the consecutive tokens "table value" — positional
+    candidates via the slot-count trick, ONE exchange, zero joins.  SQL
+    replays slots as per-position UNION ALL branches + HAVING count =
+    k."""
+    from text_to_rdf_ray.stages.retrieval import phrase_search
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = phrase_search(docs, ["table", "value"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["start_pos"] = out["start_pos"].astype("int64")
+    return (out[["doc_id", "start_pos"]]
+            .sort_values(["doc_id", "start_pos"]).reset_index(drop=True))
+
+
 def _embeddings_cov_moments(sf_dir: str) -> pd.DataFrame:
     """Distributed covariance/PCA moment pass (stages/knn.py::
     embedding_moments): n, per-dim sums and upper-triangle Σx_i·x_j as
@@ -4220,6 +4236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_dedup": _docs_url_dedup,
         "docs_pii_redact": _docs_pii_redact,
         "docs_quality_classifier": _docs_quality_classifier,
+        "docs_phrase_search": _docs_phrase_search,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
@@ -5398,6 +5415,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "docs_phrase_search": """
+            -- phrase-match replay: one UNION ALL branch per phrase
+            -- slot, start = token_pos - slot, HAVING count = k
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            p AS (SELECT doc_id, w,
+                         unnest(range(1, len(w) + 1)) AS i
+                  FROM l),
+            s AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_pos
+              FROM p WHERE w[i] = 'table'
+              UNION ALL
+              SELECT doc_id, CAST(i - 2 AS BIGINT)
+              FROM p WHERE w[i] = 'value' AND i >= 2)
+            SELECT doc_id, start_pos
+            FROM s GROUP BY 1, 2 HAVING count(*) = 2
+            ORDER BY 1, 2
         """,
         "embeddings_cov_moments": """
             -- moment-pass replay: every (i, j) moment recomputed from

@@ -1034,3 +1034,25 @@ def test_hashed_classifier_score_exact_and_empty(ray_session):
     assert abs(out.loc[0, "clf_score"]
                - 1.0 / (1.0 + np.exp(-exp_raw / (4 * 2**31)))) < 1e-12
     assert out.loc[0, "clf_keep"] == (out.loc[0, "clf_score"] >= 0.5)
+
+
+def test_phrase_search_matches_and_repeated_word(ray_session):
+    from text_to_rdf_ray.stages.retrieval import phrase_search
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["big table value here table value",   # matches at 1 and 4
+                 "table or value but not adjacent",    # no match
+                 "prefix table value",                 # match at 1
+                 "table table value"],                 # match at 1 only
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (phrase_search(ds, ["table", "value"]).to_pandas()
+           .sort_values(["doc_id", "start_pos"]).reset_index(drop=True))
+    assert out[["doc_id", "start_pos"]].to_numpy().tolist() == [
+        [1, 1], [1, 4], [3, 1], [4, 1]]
+
+    # repeated phrase word: "table table" must not double-count slots
+    out2 = (phrase_search(ds, ["table", "table"]).to_pandas()
+            .sort_values(["doc_id", "start_pos"]).reset_index(drop=True))
+    assert out2[["doc_id", "start_pos"]].to_numpy().tolist() == [[4, 0]]

@@ -36,6 +36,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -301,3 +302,69 @@ def bm25_topk_join(
     return topk_per_group(summed.map_batches(rnd, batch_format="pandas"),
                           key_col="query_id", sort_col="score",
                           tiebreak_col="doc_id", k=k, descending=True)
+
+
+def phrase_search(
+    ds: rd.Dataset,
+    phrase: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exact phrase match via positional postings — ``(id, start_pos)``
+    for every occurrence of the consecutive token sequence ``phrase``
+    (tokens = the corpus-wide ``_terms`` convention).
+
+    The slot-count trick turns the classic k-way positional-postings
+    join into ONE exchange: a token matching phrase slot ``s`` at
+    position ``p`` emits candidate start ``p - s``; a start position is
+    a real match iff ALL k slots emitted it, i.e. its count equals k
+    (each slot can emit a given (doc, start) at most once, so no
+    HAVING-overcount even with repeated phrase words).  Shuffle volume
+    is Σ tf(phrase term) candidate rows — the non-phrase vocabulary
+    never leaves the scan, and there are no joins at all.
+    """
+    from .curation import _terms
+    from .exchange import exchange_agg
+
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    k = len(phrase)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        slots.setdefault(t, []).append(i)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = [_terms(t or "")
+                for t in batch.column(text_col).to_pylist()]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        seg_id = np.repeat(ids, lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs, lens)
+        out_id, out_base = [], []
+        for term, slot_list in slots.items():
+            m = flat == term
+            for slot in slot_list:
+                base = pos[m] - slot
+                ok = base >= 0
+                out_id.append(seg_id[m][ok])
+                out_base.append(base[ok])
+        return pd.DataFrame({
+            id_col: np.concatenate(out_id) if out_id else
+            np.array([], dtype=np.int64),
+            "start_pos": np.concatenate(out_base) if out_base else
+            np.array([], dtype=np.int64)})
+
+    cand = ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=4096)
+    counted = exchange_agg(cand, [id_col, "start_pos"],
+                           [("start_pos", "count", "n_slots")],
+                           num_partitions=num_partitions)
+    return counted.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_slots"),
+                                    pa.scalar(k, pa.int64())))
+        .drop_columns(["n_slots"]),
+        batch_format="pyarrow")
