@@ -332,7 +332,9 @@ def run_bench() -> dict:
                      "knn_lsh", "docs_hash_split", "events_value_delta",
                      "docs_bm25_topk", "revenue_by_part_type",
                      "events_type_hour_pivot", "events_clustered_scan",
-                     "orders_clustered_join"):
+                     "orders_clustered_join", "events_resample_fill",
+                     "graph_random_walks", "docs_quality_classifier",
+                     "docs_phrase_search"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
