@@ -3341,7 +3341,7 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
         orders.map_batches(lambda b: pd.DataFrame(
             {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
             batch_format="pandas"),
-        on="okey", num_partitions=16,
+        on="okey", num_partitions=16, coalesce_blocks=16,
         left_schema=pa.schema([("okey", pa.int64()),
                                ("supp", pa.int64())]),
         right_schema=pa.schema([("okey", pa.int64()),
@@ -3826,7 +3826,7 @@ def _graph_random_walks(sf_dir: str) -> pd.DataFrame:
         orders.map_batches(lambda b: pd.DataFrame(
             {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
             batch_format="pandas"),
-        on="okey", num_partitions=16,
+        on="okey", num_partitions=16, coalesce_blocks=16,
         left_schema=pa.schema([("okey", pa.int64()),
                                ("supp", pa.int64())]),
         right_schema=pa.schema([("okey", pa.int64()),

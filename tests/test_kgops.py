@@ -170,3 +170,27 @@ def test_random_walks_truncate_at_sink(ray_session):
                        walk_len=5, seed=0).to_pandas()
     assert (out.sort_values("step")[["step", "node"]].to_numpy().tolist()
             == [[0, 1], [1, 2], [2, 3]])
+
+
+def test_random_walks_tier_parity(ray_session):
+    from text_to_rdf_ray.stages.graph import random_walks
+
+    rng_edges = [(i, (i * 5 + j) % 20 + 100) for i in range(20)
+                 for j in range(4)]
+    e = pd.DataFrame(rng_edges, columns=["src", "dst"])
+    back = e.rename(columns={"src": "dst", "dst": "src"})
+    all_e = pd.concat([e, back], ignore_index=True)
+    starts = pd.DataFrame({"node": list(range(20))})
+
+    kw = dict(walk_len=3, seed=13)
+    a = (random_walks(rd.from_pandas(all_e).repartition(4),
+                      rd.from_pandas(starts), **kw)
+         .to_pandas().sort_values(["start", "step"])
+         .reset_index(drop=True))
+    b = (random_walks(rd.from_pandas(all_e).repartition(4),
+                      rd.from_pandas(starts),
+                      max_broadcast_frontier=0, **kw)  # force exchange tier
+         .to_pandas().sort_values(["start", "step"])
+         .reset_index(drop=True))
+    assert a[["start", "step", "node"]].to_numpy().tolist() == \
+        b[["start", "step", "node"]].to_numpy().tolist()

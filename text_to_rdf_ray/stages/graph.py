@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..kernels.minhash import _hash_shingles
@@ -676,6 +677,7 @@ def random_walks(
     walk_len: int = 4,
     seed: int = 42,
     num_partitions: int = 32,
+    max_broadcast_frontier: int = 1_000_000,
 ) -> rd.Dataset:
     """Deterministic DeepWalk-style random walks over an int64 edge list.
 
@@ -687,15 +689,26 @@ def random_walks(
     across runs, partitionings and engines (the DuckDB oracle replays
     the same choice with row_number over the same ordering).
 
-    Shape: adjacency = distinct edges -> ONE hash exchange -> vectorized
-    per-partition sort/cumcount giving (node, dst, pos, deg), then
-    ``walk_len`` rounds of exchange_join frontier⋈adjacency with an
-    Arrow filter keeping the one chosen neighbor.  Per-round traffic is
-    O(frontier + matched adjacency rows); the adjacency is materialized
-    once and the frontier (O(starts)) is the only iterated state —
-    same discipline as :func:`pagerank`.  Walks truncate early at sink
-    nodes (no out-edges): the inner join drops them, matching the
-    oracle's recursive semantics.
+    Adjacency = distinct edges -> ONE hash exchange -> vectorized
+    per-partition sort/cumcount giving (node, dst, pos, deg),
+    materialized once.  Then two tiers for the ``walk_len`` rounds:
+
+    - **Broadcast tier** (frontier rows <= ``max_broadcast_frontier``,
+      the normal case — walks never branch, so the frontier only
+      shrinks): per step, the distinct frontier NODES are ``ray.put``
+      and each adjacency block resolves its choices with a vectorized
+      ``np.isin`` + pick==pos filter; the bounded (node -> next) map
+      collects to the driver for one pandas merge.  The adjacency is
+      scanned, NEVER re-exchanged — re-shuffling the stationary 10⁹-row
+      side per step is exactly the pathology the BSP engine exists for.
+      Driver state is O(frontier), bounded by the threshold (~16 MB/M
+      rows) plus the O(starts × walk_len) walk output.
+    - **Exchange tier** (huge frontiers): per-step
+      exchange_join frontier⋈adjacency + Arrow pick filter — both
+      sides shuffle, fully distributed, same results (parity-tested).
+
+    Walks truncate early at sink nodes (no out-edges): the inner
+    join/merge drops them, matching the oracle's recursive semantics.
     """
     from .analytics import distinct_rows, splitmix64
     from .exchange import exchange_join
@@ -743,6 +756,55 @@ def random_walks(
         return fn
 
     out_parts.append(frontier.map_batches(stamp(0), batch_format="pandas"))
+
+    n_frontier = frontier.count()
+    if n_frontier <= max_broadcast_frontier:
+        f_df = frontier.to_pandas()
+        for step in range(walk_len):
+            if f_df.empty:
+                break
+            nodes = np.unique(f_df["node"].to_numpy(np.int64))
+            ref = ray.put(nodes)
+            cache: dict = {}
+
+            def resolve(t: pa.Table, step=step, ref=ref,
+                        cache=cache) -> pd.DataFrame:
+                ns = cache.get("n")
+                if ns is None:
+                    ns = cache["n"] = ray.get(ref)
+                node = np.asarray(t.column("node"), dtype=np.int64)
+                m = np.isin(node, ns)
+                node = node[m]
+                z = (node.view(np.uint64) * np.uint64(1000003)
+                     + np.uint64(step * 7919 + seed))
+                pick = splitmix64(z) % np.asarray(
+                    t.column("deg"), dtype=np.int64)[m].view(np.uint64)
+                keep = (pick.view(np.int64)
+                        == np.asarray(t.column("pos"),
+                                      dtype=np.int64)[m])
+                return pd.DataFrame({
+                    "node": node[keep],
+                    "_next": np.asarray(t.column("nbr"),
+                                        dtype=np.int64)[m][keep]})
+
+            # bounded collect: exactly one chosen edge per frontier node
+            nxt = adjacency.map_batches(
+                resolve, batch_format="pyarrow").to_pandas()
+            if "node" not in nxt.columns:  # all-empty blocks lose schema
+                nxt = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                    "_next": pd.Series(dtype="int64")})
+            f_df = (f_df.merge(nxt, on="node", how="inner")
+                    [["start", "_next"]]
+                    .rename(columns={"_next": "node"}))
+            out_parts.append(rd.from_pandas(
+                pd.DataFrame({"start": f_df["start"].astype("int64"),
+                              "step": np.int64(step + 1),
+                              "node": f_df["node"].astype("int64")})))
+        walks = out_parts[0]
+        for p in out_parts[1:]:
+            walks = walks.union(p)
+        return walks
+
     for step in range(walk_len):
         joined = exchange_join(frontier, adjacency, on="node",
                                num_partitions=num_partitions,
