@@ -3368,6 +3368,42 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transitions (stages/windows.py::
+    transition_matrix): per-user consecutive event-type pairs ordered by
+    (ts, event_id), row-normalized probabilities.  Oracle: lag window +
+    count / windowed sum."""
+    from text_to_rdf_ray.stages.windows import transition_matrix
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    out = transition_matrix(ev).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["prob"] = _r(out["prob"], 6)
+    return (out[["state_from", "state_to", "n", "prob"]]
+            .sort_values(["state_from", "state_to"])
+            .reset_index(drop=True))
+
+
+def _events_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-user EWMA (stages/windows.py::ewma, α=0.3): the streaming
+    smoother evaluated as the literal recurrence y_t = α·x_t +
+    (1-α)·y_{t-1} — one rounded multiply-pair + add per element, so the
+    recursive-CTE oracle reproduces every float bit (rounding to 6dp is
+    belt-and-braces, not a tolerance)."""
+    from text_to_rdf_ray.stages.windows import ewma
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value", "event_id"])
+    out = ewma(ev, alpha=0.3).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["ewma"] = _r(out["ewma"], 6)
+    return (out[["user_id", "event_id", "ewma"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
 def _docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
     """Hashed linear quality classifier (stages/curation.py::
     hashed_classifier_score): hashing-trick buckets + splitmix64-derived
@@ -4237,6 +4273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _docs_pii_redact,
         "docs_quality_classifier": _docs_quality_classifier,
         "docs_phrase_search": _docs_phrase_search,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_ewma": _events_ewma,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
@@ -5415,6 +5453,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_transition_matrix": """
+            -- transition-matrix replay: lag pairs + row-normalized
+            -- probabilities (integer / in DuckDB is float division)
+            WITH b AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+              FROM events)
+            SELECT prev AS state_from, event_type AS state_to,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / sum(count(*)) OVER
+                         (PARTITION BY prev), 6) AS prob
+            FROM b WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_ewma": """
+            -- EWMA replay: the SAME recurrence, same float ops, same
+            -- order — recursive CTE stepping rn -> rn + 1
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+            r(user_id, event_id, rn, y) AS (
+              SELECT user_id, event_id, rn, value FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.event_id, b.rn,
+                     CAST(0.3 AS DOUBLE) * b.value
+                       + (1 - CAST(0.3 AS DOUBLE)) * r.y
+              FROM r JOIN b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT user_id, event_id, round(y, 6) AS ewma
+            FROM r ORDER BY user_id, event_id
         """,
         "docs_phrase_search": """
             -- phrase-match replay: one UNION ALL branch per phrase

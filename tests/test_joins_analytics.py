@@ -1552,3 +1552,50 @@ def test_khop_reach_levels_and_early_exit(ray_session):
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert out[["node", "level"]].to_numpy().tolist() == [
         [1, 0], [2, 1], [3, 2], [4, 3]]
+
+
+def test_transition_matrix_counts_and_probs(ray_session):
+    from text_to_rdf_ray.stages.windows import transition_matrix
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 1, 2, 3], unit="s"),
+        "event_type": ["a", "b", "a", "a", "b", "b"],
+        "event_id": [1, 2, 3, 4, 5, 6],
+    })
+    out = (transition_matrix(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["state_from", "state_to"])
+           .reset_index(drop=True))
+    # pairs: u1: a->b, b->a ; u2: a->b, b->b
+    got = {(r.state_from, r.state_to): (r.n, round(r.prob, 6))
+           for r in out.itertuples()}
+    assert got == {("a", "b"): (2, 1.0),
+                   ("b", "a"): (1, 0.5),
+                   ("b", "b"): (1, 0.5)}
+
+
+def test_ewma_matches_scalar_recursion(ray_session):
+    from text_to_rdf_ray.stages.windows import ewma
+
+    rng = np.random.RandomState(5)
+    n = 50
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 4, n),
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "value": rng.rand(n) * 10,
+        "event_id": np.arange(n),
+    })
+    out = (ewma(rd.from_pandas(df).repartition(3), alpha=0.3)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    a = np.float64(0.3)
+    om = np.float64(1.0) - a
+    for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        y = None
+        for r in g.itertuples():
+            x = np.float64(r.value)
+            y = x if y is None else a * x + om * y
+            got = out.loc[(out.user_id == uid)
+                          & (out.event_id == r.event_id), "ewma"].iloc[0]
+            assert got == y  # bit-exact, not approx

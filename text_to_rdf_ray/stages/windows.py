@@ -498,3 +498,108 @@ def resample_fill(
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("_part").map_groups(fill, batch_format="pandas"))
+
+
+def transition_matrix(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """First-order Markov transition counts + probabilities over per-key
+    event sequences: ``(state_from, state_to, n, prob)`` where prob is
+    row-normalized per state_from — the clickstream/session model
+    behind next-event prediction features.
+
+    ONE key-hash exchange (a key's events co-locate), per-partition
+    vectorized sort + groupby.shift to form consecutive pairs, pandas
+    crosstab-style counts per partition, then an exchange_agg over the
+    (from, to) pairs — shuffle volume after the first exchange is at
+    most |states|² rows per partition.  Row normalization happens on
+    the driver over the bounded |states|² result.  Ordering ties break
+    on ``tiebreak_col`` so the pair sequence is deterministic.
+    """
+    from .exchange import exchange_agg
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort")
+        prev = g.groupby(key_col, sort=False)[state_col].shift(1)
+        m = prev.notna()
+        out = (pd.DataFrame({"state_from": prev[m],
+                             "state_to": g.loc[m, state_col]})
+               .groupby(["state_from", "state_to"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counted = exchange_agg(
+        ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+        .groupby("_part").map_groups(pairs, batch_format="pandas"),
+        ["state_from", "state_to"], [("n", "sum", "n")])
+    tot = counted.to_pandas()
+    tot["n"] = tot["n"].astype("int64")
+    tot["prob"] = tot["n"] / tot.groupby("state_from")["n"].transform("sum")
+    return rd.from_pandas(
+        tot.sort_values(["state_from", "state_to"]).reset_index(drop=True))
+
+
+def ewma(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key exponential moving average in event order:
+    ``y_1 = x_1, y_t = α·x_t + (1-α)·y_{t-1}`` — the streaming-feature
+    smoother.
+
+    BIT-EXACT by construction: the recurrence is evaluated step-by-step
+    with exactly one rounded multiply-each + add per element (never a
+    rearranged power series, never pandas' ewm weight accumulator), and
+    ``1-α`` is computed once the same way an engine evaluates the
+    literal expression — so a recursive-SQL replay reproduces every
+    float bit.  Vectorized across keys: after ONE key-hash exchange,
+    each partition sorts once and then loops over sequence POSITIONS
+    (bounded by the longest key's event count), each step one numpy
+    fused pass over every key alive at that position — never a Python
+    call per key.
+    """
+
+    a = np.float64(alpha)
+    one_minus = np.float64(1.0) - a
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort").reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        x = g[value_col].to_numpy(np.float64)
+        y = x.copy()                      # position 0: y = x
+        max_pos = int(pos.max()) if len(pos) else 0
+        idx = np.arange(len(g))
+        for t in range(1, max_pos + 1):
+            cur = idx[pos == t]
+            # rows are (key, pos)-sorted, so the predecessor of a
+            # position-t row is physically the previous row
+            y[cur] = a * x[cur] + one_minus * y[cur - 1]
+        g[out_col] = y
+        return g
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
