@@ -3368,6 +3368,34 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _events_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence anomaly gate (stages/analytics.py::iqr_outliers):
+    per-event-type Q1/Q3 via the exact-quantile histogram machinery,
+    fences broadcast, vectorized flagging; summarized per type.
+    Oracle: quantile_cont fences + count_if with the same op order."""
+    from text_to_rdf_ray.stages.analytics import iqr_outliers
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    flagged = iqr_outliers(ev, key_col="event_type", value_col="value")
+
+    def to_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n_rows": np.ones(len(b), dtype=np.int64),
+            "n_outliers": b["is_outlier"].to_numpy().astype(np.int64)})
+
+    out = exchange_agg(
+        flagged.map_batches(to_counts, batch_format="pandas"),
+        "event_type", [("n_rows", "sum", "n_rows"),
+                       ("n_outliers", "sum", "n_outliers")]).to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return (out[["event_type", "n_rows", "n_outliers"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _events_transition_matrix(sf_dir: str) -> pd.DataFrame:
     """First-order Markov transitions (stages/windows.py::
     transition_matrix): per-user consecutive event-type pairs ordered by
@@ -4275,6 +4303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase_search": _docs_phrase_search,
         "events_transition_matrix": _events_transition_matrix,
         "events_ewma": _events_ewma,
+        "events_iqr_outliers": _events_iqr_outliers,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
@@ -5453,6 +5482,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_iqr_outliers": """
+            -- IQR-fence replay: quantile_cont bounds, SAME op order
+            -- for the fences (q1 - 1.5 * (q3 - q1))
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY 1)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count_if(
+                     e.value < q.q1 - 1.5 * (q.q3 - q.q1) OR
+                     e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                     AS n_outliers
+            FROM events e JOIN q USING (event_type)
+            GROUP BY 1 ORDER BY 1
         """,
         "events_transition_matrix": """
             -- transition-matrix replay: lag pairs + row-normalized

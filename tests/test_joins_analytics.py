@@ -1599,3 +1599,24 @@ def test_ewma_matches_scalar_recursion(ray_session):
             got = out.loc[(out.user_id == uid)
                           & (out.event_id == r.event_id), "ewma"].iloc[0]
             assert got == y  # bit-exact, not approx
+
+
+def test_iqr_outliers_flags_extremes(ray_session):
+    from text_to_rdf_ray.stages.analytics import iqr_outliers
+
+    vals_a = list(np.linspace(10, 20, 21)) + [100.0, -50.0]
+    vals_b = list(np.linspace(0, 1, 11))
+    df = pd.DataFrame({
+        "grp": ["a"] * len(vals_a) + ["b"] * len(vals_b),
+        "v": vals_a + vals_b,
+    })
+    out = (iqr_outliers(rd.from_pandas(df).repartition(3),
+                        key_col="grp", value_col="v")
+           .to_pandas())
+    flagged = out[out["is_outlier"]]
+    assert sorted(flagged["v"].tolist()) == [-50.0, 100.0]
+    # numpy reference fences for group a
+    q1, q3 = np.quantile(vals_a, [0.25, 0.75])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    for _, r in out[out["grp"] == "a"].iterrows():
+        assert r["is_outlier"] == (r["v"] < lo or r["v"] > hi)
