@@ -2383,6 +2383,34 @@ def _docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV sink -> source round-trip over Ray Data's NATIVE write_csv /
+    read_csv with quoting-relevant planted text (commas, double quotes,
+    embedded newline) — the third interchange format after JSONL and
+    N-Triples; the oracle re-parses the SAME shards with DuckDB's
+    independent RFC-4180 reader."""
+    import shutil
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "source", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype(str)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"].astype(str),
+            "text": ('a,b "q' + i + '" nl\nend ; '
+                     + b["text"].astype(str).str[:40]),
+        })
+
+    out_dir = os.path.join(_SIDE, "docs_csv_roundtrip", "csv")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.map_batches(plant, batch_format="pandas").write_csv(out_dir)
+    out = rd.read_csv(out_dir).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "source", "text"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _parts_copurchase(sf_dir: str) -> pd.DataFrame:
     """Co-purchase graph projection (the bipartite order↔part table
     projected onto part–part edges): distinct (order, part) rows, self
@@ -4291,6 +4319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
+        "docs_csv_roundtrip": _docs_csv_roundtrip,
         "parts_copurchase": _parts_copurchase,
         "events_type_hour_pivot": _events_type_hour_pivot,
         "events_upsert_state": _events_upsert_state,
@@ -4855,6 +4884,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.ids_csv, '') AS ids_csv
             FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN g USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "docs_csv_roundtrip": f"""
+            -- independent re-parse of the Ray-written CSV shards
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+            FROM read_csv('{os.path.join(_SIDE, "docs_csv_roundtrip",
+                                         "csv", "*.csv")}',
+                          header = true, quote = '"', escape = '"')
             ORDER BY doc_id
         """,
         "docs_jsonl_roundtrip": f"""
