@@ -3396,6 +3396,22 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _events_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent table checksum (stages/analytics.py::
+    table_checksum): Σ splitmix64(splitmix64(event_id) + user_id) mod
+    2⁶⁴ in 16-bit lanes — the anti-entropy audit primitive.  The SQL
+    replays both hash chains (namespaced _sm64_sql) and the lane
+    recombination exactly."""
+    from text_to_rdf_ray.stages.analytics import table_checksum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+    out = table_checksum(ev, id_col="event_id",
+                         mix_col="user_id").to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["n_rows", "checksum"]].reset_index(drop=True)
+
+
 def _events_iqr_outliers(sf_dir: str) -> pd.DataFrame:
     """Tukey-fence anomaly gate (stages/analytics.py::iqr_outliers):
     per-event-type Q1/Q3 via the exact-quantile histogram machinery,
@@ -4333,6 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": _events_transition_matrix,
         "events_ewma": _events_ewma,
         "events_iqr_outliers": _events_iqr_outliers,
+        "events_table_checksum": _events_table_checksum,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
@@ -5519,6 +5536,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_table_checksum": f"""
+            -- checksum replay: both splitmix64 chains + 16-bit lane
+            -- sums + exact HUGEINT recombination mod 2^64
+            WITH {_sm64_sql("events", "event_id", ["user_id"],
+                            prefix="c1")},
+            c2src AS (
+              SELECT user_id,
+                     CAST((CAST(hv AS HUGEINT) + user_id)
+                          % 18446744073709551616 AS HUGEINT) AS z0
+              FROM c1h),
+            {_sm64_sql("c2src", "z0", ["user_id"], prefix="c2")},
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     sum(CAST(CAST(hv AS UBIGINT) >> 48 AS HUGEINT))
+                       AS s3,
+                     sum(CAST((CAST(hv AS UBIGINT) >> 32) & 65535
+                              AS HUGEINT)) AS s2,
+                     sum(CAST((CAST(hv AS UBIGINT) >> 16) & 65535
+                              AS HUGEINT)) AS s1,
+                     sum(CAST(CAST(hv AS UBIGINT) & 65535 AS HUGEINT))
+                       AS s0
+              FROM c2h)
+            SELECT n_rows,
+                   CAST((s3 * 281474976710656 + s2 * 4294967296
+                         + s1 * 65536 + s0)
+                        % 18446744073709551616 AS VARCHAR) AS checksum
+            FROM s
         """,
         "events_iqr_outliers": """
             -- IQR-fence replay: quantile_cont bounds, SAME op order

@@ -1620,3 +1620,23 @@ def test_iqr_outliers_flags_extremes(ray_session):
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     for _, r in out[out["grp"] == "a"].iterrows():
         assert r["is_outlier"] == (r["v"] < lo or r["v"] > hi)
+
+
+def test_table_checksum_order_independent(ray_session):
+    from text_to_rdf_ray.stages.analytics import table_checksum
+
+    df = pd.DataFrame({"a": np.arange(1000, dtype=np.int64),
+                       "b": (np.arange(1000, dtype=np.int64) * 7) % 31})
+    c1 = table_checksum(rd.from_pandas(df).repartition(7),
+                        id_col="a", mix_col="b").to_pandas()
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    c2 = table_checksum(rd.from_pandas(shuffled).repartition(2),
+                        id_col="a", mix_col="b").to_pandas()
+    assert c1["checksum"].iloc[0] == c2["checksum"].iloc[0]
+    assert c1["n_rows"].iloc[0] == 1000
+    # any single-row mutation changes the checksum
+    mut = df.copy()
+    mut.loc[500, "b"] += 1
+    c3 = table_checksum(rd.from_pandas(mut), id_col="a",
+                        mix_col="b").to_pandas()
+    assert c3["checksum"].iloc[0] != c1["checksum"].iloc[0]

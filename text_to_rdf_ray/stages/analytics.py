@@ -1981,3 +1981,51 @@ def iqr_outliers(
         return batch
 
     return ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+
+
+def table_checksum(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    mix_col: str,
+    num_partitions: int = 1,
+) -> rd.Dataset:
+    """Order-independent content checksum of a table — the anti-entropy
+    primitive for verifying that a 100-TB replica / rewrite / compaction
+    preserved every row: per row ``h = splitmix64(splitmix64(id) +
+    mix)``, checksum = Σ h (mod 2⁶⁴).  Commutative, so any
+    partitioning, ordering or engine reproduces it exactly.
+
+    One streaming pass emits a single partial row per batch: row count
+    + the 64-bit sum SPLIT INTO FOUR 16-BIT LANES, so the int64 lane
+    sums stay exact to ~2⁴⁷ rows (Arrow's int64 sum must not overflow
+    before the driver recombines the lanes with exact Python ints).
+    Output: one row ``(n_rows, checksum)`` with the checksum as a
+    decimal string (the value does not fit a signed int64).
+    """
+    from .exchange import exchange_agg
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        b = batch.column(mix_col).to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        h = splitmix64(splitmix64(a) + b)
+        row: dict = {"_k": [0],
+                     "n_rows": np.array([len(a)], dtype=np.int64)}
+        for lane in range(4):
+            part = (h >> np.uint64(16 * lane)) & np.uint64(0xFFFF)
+            row[f"s_{lane}"] = np.array(
+                [int(part.sum(dtype=np.uint64))], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    tot = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "_k", [("n_rows", "sum", "n_rows")]
+        + [(f"s_{i}", "sum", f"s_{i}") for i in range(4)],
+        num_partitions=num_partitions).to_pandas().iloc[0]
+    checksum = sum(int(tot[f"s_{i}"]) << (16 * i)
+                   for i in range(4)) % (1 << 64)
+    return rd.from_pandas(pd.DataFrame({
+        "n_rows": np.array([tot["n_rows"]], dtype=np.int64),
+        "checksum": [str(checksum)]}))
