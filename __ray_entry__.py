@@ -1383,11 +1383,25 @@ def _hll_window_sql(p: int = 12, width_us: int = 3_600_000_000) -> str:
 
 
 def _hll_sql(p: int = 12) -> str:
-    """DuckDB replay of the HyperLogLog sketch: same splitmix64 hash
-    (mod-2^64 multiplies split into 32-bit halves — a 64x64 product
-    overflows DuckDB's signed HUGEINT), bucket = hash div 2^(64-p), rank
-    via an exact integer CASE cascade (floating log2 rounds differently
-    across libms), same estimator + linear-count correction."""
+    """DuckDB replay of the HyperLogLog sketch over lineitem.l_orderkey
+    (same splitmix64 hash, integer rank cascade, estimator +
+    linear-count correction) — now expressed on the factored
+    _hll_chain_sql so the sketch machinery exists once."""
+    return f"""
+        WITH {_hll_chain_sql("lineitem", "l_orderkey", p, "")}
+        SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                 AS n_exact,
+               round(e, 4) AS hll_estimate
+        FROM final
+    """
+
+
+def _hll_chain_sql(table: str, col: str, p: int, prefix: str) -> str:
+    """CTE fragment replaying one full HLL sketch of ``table.col``:
+    yields ``{prefix}allregs(bucket, r)`` (zero-filled registers) and
+    ``{prefix}final(e)`` (estimate with linear-count correction) —
+    the _hll_sql machinery factored so several sketches can compose in
+    one query (union = per-bucket greatest)."""
     m = 1 << p
     low = 64 - p
     cases = "\n".join(
@@ -1402,46 +1416,87 @@ def _hll_sql(p: int = 12) -> str:
                 f" + CAST({zcol} AS HUGEINT) * {bl})"
                 f" % 18446744073709551616 AS UBIGINT)")
 
+    q = prefix
     return f"""
-        WITH s1 AS (
-          SELECT CAST((CAST(l_orderkey AS HUGEINT) + 11400714819323198485)
+        {q}s1 AS (
+          SELECT CAST((CAST({col} AS HUGEINT) + 11400714819323198485)
                       % 18446744073709551616 AS UBIGINT) AS z
-          FROM lineitem),
-        x1 AS (SELECT xor(z, z >> 30) AS z FROM s1),
-        s2 AS (SELECT {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM x1),
-        x2 AS (SELECT xor(z, z >> 27) AS z FROM s2),
-        s3 AS (SELECT {mul64('z', 0x94D049BB133111EB)} AS z FROM x2),
-        h AS (SELECT CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM s3),
-        parts AS (
+          FROM {table}),
+        {q}x1 AS (SELECT xor(z, z >> 30) AS z FROM {q}s1),
+        {q}s2 AS (SELECT {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM {q}x1),
+        {q}x2 AS (SELECT xor(z, z >> 27) AS z FROM {q}s2),
+        {q}s3 AS (SELECT {mul64('z', 0x94D049BB133111EB)} AS z FROM {q}x2),
+        {q}h AS (SELECT CAST(xor(z, z >> 31) AS HUGEINT) AS hv FROM {q}s3),
+        {q}parts AS (
           SELECT CAST(hv // {1 << low} AS BIGINT) AS bucket,
                  CAST(hv % {1 << low} AS BIGINT) AS v
-          FROM h),
-        ranked AS (
+          FROM {q}h),
+        {q}ranked AS (
           SELECT bucket,
                  CASE WHEN v = 0 THEN {low + 1}
 {cases}
                  END AS r
-          FROM parts),
-        regs AS (SELECT bucket, max(r) AS r FROM ranked GROUP BY bucket),
-        allregs AS (
-          SELECT t.bucket, coalesce(regs.r, 0) AS r
+          FROM {q}parts),
+        {q}regs AS (SELECT bucket, max(r) AS r FROM {q}ranked
+                    GROUP BY bucket),
+        {q}allregs AS (
+          SELECT t.bucket, coalesce({q}regs.r, 0) AS r
           FROM (SELECT unnest(range(0, {m})) AS bucket) t
-          LEFT JOIN regs USING (bucket)),
-        est AS (
+          LEFT JOIN {q}regs USING (bucket)),
+        {q}est AS (
           SELECT sum(power(2.0, -r)) AS s,
                  sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
-          FROM allregs),
-        final AS (
+          FROM {q}allregs),
+        {q}final AS (
           SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} / s)
                         <= {2.5 * m} AND zeros > 0
                       THEN {m} * ln({m} / zeros)
                       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / s
                  END AS e
-          FROM est)
-        SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
-               round(e, 4) AS hll_estimate
-        FROM final
-    """
+          FROM {q}est)"""
+
+
+def _hll_union_est_sql(pa_: str, pb: str, p: int, prefix: str) -> str:
+    """CTE fragment: the union sketch of two ``*allregs`` relations
+    (per-bucket greatest — the HLL merge identity) + its estimate."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    q = prefix
+    return f"""
+        {q}allregs AS (
+          SELECT a.bucket, greatest(a.r, b.r) AS r
+          FROM {pa_}allregs a JOIN {pb}allregs b USING (bucket)),
+        {q}est AS (
+          SELECT sum(power(2.0, -r)) AS s,
+                 sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM {q}allregs),
+        {q}final AS (
+          SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} / s)
+                        <= {2.5 * m} AND zeros > 0
+                      THEN {m} * ln({m} / zeros)
+                      ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / s
+                 END AS e
+          FROM {q}est)"""
+
+
+def _orders_hll_join_estimate(sf_dir: str) -> pd.DataFrame:
+    """Sketch-based join planning (stages/analytics.py::
+    hll_join_estimate): distinct o_custkey / c_custkey / union /
+    intersection estimates from two 4 KB HLL sketches — the broadcast-
+    vs-shuffle decision input, zero shuffle.  The oracle replays both
+    sketches bit-for-bit plus the register-wise-greatest union."""
+    from text_to_rdf_ray.stages.analytics import hll_join_estimate
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    out = hll_join_estimate(orders, cust, left_col="o_custkey",
+                            right_col="c_custkey", p=12).to_pandas()
+    for c in out.columns:
+        out[c] = _r(out[c], 4)
+    return out[["est_left", "est_right", "est_union",
+                "est_intersect"]].reset_index(drop=True)
 
 
 def _orders_semi_rich_custs(sf_dir: str) -> pd.DataFrame:
@@ -4350,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _events_ewma,
         "events_iqr_outliers": _events_iqr_outliers,
         "events_table_checksum": _events_table_checksum,
+        "orders_hll_join_estimate": _orders_hll_join_estimate,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "graph_khop_reach": _graph_khop_reach,
@@ -5536,6 +5592,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "orders_hll_join_estimate": f"""
+            -- join-planning replay: two bit-exact HLL sketches + the
+            -- register-wise-greatest union + inclusion-exclusion
+            WITH {_hll_chain_sql("orders", "o_custkey", 12, "a")},
+            {_hll_chain_sql("customer", "c_custkey", 12, "b")},
+            {_hll_union_est_sql("a", "b", 12, "u")}
+            SELECT round(afinal.e, 4) AS est_left,
+                   round(bfinal.e, 4) AS est_right,
+                   round(ufinal.e, 4) AS est_union,
+                   round(greatest(0, afinal.e + bfinal.e - ufinal.e), 4)
+                     AS est_intersect
+            FROM afinal, bfinal, ufinal
         """,
         "events_table_checksum": f"""
             -- checksum replay: both splitmix64 chains + 16-bit lane

@@ -2029,3 +2029,53 @@ def table_checksum(
     return rd.from_pandas(pd.DataFrame({
         "n_rows": np.array([tot["n_rows"]], dtype=np.int64),
         "checksum": [str(checksum)]}))
+
+
+def _hll_fold(ds: rd.Dataset, col: str, p: int) -> np.ndarray:
+    """Fold a column into ONE HLL register array: per-batch 2^p-byte
+    partials stream to the driver, merge = elementwise max (the
+    approx_distinct shape, returning the registers instead of the
+    estimate so callers can do sketch algebra)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"reg": pa.array([hll_registers(ids, p).tobytes()],
+                                         pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536).iter_rows():
+        merged = np.maximum(merged,
+                            np.frombuffer(row["reg"], dtype=np.uint8))
+    return merged
+
+
+def hll_join_estimate(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_col: str,
+    right_col: str,
+    p: int = 12,
+) -> rd.Dataset:
+    """Sketch-based join cardinality planning: approximate distinct key
+    counts of both sides, of their UNION (register-wise max — the HLL
+    merge identity), and of their INTERSECTION by inclusion-exclusion
+    (|A∩B| ≈ |A| + |B| - |A∪B|, clipped at 0) — the numbers a planner
+    needs to pick broadcast vs shuffle vs skew-salt BEFORE moving a
+    single row.  One streaming pass per side, 2^p bytes of state each,
+    zero shuffle.  The intersection estimate inherits roughly the union
+    sketch's absolute error (~1.04·|A∪B|/√2^p), so it is a planning
+    signal, not an exact count.  Output: one row (est_left, est_right,
+    est_union, est_intersect).
+    """
+    ra = _hll_fold(left, left_col, p)
+    rb = _hll_fold(right, right_col, p)
+    ea = hll_estimate(ra)
+    eb = hll_estimate(rb)
+    eu = hll_estimate(np.maximum(ra, rb))
+    ei = max(0.0, ea + eb - eu)
+    return rd.from_pandas(pd.DataFrame({
+        "est_left": [ea], "est_right": [eb],
+        "est_union": [eu], "est_intersect": [ei]}))
