@@ -3831,6 +3831,89 @@ def _kg_provenance(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _kg_subject_lookup(sf_dir: str) -> pd.DataFrame:
+    """Bucket-pruned KG point lookup (pipelines/kg.py::subject_lookup):
+    the graph is written subject-bucketed (run_partitioned
+    subject_buckets=8) and the lookup recomputes the FNV bucket and
+    opens ONLY that bucket's files (counters prove it; the unit test
+    asserts files_read << files_total).  The subject with the most
+    triples is chosen deterministically and dumped as a side row; the
+    oracle re-reads the SAME hive-partitioned graph with DuckDB and
+    applies the plain subject filter — the pruning must be invisible."""
+    import shutil
+
+    from text_to_rdf_ray.pipelines.kg import run_partitioned, subject_lookup
+    from text_to_rdf_ray.sources.fixtures import kb_records
+
+    out_dir = os.path.join(_SIDE, "kg_subject_lookup", "graph")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_partitioned(_fixture_pages_dir(1000), out_dir, partitions=4,
+                    kb_records=kb_records(), subject_buckets=8,
+                    resume=False)
+    import glob as _glob
+
+    tri_files = sorted(_glob.glob(
+        os.path.join(out_dir, "**", "*.parquet"), recursive=True))
+    allt = rd.read_parquet(tri_files).select_columns(["subj"]).to_pandas()
+    counts = allt["subj"].value_counts()
+    top = counts[counts == counts.max()].index.min()  # ties: lexicographic
+    _side_write("kg_subject_lookup", "chosen.parquet",
+                pd.DataFrame({"subj": [top]}))
+    out = subject_lookup(out_dir, top, subject_buckets=8).to_pandas()
+    return (out[["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+
+
+def _kg_incremental_update(sf_dir: str) -> pd.DataFrame:
+    """Incremental KG maintenance: the nightly-crawl delta path — base
+    triples (80% of pages by url hash) merged with delta triples (the
+    other 20%) through the canonical salted (s,p,o) dedup, no full
+    rebuild.  canonicalize=False on both sides because surface
+    canonicalization is corpus-dependent (re-canonicalization is the
+    documented cost of the incremental path); the unit test asserts
+    merge == full rebuild under the same flags.  Oracle: DISTINCT over
+    the union of the two dumped claim sets."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.canonicalize import dedup_triples
+
+    pages = read_pages(_fixture_pages_dir(1000))
+
+    def part_filter(keep_delta: bool):
+        from text_to_rdf_ray.kernels.minhash import _hash_shingles
+
+        def fn(t: pa.Table) -> pa.Table:
+            h = _hash_shingles(t.column("url").to_pylist())
+            is_delta = (h % np.uint64(5)) == 0
+            keep = is_delta if keep_delta else ~is_delta
+            return t.filter(pa.array(keep))
+        return fn
+
+    sides = {}
+    for name, keep_delta in (("base", False), ("delta", True)):
+        tri = build_triples(pages.map_batches(part_filter(keep_delta),
+                                              batch_format="pyarrow"),
+                            kb_records=kb_records(),
+                            canonicalize=False, dedup=False)
+        tri = tri.map_batches(
+            lambda t: pa.table({"subj": t.column("subj"),
+                                "pred": t.column("pred"),
+                                "obj": t.column("obj"),
+                                "url": t.column("url"),
+                                "chunk_id": t.column("chunk_id"),
+                                "span_start": t.column("span_start"),
+                                "span_end": t.column("span_end")}),
+            batch_format="pyarrow").materialize()
+        _side_write("kg_incremental_update", f"{name}.parquet",
+                    tri.to_pandas().sort_values(["subj", "pred", "obj",
+                                                 "url"]))
+        sides[name] = tri
+    merged = dedup_triples(sides["base"].union(sides["delta"]))
+    out = merged.to_pandas()
+    return (out[["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+
+
 def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
     """SPARQL-style basic-graph-pattern query (stages/kgops.py::
     bgp_match): entities located in a nation of region EUROPE plus the
@@ -4426,6 +4509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_edges": _kg_cooccur_edges,
         "kg_provenance": _kg_provenance,
         "kg_bgp_match": _kg_bgp_match,
+        "kg_subject_lookup": _kg_subject_lookup,
+        "kg_incremental_update": _kg_incremental_update,
         "kg_entity_fusion": _kg_entity_fusion,
         "kg_type_infer": _kg_type_infer,
         "graph_random_walks": _graph_random_walks,
@@ -5489,6 +5574,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_values,
                    string_agg(url, '|' ORDER BY url) AS "values"
             FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "kg_subject_lookup": f"""
+            -- independent re-read of the hive-partitioned graph: plain
+            -- subject filter (the bucket pruning must be invisible)
+            SELECT subj, pred, obj
+            FROM read_parquet(
+              '{os.path.join(_SIDE, "kg_subject_lookup", "graph",
+                             "**", "*.parquet")}',
+              hive_partitioning = 1)
+            WHERE subj = (SELECT subj FROM read_parquet(
+              '{os.path.join(_SIDE, "kg_subject_lookup",
+                             "chosen.parquet")}'))
+            ORDER BY subj, pred, obj
+        """,
+        "kg_incremental_update": f"""
+            -- merge replay: DISTINCT (s,p,o) over base ∪ delta
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT subj, pred, obj FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_incremental_update",
+                               "base.parquet")}')
+              UNION ALL
+              SELECT subj, pred, obj FROM read_parquet(
+                '{os.path.join(_SIDE, "kg_incremental_update",
+                               "delta.parquet")}'))
+            ORDER BY subj, pred, obj
         """,
         "kg_bgp_match": """
             -- BGP replay (stages/kgops.py::bgp_match): the SAME derived

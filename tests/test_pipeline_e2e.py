@@ -510,3 +510,63 @@ def test_drop_invalid_filters_triples():
         assert len(dropped) == 0
     finally:
         clear_rules()
+
+
+def test_subject_lookup_prunes_and_matches_full_scan(pages_dir, tmp_path):
+    import glob
+
+    import pandas as pd
+
+    from text_to_rdf_ray.pipelines.kg import run_partitioned, subject_lookup
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.state import counters
+
+    out = str(tmp_path / "graph")
+    run_partitioned(pages_dir, out, partitions=2, kb_records=kb_records(),
+                    subject_buckets=8)
+    files = glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    full = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    subj = full["subj"].value_counts().index[0]
+
+    counters.snapshot(reset=True)
+    got = (subject_lookup(out, subj, subject_buckets=8).to_pandas()
+           [["subj", "pred", "obj"]]
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    c = counters.snapshot(reset=True)
+    assert c["sublookup_files_read"] < c["sublookup_files_total"]
+    exp = (full.loc[full["subj"] == subj, ["subj", "pred", "obj"]]
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_incremental_merge_equals_full_rebuild(pages_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_rdf_ray.kernels.minhash import _hash_shingles
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.canonicalize import dedup_triples
+
+    pages = read_pages(pages_dir)
+
+    def split(keep_delta):
+        def fn(t: pa.Table) -> pa.Table:
+            h = _hash_shingles(t.column("url").to_pylist())
+            is_delta = (h % np.uint64(5)) == 0
+            return t.filter(pa.array(is_delta if keep_delta
+                                     else ~is_delta))
+        return fn
+
+    kw = dict(kb_records=kb_records(), canonicalize=False, dedup=False)
+    base = build_triples(pages.map_batches(split(False),
+                                           batch_format="pyarrow"), **kw)
+    delta = build_triples(pages.map_batches(split(True),
+                                            batch_format="pyarrow"), **kw)
+    merged = (dedup_triples(base.union(delta)).to_pandas()
+              [["subj", "pred", "obj"]]
+              .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    full = (dedup_triples(build_triples(pages, **kw)).to_pandas()
+            [["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    assert merged.equals(full)

@@ -440,3 +440,49 @@ def compact_partitions(out_dir: str, final_dir: str) -> dict:
     os.makedirs(final_dir, exist_ok=True)
     deduped.write_parquet(final_dir)
     return {"partitions": len(parts), "rows_in": rows_in, "rows_out": rows_out}
+
+
+def subject_lookup(
+    out_dir: str,
+    subject: str,
+    *,
+    subject_buckets: int,
+) -> rd.Dataset:
+    """Partition-pruned KG point lookup: all triples of one subject from
+    a ``run_partitioned(subject_buckets=B)`` graph WITHOUT scanning the
+    graph — the "get me entity X" product query.
+
+    The writer co-located each subject under ``subj_bucket=hash(subj)%B``
+    hive directories; the reader recomputes the SAME vectorized-FNV
+    bucket and opens ONLY that bucket's files across all pipeline
+    partitions (1/B of the graph), then applies the exact subject
+    filter.  Emits ``sublookup_files_total`` / ``sublookup_files_read``
+    counters so the pruning is observable (the lakehouse
+    ``point_lookup`` discipline: never a silent full scan).
+    """
+    import glob as _glob
+
+    import numpy as _np
+
+    import pyarrow.compute as _pc
+
+    from ..kernels.minhash import _hash_shingles
+    from ..state import counters as _counters
+
+    b = int(_hash_shingles([subject])[0] % _np.uint64(subject_buckets))
+    all_files = _glob.glob(
+        os.path.join(out_dir, "**", "subj_bucket=*", "*.parquet"),
+        recursive=True)
+    want = f"subj_bucket={b}"
+    hit_files = [f for f in all_files
+                 if os.path.basename(os.path.dirname(f)) == want]
+    _counters.incr({"sublookup_files_total": len(all_files),
+                    "sublookup_files_read": len(hit_files)})
+    if not hit_files:
+        raise FileNotFoundError(
+            f"subject_lookup: no subj_bucket={b} files under {out_dir} — "
+            f"was the graph written with subject_buckets={subject_buckets}?")
+    ds = rd.read_parquet(hit_files)
+    return ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("subj"), subject)),
+        batch_format="pyarrow")
