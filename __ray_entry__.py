@@ -3847,7 +3847,7 @@ def _kg_subject_lookup(sf_dir: str) -> pd.DataFrame:
 
     out_dir = os.path.join(_SIDE, "kg_subject_lookup", "graph")
     shutil.rmtree(out_dir, ignore_errors=True)
-    run_partitioned(_fixture_pages_dir(1000), out_dir, partitions=4,
+    run_partitioned(_fixture_pages_dir(1000), out_dir, partitions=2,
                     kb_records=kb_records(), subject_buckets=8,
                     resume=False)
     import glob as _glob
