@@ -3451,6 +3451,34 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _events_zorder_scan(sf_dir: str) -> pd.DataFrame:
+    """Z-order clustered scan (stages/lakehouse.py::zorder_write /
+    zorder_read — the OPTIMIZE ZORDER feature): events Morton-clustered
+    on (user_id, value), then a BOTH-dimension range predicate served
+    by per-column zone maps (the unit test asserts pruning fires on
+    either dimension alone).  Oracle: plain SQL range filter — the
+    layout must be invisible."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import zorder_read, zorder_write
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    path = os.path.join(_SIDE, "events_zorder_scan", "ztab")
+    shutil.rmtree(path, ignore_errors=True)
+    zorder_write(ev, path, cols=["user_id", "value"], num_files=16)
+    # predicate chosen non-empty at every sf (Ray drops the schema of a
+    # fully-empty Dataset at to_pandas — the typed-empty path is covered
+    # by the unit test instead)
+    out = zorder_read(path, preds={"user_id": (3.0, 9.0),
+                                   "value": (10.0, 60.0)}).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "user_id", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _events_table_checksum(sf_dir: str) -> pd.DataFrame:
     """Order-independent table checksum (stages/analytics.py::
     table_checksum): Σ splitmix64(splitmix64(event_id) + user_id) mod
@@ -4488,6 +4516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _events_ewma,
         "events_iqr_outliers": _events_iqr_outliers,
         "events_table_checksum": _events_table_checksum,
+        "events_zorder_scan": _events_zorder_scan,
         "orders_hll_join_estimate": _orders_hll_join_estimate,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
@@ -5702,6 +5731,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_zorder_scan": """
+            -- plain range filter — the z-order layout must be invisible
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events
+            WHERE user_id BETWEEN 3.0 AND 9.0
+              AND value BETWEEN 10.0 AND 60.0
+            ORDER BY event_id
         """,
         "orders_hll_join_estimate": f"""
             -- join-planning replay: two bit-exact HLL sketches + the

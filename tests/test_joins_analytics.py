@@ -1640,3 +1640,37 @@ def test_table_checksum_order_independent(ray_session):
     c3 = table_checksum(rd.from_pandas(mut), id_col="a",
                         mix_col="b").to_pandas()
     assert c3["checksum"].iloc[0] != c1["checksum"].iloc[0]
+
+
+def test_zorder_prunes_both_dims_and_matches_filter(ray_session, tmp_path):
+    from text_to_rdf_ray.stages.lakehouse import zorder_read, zorder_write
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "rid": np.arange(20000, dtype=np.int64),
+        "x": rng.rand(20000) * 1000.0,
+        "y": rng.rand(20000) * 50.0,
+    })
+    path = str(tmp_path / "ztab")
+    man = zorder_write(rd.from_pandas(df).repartition(6), path,
+                       cols=["x", "y"], num_files=16)
+    assert len(man) >= 8 and man["rows"].sum() == 20000
+
+    for preds in ({"x": (100.0, 160.0)},      # first dim only
+                  {"y": (10.0, 13.0)},        # second dim only
+                  {"x": (100.0, 300.0), "y": (10.0, 20.0)}):
+        counters.snapshot(reset=True)
+        got = zorder_read(path, preds=preds).to_pandas()
+        c = counters.snapshot(reset=True)
+        assert c["zscan_files_read"] < c["zscan_files_total"], preds
+        exp = df
+        for col, (lo, hi) in preds.items():
+            exp = exp[(exp[col] >= lo) & (exp[col] <= hi)]
+        assert sorted(got["rid"]) == sorted(exp["rid"]), preds
+
+    # no-overlap predicate: typed empty, zero files read
+    counters.snapshot(reset=True)
+    empty = zorder_read(path, preds={"x": (2000.0, 3000.0)}).to_pandas()
+    c = counters.snapshot(reset=True)
+    assert len(empty) == 0 and c.get("zscan_files_read", 0) == 0

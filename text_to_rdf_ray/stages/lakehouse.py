@@ -302,3 +302,143 @@ def clustered_join(
     plan_ds = rd.from_pandas(pd.DataFrame(plan)).repartition(len(plan))
     return plan_ds.map_batches(join_task, batch_format="pandas",
                                batch_size=None)
+
+
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 16 bits of ``x`` to even positions (the
+    classic morton-code bit dilation, vectorized)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def zorder_write(
+    ds: rd.Dataset,
+    path: str,
+    *,
+    cols: list[str],
+    num_files: int = 16,
+    sample_per_block: int = 256,
+) -> pd.DataFrame:
+    """Z-order (Morton) clustering on TWO numeric columns — the
+    Delta/Iceberg OPTIMIZE ZORDER feature: rows near each other in
+    EITHER dimension land in the same files, so zone-map pruning works
+    for predicates on either column (1-D ``clustered_write`` only
+    prunes its own key).
+
+    Pass 1 computes exact global min/max per column (one tiny partial
+    row per batch, driver fold); each value then quantizes to 16 bits
+    over its [min, max] span and the two dilated bit patterns
+    interleave into a 32-bit z-key.  Files are range partitions of the
+    z-key (sampled cutpoints — balance only, never results); the
+    manifest records per-file min/max of BOTH original columns.
+    Returns + persists the manifest (O(files) rows).
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_write: exactly two cols supported")
+    os.makedirs(path, exist_ok=True)
+    ca, cb = cols
+
+    def mm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            f"lo_{c}": [float(np.nanmin(batch[c].to_numpy(np.float64)))]
+            for c in cols} | {
+            f"hi_{c}": [float(np.nanmax(batch[c].to_numpy(np.float64)))]
+            for c in cols})
+
+    parts = ds.map_batches(mm, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    span = {c: (float(parts[f"lo_{c}"].min()), float(parts[f"hi_{c}"].max()))
+            for c in cols}
+
+    def quant(v: np.ndarray, c: str) -> np.ndarray:
+        lo, hi = span[c]
+        scale = (hi - lo) or 1.0
+        q = np.clip((v - lo) / scale, 0.0, 1.0) * 65535.0
+        return q.astype(np.uint64)
+
+    def zkey(batch: pd.DataFrame) -> np.ndarray:
+        a = quant(batch[ca].to_numpy(np.float64), ca)
+        b = quant(batch[cb].to_numpy(np.float64), cb)
+        return (_spread_bits16(a)
+                | (_spread_bits16(b) << np.uint64(1))).astype(np.int64)
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        z = zkey(batch)
+        if len(z) > sample_per_block:
+            idx = np.linspace(0, len(z) - 1, sample_per_block).astype(int)
+            z = z[idx]
+        return pd.DataFrame({"z": z})
+
+    samp = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    qs = np.linspace(0, 1, num_files + 1)[1:-1]
+    cuts = (np.quantile(samp["z"].to_numpy(np.float64), qs)
+            if len(samp) else np.array([], dtype=np.float64))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        z = zkey(batch)
+        fid = np.searchsorted(cuts, z.astype(np.float64),
+                              side="right").astype(np.int32)
+        return batch.assign(_file=fid, _z=z)
+
+    def write_file(g: pd.DataFrame) -> pd.DataFrame:
+        fid = int(g["_file"].iloc[0])
+        g = g.sort_values("_z", kind="mergesort").drop(
+            columns=["_file", "_z"])
+        fname = f"zpart_{fid:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       os.path.join(path, fname))
+        row = {"file": [fname],
+               "rows": pd.Series([len(g)], dtype="int64")}
+        for c in cols:
+            row[f"min_{c}"] = [float(g[c].min())]
+            row[f"max_{c}"] = [float(g[c].max())]
+        return pd.DataFrame(row)
+
+    manifest = (ds.map_batches(assign, batch_format="pandas",
+                               batch_size=65536)
+                .groupby("_file").map_groups(write_file,
+                                             batch_format="pandas")
+                .to_pandas().sort_values("file").reset_index(drop=True))
+    manifest.to_parquet(os.path.join(path, MANIFEST), index=False)
+    return manifest
+
+
+def zorder_read(
+    path: str,
+    *,
+    preds: dict,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Zone-map-pruned read over a :func:`zorder_write` table:
+    ``preds`` maps column -> (lo, hi); only files whose per-column
+    ranges overlap EVERY predicate are opened, then the exact residual
+    filter applies.  Counters: ``zscan_files_total`` /
+    ``zscan_files_read``."""
+    manifest = pd.read_parquet(os.path.join(path, MANIFEST))
+    keep = manifest[manifest["rows"] > 0]
+    for c, (lo, hi) in preds.items():
+        keep = keep[(keep[f"max_{c}"] >= lo) & (keep[f"min_{c}"] <= hi)]
+    counters.incr({"zscan_files_total": len(manifest),
+                   "zscan_files_read": len(keep)})
+    if keep.empty:
+        schema = pq.read_schema(
+            os.path.join(path, manifest["file"].iloc[0]))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.from_arrow(schema.empty_table())
+    ds = rd.read_parquet([os.path.join(path, f) for f in keep["file"]],
+                         columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c, (lo, hi) in preds.items():
+            k = batch.column(c).to_numpy(zero_copy_only=False)
+            m = (k >= lo) & (k <= hi)
+            mask = m if mask is None else (mask & m)
+        return batch.filter(pa.array(mask)) if mask is not None else batch
+
+    return ds.map_batches(exact, batch_format="pyarrow")
