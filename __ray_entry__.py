@@ -3859,6 +3859,36 @@ def _kg_provenance(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _docs_cluster_prf(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality evaluation (stages/kgops.py::clustering_prf):
+    pairwise P/R/F1 of the MinHash near-dup clustering against the
+    exact-duplicate truth (docs sharing identical text) — the
+    entity-resolution metric computed from Σ C(n,2) over cluster sizes
+    and contingency cells, never materialized pairs.  The pred
+    assignment is the side table; gold derives from documents.text in
+    SQL."""
+    from text_to_rdf_ray.stages.dedup import minhash_dedup
+    from text_to_rdf_ray.stages.kgops import clustering_prf
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    pred = minhash_dedup(docs).materialize()
+    _side_write("docs_cluster_prf", "pred.parquet",
+                pred.to_pandas().sort_values("doc_id"))
+    gold = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                                "cluster": b["text"].astype(str)}),
+        batch_format="pandas")
+    out = clustering_prf(
+        pred, gold, node_col="doc_id",
+        pred_col="canonical_id", gold_col="cluster").to_pandas()
+    for c in ("precision", "recall", "f1"):
+        out[c] = _r(out[c], 6)
+    for c in ("pred_pairs", "gold_pairs", "both_pairs"):
+        out[c] = out[c].astype("int64")
+    return out[["pred_pairs", "gold_pairs", "both_pairs",
+                "precision", "recall", "f1"]].reset_index(drop=True)
+
+
 def _kg_subject_lookup(sf_dir: str) -> pd.DataFrame:
     """Bucket-pruned KG point lookup (pipelines/kg.py::subject_lookup):
     the graph is written subject-bucketed (run_partitioned
@@ -4538,6 +4568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_edges": _kg_cooccur_edges,
         "kg_provenance": _kg_provenance,
         "kg_bgp_match": _kg_bgp_match,
+        "docs_cluster_prf": _docs_cluster_prf,
         "kg_subject_lookup": _kg_subject_lookup,
         "kg_incremental_update": _kg_incremental_update,
         "kg_entity_fusion": _kg_entity_fusion,
@@ -5603,6 +5634,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_values,
                    string_agg(url, '|' ORDER BY url) AS "values"
             FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "docs_cluster_prf": f"""
+            -- pairwise clustering P/R/F1 replay: sum-of-C(n,2) over
+            -- pred sizes, gold (exact-text) sizes, contingency cells
+            WITH pred AS (
+              SELECT doc_id, canonical_id FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_cluster_prf",
+                               "pred.parquet")}')),
+            gold AS (SELECT doc_id, text AS cluster FROM documents),
+            pp AS (
+              SELECT sum(n * (n - 1) // 2) AS v FROM (
+                SELECT count(*) AS n FROM pred GROUP BY canonical_id)),
+            gp AS (
+              SELECT sum(n * (n - 1) // 2) AS v FROM (
+                SELECT count(*) AS n FROM gold GROUP BY cluster)),
+            bp AS (
+              SELECT sum(n * (n - 1) // 2) AS v FROM (
+                SELECT count(*) AS n FROM pred JOIN gold USING (doc_id)
+                GROUP BY pred.canonical_id, gold.cluster)),
+            m AS (
+              SELECT CAST(pp.v AS BIGINT) AS pred_pairs,
+                     CAST(gp.v AS BIGINT) AS gold_pairs,
+                     CAST(bp.v AS BIGINT) AS both_pairs,
+                     CASE WHEN pp.v > 0 THEN bp.v / pp.v ELSE 0.0 END
+                       AS p,
+                     CASE WHEN gp.v > 0 THEN bp.v / gp.v ELSE 0.0 END
+                       AS r
+              FROM pp, gp, bp)
+            SELECT pred_pairs, gold_pairs, both_pairs,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0
+                              THEN 2 * p * r / (p + r)
+                              ELSE 0.0 END, 6) AS f1
+            FROM m
         """,
         "kg_subject_lookup": f"""
             -- independent re-read of the hive-partitioned graph: plain

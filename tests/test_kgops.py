@@ -194,3 +194,26 @@ def test_random_walks_tier_parity(ray_session):
          .reset_index(drop=True))
     assert a[["start", "step", "node"]].to_numpy().tolist() == \
         b[["start", "step", "node"]].to_numpy().tolist()
+
+
+def test_clustering_prf_matches_manual_pair_counts(ray_session):
+    from text_to_rdf_ray.stages.kgops import clustering_prf
+
+    # gold: {1,2,3} {4,5} {6}; pred: {1,2} {3,4} {5} {6}
+    gold = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                         "cluster": ["a", "a", "a", "b", "b", "c"]})
+    pred = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                         "cluster": ["x", "x", "y", "y", "z", "w"]})
+    out = clustering_prf(rd.from_pandas(pred).repartition(2),
+                         rd.from_pandas(gold).repartition(3)).to_pandas()
+    r = out.iloc[0]
+    # pred pairs: (1,2),(3,4) = 2 ; gold pairs: C(3,2)+C(2,2)=3+1=4
+    # both: (1,2) only -> P=1/2, R=1/4
+    assert (r["pred_pairs"], r["gold_pairs"], r["both_pairs"]) == (2, 4, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.25
+    assert abs(r["f1"] - (2 * 0.5 * 0.25 / 0.75)) < 1e-12
+
+    # perfect prediction: P = R = F1 = 1
+    perfect = clustering_prf(rd.from_pandas(gold),
+                             rd.from_pandas(gold)).to_pandas().iloc[0]
+    assert perfect["precision"] == 1.0 and perfect["recall"] == 1.0

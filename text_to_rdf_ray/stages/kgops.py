@@ -265,3 +265,76 @@ def majority_vote(
     return (counted.map_batches(tag, batch_format="pandas",
                                 batch_size=65536)
             .groupby("_part").map_groups(pick, batch_format="pandas"))
+
+
+def clustering_prf(
+    pred: rd.Dataset,
+    gold: rd.Dataset,
+    *,
+    node_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Pairwise precision/recall/F1 of a clustering against a gold
+    clustering — THE entity-resolution / dedup-quality metric: a "pair"
+    is two nodes sharing a cluster; P = |pred-pairs ∩ gold-pairs| /
+    |pred-pairs|, R = same over gold-pairs.
+
+    Never materializes pairs: each count is Σ C(n, 2) over cluster
+    sizes — pred sizes, gold sizes, and the CONTINGENCY cells (one
+    exchange_join of the two assignments on the node, then a count per
+    (pred, gold) cluster pair).  All exchanges carry one row per node
+    or per non-empty cell; the three Σ reduce through single-key
+    exchange_aggs, so a 10⁹-node clustering costs three bounded
+    shuffles and O(1) driver state.  Output: one row
+    (pred_pairs, gold_pairs, both_pairs, precision, recall, f1).
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def pairs_sum(sizes: rd.Dataset, count_col: str) -> int:
+        def c2(t: pa.Table) -> pd.DataFrame:
+            n = np.asarray(t.column(count_col), dtype=np.int64)
+            return pd.DataFrame({"_k": np.zeros(len(n), dtype=np.int64),
+                                 "p": n * (n - 1) // 2})
+
+        tot = exchange_agg(sizes.map_batches(c2, batch_format="pyarrow"),
+                           "_k", [("p", "sum", "p")],
+                           num_partitions=1).to_pandas()
+        return int(tot["p"].iloc[0]) if len(tot) else 0
+
+    def renamed(ds: rd.Dataset, col: str, out: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, col=col, out=out: pa.table(
+                {node_col: t.column(node_col),
+                 out: t.column(col).cast(pa.string())}),
+            batch_format="pyarrow")
+
+    p = renamed(pred, pred_col, "_pc").materialize()
+    g = renamed(gold, gold_col, "_gc").materialize()
+
+    p_sizes = exchange_agg(p, "_pc", [("_pc", "count", "n")],
+                           num_partitions=num_partitions)
+    g_sizes = exchange_agg(g, "_gc", [("_gc", "count", "n")],
+                           num_partitions=num_partitions)
+    joined = exchange_join(
+        p, g, on=node_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(node_col, p.schema().types[0]),
+                               ("_pc", pa.string())]),
+        right_schema=pa.schema([(node_col, g.schema().types[0]),
+                                ("_gc", pa.string())]))
+    cells = exchange_agg(joined, ["_pc", "_gc"],
+                         [("_pc", "count", "n")],
+                         num_partitions=num_partitions)
+
+    pp = pairs_sum(p_sizes, "n")
+    gp = pairs_sum(g_sizes, "n")
+    bp = pairs_sum(cells, "n")
+    prec = bp / pp if pp else 0.0
+    rec = bp / gp if gp else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    return rd.from_pandas(pd.DataFrame({
+        "pred_pairs": np.array([pp], dtype=np.int64),
+        "gold_pairs": np.array([gp], dtype=np.int64),
+        "both_pairs": np.array([bp], dtype=np.int64),
+        "precision": [prec], "recall": [rec], "f1": [f1]}))
