@@ -3451,6 +3451,31 @@ def _graph_khop_reach(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _events_compact_scan(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction (stages/lakehouse.py::compact_files — the
+    OPTIMIZE half clustered_write leaves open): 24 clustered files merge
+    into adjacent-range groups (one distributed task each), the manifest
+    swaps atomically, and the pruned range scan still answers exactly —
+    oracle is the plain filter, layout invisible."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import (clustered_write,
+                                                  compact_files,
+                                                  pruned_read)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "value"])
+    path = os.path.join(_SIDE, "events_compact_scan", "tab")
+    shutil.rmtree(path, ignore_errors=True)
+    clustered_write(ev, path, key_col="value", num_files=24)
+    compact_files(path, key_col="value", target_rows=2500)
+    out = pruned_read(path, key_col="value", lo=50.0, hi=120.0).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = _r(out["value"], 6)
+    return (out[["event_id", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _events_zorder_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order clustered scan (stages/lakehouse.py::zorder_write /
     zorder_read — the OPTIMIZE ZORDER feature): events Morton-clustered
@@ -4546,6 +4571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _events_ewma,
         "events_iqr_outliers": _events_iqr_outliers,
         "events_table_checksum": _events_table_checksum,
+        "events_compact_scan": _events_compact_scan,
         "events_zorder_scan": _events_zorder_scan,
         "orders_hll_join_estimate": _orders_hll_join_estimate,
         "embeddings_cov_moments": _embeddings_cov_moments,
@@ -5796,6 +5822,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_n_tokens, clf_raw,
                    round(s, 6) AS clf_score, s >= 0.5 AS clf_keep
             FROM sc ORDER BY doc_id
+        """,
+        "events_compact_scan": """
+            -- plain range filter — compaction must be invisible
+            SELECT event_id, round(value, 6) AS value
+            FROM events
+            WHERE value BETWEEN 50.0 AND 120.0
+            ORDER BY event_id
         """,
         "events_zorder_scan": """
             -- plain range filter — the z-order layout must be invisible

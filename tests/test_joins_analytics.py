@@ -1674,3 +1674,31 @@ def test_zorder_prunes_both_dims_and_matches_filter(ray_session, tmp_path):
     empty = zorder_read(path, preds={"x": (2000.0, 3000.0)}).to_pandas()
     c = counters.snapshot(reset=True)
     assert len(empty) == 0 and c.get("zscan_files_read", 0) == 0
+
+
+def test_compact_files_preserves_rows_and_pruning(ray_session, tmp_path):
+    from text_to_rdf_ray.stages.lakehouse import (clustered_write,
+                                                  compact_files,
+                                                  pruned_read)
+    from text_to_rdf_ray.state import counters
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"k": rng.rand(30000) * 100.0,
+                       "v": np.arange(30000, dtype=np.int64)})
+    path = str(tmp_path / "tab")
+    man0 = clustered_write(rd.from_pandas(df).repartition(4), path,
+                           key_col="k", num_files=24)
+    counters.snapshot(reset=True)
+    man1 = compact_files(path, key_col="k", target_rows=8000)
+    c = counters.snapshot(reset=True)
+    assert len(man1) < len(man0)
+    assert c["compact_files_in"] == len(man0)
+    assert c["compact_files_out"] == len(man1)
+    assert man1["rows"].sum() == 30000
+    # zone maps stay monotone and pruning still works + exact rows
+    counters.snapshot(reset=True)
+    got = pruned_read(path, key_col="k", lo=20.0, hi=30.0).to_pandas()
+    c = counters.snapshot(reset=True)
+    assert c["prunedscan_files_read"] < c["prunedscan_files_total"]
+    exp = df[(df["k"] >= 20.0) & (df["k"] <= 30.0)]
+    assert sorted(got["v"]) == sorted(exp["v"])

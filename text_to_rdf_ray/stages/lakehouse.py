@@ -442,3 +442,90 @@ def zorder_read(
         return batch.filter(pa.array(mask)) if mask is not None else batch
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def compact_files(
+    path: str,
+    *,
+    key_col: str,
+    target_rows: int = 500_000,
+    bloom_col: str | None = None,
+) -> pd.DataFrame:
+    """Small-file compaction over a :func:`clustered_write` table — the
+    other half of OPTIMIZE: greedily merge ADJACENT key ranges (manifest
+    order, so the clustering and zone-map monotonicity survive) until
+    each output file holds ~``target_rows``, rewrite each group in ONE
+    distributed task, atomically swap the manifest, delete the inputs.
+
+    Driver state is the O(files) manifest only; every group's read +
+    concat + write happens inside its own task (``from_items`` over the
+    group list → ``map_batches``), so compaction parallelism = output
+    file count.  Bloom columns are rebuilt per merged file when present.
+    Emits ``compact_files_in`` / ``compact_files_out`` counters.
+    """
+    manifest = pd.read_parquet(os.path.join(path, MANIFEST))
+    manifest = manifest.sort_values("min_key").reset_index(drop=True)
+    has_bloom = "bloom" in manifest.columns
+    if has_bloom and bloom_col is None:
+        raise ValueError(
+            "compact_files: the table carries per-file Bloom filters — "
+            "pass bloom_col so they are rebuilt (refusing to silently "
+            "drop point-lookup pruning)")
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    rows = 0
+    for i, r in manifest.iterrows():
+        cur.append(int(i))
+        rows += int(r["rows"])
+        if rows >= target_rows:
+            groups.append(cur)
+            cur, rows = [], 0
+    if cur:
+        groups.append(cur)
+
+    items = [{"gid": gi, "files": [manifest["file"].iloc[j] for j in g]}
+             for gi, g in enumerate(groups)]
+
+    def merge_group(batch: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, it in batch.iterrows():
+            tables = [pq.read_table(os.path.join(path, f))
+                      for f in it["files"]]
+            t = pa.concat_tables(tables)
+            g = t.to_pandas().sort_values(key_col, kind="mergesort")
+            fname = f"compact_{int(it['gid']):05d}.parquet"
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                           os.path.join(path, fname))
+            row = {"file": fname, "rows": len(g),
+                   "min_key": float(g[key_col].min()),
+                   "max_key": float(g[key_col].max())}
+            if has_bloom:
+                keys = np.unique(g[bloom_col].to_numpy())
+                nbits = _bloom_nbits(len(keys), 16)
+                h1, h2 = _bloom_hashes(keys)
+                bits = np.zeros(nbits, dtype=bool)
+                for k in range(6):
+                    bits[(h1 + np.uint64(k) * h2)
+                         % np.uint64(nbits)] = True
+                row["bloom"] = np.packbits(bits).tobytes()
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    new_manifest = (rd.from_items(items)
+                    .map_batches(merge_group, batch_format="pandas",
+                                 batch_size=1)
+                    .to_pandas().sort_values("file")
+                    .reset_index(drop=True))
+    new_manifest["rows"] = new_manifest["rows"].astype("int64")
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    new_manifest.to_parquet(tmp, index=False)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    for f in manifest["file"]:
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    counters.incr({"compact_files_in": len(manifest),
+                   "compact_files_out": len(new_manifest)})
+    return new_manifest
