@@ -1995,6 +1995,52 @@ def _mix_thr(source: str) -> int:
     return min(int(_MIX_WEIGHTS[source] * 2.0**64), 2**64 - 1)
 
 
+def _ppr_sql(iterations: int = 3) -> str:
+    """Unrolled replay of stages/graph.py::personalized_pagerank over
+    the directed supplier→customer graph, seeds = suppliers ≡ 0 (mod 7):
+    per iteration one contribution sum, one dangling scalar, one
+    full-outer seed merge — the same float expression shapes, rounded to
+    6dp at the end."""
+    its = []
+    for t in range(1, iterations + 1):
+        p = t - 1
+        its.append(f"""
+        c{t} AS (
+          SELECT e.dst AS node, sum(0.85 * r.r / o.outdeg) AS c
+          FROM r{p} r JOIN e0 e ON e.src = r.node
+          JOIN od o ON o.src = e.src
+          GROUP BY 1),
+        d{t} AS (
+          SELECT coalesce(sum(r.r), 0.0) AS dang
+          FROM r{p} r LEFT JOIN od o ON o.src = r.node
+          WHERE o.src IS NULL),
+        r{t} AS (
+          SELECT coalesce(s.node, c.node) AS node,
+                 coalesce(s.m, 0.0)
+                   * ((1 - CAST(0.85 AS DOUBLE))
+                      + 0.85 * (SELECT dang FROM d{t}))
+                   + coalesce(c.c, 0.0) AS r
+          FROM sm s FULL OUTER JOIN c{t} c ON c.node = s.node)""")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          CAST(1000000 + o_custkey AS BIGINT) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+               FROM e0 GROUP BY 1),
+        seeds AS (SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+                  WHERE s_suppkey % 7 = 0),
+        sm AS (SELECT node,
+                      1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM seeds)
+                        AS m
+               FROM seeds),
+        r0 AS (SELECT node, m AS r FROM sm),
+        {",".join(its)}
+        SELECT node, round(r, 6) AS rank FROM r{iterations}
+        ORDER BY node
+    """
+
+
 def _random_walk_sql(steps: int = 4, seed: int = 42) -> str:
     """Unrolled-step replay of stages/graph.py::random_walks over the
     supplier↔customer graph: one _sm64_sql chain per step (namespaced
@@ -4133,6 +4179,50 @@ def _kg_type_infer(sf_dir: str) -> pd.DataFrame:
             .sort_values(["entity", "type"]).reset_index(drop=True))
 
 
+def _graph_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (stages/graph.py::personalized_pagerank):
+    random walk with restart to the seed suppliers (≡ 0 mod 7) over the
+    DIRECTED supplier→customer graph — customers are dangling, so the
+    dangling-mass redirect to seeds is exercised (Σrank = 1).  Oracle:
+    3 unrolled iterations with the same float expression shapes."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import personalized_pagerank
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["supp"].astype("int64"),
+            "dst": b["cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas")
+    seeds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"]).map_batches(
+        lambda b: pd.DataFrame({"node": b.loc[
+            b["s_suppkey"] % 7 == 0, "s_suppkey"].astype("int64")}),
+        batch_format="pandas")
+    out = personalized_pagerank(edges, seeds, iterations=3,
+                                damping=0.85).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["rank"] = _r(out["rank"], 6)
+    return (out[["node", "rank"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def _graph_random_walks(sf_dir: str) -> pd.DataFrame:
     """Deterministic DeepWalk corpus (stages/graph.py::random_walks):
     4-step walks from every supplier over the undirected supplier↔
@@ -4600,6 +4690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_fusion": _kg_entity_fusion,
         "kg_type_infer": _kg_type_infer,
         "graph_random_walks": _graph_random_walks,
+        "graph_personalized_pagerank": _graph_personalized_pagerank,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -5790,6 +5881,7 @@ def oracle_sql() -> dict[str, str]:
             FROM un GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "graph_random_walks": _random_walk_sql(steps=4, seed=42),
+        "graph_personalized_pagerank": _ppr_sql(iterations=3),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash
             -- from the vocab side table, bucket % dim, splitmix64

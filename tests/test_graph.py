@@ -252,3 +252,40 @@ def test_kcore_tiers_agree_and_counter(ray_session):
     assert set(drv["node"]) == set(range(8))
     assert (drv["deg"] == 7).all()
     assert r1 and r2 and r1 >= 2 and r2 >= 2
+
+
+def test_personalized_pagerank_matches_local(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import personalized_pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3), (4, 0)]
+    # node 5 is a dangling target reached from 2
+    edges.append((2, 5))
+    e = pd.DataFrame(edges, columns=["src", "dst"])
+    seeds = [0, 3]
+    out = (personalized_pagerank(
+        rd.from_pandas(e).repartition(3),
+        rd.from_pandas(pd.DataFrame({"node": seeds})),
+        iterations=4, damping=0.85)
+        .to_pandas().set_index("node")["rank"].to_dict())
+
+    nodes = sorted({n for p in edges for n in p})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    s = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    r = dict(s)
+    d = 0.85
+    for _ in range(4):
+        c = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            c[v] += d * r.get(u, 0.0) / outdeg[u]
+        dang = sum(rv for n, rv in r.items() if n not in outdeg)
+        r = {n: s[n] * ((1 - d) + d * dang) + c[n] for n in nodes}
+    for n in nodes:
+        assert abs(out.get(n, 0.0) - r[n]) < 1e-12, n
+    assert abs(sum(out.values()) - 1.0) < 1e-9  # mass conserved

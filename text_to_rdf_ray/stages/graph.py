@@ -832,3 +832,124 @@ def random_walks(
     for p in out_parts[1:]:
         walks = walks.union(p)
     return walks
+
+
+def personalized_pagerank(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Personalized PageRank: random walk with restart to the SEED set
+    — the KG entity-relatedness / recommendation kernel.  rank₀ =
+    uniform over seeds; per iteration
+    ``r'(v) = seed(v)·((1-d) + d·dangling) + d·Σ_{u→v} r(u)/outdeg(u)``
+    (dangling mass redirects to the seeds, so Σr stays 1 exactly like
+    the teleport semantics).
+
+    Sparse by construction: the rank table only ever holds nodes with
+    nonzero mass — at 10⁹ nodes a 100-seed PPR iterates a table of
+    thousands, never the node universe.  Per iteration: one
+    exchange_join rank⋈(outdeg-attached edges), one exchange_agg
+    contribution sum, one full_outer exchange_join against the seed
+    table, and a bounded driver scalar for the dangling mass; the edge
+    table (with outdegrees) is materialized ONCE and re-exchanged only
+    on the rank side.  Output: ``(node, rank)`` for nonzero-mass nodes.
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    d = np.float64(damping)
+    one_minus = np.float64(1.0) - d
+
+    e = distinct_rows(edges, cols=[src_col, dst_col])
+    e = e.map_batches(
+        lambda t: pa.table({"node": t.column(src_col).cast(pa.int64()),
+                            "_dst": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    es = pa.schema([("node", pa.int64()), ("_dst", pa.int64())])
+    outdeg = exchange_agg(e, "node", [("_dst", "count", "outdeg")],
+                          num_partitions=num_partitions)
+    od_schema = pa.schema([("node", pa.int64()), ("outdeg", pa.int64())])
+    eo = exchange_join(e, outdeg, on="node",
+                       num_partitions=num_partitions,
+                       left_schema=es, right_schema=od_schema
+                       ).materialize()
+    eo_schema = pa.schema([("node", pa.int64()), ("_dst", pa.int64()),
+                           ("outdeg", pa.int64())])
+
+    seed_df = distinct_rows(
+        seeds.map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["node"]).to_pandas()
+    if seed_df.empty:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="float64")}))
+    s_mass = np.float64(1.0) / np.float64(len(seed_df))
+    seed_tbl = rd.from_pandas(pd.DataFrame({
+        "node": seed_df["node"].astype("int64"),
+        "_sm": np.full(len(seed_df), s_mass)})).materialize()
+    sm_schema = pa.schema([("node", pa.int64()), ("_sm", pa.float64())])
+
+    rank = rd.from_pandas(pd.DataFrame({
+        "node": seed_df["node"].astype("int64"),
+        "rank": np.full(len(seed_df), s_mass)})).materialize()
+    r_schema = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+
+    for _ in range(iterations):
+        # ONE left_outer join serves both purposes: matched rows carry
+        # contributions, null-_dst rows are exactly the dangling mass
+        # (a rank node with no out-edges matches nothing in eo)
+        joined = exchange_join(rank, eo, on="node", how="left_outer",
+                               num_partitions=num_partitions,
+                               left_schema=r_schema,
+                               right_schema=eo_schema).materialize()
+
+        def contrib(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = df["_dst"].notna()
+            r = df.loc[m, "rank"].to_numpy(np.float64)
+            deg = df.loc[m, "outdeg"].to_numpy(np.float64)
+            return pa.table({
+                "node": pa.array(df.loc[m, "_dst"].astype("int64")),
+                "_c": pa.array(d * r / deg, pa.float64())})
+
+        csum = exchange_agg(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            "node", [("_c", "sum", "_c")],
+            num_partitions=num_partitions)
+
+        dang_rows = joined.map_batches(
+            lambda t: pa.table({"_d": pa.array([float(
+                t.to_pandas().loc[lambda df: df["_dst"].isna(), "rank"]
+                .sum())], pa.float64())}),
+            batch_format="pyarrow").to_pandas()
+        dang = np.float64(dang_rows["_d"].sum()) if len(dang_rows) else \
+            np.float64(0.0)
+
+        merged = exchange_join(seed_tbl, csum, on="node",
+                               how="full_outer",
+                               num_partitions=num_partitions,
+                               left_schema=sm_schema,
+                               right_schema=pa.schema(
+                                   [("node", pa.int64()),
+                                    ("_c", pa.float64())]))
+
+        def combine(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            sm = df["_sm"].fillna(0.0).to_numpy(np.float64)
+            c = df["_c"].fillna(0.0).to_numpy(np.float64)
+            r = sm * (one_minus + d * dang) + c
+            return pd.DataFrame({"node": df["node"].astype("int64"),
+                                 "rank": r})
+
+        rank = merged.map_batches(
+            combine, batch_format="pyarrow").materialize()
+
+    return rank
