@@ -1702,3 +1702,65 @@ def test_compact_files_preserves_rows_and_pruning(ray_session, tmp_path):
     assert c["prunedscan_files_read"] < c["prunedscan_files_total"]
     exp = df[(df["k"] >= 20.0) & (df["k"] <= 30.0)]
     assert sorted(got["v"]) == sorted(exp["v"])
+
+
+def test_resample_fill_random_parity_vs_pandas(ray_session):
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.to_datetime(rng.randint(0, 3600 * 200, n), unit="s"),
+        "value": rng.rand(n) * 10,
+    })
+    got = (resample_fill(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values(["user_id", "window_id"])
+           .reset_index(drop=True))
+
+    # pandas datetime64 int view is NANOSECONDS; the operator buckets
+    # microseconds // 3_600_000_000 — same hour either way
+    b = df.assign(window_id=df["ts"].astype("int64") // (3600 * 10**9))
+    agg = (b.groupby(["user_id", "window_id"])
+           .agg(n=("value", "size"), sum_value=("value", "sum"))
+           .reset_index())
+    frames = []
+    for uid, g in agg.groupby("user_id"):
+        full = pd.DataFrame({
+            "user_id": uid,
+            "window_id": np.arange(g["window_id"].min(),
+                                   g["window_id"].max() + 1)})
+        frames.append(full.merge(g, on=["user_id", "window_id"],
+                                 how="left"))
+    exp = (pd.concat(frames, ignore_index=True)
+           .fillna({"n": 0, "sum_value": 0.0})
+           .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy(np.int64)).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def test_transition_matrix_random_parity_vs_pandas(ray_session):
+    from text_to_rdf_ray.stages.windows import transition_matrix
+
+    rng = np.random.RandomState(29)
+    n = 2500
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, n),
+        "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(list("abcd"), n),
+        "event_id": np.arange(n),
+    })
+    got = (transition_matrix(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values(["state_from", "state_to"])
+           .reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"state_from": prev, "state_to": s["event_type"]}
+                         ).dropna()
+    exp = (pairs.groupby(["state_from", "state_to"]).size()
+           .rename("n").reset_index())
+    exp["prob"] = exp["n"] / exp.groupby("state_from")["n"].transform("sum")
+    exp = exp.sort_values(["state_from", "state_to"]).reset_index(drop=True)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert np.allclose(got["prob"], exp["prob"], atol=1e-12)

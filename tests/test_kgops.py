@@ -217,3 +217,32 @@ def test_clustering_prf_matches_manual_pair_counts(ray_session):
     perfect = clustering_prf(rd.from_pandas(gold),
                              rd.from_pandas(gold)).to_pandas().iloc[0]
     assert perfect["precision"] == 1.0 and perfect["recall"] == 1.0
+
+
+def test_majority_vote_random_parity_vs_pandas(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    n = 4000
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 120, n).astype(str),
+        "k2": rng.choice(["p", "q", "r"], n),
+        "val": rng.randint(0, 9, n).astype(str),
+    })
+    got = (majority_vote(rd.from_pandas(df).repartition(7),
+                         key_cols=["k1", "k2"], value_col="val")
+           .to_pandas().sort_values(["k1", "k2"])
+           .reset_index(drop=True))
+
+    def ref(g):
+        c = g["val"].value_counts()
+        top = c[c == c.max()].index.min()
+        return pd.Series({"val": top, "support": int(c.max()),
+                          "n_claims": int(len(g))})
+
+    exp = (df.groupby(["k1", "k2"]).apply(ref, include_groups=False)
+           .reset_index().sort_values(["k1", "k2"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("val", "support", "n_claims"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
