@@ -4460,6 +4460,68 @@ def _events_interval_pairs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-user union-of-intervals coverage (stages/windows.py::
+    interval_coverage): each event opens a 30-min interval; overlapping
+    intervals merge; emits islands + covered microseconds per user."""
+    from text_to_rdf_ray.stages.windows import interval_coverage
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = interval_coverage(ev, dur_us=1_800_000_000).to_pandas()
+    for c in ("user_id", "n_islands", "covered_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "n_islands", "covered_us"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def _events_debounce(sf_dir: str) -> pd.DataFrame:
+    """Burst-start filter (stages/windows.py::debounce): keep only events
+    whose gap since the previous event of the same (user, type) exceeds
+    5 minutes — alert-storm suppression."""
+    from text_to_rdf_ray.stages.windows import debounce
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id", "ts"])
+    out = debounce(ev, gap_us=300_000_000).to_pandas()
+    out["ts_us"] = out["ts"].values.astype("datetime64[us]").astype("int64")
+    for c in ("user_id", "event_id", "ts_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "event_type", "event_id", "ts_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _events_scd2(sf_dir: str) -> pd.DataFrame:
+    """SCD-type-2 history build (stages/windows.py::scd2_history):
+    per-user event_type change compression into validity ranges;
+    valid_to_us = -1 marks the open row."""
+    from text_to_rdf_ray.stages.windows import scd2_history
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id", "ts"])
+    out = scd2_history(ev).to_pandas()
+    for c in ("user_id", "valid_from_us", "valid_to_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "event_type", "valid_from_us", "valid_to_us"]]
+            .sort_values(["user_id", "valid_from_us", "valid_to_us"])
+            .reset_index(drop=True))
+
+
+def _events_user_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered grouped concatenation (stages/windows.py::grouped_path):
+    per-user '>' -joined journey of the first 20 event types — pyarrow
+    hash-list + binary_join, no Python call per key."""
+    from text_to_rdf_ray.stages.windows import grouped_path
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id", "ts"])
+    out = grouped_path(ev, max_n=20).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["user_id", "path", "n"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _graph_kcore(sf_dir: str) -> pd.DataFrame:
     """k-core (k=10) of the supplier↔customer graph (stages/graph.py::
     kcore — iterative peel, driver numpy tier here, distributed
@@ -4676,6 +4738,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": _events_watermark_late,
         "orders_clustered_join": _orders_clustered_join,
         "events_interval_pairs": _events_interval_pairs,
+        "events_interval_coverage": _events_interval_coverage,
+        "events_debounce": _events_debounce,
+        "events_scd2": _events_scd2,
+        "events_user_paths": _events_user_paths,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
         "embeddings_unnest": _embeddings_unnest,
@@ -5653,6 +5719,83 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
              AND (a.ts < b.ts OR a.event_id < b.event_id)
             ORDER BY 1, 2, 3
+        """,
+        "events_interval_coverage": """
+            -- union-of-intervals replay (windows.interval_coverage):
+            -- running max end per user finds island breaks; coverage =
+            -- sum over islands of (max end - min start)
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events),
+            w AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+              FROM e),
+            i AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pmax IS NULL OR s > pmax
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS isl
+              FROM w),
+            p AS (SELECT user_id, isl, min(s) AS st, max(e) AS en
+                  FROM i GROUP BY user_id, isl)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(en - st) AS BIGINT) AS covered_us
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "events_debounce": """
+            -- burst-start replay (windows.debounce): keep rows whose gap
+            -- since the previous (user, type) event exceeds 5 minutes
+            WITH x AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id, event_type, event_id,
+                   CAST(ts_us AS BIGINT) AS ts_us
+            FROM x WHERE prev IS NULL OR ts_us - prev > 300000000
+            ORDER BY event_id
+        """,
+        "events_scd2": """
+            -- SCD2 replay (windows.scd2_history): change rows = first or
+            -- attr differs from the (ts, event_id)-ordered predecessor;
+            -- valid_to = next change's ts, -1 for the open row
+            WITH x AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                     lag(event_type) OVER w AS prev_attr,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            ch AS (
+              SELECT user_id, event_type, ts_us, rn FROM x
+              WHERE prev_attr IS NULL OR event_type <> prev_attr),
+            y AS (
+              SELECT user_id, event_type, ts_us AS valid_from_us,
+                     coalesce(lead(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY rn), -1) AS valid_to_us
+              FROM ch)
+            SELECT user_id, event_type,
+                   CAST(valid_from_us AS BIGINT) AS valid_from_us,
+                   CAST(valid_to_us AS BIGINT) AS valid_to_us
+            FROM y ORDER BY user_id, valid_from_us, valid_to_us
+        """,
+        "events_user_paths": """
+            -- grouped ordered concat replay (windows.grouped_path):
+            -- first 20 event types per user, '>'-joined in (ts, event_id)
+            -- order
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id
         """,
         "orders_clustered_join": """
             -- co-clustered zone-map join replay: the shuffle-free plan

@@ -1764,3 +1764,85 @@ def test_transition_matrix_random_parity_vs_pandas(ray_session):
     exp = exp.sort_values(["state_from", "state_to"]).reset_index(drop=True)
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
     assert np.allclose(got["prob"], exp["prob"], atol=1e-12)
+
+
+def test_interval_coverage_merges_islands(ray_session):
+    from text_to_rdf_ray.stages.windows import interval_coverage
+
+    # user 1: events at t=0s and t=10s with 30s intervals -> one island
+    # [0, 40s); plus t=100s -> second island [100, 130s).  user 2: one.
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 10, 100, 7], unit="s"),
+    })
+    out = (interval_coverage(rd.from_pandas(df).repartition(2),
+                             dur_us=30_000_000)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out[["user_id", "n_islands", "covered_us"]].to_numpy().tolist() \
+        == [[1, 2, 70_000_000], [2, 1, 30_000_000]]
+
+
+def test_interval_coverage_touching_intervals_merge(ray_session):
+    from text_to_rdf_ray.stages.windows import interval_coverage
+
+    # end == next start (t=0+30s, t=30s): touching -> single island
+    df = pd.DataFrame({"user_id": [1, 1],
+                       "ts": pd.to_datetime([0, 30], unit="s")})
+    out = interval_coverage(rd.from_pandas(df),
+                            dur_us=30_000_000).to_pandas()
+    assert out["n_islands"].tolist() == [1]
+    assert out["covered_us"].tolist() == [60_000_000]
+
+
+def test_debounce_keeps_burst_starts(ray_session):
+    from text_to_rdf_ray.stages.windows import debounce
+
+    # (1, click): burst at 0s/1s/2s then a fresh event at 1000s
+    # (1, view): single event; (2, click): single event
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "event_type": ["click"] * 4 + ["view", "click"],
+        "event_id": [10, 11, 12, 13, 14, 15],
+        "ts": pd.to_datetime([0, 1, 2, 1000, 5, 3], unit="s"),
+    })
+    out = (debounce(rd.from_pandas(df).repartition(2), gap_us=300_000_000)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [10, 13, 14, 15]
+
+
+def test_scd2_history_compresses_runs(ray_session):
+    from text_to_rdf_ray.stages.windows import scd2_history
+
+    # user 1: A A B A -> ranges A[0,2) B[2,3) A[3,open); user 2: C only
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["A", "A", "B", "A", "C"],
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime([0, 1, 2, 3, 9], unit="s"),
+    })
+    out = (scd2_history(rd.from_pandas(df).repartition(2))
+           .to_pandas()
+           .sort_values(["user_id", "valid_from_us"])
+           .reset_index(drop=True))
+    assert out[["user_id", "event_type", "valid_from_us",
+                "valid_to_us"]].to_numpy().tolist() == [
+        [1, "A", 0, 2_000_000],
+        [1, "B", 2_000_000, 3_000_000],
+        [1, "A", 3_000_000, -1],
+        [2, "C", 9_000_000, -1]]
+
+
+def test_grouped_path_order_and_cap(ray_session):
+    from text_to_rdf_ray.stages.windows import grouped_path
+
+    # ties on ts broken by event_id; max_n caps user 1 at 3 of 4
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["b", "a", "c", "d", "x"],
+        "event_id": [2, 1, 3, 4, 9],
+        "ts": pd.to_datetime([0, 0, 5, 6, 1], unit="s"),
+    })
+    out = (grouped_path(rd.from_pandas(df).repartition(2), max_n=3)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out[["user_id", "path", "n"]].to_numpy().tolist() == [
+        [1, "a>b>c", 3], [2, "x", 1]]

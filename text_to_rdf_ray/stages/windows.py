@@ -603,3 +603,188 @@ def ewma(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def interval_coverage(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_us: int = 1_800_000_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key union-of-intervals coverage: each event opens the interval
+    ``[ts, ts + dur_us)``; overlapping/touching intervals merge into
+    islands.  Emits one row per key: (key, n_islands, covered_us).
+
+    Executed as ONE key-hash exchange + a single vectorized pass per
+    partition (groupby.cummax finds the running island end across ALL
+    keys at once).  Island membership is order-independent under ts ties
+    (equal starts always land in the same island), so the result is
+    deterministic without a tiebreak column.  Partitioning assumption:
+    one partition's events fit in a worker (raise ``num_partitions``
+    with data size).
+    """
+    dur = np.int64(dur_us)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col], kind="mergesort")
+             .reset_index(drop=True))
+        s = g[ts_col].values.astype("datetime64[us]").astype("int64")
+        e = s + dur
+        grp_key = g[key_col]
+        cummax_end = pd.Series(e).groupby(grp_key, sort=False).cummax()
+        prev_max = cummax_end.groupby(grp_key, sort=False).shift()
+        brk = prev_max.isna() | (pd.Series(s) > prev_max)
+        island = brk.groupby(grp_key, sort=False).cumsum()
+        per_isl = (pd.DataFrame({key_col: grp_key, "_isl": island,
+                                 "_s": s, "_e": e})
+                   .groupby([key_col, "_isl"], sort=False)
+                   .agg(st=("_s", "min"), en=("_e", "max")))
+        cov = per_isl["en"] - per_isl["st"]
+        out = (cov.groupby(level=0, sort=False)
+               .agg(["size", "sum"])
+               .rename(columns={"size": "n_islands", "sum": "covered_us"})
+               .reset_index())
+        out["n_islands"] = out["n_islands"].astype("int64")
+        out["covered_us"] = out["covered_us"].astype("int64")
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def debounce(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int = 300_000_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Burst-start filter: keep only rows whose gap since the PREVIOUS
+    event of the same key tuple (ordered by ``(ts, order_col)``) exceeds
+    ``gap_us`` — i.e. the first event of every chained burst, the
+    streaming 'debounce' / alert-storm-suppression shape.
+
+    Emits the kept rows' (key_cols..., order_col, ts_col).  Same
+    exchange + single-vectorized-pass-per-partition shape as
+    ``sessionize`` (hash on the FIRST key column; groupby.diff across
+    all key tuples at once).
+    """
+    keys = list(key_cols or ["user_id", "event_type"])
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[keys[0]], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values(keys + [ts_col, order_col], kind="mergesort")
+             .reset_index(drop=True))
+        ts_us = pd.Series(
+            g[ts_col].values.astype("datetime64[us]").astype("int64"))
+        gaps = ts_us.groupby([g[k] for k in keys], sort=False).diff()
+        keep = gaps.isna() | (gaps > gap_us)
+        return g.loc[keep.to_numpy(), keys + [order_col, ts_col]]
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def scd2_history(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    attr_col: str = "event_type",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Slowly-changing-dimension (type 2) history build: per key, ordered
+    by ``(ts, order_col)``, compress consecutive runs of equal
+    ``attr_col`` into validity ranges.  Emits
+    (key, attr, valid_from_us, valid_to_us) with valid_to_us = the next
+    change's timestamp, or -1 for the currently-open row.
+
+    One key-hash exchange; change detection is a vectorized shift-compare
+    across ALL keys in the partition.  Run compression is
+    order-DEPENDENT under (ts) ties, hence the explicit ``order_col``
+    tiebreak mirrored in the SQL oracle.
+    """
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col], kind="mergesort")
+             .reset_index(drop=True))
+        ts_us = pd.Series(
+            g[ts_col].values.astype("datetime64[us]").astype("int64"))
+        key = g[key_col]
+        first = ~key.eq(key.shift())
+        changed = first | ~g[attr_col].eq(g[attr_col].shift())
+        ch = pd.DataFrame({key_col: key[changed],
+                           attr_col: g.loc[changed.to_numpy(), attr_col],
+                           "valid_from_us": ts_us[changed]})
+        nxt = ch.groupby(key_col, sort=False)["valid_from_us"].shift(-1)
+        ch["valid_to_us"] = nxt.fillna(-1).astype("int64")
+        return ch.reset_index(drop=True)
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def grouped_path(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    val_col: str = "event_type",
+    max_n: int = 20,
+    sep: str = ">",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Ordered grouped string concatenation: per key, the ``sep``-joined
+    sequence of the first ``max_n`` values ordered by
+    ``(ts, order_col)`` — the 'user journey path' shape.  Emits
+    (key, path, n).
+
+    Fully vectorized per partition: pandas sort + cumcount cap, then
+    pyarrow hash-aggregate ``list`` (single-threaded scan order is the
+    sorted order) + ``binary_join`` — no Python call per key, output
+    volume bounded by max_n × keys.
+    """
+    import pyarrow.compute as pc
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col], kind="mergesort")
+             .reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount()
+        g = g.loc[(pos < max_n).to_numpy(), [key_col, val_col]]
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        agg = t.group_by(key_col, use_threads=False).aggregate(
+            [(val_col, "list"), (val_col, "count")])
+        path = pc.binary_join(
+            agg.column(f"{val_col}_list").combine_chunks(), sep)
+        return pa.table({key_col: agg.column(key_col),
+                         "path": path,
+                         "n": agg.column(f"{val_col}_count").cast(
+                             pa.int64())}).to_pandas()
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
