@@ -4522,6 +4522,60 @@ def _events_user_paths(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _events_cms_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch (stages/analytics.py::cms_build/cms_estimate):
+    4x32 integer registers of user event counts, probed for every user —
+    est >= exact always, with collisions at this width.  The register
+    exchange is bounded at depth*width rows per batch; the oracle
+    replays the full sketch bit-exactly (integer registers)."""
+    from text_to_rdf_ray.stages.analytics import cms_build, cms_estimate
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    regs = cms_build(ev, key_col="user_id", depth=4, width=32)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(len(t), np.int64)))
+
+    exact = exchange_agg(ev.map_batches(ones, batch_format="pyarrow"),
+                         "user_id",
+                         [("one", "sum", "exact_cnt")]).to_pandas()
+    est = cms_estimate(regs, exact["user_id"].to_numpy(np.int64),
+                       depth=4, width=32)
+    out = exact.merge(est.rename(columns={"key": "user_id"}), on="user_id")
+    for c in ("user_id", "est", "exact_cnt"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "est", "exact_cnt"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def _orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D Pareto frontier (stages/analytics.py::skyline_2d): orders
+    maximizing o_totalprice while minimizing order date — per-batch
+    local-skyline combiner, one tiny final pass; exchange volume is the
+    local frontier sizes, never the table."""
+    from text_to_rdf_ray.stages.analytics import skyline_2d
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "price": t.column("o_totalprice"),
+            "date_us": t.column("o_orderdate").cast(
+                pa.timestamp("us")).cast(pa.int64())})
+
+    out = skyline_2d(orders.map_batches(prep, batch_format="pyarrow"),
+                     x_col="price", y_col="date_us").to_pandas()
+    out["price"] = _r(out["price"], 2)
+    out["date_us"] = out["date_us"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["price", "date_us", "n"]]
+            .sort_values("price").reset_index(drop=True))
+
+
 def _graph_kcore(sf_dir: str) -> pd.DataFrame:
     """k-core (k=10) of the supplier↔customer graph (stages/graph.py::
     kcore — iterative peel, driver numpy tier here, distributed
@@ -4742,6 +4796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _events_debounce,
         "events_scd2": _events_scd2,
         "events_user_paths": _events_user_paths,
+        "events_cms_user_counts": _events_cms_user_counts,
+        "orders_skyline": _orders_skyline,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
         "embeddings_unnest": _embeddings_unnest,
@@ -5796,6 +5852,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
                    CAST(count(*) AS BIGINT) AS n
             FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id
+        """,
+        "events_cms_user_counts": f"""
+            -- count-min sketch replay (analytics.cms_build/cms_estimate):
+            -- register[i][b] = sum of counts of users with
+            -- splitmix64(user*4+i) % 32 == b; est = least over the 4 rows.
+            -- Integer registers, so the replay is bit-exact.
+            WITH u AS (SELECT user_id, count(*) AS c FROM events
+                       GROUP BY user_id),
+            {_sm64_sql("u", "(user_id * 4 + 0)", ["user_id", "c"],
+                       prefix="ca")},
+            {_sm64_sql("u", "(user_id * 4 + 1)", ["user_id", "c"],
+                       prefix="cb")},
+            {_sm64_sql("u", "(user_id * 4 + 2)", ["user_id", "c"],
+                       prefix="cc")},
+            {_sm64_sql("u", "(user_id * 4 + 3)", ["user_id", "c"],
+                       prefix="cd")},
+            ba AS (SELECT user_id, c, CAST(hv % 32 AS BIGINT) AS bk
+                   FROM cah),
+            bb AS (SELECT user_id, c, CAST(hv % 32 AS BIGINT) AS bk
+                   FROM cbh),
+            bc AS (SELECT user_id, c, CAST(hv % 32 AS BIGINT) AS bk
+                   FROM cch),
+            bd AS (SELECT user_id, c, CAST(hv % 32 AS BIGINT) AS bk
+                   FROM cdh),
+            ra AS (SELECT bk, sum(c) AS cnt FROM ba GROUP BY bk),
+            rb AS (SELECT bk, sum(c) AS cnt FROM bb GROUP BY bk),
+            rc AS (SELECT bk, sum(c) AS cnt FROM bc GROUP BY bk),
+            rd AS (SELECT bk, sum(c) AS cnt FROM bd GROUP BY bk)
+            SELECT ba.user_id,
+                   CAST(least(ra.cnt, rb.cnt, rc.cnt, rd.cnt) AS BIGINT)
+                       AS est,
+                   CAST(ba.c AS BIGINT) AS exact_cnt
+            FROM ba JOIN bb USING (user_id) JOIN bc USING (user_id)
+                 JOIN bd USING (user_id)
+                 JOIN ra ON ra.bk = ba.bk JOIN rb ON rb.bk = bb.bk
+                 JOIN rc ON rc.bk = bc.bk JOIN rd ON rd.bk = bd.bk
+            ORDER BY ba.user_id
+        """,
+        "orders_skyline": """
+            -- Pareto-frontier replay (analytics.skyline_2d): keep a
+            -- (price, date) point iff no strictly-higher-price point has
+            -- date <= ours (prefix min over distinct prices desc) and it
+            -- holds the min date within its own price group
+            WITH p AS (SELECT o_totalprice AS price,
+                              epoch_us(o_orderdate) AS date_us,
+                              count(*) AS n
+                       FROM orders GROUP BY 1, 2),
+            g AS (SELECT price, min(date_us) AS gy FROM p GROUP BY price),
+            c AS (SELECT price, gy,
+                         min(gy) OVER (ORDER BY price DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS cmin
+                  FROM g)
+            SELECT round(p.price, 2) AS price,
+                   CAST(p.date_us AS BIGINT) AS date_us,
+                   CAST(p.n AS BIGINT) AS n
+            FROM p JOIN c USING (price)
+            WHERE (c.cmin IS NULL OR c.cmin > p.date_us)
+              AND p.date_us = c.gy
+            ORDER BY 1
         """,
         "orders_clustered_join": """
             -- co-clustered zone-map join replay: the shuffle-free plan

@@ -1846,3 +1846,78 @@ def test_grouped_path_order_and_cap(ray_session):
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert out[["user_id", "path", "n"]].to_numpy().tolist() == [
         [1, "a>b>c", 3], [2, "x", 1]]
+
+
+def test_cms_upper_bound_and_exact_when_wide(ray_session):
+    from text_to_rdf_ray.stages.analytics import cms_build, cms_estimate
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 40, size=2000).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    exact = pd.Series(keys).value_counts().sort_index()
+    probe = exact.index.to_numpy(np.int64)
+
+    # narrow sketch: estimates are upper bounds, never under
+    regs = cms_build(rd.from_pandas(df).repartition(4), key_col="k",
+                     depth=4, width=16)
+    est = cms_estimate(regs, probe, depth=4, width=16)
+    assert (est["est"].to_numpy() >= exact.to_numpy()).all()
+
+    # wide sketch (few keys, many buckets): exact with high probability
+    regs_w = cms_build(rd.from_pandas(df).repartition(4), key_col="k",
+                       depth=4, width=4096)
+    est_w = cms_estimate(regs_w, probe, depth=4, width=4096)
+    assert est_w["est"].to_numpy().tolist() == exact.to_numpy().tolist()
+
+
+def test_cms_registers_mergeable_across_shards(ray_session):
+    from text_to_rdf_ray.stages.analytics import cms_build, cms_estimate
+
+    a = pd.DataFrame({"k": np.array([1, 1, 2], np.int64)})
+    b = pd.DataFrame({"k": np.array([1, 3], np.int64)})
+    both = cms_build(rd.from_pandas(pd.concat([a, b])), key_col="k",
+                     depth=2, width=8).to_pandas()
+    ra = cms_build(rd.from_pandas(a), key_col="k", depth=2,
+                   width=8).to_pandas()
+    rb = cms_build(rd.from_pandas(b), key_col="k", depth=2,
+                   width=8).to_pandas()
+    merged = (pd.concat([ra, rb]).groupby(["row", "bucket"], as_index=False)
+              ["cnt"].sum())
+    key = lambda d: d.sort_values(["row", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(both), key(merged))
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.analytics import skyline_2d
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"x": rng.randint(0, 50, 500).astype(float),
+                       "y": rng.randint(0, 50, 500).astype(np.int64)})
+
+    def dominated(xi, yi):
+        return (((df.x >= xi) & (df.y <= yi)
+                 & ((df.x > xi) | (df.y < yi))).any())
+
+    exp = (df[~df.apply(lambda r: dominated(r.x, r.y), axis=1)]
+           .groupby(["x", "y"], as_index=False).size()
+           .rename(columns={"size": "n"}))
+    out = (skyline_2d(rd.from_pandas(df).repartition(8),
+                      x_col="x", y_col="y")
+           .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(
+        out, exp.sort_values(["x", "y"]).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_skyline_duplicates_counted(ray_session):
+    from text_to_rdf_ray.stages.analytics import skyline_2d
+
+    # two rows at the same frontier point -> n=2; dominated point dropped
+    df = pd.DataFrame({"x": [5.0, 5.0, 4.0, 6.0],
+                       "y": np.array([1, 1, 0, 3], np.int64)})
+    out = (skyline_2d(rd.from_pandas(df), x_col="x", y_col="y")
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    assert out[["x", "y", "n"]].to_numpy().tolist() == [
+        [4.0, 0, 1], [5.0, 1, 2], [6.0, 3, 1]]

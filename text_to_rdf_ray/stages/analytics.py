@@ -2079,3 +2079,126 @@ def hll_join_estimate(
     return rd.from_pandas(pd.DataFrame({
         "est_left": [ea], "est_right": [eb],
         "est_union": [eu], "est_intersect": [ei]}))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency registers
+
+
+def cms_build(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> rd.Dataset:
+    """Count-min sketch of integer-key frequencies: ``depth`` hash rows x
+    ``width`` buckets.  Row i buckets key k at
+    ``splitmix64(k*depth + i) % width`` (distinct affine pre-hash inputs
+    per row; |k| must fit in 63 - log2(depth) bits).
+
+    Per-batch partials are dense ``np.bincount`` register slices (the
+    exchange moves at most depth x width rows PER BATCH regardless of key
+    cardinality), merged by one (row, bucket) hash-exchange sum — the
+    registers are mergeable across shards/streams by addition, which is
+    the point of the sketch at 100 TB.  Emits (row, bucket, cnt), at most
+    depth*width rows total.
+    """
+    from .exchange import exchange_agg
+
+    d_i64 = np.int64(depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows, buckets, cnts = [], [], []
+        for i in range(depth):
+            h = splitmix64(k * d_i64 + np.int64(i)) % np.uint64(width)
+            cnt = np.bincount(h.astype(np.int64), minlength=width)
+            nz = np.flatnonzero(cnt)
+            rows.append(np.full(len(nz), i, np.int64))
+            buckets.append(nz.astype(np.int64))
+            cnts.append(cnt[nz].astype(np.int64))
+        return pa.table({"row": np.concatenate(rows),
+                         "bucket": np.concatenate(buckets),
+                         "cnt": np.concatenate(cnts)})
+
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["row", "bucket"], [("cnt", "sum", "cnt")])
+
+
+def cms_estimate(
+    registers: rd.Dataset,
+    probe_keys: np.ndarray,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> pd.DataFrame:
+    """Point-frequency estimates from ``cms_build`` registers:
+    est(k) = min over rows i of register[i, h_i(k)] — an upper bound on
+    the true count (collisions only inflate).  The register table is
+    bounded at depth*width rows, so the driver collect here is O(sketch),
+    never O(data).  Returns (key, est) for each probe key."""
+    reg = registers.to_pandas()
+    dense = np.zeros((depth, width), np.int64)
+    dense[reg["row"].to_numpy(np.int64),
+          reg["bucket"].to_numpy(np.int64)] = reg["cnt"].to_numpy(np.int64)
+    k = np.asarray(probe_keys, np.int64)
+    est = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+    for i in range(depth):
+        h = (splitmix64(k * np.int64(depth) + np.int64(i))
+             % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, dense[i, h])
+    return pd.DataFrame({"key": k, "est": est})
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+
+
+def _sky_kernel(p: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
+    """Exact 2-D skyline over (x maximize, y minimize) pair-count rows.
+    keep iff (no strictly-greater-x point has y <= ours) AND (y is the
+    min within our x group) — one sort + prefix-min, no pairwise loop."""
+    if p.empty:
+        return p
+    p = p.groupby([x, y], sort=True, as_index=False)["n"].sum()
+    p = (p.sort_values([x, y], ascending=[False, True], kind="mergesort")
+         .reset_index(drop=True))
+    grp_min = p.groupby(x, sort=False)[y].transform("min").to_numpy()
+    first = (~p[x].duplicated()).to_numpy()
+    gm = grp_min[first]
+    prev = np.concatenate(([np.inf], np.minimum.accumulate(gm)[:-1]))
+    prev_row = prev[np.cumsum(first) - 1]
+    yv = p[y].to_numpy()
+    return p.loc[(yv < prev_row) & (yv == grp_min)]
+
+
+def skyline_2d(ds: rd.Dataset, *, x_col: str, y_col: str) -> rd.Dataset:
+    """Distributed Pareto frontier: points not dominated by any other
+    (dominance = x' >= x AND y' <= y with one strict; x maximized, y
+    minimized).  Emits the frontier's unique (x, y) points with
+    n = input rows sitting exactly on that point.
+
+    Two-level reduce with the same vectorized kernel: a per-batch local
+    skyline combiner (the union of local skylines contains the global
+    frontier, and any global-frontier row survives its own batch's
+    pass, so counts are preserved), then one single-partition final
+    pass.  The exchange volume is the local frontier sizes — for
+    random-ish data O(log n) per batch — never the input.
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({x_col: df.get(x_col, pd.Series(dtype="f8")),
+                                 y_col: df.get(y_col, pd.Series(dtype="i8")),
+                                 "n": pd.Series(dtype="int64")})
+        p = df.assign(n=np.int64(1))[[x_col, y_col, "n"]]
+        return _sky_kernel(p, x_col, y_col)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _sky_kernel(df, x_col, y_col)
+
+    return (ds.map_batches(local, batch_format="pandas", batch_size=65536)
+            .repartition(1)
+            .map_batches(final, batch_format="pandas"))
