@@ -4576,6 +4576,135 @@ def _orders_skyline(sf_dir: str) -> pd.DataFrame:
             .sort_values("price").reset_index(drop=True))
 
 
+def _graph_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient over the part co-occurrence graph
+    (stages/graph.py::clustering_coeff): one dedup exchange feeds BOTH
+    the degree reduce and the degree-oriented triangle count; coeff =
+    2*tri / (deg*(deg-1)) computed identically here and in the oracle."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import clustering_coeff
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("pk2").to_numpy(zero_copy_only=False)
+        k = a < b
+        return pa.table({"src": pa.array(a[k], pa.int64()),
+                         "dst": pa.array(b[k], pa.int64())})
+
+    out = clustering_coeff(
+        pairs.map_batches(lt, batch_format="pyarrow")).to_pandas()
+    for c in ("node", "deg", "n_tri"):
+        out[c] = out[c].astype("int64")
+    deg = out["deg"].to_numpy(np.float64)
+    tri = out["n_tri"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(deg < 2, 0.0, 2.0 * tri / (deg * (deg - 1)))
+    out["coeff"] = _r(pd.Series(coeff), 6)
+    out = out.rename(columns={"node": "l_partkey"})
+    return (out[["l_partkey", "deg", "n_tri", "coeff"]]
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
+def _graph_sssp_parts(sf_dir: str) -> pd.DataFrame:
+    """Weighted single-source shortest paths (stages/graph.py::sssp,
+    frontier-limited Bellman-Ford) over the part co-occurrence graph
+    with deterministic integer weights w = 1 + (u+v) % 7, source = the
+    smallest partkey in lineitem.  Oracle: 8 unrolled relaxation rounds
+    (converged rounds are no-ops)."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+    from text_to_rdf_ray.stages.graph import sssp
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("pk2").to_numpy(zero_copy_only=False)
+        k = a < b
+        return pa.table({"u": pa.array(a[k], pa.int64()),
+                         "v": pa.array(b[k], pa.int64())})
+
+    e = exchange_agg(pairs.map_batches(lt, batch_format="pyarrow"),
+                     ["u", "v"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = 1 + (u + v) % 7
+        return pa.table({
+            "s": pa.array(np.concatenate([u, v]), pa.int64()),
+            "t": pa.array(np.concatenate([v, u]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    # bounded scalar: per-batch mins -> driver min (n_batches rows)
+    mins = li.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(t.column("l_partkey").to_numpy(
+                zero_copy_only=False).min())] if len(t) else [],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    source = int(mins["m"].min())
+
+    out = sssp(e.map_batches(sym, batch_format="pyarrow"), source,
+               src="s", dst="t", w="w", max_iters=8).to_pandas()
+    out = out.rename(columns={"node": "l_partkey"})
+    for c in ("l_partkey", "dist"):
+        out[c] = out[c].astype("int64")
+    return (out[["l_partkey", "dist"]]
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
+def _sssp_sql(n_rounds: int = 8) -> str:
+    """Bounded-unroll Bellman-Ford replay for _graph_sssp_parts."""
+    parts = ["""
+        WITH inst AS (
+          SELECT least(a.l_partkey, b.l_partkey) AS u,
+                 greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+        e AS (SELECT DISTINCT u, v FROM inst),
+        sym AS (SELECT u AS s, v AS t, 1 + (u + v) % 7 AS w FROM e
+                UNION ALL
+                SELECT v, u, 1 + (u + v) % 7 FROM e),
+        d0 AS (SELECT (SELECT min(l_partkey) FROM lineitem) AS node,
+                      0 AS d)"""]
+    for i in range(n_rounds):
+        parts.append(f""",
+        d{i + 1} AS (SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{i}
+            UNION ALL
+            SELECT s.t AS node, d{i}.d + s.w AS d
+            FROM d{i} JOIN sym s ON s.s = d{i}.node) GROUP BY node)""")
+    parts.append(f"""
+        SELECT node AS l_partkey, CAST(d AS BIGINT) AS dist
+        FROM d{n_rounds} ORDER BY node""")
+    return "".join(parts)
+
+
 def _graph_kcore(sf_dir: str) -> pd.DataFrame:
     """k-core (k=10) of the supplier↔customer graph (stages/graph.py::
     kcore — iterative peel, driver numpy tier here, distributed
@@ -4798,6 +4927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": _events_user_paths,
         "events_cms_user_counts": _events_cms_user_counts,
         "orders_skyline": _orders_skyline,
+        "graph_clustering_coeff": _graph_clustering_coeff,
+        "graph_sssp_parts": _graph_sssp_parts,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
         "embeddings_unnest": _embeddings_unnest,
@@ -5117,6 +5248,40 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT c FROM tri)
             GROUP BY node ORDER BY l_partkey
         """,
+        "graph_clustering_coeff": """
+            -- clustering-coefficient replay (graph.clustering_coeff):
+            -- triangles per node (same enumeration as
+            -- graph_triangles_parts) left-joined onto degrees; coeff
+            -- computed with the identical float expression
+            WITH inst AS (
+              SELECT least(a.l_partkey, b.l_partkey) AS u,
+                     greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            e AS (SELECT DISTINCT u, v FROM inst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            tri AS (
+              SELECT ab.u AS a, ab.v AS b, ac.v AS c
+              FROM e ab
+              JOIN e bc ON bc.u = ab.v
+              JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+            tcnt AS (SELECT node, count(*) AS n_tri
+                     FROM (SELECT a AS node FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY node)
+            SELECT deg.node AS l_partkey, deg.deg,
+                   CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+                   round(CASE WHEN deg.deg < 2 THEN 0.0
+                         ELSE 2.0 * coalesce(tcnt.n_tri, 0)
+                              / (deg.deg * (deg.deg - 1)) END, 6) AS coeff
+            FROM deg LEFT JOIN tcnt USING (node)
+            ORDER BY l_partkey
+        """,
+        "graph_sssp_parts": _sssp_sql(n_rounds=8),
         "lineitem_distinct_orders_hll": _hll_sql(),
         "events_hourly_unique_users": _hll_window_sql(),
         "orders_semi_rich_custs": """

@@ -289,3 +289,61 @@ def test_personalized_pagerank_matches_local(ray_session):
     for n in nodes:
         assert abs(out.get(n, 0.0) - r[n]) < 1e-12, n
     assert abs(sum(out.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_clustering_coeff_triangle_plus_pendant(ray_session):
+    from text_to_rdf_ray.stages.graph import clustering_coeff
+
+    # triangle 1-2-3 plus pendant edge 3-4
+    e = pd.DataFrame({"src": [1, 2, 1, 3], "dst": [2, 3, 3, 4]})
+    out = (clustering_coeff(rd.from_pandas(e))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out[["node", "deg", "n_tri"]].to_numpy().tolist() == [
+        [1, 2, 1], [2, 2, 1], [3, 3, 1], [4, 1, 0]]
+
+
+def test_clustering_coeff_ignores_direction_and_dups(ray_session):
+    from text_to_rdf_ray.stages.graph import clustering_coeff
+
+    e = pd.DataFrame({"src": [1, 2, 2, 3, 1, 1],
+                      "dst": [2, 1, 3, 1, 3, 1]})  # dups + self-loop
+    out = (clustering_coeff(rd.from_pandas(e))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out[["node", "deg", "n_tri"]].to_numpy().tolist() == [
+        [1, 2, 1], [2, 2, 1], [3, 2, 1]]
+
+
+def test_sssp_prefers_cheap_path(ray_session):
+    from text_to_rdf_ray.stages.graph import sssp
+
+    # 1->3 direct costs 5; 1->2->3 costs 2
+    e = pd.DataFrame({"src": [1, 2, 1, 2, 3, 3],
+                      "dst": [2, 3, 3, 1, 2, 1],
+                      "w": [1, 1, 5, 1, 1, 5]})
+    out = (sssp(rd.from_pandas(e), 1).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert out[["node", "dist"]].to_numpy().tolist() == [
+        [1, 0], [2, 1], [3, 2]]
+
+
+def test_sssp_unreached_nodes_absent_and_long_path(ray_session):
+    from text_to_rdf_ray.stages.graph import sssp
+
+    # directed chain 0->1->...->5 (w=2 each); 9 isolated from source
+    e = pd.DataFrame({"src": [0, 1, 2, 3, 4, 9],
+                      "dst": [1, 2, 3, 4, 5, 8],
+                      "w": [2] * 6})
+    out = (sssp(rd.from_pandas(e), 0, max_iters=8).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert out[["node", "dist"]].to_numpy().tolist() == [
+        [0, 0], [1, 2], [2, 4], [3, 6], [4, 8], [5, 10]]
+
+
+def test_sssp_max_iters_truncates(ray_session):
+    from text_to_rdf_ray.stages.graph import sssp
+
+    e = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3], "w": [1, 1, 1]})
+    out = (sssp(rd.from_pandas(e), 0, max_iters=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # only two relaxation rounds -> node 3 unreached
+    assert out["node"].tolist() == [0, 1, 2]

@@ -953,3 +953,175 @@ def personalized_pagerank(
             combine, batch_format="pyarrow").materialize()
 
     return rank
+
+
+def clustering_coeff(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Local clustering coefficient inputs per node over the deduped
+    undirected graph: (node, deg, n_tri).  The coefficient itself —
+    2*n_tri / (deg*(deg-1)) — is left to the caller so the exact-integer
+    outputs stay engine-independent; nodes with deg < 2 have n_tri = 0.
+
+    One canonical dedup exchange, materialized ONCE and fed to both the
+    degree reduce (flat endpoints -> exchange_agg count) and
+    ``triangle_count`` (degree-oriented wedge counting) — the edge table
+    never recomputes or re-shuffles between the two consumers.  Final
+    attach is a single left-outer ``exchange_join`` (triangle rows are a
+    subset of degree rows by construction).
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    e = _solid(exchange_agg(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], num_partitions=num_partitions),
+        n=max(num_partitions // 8, 2))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "one": pa.array(np.ones(len(t) * 2, np.int64))})
+
+    deg = exchange_agg(
+        e.map_batches(endpoints, batch_format="pyarrow"),
+        "node", [("one", "sum", "deg")],
+        num_partitions=min(num_partitions, 16))
+    tri = triangle_count(e, src="u", dst="v",
+                         num_partitions=num_partitions)
+    joined = exchange_join(
+        deg, tri, on="node", how="left_outer",
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("n_tri", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tri_f = pc.coalesce(t.column("n_tri"),
+                            pa.scalar(0, pa.int64()))
+        return pa.table({"node": t.column("node"),
+                         "deg": t.column("deg"),
+                         "n_tri": tri_f})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sssp(
+    edges: rd.Dataset,
+    source: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    max_iters: int = 8,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Single-source shortest paths over non-negative INTEGER edge
+    weights — frontier-limited distributed Bellman-Ford.
+
+    Per round: relax only from the FRONTIER (nodes improved last round)
+    via one ``exchange_join`` frontier⋈edges, min-reduce the candidate
+    distances, then one left-outer join against the running distance
+    table keeps strict improvements (they become the next frontier) and
+    min-merges the rest.  Work per round is O(frontier out-degree), not
+    O(E); state moving each round is the O(nodes) distance table, pinned
+    as a materialized few-block Dataset (the iterative-algorithm rule:
+    never re-execute a lineage per round).  Terminates when the frontier
+    empties or after ``max_iters`` rounds (with non-negative weights,
+    converged rounds are no-ops, so a bounded-unroll SQL replay is
+    exact once both sides have converged).
+
+    Emits (node, dist) for every reached node.  Integer weights keep the
+    relaxation exact and engine-independent.
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src).cast(pa.int64()),
+            "dst": t.column(dst).cast(pa.int64()),
+            "w": t.column(w).cast(pa.int64())})
+
+    e = _solid(edges.map_batches(prep, batch_format="pyarrow"),
+               n=max(num_partitions // 4, 2))
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("w", pa.int64())])
+    d_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    frontier = dist
+
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            break
+        # candidates: frontier ⋈ edges on src -> (dst, dist + w)
+        fe = exchange_join(
+            frontier.map_batches(
+                lambda t: pa.table({"src": t.column("node"),
+                                    "fdist": t.column("dist")}),
+                batch_format="pyarrow"),
+            e, on="src",
+            left_schema=pa.schema([("src", pa.int64()),
+                                   ("fdist", pa.int64())]),
+            right_schema=e_schema,
+            num_partitions=num_partitions)
+
+        def cand(t: pa.Table) -> pa.Table:
+            d = (t.column("fdist").to_numpy(zero_copy_only=False)
+                 + t.column("w").to_numpy(zero_copy_only=False))
+            return pa.table({"node": t.column("dst"),
+                             "dist": pa.array(d, pa.int64())})
+
+        cmin = exchange_agg(fe.map_batches(cand, batch_format="pyarrow"),
+                            "node", [("dist", "min", "dist")],
+                            num_partitions=num_partitions)
+        # strict improvements vs the running table
+        probe = exchange_join(
+            cmin.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "cdist": t.column("dist")}),
+                batch_format="pyarrow"),
+            dist, on="node", how="left_outer",
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("cdist", pa.int64())]),
+            right_schema=d_schema,
+            num_partitions=num_partitions)
+
+        def improved(t: pa.Table) -> pa.Table:
+            c = t.column("cdist").to_numpy(zero_copy_only=False)
+            isnull = t.column("dist").is_null().to_numpy(
+                zero_copy_only=False)
+            old = np.where(
+                isnull, np.iinfo(np.int64).max,
+                t.column("dist").fill_null(0).to_numpy(
+                    zero_copy_only=False))
+            keep = c < old
+            return pa.table({"node": t.column("node").filter(pa.array(keep)),
+                             "dist": pa.array(c[keep], pa.int64())})
+
+        frontier = _solid(
+            probe.map_batches(improved, batch_format="pyarrow"), n=2)
+        if frontier.count() == 0:
+            break
+        # min-merge: dist ∪ frontier -> per-node min
+        dist = _solid(exchange_agg(
+            dist.union(frontier), "node", [("dist", "min", "dist")],
+            num_partitions=min(num_partitions, 16)), n=2)
+
+    return dist
