@@ -4705,6 +4705,24 @@ def _sssp_sql(n_rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def _parts_editdist_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact edit-distance <= 1 self-join on part names (stages/dedup.py::
+    editdist_join — symmetric-delete/FastSS blocking, complete by
+    construction, vectorized verify).  Oracle: DuckDB's independent
+    levenshtein over the length-banded cross join."""
+    from text_to_rdf_ray.stages.dedup import editdist_join
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_name"])
+    out = editdist_join(parts, id_col="p_partkey",
+                        text_col="p_name").to_pandas()
+    out = out.rename(columns={"id_a": "pk_a", "id_b": "pk_b"})
+    for c in ("pk_a", "pk_b", "dist"):
+        out[c] = out[c].astype("int64")
+    return (out[["pk_a", "pk_b", "dist"]]
+            .sort_values(["pk_a", "pk_b"]).reset_index(drop=True))
+
+
 def _graph_kcore(sf_dir: str) -> pd.DataFrame:
     """k-core (k=10) of the supplier↔customer graph (stages/graph.py::
     kcore — iterative peel, driver numpy tier here, distributed
@@ -4929,6 +4947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": _orders_skyline,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_sssp_parts": _graph_sssp_parts,
+        "parts_editdist_pairs": _parts_editdist_pairs,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
         "embeddings_unnest": _embeddings_unnest,
@@ -5282,6 +5301,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_partkey
         """,
         "graph_sssp_parts": _sssp_sql(n_rounds=8),
+        "parts_editdist_pairs": """
+            -- independent ground truth: DuckDB's built-in levenshtein
+            -- over the length-banded cross join (the band is implied by
+            -- ed <= 1, so no recall is lost)
+            SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 1
+             AND levenshtein(a.p_name, b.p_name) <= 1
+            ORDER BY 1, 2
+        """,
         "lineitem_distinct_orders_hll": _hll_sql(),
         "events_hourly_unique_users": _hll_window_sql(),
         "orders_semi_rich_custs": """

@@ -850,3 +850,49 @@ def test_embedding_moments_and_pca_match_numpy(ray_session):
     assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
     assert np.allclose(comps @ cov @ comps.T,
                        np.diag(vals), atol=1e-9)
+
+
+def test_ed1_dist_kernel_cases():
+    from text_to_rdf_ray.stages.dedup import _ed1_dist
+
+    sa = np.array(["abc", "abc", "abc", "abc", "abc", "ab", "", "a",
+                   "abc"], dtype=object)
+    sb = np.array(["abc", "abd", "ab", "abcd", "adbx", "axb", "a", "",
+                   "xyz"], dtype=object)
+    # exact, subst, delete, insert, ed2 (len diff 1 but 2 edits),
+    # single-insert, insert into empty, delete to empty, ed3
+    assert _ed1_dist(sa, sb).tolist() == [0, 1, 1, 1, 2, 1, 1, 1, 2]
+
+
+def test_editdist_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import editdist_join
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s):
+            cur = [i + 1]
+            for j, ct in enumerate(t):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.RandomState(42)
+    words = ["ring", "rings", "wing", "king", "kin", "widget", "wedget",
+             "bolt", "bolts", "jolt", "", "a", "b", "ab"]
+    strs = [words[i] for i in rng.randint(0, len(words), 80)]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": strs})
+    out = (editdist_join(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    exp = [(i, j, lev(strs[i], strs[j]))
+           for i in range(80) for j in range(i + 1, 80)
+           if lev(strs[i], strs[j]) <= 1]
+    assert (list(map(tuple, out[["id_a", "id_b", "dist"]]
+                     .to_numpy().tolist())) == exp)
