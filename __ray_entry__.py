@@ -1570,6 +1570,25 @@ def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 span-level
+    training-data dedup) — stages/curation.py::dup_spans: gram-hash
+    exchange marks >= 2-occurrence 5-grams, doc-keyed exchange merges
+    overlapping/touching windows into maximal token spans."""
+    from text_to_rdf_ray.stages.curation import dup_spans
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = dup_spans(docs, n=5).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "span_start": pd.Series(dtype="int64"),
+                             "span_end": pd.Series(dtype="int64")})
+    for c in ("doc_id", "span_start", "span_end"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "span_start", "span_end"]]
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+
 def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build: (term, chunk_seq, df, postings) rows with
     sorted distinct doc-id posting lists CHUNKED at 16 ids per row (small
@@ -4886,6 +4905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_distinct_orders_hll": _lineitem_distinct_orders_hll,
         "docs_inverted_index": _docs_inverted_index,
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
+        "docs_dup_spans": _docs_dup_spans,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
         "docs_source_quality_cap": _docs_source_quality_cap,
@@ -7795,6 +7815,39 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "docs_dup_spans": """
+            -- merged token spans covered by corpus-duplicated 5-grams
+            -- (within-doc repeats count); windows merge when they
+            -- overlap OR touch (gap in start positions <= 5)
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                    FROM words)),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM grams
+                     WHERE g IN (SELECT g FROM dup)),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN coalesce(pos - lag(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos), 999999) > 5
+                          THEN 1 ELSE 0 END AS b
+              FROM hits),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+              FROM brk)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 5 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, gid
+            ORDER BY doc_id, span_start
         """,
         "docs_decontaminate": """
             -- benchmark 8-gram overlap (curation.py::decontaminate);

@@ -1056,3 +1056,45 @@ def test_phrase_search_matches_and_repeated_word(ray_session):
     out2 = (phrase_search(ds, ["table", "table"]).to_pandas()
             .sort_values(["doc_id", "start_pos"]).reset_index(drop=True))
     assert out2[["doc_id", "start_pos"]].to_numpy().tolist() == [[4, 0]]
+
+
+def test_dup_spans_merges_and_counts_within_doc(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import dup_spans
+
+    docs = [
+        (0, "a b c d e f g h"),      # grams at pos 0,1 shared with doc 1
+        (1, "x a b c d e f y z"),    # -> merged spans [0,6) / [1,7)
+        (2, "unique tokens only here none match qq ww"),
+        (3, "p p p p p p p"),        # within-doc repeat counts: [0,7)
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    out = (dup_spans(ds, n=5, num_partitions=8).to_pandas()
+           .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    exp = pd.DataFrame({"doc_id": [0, 1, 3],
+                        "span_start": [0, 1, 0],
+                        "span_end": [6, 7, 7]})
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), exp.astype("int64"))
+
+
+def test_dup_spans_gap_splits_spans(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import dup_spans
+
+    # two shared 5-gram regions separated by > n unique tokens -> two
+    # spans, not one
+    shared1 = "alpha beta gamma delta eps"
+    shared2 = "one two three four five"
+    d0 = f"{shared1} u1 u2 u3 u4 u5 u6 {shared2}"
+    d1 = f"zz {shared1} qq rr ss tt uu vv ww xx {shared2} yy"
+    ds = rd.from_items([{"doc_id": 0, "text": d0},
+                        {"doc_id": 1, "text": d1}])
+    out = (dup_spans(ds, n=5, num_partitions=4).to_pandas()
+           .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    assert len(out) == 4
+    d0_spans = out[out.doc_id == 0][["span_start", "span_end"]].values.tolist()
+    assert d0_spans == [[0, 5], [11, 16]]

@@ -1919,3 +1919,88 @@ def hashed_classifier_score(
                             clf_score=score, clf_keep=score >= 0.5)
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def dup_spans(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exact duplicated-substring SPAN extraction (the span-level form of
+    training-data dedup from Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — suffix-array semantics realised
+    as a distributed k-gram-hash exchange): every maximal token span of a
+    document that is covered by word n-grams occurring >= 2 times
+    corpus-wide (within-doc repeats count toward the corpus total).
+
+    Output: one row per merged span — (id_col, span_start, span_end)
+    with 0-based token indices, end exclusive; overlapping OR touching
+    n-gram windows merge into one span.  Docs with no duplicated grams
+    emit nothing.  Downstream removal is a pure map: drop tokens in
+    [span_start, span_end) and re-join.
+
+    Scale shape: the first exchange ships one 128-bit gram hash + doc id
+    + int32 position per n-gram occurrence — O(tokens) rows, never gram
+    text; all occurrences of a gram land in one hash partition, so the
+    corpus count resolves with one vectorized transform('size').  The
+    surviving (doc, pos) hits (duplicated grams only — candidate-
+    proportional) re-exchange on doc and the interval merge is one
+    sort + cumsum islands pass per partition, vectorized across all
+    docs.  Two exchanges total; no stage holds more than its partition.
+    """
+    from .analytics import splitmix64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_h1, out_h2, out_pos = [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            words = _terms(txt)
+            for i, g in enumerate(_word_ngrams(words, n)):
+                dig = hashlib.blake2b(g.encode("utf-8"),
+                                      digest_size=16).digest()
+                out_id.append(did)
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+                out_pos.append(i)
+        h1 = np.asarray(out_h1, dtype=np.int64)
+        part = (splitmix64(h1) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "_h1": pa.array(h1, pa.int64()),
+            "_h2": pa.array(np.asarray(out_h2, np.int64), pa.int64()),
+            "_pos": pa.array(np.asarray(out_pos, np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+        total = g.groupby(["_h1", "_h2"], sort=False)["_h1"].transform("size")
+        hit = g.loc[total.to_numpy() >= 2, [id_col, "_pos"]]
+        ids = hit[id_col].to_numpy(np.int64)
+        part2 = (splitmix64(ids)
+                 % np.uint64(num_partitions)).astype(np.int32)
+        return hit.assign(_part2=part2)
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "_pos"], kind="mergesort")
+        ids = g[id_col].to_numpy(np.int64)
+        pos = g["_pos"].to_numpy(np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "span_start": pd.Series(dtype="int64"),
+                                 "span_end": pd.Series(dtype="int64")})
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > n)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ids)] - 1
+        return pd.DataFrame({id_col: ids[starts],
+                             "span_start": pos[starts],
+                             "span_end": pos[ends] + n})
+
+    hits = (ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=2048)
+            .groupby("_part").map_groups(dup_hits, batch_format="pandas"))
+    return (hits.groupby("_part2")
+            .map_groups(merge_spans, batch_format="pandas"))
