@@ -1589,6 +1589,21 @@ def _docs_dup_spans(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
 
 
+def _docs_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-doc distinct-5-gram novelty rate (first corpus occurrence by
+    doc_id = crawl order) — stages/curation.py::ngram_novelty: per-batch
+    distinct combiner, gram-hash exchange resolves corpus-min doc, doc-
+    keyed exchange_agg + exchange_join back to all docs."""
+    from text_to_rdf_ray.stages.curation import ngram_novelty
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    out = ngram_novelty(docs, n=5).to_pandas()
+    for c in ("doc_id", "n_distinct", "n_novel"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_distinct", "n_novel", "novelty"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build: (term, chunk_seq, df, postings) rows with
     sorted distinct doc-id posting lists CHUNKED at 16 ids per row (small
@@ -4906,6 +4921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _docs_inverted_index,
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_dup_spans": _docs_dup_spans,
+        "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
         "docs_source_quality_cap": _docs_source_quality_cap,
@@ -7848,6 +7864,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 5 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, gid
             ORDER BY doc_id, span_start
+        """,
+        "docs_ngram_novelty": """
+            -- distinct-5-gram novelty: gram is novel for the doc with
+            -- the corpus-min doc_id among all docs containing it
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                    FROM words)),
+            firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams
+                       GROUP BY g),
+            per AS (SELECT doc_id, count(*) AS n_distinct,
+                           sum(CASE WHEN doc_id = first_doc
+                                    THEN 1 ELSE 0 END) AS n_novel
+                    FROM grams JOIN firsts USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+                   round(CASE WHEN coalesce(per.n_distinct, 0) > 0
+                              THEN per.n_novel / per.n_distinct
+                              ELSE 0.0 END, 6) AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "docs_decontaminate": """
             -- benchmark 8-gram overlap (curation.py::decontaminate);

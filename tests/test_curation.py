@@ -1098,3 +1098,26 @@ def test_dup_spans_gap_splits_spans(ray_session):
     assert len(out) == 4
     d0_spans = out[out.doc_id == 0][["span_start", "span_end"]].values.tolist()
     assert d0_spans == [[0, 5], [11, 16]]
+
+
+def test_ngram_novelty_first_doc_wins(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import ngram_novelty
+
+    shared = "a b c d e"                     # one 5-gram
+    docs = [
+        (0, f"{shared} z1 z2 z3 z4"),        # introduces shared + 4 own
+        (1, f"q1 q2 q3 q4 {shared}"),        # shared is NOT novel here
+        (2, "short text"),                    # < 5 words -> (0, 0, 0.0)
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    out = (ngram_novelty(ds, n=5, num_partitions=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "n_distinct": [5, 5, 0],
+        "n_novel": [5, 4, 0],
+        "novelty": [1.0, 0.8, 0.0]})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

@@ -2004,3 +2004,100 @@ def dup_spans(
             .groupby("_part").map_groups(dup_hits, batch_format="pandas"))
     return (hits.groupby("_part2")
             .map_groups(merge_spans, batch_format="pandas"))
+
+
+def ngram_novelty(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-document n-gram NOVELTY rate for incremental crawl curation:
+    the fraction of a document's DISTINCT word n-grams that first appear
+    in the corpus in this document (corpus-min ``id_col`` == this doc's
+    id — the id is the crawl order).  New snapshots with low novelty are
+    near-free to drop before any expensive downstream stage.
+
+    Output: (id_col, n_distinct, n_novel, novelty: float64 6 dp); docs
+    with fewer than ``n`` words get (0, 0, 0.0).
+
+    Scale shape: identical exchange economics to ``dup_ngram_fraction``
+    — one 128-bit gram hash + doc id per DISTINCT (doc, gram) pair (the
+    per-batch dict dedup is the combiner), all rows of a gram in one
+    hash partition so the corpus-min resolves with one vectorized
+    transform('min'); per-doc novel counts reduce by a doc-keyed
+    ``exchange_agg`` and attach to per-doc distinct totals with one
+    ``exchange_join``.  Gram text never ships.
+    """
+    from .analytics import splitmix64
+    from .exchange import exchange_agg, exchange_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_h1, out_h2 = [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            words = _terms(txt)
+            seen: set = set()
+            for g in _word_ngrams(words, n):
+                dig = hashlib.blake2b(g.encode("utf-8"),
+                                      digest_size=16).digest()
+                if dig in seen:
+                    continue
+                seen.add(dig)
+                out_id.append(did)
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+        h1 = np.asarray(out_h1, dtype=np.int64)
+        part = (splitmix64(h1) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "_h1": pa.array(h1, pa.int64()),
+            "_h2": pa.array(np.asarray(out_h2, np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    def novel_partials(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        first = (g.groupby(["_h1", "_h2"], sort=False)[id_col]
+                 .transform("min").to_numpy(np.int64))
+        out = (pd.DataFrame({id_col: ids, "n_novel": (ids == first)
+                             .astype(np.int64),
+                             "n_distinct": np.ones(len(ids), np.int64)})
+               .groupby(id_col, sort=False).sum().reset_index())
+        return out
+
+    per_doc = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+          .groupby("_part").map_groups(novel_partials,
+                                       batch_format="pandas"),
+        id_col, [("n_distinct", "sum", "n_distinct"),
+                 ("n_novel", "sum", "n_novel")],
+        num_partitions=num_partitions, combine=False)
+
+    all_ids = ds.select_columns([id_col])
+    joined = exchange_join(
+        all_ids, per_doc, on=id_col, how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("n_distinct", pa.int64()),
+                                ("n_novel", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = np.nan_to_num(t.column("n_distinct")
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.float64), nan=0.0).astype(np.int64)
+        nv = np.nan_to_num(t.column("n_novel")
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.float64), nan=0.0).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(nd > 0, nv / nd, 0.0)
+        rate = np.floor(rate * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: t.column(id_col),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "n_novel": pa.array(nv, pa.int64()),
+                         "novelty": pa.array(rate, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
