@@ -2075,6 +2075,42 @@ def _ppr_sql(iterations: int = 3) -> str:
     """
 
 
+def _hits_sql(iterations: int = 3) -> str:
+    """Unrolled replay of stages/graph.py::hits over the directed
+    supplier→customer graph: per iteration one hub-push sum + L1
+    normalize, one auth-push sum + L1 normalize — identical float
+    expression shapes, rounded to 6dp at the end."""
+    its = []
+    for t in range(1, iterations + 1):
+        p = t - 1
+        its.append(f"""
+        a{t}r AS (
+          SELECT e.dst AS node, sum(h.s) AS s
+          FROM h{p} h JOIN e0 e ON e.src = h.node GROUP BY 1),
+        a{t} AS (
+          SELECT node, s / (SELECT sum(s) FROM a{t}r) AS s FROM a{t}r),
+        h{t}r AS (
+          SELECT e.src AS node, sum(a.s) AS s
+          FROM a{t} a JOIN e0 e ON e.dst = a.node GROUP BY 1),
+        h{t} AS (
+          SELECT node, s / (SELECT sum(s) FROM h{t}r) AS s FROM h{t}r)""")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          CAST(1000000 + o_custkey AS BIGINT) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS s
+               FROM e0),
+        {",".join(its)}
+        SELECT coalesce(h.node, a.node) AS node,
+               round(coalesce(h.s, 0.0), 6) AS hub,
+               round(coalesce(a.s, 0.0), 6) AS auth
+        FROM h{iterations} h
+        FULL OUTER JOIN a{iterations} a ON a.node = h.node
+        ORDER BY node
+    """
+
+
 def _random_walk_sql(steps: int = 4, seed: int = 42) -> str:
     """Unrolled-step replay of stages/graph.py::random_walks over the
     supplier↔customer graph: one _sm64_sql chain per step (namespaced
@@ -4257,6 +4293,43 @@ def _graph_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _graph_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities (stages/graph.py::hits, L1-normalized) over
+    the directed supplier→customer graph (customers offset by 1,000,000
+    — pure authorities, suppliers pure hubs, so both push directions are
+    exercised).  Oracle: 3 unrolled iterations, same float shapes."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import hits
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["supp"].astype("int64"),
+            "dst": b["cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas")
+    out = hits(edges, iterations=3).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["hub"] = _r(out["hub"], 6)
+    out["auth"] = _r(out["auth"], 6)
+    return (out[["node", "hub", "auth"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def _graph_random_walks(sf_dir: str) -> pd.DataFrame:
     """Deterministic DeepWalk corpus (stages/graph.py::random_walks):
     4-step walks from every supplier over the undirected supplier↔
@@ -4999,6 +5072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_infer": _kg_type_infer,
         "graph_random_walks": _graph_random_walks,
         "graph_personalized_pagerank": _graph_personalized_pagerank,
+        "graph_hits": _graph_hits,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -6373,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_random_walks": _random_walk_sql(steps=4, seed=42),
         "graph_personalized_pagerank": _ppr_sql(iterations=3),
+        "graph_hits": _hits_sql(iterations=3),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash
             -- from the vocab side table, bucket % dim, splitmix64

@@ -347,3 +347,43 @@ def test_sssp_max_iters_truncates(ray_session):
            .sort_values("node").reset_index(drop=True))
     # only two relaxation rounds -> node 3 unreached
     assert out["node"].tolist() == [0, 1, 2]
+
+
+def test_hits_matches_numpy_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import hits
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 20, 200)
+    dst = rng.randint(100, 125, 200)
+    edges = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+
+    # numpy reference: L1-normalized HITS, 3 iterations, hub0 = 1
+    nodes_s = np.unique(edges.src)
+    nodes_d = np.unique(edges.dst)
+    hub = {int(u): 1.0 for u in nodes_s}
+    auth = {}
+    for _ in range(3):
+        auth = {int(v): 0.0 for v in nodes_d}
+        for u, v in edges.itertuples(index=False):
+            auth[int(v)] += hub.get(int(u), 0.0)
+        t = sum(auth.values())
+        auth = {k: s / t for k, s in auth.items()}
+        hub = {int(u): 0.0 for u in nodes_s}
+        for u, v in edges.itertuples(index=False):
+            hub[int(u)] += auth.get(int(v), 0.0)
+        t = sum(hub.values())
+        hub = {k: s / t for k, s in hub.items()}
+
+    out = (hits(rd.from_pandas(edges).repartition(4), iterations=3,
+                num_partitions=8).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert set(out.node) == set(hub) | set(auth)
+    for _, r in out.iterrows():
+        assert abs(r.hub - hub.get(int(r.node), 0.0)) < 1e-9
+        assert abs(r.auth - auth.get(int(r.node), 0.0)) < 1e-9
+    # both score vectors are L1-normalized
+    assert abs(out.hub.sum() - 1.0) < 1e-9
+    assert abs(out.auth.sum() - 1.0) < 1e-9

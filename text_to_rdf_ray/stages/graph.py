@@ -1125,3 +1125,107 @@ def sssp(
             num_partitions=min(num_partitions, 16)), n=2)
 
     return dist
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed graph,
+    L1-normalized per half-step (sum-to-1 instead of the classical L2 —
+    same fixed-point direction, division-only arithmetic so the DuckDB
+    oracle replays it with the identical float expression shapes).
+
+    ``auth(v) = Σ_{u→v} hub(u)`` then ``auth /= Σauth``;
+    ``hub(u) = Σ_{u→v} auth(v)`` then ``hub /= Σhub``.  hub₀ = 1.0 on
+    every distinct source node.  Output: ``(node, hub, auth)`` full
+    outer over the two score tables, absent side = 0.0.
+
+    Scale shape: both edge orientations are materialized ONCE with
+    ``exchange_join``-ready schemas and only the O(nodes) score tables
+    move per iteration — two exchange_joins + two exchange_aggs, plus a
+    bounded O(blocks) driver scalar for each normalizer (same economics
+    as ``personalized_pagerank``; the edge table never re-exchanges).
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    e = distinct_rows(edges, cols=[src_col, dst_col])
+    eo = e.map_batches(
+        lambda t: pa.table({"node": t.column(src_col).cast(pa.int64()),
+                            "_o": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    ei = eo.map_batches(
+        lambda t: pa.table({"node": t.column("_o"),
+                            "_o": t.column("node")}),
+        batch_format="pyarrow").materialize()
+    e_schema = pa.schema([("node", pa.int64()), ("_o", pa.int64())])
+
+    hub = exchange_agg(eo.select_columns(["node"]), "node", [],
+                       num_partitions=num_partitions).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "s": pa.array(
+                                np.ones(t.num_rows, np.float64))}),
+        batch_format="pyarrow").materialize()
+    s_schema = pa.schema([("node", pa.int64()), ("s", pa.float64())])
+
+    def _push(scores: rd.Dataset, edge_tbl: rd.Dataset) -> rd.Dataset:
+        """scores(node, s) ⋈ edges keyed on node -> sum s by the other
+        endpoint, L1-normalized."""
+        joined = exchange_join(scores, edge_tbl, on="node",
+                               num_partitions=num_partitions,
+                               left_schema=s_schema,
+                               right_schema=e_schema)
+        summed = exchange_agg(
+            joined.map_batches(
+                lambda t: pa.table({"node": t.column("_o"),
+                                    "s": t.column("s")}),
+                batch_format="pyarrow"),
+            "node", [("s", "sum", "s")],
+            num_partitions=num_partitions).materialize()
+        tot_rows = summed.map_batches(
+            lambda t: pa.table({"_t": pa.array(
+                [float(np.sum(t.column("s").to_numpy(
+                    zero_copy_only=False)))], pa.float64())}),
+            batch_format="pyarrow").to_pandas()
+        tot = np.float64(tot_rows["_t"].sum()) if len(tot_rows) else \
+            np.float64(1.0)
+        return summed.map_batches(
+            lambda t, tot=tot: pa.table({
+                "node": t.column("node"),
+                "s": pa.array(t.column("s").to_numpy(
+                    zero_copy_only=False) / tot, pa.float64())}),
+            batch_format="pyarrow").materialize()
+
+    auth = None
+    for _ in range(iterations):
+        auth = _push(hub, eo)
+        hub = _push(auth, ei)
+
+    merged = exchange_join(
+        hub.map_batches(lambda t: pa.table(
+            {"node": t.column("node"), "hub": t.column("s")}),
+            batch_format="pyarrow"),
+        auth.map_batches(lambda t: pa.table(
+            {"node": t.column("node"), "auth": t.column("s")}),
+            batch_format="pyarrow"),
+        on="node", how="full_outer", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("hub", pa.float64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("auth", pa.float64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = np.nan_to_num(t.column("hub").to_numpy(
+            zero_copy_only=False).astype(np.float64), nan=0.0)
+        a = np.nan_to_num(t.column("auth").to_numpy(
+            zero_copy_only=False).astype(np.float64), nan=0.0)
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "hub": pa.array(h, pa.float64()),
+                         "auth": pa.array(a, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
