@@ -560,6 +560,54 @@ def _knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _embeddings_quantize(sf_dir: str) -> pd.DataFrame:
+    """Scalar int8-style quantization (stages/knn.py::quantization_range
+    + quantize_embeddings): exact global per-dim min/max calibration,
+    then floor((x-mn)/(mx-mn)*255+0.5) codes — fully replayed in SQL
+    from the raw embeddings."""
+    from text_to_rdf_ray.stages.knn import (quantization_range,
+                                            quantize_embeddings)
+
+    emb = _embeddings(sf_dir)
+    mn, mx = quantization_range(emb)
+    codes = quantize_embeddings(emb, mn, mx).to_pandas()
+    rows = []
+    for vid, cs in zip(codes["vec_id"], codes["codes"]):
+        for d, c in enumerate(cs):
+            rows.append((int(vid), d, int(c)))
+    out = pd.DataFrame(rows, columns=["vec_id", "dim", "code"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+def _knn_quantized(sf_dir: str) -> pd.DataFrame:
+    """Integer-dot top-k over quantized codes (stages/knn.py::
+    knn_quantized): all-int64 scoring, so even the score column is
+    bit-identical to the SQL replay."""
+    from text_to_rdf_ray.stages.knn import (knn_quantized,
+                                            quantization_range,
+                                            quantize_embeddings)
+
+    emb = _embeddings(sf_dir)
+    mn, mx = quantization_range(emb)
+    codes = quantize_embeddings(emb, mn, mx)
+
+    def head_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.less(batch.column("vec_id"),
+                                    pa.scalar(_QUERY_N)))
+
+    qrows = codes.map_batches(head_filter,
+                              batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.array([r["codes"] for r in qrows], dtype=np.int64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = knn_quantized(codes, qm, qids, k=10)
+    return (out[["query_id", "neighbor_id", "rank", "score"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF with nprobe < n_clusters: recall < 1 vs brute force by design,
     but the result is EXACTLY the top-k among vectors in the probed lists
@@ -2073,6 +2121,27 @@ def _ppr_sql(iterations: int = 3) -> str:
         SELECT node, round(r, 6) AS rank FROM r{iterations}
         ORDER BY node
     """
+
+
+def _quant_codes_sql() -> str:
+    """Shared CTE chain: scalar-quantization codes replayed from the raw
+    embeddings (stages/knn.py::quantization_range/quantize_embeddings —
+    identical float64 expression order)."""
+    return """
+        u AS (SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings),
+        x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS v
+              FROM u),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+        codes AS (
+          SELECT vec_id, dim,
+                 CASE WHEN mx > mn
+                      THEN CAST(floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+                                AS BIGINT)
+                      ELSE 0 END AS code
+          FROM x JOIN mm USING (dim))"""
 
 
 def _hits_sql(iterations: int = 3) -> str:
@@ -4947,6 +5016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_docs": _dedup_embedding_docs,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
+        "embeddings_quantize": _embeddings_quantize,
+        "knn_quantized": _knn_quantized,
         "knn_ivf": _knn_ivf,
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
         "knn_ivf_indexed": _knn_ivf_indexed,
@@ -7416,6 +7487,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, TRUE AS covered
             FROM counts ORDER BY doc_id
+        """,
+        "embeddings_quantize": f"""
+            WITH {_quant_codes_sql()}
+            SELECT vec_id, dim, code FROM codes ORDER BY vec_id, dim
+        """,
+        "knn_quantized": f"""
+            WITH {_quant_codes_sql()},
+            s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+                         sum(q.code * e.code) AS dot
+                  FROM codes q JOIN codes e USING (dim)
+                  WHERE q.vec_id < {_QUERY_N} GROUP BY 1, 2),
+            r AS (SELECT qid, nid, dot,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dot DESC, nid ASC)
+                           AS rnk
+                  FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   CAST(rnk AS BIGINT) AS "rank",
+                   CAST(dot AS BIGINT) AS score
+            FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"
         """,
         "knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -896,3 +896,52 @@ def test_editdist_join_matches_bruteforce(ray_session):
            if lev(strs[i], strs[j]) <= 1]
     assert (list(map(tuple, out[["id_a", "id_b", "dist"]]
                      .to_numpy().tolist())) == exp)
+
+
+def test_quantize_embeddings_codes_and_reconstruction(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import (quantization_range,
+                                            quantize_embeddings)
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(200, 8).astype(np.float32)
+    m[:, 5] = 1.25                      # constant dim -> code 0
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": list(m)})).repartition(4)
+    mn, mx = quantization_range(ds)
+    assert np.allclose(mn, m.astype(np.float64).min(0))
+    assert np.allclose(mx, m.astype(np.float64).max(0))
+    out = quantize_embeddings(ds, mn, mx).to_pandas()
+    codes = np.stack(out.sort_values("vec_id")["codes"].to_numpy())
+    assert codes.min() >= 0 and codes.max() <= 255
+    assert (codes[:, 5] == 0).all()
+    # reconstruction error bounded by half a quantization step
+    rngv = mx - mn
+    recon = mn + codes * np.where(rngv > 0, rngv, 1.0) / 255.0
+    err = np.abs(recon - m.astype(np.float64))
+    step = np.where(rngv > 0, rngv, 1.0) / 255.0
+    assert (err <= step / 2 + 1e-12).all()
+
+
+def test_knn_quantized_matches_numpy_int_dot(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import knn_quantized
+
+    rng = np.random.RandomState(9)
+    codes = rng.randint(0, 256, size=(120, 16)).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "codes": list(codes)})).repartition(5)
+    q = codes[:3]
+    out = knn_quantized(ds, q, [0, 1, 2], k=5)
+    dots = q @ codes.T                        # (3, 120) exact int64
+    for qi in range(3):
+        order = sorted(range(120), key=lambda j: (-dots[qi, j], j))[:5]
+        got = out[out.query_id == qi].sort_values("rank")
+        assert got.neighbor_id.tolist() == order
+        assert got.score.tolist() == [int(dots[qi, j]) for j in order]

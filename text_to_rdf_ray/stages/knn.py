@@ -905,3 +905,131 @@ def embedding_pca(
     flip = np.sign(vecs[np.arange(len(vals)),
                         np.abs(vecs).argmax(axis=1)])
     return vals, vecs * flip[:, None], mean
+
+
+def quantization_range(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact global per-dimension (min, max) of an embedding column —
+    the scalar-quantizer calibration pass.  One partial (dim, mn, mx)
+    row-set per batch; the driver folds O(batches x dim) rows (at 10^12
+    vectors swap the fold for an exchange_agg on dim — the partial shape
+    is already combiner-form).  Arithmetic in float64 so the DuckDB
+    replay (CAST(v AS DOUBLE)) sees identical values."""
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=4096).to_pandas()
+    g = p.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
+    return g["mn"].to_numpy(np.float64), g["mx"].to_numpy(np.float64)
+
+
+def quantize_embeddings(
+    ds: rd.Dataset,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> rd.Dataset:
+    """Scalar (per-dimension uniform) int8-style quantization — the
+    standard 4x memory cut for 100 TB embedding stores:
+    ``code = floor((x - mn) / (mx - mn) * (levels-1) + 0.5)`` clipped to
+    [0, levels-1]; constant dimensions (mx == mn) code to 0.  Output:
+    (id_col, codes: list<int64 in [0, levels-1]>).  Pure map — the
+    (mins, maxs) calibration vectors ride the closure (O(dim) bytes),
+    never per-batch recomputed.  Codes are EXACTLY reproducible from the
+    float64 expression, so downstream integer-dot ranking is bit-exact
+    across engines."""
+    mn = np.asarray(mins, np.float64)
+    rng = np.asarray(maxs, np.float64) - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    top = np.float64(levels - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        m = _emb_matrix(batch, emb_col).astype(np.float64)
+        c = np.floor((m - mn) / safe * top + 0.5)
+        c = np.clip(c, 0.0, top).astype(np.int64)
+        c[:, rng <= 0] = 0
+        return pa.table({
+            id_col: ids.cast(pa.int64()),
+            "codes": pa.array(list(c), pa.list_(pa.int64()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def knn_quantized(
+    ds_codes: rd.Dataset,
+    query_codes: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact top-k by INTEGER dot product over quantized codes — the
+    symmetric-distance ANN serving path.  All-int64 scoring means the
+    result (including the score column) is bit-identical on any engine,
+    partitioning, or CPU — no float summation-order caveat.  Returns
+    (query_id, neighbor_id, rank, score:int64); tie-break
+    (-score, neighbor_id).
+
+    Shape: identical exchange economics to ``knn_bruteforce`` — per-
+    batch local top-k combiner, qidx-hash-partitioned distributed top-k
+    reduce, driver collects O(n_queries x k)."""
+    qm = np.asarray(query_codes, dtype=np.int64)
+    q_ref = ray.put(qm)
+    n_parts = 32
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = np.stack(batch.column("codes").to_pylist()).astype(np.int64)
+            sims = self.q @ m.T
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            nq = sims.shape[0]
+            out_q = np.repeat(np.arange(nq, dtype=np.int32), kk)
+            return pa.table({
+                "qidx": pa.array(out_q, pa.int32()),
+                "_part": pa.array(out_q % np.int32(n_parts), pa.int32()),
+                "neighbor_id": pa.array(ids[idx.ravel()], pa.int64()),
+                "score": pa.array(
+                    np.take_along_axis(sims, idx, axis=1).ravel(),
+                    pa.int64())})
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values(["qidx", "score", "neighbor_id"],
+                          ascending=[True, False, True]))
+        return g.groupby("qidx", sort=False).head(k)
+
+    reduced = (ds_codes.map_batches(Score, batch_format="pyarrow",
+                                    batch_size=4096, concurrency=(1, 16))
+               .groupby("_part")
+               .map_groups(topk_part, batch_format="pandas")
+               .to_pandas())
+    red = reduced.sort_values(["qidx", "score", "neighbor_id"],
+                              ascending=[True, False, True])
+    red = red.groupby("qidx", sort=False).head(k).copy()
+    red["rank"] = (red.groupby("qidx", sort=False).cumcount() + 1
+                   ).astype("int64")
+    return pd.DataFrame({
+        "query_id": np.asarray(query_ids, dtype=np.int64)[
+            red["qidx"].to_numpy()],
+        "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
+        "rank": red["rank"].to_numpy(),
+        "score": red["score"].astype("int64").to_numpy()})
