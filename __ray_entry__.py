@@ -3563,6 +3563,29 @@ def _embeddings_cov_moments(sf_dir: str) -> pd.DataFrame:
             .sort_values(["i", "j"]).reset_index(drop=True))
 
 
+def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
+    event value, arms = user_id parity — one moment-partial row per
+    batch, six-number driver algebra.  Oracle replays the identical
+    moment expressions."""
+    from text_to_rdf_ray.stages.analytics import welch_ttest
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    ev = ev.map_batches(
+        lambda b: pd.DataFrame({"arm": (b["user_id"] % 2).astype("int64"),
+                                "value": b["value"]}),
+        batch_format="pandas")
+    out = welch_ttest(ev, group_col="arm", value_col="value",
+                      group_a=0, group_b=1)
+    for c in ("mean_a", "mean_b", "var_a", "var_b", "t_stat", "df"):
+        out[c] = _r(out[c], 6)
+    for c in ("n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out[["n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+                "t_stat", "df"]].reset_index(drop=True)
+
+
 def _events_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """One-pass Pearson correlation matrix (stages/analytics.py::
     corr_matrix) over (value, hour-of-day, ISO day-of-week) — one
@@ -5109,6 +5132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_hll_join_estimate": _orders_hll_join_estimate,
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
+        "events_ab_ttest": _events_ab_ttest,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -6705,6 +6729,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT * FROM firsts
               UNION ALL SELECT * FROM secs)
             ORDER BY i, j
+        """,
+        "events_ab_ttest": """
+            -- Welch t-test from raw moments, same expression shapes
+            WITH m AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                     CAST(count(value) AS DOUBLE) AS n,
+                     sum(value) AS s, sum(value * value) AS q
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            st AS (
+              SELECT arm, n, s / n AS mean,
+                     (q - s * s / n) / (n - 1.0) AS var
+              FROM m),
+            w AS (
+              SELECT a.n AS n_a, b.n AS n_b,
+                     a.mean AS mean_a, b.mean AS mean_b,
+                     a.var AS var_a, b.var AS var_b,
+                     a.var / a.n AS se_a, b.var / b.n AS se_b
+              FROM (SELECT * FROM st WHERE arm = 0) a,
+                   (SELECT * FROM st WHERE arm = 1) b)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+                   round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+                   round((mean_a - mean_b) / sqrt(se_a + se_b), 6)
+                     AS t_stat,
+                   round(pow(se_a + se_b, 2)
+                         / (pow(se_a, 2) / (n_a - 1.0)
+                            + pow(se_b, 2) / (n_b - 1.0)), 6) AS df
+            FROM w
         """,
         "events_corr_matrix": """
             -- corr_matrix replay: same raw moments, same algebra

@@ -1921,3 +1921,30 @@ def test_skyline_duplicates_counted(ray_session):
            .to_pandas().sort_values("x").reset_index(drop=True))
     assert out[["x", "y", "n"]].to_numpy().tolist() == [
         [4.0, 0, 1], [5.0, 1, 2], [6.0, 3, 1]]
+
+
+def test_welch_ttest_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import welch_ttest
+
+    rng = np.random.RandomState(5)
+    a = rng.normal(10.0, 2.0, 300)
+    b = rng.normal(10.5, 3.0, 200)
+    df = pd.DataFrame({
+        "arm": np.r_[np.zeros(300, int), np.ones(200, int)],
+        "value": np.r_[a, b]})
+    out = welch_ttest(rd.from_pandas(df).repartition(4),
+                      group_col="arm", value_col="value",
+                      group_a=0, group_b=1).iloc[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se = va / 300 + vb / 200
+    t = (a.mean() - b.mean()) / np.sqrt(se)
+    dof = se ** 2 / ((va / 300) ** 2 / 299 + (vb / 200) ** 2 / 199)
+    assert out.n_a == 300 and out.n_b == 200
+    assert abs(out.mean_a - a.mean()) < 1e-9
+    assert abs(out.var_b - vb) < 1e-7
+    assert abs(out.t_stat - t) < 1e-9
+    assert abs(out.df - dof) < 1e-6

@@ -2202,3 +2202,61 @@ def skyline_2d(ds: rd.Dataset, *, x_col: str, y_col: str) -> rd.Dataset:
     return (ds.map_batches(local, batch_format="pandas", batch_size=65536)
             .repartition(1)
             .map_batches(final, batch_format="pandas"))
+
+
+def welch_ttest(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int = 1,
+) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t-test in ONE streaming pass
+    — the A/B-experiment readout: per batch one partial row of
+    (n, Σx, Σx²) per arm, folded through a single-key exchange_agg;
+    the t statistic and Welch–Satterthwaite df resolve on the driver
+    from six numbers.  Sample variance via the moment form
+    ``(Σx² − (Σx)²/n) / (n−1)`` — the SQL oracle replays the identical
+    expression, so the cancellation caveat of ``corr_matrix`` applies
+    (pre-center values with a constant shift if mean²/var is extreme).
+
+    Output: one row (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df) — floats are the caller's to round.  Nulls in ``value_col``
+    are dropped per arm.
+    """
+    from .exchange import exchange_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row: dict = {"_k": 0}
+        for tag, gv in (("a", group_a), ("b", group_b)):
+            v = batch.loc[batch[group_col] == gv, value_col].dropna() \
+                .to_numpy(np.float64)
+            row[f"n_{tag}"] = np.float64(len(v))
+            row[f"s_{tag}"] = v.sum()
+            row[f"q_{tag}"] = (v * v).sum()
+        return pd.DataFrame([row])
+
+    aggs = [(f"{m}_{t}", "sum", f"{m}_{t}")
+            for t in ("a", "b") for m in ("n", "s", "q")]
+    tot = exchange_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "_k", aggs, num_partitions=num_partitions).to_pandas().iloc[0]
+
+    out: dict = {}
+    se = {}
+    for t in ("a", "b"):
+        n, s, q = tot[f"n_{t}"], tot[f"s_{t}"], tot[f"q_{t}"]
+        mean = s / n
+        var = (q - s * s / n) / (n - np.float64(1.0))
+        out[f"n_{t}"] = np.int64(n)
+        out[f"mean_{t}"] = mean
+        out[f"var_{t}"] = var
+        se[t] = var / n
+    denom = np.sqrt(se["a"] + se["b"])
+    out["t_stat"] = (out["mean_a"] - out["mean_b"]) / denom
+    out["df"] = ((se["a"] + se["b"]) ** 2
+                 / (se["a"] ** 2 / (tot["n_a"] - np.float64(1.0))
+                    + se["b"] ** 2 / (tot["n_b"] - np.float64(1.0))))
+    return pd.DataFrame([out])
