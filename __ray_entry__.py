@@ -1618,6 +1618,34 @@ def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_nb_classify(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language ID (stages/curation.py::
+    nb_train/nb_classify): integer-exact counts trained on doc_id % 10
+    != 0, add-one-smoothed log scores on the held-out % 10 == 0 slice;
+    unseen-(term,class) contributions are ln(1)=0 so the scoring join
+    is inner and candidate-proportional.  Oracle replays the full
+    train+score chain."""
+    from text_to_rdf_ray.stages.curation import nb_classify, nb_train
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+
+    def mod_sel(keep_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if keep_zero else (ids % 10 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    train = docs.map_batches(mod_sel(False), batch_format="pyarrow")
+    test = docs.map_batches(mod_sel(True), batch_format="pyarrow")
+    model, cs, vocab = nb_train(train, class_col="lang")
+    out = nb_classify(test, model, cs, vocab).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = _r(out["score"], 6)
+    return (out[["doc_id", "pred_class", "score"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 span-level
     training-data dedup) — stages/curation.py::dup_spans: gram-hash
@@ -5088,6 +5116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _docs_inverted_index,
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_dup_spans": _docs_dup_spans,
+        "docs_nb_classify": _docs_nb_classify,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -8049,6 +8078,46 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "docs_nb_classify": """
+            -- full NB chain: counts on the train split, add-one scores
+            -- on the held-out split, argmax with ties to smaller class
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            tr AS (SELECT * FROM words WHERE doc_id % 10 <> 0),
+            ttok AS (SELECT lang, unnest(w) AS term FROM tr),
+            model AS (SELECT lang, term, count(*) AS c FROM ttok
+                      GROUP BY 1, 2),
+            cstat AS (SELECT lang, count(*) AS docs FROM tr GROUP BY 1),
+            ctok AS (SELECT lang, count(*) AS tokens FROM ttok GROUP BY 1),
+            v AS (SELECT count(DISTINCT term) AS v FROM ttok),
+            dt AS (SELECT doc_id, w FROM words WHERE doc_id % 10 = 0),
+            dtf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(w) AS term FROM dt)
+                    GROUP BY 1, 2),
+            ntok AS (SELECT doc_id, len(w) AS n FROM dt),
+            msum AS (SELECT f.doc_id, m.lang,
+                            sum(f.tf * ln(m.c + 1.0)) AS m
+                     FROM dtf f JOIN model m USING (term) GROUP BY 1, 2),
+            fulls AS (
+              SELECT n.doc_id, cs.lang,
+                     ln(cs.docs / (SELECT CAST(sum(docs) AS DOUBLE)
+                                   FROM cstat))
+                     - n.n * ln(ct.tokens + (SELECT v FROM v))
+                     + coalesce(ms.m, 0.0) AS score
+              FROM ntok n CROSS JOIN cstat cs
+              JOIN ctok ct ON ct.lang = cs.lang
+              LEFT JOIN msum ms ON ms.doc_id = n.doc_id
+                               AND ms.lang = cs.lang),
+            r AS (SELECT doc_id, lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang)
+                           AS rnk
+                  FROM fulls)
+            SELECT doc_id, lang AS pred_class, round(score, 6) AS score
+            FROM r WHERE rnk = 1 ORDER BY doc_id
         """,
         "docs_dup_spans": """
             -- merged token spans covered by corpus-duplicated 5-grams

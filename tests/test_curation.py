@@ -1121,3 +1121,36 @@ def test_ngram_novelty_first_doc_wins(ray_session):
         "n_novel": [5, 4, 0],
         "novelty": [1.0, 0.8, 0.0]})
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_nb_train_classify_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import nb_classify, nb_train
+
+    train = rd.from_items([
+        {"doc_id": 0, "lang": "en", "text": "the cat sat on the mat"},
+        {"doc_id": 1, "lang": "en", "text": "the dog ran in the park"},
+        {"doc_id": 2, "lang": "fr", "text": "le chat sur le tapis"},
+        {"doc_id": 3, "lang": "fr", "text": "le chien dans le parc"},
+    ])
+    test = rd.from_items([
+        {"doc_id": 10, "text": "the cat ran"},
+        {"doc_id": 11, "text": "le chat parc"},
+        {"doc_id": 12, "text": ""},           # prior tie -> lex smaller
+        {"doc_id": 13, "text": "zz qq ww"},   # all-OOV -> length penalty
+    ])
+    model, cs, vocab = nb_train(train, class_col="lang")
+    assert vocab == 16
+    assert dict(zip(cs["class"], cs["tokens"])) == {"en": 12, "fr": 10}
+    out = (nb_classify(test, model, cs, vocab, num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.pred_class.tolist() == ["en", "fr", "en", "fr"]
+    # hand-check doc 10 ("the cat ran" vs en): c(the)=4, c(cat)=1,
+    # c(ran)=1 -> prior ln(.5) - 3 ln(12+16) + ln(5) + ln(2) + ln(2)
+    want = np.log(0.5) - 3 * np.log(28.0) + np.log(5.0) + 2 * np.log(2.0)
+    assert abs(out.loc[0, "score"] - want) < 1e-9
+    # empty doc scores = prior only
+    assert abs(out.loc[2, "score"] - np.log(0.5)) < 1e-12

@@ -2101,3 +2101,179 @@ def ngram_novelty(
                          "novelty": pa.array(rate, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def nb_train(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    class_col: str = "lang",
+    num_partitions: int = 64,
+) -> tuple[rd.Dataset, pd.DataFrame, int]:
+    """Multinomial Naive Bayes training — integer-exact: returns
+    (model: Dataset (class, term, c), class_stats: DataFrame (class,
+    docs, tokens), vocab_size).  All counts are exchange_agg int64
+    sums; class_stats is O(classes) and vocab_size a scalar, so both
+    live on the driver by construction — only the (class, term) count
+    table is corpus-scaled and it stays distributed.
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for cls, txt in zip(batch.column(class_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            for t in _terms(txt or ""):
+                counts[(cls, t)] = counts.get((cls, t), 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            "class": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "c": pa.array([counts[k] for k in ks], pa.int64())})
+
+    model = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048),
+        ["class", "term"], [("c", "sum", "c")],
+        num_partitions=num_partitions, combine=False).materialize()
+
+    stats = exchange_agg(model, "class", [("c", "sum", "tokens")],
+                         num_partitions=8).to_pandas()
+    docs = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({"class": t.column(class_col),
+                                "d": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "class", [("d", "sum", "docs")], num_partitions=8).to_pandas()
+    class_stats = stats.merge(docs, on="class", how="outer").fillna(0)
+    class_stats["tokens"] = class_stats["tokens"].astype("int64")
+    class_stats["docs"] = class_stats["docs"].astype("int64")
+    vocab_size = int(distinct_rows(
+        model.select_columns(["term"]), cols=["term"]).count())
+    return model, class_stats, vocab_size
+
+
+def nb_classify(
+    ds: rd.Dataset,
+    model: rd.Dataset,
+    class_stats: pd.DataFrame,
+    vocab_size: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Multinomial NB scoring with add-one smoothing.  Key algebra:
+    ``score(d,l) = ln(D_l/D) − N_d·ln(T_l+V) + Σ_{t∈d} tf·ln(c(l,t)+1)``
+    — the unseen-(term,class) contribution is ln(0+1) = 0, so an INNER
+    term-hash join against the model covers every term and the join
+    output is candidate-proportional (matched (doc,term,class) rows
+    only, never |docs|x|vocab|).  Output: (id_col, pred_class,
+    score) — argmax with ties to the lexicographically smaller class.
+
+    Scale shape: one exchange_join tokens⋈model on term, one
+    (doc,class)-keyed exchange_agg of matched log sums, one doc-keyed
+    finalize with the O(classes) prior/denominator table riding the
+    closure.
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    cs = class_stats.sort_values("class").reset_index(drop=True)
+    classes = cs["class"].tolist()
+    d_total = np.float64(cs["docs"].sum())
+    prior = {c: np.log(np.float64(d) / d_total)
+             for c, d in zip(cs["class"], cs["docs"])}
+    denom = {c: np.log(np.float64(t) + np.float64(vocab_size))
+             for c, t in zip(cs["class"], cs["tokens"])}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_tf, tot_id, tot_n = [], [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ts = _terms(txt or "")
+            tot_id.append(did)
+            tot_n.append(len(ts))
+            tf: dict = {}
+            for t in ts:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                out_id.append(did)
+                out_t.append(t)
+                out_tf.append(f)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_tf, pa.int64())})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ids.append(did)
+            ns.append(len(_terms(txt or "")))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tok": pa.array(ns, pa.int64())})
+
+    toks = ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=2048)
+    joined = exchange_join(
+        toks, model, on="term", num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("class", pa.string()),
+                                ("term", pa.string()),
+                                ("c", pa.int64())]))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "class": t.column("class"),
+            "m": pa.array(tf * np.log(c + 1.0), pa.float64())})
+
+    msum = exchange_agg(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        [id_col, "class"], [("m", "sum", "m")],
+        num_partitions=num_partitions)
+
+    nt = ds.map_batches(totals, batch_format="pyarrow")
+    both = exchange_join(
+        nt, msum, on=id_col, how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("n_tok", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("class", pa.string()),
+                                ("m", pa.float64())]))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, matched class) + docs with no match at all;
+        # expand to ALL classes per doc, fill msum 0
+        base = g[[id_col, "n_tok"]].drop_duplicates(id_col)
+        full = base.merge(pd.DataFrame({"class": classes}), how="cross")
+        m = g.dropna(subset=["class"])[[id_col, "class", "m"]]
+        full = full.merge(m, on=[id_col, "class"], how="left")
+        ms = full["m"].fillna(0.0).to_numpy(np.float64)
+        n = full["n_tok"].to_numpy(np.float64)
+        pr = full["class"].map(prior).to_numpy(np.float64)
+        dn = full["class"].map(denom).to_numpy(np.float64)
+        full["score"] = pr - n * dn + ms
+        full = full.sort_values([id_col, "score", "class"],
+                                ascending=[True, False, True])
+        win = full.groupby(id_col, sort=False).head(1)
+        return pd.DataFrame({
+            id_col: win[id_col].astype("int64"),
+            "pred_class": win["class"],
+            "score": win["score"].astype("float64")})
+
+    # doc-keyed exchange already holds every row of a doc in one
+    # partition (both joins keyed on id_col); batch_size=None keeps one
+    # batch per partition block so no doc straddles a finalize call
+    return both.map_batches(
+        lambda t: finalize(t.to_pandas()), batch_format="pyarrow",
+        batch_size=None)
