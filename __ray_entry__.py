@@ -2172,6 +2172,36 @@ def _quant_codes_sql() -> str:
           FROM x JOIN mm USING (dim))"""
 
 
+def _lpa_sql(iterations: int = 3) -> str:
+    """Unrolled replay of stages/graph.py::label_propagation over the
+    undirected supplier↔customer graph: per round one neighbor-label
+    vote count + one (count DESC, lbl ASC) winner pick."""
+    its = []
+    for t in range(1, iterations + 1):
+        p = t - 1
+        its.append(f"""
+        c{t} AS (
+          SELECT e.node, l.lbl, count(*) AS c
+          FROM ed e JOIN l{p} l ON l.node = e.nbr GROUP BY 1, 2),
+        l{t} AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM c{t}) WHERE rn = 1)""")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          CAST(1000000 + o_custkey AS BIGINT) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ed AS (SELECT src AS node, dst AS nbr FROM e0
+               UNION SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM ed),
+        {",".join(its)}
+        SELECT node, lbl FROM l{iterations} ORDER BY node
+    """
+
+
 def _hits_sql(iterations: int = 3) -> str:
     """Unrolled replay of stages/graph.py::hits over the directed
     supplier→customer graph: per iteration one hub-push sum + L1
@@ -4413,6 +4443,40 @@ def _graph_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _graph_lpa(sf_dir: str) -> pd.DataFrame:
+    """Synchronous majority-vote label propagation (stages/graph.py::
+    label_propagation) over the undirected supplier↔customer graph —
+    3 rounds, ties to the smaller label.  Oracle: unrolled rounds."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import label_propagation
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["supp"].astype("int64"),
+            "dst": b["cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas")
+    out = label_propagation(edges, iterations=3).to_pandas()
+    for c in ("node", "lbl"):
+        out[c] = out[c].astype("int64")
+    return out[["node", "lbl"]].sort_values("node").reset_index(drop=True)
+
+
 def _graph_hits(sf_dir: str) -> pd.DataFrame:
     """HITS hubs/authorities (stages/graph.py::hits, L1-normalized) over
     the directed supplier→customer graph (customers offset by 1,000,000
@@ -5197,6 +5261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_random_walks": _graph_random_walks,
         "graph_personalized_pagerank": _graph_personalized_pagerank,
         "graph_hits": _graph_hits,
+        "graph_lpa": _graph_lpa,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -6572,6 +6637,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walks": _random_walk_sql(steps=4, seed=42),
         "graph_personalized_pagerank": _ppr_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=3),
+        "graph_lpa": _lpa_sql(iterations=3),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash
             -- from the vocab side table, bucket % dim, splitmix64

@@ -387,3 +387,26 @@ def test_hits_matches_numpy_reference(ray_session):
     # both score vectors are L1-normalized
     assert abs(out.hub.sum() - 1.0) < 1e-9
     assert abs(out.auth.sum() - 1.0) < 1e-9
+
+
+def test_label_propagation_two_communities(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge: majority vote keeps the
+    # communities separate (unlike min-label CC, which would merge them)
+    def clique(nodes):
+        return [(a, b) for i, a in enumerate(nodes)
+                for b in nodes[i + 1:]]
+
+    e = pd.DataFrame(clique([0, 1, 2, 3]) + clique([10, 11, 12, 13])
+                     + [(3, 10)], columns=["src", "dst"])
+    out = (label_propagation(rd.from_pandas(e), iterations=4,
+                             num_partitions=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    left = set(out[out.node < 10].lbl)
+    right = set(out[out.node >= 10].lbl)
+    assert len(left) == 1 and len(right) == 1
+    assert left != right

@@ -1229,3 +1229,83 @@ def hits(
                          "auth": pa.array(a, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Synchronous label propagation (Raghavan 2007, deterministic
+    variant): community detection by iterated majority vote — each node
+    adopts the most frequent label among its NEIGHBORS, ties to the
+    smaller label, all nodes updating simultaneously.  Labels start as
+    node ids.  Sync + min-tie makes every round a pure function of the
+    previous labeling, so an unrolled SQL oracle replays it exactly
+    (async variants are order-dependent and unreplayable).
+
+    Output after ``iterations`` rounds: ``(node, lbl)``.
+
+    Scale shape: the undirected distinct edge table materializes ONCE;
+    per round one edge⋈labels ``exchange_join`` on the neighbor endpoint
+    (O(E) vote rows — the standard LPA cost), one (node,label)-keyed
+    ``exchange_agg`` count whose per-batch combiner collapses repeat
+    votes early, and one ``topk_per_group`` winner pick (batch-local
+    top-1 combiner, node-hash exchange, vectorized reduce).  Only the
+    O(nodes) label table is iteration state.
+    """
+    from .analytics import distinct_rows, topk_per_group
+    from .exchange import exchange_agg, exchange_join
+
+    e = distinct_rows(edges, cols=[src_col, dst_col])
+    und = e.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([
+                t.column(src_col).cast(pa.int64()).combine_chunks(),
+                t.column(dst_col).cast(pa.int64()).combine_chunks()]),
+            "nbr": pa.concat_arrays([
+                t.column(dst_col).cast(pa.int64()).combine_chunks(),
+                t.column(src_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    und = distinct_rows(und, cols=["node", "nbr"]).materialize()
+    und_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
+    labels = distinct_rows(
+        und.select_columns(["node"]), cols=["node"]).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "lbl": t.column("node")}),
+        batch_format="pyarrow").materialize()
+    l_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+    for _ in range(iterations):
+        # vote: node receives lbl(nbr) for every incident edge
+        votes = exchange_join(
+            und.map_batches(
+                lambda t: pa.table({"v_node": t.column("node"),
+                                    "node": t.column("nbr")}),
+                batch_format="pyarrow"),
+            labels, on="node", num_partitions=num_partitions,
+            left_schema=pa.schema([("v_node", pa.int64()),
+                                   ("node", pa.int64())]),
+            right_schema=l_schema)
+        cnt = exchange_agg(
+            votes.map_batches(
+                lambda t: pa.table({"node": t.column("v_node"),
+                                    "lbl": t.column("lbl"),
+                                    "c": pa.array(np.ones(
+                                        t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            ["node", "lbl"], [("c", "sum", "c")],
+            num_partitions=num_partitions)
+        labels = topk_per_group(
+            cnt, key_col="node", sort_col="c", tiebreak_col="lbl",
+            k=1, descending=True).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node").cast(pa.int64()),
+                "lbl": t.column("lbl").cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    return labels
