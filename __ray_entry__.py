@@ -2172,6 +2172,45 @@ def _quant_codes_sql() -> str:
           FROM x JOIN mm USING (dim))"""
 
 
+def _logreg_sql(iterations: int = 3, lr: float = 0.5) -> str:
+    """Unrolled replay of stages/analytics.py::logreg_train on the
+    events features (value/100, hour/10 -> purchase?): per iteration
+    one gradient-sum scan + one O(d) weight update, identical float
+    expression shapes (left-assoc logit, (lr*g)/n update)."""
+    its = ["w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+           " CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2)"]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        z = (f"((SELECT w0 FROM w{p}) + (SELECT w1 FROM w{p}) * x1"
+             f" + (SELECT w2 FROM w{p}) * x2)")
+        e = f"(1.0 / (1.0 + exp(-{z})) - y)"
+        its.append(f"""
+        g{t} AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum({e}) AS g0, sum(x1 * {e}) AS g1,
+                 sum(x2 * {e}) AS g2
+          FROM f),
+        w{t} AS (
+          SELECT (SELECT w0 FROM w{p}) - {lr} * g0 / n AS w0,
+                 (SELECT w1 FROM w{p}) - {lr} * g1 / n AS w1,
+                 (SELECT w2 FROM w{p}) - {lr} * g2 / n AS w2
+          FROM g{t})""")
+    return f"""
+        WITH f AS (
+          SELECT CAST(value / 100.0 AS DOUBLE) AS x1,
+                 CAST(extract(hour FROM ts) / 10.0 AS DOUBLE) AS x2,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS y
+          FROM events WHERE value IS NOT NULL),
+        {",".join(its)}
+        SELECT round(w0, 6) AS w_0, round(w1, 6) AS w_1,
+               round(w2, 6) AS w_2,
+               (SELECT CAST(count(*) AS BIGINT) FROM f) AS n
+        FROM w{iterations}
+    """
+
+
 def _lpa_sql(iterations: int = 3) -> str:
     """Unrolled replay of stages/graph.py::label_propagation over the
     undirected supplier↔customer graph: per round one neighbor-label
@@ -3619,6 +3658,31 @@ def _embeddings_cov_moments(sf_dir: str) -> pd.DataFrame:
     out["s"] = _r(out["s"], 6)
     return (out[["i", "j", "s"]]
             .sort_values(["i", "j"]).reset_index(drop=True))
+
+
+def _events_logreg(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch GD logistic regression (stages/
+    analytics.py::logreg_train): 3 iterations, one partial-gradient row
+    per batch per pass, O(d) iteration state.  Oracle: unrolled
+    iterations with the same float shapes."""
+    from text_to_rdf_ray.stages.analytics import logreg_train
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["value"])
+        return pd.DataFrame({
+            "x1": b["value"].to_numpy(np.float64) / 100.0,
+            "x2": b["ts"].dt.hour.to_numpy(np.float64) / 10.0,
+            "y": (b["event_type"] == "purchase").to_numpy(np.float64)})
+
+    out = logreg_train(ev.map_batches(feats, batch_format="pandas"),
+                       ["x1", "x2"], "y", iterations=3, lr=0.5)
+    for c in ("w_0", "w_1", "w_2"):
+        out[c] = _r(out[c], 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["w_0", "w_1", "w_2", "n"]].reset_index(drop=True)
 
 
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
@@ -5226,6 +5290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cov_moments": _embeddings_cov_moments,
         "events_corr_matrix": _events_corr_matrix,
         "events_ab_ttest": _events_ab_ttest,
+        "events_logreg": _events_logreg,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -6638,6 +6703,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_personalized_pagerank": _ppr_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=3),
         "graph_lpa": _lpa_sql(iterations=3),
+        "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash
             -- from the vocab side table, bucket % dim, splitmix64

@@ -1948,3 +1948,33 @@ def test_welch_ttest_matches_numpy(ray_session):
     assert abs(out.var_b - vb) < 1e-7
     assert abs(out.t_stat - t) < 1e-9
     assert abs(out.df - dof) < 1e-6
+
+
+def test_logreg_train_matches_numpy_gd(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import logreg_train
+
+    rng = np.random.RandomState(11)
+    x1 = rng.randn(1000)
+    x2 = rng.randn(1000)
+    y = (1.0 / (1.0 + np.exp(-(0.5 + 2 * x1 - x2)))
+         > rng.rand(1000)).astype(np.float64)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    out = logreg_train(rd.from_pandas(df).repartition(4),
+                       ["x1", "x2"], "y", iterations=5, lr=0.3).iloc[0]
+
+    w = np.zeros(3)
+    for _ in range(5):
+        z = w[0] + w[1] * x1 + w[2] * x2
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        g = np.array([err.sum(), (x1 * err).sum(), (x2 * err).sum()])
+        w = w - 0.3 * g / 1000.0
+    assert abs(out.w_0 - w[0]) < 1e-9
+    assert abs(out.w_1 - w[1]) < 1e-9
+    assert abs(out.w_2 - w[2]) < 1e-9
+    assert out.n == 1000
+    # learning moved the weights in the generative direction
+    assert out.w_1 > 0 and out.w_2 < 0

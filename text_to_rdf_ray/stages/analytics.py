@@ -2260,3 +2260,67 @@ def welch_ttest(
                  / (se["a"] ** 2 / (tot["n_a"] - np.float64(1.0))
                     + se["b"] ** 2 / (tot["n_b"] - np.float64(1.0))))
     return pd.DataFrame([out])
+
+
+def logreg_train(
+    ds: rd.Dataset,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iterations: int = 3,
+    lr: float = 0.5,
+    num_partitions: int = 1,
+) -> pd.DataFrame:
+    """Full-batch gradient-descent logistic regression — the iterative
+    distributed-training kernel: per iteration ONE streaming pass emits
+    a single partial-gradient row per batch (d+1 doubles), folded by a
+    single-key exchange_agg; the O(d) weight update runs on the driver.
+    ``w ← w − lr/n · Σ xᵢ(σ(w·xᵢ) − yᵢ)`` with ``w₀ = 0`` and an
+    implicit leading intercept feature.
+
+    The per-row logit is evaluated as the explicit elementwise sum
+    ``w0·1 + w1·x1 + …`` in float64 (not a BLAS dot) so an unrolled SQL
+    oracle reproduces each iteration's float expression shapes; sum
+    order across rows is the usual partition-fold caveat, absorbed by
+    end rounding.  Returns one row: (w_0 … w_d, n).
+
+    At 100 TB: iteration state is O(d) — only the weight vector moves
+    between passes; each pass is embarrassingly parallel and reads the
+    feature columns only.
+    """
+    from .exchange import exchange_agg
+
+    d = len(feature_cols) + 1  # intercept
+    w = np.zeros(d, dtype=np.float64)
+    lr64 = np.float64(lr)
+    n_total = None
+
+    for _ in range(iterations):
+        wc = w.copy()
+
+        def partial(batch: pd.DataFrame, wc=wc) -> pd.DataFrame:
+            y = batch[label_col].to_numpy(np.float64)
+            z = np.full(len(batch), wc[0], np.float64)
+            for j, c in enumerate(feature_cols):
+                z = z + wc[j + 1] * batch[c].to_numpy(np.float64)
+            err = 1.0 / (1.0 + np.exp(-z)) - y
+            row = {"_k": 0, "n": np.float64(len(batch)),
+                   "g_0": err.sum()}
+            for j, c in enumerate(feature_cols):
+                row[f"g_{j + 1}"] = (
+                    batch[c].to_numpy(np.float64) * err).sum()
+            return pd.DataFrame([row])
+
+        aggs = ([("n", "sum", "n")]
+                + [(f"g_{j}", "sum", f"g_{j}") for j in range(d)])
+        tot = exchange_agg(
+            ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+            "_k", aggs, num_partitions=num_partitions).to_pandas().iloc[0]
+        n_total = np.float64(tot["n"])
+        for j in range(d):
+            w[j] = w[j] - lr64 * np.float64(tot[f"g_{j}"]) / n_total
+
+    out = {f"w_{j}": w[j] for j in range(d)}
+    out["n"] = np.int64(n_total)
+    return pd.DataFrame([out])
