@@ -4507,6 +4507,85 @@ def _graph_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _graph_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the undirected supplier↔customer graph:
+    Pearson r of (deg(node), deg(nbr)) over both edge orientations —
+    degrees via exchange_agg, two chained exchange_joins attach them to
+    the edge list, and the correlation is the one-pass moment fold of
+    stages/analytics.py::corr_matrix.  Oracle replays the same moment
+    algebra."""
+    from text_to_rdf_ray.stages.analytics import corr_matrix, distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    e0 = distinct_rows(joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["supp"].astype("int64"),
+            "dst": b["cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas"), cols=["src", "dst"])
+    und = e0.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([
+                t.column("src").cast(pa.int64()).combine_chunks(),
+                t.column("dst").cast(pa.int64()).combine_chunks()]),
+            "nbr": pa.concat_arrays([
+                t.column("dst").cast(pa.int64()).combine_chunks(),
+                t.column("src").cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+    deg = exchange_agg(und.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow"),
+        "node", [("one", "sum", "deg")], num_partitions=16)
+    dschema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    j1 = exchange_join(
+        und, deg, on="node", num_partitions=16,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("nbr", pa.int64())]),
+        right_schema=dschema).map_batches(
+        lambda t: pa.table({"node": t.column("nbr"),
+                            "dx": t.column("deg")}),
+        batch_format="pyarrow")
+    j2 = exchange_join(
+        j1, deg.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "dy": t.column("deg")}),
+            batch_format="pyarrow"),
+        on="node", num_partitions=16,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("dx", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("dy", pa.int64())]))
+    pairs = j2.map_batches(
+        lambda t: pa.table({
+            "dx": pa.array(t.column("dx").to_numpy(
+                zero_copy_only=False).astype(np.float64)),
+            "dy": pa.array(t.column("dy").to_numpy(
+                zero_copy_only=False).astype(np.float64))}),
+        batch_format="pyarrow")
+    out = corr_matrix(pairs, ["dx", "dy"]).to_pandas()
+    out["corr"] = _r(out["corr"], 6)
+    out["n"] = out["n"].astype("int64")
+    return (out[["col_a", "col_b", "n", "corr"]]
+            .sort_values(["col_a", "col_b"]).reset_index(drop=True))
+
+
 def _graph_lpa(sf_dir: str) -> pd.DataFrame:
     """Synchronous majority-vote label propagation (stages/graph.py::
     label_propagation) over the undirected supplier↔customer graph —
@@ -5327,6 +5406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_personalized_pagerank": _graph_personalized_pagerank,
         "graph_hits": _graph_hits,
         "graph_lpa": _graph_lpa,
+        "graph_assortativity": _graph_assortativity,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -6918,6 +6998,31 @@ def oracle_sql() -> dict[str, str]:
                          / (pow(se_a, 2) / (n_a - 1.0)
                             + pow(se_b, 2) / (n_b - 1.0)), 6) AS df
             FROM w
+        """,
+        "graph_assortativity": """
+            -- degree assortativity: corr_matrix moment algebra over
+            -- (deg(node), deg(nbr)) pairs, both orientations
+            WITH e0 AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                              CAST(1000000 + o_custkey AS BIGINT) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            ed AS (SELECT src AS node, dst AS nbr FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+            deg AS (SELECT node, CAST(count(*) AS DOUBLE) AS d
+                    FROM ed GROUP BY node),
+            p AS (SELECT dn.d AS dx, dm.d AS dy
+                  FROM ed e JOIN deg dn ON dn.node = e.node
+                            JOIN deg dm ON dm.node = e.nbr),
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         sum(dx) AS sx, sum(dy) AS sy,
+                         sum(dx * dx) AS pxx, sum(dx * dy) AS pxy,
+                         sum(dy * dy) AS pyy
+                  FROM p)
+            SELECT 'dx' AS col_a, 'dy' AS col_b, CAST(n AS BIGINT) AS n,
+                   round((n * pxy - sx * sy)
+                     / sqrt((n * pxx - sx * sx) * (n * pyy - sy * sy)),
+                     6) AS corr
+            FROM m
         """,
         "events_corr_matrix": """
             -- corr_matrix replay: same raw moments, same algebra
