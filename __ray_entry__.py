@@ -1646,6 +1646,35 @@ def _docs_nb_classify(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_nb_confusion(sf_dir: str) -> pd.DataFrame:
+    """Classifier-eval confusion matrix over the NB held-out slice:
+    (actual, pred, n) — the prediction chain of _docs_nb_classify
+    joined back to gold labels with one doc-keyed exchange_join and
+    counted with one exchange_agg."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    pred = _docs_nb_classify(sf_dir)[["doc_id", "pred_class"]]
+    gold = _documents(sf_dir).select_columns(["doc_id", "lang"])
+    j = exchange_join(
+        gold, rd.from_pandas(pred), on="doc_id", num_partitions=8,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("pred_class", pa.string())]))
+    cnt = exchange_agg(
+        j.map_batches(
+            lambda t: pa.table({"actual": t.column("lang"),
+                                "pred": t.column("pred_class"),
+                                "n": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow"),
+        ["actual", "pred"], [("n", "sum", "n")],
+        num_partitions=8).to_pandas()
+    cnt["n"] = cnt["n"].astype("int64")
+    return (cnt[["actual", "pred", "n"]]
+            .sort_values(["actual", "pred"]).reset_index(drop=True))
+
+
 def _docs_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 span-level
     training-data dedup) — stages/curation.py::dup_spans: gram-hash
@@ -5324,6 +5353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_dup_spans": _docs_dup_spans,
         "docs_nb_classify": _docs_nb_classify,
+        "docs_nb_confusion": _docs_nb_confusion,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -8315,6 +8345,48 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "docs_nb_confusion": """
+            -- full NB chain: counts on the train split, add-one scores
+            -- on the held-out split, argmax with ties to smaller class
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            tr AS (SELECT * FROM words WHERE doc_id % 10 <> 0),
+            ttok AS (SELECT lang, unnest(w) AS term FROM tr),
+            model AS (SELECT lang, term, count(*) AS c FROM ttok
+                      GROUP BY 1, 2),
+            cstat AS (SELECT lang, count(*) AS docs FROM tr GROUP BY 1),
+            ctok AS (SELECT lang, count(*) AS tokens FROM ttok GROUP BY 1),
+            v AS (SELECT count(DISTINCT term) AS v FROM ttok),
+            dt AS (SELECT doc_id, w FROM words WHERE doc_id % 10 = 0),
+            dtf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(w) AS term FROM dt)
+                    GROUP BY 1, 2),
+            ntok AS (SELECT doc_id, len(w) AS n FROM dt),
+            msum AS (SELECT f.doc_id, m.lang,
+                            sum(f.tf * ln(m.c + 1.0)) AS m
+                     FROM dtf f JOIN model m USING (term) GROUP BY 1, 2),
+            fulls AS (
+              SELECT n.doc_id, cs.lang,
+                     ln(cs.docs / (SELECT CAST(sum(docs) AS DOUBLE)
+                                   FROM cstat))
+                     - n.n * ln(ct.tokens + (SELECT v FROM v))
+                     + coalesce(ms.m, 0.0) AS score
+              FROM ntok n CROSS JOIN cstat cs
+              JOIN ctok ct ON ct.lang = cs.lang
+              LEFT JOIN msum ms ON ms.doc_id = n.doc_id
+                               AND ms.lang = cs.lang),
+            r AS (SELECT doc_id, lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang)
+                           AS rnk
+                  FROM fulls)
+            SELECT d.lang AS actual, r.lang AS pred,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r JOIN documents d USING (doc_id)
+            WHERE r.rnk = 1 GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "docs_nb_classify": """
             -- full NB chain: counts on the train split, add-one scores
