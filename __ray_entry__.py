@@ -608,6 +608,26 @@ def _knn_quantized(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def _embeddings_rproj(sf_dir: str) -> pd.DataFrame:
+    """JL sign random projection (stages/knn.py::random_projection):
+    deterministic splitmix64-derived ±1 matrix, y = V·S/sqrt(k), pure
+    map.  Oracle regenerates the sign matrix with the same integer hash
+    chain and replays the projection sum."""
+    from text_to_rdf_ray.stages.knn import random_projection
+
+    out = random_projection(_embeddings(sf_dir), out_dim=8,
+                            seed=42).to_pandas()
+    rows = []
+    for vid, ys in zip(out["vec_id"], out["proj"]):
+        for j, y in enumerate(ys):
+            rows.append((int(vid), j, y))
+    df = pd.DataFrame(rows, columns=["vec_id", "j", "y"])
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["j"] = df["j"].astype("int64")
+    df["y"] = _r(df["y"], 6)
+    return df.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+
 def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF with nprobe < n_clusters: recall < 1 vs brute force by design,
     but the result is EXACTLY the top-k among vectors in the probed lists
@@ -5304,6 +5324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "embeddings_quantize": _embeddings_quantize,
+        "embeddings_rproj": _embeddings_rproj,
         "knn_quantized": _knn_quantized,
         "knn_ivf": _knn_ivf,
         "knn_ivf_exhaustive": _knn_ivf_exhaustive,
@@ -7836,6 +7857,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, TRUE AS covered
             FROM counts ORDER BY doc_id
         """,
+        "embeddings_rproj": f"""
+            -- sign matrix from the splitmix64 chain over i*997+j*131+42,
+            -- then y(vec,j) = sum_i v_i * s(i,j) / sqrt(8)
+            WITH grid AS (
+              SELECT i.i AS i, j.j AS j,
+                     CAST(i.i * 997 + j.j * 131 + 42 AS BIGINT) AS gid
+              FROM (SELECT unnest(range(0, 64)) AS i) i,
+                   (SELECT unnest(range(0, 8)) AS j) j),
+            {{sm64}},
+            signs AS (SELECT i, j,
+                             CAST(1 - 2 * (hv % 2) AS DOUBLE) AS s
+                      FROM gh),
+            u AS (SELECT vec_id, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS p
+                  FROM embeddings),
+            x AS (SELECT vec_id, CAST(p - 1 AS BIGINT) AS i,
+                         CAST(embedding[p] AS DOUBLE) AS v
+                  FROM u)
+            SELECT x.vec_id, g.j,
+                   round(sum(x.v * g.s) / sqrt(8.0), 6) AS y
+            FROM x JOIN signs g ON g.i = x.i
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """.format(sm64=_sm64_sql("grid", "gid", ["i", "j"], prefix="g")),
         "embeddings_quantize": f"""
             WITH {_quant_codes_sql()}
             SELECT vec_id, dim, code FROM codes ORDER BY vec_id, dim

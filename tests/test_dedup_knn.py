@@ -945,3 +945,28 @@ def test_knn_quantized_matches_numpy_int_dot(ray_session):
         got = out[out.query_id == qi].sort_values("rank")
         assert got.neighbor_id.tolist() == order
         assert got.score.tolist() == [int(dots[qi, j]) for j in order]
+
+
+def test_random_projection_preserves_distance_in_expectation(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import random_projection, rproj_signs
+
+    rng = np.random.RandomState(21)
+    m = rng.randn(300, 64).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": list(m)})).repartition(4)
+    out = random_projection(ds, out_dim=16, seed=7).to_pandas()
+    y = np.stack(out.sort_values("vec_id")["proj"].to_numpy())
+    # exact parity with the driver-side formula
+    s = rproj_signs(64, 16, seed=7)
+    want = (m.astype(np.float64) @ s) / np.sqrt(16.0)
+    assert np.allclose(y, want, atol=0, rtol=0)
+    # JL property (loose at k=16): squared norms broadly preserved
+    r = (y ** 2).sum(1) / (m.astype(np.float64) ** 2).sum(1)
+    assert np.mean((r > 0.4) & (r < 1.8)) > 0.9
+    assert 0.8 < r.mean() < 1.2
+    # sign matrix is balanced-ish
+    assert abs(s.mean()) < 0.1

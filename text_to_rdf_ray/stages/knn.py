@@ -1033,3 +1033,48 @@ def knn_quantized(
         "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
         "rank": red["rank"].to_numpy(),
         "score": red["score"].astype("int64").to_numpy()})
+
+
+def rproj_signs(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 sign matrix (in_dim, out_dim) for sparse
+    Johnson–Lindenstrauss projection (Achlioptas 2003, sign variant):
+    ``s(i,j) = 1 − 2·(splitmix64(i·997 + j·131 + seed) mod 2)`` — an
+    integer hash chain, so the DuckDB oracle regenerates the identical
+    matrix."""
+    from .analytics import splitmix64
+
+    i = np.repeat(np.arange(in_dim, dtype=np.int64), out_dim)
+    j = np.tile(np.arange(out_dim, dtype=np.int64), in_dim)
+    h = splitmix64(i * 997 + j * 131 + np.int64(seed))
+    s = 1 - 2 * (h % np.uint64(2)).astype(np.int64)
+    return s.reshape(in_dim, out_dim).astype(np.float64)
+
+
+def random_projection(
+    ds: rd.Dataset,
+    *,
+    out_dim: int = 8,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction:
+    ``y = V·S / sqrt(out_dim)`` with the deterministic ±1 sign matrix of
+    :func:`rproj_signs` — distances are preserved in expectation at an
+    8–16x storage cut, the cheap front-end to LSH/ANN at 100 TB.  Pure
+    map, zero shuffle; the sign matrix is built once per actor from the
+    hash chain (O(d·k) ints — nothing ships).  Output: (id_col,
+    proj: list<float64>)."""
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col).astype(np.float64)
+        s = state.get("s")
+        if s is None or s.shape[0] != m.shape[1]:
+            s = state["s"] = rproj_signs(m.shape[1], out_dim, seed)
+        y = (m @ s) / np.sqrt(np.float64(out_dim))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "proj": pa.array(list(y), pa.list_(pa.float64()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
