@@ -1638,6 +1638,22 @@ def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_source_divergence(sf_dir: str) -> pd.DataFrame:
+    """Per-source Jensen-Shannon divergence vs the corpus term
+    distribution (stages/curation.py::js_divergence_by_group) — the
+    domain-drift signal.  Absent-term mass folds to q·ln2 in closed
+    form, so every sum ranges over the source's own terms; oracle
+    replays the identical algebra."""
+    from text_to_rdf_ray.stages.curation import js_divergence_by_group
+
+    docs = _documents(sf_dir).select_columns(["text", "source"])
+    out = js_divergence_by_group(docs, group_col="source")
+    out["js"] = _r(out["js"], 6)
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return (out[["source", "n_terms", "js"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def _docs_nb_classify(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language ID (stages/curation.py::
     nb_train/nb_classify): integer-exact counts trained on doc_id % 10
@@ -5375,6 +5391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": _docs_dup_spans,
         "docs_nb_classify": _docs_nb_classify,
         "docs_nb_confusion": _docs_nb_confusion,
+        "docs_source_divergence": _docs_source_divergence,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -8431,6 +8448,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM r JOIN documents d USING (doc_id)
             WHERE r.rnk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_source_divergence": """
+            -- JS(P_source, Q_corpus): absent-term mass = q*ln2 closed
+            -- form, sums over the source's own terms only
+            WITH words AS (
+              SELECT source,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            toks AS (SELECT source, unnest(w) AS term FROM words),
+            gt AS (SELECT source, term, count(*) AS c FROM toks
+                   GROUP BY 1, 2),
+            tgt AS (SELECT source, CAST(sum(c) AS DOUBLE) AS tg FROM gt
+                    GROUP BY 1),
+            ctt AS (SELECT term, sum(c) AS ct FROM gt GROUP BY 1),
+            tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM gt),
+            con AS (
+              SELECT gt.source,
+                     gt.c / tgt.tg AS p,
+                     ctt.ct / (SELECT t FROM tt) AS q
+              FROM gt JOIN tgt USING (source) JOIN ctt USING (term)),
+            sums AS (
+              SELECT source,
+                     sum(p * ln(p / ((p + q) / 2.0))) AS s1,
+                     sum(q * ln(q / ((p + q) / 2.0))) AS s2,
+                     sum(q) AS qm, count(*) AS n_terms
+              FROM con GROUP BY 1)
+            SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
+                   round(0.5 * s1 + 0.5 * (s2 + ln(2) * (1 - qm)), 6)
+                     AS js
+            FROM sums ORDER BY source
         """,
         "docs_nb_classify": """
             -- full NB chain: counts on the train split, add-one scores

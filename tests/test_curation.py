@@ -1154,3 +1154,39 @@ def test_nb_train_classify_reference(ray_session):
     assert abs(out.loc[0, "score"] - want) < 1e-9
     # empty doc scores = prior only
     assert abs(out.loc[2, "score"] - np.log(0.5)) < 1e-12
+
+
+def test_js_divergence_reference_and_bounds(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import js_divergence_by_group
+
+    docs = rd.from_items([
+        {"doc_id": 0, "source": "a", "text": "x x y"},
+        {"doc_id": 1, "source": "b", "text": "y z z"},
+        {"doc_id": 2, "source": "c", "text": "x x y y z z"},  # = corpus-ish
+    ])
+    out = js_divergence_by_group(docs, num_partitions=4)
+
+    def ref(pg, q):
+        s = 0.0
+        for t, qq in q.items():
+            p = pg.get(t, 0.0)
+            m = (p + qq) / 2
+            if p > 0:
+                s += 0.5 * p * np.log(p / m)
+            if qq > 0:
+                s += 0.5 * qq * np.log(qq / m)
+        return s
+
+    q = {"x": 4 / 12, "y": 4 / 12, "z": 4 / 12}
+    want = {"a": ref({"x": 2 / 3, "y": 1 / 3}, q),
+            "b": ref({"y": 1 / 3, "z": 2 / 3}, q),
+            "c": ref({"x": 2 / 6, "y": 2 / 6, "z": 2 / 6}, q)}
+    got = dict(zip(out["source"], out["js"]))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    # the corpus-shaped source diverges least; JS in [0, ln2]
+    assert got["c"] < got["a"] and got["c"] < got["b"]
+    assert all(0.0 <= v <= np.log(2.0) + 1e-12 for v in got.values())

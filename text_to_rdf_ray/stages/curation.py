@@ -2277,3 +2277,92 @@ def nb_classify(
     return both.map_batches(
         lambda t: finalize(t.to_pandas()), batch_format="pyarrow",
         batch_size=None)
+
+
+def js_divergence_by_group(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Per-group Jensen–Shannon divergence between the group's term
+    distribution P_g and the whole-corpus distribution Q — the domain-
+    drift / source-mix curation signal (a source whose JS spikes changed
+    its content mix).
+
+    Key algebra (what keeps the join candidate-proportional): with
+    M = (P+Q)/2 and 0·ln0 = 0, terms ABSENT from the group contribute
+    exactly ``q·ln2`` to KL(Q‖M), so
+    ``JS = ½·Σ_{t∈g} p·ln(p/m) + ½·(Σ_{t∈g} q·ln(q/m) + ln2·(1−Σ_{t∈g} q))``
+    — every sum ranges over the group's OWN terms only; the global
+    vocabulary is never enumerated per group.
+
+    Output (driver DataFrame, O(groups) rows): (group_col, n_terms,
+    js).  Scale shape: one (group,term)-keyed exchange_agg count, one
+    term-keyed re-agg for corpus counts, one term-hash exchange_join,
+    one group-keyed sum; per-group token totals are O(groups) and ride
+    the closure.
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for g, txt in zip(batch.column(group_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for t in _terms(txt or ""):
+                counts[(g, t)] = counts.get((g, t), 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            "grp": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "c": pa.array([counts[k] for k in ks], pa.int64())})
+
+    gt = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048),
+        ["grp", "term"], [("c", "sum", "c")],
+        num_partitions=num_partitions, combine=False).materialize()
+
+    tg = exchange_agg(gt, "grp", [("c", "sum", "tg")],
+                      num_partitions=8).to_pandas()
+    t_total = np.float64(tg["tg"].sum())
+    tg_map = {g: np.float64(v) for g, v in zip(tg["grp"], tg["tg"])}
+
+    corpus = exchange_agg(gt.select_columns(["term", "c"]),
+                          "term", [("c", "sum", "ct")],
+                          num_partitions=num_partitions)
+    joined = exchange_join(
+        gt, corpus, on="term", num_partitions=num_partitions,
+        left_schema=pa.schema([("grp", pa.string()),
+                               ("term", pa.string()),
+                               ("c", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("ct", pa.int64())]))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        p = (df["c"].to_numpy(np.float64)
+             / df["grp"].map(tg_map).to_numpy(np.float64))
+        q = df["ct"].to_numpy(np.float64) / t_total
+        m = (p + q) / 2.0
+        return pa.table({
+            "grp": pa.array(df["grp"], pa.string()),
+            "s1": pa.array(p * np.log(p / m), pa.float64()),
+            "s2": pa.array(q * np.log(q / m), pa.float64()),
+            "qm": pa.array(q, pa.float64()),
+            "nt": pa.array(np.ones(len(df), np.int64), pa.int64())})
+
+    sums = exchange_agg(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "grp", [("s1", "sum", "s1"), ("s2", "sum", "s2"),
+                ("qm", "sum", "qm"), ("nt", "sum", "n_terms")],
+        num_partitions=8).to_pandas()
+
+    ln2 = np.log(np.float64(2.0))
+    js = (0.5 * sums["s1"].to_numpy(np.float64)
+          + 0.5 * (sums["s2"].to_numpy(np.float64)
+                   + ln2 * (1.0 - sums["qm"].to_numpy(np.float64))))
+    return pd.DataFrame({
+        group_col: sums["grp"],
+        "n_terms": sums["n_terms"].astype("int64"),
+        "js": js}).sort_values(group_col).reset_index(drop=True)
