@@ -1638,6 +1638,21 @@ def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_class_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-10 class-indicative terms per language by chi-square document
+    presence (stages/curation.py::class_term_chi2) — integer-exact
+    contingency counts, float chi2 with identical expression shapes."""
+    from text_to_rdf_ray.stages.curation import class_term_chi2
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+    out = class_term_chi2(docs, class_col="lang", k=10).to_pandas()
+    out = out.rename(columns={"cls": "lang"})
+    out["chi2"] = _r(out["chi2"], 6)
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["lang", "term", "chi2", "rank"]]
+            .sort_values(["lang", "rank"]).reset_index(drop=True))
+
+
 def _docs_source_divergence(sf_dir: str) -> pd.DataFrame:
     """Per-source Jensen-Shannon divergence vs the corpus term
     distribution (stages/curation.py::js_divergence_by_group) — the
@@ -5392,6 +5407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_classify": _docs_nb_classify,
         "docs_nb_confusion": _docs_nb_confusion,
         "docs_source_divergence": _docs_source_divergence,
+        "docs_class_terms": _docs_class_terms,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -8448,6 +8464,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM r JOIN documents d USING (doc_id)
             WHERE r.rnk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_class_terms": """
+            -- chi2 over document-presence 2x2 cells; winners by
+            -- (chi2 DESC, term ASC), zero-denominator guarded to 0
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents),
+            pres AS (SELECT DISTINCT doc_id, lang, unnest(w) AS term
+                     FROM words),
+            ct AS (SELECT lang, term, CAST(count(*) AS DOUBLE) AS a
+                   FROM pres GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM pres GROUP BY 1),
+            dc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS dcv
+                   FROM documents GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            cells AS (
+              SELECT ct.lang, ct.term, ct.a,
+                     dc.dcv - ct.a AS b, dfq.df - ct.a AS c,
+                     (SELECT n FROM nn) - dc.dcv - (dfq.df - ct.a) AS d
+              FROM ct JOIN dfq USING (term) JOIN dc USING (lang)),
+            chi AS (
+              SELECT lang, term,
+                     CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                          THEN (SELECT n FROM nn)
+                               * pow(a * d - b * c, 2)
+                               / ((a + b) * (c + d) * (a + c) * (b + d))
+                          ELSE 0.0 END AS chi2
+              FROM cells),
+            r AS (SELECT lang, term, chi2,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY chi2 DESC, term)
+                           AS rnk
+                  FROM chi)
+            SELECT lang, term, round(chi2, 6) AS chi2,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 10 ORDER BY lang, rnk
         """,
         "docs_source_divergence": """
             -- JS(P_source, Q_corpus): absent-term mass = q*ln2 closed

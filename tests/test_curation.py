@@ -1190,3 +1190,27 @@ def test_js_divergence_reference_and_bounds(ray_session):
     # the corpus-shaped source diverges least; JS in [0, ln2]
     assert got["c"] < got["a"] and got["c"] < got["b"]
     assert all(0.0 <= v <= np.log(2.0) + 1e-12 for v in got.values())
+
+
+def test_class_term_chi2_hand_computed(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import class_term_chi2
+
+    # 4 docs, 2 classes; "aa" appears in both en docs and no fr doc ->
+    # perfect association: chi2 = N = 4
+    docs = rd.from_items([
+        {"doc_id": 0, "lang": "en", "text": "aa shared"},
+        {"doc_id": 1, "lang": "en", "text": "aa aa other"},  # presence 1x
+        {"doc_id": 2, "lang": "fr", "text": "bb shared"},
+        {"doc_id": 3, "lang": "fr", "text": "bb solo"},
+    ])
+    out = class_term_chi2(docs, class_col="lang", k=3,
+                          num_partitions=4).to_pandas()
+    en = out[out.cls == "en"].sort_values("rank")
+    assert en.iloc[0]["term"] == "aa"          # ties: aa before bb
+    assert abs(en.iloc[0]["chi2"] - 4.0) < 1e-12
+    # "shared" is in one doc of each class -> zero association
+    sh = out[(out.cls == "en") & (out.term == "shared")]
+    assert sh.empty or abs(float(sh["chi2"].iloc[0])) < 1e-12

@@ -2366,3 +2366,94 @@ def js_divergence_by_group(
         group_col: sums["grp"],
         "n_terms": sums["n_terms"].astype("int64"),
         "js": js}).sort_values(group_col).reset_index(drop=True)
+
+
+def class_term_chi2(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Top-``k`` class-indicative terms by chi-square association
+    (document-presence 2x2 contingency) — the classic feature-selection
+    / class-vocabulary pass: for each (class, term),
+    ``chi2 = N·(a·d − b·c)² / ((a+b)·(c+d)·(a+c)·(b+d))`` with
+    a = docs of the class containing the term, b/c/d the complements.
+    Ties break (chi2 desc, term asc).  Output: (class_col, term, chi2,
+    rank).
+
+    Scale shape: all four cells derive from three count tables —
+    (class,term) doc presence a, per-term df, per-class doc totals —
+    each an integer-exact exchange_agg over per-batch DISTINCT
+    combiners; df attaches by one term-hash exchange_join (per-class
+    totals are O(classes) and ride the closure); the winner pick is
+    ``topk_per_group`` (batch-local top-k before the class exchange).
+    """
+    from .analytics import topk_per_group
+    from .exchange import exchange_agg, exchange_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for cls, txt in zip(batch.column(class_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            # distinct PER DOC, counted across docs (document presence)
+            for t in set(_terms(txt or "")):
+                counts[(cls, t)] = counts.get((cls, t), 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            "cls": pa.array([x[0] for x in ks], pa.string()),
+            "term": pa.array([x[1] for x in ks], pa.string()),
+            "a": pa.array([counts[x] for x in ks], pa.int64())})
+
+    ct = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048),
+        ["cls", "term"], [("a", "sum", "a")],
+        num_partitions=num_partitions, combine=False).materialize()
+
+    df = exchange_agg(ct.select_columns(["term", "a"]),
+                      "term", [("a", "sum", "df")],
+                      num_partitions=num_partitions)
+    dc = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({"cls": t.column(class_col),
+                                "d": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow"),
+        "cls", [("d", "sum", "dc")], num_partitions=8).to_pandas()
+    n_total = np.float64(dc["dc"].sum())
+    dc_map = {c: np.float64(v) for c, v in zip(dc["cls"], dc["dc"])}
+
+    joined = exchange_join(
+        ct, df, on="term", num_partitions=num_partitions,
+        left_schema=pa.schema([("cls", pa.string()),
+                               ("term", pa.string()),
+                               ("a", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("df", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        dfr = t.to_pandas()
+        a = dfr["a"].to_numpy(np.float64)
+        dfv = dfr["df"].to_numpy(np.float64)
+        dcv = dfr["cls"].map(dc_map).to_numpy(np.float64)
+        b = dcv - a
+        c = dfv - a
+        d = n_total - dcv - c
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = np.where(denom > 0,
+                            n_total * (a * d - b * c) ** 2 / denom, 0.0)
+        return pa.table({
+            "cls": pa.array(dfr["cls"], pa.string()),
+            "term": pa.array(dfr["term"], pa.string()),
+            "chi2": pa.array(chi2, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = topk_per_group(scored, key_col="cls", sort_col="chi2",
+                         tiebreak_col="term", k=k, descending=True)
+    return top.map_batches(
+        lambda b: b[["cls", "term", "chi2", "rank"]],
+        batch_format="pandas")
