@@ -3765,6 +3765,24 @@ def _events_logreg(sf_dir: str) -> pd.DataFrame:
     return out[["w_0", "w_1", "w_2", "n"]].reset_index(drop=True)
 
 
+def _events_decayed_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially time-decayed value sum as of 2024-02-01
+    (stages/windows.py::decayed_sum) — order-free weighted fold, one
+    exchange.  Oracle replays the decay expression per event."""
+    from text_to_rdf_ray.stages.windows import decayed_sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    as_of = pd.Timestamp("2024-02-01").value // 1000  # µs
+    out = decayed_sum(ev, key_col="user_id", ts_col="ts",
+                      value_col="value", as_of_us=as_of,
+                      half_life_s=86400.0).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["decayed_sum"] = _r(out["decayed_sum"], 6)
+    return (out[["user_id", "decayed_sum"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
     """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
     event value, arms = user_id parity — one moment-partial row per
@@ -5454,6 +5472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_matrix": _events_corr_matrix,
         "events_ab_ttest": _events_ab_ttest,
         "events_logreg": _events_logreg,
+        "events_decayed_sum": _events_decayed_sum,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -7054,6 +7073,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT * FROM firsts
               UNION ALL SELECT * FROM secs)
             ORDER BY i, j
+        """,
+        "events_decayed_sum": """
+            -- sum(value * exp(-(age_s / 86400))) per user as of
+            -- 2024-02-01; age in float seconds from µs epochs
+            SELECT user_id,
+                   round(sum(value * exp(
+                     -(((epoch_us(TIMESTAMP '2024-02-01')
+                         - epoch_us(ts)) / 1000000.0) / 86400.0))), 6)
+                     AS decayed_sum
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_ab_ttest": """
             -- Welch t-test from raw moments, same expression shapes

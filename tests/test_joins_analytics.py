@@ -1978,3 +1978,28 @@ def test_logreg_train_matches_numpy_gd(ray_session):
     assert out.n == 1000
     # learning moved the weights in the generative direction
     assert out.w_1 > 0 and out.w_2 < 0
+
+
+def test_decayed_sum_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import decayed_sum
+
+    rng = np.random.RandomState(3)
+    n = 500
+    ts = np.sort(rng.randint(0, 10**6, n)).astype("int64") * 10**6  # µs
+    key = rng.randint(0, 7, n).astype("int64")
+    val = rng.rand(n) * 10
+    as_of = int(2 * 10**12)
+    df = pd.DataFrame({"user_id": key, "ts": ts, "value": val})
+    out = (decayed_sum(rd.from_pandas(df).repartition(6),
+                       key_col="user_id", ts_col="ts",
+                       value_col="value", as_of_us=as_of,
+                       half_life_s=3600.0).to_pandas()
+           .set_index("user_id").sort_index())
+    w = val * np.exp(-(((as_of - ts) / 1e6) / 3600.0))
+    want = pd.Series(w).groupby(key).sum()
+    for k in want.index:
+        assert abs(out.loc[k, "decayed_sum"] - want[k]) < 1e-9

@@ -788,3 +788,44 @@ def grouped_path(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def decayed_sum(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    as_of_us: int,
+    half_life_s: float = 86400.0,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exponentially time-decayed aggregate per key AS OF a fixed
+    instant — the feature-store recency feature:
+    ``Σ value·exp(−((as_of − ts)/1e6)/half_life_s)`` (natural-log decay;
+    multiply ``half_life_s`` by 1/ln2 for true half-life semantics).
+    Unlike :func:`ewma` (an order-dependent per-event recurrence) this
+    is an order-FREE weighted sum, so it folds through the standard
+    combiner → key-hash exchange → reduce with no sort anywhere.
+
+    Output: (key_col, decayed_sum).  One pass, one exchange of
+    per-batch per-key partials.
+    """
+    from .exchange import exchange_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        age_s = (np.float64(as_of_us) - ts.astype(np.float64)) / 1e6
+        w = v * np.exp(-(age_s / np.float64(half_life_s)))
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "_w": pa.array(w, pa.float64())})
+
+    return exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        key_col, [("_w", "sum", "decayed_sum")],
+        num_partitions=num_partitions)
