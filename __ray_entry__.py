@@ -1638,6 +1638,26 @@ def _docs_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_hybrid_rerank(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval capstone: BM25 top-50 lexical candidates
+    (stages/retrieval.py::bm25_topk) reranked by embedding cosine to
+    the rank-1 candidate (::rerank_by_embedding, query-by-example) —
+    candidates bounded by construction, vectors fetched by a broadcast
+    pure-map filter.  Oracle chains the BM25 SQL replay into a
+    list_cosine_similarity rerank."""
+    from text_to_rdf_ray.stages.retrieval import (bm25_topk,
+                                                  rerank_by_embedding)
+
+    cand = (bm25_topk(_documents(sf_dir).select_columns(
+        ["doc_id", "text"]), _BM25_QUERIES, k=50).to_pandas())
+    out = rerank_by_embedding(cand, _embeddings(sf_dir), k=10)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rerank"] = out["rerank"].astype("int64")
+    out["cos"] = _r(out["cos"], 6)
+    return (out[["query_id", "doc_id", "cos", "rerank"]]
+            .sort_values(["query_id", "rerank"]).reset_index(drop=True))
+
+
 def _docs_class_terms(sf_dir: str) -> pd.DataFrame:
     """Top-10 class-indicative terms per language by chi-square document
     presence (stages/curation.py::class_term_chi2) — integer-exact
@@ -5426,6 +5446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_confusion": _docs_nb_confusion,
         "docs_source_divergence": _docs_source_divergence,
         "docs_class_terms": _docs_class_terms,
+        "docs_hybrid_rerank": _docs_hybrid_rerank,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -7370,6 +7391,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
             FROM rk WHERE "rank" <= 15
             ORDER BY query_id, "rank"
+        """,
+        "docs_hybrid_rerank": """
+            -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
+            -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)
+            -- (stages/retrieval.py::bm25_topk)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc),
+            cand AS (SELECT query_id, doc_id, "rank" FROM rk
+                     WHERE "rank" <= 50),
+            refd AS (SELECT query_id, doc_id AS ref_id FROM cand
+                     WHERE "rank" = 1),
+            coss AS (
+              SELECT c.query_id, c.doc_id,
+                     round(list_cosine_similarity(
+                       CAST(er.embedding AS DOUBLE[]),
+                       CAST(ec.embedding AS DOUBLE[])), 6) AS cos
+              FROM cand c
+              JOIN refd r ON r.query_id = c.query_id
+              JOIN embeddings er ON er.vec_id = r.ref_id
+              JOIN embeddings ec ON ec.vec_id = c.doc_id),
+            rr AS (SELECT query_id, doc_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, doc_id)
+                            AS rerank
+                   FROM coss)
+            SELECT query_id, doc_id, cos,
+                   CAST(rerank AS BIGINT) AS rerank
+            FROM rr WHERE rerank <= 10 ORDER BY query_id, rerank
         """,
         "docs_bm25_topk": """
             -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,

@@ -1214,3 +1214,31 @@ def test_class_term_chi2_hand_computed(ray_session):
     # "shared" is in one doc of each class -> zero association
     sh = out[(out.cls == "en") & (out.term == "shared")]
     assert sh.empty or abs(float(sh["chi2"].iloc[0])) < 1e-12
+
+
+def test_rerank_by_embedding_query_by_example(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.retrieval import rerank_by_embedding
+
+    # candidates for one query; rank-1 doc (id 5) is the reference.
+    # vectors: id 7 nearly parallel to 5, id 9 orthogonal, id 3 opposite
+    vecs = {
+        5: np.array([1.0, 0.0, 0.0]),
+        7: np.array([0.99, 0.1, 0.0]),
+        9: np.array([0.0, 1.0, 0.0]),
+        3: np.array([-1.0, 0.0, 0.0]),
+    }
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": list(vecs.keys()),
+        "embedding": [v.astype(np.float32) for v in vecs.values()]}))
+    cand = pd.DataFrame({
+        "query_id": ["q"] * 4,
+        "doc_id": [5, 9, 7, 3],
+        "rank": [1, 2, 3, 4]})
+    out = rerank_by_embedding(cand, emb, k=3)
+    assert out.doc_id.tolist() == [5, 7, 9]        # cos 1.0, ~0.995, 0
+    assert out.rerank.tolist() == [1, 2, 3]
+    assert out.cos.iloc[0] == 1.0 and abs(out.cos.iloc[2]) < 1e-9

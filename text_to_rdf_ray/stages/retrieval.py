@@ -368,3 +368,68 @@ def phrase_search(
                                     pa.scalar(k, pa.int64())))
         .drop_columns(["n_slots"]),
         batch_format="pyarrow")
+
+
+def rerank_by_embedding(
+    candidates: "pd.DataFrame",
+    embeddings: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> "pd.DataFrame":
+    """Second-stage retrieval: rerank per-query BM25 candidates by
+    cosine similarity to the query's rank-1 candidate's embedding
+    (query-by-example semantics — the standard lexical-recall →
+    semantic-precision hybrid).  ``candidates`` is a BOUNDED
+    (n_queries × k_candidates) driver table by construction (the
+    bm25_topk funnel output), so reranking is driver math; the only
+    distributed work is fetching candidate vectors — a broadcast-set
+    pure-map filter over the embedding table, no shuffle.
+
+    Cosines are computed in float64 and rounded to 6dp BEFORE ranking
+    (the bm25_topk convention) so the order is engine-independent.
+    Output: (query_id, doc_id, cos, rerank) — top-``k`` per query by
+    (cos desc, doc_id asc).
+    """
+    import ray
+
+    need = set(candidates[id_col].astype(int).tolist())
+    need_ref = ray.put(need)
+    cache: dict = {}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(vec_id_col).to_numpy(zero_copy_only=False)
+        nd = cache.get("n")
+        if nd is None:
+            nd = cache["n"] = ray.get(need_ref)
+        mask = np.fromiter((int(i) in nd for i in ids), bool, len(ids))
+        return batch.filter(pa.array(mask))
+
+    vec_rows = embeddings.map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    vecs = {int(r): np.asarray(v, np.float64)
+            for r, v in zip(vec_rows[vec_id_col], vec_rows[emb_col])}
+
+    out = []
+    for qid, grp in candidates.groupby("query_id", sort=True):
+        grp = grp.sort_values("rank")
+        ref_id = int(grp.iloc[0][id_col])
+        ref = vecs.get(ref_id)
+        if ref is None:
+            continue
+        rn = np.sqrt((ref * ref).sum())
+        rows = []
+        for did in grp[id_col].astype(int):
+            v = vecs.get(did)
+            if v is None:
+                continue
+            cos = float((ref * v).sum()
+                        / (rn * np.sqrt((v * v).sum())))
+            rows.append((did, round(cos, 6)))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for i, (did, c) in enumerate(rows[:k], 1):
+            out.append((qid, did, c, i))
+    return pd.DataFrame(out, columns=["query_id", id_col, "cos",
+                                      "rerank"])
