@@ -4445,6 +4445,53 @@ def _kg_incremental_update(sf_dir: str) -> pd.DataFrame:
             .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
 
 
+def _kg_predicate_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-predicate planner cardinalities (stages/kgops.py::
+    predicate_stats) over the derived TPC-H triple table — the stats a
+    BGP optimizer orders patterns by.  Oracle derives the same triples
+    in SQL and counts distinct endpoints."""
+    from text_to_rdf_ray.stages.kgops import predicate_stats
+
+    def rel(table, cols, fmt):
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=cols, override_num_blocks=2)
+        return ds.map_batches(fmt, batch_format="pandas")
+
+    def supp(b):
+        return pd.DataFrame({
+            "subj": "supplier_" + b["s_suppkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["s_nationkey"].astype(str)})
+
+    def cust(b):
+        return pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["c_nationkey"].astype(str)})
+
+    def nat(b):
+        part = pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "part_of",
+            "obj": "region_" + b["n_regionkey"].astype(str)})
+        named = pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "named", "obj": b["n_name"].astype(str)})
+        return pd.concat([part, named], ignore_index=True)
+
+    def reg(b):
+        return pd.DataFrame({
+            "subj": "region_" + b["r_regionkey"].astype(str),
+            "pred": "named", "obj": b["r_name"].astype(str)})
+
+    triples = (rel("supplier", ["s_suppkey", "s_nationkey"], supp)
+               .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
+               .union(rel("nation",
+                          ["n_nationkey", "n_regionkey", "n_name"], nat))
+               .union(rel("region", ["r_regionkey", "r_name"], reg)))
+    return predicate_stats(triples)
+
+
 def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
     """SPARQL-style basic-graph-pattern query (stages/kgops.py::
     bgp_match): entities located in a nation of region EUROPE plus the
@@ -5521,6 +5568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_edges": _kg_cooccur_edges,
         "kg_provenance": _kg_provenance,
         "kg_bgp_match": _kg_bgp_match,
+        "kg_predicate_stats": _kg_predicate_stats,
         "docs_cluster_prf": _docs_cluster_prf,
         "kg_subject_lookup": _kg_subject_lookup,
         "kg_incremental_update": _kg_incremental_update,
@@ -6833,6 +6881,29 @@ def oracle_sql() -> dict[str, str]:
                 '{os.path.join(_SIDE, "kg_incremental_update",
                                "delta.parquet")}'))
             ORDER BY subj, pred, obj
+        """,
+        "kg_predicate_stats": """
+            -- planner cardinalities over the same derived triple table
+            WITH t AS (
+              SELECT 'supplier_' || s_suppkey AS subj,
+                     'located_in' AS pred,
+                     'nation_' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'named', n_name
+              FROM nation
+              UNION ALL
+              SELECT 'region_' || r_regionkey, 'named', r_name
+              FROM region)
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM t GROUP BY pred ORDER BY pred
         """,
         "kg_bgp_match": """
             -- BGP replay (stages/kgops.py::bgp_match): the SAME derived

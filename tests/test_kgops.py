@@ -246,3 +246,24 @@ def test_majority_vote_random_parity_vs_pandas(ray_session):
     assert len(got) == len(exp)
     for col in ("val", "support", "n_claims"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_predicate_stats_counts(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import predicate_stats
+
+    triples = rd.from_items([
+        {"subj": "a", "pred": "knows", "obj": "b"},
+        {"subj": "a", "pred": "knows", "obj": "c"},
+        {"subj": "b", "pred": "knows", "obj": "c"},
+        {"subj": "a", "pred": "named", "obj": "Alice"},
+        {"subj": "b", "pred": "named", "obj": "Alice"},  # shared literal
+    ])
+    out = predicate_stats(triples).set_index("pred")
+    assert out.loc["knows", "n_triples"] == 3
+    assert out.loc["knows", "n_subj"] == 2
+    assert out.loc["knows", "n_obj"] == 2
+    assert out.loc["named", "n_triples"] == 2
+    assert out.loc["named", "n_subj"] == 2
+    assert out.loc["named", "n_obj"] == 1

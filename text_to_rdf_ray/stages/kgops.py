@@ -338,3 +338,63 @@ def clustering_prf(
         "gold_pairs": np.array([gp], dtype=np.int64),
         "both_pairs": np.array([bp], dtype=np.int64),
         "precision": [prec], "recall": [rec], "f1": [f1]}))
+
+
+def predicate_stats(
+    triples: rd.Dataset,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-predicate planner statistics — the cardinality table a BGP /
+    SPARQL optimizer consults to order patterns (most-selective first,
+    exactly what :func:`bgp_match` asks its caller to know): triple
+    count, distinct subjects, distinct objects.
+
+    All three are exchange-shaped: one (pred)-keyed count and two
+    two-level distinct counts ((pred,endpoint)-keyed distinct -> pred-
+    keyed count), each with per-batch distinct combiners; the result is
+    O(predicates) rows and returns as a driver DataFrame.  At 10¹²
+    triples swap the distinct tiers for HLL sketches
+    (analytics.py::hll_registers) — the exchange shape is unchanged.
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg
+
+    def ones(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "pred": t.column(pred_col),
+                "x": t.column(col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return fn
+
+    cnt = exchange_agg(
+        triples.map_batches(ones(subj_col), batch_format="pyarrow"),
+        "pred", [("one", "sum", "n_triples")],
+        num_partitions=num_partitions).to_pandas()
+
+    def distinct_count(col: str, out: str) -> pd.DataFrame:
+        d = distinct_rows(
+            triples.map_batches(
+                lambda t, c=col: pa.table({"pred": t.column(pred_col),
+                                           "x": t.column(c)}),
+                batch_format="pyarrow"),
+            cols=["pred", "x"])
+        return exchange_agg(
+            d.map_batches(
+                lambda t: pa.table({"pred": t.column("pred"),
+                                    "one": pa.array(np.ones(
+                                        t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            "pred", [("one", "sum", out)],
+            num_partitions=num_partitions).to_pandas()
+
+    ns = distinct_count(subj_col, "n_subj")
+    no = distinct_count(obj_col, "n_obj")
+    out = cnt.merge(ns, on="pred").merge(no, on="pred")
+    for c in ("n_triples", "n_subj", "n_obj"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pred").reset_index(drop=True)
