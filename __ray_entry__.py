@@ -4445,6 +4445,63 @@ def _kg_incremental_update(sf_dir: str) -> pd.DataFrame:
             .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
 
 
+def _kg_domain_violations(sf_dir: str) -> pd.DataFrame:
+    """SHACL-lite domain/range validation (stages/kgops.py::
+    domain_range_check) over the derived triple table with PLANTED
+    violations (suppkey % 10 == 0 points located_in at a region —
+    range_wrong; custkey % 13 == 0 at a nonexistent nation —
+    range_missing).  Oracle replays the mutation and both checks."""
+    from text_to_rdf_ray.stages.kgops import domain_range_check
+
+    def rel(table, cols, fmt):
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=cols, override_num_blocks=2)
+        return ds.map_batches(fmt, batch_format="pandas")
+
+    def supp(b):
+        obj = np.where(b["s_suppkey"] % 10 == 0,
+                       "region_" + (b["s_suppkey"] % 5).astype(str),
+                       "nation_" + b["s_nationkey"].astype(str))
+        return pd.DataFrame({
+            "subj": "supplier_" + b["s_suppkey"].astype(str),
+            "pred": "located_in", "obj": obj})
+
+    def cust(b):
+        obj = np.where(b["c_custkey"] % 13 == 0, "nation_999999",
+                       "nation_" + b["c_nationkey"].astype(str))
+        return pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "located_in", "obj": obj})
+
+    def nat(b):
+        return pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "part_of",
+            "obj": "region_" + b["n_regionkey"].astype(str)})
+
+    triples = (rel("supplier", ["s_suppkey", "s_nationkey"], supp)
+               .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
+               .union(rel("nation", ["n_nationkey", "n_regionkey"], nat)))
+
+    def ty(table, cols, prefix, tname):
+        def fmt(b, c=cols[0]):
+            return pd.DataFrame({"entity": prefix + b[c].astype(str),
+                                 "type": tname})
+        return rel(table, cols, fmt)
+
+    types = (ty("supplier", ["s_suppkey"], "supplier_", "Supplier")
+             .union(ty("customer", ["c_custkey"], "customer_", "Customer"))
+             .union(ty("nation", ["n_nationkey"], "nation_", "Nation"))
+             .union(ty("region", ["r_regionkey"], "region_", "Region")))
+
+    rules = [("located_in", None, "Nation"),
+             ("part_of", "Nation", "Region")]
+    out = domain_range_check(triples, types, rules).to_pandas()
+    return (out[["subj", "pred", "obj", "reason"]]
+            .sort_values(["subj", "pred", "obj", "reason"])
+            .reset_index(drop=True))
+
+
 def _kg_predicate_stats(sf_dir: str) -> pd.DataFrame:
     """Per-predicate planner cardinalities (stages/kgops.py::
     predicate_stats) over the derived TPC-H triple table — the stats a
@@ -5569,6 +5626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_provenance": _kg_provenance,
         "kg_bgp_match": _kg_bgp_match,
         "kg_predicate_stats": _kg_predicate_stats,
+        "kg_domain_violations": _kg_domain_violations,
         "docs_cluster_prf": _docs_cluster_prf,
         "kg_subject_lookup": _kg_subject_lookup,
         "kg_incremental_update": _kg_incremental_update,
@@ -6881,6 +6939,55 @@ def oracle_sql() -> dict[str, str]:
                 '{os.path.join(_SIDE, "kg_incremental_update",
                                "delta.parquet")}'))
             ORDER BY subj, pred, obj
+        """,
+        "kg_domain_violations": """
+            -- planted-violation mutation + domain/range checks
+            WITH t AS (
+              SELECT 'supplier_' || s_suppkey AS subj,
+                     'located_in' AS pred,
+                     CASE WHEN s_suppkey % 10 = 0
+                          THEN 'region_' || (s_suppkey % 5)
+                          ELSE 'nation_' || s_nationkey END AS obj
+              FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     CASE WHEN c_custkey % 13 = 0 THEN 'nation_999999'
+                          ELSE 'nation_' || c_nationkey END
+              FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey
+              FROM nation),
+            ty AS (
+              SELECT 'supplier_' || s_suppkey AS entity,
+                     'Supplier' AS type FROM supplier
+              UNION ALL SELECT 'customer_' || c_custkey, 'Customer'
+                FROM customer
+              UNION ALL SELECT 'nation_' || n_nationkey, 'Nation'
+                FROM nation
+              UNION ALL SELECT 'region_' || r_regionkey, 'Region'
+                FROM region),
+            rules(pred, st, ot) AS (VALUES
+              ('located_in', NULL, 'Nation'),
+              ('part_of', 'Nation', 'Region')),
+            j AS (
+              SELECT t.subj, t.pred, t.obj, r.st, r.ot,
+                     ts.type AS gt_s, tob.type AS gt_o
+              FROM t JOIN rules r USING (pred)
+              LEFT JOIN ty ts ON ts.entity = t.subj
+              LEFT JOIN ty tob ON tob.entity = t.obj)
+            SELECT subj, pred, obj, 'domain_missing' AS reason FROM j
+            WHERE st IS NOT NULL AND gt_s IS NULL
+            UNION ALL
+            SELECT subj, pred, obj, 'domain_wrong' FROM j
+            WHERE st IS NOT NULL AND gt_s IS NOT NULL AND gt_s <> st
+            UNION ALL
+            SELECT subj, pred, obj, 'range_missing' FROM j
+            WHERE ot IS NOT NULL AND gt_o IS NULL
+            UNION ALL
+            SELECT subj, pred, obj, 'range_wrong' FROM j
+            WHERE ot IS NOT NULL AND gt_o IS NOT NULL AND gt_o <> ot
+            ORDER BY subj, pred, obj, reason
         """,
         "kg_predicate_stats": """
             -- planner cardinalities over the same derived triple table

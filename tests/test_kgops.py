@@ -267,3 +267,33 @@ def test_predicate_stats_counts(ray_session):
     assert out.loc["named", "n_triples"] == 2
     assert out.loc["named", "n_subj"] == 2
     assert out.loc["named", "n_obj"] == 1
+
+
+def test_domain_range_check_flags_all_four_reasons(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import domain_range_check
+
+    triples = rd.from_items([
+        {"subj": "s1", "pred": "located_in", "obj": "n1"},   # ok
+        {"subj": "s2", "pred": "located_in", "obj": "r1"},   # range_wrong
+        {"subj": "s3", "pred": "located_in", "obj": "ghost"},  # range_missing
+        {"subj": "r1", "pred": "part_of", "obj": "r2"},      # domain_wrong
+        {"subj": "ghost2", "pred": "part_of", "obj": "r1"},  # domain_missing
+        {"subj": "x", "pred": "unruled", "obj": "y"},        # pruned
+    ])
+    types = rd.from_items([
+        {"entity": "s1", "type": "Supplier"},
+        {"entity": "s2", "type": "Supplier"},
+        {"entity": "s3", "type": "Supplier"},
+        {"entity": "n1", "type": "Nation"},
+        {"entity": "r1", "type": "Region"},
+        {"entity": "r2", "type": "Region"},
+    ])
+    rules = [("located_in", None, "Nation"),
+             ("part_of", "Nation", "Region")]
+    out = (domain_range_check(triples, types, rules, num_partitions=4)
+           .to_pandas())
+    got = set(map(tuple, out[["subj", "reason"]].to_numpy()))
+    assert got == {("s2", "range_wrong"), ("s3", "range_missing"),
+                   ("r1", "domain_wrong"), ("ghost2", "domain_missing")}

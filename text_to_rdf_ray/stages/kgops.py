@@ -398,3 +398,86 @@ def predicate_stats(
     for c in ("n_triples", "n_subj", "n_obj"):
         out[c] = out[c].astype("int64")
     return out.sort_values("pred").reset_index(drop=True)
+
+
+def domain_range_check(
+    triples: rd.Dataset,
+    types: rd.Dataset,
+    rules: list[tuple[str, str | None, str | None]],
+    *,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SHACL-lite domain/range validation: for each rule
+    ``(pred, subj_type, obj_type)`` flag triples of that predicate whose
+    subject (domain) or object (range) is missing from the type table or
+    typed differently.  ``None`` skips that side.  Output: one row per
+    violation — (subj, pred, obj, reason) with reason in
+    {'domain_missing','domain_wrong','range_missing','range_wrong'};
+    a triple violating both sides emits both rows.
+
+    Scale shape: rules are O(1) and ride the closure; the type table
+    attaches by TWO endpoint-keyed ``exchange_join``s (left_outer — the
+    miss IS the signal), so cost is candidate-proportional in the ruled
+    predicates; everything else is vectorized per partition.  Triples
+    of un-ruled predicates are dropped at the first map (scan-side
+    prune).
+    """
+    ruled = {p: (st, ot) for p, st, ot in rules}
+
+    def prune(t: pa.Table) -> pa.Table:
+        preds = t.column("pred").to_numpy(zero_copy_only=False)
+        mask = np.fromiter((p in ruled for p in preds), bool, len(preds))
+        return t.filter(pa.array(mask))
+
+    tp = triples.map_batches(prune, batch_format="pyarrow")
+    ty_s = types.map_batches(
+        lambda t: pa.table({"subj": t.column("entity"),
+                            "_st": t.column("type")}),
+        batch_format="pyarrow")
+    ty_o = types.map_batches(
+        lambda t: pa.table({"obj": t.column("entity"),
+                            "_ot": t.column("type")}),
+        batch_format="pyarrow")
+
+    t_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                          ("obj", pa.string())])
+    j1 = exchange_join(
+        tp, ty_s, on="subj", how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=t_schema,
+        right_schema=pa.schema([("subj", pa.string()),
+                                ("_st", pa.string())]))
+    j2 = exchange_join(
+        j1, ty_o, on="obj", how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("_st", pa.string())]),
+        right_schema=pa.schema([("obj", pa.string()),
+                                ("_ot", pa.string())]))
+
+    def flag(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        out = []
+        want_s = df["pred"].map(lambda p: ruled[p][0])
+        want_o = df["pred"].map(lambda p: ruled[p][1])
+        for side, want, col in (("domain", want_s, "_st"),
+                                ("range", want_o, "_ot")):
+            need = want.notna()
+            got = df[col]
+            missing = need & got.isna()
+            wrong = need & got.notna() & (got != want)
+            for reason, mask in ((f"{side}_missing", missing),
+                                 (f"{side}_wrong", wrong)):
+                sub = df.loc[mask, ["subj", "pred", "obj"]]
+                if len(sub):
+                    out.append(sub.assign(reason=reason))
+        if not out:
+            return pd.DataFrame({"subj": pd.Series(dtype=str),
+                                 "pred": pd.Series(dtype=str),
+                                 "obj": pd.Series(dtype=str),
+                                 "reason": pd.Series(dtype=str)})
+        return pd.concat(out, ignore_index=True)
+
+    return j2.map_batches(flag, batch_format="pyarrow")
