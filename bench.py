@@ -334,7 +334,12 @@ def run_bench() -> dict:
                      "events_type_hour_pivot", "events_clustered_scan",
                      "orders_clustered_join", "events_resample_fill",
                      "graph_random_walks", "docs_quality_classifier",
-                     "docs_phrase_search"):
+                     "docs_phrase_search", "parts_editdist_pairs",
+                     "docs_dup_spans", "docs_ngram_novelty",
+                     "graph_hits", "graph_lpa", "knn_quantized",
+                     "docs_nb_classify", "events_logreg",
+                     "docs_source_divergence", "docs_class_terms",
+                     "docs_hybrid_rerank", "events_decayed_sum"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
