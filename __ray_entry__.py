@@ -5361,6 +5361,25 @@ def _sssp_sql(n_rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def _parts_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood ER blocking (stages/dedup.py::
+    sorted_neighborhood_pairs, window=3): global sort positions via the
+    two-pass block prefix, boundary-replicated chunk exchange, exactly-
+    once pair emission.  Oracle: row_number self-join."""
+    from text_to_rdf_ray.stages.dedup import sorted_neighborhood_pairs
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_name"])
+    out = sorted_neighborhood_pairs(parts, key_col="p_name",
+                                    id_col="p_partkey",
+                                    window=3).to_pandas()
+    out = out.rename(columns={"id_a": "pk_a", "id_b": "pk_b"})
+    for c in ("pk_a", "pk_b", "dist"):
+        out[c] = out[c].astype("int64")
+    return (out[["pk_a", "pk_b", "dist"]]
+            .sort_values(["pk_a", "pk_b", "dist"]).reset_index(drop=True))
+
+
 def _parts_editdist_pairs(sf_dir: str) -> pd.DataFrame:
     """Exact edit-distance <= 1 self-join on part names (stages/dedup.py::
     editdist_join — symmetric-delete/FastSS blocking, complete by
@@ -5617,6 +5636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_sssp_parts": _graph_sssp_parts,
         "parts_editdist_pairs": _parts_editdist_pairs,
+        "parts_sorted_neighborhood": _parts_sorted_neighborhood,
         "docs_ppl_buckets": _docs_ppl_buckets,
         "graph_kcore": _graph_kcore,
         "embeddings_unnest": _embeddings_unnest,
@@ -5975,6 +5995,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_partkey
         """,
         "graph_sssp_parts": _sssp_sql(n_rounds=8),
+        "parts_sorted_neighborhood": """
+            -- window-3 sorted neighborhood over (p_name, p_partkey)
+            WITH r AS (
+              SELECT p_partkey,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part)
+            SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+            ORDER BY pk_a, pk_b, dist
+        """,
         "parts_editdist_pairs": """
             -- independent ground truth: DuckDB's built-in levenshtein
             -- over the length-banded cross join (the band is implied by

@@ -970,3 +970,29 @@ def test_random_projection_preserves_distance_in_expectation(ray_session):
     assert 0.8 < r.mean() < 1.2
     # sign matrix is balanced-ish
     assert abs(s.mean()) < 0.1
+
+
+def test_sorted_neighborhood_pairs_bruteforce_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(13)
+    names = ["w%03d" % i for i in rng.randint(0, 400, 500)]
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "text": names})
+    # tiny chunk forces many boundary straddles
+    out = (sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(7), key_col="text",
+        id_col="doc_id", window=4, chunk=16)
+        .to_pandas().sort_values(["id_a", "id_b", "dist"])
+        .reset_index(drop=True))
+    order = sorted(range(500), key=lambda i: (names[i], i))
+    exp = []
+    for p in range(500):
+        for gap in (1, 2, 3):
+            if p + gap < 500:
+                exp.append((order[p], order[p + gap], gap))
+    exp.sort()
+    assert list(map(tuple, out.to_numpy().tolist())) == exp

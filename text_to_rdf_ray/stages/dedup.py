@@ -1333,3 +1333,105 @@ def editdist_join(
     return exchange_agg(buckets, ["id_a", "id_b"],
                         [("dist", "min", "dist")],
                         num_partitions=min(num_partitions, 16))
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    chunk: int = 4096,
+) -> rd.Dataset:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo 1995):
+    candidate pairs = all rows within ``window`` positions of each other
+    in the global (key, id) sort order.  Complements the hash-based
+    blockers (LSH bands, symmetric-delete): catches near-keys that
+    share a sort prefix but no band.  Output: (id_a, id_b, dist) with
+    id_a the earlier row in sort order and dist = position gap in
+    [1, window-1].
+
+    Distributed shape: ONE range-partitioning sort; global positions
+    via the same two-pass block-prefix trick as ``pack_sequences``
+    (per-block counts -> O(blocks) driver offsets -> block-local
+    arange); then each row is exchanged to chunk ``rn // chunk`` and
+    REPLICATED to the previous chunk iff ``rn % chunk < window-1``, so
+    the partition owning a pair's LEFT end always holds both rows —
+    every in-window pair is emitted exactly once.  Pair generation per
+    partition is one vectorized shift pass per gap in [1, window).
+    """
+    srt = ds.select_columns([key_col, id_col]) \
+        .sort([key_col, id_col]).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "i": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "k": pa.array([str(batch.column(key_col)[0].as_py())],
+                          pa.string()),
+            "i": pa.array([batch.column(id_col)[0].as_py()], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    partials = (srt.map_batches(block_stats, batch_format="pyarrow",
+                                batch_size=None)
+                .to_pandas().sort_values(["k", "i"]))
+    offsets = {(k, int(i)): int(o) for k, i, o in zip(
+        partials["k"], partials["i"],
+        np.concatenate([[0], np.cumsum(partials["n"].to_numpy())[:-1]]))}
+    import ray
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+    w = int(window)
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_rn": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int32())})
+        off = cache.get("o")
+        if off is None:
+            off = cache["o"] = ray.get(off_ref)
+        base = off[(str(batch.column(key_col)[0].as_py()),
+                    batch.column(id_col)[0].as_py())]
+        rn = base + np.arange(batch.num_rows, dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        part = (rn // chunk).astype(np.int32)
+        extra = rn % chunk < (w - 1)
+        out_id = np.concatenate([ids, ids[extra]])
+        out_rn = np.concatenate([rn, rn[extra]])
+        out_p = np.concatenate([part, part[extra] - 1])
+        keep = out_p >= 0
+        return pa.table({id_col: pa.array(out_id[keep], pa.int64()),
+                         "_rn": pa.array(out_rn[keep], pa.int64()),
+                         "_part": pa.array(out_p[keep], pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_rn")
+        part = int(g["_part"].iloc[0])
+        rn = g["_rn"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        out_a, out_b, out_d = [], [], []
+        for gap in range(1, w):
+            a, b = ids[:-gap], ids[gap:]
+            ra, rb = rn[:-gap], rn[gap:]
+            # a pair belongs to the partition owning its LEFT end's
+            # chunk — that partition holds the right end too (own rows
+            # plus the replicated first window-1 rows of the next chunk)
+            ok = (rb - ra == gap) & (ra // chunk == part)
+            out_a.append(a[ok])
+            out_b.append(b[ok])
+            out_d.append(np.full(ok.sum(), gap, np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    return (srt.map_batches(route, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("_part").map_groups(pairs, batch_format="pandas"))
