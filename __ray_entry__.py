@@ -1658,6 +1658,29 @@ def _docs_hybrid_rerank(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rerank"]).reset_index(drop=True))
 
 
+def _docs_rerank_rbo(sf_dir: str) -> pd.DataFrame:
+    """Truncated rank-biased overlap (Webber 2010, p=0.9, depth 10)
+    between the BM25 ranking and the hybrid embedding rerank — the
+    ranking-drift eval: RBO@10 = Σ_matched 0.1·Σ_{d=max(ra,rb)}^{10}
+    0.9^(d-1)/d.  Both inputs are bounded funnel outputs, so this is
+    driver math by construction.  Oracle replays both rankings and the
+    same tail-weight algebra."""
+    bm = _docs_bm25_topk(sf_dir)
+    bm = bm[bm["rank"] <= 10][["query_id", "doc_id", "rank"]]
+    hy = _docs_hybrid_rerank(sf_dir)[["query_id", "doc_id", "rerank"]]
+    dd = np.arange(1, 11, dtype=np.float64)
+    wd = np.power(0.9, dd - 1.0) / dd
+    tail = np.cumsum(wd[::-1])[::-1]  # tail[m-1] = sum_{d=m..10} w_d
+    m = bm.merge(hy, on=["query_id", "doc_id"])
+    m["mx"] = m[["rank", "rerank"]].max(axis=1).astype(int)
+    rows = []
+    for qid in sorted(bm["query_id"].unique()):
+        sub = m[m.query_id == qid]
+        rbo = float((0.1 * tail[sub["mx"].to_numpy() - 1]).sum())
+        rows.append((qid, len(sub), round(rbo, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "overlap10", "rbo"])
+
+
 def _docs_class_terms(sf_dir: str) -> pd.DataFrame:
     """Top-10 class-indicative terms per language by chi-square document
     presence (stages/curation.py::class_term_chi2) — integer-exact
@@ -5570,6 +5593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_divergence": _docs_source_divergence,
         "docs_class_terms": _docs_class_terms,
         "docs_hybrid_rerank": _docs_hybrid_rerank,
+        "docs_rerank_rbo": _docs_rerank_rbo,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_pmi_pairs": _docs_pmi_pairs,
@@ -7600,6 +7624,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
             FROM rk WHERE "rank" <= 15
             ORDER BY query_id, "rank"
+        """,
+        "docs_rerank_rbo": """
+            -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
+            -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)
+            -- (stages/retrieval.py::bm25_topk)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc),
+            cand AS (SELECT query_id, doc_id, "rank" FROM rk
+                     WHERE "rank" <= 50),
+            refd AS (SELECT query_id, doc_id AS ref_id FROM cand
+                     WHERE "rank" = 1),
+            coss AS (
+              SELECT c.query_id, c.doc_id,
+                     round(list_cosine_similarity(
+                       CAST(er.embedding AS DOUBLE[]),
+                       CAST(ec.embedding AS DOUBLE[])), 6) AS cos
+              FROM cand c
+              JOIN refd r ON r.query_id = c.query_id
+              JOIN embeddings er ON er.vec_id = r.ref_id
+              JOIN embeddings ec ON ec.vec_id = c.doc_id),
+            rr AS (SELECT query_id, doc_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, doc_id)
+                            AS rerank
+                   FROM coss),
+            ab AS (
+              SELECT a.query_id, greatest(a."rank", b.rerank) AS mx
+              FROM (SELECT query_id, doc_id, "rank" FROM rk
+                    WHERE "rank" <= 10) a
+              JOIN (SELECT query_id, doc_id, rerank FROM rr
+                    WHERE rerank <= 10) b
+                USING (query_id, doc_id)),
+            dws AS (SELECT dd, pow(0.9, dd - 1) / dd AS wd
+                    FROM (SELECT unnest(range(1, 11)) AS dd)),
+            tails AS (SELECT dd,
+                             sum(wd) OVER (ORDER BY dd
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS ts
+                      FROM dws),
+            qs AS (SELECT DISTINCT query_id FROM rk WHERE "rank" <= 10),
+            agg AS (
+              SELECT ab.query_id,
+                     CAST(count(*) AS BIGINT) AS overlap10,
+                     sum(0.1 * t.ts) AS rbo
+              FROM ab JOIN tails t ON t.dd = ab.mx
+              GROUP BY 1)
+            SELECT q.query_id,
+                   coalesce(a.overlap10, 0) AS overlap10,
+                   round(coalesce(a.rbo, 0.0), 6) AS rbo
+            FROM qs q LEFT JOIN agg a USING (query_id)
+            ORDER BY q.query_id
         """,
         "docs_hybrid_rerank": """
             -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
