@@ -1769,6 +1769,47 @@ def _docs_nb_confusion(sf_dir: str) -> pd.DataFrame:
             .sort_values(["actual", "pred"]).reset_index(drop=True))
 
 
+def _docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking dedup (stages/dedup.py::cdc_chunks):
+    Rabin-Karp window-hash boundaries over UTF-8 bytes, 128-bit chunk
+    hashes through one exchange.  Oracle: the raw window-hash stream is
+    the side table (doc_fingerprints pattern); SQL replays boundary
+    selection, BLOB slicing, and first-occurrence dedup on actual
+    chunk bytes."""
+    from text_to_rdf_ray.kernels.minhash import window_hashes
+    from text_to_rdf_ray.stages.dedup import cdc_chunks
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        ids, poss, hs_out = [], [], []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            hs = window_hashes(txt or "", 16)
+            if hs is None:
+                continue
+            ids.extend([did] * len(hs))
+            poss.extend(range(len(hs)))
+            hs_out.append(hs.view(np.int64))
+        h = (np.concatenate(hs_out) if hs_out
+             else np.array([], np.int64))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.asarray(poss, np.int64), pa.int64()),
+            "h": pa.array(h, pa.int64())})
+
+    win = docs.map_batches(win_rows, batch_format="pyarrow").to_pandas()
+    _side_write("docs_cdc_chunks", "win.parquet",
+                win.sort_values(["doc_id", "pos"]).reset_index(drop=True))
+
+    out = cdc_chunks(docs).to_pandas()
+    for c in ("doc_id", "chunk_idx", "start", "length"):
+        out[c] = out[c].astype("int64")
+    out["is_dup"] = out["is_dup"].astype(bool)
+    return (out[["doc_id", "chunk_idx", "start", "length", "is_dup"]]
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+
 def _docs_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 span-level
     training-data dedup) — stages/curation.py::dup_spans: gram-hash
@@ -5588,6 +5629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _docs_inverted_index,
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_dup_spans": _docs_dup_spans,
+        "docs_cdc_chunks": _docs_cdc_chunks,
         "docs_nb_classify": _docs_nb_classify,
         "docs_nb_confusion": _docs_nb_confusion,
         "docs_source_divergence": _docs_source_divergence,
@@ -8996,6 +9038,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM fulls)
             SELECT doc_id, lang AS pred_class, round(score, 6) AS score
             FROM r WHERE rnk = 1 ORDER BY doc_id
+        """,
+        "docs_cdc_chunks": f"""
+            -- boundaries where (h & 63) = 0 and pos > 0; chunks between
+            -- consecutive cuts; dedup on actual chunk BYTES (BLOB
+            -- slices), first occurrence in (doc_id, chunk_idx) order
+            WITH b AS (
+              SELECT doc_id, to_hex(encode(text)) AS bt,
+                     octet_length(encode(text)) AS n
+              FROM documents WHERE octet_length(encode(text)) > 0),
+            cuts AS (
+              SELECT doc_id, pos FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_cdc_chunks", "win.parquet")}')
+              WHERE (h & 63) = 0 AND pos > 0
+              UNION ALL SELECT doc_id, 0 FROM b),
+            spans AS (
+              SELECT c.doc_id, c.pos AS start,
+                     lead(c.pos, 1, b.n) OVER (PARTITION BY c.doc_id
+                                               ORDER BY c.pos) AS nxt
+              FROM cuts c JOIN b USING (doc_id)),
+            chunks AS (
+              SELECT s.doc_id,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY s.start) - 1
+                       AS chunk_idx,
+                     s.start, s.nxt - s.start AS length,
+                     substring(b.bt,
+                               CAST(2 * s.start + 1 AS INTEGER),
+                               CAST(2 * (s.nxt - s.start) AS INTEGER))
+                       AS piece
+              FROM spans s JOIN b USING (doc_id)),
+            marked AS (
+              SELECT doc_id, chunk_idx, start, length,
+                     row_number() OVER (PARTITION BY piece
+                                        ORDER BY doc_id, chunk_idx) > 1
+                       AS is_dup
+              FROM chunks)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(length AS BIGINT) AS length, is_dup
+            FROM marked ORDER BY doc_id, chunk_idx
         """,
         "docs_dup_spans": """
             -- merged token spans covered by corpus-duplicated 5-grams

@@ -996,3 +996,37 @@ def test_sorted_neighborhood_pairs_bruteforce_parity(ray_session):
                 exp.append((order[p], order[p + gap], gap))
     exp.sort()
     assert list(map(tuple, out.to_numpy().tolist())) == exp
+
+
+def test_cdc_chunks_shift_resilience(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import cdc_chunks
+
+    rng = np.random.RandomState(17)
+    body = "".join(rng.choice(list("abcdefgh "), 600))
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [body,
+                 "PREFIX-INSERTED " + body,   # shifted copy
+                 "totally different content " * 20]})
+    out = cdc_chunks(rd.from_pandas(docs).repartition(3)).to_pandas()
+    # chunks partition each doc's byte range exactly
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        n = len(docs.loc[docs.doc_id == did, "text"].iloc[0]
+                .encode("utf-8"))
+        assert g["start"].iloc[0] == 0
+        assert (g["start"] + g["length"]).iloc[-1] == n
+        assert (g["start"].to_numpy()[1:]
+                == (g["start"] + g["length"]).to_numpy()[:-1]).all()
+    # content-defined boundaries: most of the shifted copy's chunks are
+    # detected as duplicates of doc 0's chunks despite the offset
+    d1 = out[out.doc_id == 1]
+    dup_bytes = d1.loc[d1.is_dup, "length"].sum()
+    assert dup_bytes > 0.6 * len(body)
+    # doc 0 (first occurrence) has no dups against itself unless content
+    # repeats; the unrelated doc contributes its own repetitions only
+    assert not out[(out.doc_id == 0) & out.is_dup &
+                   (out.length > 32)].shape[0]

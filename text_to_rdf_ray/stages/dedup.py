@@ -1435,3 +1435,85 @@ def sorted_neighborhood_pairs(
     return (srt.map_batches(route, batch_format="pyarrow",
                             batch_size=None)
             .groupby("_part").map_groups(pairs, batch_format="pandas"))
+
+
+def cdc_chunks(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mod_bits: int = 6,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Content-defined chunking dedup (LBFS/rsync-style): cut each
+    document's UTF-8 byte stream wherever the Rabin-Karp hash of the
+    16-byte window starting there is ≡ 0 (mod 2^mod_bits) — boundaries
+    move with the CONTENT, so an insertion early in a doc shifts only
+    one chunk instead of re-chunking everything (what fixed-size
+    blocking gets wrong; the byte-level complement of the word-window
+    ``passage_dedup``).  A chunk is a duplicate iff an identical byte
+    span occurred earlier in (doc, chunk) order anywhere in the corpus.
+
+    Output: (id_col, chunk_idx, start, length, is_dup) — byte offsets.
+
+    Scale shape: chunking is a pure map (the same
+    ``kernels.minhash.window_hashes`` stream the fingerprint family
+    uses); dedup ships one 128-bit chunk hash + (doc, idx) per chunk —
+    never chunk bytes — through ONE hash exchange whose per-partition
+    winner pick is a vectorized sort + groupby-first.
+    """
+    import hashlib as _hl
+
+    from ..kernels.minhash import window_hashes
+    from .exchange import exchange_agg  # noqa: F401  (pattern parity)
+
+    mask = np.uint64((1 << mod_bits) - 1)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        o_id, o_idx, o_st, o_ln, o_h1, o_h2 = [], [], [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            data = (txt or "").encode("utf-8", errors="ignore")
+            n = len(data)
+            if n == 0:
+                continue
+            hs = window_hashes(txt or "", window)
+            if hs is None:
+                cuts = [0, n]
+            else:
+                pos = np.flatnonzero((hs & mask) == 0)
+                pos = pos[pos > 0]
+                cuts = [0] + pos.tolist() + [n]
+            for i in range(len(cuts) - 1):
+                st, en = cuts[i], cuts[i + 1]
+                dig = _hl.blake2b(data[st:en], digest_size=16).digest()
+                o_id.append(did)
+                o_idx.append(i)
+                o_st.append(st)
+                o_ln.append(en - st)
+                o_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                o_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+        h1 = np.asarray(o_h1, np.int64)
+        from ..stages.analytics import splitmix64
+        part = (splitmix64(h1) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(np.asarray(o_idx, np.int64), pa.int64()),
+            "start": pa.array(np.asarray(o_st, np.int64), pa.int64()),
+            "length": pa.array(np.asarray(o_ln, np.int64), pa.int64()),
+            "_h1": pa.array(h1, pa.int64()),
+            "_h2": pa.array(np.asarray(o_h2, np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int32())})
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h1", "_h2", id_col, "chunk_idx"],
+                          kind="mergesort")
+        first = ~g.duplicated(["_h1", "_h2"], keep="first")
+        out = g[[id_col, "chunk_idx", "start", "length"]].copy()
+        out["is_dup"] = ~first.to_numpy()
+        return out
+
+    return (ds.map_batches(chunk, batch_format="pyarrow",
+                           batch_size=1024)
+            .groupby("_part").map_groups(mark, batch_format="pandas"))
