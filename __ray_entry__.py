@@ -3867,6 +3867,30 @@ def _events_decayed_sum(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _events_schema_evolution(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution read (stages/lakehouse.py::read_evolved): two
+    writer generations of the events table — v1 lacks props/schema_ver,
+    v2 adds schema_ver — unioned with typed-null padding and normalized
+    column order.  Oracle: DuckDB's independent
+    read_parquet(union_by_name=true)."""
+    from text_to_rdf_ray.stages.lakehouse import read_evolved
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))         .to_pandas()
+    v1 = ev[ev["event_id"] % 2 == 0][
+        ["event_id", "event_type", "value"]].reset_index(drop=True)
+    v2 = ev[ev["event_id"] % 2 == 1][
+        ["event_id", "event_type", "value", "props"]].copy()
+    v2["schema_ver"] = np.int64(2)
+    p1 = _side_write("events_schema_evolution", "v1.parquet", v1)
+    p2 = _side_write("events_schema_evolution", "v2.parquet",
+                     v2.reset_index(drop=True))
+    out = read_evolved([p1, p2]).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return (out[["event_id", "event_type", "value", "props",
+                 "schema_ver"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
     """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
     event value, arms = user_id parity — one moment-partial row per
@@ -5683,6 +5707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_ttest": _events_ab_ttest,
         "events_logreg": _events_logreg,
         "events_decayed_sum": _events_decayed_sum,
+        "events_schema_evolution": _events_schema_evolution,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -7379,6 +7404,15 @@ def oracle_sql() -> dict[str, str]:
                          - epoch_us(ts)) / 1000000.0) / 86400.0))), 6)
                      AS decayed_sum
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_schema_evolution": f"""
+            -- independent schema-evolution reader
+            SELECT event_id, event_type, value, props, schema_ver
+            FROM read_parquet(
+              ['{os.path.join(_SIDE, "events_schema_evolution", "v1.parquet")}',
+               '{os.path.join(_SIDE, "events_schema_evolution", "v2.parquet")}'],
+              union_by_name=true)
+            ORDER BY event_id
         """,
         "events_ab_ttest": """
             -- Welch t-test from raw moments, same expression shapes

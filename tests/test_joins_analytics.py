@@ -2003,3 +2003,30 @@ def test_decayed_sum_matches_numpy(ray_session):
     want = pd.Series(w).groupby(key).sum()
     for k in want.index:
         assert abs(out.loc[k, "decayed_sum"] - want[k]) < 1e-9
+
+
+def test_read_evolved_pads_and_rejects_conflicts(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from text_to_rdf_ray.stages.lakehouse import read_evolved
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "x": pa.array([1.5, 2.5])}), p1)
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "y": pa.array(["new"])}), p2)
+    out = (read_evolved([p1, p2]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(out.columns) == ["id", "x", "y"]
+    assert out["y"].isna().tolist() == [True, True, False]
+    assert out["x"].isna().tolist() == [False, False, True]
+
+    p3 = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"id": pa.array([4], pa.int64()),
+                             "x": pa.array(["oops"])}), p3)  # x: str!
+    with pytest.raises(ValueError, match="conflicting"):
+        read_evolved([p1, p3])

@@ -529,3 +529,61 @@ def compact_files(
     counters.incr({"compact_files_in": len(manifest),
                    "compact_files_out": len(new_manifest)})
     return new_manifest
+
+
+def read_evolved(
+    paths: list[str],
+    *,
+    target_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Schema-evolution read: union parquet file sets whose schemas
+    DIVERGED over time (columns added/dropped between writer versions) —
+    the nightly-crawl reality a fixed-schema ``read_parquet`` rejects.
+    Missing columns materialize as typed nulls; extra columns not in the
+    target are dropped; column ORDER is normalized.  ``target_schema``
+    defaults to the union of all file schemas (first-seen type wins; a
+    same-name column with a CONFLICTING type raises loudly rather than
+    silently casting).
+
+    Scale shape: schema discovery reads ONLY parquet footers (O(files)
+    metadata, no data I/O); the pad/project is a zero-copy per-batch
+    Arrow op, and each path set stays an independent streaming read —
+    no materialization, no shuffle.
+    """
+    import pyarrow.parquet as pq
+
+    if target_schema is None:
+        fields: dict[str, pa.DataType] = {}
+        for p in paths:
+            sch = pq.read_schema(p) if p.endswith(".parquet") else None
+            if sch is None:
+                import glob as _g
+                files = sorted(_g.glob(os.path.join(p, "*.parquet")))
+                if not files:
+                    raise ValueError(f"read_evolved: no parquet under {p}")
+                sch = pq.read_schema(files[0])
+            for f in sch:
+                prev = fields.get(f.name)
+                if prev is not None and prev != f.type:
+                    raise ValueError(
+                        f"read_evolved: column {f.name!r} has conflicting "
+                        f"types {prev} vs {f.type} — resolve explicitly")
+                fields.setdefault(f.name, f.type)
+        target_schema = pa.schema(sorted(fields.items()))
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target_schema:
+            if f.name in t.column_names:
+                cols.append(t.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(target_schema.names, cols)))
+
+    parts = [rd.read_parquet(p).map_batches(conform,
+                                            batch_format="pyarrow")
+             for p in paths]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
