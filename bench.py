@@ -339,7 +339,10 @@ def run_bench() -> dict:
                      "graph_hits", "graph_lpa", "knn_quantized",
                      "docs_nb_classify", "events_logreg",
                      "docs_source_divergence", "docs_class_terms",
-                     "docs_hybrid_rerank", "events_decayed_sum"):
+                     "docs_hybrid_rerank", "events_decayed_sum",
+                     "parts_sorted_neighborhood", "docs_cdc_chunks",
+                     "embeddings_rproj", "kg_predicate_stats",
+                     "kg_domain_violations", "events_schema_evolution"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
