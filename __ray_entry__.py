@@ -3891,6 +3891,32 @@ def _events_schema_evolution(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _orders_planned_join(sf_dir: str) -> pd.DataFrame:
+    """Cost-based join (stages/joins.py::planned_join): HLL sketches
+    pick broadcast for the small customer side before any row moves —
+    plan invisible to the oracle (plain JOIN), decision observable via
+    plannedjoin_* counters."""
+    from text_to_rdf_ray.stages.joins import planned_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    orders = orders.map_batches(
+        lambda b: pd.DataFrame({"custkey": b["o_custkey"],
+                                "o_orderkey": b["o_orderkey"]}),
+        batch_format="pandas")
+    cust = cust.map_batches(
+        lambda b: pd.DataFrame({"custkey": b["c_custkey"],
+                                "c_name": b["c_name"]}),
+        batch_format="pandas")
+    out = planned_join(orders, cust, on="custkey").to_pandas()
+    for c in ("custkey", "o_orderkey"):
+        out[c] = out[c].astype("int64")
+    return (out[["o_orderkey", "custkey", "c_name"]]
+            .sort_values(["o_orderkey"]).reset_index(drop=True))
+
+
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
     """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
     event value, arms = user_id parity — one moment-partial row per
@@ -5708,6 +5734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_logreg": _events_logreg,
         "events_decayed_sum": _events_decayed_sum,
         "events_schema_evolution": _events_schema_evolution,
+        "orders_planned_join": _orders_planned_join,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -7404,6 +7431,12 @@ def oracle_sql() -> dict[str, str]:
                          - epoch_us(ts)) / 1000000.0) / 86400.0))), 6)
                      AS decayed_sum
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_planned_join": """
+            -- the physical plan must be invisible: plain JOIN
+            SELECT o_orderkey, o_custkey AS custkey, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
         "events_schema_evolution": f"""
             -- independent schema-evolution reader

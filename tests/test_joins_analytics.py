@@ -2030,3 +2030,29 @@ def test_read_evolved_pads_and_rejects_conflicts(ray_session, tmp_path):
                              "x": pa.array(["oops"])}), p3)  # x: str!
     with pytest.raises(ValueError, match="conflicting"):
         read_evolved([p1, p3])
+
+
+def test_planned_join_both_paths_same_rows(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.joins import planned_join
+    from text_to_rdf_ray.state import counters
+
+    big = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(2000, dtype=np.int64) % 40,
+         "v": np.arange(2000, dtype=np.int64)})).repartition(4)
+    small = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(40, dtype=np.int64),
+         "name": [f"n{i}" for i in range(40)]}))
+    counters.snapshot(reset=True)
+    a = planned_join(big, small, on="k").to_pandas()
+    s1 = counters.snapshot(reset=True)
+    assert s1.get("plannedjoin_broadcast") == 1
+    b = planned_join(big, small, on="k", broadcast_limit=5).to_pandas()
+    s2 = counters.snapshot(reset=True)
+    assert s2.get("plannedjoin_shuffle") == 1
+    key = ["k", "v", "name"]
+    assert (a[key].sort_values(key).reset_index(drop=True)
+            .equals(b[key].sort_values(key).reset_index(drop=True)))

@@ -950,3 +950,50 @@ def interval_self_join(
                            batch_size=65536)
             .groupby("_part").map_groups(reduce_part,
                                          batch_format="pandas"))
+
+
+def planned_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+    broadcast_limit: float = 500_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Cost-based join: consult the zero-shuffle HLL sketches
+    (analytics.py::hll_join_estimate) and pick the physical plan —
+    ``broadcast_join`` when the RIGHT side's estimated distinct-key
+    count is under ``broadcast_limit`` (dimension-table shape: the big
+    side streams, nothing shuffles), else the two-sided
+    ``exchange_join``.  The result is plan-invisible (same rows either
+    way); the decision is observable via the
+    ``plannedjoin_broadcast`` / ``plannedjoin_shuffle`` counters and
+    costs two 4 KB sketch passes before any row moves — the planner
+    input a 100 TB join cannot afford to guess.
+
+    Restriction: single join key, ``inner``/``left`` only (the
+    broadcast path's contract).
+    """
+    from ..state import counters
+    from .analytics import hll_join_estimate
+    from .exchange import exchange_join
+
+    est = hll_join_estimate(left, right, left_col=on,
+                            right_col=on).to_pandas().iloc[0]
+    if est["est_right"] <= broadcast_limit:
+        counters.incr({"plannedjoin_broadcast": 1})
+        return broadcast_join(left, right, on=on, how=how)
+    counters.incr({"plannedjoin_shuffle": 1})
+    # schema probe: one small batch per side (planning cost only)
+    if left_schema is None:
+        left_schema = left.take_batch(4, batch_format="pyarrow").schema
+    if right_schema is None:
+        right_schema = right.take_batch(4, batch_format="pyarrow").schema
+    return exchange_join(left, right, on=on,
+                         how="left_outer" if how == "left" else how,
+                         num_partitions=num_partitions,
+                         left_schema=left_schema,
+                         right_schema=right_schema)
