@@ -3917,6 +3917,58 @@ def _orders_planned_join(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderkey"]).reset_index(drop=True))
 
 
+def _events_melt_pivot(sf_dir: str) -> pd.DataFrame:
+    """Round-trip reshaping: the hour×type pivot melted back to long
+    form (stages/analytics.py::melt) must equal the direct GROUP BY —
+    melt(pivot(x)) == groupby(x), the algebraic identity the oracle
+    checks."""
+    from text_to_rdf_ray.stages.analytics import melt
+
+    piv = _events_type_hour_pivot(sf_dir)
+    vcols = [c for c in piv.columns if c != "hour"]
+    long = melt(rd.from_pandas(piv), id_cols=["hour"],
+                value_cols=vcols, var_name="event_type",
+                value_name="v").to_pandas()
+    long["hour"] = long["hour"].astype("int64")
+    long["event_type"] = long["event_type"].str.replace(
+        "event_type_", "", n=1, regex=False)
+    long["v"] = _r(long["v"], 6)
+    return (long[["hour", "event_type", "v"]]
+            .sort_values(["hour", "event_type"]).reset_index(drop=True))
+
+
+def _events_scaled_value(sf_dir: str) -> pd.DataFrame:
+    """Per-type min-max feature scaling (stages/analytics.py::
+    minmax_scale): O(groups) fence exchange + broadcast pure map.
+    Oracle: window min/max replay."""
+    from text_to_rdf_ray.stages.analytics import minmax_scale
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = minmax_scale(ev, key_col="event_type",
+                       value_col="value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["scaled"] = _r(out["scaled"], 6)
+    return (out[["event_id", "event_type", "scaled"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _events_target_encoding(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out target encoding (stages/analytics.py::
+    target_encode_loo) of event_type against value — the leakage-safe
+    categorical encoder.  Oracle: window sum/count replay."""
+    from text_to_rdf_ray.stages.analytics import target_encode_loo
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = target_encode_loo(ev, key_col="event_type",
+                            target_col="value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["te"] = _r(out["te"], 6)
+    return (out[["event_id", "event_type", "te"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
     """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
     event value, arms = user_id parity — one moment-partial row per
@@ -5735,6 +5787,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_sum": _events_decayed_sum,
         "events_schema_evolution": _events_schema_evolution,
         "orders_planned_join": _orders_planned_join,
+        "events_melt_pivot": _events_melt_pivot,
+        "events_scaled_value": _events_scaled_value,
+        "events_target_encoding": _events_target_encoding,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -7431,6 +7486,43 @@ def oracle_sql() -> dict[str, str]:
                          - epoch_us(ts)) / 1000000.0) / 86400.0))), 6)
                      AS decayed_sum
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_melt_pivot": """
+            -- melt(pivot(x)) == groupby(x) padded to the full
+            -- hour x type grid (pivot fills absent cells with 0)
+            WITH b AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                              event_type, round(value, 2) AS v
+                       FROM events),
+            g AS (SELECT hour, event_type, sum(v) AS s FROM b
+                  GROUP BY 1, 2),
+            grid AS (SELECT h.hour, t.event_type
+                     FROM (SELECT DISTINCT hour FROM b) h,
+                          (SELECT DISTINCT event_type FROM b) t)
+            SELECT grid.hour, grid.event_type,
+                   round(coalesce(g.s, 0.0), 6) AS v
+            FROM grid LEFT JOIN g USING (hour, event_type)
+            ORDER BY 1, 2
+        """,
+        "events_scaled_value": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                              ELSE 0.0 END, 6) AS scaled
+            FROM (SELECT event_id, event_type, value,
+                         min(value) OVER (PARTITION BY event_type) AS mn,
+                         max(value) OVER (PARTITION BY event_type) AS mx
+                  FROM events)
+            ORDER BY event_id
+        """,
+        "events_target_encoding": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN n > 1 THEN (s - value) / (n - 1.0)
+                              ELSE NULL END, 6) AS te
+            FROM (SELECT event_id, event_type, value,
+                         sum(value) OVER (PARTITION BY event_type) AS s,
+                         CAST(count(value) OVER (PARTITION BY event_type)
+                              AS DOUBLE) AS n
+                  FROM events)
+            ORDER BY event_id
         """,
         "orders_planned_join": """
             -- the physical plan must be invisible: plain JOIN

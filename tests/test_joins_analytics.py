@@ -2056,3 +2056,34 @@ def test_planned_join_both_paths_same_rows(ray_session):
     key = ["k", "v", "name"]
     assert (a[key].sort_values(key).reset_index(drop=True)
             .equals(b[key].sort_values(key).reset_index(drop=True)))
+
+
+def test_melt_minmax_target_encode(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import (melt, minmax_scale,
+                                                  target_encode_loo)
+
+    wide = pd.DataFrame({"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+    long = (melt(rd.from_pandas(wide), id_cols=["id"],
+                 value_cols=["a", "b"]).to_pandas()
+            .sort_values(["id", "variable"]).reset_index(drop=True))
+    assert long.values.tolist() == [[1, "a", 1.0], [1, "b", 3.0],
+                                    [2, "a", 2.0], [2, "b", 4.0]]
+
+    df = pd.DataFrame({"k": ["x", "x", "x", "y", "z"],
+                       "v": [0.0, 5.0, 10.0, 7.0, 3.0]})
+    sc = (minmax_scale(rd.from_pandas(df).repartition(2),
+                       key_col="k", value_col="v").to_pandas()
+          .sort_values("v").reset_index(drop=True))
+    assert sc[sc.k == "x"]["scaled"].tolist() == [0.0, 0.5, 1.0]
+    assert (sc[sc.k.isin(["y", "z"])]["scaled"] == 0.0).all()  # constant
+
+    te = (target_encode_loo(rd.from_pandas(df).repartition(2),
+                            key_col="k", target_col="v").to_pandas()
+          .sort_values("v").reset_index(drop=True))
+    xs = te[te.k == "x"].sort_values("v")["te"].tolist()
+    assert xs == [7.5, 5.0, 2.5]            # (15-v)/2
+    assert te[te.k == "y"]["te"].isna().all()  # singleton -> NaN

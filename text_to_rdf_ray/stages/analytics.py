@@ -2324,3 +2324,116 @@ def logreg_train(
     out = {f"w_{j}": w[j] for j in range(d)}
     out["n"] = np.int64(n_total)
     return pd.DataFrame([out])
+
+
+def melt(
+    ds: rd.Dataset,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Unpivot (wide → long), the inverse of the pivot stage: each input
+    row emits one row per ``value_cols`` entry.  Pure vectorized map
+    (np.repeat on ids × column-stack on values), zero shuffle — at any
+    scale this is a width-to-length reshape of each block in place."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        cols: dict = {}
+        for c in id_cols:
+            cols[c] = pa.concat_arrays(
+                [t.column(c).combine_chunks()] * k) if k > 1 else \
+                t.column(c)
+        # tile layout: block of all rows per value column, ids tiled
+        var = pa.array(np.repeat(value_cols, n), pa.string())
+        vals = pa.concat_arrays(
+            [t.column(c).cast(pa.float64()).combine_chunks()
+             for c in value_cols])
+        cols[var_name] = var
+        cols[value_name] = vals
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def minmax_scale(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "scaled",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group min-max feature scaling:
+    ``(x − min_g) / (max_g − min_g)`` (constant groups scale to 0.0).
+    One combiner-backed exchange_agg computes the O(groups) fence table,
+    which rides a broadcast into a pure map — the fact stream never
+    shuffles (same economics as iqr_outliers)."""
+    import ray
+
+    from .exchange import exchange_agg
+
+    fences = exchange_agg(
+        ds.select_columns([key_col, value_col]), key_col,
+        [(value_col, "min", "_mn"), (value_col, "max", "_mx")],
+        num_partitions=num_partitions).to_pandas()
+    mn = dict(zip(fences[key_col], fences["_mn"].astype(np.float64)))
+    mx = dict(zip(fences[key_col], fences["_mx"].astype(np.float64)))
+    ref = ray.put((mn, mx))
+    cache: dict = {}
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(ref)
+        lo = b[key_col].map(st[0]).to_numpy(np.float64)
+        hi = b[key_col].map(st[1]).to_numpy(np.float64)
+        v = b[value_col].to_numpy(np.float64)
+        rng = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(rng > 0, (v - lo) / rng, 0.0)
+        return b.assign(**{out_col: out})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def target_encode_loo(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    target_col: str,
+    out_col: str = "te",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder: each row gets ``(Σ_g target − own target) / (n_g − 1)``;
+    singleton groups get NaN (no information without leakage).  Same
+    broadcast shape as :func:`minmax_scale`: one O(groups) sum/count
+    exchange, then a pure map."""
+    import ray
+
+    from .exchange import exchange_agg
+
+    stats = exchange_agg(
+        ds.select_columns([key_col, target_col]), key_col,
+        [(target_col, "sum", "_s"), (target_col, "count", "_n")],
+        num_partitions=num_partitions).to_pandas()
+    sm = dict(zip(stats[key_col], stats["_s"].astype(np.float64)))
+    nm = dict(zip(stats[key_col], stats["_n"].astype(np.float64)))
+    ref = ray.put((sm, nm))
+    cache: dict = {}
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(ref)
+        s = b[key_col].map(st[0]).to_numpy(np.float64)
+        n = b[key_col].map(st[1]).to_numpy(np.float64)
+        v = b[target_col].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(n > 1, (s - v) / (n - 1.0), np.nan)
+        return b.assign(**{out_col: out})
+
+    return ds.map_batches(fn, batch_format="pandas")
