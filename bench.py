@@ -342,7 +342,9 @@ def run_bench() -> dict:
                      "docs_hybrid_rerank", "events_decayed_sum",
                      "parts_sorted_neighborhood", "docs_cdc_chunks",
                      "embeddings_rproj", "kg_predicate_stats",
-                     "kg_domain_violations", "events_schema_evolution"):
+                     "kg_domain_violations", "events_schema_evolution",
+                     "orders_planned_join", "events_scaled_value",
+                     "events_target_encoding", "docs_rerank_rbo"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
