@@ -3969,6 +3969,74 @@ def _events_target_encoding(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _revenue_by_nation_ivm(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance (stages/analytics.py::
+    merge_agg_states): the revenue-by-nation view maintained as a BASE
+    state (orders % 7 != 0) merged with a DELTA state (% 7 == 0) —
+    merge touches only O(nations) state rows, never the base facts.
+    Oracle: full recompute over base+delta (merge == rebuild)."""
+    from text_to_rdf_ray.stages.analytics import merge_agg_states
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b["l_extendedprice"] * (1 - b["l_discount"])).round(2)
+        return pd.DataFrame({"okey": b["l_orderkey"], "rev": r})
+
+    def state_for(keep_zero: bool) -> "rd.Dataset":
+        def sel(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["o_orderkey"] % 7 == 0) if keep_zero else                 (b["o_orderkey"] % 7 != 0)
+            return pd.DataFrame({
+                "okey": b.loc[m, "o_orderkey"],
+                "custkey": b.loc[m, "o_custkey"]})
+
+        j1 = exchange_join(
+            li.map_batches(rev, batch_format="pandas"),
+            orders.map_batches(sel, batch_format="pandas"),
+            on="okey", num_partitions=16, coalesce_blocks=16,
+            left_schema=pa.schema([("okey", pa.int64()),
+                                   ("rev", pa.float64())]),
+            right_schema=pa.schema([("okey", pa.int64()),
+                                    ("custkey", pa.int64())]))
+        j2 = exchange_join(
+            j1.map_batches(lambda b: pd.DataFrame(
+                {"custkey": b["custkey"], "rev": b["rev"]}),
+                batch_format="pandas"),
+            cust.map_batches(lambda b: pd.DataFrame(
+                {"custkey": b["c_custkey"],
+                 "nation": b["c_nationkey"]}), batch_format="pandas"),
+            on="custkey", num_partitions=16,
+            left_schema=pa.schema([("custkey", pa.int64()),
+                                   ("rev", pa.float64())]),
+            right_schema=pa.schema([("custkey", pa.int64()),
+                                    ("nation", pa.int64())]))
+        return exchange_agg(
+            j2.map_batches(lambda b: pd.DataFrame(
+                {"nation": b["nation"], "rev": b["rev"],
+                 "n": np.ones(len(b), np.int64)}),
+                batch_format="pandas"),
+            "nation", [("rev", "sum", "rev"), ("n", "sum", "n")],
+            num_partitions=8)
+
+    base = state_for(False).materialize()
+    delta = state_for(True).materialize()
+    merged = merge_agg_states([base, delta], "nation",
+                              [("rev", "sum"), ("n", "count")],
+                              num_partitions=8).to_pandas()
+    merged["nation"] = merged["nation"].astype("int64")
+    merged["n"] = merged["n"].astype("int64")
+    merged["rev"] = _r(merged["rev"], 2)
+    return (merged[["nation", "rev", "n"]]
+            .sort_values("nation").reset_index(drop=True))
+
+
 def _events_ab_ttest(sf_dir: str) -> pd.DataFrame:
     """Welch's two-sample t-test (stages/analytics.py::welch_ttest) on
     event value, arms = user_id parity — one moment-partial row per
@@ -5790,6 +5858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_melt_pivot": _events_melt_pivot,
         "events_scaled_value": _events_scaled_value,
         "events_target_encoding": _events_target_encoding,
+        "revenue_by_nation_ivm": _revenue_by_nation_ivm,
         "graph_khop_reach": _graph_khop_reach,
         "events_resample_fill": _events_resample_fill,
         "orders_dq_check": _orders_dq_check,
@@ -7538,6 +7607,17 @@ def oracle_sql() -> dict[str, str]:
                '{os.path.join(_SIDE, "events_schema_evolution", "v2.parquet")}'],
               union_by_name=true)
             ORDER BY event_id
+        """,
+        "revenue_by_nation_ivm": """
+            -- merge == rebuild: full recompute over base + delta
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   round(sum(round(l_extendedprice * (1 - l_discount),
+                                   2)), 2) AS rev,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "events_ab_ttest": """
             -- Welch t-test from raw moments, same expression shapes

@@ -2087,3 +2087,30 @@ def test_melt_minmax_target_encode(ray_session):
     xs = te[te.k == "x"].sort_values("v")["te"].tolist()
     assert xs == [7.5, 5.0, 2.5]            # (15-v)/2
     assert te[te.k == "y"]["te"].isna().all()  # singleton -> NaN
+
+
+def test_merge_agg_states_equals_rebuild(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import merge_agg_states
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"k": rng.randint(0, 9, 600),
+                       "v": rng.randint(0, 100, 600).astype("int64")})
+    aggs = [("v", "sum", "v_sum"), ("v", "min", "v_min"),
+            ("v", "max", "v_max")]
+    halves = [df.iloc[:250], df.iloc[250:]]
+    states = [exchange_agg(rd.from_pandas(h), "k", aggs,
+                           num_partitions=4).materialize()
+              for h in halves]
+    merged = (merge_agg_states(states, "k",
+                               [("v_sum", "sum"), ("v_min", "min"),
+                                ("v_max", "max")], num_partitions=4)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k").agg(v_sum=("v", "sum"), v_min=("v", "min"),
+                                v_max=("v", "max")).reset_index())
+    pd.testing.assert_frame_equal(
+        merged.astype("int64"), want.astype("int64"))

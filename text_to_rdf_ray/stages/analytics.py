@@ -2437,3 +2437,30 @@ def target_encode_loo(
         return b.assign(**{out_col: out})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def merge_agg_states(
+    states: list[rd.Dataset],
+    keys: list[str] | str,
+    aggs: list[tuple[str, str]],
+    *,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Incremental view maintenance: merge per-key aggregate STATE
+    tables (outputs of ``exchange_agg`` with decomposable fns) from a
+    base materialization and one or more delta batches — the nightly
+    refresh that never recomputes the base.  ``aggs`` names each state
+    column and its ORIGINAL fn; merging maps min→min, max→max,
+    sum→sum, count→sum (partial counts add).  Merge volume is
+    O(Σ state rows) — independent of the raw row count the states
+    summarize, which is the whole point at 100 TB.
+    """
+    from .exchange import exchange_agg
+
+    fn_map = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+    merged_aggs = [(c, fn_map[f], c) for c, f in aggs]
+    u = states[0]
+    for s in states[1:]:
+        u = u.union(s)
+    return exchange_agg(u, keys, merged_aggs,
+                        num_partitions=num_partitions)
