@@ -1260,29 +1260,105 @@ def editdist_join(
     """Exact edit-distance <= 1 similarity self-join via symmetric-delete
     blocking (FastSS, Bocek et al. 2007): ed(s, t) <= 1 iff
     ({s} ∪ del1(s)) ∩ ({t} ∪ del1(t)) != ∅ — a COMPLETE blocking, no
-    recall loss, no quadratic candidate set.  Emits
-    (id_a, id_b, dist) with id_a < id_b, globally deduped.
+    recall loss.  Emits (id_a, id_b, dist) with id_a < id_b.
 
-    Scale shape: each string emits len+1 (variant_hash, id, text) rows —
-    O(total chars) blocking volume, one hash exchange; in-bucket pair
-    enumeration is the shared chunked ``_pairs_within_groups`` kernel
-    and verification is the vectorized ``_ed1_dist`` (candidate-
-    proportional, never all-pairs); one final (id_a, id_b) min-reduce
-    dedups pairs found through several shared variants.  Strings ride
-    the exchange — the short-key contract (names, titles, queries); for
-    document-scale text block on a fingerprint column and re-attach
-    text with an ``exchange_join`` afterwards.
+    Scale shape — DISTINCT-STRING factoring first (the decisive move on
+    repetitive corpora: 20k TPC-H part names = 64 distinct strings, so
+    the quadratic candidate volume collapses before any verify):
+    (1) one 128-bit full-string hash exchange groups exact duplicates
+    (rep = min id per string); within-group pairs ARE the dist-0 output
+    (vectorized, O(output)).  (2) FastSS variant blocking + the
+    vectorized ``_ed1_dist`` verify run over REPRESENTATIVES only —
+    O(distinct-string candidates), with a (rep_a, rep_b) min-reduce
+    deduping multi-variant hits.  (3) the dist-1 string pairs expand to
+    id pairs by TWO chained ``exchange_join``s against the (rep, id)
+    membership table — the cross-product output materializes through
+    the join machinery's streaming blocks, never in one task.  Strings
+    ride the variant exchange — the short-key contract (names, titles,
+    queries); for document-scale text block on a fingerprint column.
     """
+    import hashlib as _hl
+
     from ..kernels.minhash import _hash_shingles
-    from .exchange import exchange_agg
+    from .analytics import splitmix64
+    from .exchange import exchange_agg, exchange_join
     from .graph import _pairs_within_groups
 
-    def variants(t: pa.Table) -> pa.Table:
-        from .analytics import splitmix64
+    # ---- (1) exact-duplicate grouping on a 128-bit full-string hash
+    def string_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        h1, h2 = [], []
+        for s in t.column(text_col).to_pylist():
+            d = _hl.blake2b((s or "").encode("utf-8"),
+                            digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "little", signed=True))
+            h2.append(int.from_bytes(d[8:], "little", signed=True))
+        ha = np.asarray(h1, np.int64)
+        part = (splitmix64(ha) % np.uint64(num_partitions)).astype(
+            np.int32)
+        return pa.table({id_col: ids,
+                         "_t": t.column(text_col).cast(pa.string()),
+                         "_h1": pa.array(ha, pa.int64()),
+                         "_h2": pa.array(np.asarray(h2, np.int64),
+                                         pa.int64()),
+                         "_part": pa.array(part, pa.int32())})
 
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+    hashed = ds.map_batches(string_hash, batch_format="pyarrow",
+                            batch_size=4096)
+
+    def group_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h1", "_h2", id_col], kind="mergesort")
+        rep = (g.groupby(["_h1", "_h2"], sort=False)[id_col]
+               .transform("min").to_numpy(np.int64))
+        return pd.DataFrame({"rep": rep,
+                             "id": g[id_col].to_numpy(np.int64),
+                             "text": g["_t"].to_numpy()})
+
+    groups = (hashed.groupby("_part")
+              .map_groups(group_part, batch_format="pandas")
+              ).materialize()
+    g_schema = pa.schema([("rep", pa.int64()), ("id", pa.int64()),
+                          ("text", pa.string())])
+
+    # dist-0: all within-group pairs, vectorized per partition
+    def zero_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rep", "id"], kind="mergesort")
+        rep = g["rep"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        a_all, b_all = [], []
+        for first, sec in _pairs_within_groups(rep, ids):
+            a_all.append(ids[first])
+            b_all.append(ids[sec])
+        if not a_all:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        return pd.DataFrame({"id_a": a, "id_b": b,
+                             "dist": np.zeros(len(a), np.int64)})
+
+    def part_by_rep(t: pa.Table) -> pa.Table:
+        part = (splitmix64(t.column("rep").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+            % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_rp", pa.array(part, pa.int32()))
+
+    zeros = (groups.map_batches(part_by_rep, batch_format="pyarrow")
+             .groupby("_rp")
+             .map_groups(lambda g: zero_pairs(g.drop(columns=["_rp"])),
+                         batch_format="pandas"))
+
+    # ---- (2) FastSS over representatives (distinct strings)
+    reps = groups.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("rep"),
+                                            t.column("id"))),
+        batch_format="pyarrow")
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t.column("rep").to_numpy(zero_copy_only=False).astype(
             np.int64)
-        texts = t.column(text_col).to_pylist()
+        texts = t.column("text").to_pylist()
         v_ids, v_strs, v_texts = [], [], []
         for i, s in zip(ids.tolist(), texts):
             s = s or ""
@@ -1307,32 +1383,87 @@ def editdist_join(
         vh = g["vh"].to_numpy(np.int64)
         ids = g["id"].to_numpy(np.int64)
         ss = g["s"].to_numpy()
-        ia_all, ib_all, d_all = [], [], []
+        ia_all, ib_all = [], []
         for first, sec in _pairs_within_groups(vh, ids):
             ia, ib = ids[first], ids[sec]
             keep = ia != ib
             if not keep.any():
                 continue
-            d = _ed1_dist(ss[first][keep], ss[sec][keep])
+            # candidate pairs repeat across shared variants: dedup
+            # BEFORE the vectorized verify (the 33M->k collapse on
+            # short near-identical strings)
+            fa, fb = first[keep], sec[keep]
+            key = (ia[keep].astype(np.uint64) << np.uint64(32)) \
+                | ib[keep].astype(np.uint64)
+            _, uidx = np.unique(key, return_index=True)
+            fa, fb = fa[uidx], fb[uidx]
+            d = _ed1_dist(ss[fa], ss[fb])
             hit = d <= 1
-            ia_all.append(ia[keep][hit])
-            ib_all.append(ib[keep][hit])
-            d_all.append(d[hit])
+            ia_all.append(ids[fa][hit])
+            ib_all.append(ids[fb][hit])
         if not ia_all:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "dist": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id_a": np.concatenate(ia_all),
-                             "id_b": np.concatenate(ib_all),
-                             "dist": np.concatenate(d_all)})
+            return pd.DataFrame({"ra": pd.Series(dtype="int64"),
+                                 "rb": pd.Series(dtype="int64")})
+        return pd.DataFrame({"ra": np.concatenate(ia_all),
+                             "rb": np.concatenate(ib_all)})
 
-    buckets = (ds.map_batches(variants, batch_format="pyarrow",
-                              batch_size=8192)
-               .groupby("_part")
-               .map_groups(per_part, batch_format="pandas"))
-    return exchange_agg(buckets, ["id_a", "id_b"],
-                        [("dist", "min", "dist")],
-                        num_partitions=min(num_partitions, 16))
+    cand = (reps.map_batches(variants, batch_format="pyarrow",
+                             batch_size=2048)
+            .groupby("_part").map_groups(per_part,
+                                         batch_format="pandas"))
+    spairs = exchange_agg(
+        cand.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["ra", "rb"], [("one", "min", "one")],
+        num_partitions=min(num_partitions, 16)).drop_columns(["one"])
+
+    # ---- (3) expand string pairs to id pairs via two chained joins
+    memb = groups.select_columns(["rep", "id"])
+    j1 = exchange_join(
+        spairs.map_batches(
+            lambda t: pa.table({"rep": t.column("ra"),
+                                "rb": t.column("rb")}),
+            batch_format="pyarrow"),
+        memb.map_batches(
+            lambda t: pa.table({"rep": t.column("rep"),
+                                "ida": t.column("id")}),
+            batch_format="pyarrow"),
+        on="rep", num_partitions=num_partitions,
+        left_schema=pa.schema([("rep", pa.int64()),
+                               ("rb", pa.int64())]),
+        right_schema=pa.schema([("rep", pa.int64()),
+                                ("ida", pa.int64())]))
+    j2 = exchange_join(
+        j1.map_batches(
+            lambda t: pa.table({"rep": t.column("rb"),
+                                "ida": t.column("ida")}),
+            batch_format="pyarrow"),
+        memb.map_batches(
+            lambda t: pa.table({"rep": t.column("rep"),
+                                "idb": t.column("id")}),
+            batch_format="pyarrow"),
+        on="rep", num_partitions=num_partitions,
+        left_schema=pa.schema([("rep", pa.int64()),
+                               ("ida", pa.int64())]),
+        right_schema=pa.schema([("rep", pa.int64()),
+                                ("idb", pa.int64())]))
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("ida").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = t.column("idb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "dist": pa.array(np.ones(len(lo), np.int64),
+                                          pa.int64())})
+
+    ones = j2.map_batches(orient, batch_format="pyarrow")
+    return zeros.union(ones)
 
 
 def sorted_neighborhood_pairs(
