@@ -1194,6 +1194,10 @@ def hits(
             batch_format="pyarrow").to_pandas()
         tot = np.float64(tot_rows["_t"].sum()) if len(tot_rows) else \
             np.float64(1.0)
+        # materialized: each score table is consumed twice (the next
+        # half-step's join AND the final hub/auth merge) — lazy here
+        # re-executes a whole exchange per extra consumer (measured
+        # 10s -> 24s at sf0.1)
         return summed.map_batches(
             lambda t, tot=tot: pa.table({
                 "node": t.column("node"),
