@@ -4963,6 +4963,61 @@ def _graph_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _graph_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components (stages/graph.py::scc — driver
+    Tarjan tier here; the distributed FW-BW coloring tier is forced and
+    Tarjan-parity-tested in tests/test_graph.py) over a directed cyclic
+    graph: nation→supplier (suppkey % 4 == 0), supplier→customer
+    (sampled), customer→nation.  comp = min member id.  Oracle:
+    recursive-CTE mutual reachability."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import scc
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    sc_edges = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b.loc[(b["supp"] + b["cust"]) % 3 == 0,
+                         "supp"].astype("int64"),
+            "dst": b.loc[(b["supp"] + b["cust"]) % 3 == 0,
+                         "cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas")
+    ns_edges = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b.loc[b["s_suppkey"] % 4 == 0,
+                         "s_nationkey"].astype("int64") + 2_000_000,
+            "dst": b.loc[b["s_suppkey"] % 4 == 0,
+                         "s_suppkey"].astype("int64")}),
+        batch_format="pandas")
+    cn_edges = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["c_custkey"].astype("int64") + 1_000_000,
+            "dst": b["c_nationkey"].astype("int64") + 2_000_000}),
+        batch_format="pandas")
+    out = scc(sc_edges.union(ns_edges).union(cn_edges)).to_pandas()
+    for c in ("node", "comp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _graph_assortativity(sf_dir: str) -> pd.DataFrame:
     """Degree assortativity of the undirected supplier↔customer graph:
     Pearson r of (deg(node), deg(nbr)) over both edge orientations —
@@ -5899,6 +5954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": _graph_hits,
         "graph_lpa": _graph_lpa,
         "graph_assortativity": _graph_assortativity,
+        "graph_scc": _graph_scc,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -7646,6 +7702,45 @@ def oracle_sql() -> dict[str, str]:
                          / (pow(se_a, 2) / (n_a - 1.0)
                             + pow(se_b, 2) / (n_b - 1.0)), 6) AS df
             FROM w
+        """,
+        "graph_scc": """
+            -- SCC via recursive-CTE mutual reachability; comp = min
+            -- mutually-reachable node (self included)
+            WITH RECURSIVE edges AS (
+              -- subquery wrapper: under WITH RECURSIVE, DuckDB would
+              -- otherwise parse this multi-branch UNION ALL as
+              -- anchor + recursive step (measured: 341 vs 185 nodes)
+              SELECT * FROM (
+                SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(1000000 + o_custkey AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE (l_suppkey + o_custkey) % 3 = 0
+                UNION ALL
+                SELECT DISTINCT CAST(2000000 + s_nationkey AS BIGINT),
+                       CAST(s_suppkey AS BIGINT)
+                FROM supplier WHERE s_suppkey % 4 = 0
+                UNION ALL
+                SELECT DISTINCT CAST(1000000 + c_custkey AS BIGINT),
+                       CAST(2000000 + c_nationkey AS BIGINT)
+                FROM customer)),
+            reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r
+              JOIN edges e ON e.src = r.b),
+            mut AS (
+              SELECT r1.a AS v, r1.b AS u
+              FROM reach r1 JOIN reach r2
+                ON r1.a = r2.b AND r1.b = r2.a),
+            comps AS (
+              SELECT v AS node, least(v, min(u)) AS comp
+              FROM mut GROUP BY v),
+            nodes AS (SELECT * FROM (
+              SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges))
+            SELECT n.node, coalesce(c.comp, n.node) AS comp
+            FROM nodes n LEFT JOIN comps c USING (node)
+            ORDER BY n.node
         """,
         "graph_assortativity": """
             -- degree assortativity: corr_matrix moment algebra over

@@ -410,3 +410,35 @@ def test_label_propagation_two_communities(ray_session):
     right = set(out[out.node >= 10].lbl)
     assert len(left) == 1 and len(right) == 1
     assert left != right
+
+
+def test_scc_tiers_match_and_handle_cycles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import _tarjan_scc, scc
+
+    e = pd.DataFrame({"src": [0, 1, 2, 5, 6, 2, 9],
+                      "dst": [1, 2, 0, 6, 5, 5, 0]})
+    want = {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+    for eng in ("driver", "distributed"):
+        out = (scc(rd.from_pandas(e), engine=eng, num_partitions=4)
+               .to_pandas())
+        assert dict(zip(out.node, out.comp)) == want, eng
+
+
+def test_scc_distributed_matches_tarjan_random(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import _tarjan_scc, scc
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 24, 90).astype(np.int64)
+    dst = rng.randint(0, 24, 90).astype(np.int64)
+    e = pd.DataFrame({"src": src, "dst": dst})
+    e = e[e.src != e.dst].drop_duplicates()
+    ref = _tarjan_scc(e["src"].to_numpy(), e["dst"].to_numpy())
+    out = (scc(rd.from_pandas(e), engine="distributed",
+               num_partitions=4).to_pandas())
+    assert dict(zip(out.node, out.comp)) == ref

@@ -1313,3 +1313,332 @@ def label_propagation(
             batch_format="pyarrow").materialize()
 
     return labels
+
+
+def _tarjan_scc(src: np.ndarray, dst: np.ndarray) -> dict:
+    """Iterative Tarjan over an edge list: node -> min-member SCC label.
+    Nodes are those appearing in edges."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
+        nodes.add(u)
+        nodes.add(v)
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comp: dict = {}
+    c = 0
+    for s in nodes:
+        if s in index:
+            continue
+        index[s] = low[s] = c
+        c += 1
+        stk.append(s)
+        onstk.add(s)
+        frames = [(s, iter(adj[s]))]
+        while frames:
+            v, it = frames[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = c
+                    c += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    frames.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in onstk:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if advanced:
+                continue
+            frames.pop()
+            if frames:
+                p = frames[-1][0]
+                if low[v] < low[p]:
+                    low[p] = low[v]
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+    return comp
+
+
+def scc(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    engine: str = "auto",
+    driver_threshold: int = 200_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Strongly connected components of a DIRECTED graph; output
+    ``(node, comp)`` with comp = the min member id (canonical).  Nodes
+    are those appearing in edges (the CC convention here).
+
+    Tiers (the pagerank/kcore pattern): ``driver`` — iterative Tarjan
+    on collected edges, exact and linear, below ``driver_threshold``
+    edges; ``distributed`` — the FW-BW coloring algorithm (Orzan 2004 /
+    Fleischer et al.): per outer round (1) forward MAX-label fixpoint
+    over active edges (``color(v)`` converges to the max node that
+    reaches v — each inner round is one exchange_join + exchange_agg +
+    changed-count scalar), (2) roots are nodes with ``color == self``;
+    each root's SCC = backward reach from the root RESTRICTED to its
+    color class (sound AND complete: any v→…→root path stays inside
+    the class — a larger-colored node on it would recolor v), run as a
+    frontier BFS with EXCEPT-visited exchanges; (3) peel and repeat.
+    O(log) expected outer rounds on random graphs; the forward fixpoint
+    is O(longest path) inner rounds on adversarial id orderings — the
+    documented naive-propagation caveat (driver tier covers small
+    pathological graphs; ``scc_outer_rounds``/``scc_fwd_rounds``
+    counters surface behavior).
+    """
+    from ..state import counters
+    from .analytics import distinct_rows, set_op_rows
+    from .exchange import exchange_agg, exchange_join
+
+    e = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({
+                "src": t.column(src_col).cast(pa.int64()),
+                "dst": t.column(dst_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["src", "dst"]).materialize()
+    n_edges = e.count()
+
+    if engine == "driver" or (engine == "auto"
+                              and n_edges <= driver_threshold):
+        df = e.to_pandas()
+        comp = _tarjan_scc(df["src"].to_numpy(np.int64),
+                           df["dst"].to_numpy(np.int64))
+        out = pd.DataFrame(sorted(comp.items()),
+                           columns=["node", "comp"])
+        return rd.from_pandas(out.astype("int64"))
+
+    ns = pa.schema([("node", pa.int64())])
+    nodes = distinct_rows(
+        e.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.column("src").combine_chunks(),
+                t.column("dst").combine_chunks()])}),
+            batch_format="pyarrow"),
+        cols=["node"]).materialize()
+
+    active = nodes
+    assigned: list = []
+    outer = 0
+    while True:
+        n_active = active.count()
+        if n_active == 0:
+            break
+        outer += 1
+        if outer > 10_000:
+            raise RuntimeError("scc: outer rounds exceeded 10000")
+
+        # ---- trim loop: any active node missing an incoming OR
+        # outgoing ACTIVE edge is a singleton SCC (the standard FW-BW
+        # bulk peel — on sparse random graphs this removes most nodes
+        # per pass and collapses the outer-round count); iterate until
+        # stable since each peel exposes the next layer of chains
+        def _active_edges(act):
+            a1 = exchange_join(
+                e.map_batches(lambda t: pa.table(
+                    {"node": t.column("src"), "_d": t.column("dst")}),
+                    batch_format="pyarrow"),
+                act, on="node", num_partitions=num_partitions,
+                left_schema=pa.schema([("node", pa.int64()),
+                                       ("_d", pa.int64())]),
+                right_schema=ns)
+            return exchange_join(
+                a1.map_batches(lambda t: pa.table(
+                    {"node": t.column("_d"), "_s": t.column("node")}),
+                    batch_format="pyarrow"),
+                act, on="node", num_partitions=num_partitions,
+                left_schema=pa.schema([("node", pa.int64()),
+                                       ("_s", pa.int64())]),
+                right_schema=ns).map_batches(
+                lambda t: pa.table({"src": t.column("_s"),
+                                    "dst": t.column("node")}),
+                batch_format="pyarrow").materialize()
+
+        ae = _active_edges(active)
+        while True:
+            counters.incr({"scc_trim_rounds": 1})
+            both = distinct_rows(ae.map_batches(
+                lambda t: pa.table({"node": t.column("src")}),
+                batch_format="pyarrow"), cols=["node"])
+            both = set_op_rows(both, distinct_rows(ae.map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow"), cols=["node"]),
+                cols=["node"], op="intersect",
+                num_partitions=num_partitions).map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(
+                    pa.int64())}), batch_format="pyarrow").materialize()
+            trimmed = set_op_rows(active, both, cols=["node"],
+                                  op="except",
+                                  num_partitions=num_partitions
+                                  ).map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(
+                    pa.int64())}), batch_format="pyarrow").materialize()
+            if trimmed.count() == 0:
+                break
+            assigned.append(trimmed.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "comp": t.column("node")}),
+                batch_format="pyarrow").materialize())
+            active = both
+            if active.count() == 0:
+                break
+            ae = _active_edges(active)
+        if active.count() == 0:
+            break
+
+        colors = active.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "col": t.column("node")}),
+            batch_format="pyarrow").materialize()
+        c_schema = pa.schema([("node", pa.int64()),
+                              ("col", pa.int64())])
+
+        # ---- forward MAX-label fixpoint
+        while True:
+            counters.incr({"scc_fwd_rounds": 1})
+            push = exchange_join(
+                colors, ae.map_batches(
+                    lambda t: pa.table({"node": t.column("src"),
+                                        "_d": t.column("dst")}),
+                    batch_format="pyarrow"),
+                on="node", num_partitions=num_partitions,
+                left_schema=c_schema,
+                right_schema=pa.schema([("node", pa.int64()),
+                                        ("_d", pa.int64())]))
+            pushed = exchange_agg(
+                push.map_batches(
+                    lambda t: pa.table({"node": t.column("_d"),
+                                        "pcol": t.column("col")}),
+                    batch_format="pyarrow"),
+                "node", [("pcol", "max", "pcol")],
+                num_partitions=num_partitions)
+            merged = exchange_join(
+                colors, pushed, on="node", how="left_outer",
+                num_partitions=num_partitions,
+                left_schema=c_schema,
+                right_schema=pa.schema([("node", pa.int64()),
+                                        ("pcol", pa.int64())]))
+
+            def upd(t: pa.Table) -> pa.Table:
+                old = t.column("col").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                pc = t.column("pcol").to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                pc = np.nan_to_num(pc, nan=-np.inf)
+                new = np.maximum(old, pc).astype(np.int64)
+                return pa.table({
+                    "node": t.column("node"),
+                    "col": pa.array(new, pa.int64()),
+                    "_chg": pa.array((new != old).astype(np.int64),
+                                     pa.int64())})
+
+            nc = merged.map_batches(upd,
+                                    batch_format="pyarrow").materialize()
+            changed = int(sum(
+                r["c"] for r in nc.map_batches(
+                    lambda t: pa.table({"c": pa.array([int(
+                        t.column("_chg").to_numpy(
+                            zero_copy_only=False).sum())])}),
+                    batch_format="pyarrow").take_all()))
+            colors = nc.drop_columns(["_chg"]).materialize()
+            if changed == 0:
+                break
+
+        # ---- backward reach from roots within their color class
+        roots = colors.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("col"),
+                                                t.column("node"))),
+            batch_format="pyarrow").materialize()
+        visited = roots
+        frontier = roots
+        rae = ae.map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "_s": t.column("src")}),
+            batch_format="pyarrow").materialize()
+        while frontier.count() > 0:
+            cand = exchange_join(
+                frontier, rae, on="node",
+                num_partitions=num_partitions,
+                left_schema=c_schema,
+                right_schema=pa.schema([("node", pa.int64()),
+                                        ("_s", pa.int64())]))
+            cand2 = exchange_join(
+                cand.map_batches(
+                    lambda t: pa.table({"node": t.column("_s"),
+                                        "rcol": t.column("col")}),
+                    batch_format="pyarrow"),
+                colors, on="node", num_partitions=num_partitions,
+                left_schema=pa.schema([("node", pa.int64()),
+                                       ("rcol", pa.int64())]),
+                right_schema=c_schema).map_batches(
+                lambda t: t.filter(pa.compute.equal(
+                    t.column("rcol"), t.column("col"))).select(
+                    ["node", "col"]),
+                batch_format="pyarrow")
+            cand2 = distinct_rows(cand2, cols=["node", "col"])
+            new = set_op_rows(cand2, visited, cols=["node", "col"],
+                              op="except",
+                              num_partitions=num_partitions
+                              ).map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(
+                    pa.int64()), "col": t.column("col").cast(
+                    pa.int64())}),
+                batch_format="pyarrow").materialize()
+            if new.count() == 0:
+                break
+            visited = distinct_rows(visited.union(new),
+                                    cols=["node", "col"]).map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(
+                    pa.int64()), "col": t.column("col").cast(
+                    pa.int64())}),
+                batch_format="pyarrow").materialize()
+            frontier = new
+
+        assigned.append(visited.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "comp": t.column("col")}),
+            batch_format="pyarrow").materialize())
+        active = set_op_rows(
+            active, visited.select_columns(["node"]), cols=["node"],
+            op="except", num_partitions=num_partitions).map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(
+                pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    counters.incr({"scc_outer_rounds": outer})
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.union(a)
+    # canonicalize comp labels to the min member
+    mins = exchange_agg(out, "comp", [("node", "min", "mn")],
+                        num_partitions=num_partitions)
+    final = exchange_join(
+        out, mins, on="comp", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("comp", pa.int64())]),
+        right_schema=pa.schema([("comp", pa.int64()),
+                                ("mn", pa.int64())]))
+    return final.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "comp": t.column("mn")}),
+        batch_format="pyarrow")
