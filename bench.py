@@ -344,7 +344,8 @@ def run_bench() -> dict:
                      "embeddings_rproj", "kg_predicate_stats",
                      "kg_domain_violations", "events_schema_evolution",
                      "orders_planned_join", "events_scaled_value",
-                     "events_target_encoding", "docs_rerank_rbo"):
+                     "events_target_encoding", "docs_rerank_rbo",
+                     "graph_scc"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
