@@ -1769,6 +1769,43 @@ def _docs_nb_confusion(sf_dir: str) -> pd.DataFrame:
             .sort_values(["actual", "pred"]).reset_index(drop=True))
 
 
+def _docs_text_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Plain text-lines source: one TSV-ish line per document written as
+    the side artifact, read back with ray.data.read_text and parsed
+    vectorized; DuckDB independently parses the SAME file with read_csv
+    — two parsers, one artifact (the csv/jsonl roundtrip pattern)."""
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    clean = (docs["text"].fillna("")
+             .str.replace("\\", " ", regex=False)
+             .str.replace("\t", " ", regex=False)
+             .str.replace("\n", " ", regex=False)
+             .str.replace("\r", " ", regex=False))
+    d = os.path.join(_SIDE, "docs_text_roundtrip")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lines.txt")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for did, txt in zip(docs["doc_id"], clean):
+            f.write(f"{did}\t{txt}\n")
+    os.replace(tmp, path)
+
+    lines = rd.read_text(path)
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, lens = [], []
+        for line in t.column("text").to_pylist():
+            did, _, payload = line.partition("\t")
+            ids.append(int(did))
+            lens.append(len(payload))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "line_chars": pa.array(
+                             np.asarray(lens, np.int64), pa.int64())})
+
+    out = lines.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     """Content-defined chunking dedup (stages/dedup.py::cdc_chunks):
     Rabin-Karp window-hash boundaries over UTF-8 bytes, 128-bit chunk
@@ -5855,6 +5892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngram_frac": _docs_dup_ngram_frac,
         "docs_dup_spans": _docs_dup_spans,
         "docs_cdc_chunks": _docs_cdc_chunks,
+        "docs_text_roundtrip": _docs_text_roundtrip,
         "docs_nb_classify": _docs_nb_classify,
         "docs_nb_confusion": _docs_nb_confusion,
         "docs_source_divergence": _docs_source_divergence,
@@ -9372,6 +9410,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM fulls)
             SELECT doc_id, lang AS pred_class, round(score, 6) AS score
             FROM r WHERE rnk = 1 ORDER BY doc_id
+        """,
+        "docs_text_roundtrip": f"""
+            -- independent parse of the same text-lines artifact
+            SELECT CAST(column0 AS BIGINT) AS doc_id,
+                   CAST(length(coalesce(column1, '')) AS BIGINT)
+                     AS line_chars
+            FROM read_csv(
+              '{os.path.join(_SIDE, "docs_text_roundtrip", "lines.txt")}',
+              delim='\t', header=false, quote='', escape='',
+              columns={{'column0': 'VARCHAR', 'column1': 'VARCHAR'}})
+            ORDER BY doc_id
         """,
         "docs_cdc_chunks": f"""
             -- boundaries where (h & 63) = 0 and pos > 0; chunks between
