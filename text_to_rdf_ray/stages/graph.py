@@ -1382,7 +1382,7 @@ def scc(
     src_col: str = "src",
     dst_col: str = "dst",
     engine: str = "auto",
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 1_000_000,
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """Strongly connected components of a DIRECTED graph; output
@@ -1390,8 +1390,12 @@ def scc(
     are those appearing in edges (the CC convention here).
 
     Tiers (the pagerank/kcore pattern): ``driver`` — iterative Tarjan
-    on collected edges, exact and linear, below ``driver_threshold``
-    edges; ``distributed`` — the FW-BW coloring algorithm (Orzan 2004 /
+    on collected edges, exact and LINEAR, below ``driver_threshold``
+    edges (1M default — higher than pagerank's 200k because Tarjan is
+    one pass with no iteration state to re-ship; ~150 MB transient
+    adjacency at the limit.  The distributed tier's per-round exchange
+    fan is worth paying only well beyond driver memory: measured 350s
+    vs ~5s at 210k edges); ``distributed`` — the FW-BW coloring algorithm (Orzan 2004 /
     Fleischer et al.): per outer round (1) forward MAX-label fixpoint
     over active edges (``color(v)`` converges to the max node that
     reaches v — each inner round is one exchange_join + exchange_agg +
