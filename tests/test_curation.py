@@ -1242,3 +1242,20 @@ def test_rerank_by_embedding_query_by_example(ray_session):
     assert out.doc_id.tolist() == [5, 7, 9]        # cos 1.0, ~0.995, 0
     assert out.rerank.tolist() == [1, 2, 3]
     assert out.cos.iloc[0] == 1.0 and abs(out.cos.iloc[2]) < 1e-9
+
+
+def test_rbo_hand_computed(ray_session):
+    import numpy as np
+
+    # RBO@10 p=0.9 for identical rankings of k items = (1-p) * sum(
+    # p^(d-1)) over d<=k (overlap at depth d is d, weight p^(d-1)/d * d)
+    dd = np.arange(1, 11, dtype=np.float64)
+    wd = np.power(0.9, dd - 1.0) / dd
+    tail = np.cumsum(wd[::-1])[::-1]
+    # tail telescoping: tail[m] = tail[m+1] + w[m]
+    for m in range(9):
+        assert abs(tail[m] - (tail[m + 1] + wd[m])) < 1e-15
+    # full agreement at k=10 gives RBO@10 = (1-p) * sum p^(d-1)
+    full = float(sum(0.1 * tail[m - 1] for m in range(1, 11)))
+    expect = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert abs(full - expect) < 1e-12
