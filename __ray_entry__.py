@@ -2442,6 +2442,58 @@ def _lpa_sql(iterations: int = 3) -> str:
     """
 
 
+def _modularity_sql(iterations: int = 3) -> str:
+    """Replay of stages/graph.py::modularity over the 3-round-LPA
+    assignment: the _lpa_sql CTE chain feeding per-community intra-edge
+    and degree-sum counts, q_term with the identical float expression
+    shapes (x*x, never pow)."""
+    its = []
+    for t in range(1, iterations + 1):
+        p = t - 1
+        its.append(f"""
+        c{t} AS (
+          SELECT e.node, l.lbl, count(*) AS c
+          FROM ed e JOIN l{p} l ON l.node = e.nbr GROUP BY 1, 2),
+        l{t} AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM c{t}) WHERE rn = 1)""")
+    n = iterations
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          CAST(1000000 + o_custkey AS BIGINT) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ed AS (SELECT src AS node, dst AS nbr FROM e0
+               UNION SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM ed),
+        {",".join(its)},
+        m AS (SELECT count(*) AS m FROM e0),
+        intra AS (
+          SELECT la.lbl AS lbl, count(*) AS intra_edges
+          FROM e0 e
+          JOIN l{n} la ON la.node = e.src
+          JOIN l{n} lb ON lb.node = e.dst
+          WHERE la.lbl = lb.lbl GROUP BY 1),
+        deg AS (SELECT node, count(*) AS deg FROM ed GROUP BY node),
+        stats AS (
+          SELECT l.lbl AS lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d.deg) AS BIGINT) AS deg_sum
+          FROM l{n} l JOIN deg d ON d.node = l.node GROUP BY 1)
+        SELECT s.lbl, s.n_nodes,
+               CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               s.deg_sum,
+               round(coalesce(i.intra_edges, 0) / ((SELECT m FROM m) * 1.0)
+                     - (s.deg_sum / (2.0 * (SELECT m FROM m)))
+                       * (s.deg_sum / (2.0 * (SELECT m FROM m))),
+                     6) AS q_term
+        FROM stats s LEFT JOIN intra i ON i.lbl = s.lbl
+        ORDER BY s.lbl
+    """
+
+
 def _hits_sql(iterations: int = 3) -> str:
     """Unrolled replay of stages/graph.py::hits over the directed
     supplier→customer graph: per iteration one hub-push sum + L1
@@ -5814,6 +5866,145 @@ def _embeddings_unnest(sf_dir: str) -> pd.DataFrame:
             .sort_values(["vec_id", "pos"]).reset_index(drop=True))
 
 
+def _graph_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Adamic–Adar / resource-allocation link prediction (stages/graph.py
+    ::link_prediction) over the supplier→customer bipartite graph:
+    supplier pairs sharing ≥ 3 customers, scored Σ 1/ln(deg(z)) and
+    Σ 1/deg(z) over the shared customers.  Pair sums are float, so both
+    engines round to 6dp (sum order is partition-dependent)."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import link_prediction
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({"src": b["supp"].astype("int64"),
+                                "dst": b["cust"].astype("int64")}),
+        batch_format="pandas")
+    out = link_prediction(edges, min_common=3).to_pandas()
+    for c in ("a", "b", "common"):
+        out[c] = out[c].astype("int64")
+    out["aa"] = _r(out["aa"], 6)
+    out["ra"] = _r(out["ra"], 6)
+    return (out[["a", "b", "common", "aa", "ra"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def _graph_modularity(sf_dir: str) -> pd.DataFrame:
+    """Community quality readout (stages/graph.py::modularity) for the
+    3-round LPA assignment over the undirected supplier↔customer graph:
+    one row per community with INTEGER sufficient statistics
+    (n_nodes, intra_edges, deg_sum — exact on any partitioning) plus the
+    per-community q_term = intra/m − (deg_sum/2m)², whose sum is Newman
+    Q.  Oracle: the unrolled-LPA CTE chain feeding the same counting
+    joins."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import label_propagation, modularity
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["supp"].astype("int64"),
+            "dst": b["cust"].astype("int64") + 1_000_000}),
+        batch_format="pandas").materialize()
+    labels = label_propagation(edges, iterations=3)
+    out = modularity(edges, labels).to_pandas()
+    for c in ("lbl", "n_nodes", "intra_edges", "deg_sum"):
+        out[c] = out[c].astype("int64")
+    out["q_term"] = _r(out["q_term"], 6)
+    return (out[["lbl", "n_nodes", "intra_edges", "deg_sum", "q_term"]]
+            .sort_values("lbl").reset_index(drop=True))
+
+
+def _kg_sameas_closure(sf_dir: str) -> pd.DataFrame:
+    """owl:sameAs consolidation (stages/kgops.py::sameas_closure) over
+    the canonical fixture triples: planted chain sameAs assertions
+    (subjects grouped in threes by sorted order — fixture scaffolding,
+    driver-built from the bounded fixture subject set) resolved with the
+    REAL distributed machinery (string→int64 hash, connected components,
+    min-name canonical pick, two left_outer rewrite joins, distinct).
+    The SQL oracle replays the grouping rule and rewrite relationally
+    over the dumped triple side table."""
+    from text_to_rdf_ray.pipelines.kg import build_triples, read_pages
+    from text_to_rdf_ray.sources.fixtures import kb_records
+    from text_to_rdf_ray.stages.kgops import sameas_closure
+
+    pages = read_pages(_fixture_pages_dir(1000))
+    triples = build_triples(pages, kb_records=kb_records()).map_batches(
+        lambda b: pa.table({"subj": b.column("subj_slug"),
+                            "pred": b.column("pred"),
+                            "obj": b.column("obj")}),
+        batch_format="pyarrow").materialize()
+    side = triples.to_pandas()
+    _side_write("kg_sameas_closure", "triples.parquet",
+                side.sort_values(["subj", "pred", "obj"]))
+    subs = sorted(side["subj"].unique())
+    idx = [i for i in range(len(subs)) if i % 3 != 0]
+    sameas = rd.from_pandas(pd.DataFrame(
+        {"a": [subs[i] for i in idx], "b": [subs[i - 1] for i in idx]}))
+    out = sameas_closure(triples, sameas).to_pandas()
+    return (out[["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+
+
+def _events_metadata_count(sf_dir: str) -> pd.DataFrame:
+    """Metadata-only range count (stages/lakehouse.py::metadata_agg):
+    events range-clustered by value into 16 zone-mapped files; counting
+    value ∈ [5, 60] sums manifest row counts for fully-covered files and
+    scans ONLY the boundary files (metaagg_* counters prove it)."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, metadata_agg
+
+    path = os.path.join(_TMP, "lakehouse", "events_metacount")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    clustered_write(ev, path, key_col="value", num_files=16)
+    return metadata_agg(path, key_col="value", lo=5.0, hi=60.0)
+
+
+def _docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease curation signal (stages/curation.py::
+    readability): per-doc word/sentence/vowel-group counts via compiled
+    non-overlapping regex — pure map, zero shuffle; the score is one
+    per-row float expression replayed identically in SQL."""
+    from text_to_rdf_ray.stages.curation import readability
+
+    out = readability(_documents(sf_dir)).to_pandas()
+    for c in ("doc_id", "words", "sentences", "syllables"):
+        out[c] = out[c].astype("int64")
+    out["flesch"] = _r(out["flesch"], 6)
+    return (out[["doc_id", "words", "sentences", "syllables", "flesch"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -5993,6 +6184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lpa": _graph_lpa,
         "graph_assortativity": _graph_assortativity,
         "graph_scc": _graph_scc,
+        "graph_link_prediction": _graph_link_prediction,
+        "graph_modularity": _graph_modularity,
+        "kg_sameas_closure": _kg_sameas_closure,
+        "events_metadata_count": _events_metadata_count,
+        "docs_readability": _docs_readability,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -7452,6 +7648,75 @@ def oracle_sql() -> dict[str, str]:
         "graph_personalized_pagerank": _ppr_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=3),
         "graph_lpa": _lpa_sql(iterations=3),
+        "graph_modularity": _modularity_sql(iterations=3),
+        "graph_link_prediction": """
+            -- Adamic-Adar / resource-allocation over shared customers:
+            -- wedge join carries deg(z) once per (pair, z); pair sums
+            -- rounded to 6dp on both engines (sum order undefined)
+            WITH e AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+                              CAST(o_custkey AS BIGINT) AS z
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            d AS (SELECT z, count(*) AS degz FROM e GROUP BY z),
+            w AS (
+              SELECT e1.a AS a, e2.a AS b, d.degz AS degz
+              FROM e e1
+              JOIN e e2 ON e1.z = e2.z AND e1.a < e2.a
+              JOIN d ON d.z = e1.z)
+            SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+                   round(sum(1.0 / ln(degz)), 6) AS aa,
+                   round(sum(1.0 / degz), 6) AS ra
+            FROM w GROUP BY a, b HAVING count(*) >= 3
+            ORDER BY a, b
+        """,
+        "kg_sameas_closure": f"""
+            -- sameAs chain closure replay: subjects ranked by name,
+            -- grouped in threes (the planted chain rule), canonical =
+            -- class min, subjects AND entity-valued objects rewritten,
+            -- distinct
+            WITH t AS (SELECT subj, pred, obj FROM read_parquet(
+                   '{os.path.join(_SIDE, "kg_sameas_closure",
+                                  "triples.parquet")}')),
+            subs AS (SELECT DISTINCT subj FROM t),
+            r AS (SELECT subj,
+                         row_number() OVER (ORDER BY subj) - 1 AS rn
+                  FROM subs),
+            map AS (SELECT subj AS name,
+                           min(subj) OVER (PARTITION BY rn - (rn % 3))
+                             AS canon
+                    FROM r)
+            SELECT DISTINCT coalesce(ms.canon, t.subj) AS subj,
+                   t.pred AS pred,
+                   coalesce(mo.canon, t.obj) AS obj
+            FROM t
+            LEFT JOIN map ms ON ms.name = t.subj
+            LEFT JOIN map mo ON mo.name = t.obj
+            ORDER BY subj, pred, obj
+        """,
+        "events_metadata_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows
+            FROM events WHERE value >= 5.0 AND value <= 60.0
+        """,
+        "docs_readability": """
+            -- same cheap proxies: [a-z]+ runs, [.!?]+ runs, [aeiouy]+
+            -- vowel groups (all floored at 1), one float expression
+            WITH c AS (
+              SELECT doc_id,
+                greatest(len(regexp_extract_all(lower(text),
+                                                '[a-z]+')), 1) AS words,
+                greatest(len(regexp_extract_all(lower(text),
+                                                '[.!?]+')), 1) AS sentences,
+                greatest(len(regexp_extract_all(lower(text),
+                                                '[aeiouy]+')), 1) AS syllables
+              FROM documents)
+            SELECT doc_id,
+                   CAST(words AS BIGINT) AS words,
+                   CAST(sentences AS BIGINT) AS sentences,
+                   CAST(syllables AS BIGINT) AS syllables,
+                   round(206.835 - 1.015 * (words * 1.0 / sentences)
+                         - 84.6 * (syllables * 1.0 / words), 6) AS flesch
+            FROM c ORDER BY doc_id
+        """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash

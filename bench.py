@@ -345,7 +345,8 @@ def run_bench() -> dict:
                      "kg_domain_violations", "events_schema_evolution",
                      "orders_planned_join", "events_scaled_value",
                      "events_target_encoding", "docs_rerank_rbo",
-                     "graph_scc"):
+                     "graph_scc", "graph_modularity", "docs_readability",
+                     "events_metadata_count"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):

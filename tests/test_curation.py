@@ -1259,3 +1259,34 @@ def test_rbo_hand_computed(ray_session):
     full = float(sum(0.1 * tail[m - 1] for m in range(1, 11)))
     expect = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
     assert abs(full - expect) < 1e-12
+
+
+def test_readability_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import readability
+
+    # "the cat sat. it ran!" -> words 5, sentences 2,
+    # vowel groups: e,a,a,i,a -> 5
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["The cat sat. It ran!"]}))
+    out = readability(docs).to_pandas()
+    assert (int(out.words[0]), int(out.sentences[0]),
+            int(out.syllables[0])) == (5, 2, 5)
+    expect = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(out.flesch[0] - expect) < 1e-9
+
+
+def test_readability_empty_text_floors_at_one(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import readability
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["", None]}))
+    out = readability(docs).to_pandas().sort_values("doc_id")
+    assert list(out.words) == [1, 1]
+    assert list(out.sentences) == [1, 1]
+    assert list(out.syllables) == [1, 1]

@@ -442,3 +442,64 @@ def test_scc_distributed_matches_tarjan_random(ray_session):
     out = (scc(rd.from_pandas(e), engine="distributed",
                num_partitions=4).to_pandas())
     assert dict(zip(out.node, out.comp)) == ref
+
+
+def test_link_prediction_hand_computed(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import link_prediction
+
+    # suppliers 1,2,3 over customers 10,11: (1,2) share both
+    e = pd.DataFrame({"src": [1, 2, 1, 2, 3],
+                      "dst": [10, 10, 11, 11, 10]})
+    out = (link_prediction(rd.from_pandas(e), min_common=2)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(out) == 1
+    assert (out.a[0], out.b[0], out.common[0]) == (1, 2, 2)
+    # deg(10)=3, deg(11)=2
+    assert abs(out.aa[0] - (1 / math.log(3) + 1 / math.log(2))) < 1e-12
+    assert abs(out.ra[0] - (1 / 3 + 1 / 2)) < 1e-12
+
+
+def test_modularity_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import modularity
+
+    # triangle-free: path 1-2-3 in community 1, edge 4-5 in community 4
+    e = pd.DataFrame({"src": [1, 2, 4], "dst": [2, 3, 5]})
+    lab = pd.DataFrame({"node": [1, 2, 3, 4, 5],
+                        "lbl": [1, 1, 1, 4, 4]})
+    out = (modularity(rd.from_pandas(e), rd.from_pandas(lab))
+           .to_pandas().sort_values("lbl").reset_index(drop=True))
+    assert list(out.lbl) == [1, 4]
+    assert list(out.n_nodes) == [3, 2]
+    assert list(out.intra_edges) == [2, 1]
+    assert list(out.deg_sum) == [4, 2]
+    # m=3: q1 = 2/3 - (4/6)^2, q4 = 1/3 - (2/6)^2
+    assert abs(out.q_term[0] - (2 / 3 - (4 / 6) ** 2)) < 1e-12
+    assert abs(out.q_term[1] - (1 / 3 - (2 / 6) ** 2)) < 1e-12
+    # perfect split of a disconnected graph: Q > 0
+    assert out.q_term.sum() > 0
+
+
+def test_modularity_cross_community_edges_not_intra(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import modularity
+
+    # one bridge edge between the communities + a self-loop (dropped)
+    e = pd.DataFrame({"src": [1, 2, 4, 2, 3],
+                      "dst": [2, 3, 5, 4, 3]})
+    lab = pd.DataFrame({"node": [1, 2, 3, 4, 5],
+                        "lbl": [1, 1, 1, 4, 4]})
+    out = (modularity(rd.from_pandas(e), rd.from_pandas(lab))
+           .to_pandas().sort_values("lbl").reset_index(drop=True))
+    # m=4 (self-loop 3-3 dropped; bridge 2-4 counts toward degrees only)
+    assert list(out.intra_edges) == [2, 1]
+    assert list(out.deg_sum) == [5, 3]

@@ -2114,3 +2114,42 @@ def test_merge_agg_states_equals_rebuild(ray_session):
                                 v_max=("v", "max")).reset_index())
     pd.testing.assert_frame_equal(
         merged.astype("int64"), want.astype("int64"))
+
+
+def test_metadata_agg_counts_without_reading_covered_files(
+        ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, metadata_agg
+    from text_to_rdf_ray.state import counters
+
+    df = pd.DataFrame({"event_id": range(1000),
+                       "value": [float(i % 100) for i in range(1000)]})
+    path = str(tmp_path / "meta")
+    clustered_write(rd.from_pandas(df), path, key_col="value",
+                    num_files=8)
+    counters.snapshot(reset=True)
+    out = metadata_agg(path, key_col="value", lo=10.0, hi=80.0)
+    snap = counters.snapshot()
+    exact = int(((df.value >= 10.0) & (df.value <= 80.0)).sum())
+    assert int(out.n_rows.iloc[0]) == exact
+    # several interior files answered from the manifest alone
+    assert snap["metaagg_files_counted"] >= 1
+    assert (snap["metaagg_files_scanned"]
+            < snap["metaagg_files_total"])
+
+
+def test_metadata_agg_disjoint_range_is_zero(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, metadata_agg
+
+    df = pd.DataFrame({"event_id": range(100),
+                       "value": [float(i) for i in range(100)]})
+    path = str(tmp_path / "meta0")
+    clustered_write(rd.from_pandas(df), path, key_col="value",
+                    num_files=4)
+    out = metadata_agg(path, key_col="value", lo=500.0, hi=600.0)
+    assert int(out.n_rows.iloc[0]) == 0

@@ -297,3 +297,41 @@ def test_domain_range_check_flags_all_four_reasons(ray_session):
     got = set(map(tuple, out[["subj", "reason"]].to_numpy()))
     assert got == {("s2", "range_wrong"), ("s3", "range_missing"),
                    ("r1", "domain_wrong"), ("ghost2", "domain_missing")}
+
+
+def test_sameas_closure_chain_transitive(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import sameas_closure
+
+    triples = rd.from_pandas(pd.DataFrame({
+        "subj": ["e1", "e2", "e3", "e9"],
+        "pred": ["knows", "knows", "born_in", "type"],
+        "obj": ["e2", "e3", "paris", "Person"],
+    }))
+    # chain e1-e2-e3: closure needs transitivity, canon = min = e1
+    sameas = rd.from_pandas(pd.DataFrame({"a": ["e2", "e3"],
+                                          "b": ["e1", "e2"]}))
+    out = sameas_closure(triples, sameas).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]].values))
+    # e1->e2 and e2->e3 both rewrite to (e1 knows e1) and dedup to ONE
+    assert got == {("e1", "born_in", "paris"), ("e1", "knows", "e1"),
+                   ("e9", "type", "Person")}
+
+
+def test_sameas_closure_untouched_without_edges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import sameas_closure
+
+    triples = rd.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b"], "pred": ["p", "p", "q"],
+        "obj": ["x", "x", "y"]}))
+    sameas = rd.from_pandas(pd.DataFrame(
+        {"a": ["zz"], "b": ["zz2"]}))  # classes disjoint from triples
+    out = sameas_closure(triples, sameas).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]].values))
+    # identity rewrite, but exact duplicates still dedup
+    assert got == {("a", "p", "x"), ("b", "q", "y")}

@@ -2457,3 +2457,46 @@ def class_term_chi2(
     return top.map_batches(
         lambda b: b[["cls", "term", "chi2", "rank"]],
         batch_format="pandas")
+
+
+def readability(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Flesch reading-ease scores (Flesch 1948) — the classic curation
+    readability signal (easy text ranks high; dense academic text low):
+
+        206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with the standard cheap proxies: words = ``[a-z]+`` runs of the
+    lowercased text, sentences = ``[.!?]+`` runs (min 1), syllables =
+    ``[aeiouy]+`` vowel-group runs (min 1).  All three are non-
+    overlapping regex counts, so an independent engine (DuckDB
+    ``regexp_extract_all``) reproduces them exactly; the score itself is
+    one per-row float expression (emitted unrounded — callers round
+    with the repo's half-away-from-zero helper to match SQL round()).
+
+    Scale shape: pure map — compiled-regex ``Series.str.count`` per
+    batch, zero shuffle, output (id, words, sentences, syllables,
+    flesch).
+    """
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        low = b[text_col].fillna("").str.lower()
+        words = low.str.count(r"[a-z]+").clip(lower=1).astype("int64")
+        sents = low.str.count(r"[.!?]+").clip(lower=1).astype("int64")
+        syll = low.str.count(r"[aeiouy]+").clip(lower=1).astype("int64")
+        flesch = (206.835 - 1.015 * (words / sents)
+                  - 84.6 * (syll / words))
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "words": words,
+            "sentences": sents,
+            "syllables": syll,
+            "flesch": flesch,
+        })
+
+    return docs.map_batches(score, batch_format="pandas",
+                            batch_size=8192)

@@ -1646,3 +1646,205 @@ def scc(
         lambda t: pa.table({"node": t.column("node"),
                             "comp": t.column("mn")}),
         batch_format="pyarrow")
+
+
+def link_prediction(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "src",
+    z_col: str = "dst",
+    min_common: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Common-neighbor link-prediction scores (Adamic–Adar and
+    resource-allocation indices, Liben-Nowell & Kleinberg 2003) for
+    candidate node pairs ``(a, b)`` that share >= ``min_common``
+    neighbors ``z`` in the bipartite-style edge table ``(a, z)``:
+
+        AA(a,b) = sum_z 1/ln(deg(z)),   RA(a,b) = sum_z 1/deg(z)
+
+    where ``deg(z)`` counts DISTINCT a-side nodes adjacent to ``z`` (so
+    any z contributing to a pair has deg >= 2 and ln(deg) > 0).
+
+    Scale shape: distinct-edge pass (``exchange_agg`` distinct) ->
+    per-z degree (``exchange_agg`` count) -> one ``exchange_join``
+    attaching deg(z) to edges -> self ``exchange_join`` on z exploding
+    wedges (the documented O(sum deg(z)^2) cost — same as
+    common-neighbor counting; production caps hub z's first via a
+    degree threshold) -> per-pair ``exchange_agg`` sums.  Per-row float
+    terms 1/ln(deg) and 1/deg are computed vectorized inside the map;
+    only the pair sums are float — callers round before comparing
+    across engines (sum order is partition-dependent).
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join, join_out_schema
+
+    e = distinct_rows(
+        _project(edges, [(a_col, "a"), (z_col, "z")]),
+        cols=["a", "z"]).materialize()
+    es = pa.schema([("a", pa.int64()), ("z", pa.int64())])
+    degz = exchange_agg(e, "z", [("a", "count", "degz")],
+                        num_partitions=num_partitions)
+    ds_deg = pa.schema([("z", pa.int64()), ("degz", pa.int64())])
+    ew = exchange_join(e, degz, on="z", num_partitions=num_partitions,
+                       left_schema=es, right_schema=ds_deg)
+    ew_schema = join_out_schema(es, ds_deg, "z")
+    # wedge explode: pairs (a, b) sharing z, carrying deg(z) once per z
+    right = _project(ew, [("z", "z"), ("a", "b")])
+    rs = pa.schema([("z", pa.int64()), ("b", pa.int64())])
+    wedges = exchange_join(ew, right, on="z",
+                           num_partitions=num_partitions,
+                           left_schema=ew_schema, right_schema=rs)
+
+    def score_terms(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        a, b = a[keep], b[keep]
+        d = t.column("degz").to_numpy(zero_copy_only=False)[keep]
+        d = d.astype(np.float64)
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "aa": pa.array(1.0 / np.log(d), pa.float64()),
+            "ra": pa.array(1.0 / d, pa.float64()),
+            "c": pa.array(np.ones(len(a), np.int64)),
+        })
+
+    sums = exchange_agg(
+        wedges.map_batches(score_terms, batch_format="pyarrow"),
+        ["a", "b"],
+        [("aa", "sum", "aa"), ("ra", "sum", "ra"), ("c", "sum", "common")],
+        num_partitions=num_partitions)
+    mc = pa.scalar(int(min_common), pa.int64())
+    return sums.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("common"), mc)),
+        batch_format="pyarrow")
+
+
+def modularity(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    lbl_col: str = "lbl",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Newman modularity of a community assignment, reported as one row
+    per community with INTEGER sufficient statistics (exact on any
+    engine/partitioning) plus the per-community float term:
+
+        (lbl, n_nodes, intra_edges, deg_sum, q_term)
+        q_term = intra_edges/m - (deg_sum/(2m))^2,   Q = sum_c q_term
+
+    over the undirected distinct edge set (self-loops dropped, each
+    edge counted once with endpoints normalized lo < hi); ``m`` is the
+    total undirected edge count and ``deg_sum`` counts both endpoints.
+
+    Scale shape: edge normalize + distinct (one exchange), two chained
+    ``exchange_join``s attaching both endpoint labels (static schemas —
+    one fused plan), per-community count exchanges, and a final
+    left_outer join of intra counts onto degree sums (communities with
+    no internal edge get intra 0).  ``m`` is the only driver scalar.
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64())
+        d = t.column(dst_col).cast(pa.int64())
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"lo": lo.filter(keep), "hi": hi.filter(keep)})
+
+    e0 = distinct_rows(edges.map_batches(norm, batch_format="pyarrow"),
+                       cols=["lo", "hi"]).materialize()
+    m = e0.count()
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "lbl": pa.array([], pa.int64()),
+            "n_nodes": pa.array([], pa.int64()),
+            "intra_edges": pa.array([], pa.int64()),
+            "deg_sum": pa.array([], pa.int64()),
+            "q_term": pa.array([], pa.float64())}))
+
+    lab = _project(labels, [(node_col, "node"), (lbl_col, "lbl")])
+    l_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+    e_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    # attach both endpoint labels via two chained joins
+    j1 = exchange_join(
+        _project(e0, [("lo", "node"), ("hi", "hi")]),
+        lab, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()), ("hi", pa.int64())]),
+        right_schema=l_schema)
+    j2 = exchange_join(
+        _project(j1, [("hi", "node"), ("lbl", "lbl_a")]),
+        lab, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("lbl_a", pa.int64())]),
+        right_schema=l_schema)
+
+    def intra_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("lbl_a"), t.column("lbl"))
+        f = t.filter(keep)
+        return pa.table({"lbl": f.column("lbl"),
+                         "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    intra = exchange_agg(
+        j2.map_batches(intra_rows, batch_format="pyarrow"),
+        "lbl", [("one", "sum", "intra_edges")],
+        num_partitions=num_partitions)
+
+    # degree per node (both endpoints), then per community
+    und = e0.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("lo").combine_chunks(),
+            t.column("hi").combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = exchange_agg(
+        und.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "node", [("one", "sum", "deg")], num_partitions=num_partitions)
+    degl = exchange_join(
+        deg, lab, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=l_schema)
+    stats = exchange_agg(
+        degl.map_batches(
+            lambda t: pa.table({"lbl": t.column("lbl"),
+                                "deg": t.column("deg"),
+                                "one": pa.array(np.ones(t.num_rows,
+                                                        np.int64))}),
+            batch_format="pyarrow"),
+        "lbl", [("deg", "sum", "deg_sum"), ("one", "sum", "n_nodes")],
+        num_partitions=num_partitions)
+
+    joined = exchange_join(
+        stats, intra, on="lbl", how="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("lbl", pa.int64()),
+                               ("deg_sum", pa.int64()),
+                               ("n_nodes", pa.int64())]),
+        right_schema=pa.schema([("lbl", pa.int64()),
+                                ("intra_edges", pa.int64())]))
+
+    def finalize(t: pa.Table, m_total: int = m) -> pa.Table:
+        intra_v = t.column("intra_edges").fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        degs = t.column("deg_sum").to_numpy(zero_copy_only=False)
+        mm = float(m_total)
+        q = intra_v / mm - (degs / (2.0 * mm)) ** 2
+        return pa.table({
+            "lbl": t.column("lbl"),
+            "n_nodes": t.column("n_nodes"),
+            "intra_edges": pa.array(intra_v, pa.int64()),
+            "deg_sum": t.column("deg_sum"),
+            "q_term": pa.array(q, pa.float64())})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -481,3 +481,119 @@ def domain_range_check(
         return pd.concat(out, ignore_index=True)
 
     return j2.map_batches(flag, batch_format="pyarrow")
+
+
+def sameas_closure(
+    triples: rd.Dataset,
+    sameas: rd.Dataset,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """owl:sameAs closure: rewrite every subject/object of ``triples``
+    to the canonical member (lexicographic min) of its sameAs
+    equivalence class, then emit the DISTINCT rewritten triples.
+
+    The reference links mentions to one KB URI per surface
+    (``src/entity_linker.rs``); cross-source construction instead yields
+    *pairwise* sameAs assertions whose transitive closure defines the
+    entity — the classic instance-matching consolidation step.
+
+    Scale shape: sameAs endpoints hash to int64 node ids (FNV — the
+    name strings never enter the iterative exchanges);
+    :func:`~.canonicalize.connected_components` (min-label + pointer
+    jumping, driver tier below its threshold) resolves equivalence
+    classes; one ``exchange_agg`` min picks the lexicographic canonical
+    name per class; subject and object rewrite are two left_outer
+    ``exchange_join``s on the name (identity fallback for names outside
+    any class) and the final distinct is one key exchange.  Nothing
+    driver-side except the CC tier decision inside
+    ``connected_components`` itself.
+    """
+    from .analytics import distinct_rows
+    from .canonicalize import connected_components
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        av = [x if x is not None else "" for x in t.column(a_col).to_pylist()]
+        bv = [x if x is not None else "" for x in t.column(b_col).to_pylist()]
+        return pa.table({
+            "src": pa.array(_hash_shingles(av).astype(np.int64), pa.int64()),
+            "dst": pa.array(_hash_shingles(bv).astype(np.int64), pa.int64()),
+        })
+
+    edges = sameas.map_batches(hash_edges, batch_format="pyarrow")
+    comp = connected_components(edges)  # (name_id, component)
+
+    def hash_names(t: pa.Table, col: str) -> pa.Table:
+        v = [x if x is not None else "" for x in t.column(col).to_pylist()]
+        return pa.table({
+            "name": pa.array(v, pa.string()),
+            "name_id": pa.array(_hash_shingles(v).astype(np.int64),
+                                pa.int64())})
+
+    names = distinct_rows(
+        sameas.map_batches(lambda t: pa.concat_tables(
+            [hash_names(t, a_col), hash_names(t, b_col)]),
+            batch_format="pyarrow"),
+        cols=["name", "name_id"])
+    n_schema = pa.schema([("name", pa.string()), ("name_id", pa.int64())])
+    c_schema = pa.schema([("name_id", pa.int64()),
+                          ("component", pa.int64())])
+    withcomp = exchange_join(names, comp, on="name_id",
+                             num_partitions=num_partitions,
+                             left_schema=n_schema, right_schema=c_schema)
+    canon = exchange_agg(
+        withcomp.map_batches(
+            lambda t: pa.table({"component": t.column("component"),
+                                "canon": t.column("name")}),
+            batch_format="pyarrow"),
+        "component", [("canon", "min", "canon")],
+        num_partitions=num_partitions)
+    # (name -> canon) mapping for every name in some class
+    mapping = exchange_join(
+        withcomp.map_batches(
+            lambda t: pa.table({"name": t.column("name"),
+                                "component": t.column("component")}),
+            batch_format="pyarrow"),
+        canon, on="component", num_partitions=num_partitions,
+        left_schema=pa.schema([("name", pa.string()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("component", pa.int64()),
+                                ("canon", pa.string())])).map_batches(
+        lambda t: pa.table({"name": t.column("name"),
+                            "canon": t.column("canon")}),
+        batch_format="pyarrow")
+    m_schema = pa.schema([("name", pa.string()), ("canon", pa.string())])
+
+    t_proj = triples.map_batches(
+        lambda t: pa.table({"name": t.column(subj_col).cast(pa.string()),
+                            "pred": t.column(pred_col).cast(pa.string()),
+                            "obj": t.column(obj_col).cast(pa.string())}),
+        batch_format="pyarrow")
+    t_schema = pa.schema([("name", pa.string()), ("pred", pa.string()),
+                          ("obj", pa.string())])
+    j_subj = exchange_join(t_proj, mapping, on="name", how="left_outer",
+                           num_partitions=num_partitions,
+                           left_schema=t_schema, right_schema=m_schema)
+    rew1 = j_subj.map_batches(
+        lambda t: pa.table({
+            "subj": pc.coalesce(t.column("canon"), t.column("name")),
+            "pred": t.column("pred"),
+            "name": t.column("obj")}),
+        batch_format="pyarrow")
+    r1_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                           ("name", pa.string())])
+    j_obj = exchange_join(rew1, mapping, on="name", how="left_outer",
+                          num_partitions=num_partitions,
+                          left_schema=r1_schema, right_schema=m_schema)
+    rew2 = j_obj.map_batches(
+        lambda t: pa.table({
+            "subj": t.column("subj"),
+            "pred": t.column("pred"),
+            "obj": pc.coalesce(t.column("canon"), t.column("name"))}),
+        batch_format="pyarrow")
+    return distinct_rows(rew2, cols=["subj", "pred", "obj"])

@@ -587,3 +587,51 @@ def read_evolved(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def metadata_agg(
+    path: str,
+    *,
+    key_col: str,
+    lo: float,
+    hi: float,
+) -> pd.DataFrame:
+    """Metadata-only range COUNT: answer
+    ``count(*) WHERE lo <= key <= hi`` touching as little data as the
+    manifest allows — the query-planner trick every table format
+    (Iceberg/Delta) pulls for ``SELECT count(*)``.
+
+    Files whose zone map lies FULLY inside the range contribute their
+    manifest ``rows`` without being opened; files that merely overlap
+    the range boundary are scanned (key column only) and filtered
+    exactly; disjoint files are skipped.  At 10^12 rows a time-range
+    count touches only the two boundary files.
+
+    Emits ``metaagg_files_total`` / ``metaagg_files_counted`` (metadata
+    only) / ``metaagg_files_scanned`` counters.  Returns one row
+    ``(n_rows,)``.
+    """
+    manifest = pd.read_parquet(os.path.join(path, MANIFEST))
+    if manifest.empty:
+        raise ValueError(f"metadata_agg: empty manifest at {path}")
+    nonempty = manifest[manifest["rows"] > 0]
+    overlap = nonempty[(nonempty["max_key"] >= lo)
+                       & (nonempty["min_key"] <= hi)]
+    covered = overlap[(overlap["min_key"] >= lo)
+                      & (overlap["max_key"] <= hi)]
+    boundary = overlap[~overlap["file"].isin(covered["file"])]
+    counters.incr({"metaagg_files_total": len(manifest),
+                   "metaagg_files_counted": len(covered),
+                   "metaagg_files_scanned": len(boundary)})
+    total = int(covered["rows"].sum())
+    if not boundary.empty:
+        files = [os.path.join(path, f) for f in boundary["file"]]
+        ds = rd.read_parquet(files, columns=[key_col])
+
+        def exact(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            mask = (k >= lo) & (k <= hi)
+            return batch.filter(pa.array(mask))
+
+        total += ds.map_batches(exact, batch_format="pyarrow").count()
+    return pd.DataFrame({"n_rows": pd.Series([total], dtype="int64")})
