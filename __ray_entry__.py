@@ -6005,6 +6005,46 @@ def _docs_readability(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric containment near-dup join (stages/dedup.py::
+    containment_pairs): doc pairs where either direction's 5-gram
+    containment |G_a∩G_b|/|G_a| reaches 0.5 — catches short-quoted-in-
+    long inclusions Jaccard misses.  Gram text never ships (128-bit
+    hashes); exact by default."""
+    from text_to_rdf_ray.stages.dedup import containment_pairs
+
+    out = containment_pairs(_documents(sf_dir), n=5, tau=0.5).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("id_a", "id_b", "inter",
+                                       "n_a", "n_b")}
+                            | {"c_a": pd.Series(dtype="float64"),
+                               "c_b": pd.Series(dtype="float64")})
+    for c in ("id_a", "id_b", "inter", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    out["c_a"] = _r(out["c_a"], 6)
+    out["c_b"] = _r(out["c_b"], 6)
+    return (out[["id_a", "id_b", "inter", "n_a", "n_b", "c_a", "c_b"]]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def _events_twa(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average of the value signal
+    (stages/windows.py::time_weighted_avg) — one key-hash exchange +
+    one vectorized per-partition pass; spans close at the next event
+    ordered by (ts, event_id)."""
+    from text_to_rdf_ray.stages.windows import time_weighted_avg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = time_weighted_avg(ev).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_spans"] = out["n_spans"].astype("int64")
+    out["twa"] = _r(out["twa"], 6)
+    return (out[["user_id", "n_spans", "twa"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6189,6 +6229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_closure": _kg_sameas_closure,
         "events_metadata_count": _events_metadata_count,
         "docs_readability": _docs_readability,
+        "docs_containment_pairs": _docs_containment_pairs,
+        "events_twa": _events_twa,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -7716,6 +7758,54 @@ def oracle_sql() -> dict[str, str]:
                    round(206.835 - 1.015 * (words * 1.0 / sentences)
                          - 84.6 * (syllables * 1.0 / words), 6) AS flesch
             FROM c ORDER BY doc_id
+        """,
+        "docs_containment_pairs": """
+            -- asymmetric 5-gram containment: inter/|G_a| and inter/|G_b|,
+            -- keep pairs whose max direction reaches 0.5
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                    FROM words)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM grams
+                    GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
+                     count(*) AS inter
+              FROM grams g1
+              JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   round(inter * 1.0 / ca.n, 6) AS c_a,
+                   round(inter * 1.0 / cb.n, 6) AS c_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE greatest(inter * 1.0 / ca.n, inter * 1.0 / cb.n) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "events_twa": """
+            -- per-user time-weighted average: spans close at the next
+            -- event by (ts, event_id); last event opens no span
+            WITH s AS (
+              SELECT user_id, value, epoch_us(ts) AS t,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS t2
+              FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   round(sum(value * (t2 - t)) / sum(t2 - t), 6) AS twa
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY user_id HAVING sum(t2 - t) > 0
+            ORDER BY user_id
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

@@ -1030,3 +1030,53 @@ def test_cdc_chunks_shift_resilience(ray_session):
     # repeats; the unrelated doc contributes its own repetitions only
     assert not out[(out.doc_id == 0) & out.is_dup &
                    (out.length > 32)].shape[0]
+
+
+def test_containment_pairs_short_doc_quoted_in_long(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = ("completely different opening words here now " + quote
+                + " and then a very long unrelated tail keeps going "
+                + "with many more words that never repeat the quote "
+                + "sequence again at all in any form whatsoever")
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [quote, long_doc,
+                                  "nothing in common with either one "
+                                  "of those two documents at all here"]})
+    out = (containment_pairs(rd.from_pandas(docs), n=5, tau=0.9)
+           .to_pandas())
+    # all 6 of doc 1's 5-grams appear in doc 2 -> c_a = 1.0; the pair
+    # survives tau=0.9 even though Jaccard is far below it
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.n_a == 6 and row.inter == 6
+    assert abs(row.c_a - 1.0) < 1e-12
+    assert row.c_b < 0.5
+
+
+def test_containment_pairs_bucket_cap_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import containment_pairs
+    from text_to_rdf_ray.state import counters
+
+    # one shared 5-gram across 5 docs -> bucket of 5 > cap 3
+    shared = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame({
+        "doc_id": range(1, 6),
+        "text": [f"unique{i} prefix{i} words{i} here{i} now{i} "
+                 + shared for i in range(1, 6)]})
+    counters.snapshot(reset=True)
+    out = (containment_pairs(rd.from_pandas(docs), n=5, tau=0.1,
+                             max_bucket=3).to_pandas())
+    snap = counters.snapshot()
+    assert snap.get("containment_skipped_buckets", 0) >= 1
+    assert snap.get("containment_skipped_rows", 0) >= 4
+    # the capped gram produced no pairs
+    assert out.empty or (out.inter < 5).all()

@@ -2153,3 +2153,43 @@ def test_metadata_agg_disjoint_range_is_zero(ray_session, tmp_path):
                     num_files=4)
     out = metadata_agg(path, key_col="value", lo=500.0, hi=600.0)
     assert int(out.n_rows.iloc[0]) == 0
+
+
+def test_time_weighted_avg_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import time_weighted_avg
+
+    ts = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:10",
+                         "2026-01-01 00:00:40", "2026-01-01 09:00:00"])
+    ev = pd.DataFrame({"event_id": [1, 2, 3, 4],
+                       "user_id": [7, 7, 7, 9],
+                       "ts": ts,
+                       "value": [10.0, 20.0, 30.0, 5.0]})
+    out = time_weighted_avg(rd.from_pandas(ev)).to_pandas()
+    # user 9 has one event -> no span -> dropped
+    assert list(out.user_id) == [7]
+    assert int(out.n_spans.iloc[0]) == 2
+    # (10*10s + 20*30s) / 40s = 17.5
+    assert abs(out.twa.iloc[0] - 17.5) < 1e-9
+
+
+def test_time_weighted_avg_zero_duration_ties(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import time_weighted_avg
+
+    ts = pd.to_datetime(["2026-01-01", "2026-01-01",
+                         "2026-01-02"])
+    ev = pd.DataFrame({"event_id": [1, 2, 3],
+                       "user_id": [1, 1, 1],
+                       "ts": ts,
+                       "value": [100.0, 2.0, 9.0]})
+    out = time_weighted_avg(rd.from_pandas(ev)).to_pandas()
+    # tie span (event 1 -> 2, dur 0) contributes nothing; value 2 holds
+    # one day; event 3 opens no span -> twa = 2.0, but the zero span
+    # still counts as a span row (matches the SQL replay's count(*))
+    assert int(out.n_spans.iloc[0]) == 2
+    assert abs(out.twa.iloc[0] - 2.0) < 1e-12

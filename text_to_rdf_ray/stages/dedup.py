@@ -1648,3 +1648,161 @@ def cdc_chunks(
     return (ds.map_batches(chunk, batch_format="pyarrow",
                            batch_size=1024)
             .groupby("_part").map_groups(mark, batch_format="pandas"))
+
+
+def containment_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    tau: float = 0.5,
+    num_partitions: int = 64,
+    max_bucket: int | None = None,
+) -> rd.Dataset:
+    """Asymmetric CONTAINMENT near-dup join (Broder 1997's containment,
+    the quote/inclusion detector Jaccard misses): for doc pair (a, b),
+    c(a⊂b) = |G_a ∩ G_b| / |G_a| over distinct word ``n``-grams — a
+    short doc quoted whole inside a long one scores c≈1 even though
+    Jaccard ≈ |a|/|b| ≈ 0.  Emits pairs where max(c_a, c_b) >= ``tau``:
+    ``(id_a, id_b, inter, n_a, n_b, c_a, c_b)`` with id_a < id_b.
+
+    Scale shape: same exchange economics as ``ngram_novelty`` — one
+    128-bit gram hash + doc id per DISTINCT (doc, gram) pair, gram text
+    never ships; per gram-hash partition the co-occurring doc lists
+    enumerate pairs via the vectorized ``_pairs_within_groups`` kernel
+    (chunked repeat/cumsum — no per-group Python) into batch-local
+    partial counts; one pair-keyed ``exchange_agg`` sums intersections;
+    per-doc gram totals attach via two chained ``exchange_join``s.
+    A gram shared by k docs is inherently O(k²) pairs — that IS the
+    containment answer, so the default is exact; ``max_bucket`` caps a
+    gram's bucket with loud ``containment_skipped_buckets/_rows``
+    counters when an approximate sweep is acceptable.
+    """
+    from ..state import counters
+    from .analytics import splitmix64
+    from .exchange import exchange_agg, exchange_join
+    from .graph import _pairs_within_groups
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .curation import _terms, _word_ngrams
+
+        out_id, out_h1, out_h2 = [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            seen: set = set()
+            for g in _word_ngrams(_terms(txt), n):
+                dig = hashlib.blake2b(g.encode("utf-8"),
+                                      digest_size=16).digest()
+                if dig in seen:
+                    continue
+                seen.add(dig)
+                out_id.append(did)
+                out_h1.append(int.from_bytes(dig[:8], "little", signed=True))
+                out_h2.append(int.from_bytes(dig[8:], "little", signed=True))
+        h1 = np.asarray(out_h1, dtype=np.int64)
+        part = (splitmix64(h1) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "_h1": pa.array(h1, pa.int64()),
+            "_h2": pa.array(np.asarray(out_h2, np.int64), pa.int64()),
+            "_part": pa.array(part, pa.int32()),
+        })
+
+    grams = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=2048).materialize()
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h1", "_h2", id_col], kind="mergesort")
+        h1 = g["_h1"].to_numpy(np.int64)
+        h2 = g["_h2"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        change = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        grp = np.cumsum(change) - 1
+        if max_bucket is not None:
+            sizes = np.bincount(grp)
+            big = sizes > max_bucket
+            if big.any():
+                counters.incr({
+                    "containment_skipped_buckets": int(big.sum()),
+                    "containment_skipped_rows":
+                        int(sizes[big].sum())})
+                keep = ~big[grp]
+                grp, ids = grp[keep], ids[keep]
+        frames = []
+        for fi, si in _pairs_within_groups(grp, ids):
+            frames.append(pd.DataFrame({
+                "id_a": ids[fi], "id_b": ids[si]}))
+        if not frames:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int64")})
+        pairs = pd.concat(frames, ignore_index=True)
+        out = (pairs.groupby(["id_a", "id_b"], sort=False)
+               .size().rename("inter").reset_index())
+        return out
+
+    inter = exchange_agg(
+        grams.groupby("_part").map_groups(pair_partials,
+                                          batch_format="pandas"),
+        ["id_a", "id_b"], [("inter", "sum", "inter")],
+        num_partitions=num_partitions, combine=False)
+
+    cnt = exchange_agg(
+        grams.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        id_col, [("one", "sum", "n")], num_partitions=num_partitions)
+
+    i_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("inter", pa.int64())])
+    c_schema = pa.schema([(id_col, pa.int64()), ("n", pa.int64())])
+    j1 = exchange_join(
+        inter.map_batches(
+            lambda t: pa.table({id_col: t.column("id_a"),
+                                "id_b": t.column("id_b"),
+                                "inter": t.column("inter")}),
+            batch_format="pyarrow"),
+        cnt, on=id_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("id_b", pa.int64()),
+                               ("inter", pa.int64())]),
+        right_schema=c_schema)
+    j2 = exchange_join(
+        j1.map_batches(
+            lambda t: pa.table({"id_a": t.column(id_col),
+                                id_col: t.column("id_b"),
+                                "inter": t.column("inter"),
+                                "n_a": t.column("n")}),
+            batch_format="pyarrow"),
+        cnt, on=id_col, num_partitions=num_partitions,
+        left_schema=pa.schema([("id_a", pa.int64()),
+                               (id_col, pa.int64()),
+                               ("inter", pa.int64()),
+                               ("n_a", pa.int64())]),
+        right_schema=c_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_v = t.column("inter").to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n").to_numpy(zero_copy_only=False)
+        c_a = inter_v / na
+        c_b = inter_v / nb
+        keep = np.maximum(c_a, c_b) >= tau
+        return pa.table({
+            "id_a": pa.array(t.column("id_a").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "id_b": pa.array(t.column(id_col).to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "inter": pa.array(inter_v[keep], pa.int64()),
+            "n_a": pa.array(na[keep], pa.int64()),
+            "n_b": pa.array(nb[keep], pa.int64()),
+            "c_a": pa.array(c_a[keep], pa.float64()),
+            "c_b": pa.array(c_b[keep], pa.float64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")

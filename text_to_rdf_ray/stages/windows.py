@@ -829,3 +829,62 @@ def decayed_sum(
                        batch_size=65536),
         key_col, [("_w", "sum", "decayed_sum")],
         num_partitions=num_partitions)
+
+
+def time_weighted_avg(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key TIME-weighted average — the feature-store aggregate for
+    irregularly-sampled signals (a price held for an hour must weigh 60×
+    one held for a minute; the plain mean is wrong the moment sampling
+    is uneven):
+
+        twa(key) = Σ value_i · (t_{i+1} − t_i) / Σ (t_{i+1} − t_i)
+
+    over consecutive events ordered by ``(ts, order_col)``; the last
+    event of a key opens no span.  Output: ``(key, n_spans, twa)``;
+    keys with no positive-duration span are dropped (their weighted sum
+    is 0/0).  ``twa`` is a float sum ratio — callers round (sum order
+    is partition-dependent).
+
+    Scale shape: the sessionize pattern — ONE hash exchange on the key,
+    then per partition a single vectorized pandas pass (sort +
+    ``groupby.shift`` across ALL keys in the partition; no per-key
+    Python).  A key's events must fit in one partition — the same
+    assumption sessionize documents.
+    """
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col], kind="mergesort"))
+        t = np.asarray(g[ts_col]).astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_t=t)
+        nxt = g.groupby(key_col, sort=False)["_t"].shift(-1)
+        dur = (nxt - g["_t"]).to_numpy(np.float64)  # NaN on last-of-key
+        w = g[val_col].to_numpy(np.float64) * dur
+        agg = (pd.DataFrame({key_col: g[key_col].to_numpy(np.int64),
+                             "_w": w, "_d": dur,
+                             "_n": (~np.isnan(dur)).astype(np.int64)})
+               .groupby(key_col, sort=False)
+               .agg(sw=("_w", "sum"), sd=("_d", "sum"),
+                    n_spans=("_n", "sum"))
+               .reset_index())
+        agg = agg[agg["sd"] > 0]
+        return pd.DataFrame({
+            key_col: agg[key_col].astype("int64"),
+            "n_spans": agg["n_spans"].astype("int64"),
+            "twa": agg["sw"] / agg["sd"],
+        })
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
