@@ -2494,6 +2494,57 @@ def _modularity_sql(iterations: int = 3) -> str:
     """
 
 
+def _mmr_sql(k: int = 5, n_candidates: int = 20,
+             lam: float = 0.7, mu: float = 0.3) -> str:
+    """Unrolled replay of stages/retrieval.py::mmr_rerank: top-N cosine
+    candidates for the vec_id-0 query, then k greedy steps each picking
+    argmax(round(lam·rel − mu·max_sim_to_selected, 6)) with ties to the
+    smaller vec_id.  Every cosine is rounded to 6dp before any score —
+    the engine-independence convention the hybrid rerank established."""
+    steps = []
+    for t in range(2, k + 1):
+        p = t - 1
+        steps.append(f"""
+        m{t} AS (
+          SELECT c.vec_id, c.rel,
+                 round({lam} * c.rel - {mu} * max(x.s), 6) AS score
+          FROM cand c
+          JOIN sim x ON x.va = c.vec_id
+               AND x.vb IN (SELECT vec_id FROM sel{p})
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+          GROUP BY c.vec_id, c.rel),
+        s{t} AS (SELECT vec_id, rel, {t} AS pick FROM m{t}
+                 ORDER BY score DESC, vec_id LIMIT 1),
+        sel{t} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{t})""")
+    return f"""
+        WITH cand0 AS (
+          SELECT e.vec_id AS vec_id,
+                 round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS rel
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id = 0 AND e.vec_id <> 0),
+        cand AS (SELECT vec_id, rel FROM cand0
+                 ORDER BY rel DESC, vec_id LIMIT {n_candidates}),
+        sim AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 round(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])), 6) AS s
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        s1 AS (SELECT vec_id, rel, 1 AS pick FROM (
+                 SELECT vec_id, rel, round({lam} * rel, 6) AS score
+                 FROM cand)
+               ORDER BY score DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT * FROM s1),
+        {",".join(steps)}
+        SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel
+        FROM sel{k} ORDER BY pick
+    """
+
+
 def _hits_sql(iterations: int = 3) -> str:
     """Unrolled replay of stages/graph.py::hits over the directed
     supplier→customer graph: per iteration one hub-push sum + L1
@@ -6045,6 +6096,58 @@ def _events_twa(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _events_window_topk(sf_dir: str) -> pd.DataFrame:
+    """Streaming per-window top-k: tumbling hourly counts per event_type
+    (stages/windows.py::tumbling_agg — per-batch combiner) feeding the
+    window-keyed top-3 winner pick (stages/analytics.py::topk_per_group)
+    — the 'trending now' query every event pipeline runs."""
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+    from text_to_rdf_ray.stages.windows import tumbling_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    w = tumbling_agg(ev)
+    top = topk_per_group(w, key_col="window_id", sort_col="n",
+                         tiebreak_col="event_type", k=3)
+    out = top.to_pandas()
+    for c in ("window_id", "n", "rank"):
+        out[c] = out[c].astype("int64")
+    return (out[["window_id", "event_type", "n", "rank"]]
+            .sort_values(["window_id", "rank"]).reset_index(drop=True))
+
+
+def _events_survival(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier life table (stages/windows.py::survival_table):
+    per-user lifetime = last − first event; users active within 7 days
+    of the corpus max are right-censored.  Integer sufficient
+    statistics; factor = 1 − deaths/at_risk per day row."""
+    from text_to_rdf_ray.stages.windows import survival_table
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = survival_table(ev)
+    out["factor"] = _r(out["factor"], 6)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _embeddings_mmr(sf_dir: str) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversified top-5
+    (stages/retrieval.py::mmr_rerank, λ=0.7 μ=0.3) for the vec_id-0
+    query over the embedding table: distributed cosine candidate
+    generation (top-20), bounded driver greedy with every cosine and
+    score rounded to 6dp before each argmax.  Oracle: 5 unrolled greedy
+    steps."""
+    from text_to_rdf_ray.stages.retrieval import mmr_rerank
+
+    out = mmr_rerank(_embeddings(sf_dir), query_vec_id=0,
+                     n_candidates=20, k=5, lam=0.7, mu=0.3)
+    out["pick"] = out["pick"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rel"] = out["rel"].astype("float64")
+    return (out[["pick", "vec_id", "rel"]]
+            .sort_values("pick").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6231,6 +6334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": _docs_readability,
         "docs_containment_pairs": _docs_containment_pairs,
         "events_twa": _events_twa,
+        "events_window_topk": _events_window_topk,
+        "events_survival": _events_survival,
+        "embeddings_mmr": _embeddings_mmr,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -7807,6 +7913,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id HAVING sum(t2 - t) > 0
             ORDER BY user_id
         """,
+        "events_window_topk": """
+            -- trending-now: hourly counts per type, top-3 per window
+            WITH w AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS window_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT window_id, event_type, n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY window_id
+                      ORDER BY n DESC, event_type) AS rank
+                  FROM w)
+            WHERE rank <= 3 ORDER BY window_id, rank
+        """,
+        "events_survival": """
+            -- Kaplan-Meier life table: lifetime day = (last-first)//1d;
+            -- users active within 7d of corpus max are right-censored
+            WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                              max(epoch_us(ts)) AS t1
+                       FROM events GROUP BY 1),
+            mx AS (SELECT max(t1) AS tmax FROM u),
+            lt AS (SELECT (t1 - t0) // 86400000000 AS day,
+                          CASE WHEN (SELECT tmax FROM mx) - t1
+                                    < 604800000000
+                               THEN 1 ELSE 0 END AS cens
+                   FROM u),
+            d AS (SELECT day,
+                         CAST(sum(1 - cens) AS BIGINT) AS deaths,
+                         CAST(sum(cens) AS BIGINT) AS censored,
+                         count(*) AS leaving
+                  FROM lt GROUP BY day),
+            r AS (SELECT day, deaths, censored,
+                         (SELECT count(*) FROM lt)
+                         - coalesce(sum(leaving) OVER (
+                             ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                  FROM d)
+            SELECT day, CAST(at_risk AS BIGINT) AS at_risk,
+                   deaths, censored,
+                   round(1.0 - deaths * 1.0 / at_risk, 6) AS factor
+            FROM r ORDER BY day
+        """,
+        "embeddings_mmr": _mmr_sql(k=5, n_candidates=20,
+                                   lam=0.7, mu=0.3),
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash

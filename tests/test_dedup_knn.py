@@ -1080,3 +1080,63 @@ def test_containment_pairs_bucket_cap_counts(ray_session):
     assert snap.get("containment_skipped_rows", 0) >= 4
     # the capped gram produced no pairs
     assert out.empty or (out.inter < 5).all()
+
+
+def test_mmr_rerank_matches_reference_greedy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.retrieval import _r6, mmr_rerank
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    emb = pd.DataFrame({"vec_id": range(30),
+                        "embedding": [v.tolist() for v in vecs]})
+    out = mmr_rerank(rd.from_pandas(emb), query_vec_id=0,
+                     n_candidates=12, k=4, lam=0.7, mu=0.3)
+
+    # reference greedy in plain numpy over the same contract
+    q = vecs[0].astype(np.float64)
+
+    def cos(a, b):
+        return _r6(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))))
+
+    rel = {i: cos(vecs[i].astype(np.float64), q) for i in range(1, 30)}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:12]
+    sel, picks = [], []
+    for _ in range(4):
+        best = None
+        for c in cand:
+            if c in sel:
+                continue
+            pen = max(cos(vecs[c].astype(np.float64),
+                          vecs[s].astype(np.float64)) for s in sel) \
+                if sel else 0.0
+            sc = _r6(0.7 * rel[c] - 0.3 * pen) if sel \
+                else _r6(0.7 * rel[c])
+            if best is None or (-sc, c) < best[0]:
+                best = ((-sc, c), c)
+        sel.append(best[1])
+        picks.append(best[1])
+    assert out.vec_id.tolist() == picks
+
+
+def test_mmr_diversifies_near_duplicates(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.retrieval import mmr_rerank
+
+    # doc1/doc2 nearly identical and most relevant; doc3 moderately
+    # relevant but orthogonal to them — with a strong diversity weight
+    # MMR puts doc3 second, plain top-k would not
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 1.0, 0.0], [1.0, 0.99, 0.0],
+                      [0.99, 1.0, 0.0], [0.0, 1.0, 1.0]]})
+    out = mmr_rerank(rd.from_pandas(emb), query_vec_id=0,
+                     n_candidates=3, k=2, lam=0.3, mu=0.7)
+    assert out.vec_id.tolist()[0] in (1, 2)
+    assert out.vec_id.tolist()[1] == 3

@@ -2193,3 +2193,27 @@ def test_time_weighted_avg_zero_duration_ties(ray_session):
     # still counts as a span row (matches the SQL replay's count(*))
     assert int(out.n_spans.iloc[0]) == 2
     assert abs(out.twa.iloc[0] - 2.0) < 1e-12
+
+
+def test_survival_table_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import survival_table
+
+    day = pd.Timedelta(days=1)
+    base = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3],
+        "ts": [base, base + 2 * day,          # u1: lifetime 2d, death
+               base + 19 * day,               # u2: lifetime 0, censored
+               base + 10 * day, base + 20 * day],  # u3: 10d, censored
+    })
+    out = survival_table(rd.from_pandas(ev)).sort_values("day")
+    assert list(out.day) == [0, 2, 10]
+    assert list(out.at_risk) == [3, 2, 1]
+    assert list(out.deaths) == [0, 1, 0]
+    assert list(out.censored) == [1, 0, 1]
+    assert abs(out.factor.iloc[0] - 1.0) < 1e-12
+    assert abs(out.factor.iloc[1] - 0.5) < 1e-12
+    assert abs(out.factor.iloc[2] - 1.0) < 1e-12

@@ -433,3 +433,122 @@ def rerank_by_embedding(
             out.append((qid, did, c, i))
     return pd.DataFrame(out, columns=["query_id", id_col, "cos",
                                       "rerank"])
+
+
+def _r6(x: float) -> float:
+    """Round half away from zero to 6dp (DuckDB round() semantics)."""
+    return float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+
+def mmr_rerank(
+    embeddings: rd.Dataset,
+    *,
+    query_vec_id: int = 0,
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversified top-``k`` (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam·rel − mu·max_sim_to_selected`` — the standard retrieval
+    diversifier (plain top-k returns five near-copies of the best hit;
+    MMR trades a little relevance for coverage).  ``mu`` is an explicit
+    parameter, not ``1−lam`` (0.3 is representable; 1−0.7 is not).
+
+    Determinism contract (the bm25/rerank convention): every cosine is
+    float64 rounded to 6dp BEFORE entering a score; each greedy score is
+    rounded to 6dp before the argmax; ties break on smaller vec_id — so
+    any engine replays the pick sequence exactly.
+
+    Scale shape: relevance cosines are DISTRIBUTED (one matmul per
+    batch against the broadcast query vector + batch-local top-n
+    partials, the knn_bruteforce shape), so the corpus streams; only
+    the ``n_candidates`` survivors (a bounded driver table by
+    construction) enter the O(k·n²) greedy, which is driver math like
+    the RBO readout.  Output: (pick, vec_id, rel) — pick is 1-based
+    selection order.
+    """
+    # query vector: bounded pure-map filter
+    qrow = embeddings.filter(
+        lambda r: int(r[vec_id_col]) == int(query_vec_id)).take(1)
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0][emb_col], np.float64)
+    qn = np.sqrt((q * q).sum())
+    q_ref = ray.put(q)
+
+    def batch_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column(vec_id_col).to_numpy(zero_copy_only=False)
+        keep = ids != int(query_vec_id)
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({vec_id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = np.stack([np.asarray(v, np.float64) for m, v in zip(
+            keep, batch.column(emb_col).to_pylist()) if m])
+        qv = ray.get(q_ref)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ qv) / (norms * np.sqrt((qv * qv).sum()))
+        # batch-local cut by the SAME (rounded rel, id) key as the final
+        # cut, so a rounded tie straddling position n can't diverge
+        rel = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((ids, -rel))[:n_candidates]
+        return pa.table({vec_id_col: pa.array(ids[order], pa.int64()),
+                         "cos": pa.array(rel[order], pa.float64())})
+
+    partials = embeddings.map_batches(
+        batch_top, batch_format="pyarrow").to_pandas()
+    partials["rel"] = partials["cos"]
+    cand = (partials.sort_values(["rel", vec_id_col],
+                                 ascending=[False, True])
+            .head(n_candidates).reset_index(drop=True))
+
+    # candidate vectors: broadcast-set pure-map fetch (bounded)
+    need = set(int(i) for i in cand[vec_id_col])
+
+    def pick_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(vec_id_col).to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in need for i in ids), bool, len(ids))
+        return batch.filter(pa.array(mask))
+
+    rows = embeddings.map_batches(pick_rows,
+                                  batch_format="pyarrow").to_pandas()
+    vecs = {int(r): np.asarray(v, np.float64)
+            for r, v in zip(rows[vec_id_col], rows[emb_col])}
+
+    ids = [int(i) for i in cand[vec_id_col]]
+    rel = {int(i): float(r) for i, r in zip(cand[vec_id_col],
+                                            cand["rel"])}
+    sim: dict[tuple[int, int], float] = {}
+    for a in ids:
+        va = vecs[a]
+        na = np.sqrt((va * va).sum())
+        for b in ids:
+            if a == b:
+                continue
+            vb = vecs[b]
+            sim[(a, b)] = _r6(float(
+                (va * vb).sum() / (na * np.sqrt((vb * vb).sum()))))
+
+    selected: list[int] = []
+    out = []
+    for pick in range(1, min(k, len(ids)) + 1):
+        best = None
+        for c in ids:
+            if c in selected:
+                continue
+            if selected:
+                score = _r6(lam * rel[c]
+                            - mu * max(sim[(c, s)] for s in selected))
+            else:
+                score = _r6(lam * rel[c])
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        chosen = best[1]
+        selected.append(chosen)
+        out.append((pick, chosen, rel[chosen]))
+    return pd.DataFrame(out, columns=["pick", vec_id_col, "rel"])

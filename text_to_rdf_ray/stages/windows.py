@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -888,3 +889,81 @@ def time_weighted_avg(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def survival_table(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_us: int = 7 * 86_400_000_000,
+    day_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Kaplan–Meier life table for churn/retention analysis: per
+    observed-lifetime day ``(day, at_risk, deaths, censored, factor)``
+    with ``factor = 1 − deaths/at_risk``; the survival curve is the
+    running product of factors.  A key whose LAST event falls within
+    ``censor_horizon_us`` of the corpus max timestamp is right-CENSORED
+    (still alive at the observation edge — counting it as a death is
+    the classic retention-analysis bias); everyone else "dies" at their
+    last event.
+
+    All sufficient statistics are integers, so the result is exact on
+    any engine/partitioning; only ``factor`` is float (one per-row
+    expression).
+
+    Scale shape: per-key (first, last) via one combiner-backed
+    ``exchange_agg`` min/max; corpus max folds from per-batch partials
+    (O(batches) driver rows); per-day death/censor counts through one
+    more exchange.  The life table itself is inherently bounded by the
+    observation window in DAYS (a 10-year corpus is ~3,650 rows), so
+    the at-risk reverse cumsum is driver math on the bounded result —
+    the same driver-tail contract as the RBO/MMR readouts.
+    """
+    from .exchange import exchange_agg
+
+    spans = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_t": t.column(ts_col).cast(pa.timestamp("us"))
+                       .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        key_col, [("_t", "min", "t0"), ("_t", "max", "t1")],
+        num_partitions=num_partitions).materialize()
+    # corpus max: O(batches) partial rows -> driver max
+    tmax = int(spans.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.max(t.column("t1")).as_py()], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["m"].max())
+
+    def per_key(t: pa.Table) -> pa.Table:
+        t0 = t.column("t0").to_numpy(zero_copy_only=False)
+        t1 = t.column("t1").to_numpy(zero_copy_only=False)
+        day = (t1 - t0) // day_us
+        cens = ((tmax - t1) < censor_horizon_us).astype(np.int64)
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "deaths": pa.array(1 - cens, pa.int64()),
+            "censored": pa.array(cens, pa.int64()),
+        })
+
+    per_day = exchange_agg(
+        spans.map_batches(per_key, batch_format="pyarrow"),
+        "day", [("deaths", "sum", "deaths"),
+                ("censored", "sum", "censored")],
+        num_partitions=num_partitions).to_pandas()
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    leaving = (per_day["deaths"] + per_day["censored"]).to_numpy(np.int64)
+    total = int(leaving.sum())
+    at_risk = total - np.concatenate([[0], np.cumsum(leaving)[:-1]])
+    deaths = per_day["deaths"].to_numpy(np.int64)
+    factor = 1.0 - deaths * 1.0 / at_risk
+    return pd.DataFrame({
+        "day": per_day["day"].astype("int64"),
+        "at_risk": pd.Series(at_risk, dtype="int64"),
+        "deaths": per_day["deaths"].astype("int64"),
+        "censored": per_day["censored"].astype("int64"),
+        "factor": factor,
+    })
