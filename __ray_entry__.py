@@ -6148,6 +6148,41 @@ def _embeddings_mmr(sf_dir: str) -> pd.DataFrame:
             .sort_values("pick").reset_index(drop=True))
 
 
+def _docs_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (stages/curation.py::dsir_sample):
+    select 100 docs whose hashed-token distribution matches the lang-en
+    target slice — hashed bag models (B=256), add-one smoothing, Gumbel
+    top-k on round(score + G, 6).  The distinct-token → bucket map is
+    the golden side table (FNV, like the quality classifier); the
+    models, scores, Gumbel draw and ranking all replay in SQL."""
+    from text_to_rdf_ray.kernels.minhash import _hash_shingles
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.curation import _terms, dsir_sample
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": [
+            t for txt in b["text"] for t in _terms(txt or "")]})
+
+    vocab = (distinct_rows(docs.map_batches(tok, batch_format="pandas"),
+                           cols=["term"])
+             .to_pandas().sort_values("term").reset_index(drop=True))
+    vocab["bucket"] = (_hash_shingles(vocab["term"].tolist())
+                       % np.uint64(256)).astype(np.int64)
+    _side_write("docs_dsir_sample", "vocab.parquet", vocab)
+
+    out = dsir_sample(docs, target_col="lang", target_value="en",
+                      dim=256, k=100, seed=77).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["score"] = _r(out["score"], 6)
+    out["gkey"] = out["gkey"].astype("float64")
+    return (out[["doc_id", "n_tokens", "score", "gkey", "rank"]]
+            .sort_values("rank").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6337,6 +6372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_topk": _events_window_topk,
         "events_survival": _events_survival,
         "embeddings_mmr": _embeddings_mmr,
+        "docs_dsir_sample": _docs_dsir_sample,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -7957,6 +7993,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embeddings_mmr": _mmr_sql(k=5, n_candidates=20,
                                    lam=0.7, mu=0.3),
+        "docs_dsir_sample": f"""
+            -- DSIR replay: hashed bag models (bucket map = golden side
+            -- table), add-one smoothing, per-doc weight sum, Gumbel
+            -- top-100 on round(score + G, 6)
+            WITH d AS (
+              SELECT doc_id, lang,
+                     list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            pos AS (SELECT doc_id, lang, unnest(toks) AS term FROM d),
+            vb AS (SELECT term, bucket FROM read_parquet(
+                '{os.path.join(_SIDE, "docs_dsir_sample",
+                               "vocab.parquet")}')),
+            tb AS (SELECT p.doc_id, p.lang, vb.bucket
+                   FROM pos p JOIN vb USING (term)),
+            cnt AS (SELECT bucket,
+                           CAST(sum(CASE WHEN lang = 'en'
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_t,
+                           count(*) AS n_a
+                    FROM tb GROUP BY bucket),
+            tot AS (SELECT sum(n_t) AS tt, sum(n_a) AS ta FROM cnt),
+            w AS (SELECT bucket,
+                         ln((n_t + 1.0)
+                            / ((SELECT tt FROM tot) + 256.0))
+                         - ln((n_a + 1.0)
+                              / ((SELECT ta FROM tot) + 256.0)) AS w
+                  FROM cnt),
+            sc0 AS (SELECT t.doc_id, count(*) AS n_tokens,
+                           sum(w.w) AS score
+                    FROM tb t JOIN w USING (bucket)
+                    GROUP BY t.doc_id),
+            sc AS (SELECT dd.doc_id,
+                          coalesce(sc0.n_tokens, 0) AS n_tokens,
+                          coalesce(sc0.score, 0.0) AS score
+                   FROM (SELECT doc_id FROM documents) dd
+                   LEFT JOIN sc0 USING (doc_id)),
+            {_sm64_sql("sc", "(doc_id + 77)",
+                       ["doc_id", "n_tokens", "score"], prefix="g")},
+            fin AS (
+              SELECT doc_id, n_tokens, score,
+                     round(score + (- ln(- ln(
+                         CAST(hv // 2048 AS DOUBLE)
+                         / 9007199254740992.0))), 6) AS gkey
+              FROM gh),
+            rk AS (SELECT *, row_number() OVER (
+                       ORDER BY gkey DESC, doc_id) AS rank
+                   FROM fin)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(score, 6) AS score, gkey,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 100 ORDER BY rank
+        """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""
             -- hashed-classifier replay: tokenize in SQL, FNV base hash

@@ -1290,3 +1290,34 @@ def test_readability_empty_text_floors_at_one(ray_session):
     assert list(out.words) == [1, 1]
     assert list(out.sentences) == [1, 1]
     assert list(out.syllables) == [1, 1]
+
+
+def test_dsir_sample_prefers_target_like_docs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import dsir_sample
+
+    # target (en) docs speak vocabulary A; others vocabulary B —
+    # except doc 100, a non-target doc written in vocabulary A
+    va = "alpha beta gamma delta epsilon zeta"
+    vb = "uno dos tres cuatro cinco seis"
+    rows = []
+    for i in range(20):
+        rows.append((i, va, "en"))
+    for i in range(20, 40):
+        rows.append((i, vb, "fr"))
+    rows.append((100, va, "fr"))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = (dsir_sample(rd.from_pandas(docs), dim=64, k=41, seed=7)
+           .to_pandas())
+    s = dict(zip(out.doc_id, out.score))
+    # vocabulary decides the importance weight, not the label:
+    # the A-speaking non-target doc scores like the target docs
+    assert abs(s[100] - s[0]) < 1e-9
+    assert s[100] > s[25]
+    # deterministic: same seed reproduces keys exactly
+    out2 = (dsir_sample(rd.from_pandas(docs), dim=64, k=41, seed=7)
+            .to_pandas())
+    assert out.sort_values("rank").gkey.tolist() == \
+        out2.sort_values("rank").gkey.tolist()

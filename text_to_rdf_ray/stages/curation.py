@@ -2500,3 +2500,104 @@ def readability(
 
     return docs.map_batches(score, batch_format="pandas",
                             batch_size=8192)
+
+
+def dsir_sample(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    dim: int = 256,
+    k: int = 100,
+    seed: int = 77,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): pick ``k`` docs whose hashed-token feature distribution looks
+    like the TARGET slice.  Per-doc log importance weight under two
+    add-one-smoothed hashed bag models
+
+        score(d) = Σ_tokens [ ln((n_t[b]+1)/(T_t+B)) −
+                              ln((n_a[b]+1)/(T_a+B)) ]
+
+    (b = FNV(token) mod ``dim``; n_t/n_a = target/all token counts per
+    bucket), then Gumbel top-k: gkey = round(score + G(doc), 6) with
+    G = −ln(−ln(u)), u = (splitmix64(id+seed) >> 11)/2⁵³ — the
+    deterministic, SQL-replayable form of DSIR's importance resampling.
+
+    Scale shape: pass 1 streams the corpus once into per-batch
+    (bucket, class) count partials (≤ 2·dim rows per batch) and ONE
+    bucket exchange; the ``dim``-row model is driver math and
+    broadcasts as a closure constant.  Pass 2 is a pure map (vectorized
+    bucket-weight gather + grouped sum + Gumbel key); the top-k runs
+    through the constant-key ``topk_per_group`` funnel (batch-local
+    top-k, one exchange of ≤ k·batches rows).  Output:
+    (id, n_tokens, score, gkey, rank) for the k winners.
+    """
+    from ..kernels.minhash import _hash_shingles
+    from .analytics import splitmix64, topk_per_group
+    from .exchange import exchange_agg
+
+    def count_partials(b: pd.DataFrame) -> pd.DataFrame:
+        toks_per = [_terms(t or "") for t in b[text_col]]
+        lens = np.array([len(t) for t in toks_per], np.int64)
+        flat = [tok for toks in toks_per for tok in toks]
+        if not flat:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n_t": pd.Series(dtype="int64"),
+                                 "n_a": pd.Series(dtype="int64")})
+        bucket = (_hash_shingles(flat) % np.uint64(dim)).astype(np.int64)
+        is_t = np.repeat(
+            (b[target_col] == target_value).to_numpy(), lens
+        ).astype(np.int64)
+        return (pd.DataFrame({"bucket": bucket, "n_t": is_t,
+                              "n_a": np.ones(len(flat), np.int64)})
+                .groupby("bucket", sort=False).sum().reset_index())
+
+    cnt = exchange_agg(
+        ds.map_batches(count_partials, batch_format="pandas",
+                       batch_size=4096),
+        "bucket", [("n_t", "sum", "n_t"), ("n_a", "sum", "n_a")],
+        num_partitions=min(num_partitions, dim), combine=False,
+    ).to_pandas()  # <= dim rows by construction
+    tt = int(cnt["n_t"].sum())
+    ta = int(cnt["n_a"].sum())
+    wv = np.zeros(dim, np.float64)
+    bidx = cnt["bucket"].to_numpy(np.int64)
+    wv[bidx] = (np.log((cnt["n_t"].to_numpy(np.int64) + 1.0)
+                       / (tt + float(dim)))
+                - np.log((cnt["n_a"].to_numpy(np.int64) + 1.0)
+                         / (ta + float(dim))))
+
+    def score_docs(b: pd.DataFrame) -> pd.DataFrame:
+        toks_per = [_terms(t or "") for t in b[text_col]]
+        lens = np.array([len(t) for t in toks_per], np.int64)
+        flat = [tok for toks in toks_per for tok in toks]
+        score = np.zeros(len(b), np.float64)
+        if flat:
+            bucket = (_hash_shingles(flat)
+                      % np.uint64(dim)).astype(np.int64)
+            seg = np.repeat(np.arange(len(b)), lens)
+            sums = pd.Series(wv[bucket]).groupby(seg).sum()
+            score[sums.index.to_numpy()] = sums.to_numpy()
+        ids = b[id_col].to_numpy(np.int64)
+        u = ((splitmix64(ids + seed) >> np.uint64(11))
+             .astype(np.float64) / float(2 ** 53))
+        gumbel = -np.log(-np.log(u))
+        gkey = score + gumbel
+        gkey = np.sign(gkey) * np.floor(np.abs(gkey) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({id_col: ids,
+                             "n_tokens": lens,
+                             "score": score,
+                             "gkey": gkey,
+                             "_one": np.zeros(len(b), np.int64)})
+
+    scored = ds.map_batches(score_docs, batch_format="pandas",
+                            batch_size=4096)
+    top = topk_per_group(scored, key_col="_one", sort_col="gkey",
+                         tiebreak_col=id_col, k=k, descending=True)
+    return top.map_batches(
+        lambda b: b[[id_col, "n_tokens", "score", "gkey", "rank"]],
+        batch_format="pandas")
