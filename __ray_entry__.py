@@ -6183,6 +6183,25 @@ def _docs_dsir_sample(sf_dir: str) -> pd.DataFrame:
             .sort_values("rank").reset_index(drop=True))
 
 
+def _parts_blocking_quality(sf_dir: str) -> pd.DataFrame:
+    """ER blocking-quality readout (stages/dedup.py::blocking_quality)
+    for the window-3 sorted-neighborhood blocker on part names: gold =
+    exact-name pairs (Σ C(c,2), never materialized), reduction ratio vs
+    C(N,2), pairs completeness over the candidates."""
+    from text_to_rdf_ray.stages.dedup import (blocking_quality,
+                                              sorted_neighborhood_pairs)
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_name"])
+    pairs = sorted_neighborhood_pairs(parts, key_col="p_name",
+                                      id_col="p_partkey", window=3)
+    out = blocking_quality(pairs, parts, id_col="p_partkey",
+                           key_col="p_name")
+    out["reduction_ratio"] = _r(out["reduction_ratio"], 6)
+    out["pairs_completeness"] = _r(out["pairs_completeness"], 6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6373,6 +6392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival": _events_survival,
         "embeddings_mmr": _embeddings_mmr,
         "docs_dsir_sample": _docs_dsir_sample,
+        "parts_blocking_quality": _parts_blocking_quality,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8045,6 +8065,35 @@ def oracle_sql() -> dict[str, str]:
                    round(score, 6) AS score, gkey,
                    CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 100 ORDER BY rank
+        """,
+        "parts_blocking_quality": """
+            -- same window-3 sorted-neighborhood candidates, gold =
+            -- exact-name pairs via sum C(c,2), metrics as 1.0-ratios
+            WITH r AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part),
+            cand AS (
+              SELECT a.p_name AS na, b.p_name AS nb
+              FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2),
+            g AS (SELECT count(*) AS n FROM part),
+            gold AS (SELECT sum(c * (c - 1) // 2) AS n_gold
+                     FROM (SELECT count(*) AS c FROM part
+                           GROUP BY p_name)),
+            m AS (SELECT count(*) AS n_candidates,
+                         sum(CASE WHEN na = nb THEN 1 ELSE 0 END)
+                           AS n_matched
+                  FROM cand)
+            SELECT CAST(m.n_candidates AS BIGINT) AS n_candidates,
+                   CAST(m.n_matched AS BIGINT) AS n_matched,
+                   CAST(gold.n_gold AS BIGINT) AS n_gold,
+                   round(1.0 - m.n_candidates * 1.0
+                         / ((SELECT n FROM g)
+                            * ((SELECT n FROM g) - 1) // 2), 6)
+                     AS reduction_ratio,
+                   round(m.n_matched * 1.0 / gold.n_gold, 6)
+                     AS pairs_completeness
+            FROM m, gold
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

@@ -1140,3 +1140,28 @@ def test_mmr_diversifies_near_duplicates(ray_session):
                      n_candidates=3, k=2, lam=0.3, mu=0.7)
     assert out.vec_id.tolist()[0] in (1, 2)
     assert out.vec_id.tolist()[1] == 3
+
+
+def test_blocking_quality_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import (blocking_quality,
+                                              sorted_neighborhood_pairs)
+
+    # names: 'aa' x3, 'bb' x2, 'zz' x1 -> gold = C(3,2)+C(2,2) = 4
+    base = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6],
+                         "text": ["aa", "aa", "aa", "bb", "bb", "zz"]})
+    ds = rd.from_pandas(base)
+    pairs = sorted_neighborhood_pairs(ds, key_col="text",
+                                      id_col="doc_id", window=3)
+    out = blocking_quality(pairs, ds, id_col="doc_id", key_col="text")
+    row = out.iloc[0]
+    # window-3 over sort aa,aa,aa,bb,bb,zz: 5+4 = 9 candidates,
+    # matched = (1,2),(2,3),(1,3),(4,5) = 4 -> PC = 1.0
+    assert row.n_gold == 4
+    assert row.n_candidates == 9
+    assert row.n_matched == 4
+    assert abs(row.pairs_completeness - 1.0) < 1e-12
+    # RR = 1 - 9/15
+    assert abs(row.reduction_ratio - (1 - 9 / 15)) < 1e-12

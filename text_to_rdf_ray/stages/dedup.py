@@ -1806,3 +1806,93 @@ def containment_pairs(
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def blocking_quality(
+    pairs: rd.Dataset,
+    base: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    ida: str = "id_a",
+    idb: str = "id_b",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """ER blocking-quality readout (Christen 2012): how good is a
+    candidate generator before the expensive match step?
+
+        reduction_ratio    = 1 − |candidates| / C(N,2)
+        pairs_completeness = |candidates ∩ gold| / |gold|
+
+    with gold = pairs agreeing exactly on ``key_col`` (Σ C(c,2) over
+    key counts — gold pairs are NEVER materialized, the cluster_prf
+    trick).  Output: one row (n_candidates, n_matched, n_gold,
+    reduction_ratio, pairs_completeness).
+
+    Scale shape: per-key counts via one combiner-backed
+    ``exchange_agg`` folded to Σ C(c,2) by per-batch partials
+    (O(batches) driver rows); the match count attaches the key to both
+    candidate endpoints through two chained ``exchange_join``s and
+    folds a batch-partial sum.  Only 1-row totals reach the driver.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import exchange_agg, exchange_join
+
+    n_rows = base.count()
+    n_candidates = pairs.count()
+
+    key_counts = exchange_agg(
+        base.map_batches(
+            lambda t: pa.table({"k": t.column(key_col),
+                                "one": pa.array(np.ones(t.num_rows,
+                                                        np.int64))}),
+            batch_format="pyarrow"),
+        "k", [("one", "sum", "c")], num_partitions=num_partitions)
+    n_gold = int(key_counts.map_batches(
+        lambda t: pa.table({"g": pa.array([int(
+            (lambda c: (c * (c - 1) // 2).sum())(
+                t.column("c").to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["g"].sum())
+
+    kv = base.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            "k": t.column(key_col)}),
+        batch_format="pyarrow")
+    kv_schema = pa.schema([(id_col, pa.int64()), ("k", pa.string())])
+    p_proj = pairs.map_batches(
+        lambda t: pa.table({id_col: t.column(ida).cast(pa.int64()),
+                            "_idb": t.column(idb).cast(pa.int64())}),
+        batch_format="pyarrow")
+    j1 = exchange_join(
+        p_proj, kv, on=id_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("_idb", pa.int64())]),
+        right_schema=kv_schema)
+    j2 = exchange_join(
+        j1.map_batches(
+            lambda t: pa.table({id_col: t.column("_idb"),
+                                "ka": t.column("k")}),
+            batch_format="pyarrow"),
+        kv, on=id_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("ka", pa.string())]),
+        right_schema=kv_schema)
+    n_matched = int(j2.map_batches(
+        lambda t: pa.table({"m": pa.array([int(
+            pc.sum(pc.equal(t.column("ka"),
+                            t.column("k"))).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["m"].sum())
+
+    total = n_rows * (n_rows - 1) // 2
+    rr = 1.0 - n_candidates * 1.0 / total
+    pc_ = n_matched * 1.0 / n_gold if n_gold else 0.0
+    return pd.DataFrame({
+        "n_candidates": pd.Series([n_candidates], dtype="int64"),
+        "n_matched": pd.Series([n_matched], dtype="int64"),
+        "n_gold": pd.Series([n_gold], dtype="int64"),
+        "reduction_ratio": pd.Series([rr], dtype="float64"),
+        "pairs_completeness": pd.Series([pc_], dtype="float64"),
+    })
