@@ -6202,6 +6202,139 @@ def _parts_blocking_quality(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _kg_bgp_optional(sf_dir: str) -> pd.DataFrame:
+    """SPARQL OPTIONAL (stages/kgops.py::bgp_match_optional): entities
+    located in a EUROPE nation, OPTIONAL { ?e named ?ename } — only
+    suppliers carry 'named' literals, so customers surface with ename
+    unbound (NULL), the left-join semantics OPTIONAL defines."""
+    from text_to_rdf_ray.stages.kgops import bgp_match_optional
+
+    def rel(table, cols, fmt):
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=cols, override_num_blocks=2)
+        return ds.map_batches(fmt, batch_format="pandas")
+
+    def supp(b):
+        loc = pd.DataFrame({
+            "subj": "supplier_" + b["s_suppkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["s_nationkey"].astype(str)})
+        named = pd.DataFrame({
+            "subj": "supplier_" + b["s_suppkey"].astype(str),
+            "pred": "named", "obj": b["s_name"].astype(str)})
+        return pd.concat([loc, named], ignore_index=True)
+
+    def cust(b):
+        return pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["c_nationkey"].astype(str)})
+
+    def nat(b):
+        return pd.DataFrame({
+            "subj": "nation_" + b["n_nationkey"].astype(str),
+            "pred": "part_of",
+            "obj": "region_" + b["n_regionkey"].astype(str)})
+
+    def reg(b):
+        return pd.DataFrame({
+            "subj": "region_" + b["r_regionkey"].astype(str),
+            "pred": "named", "obj": b["r_name"].astype(str)})
+
+    triples = (rel("supplier", ["s_suppkey", "s_name", "s_nationkey"],
+                   supp)
+               .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
+               .union(rel("nation", ["n_nationkey", "n_regionkey"], nat))
+               .union(rel("region", ["r_regionkey", "r_name"], reg))
+               .materialize())
+    out = bgp_match_optional(
+        triples,
+        [("?r", "named", "EUROPE"),
+         ("?n", "part_of", "?r"),
+         ("?e", "located_in", "?n")],
+        [("?e", "named", "?ename")],
+        coalesce_blocks=8).to_pandas()
+    out["ename"] = out["ename"].astype(object).where(
+        out["ename"].notna(), None)
+    return (out[["e", "n", "ename"]]
+            .sort_values(["e", "n"], na_position="last")
+            .reset_index(drop=True))
+
+
+def _events_pattern_match(sf_dir: str) -> pd.DataFrame:
+    """CEP adjacency pattern (stages/windows.py::pattern_adjacent):
+    view IMMEDIATELY followed by purchase within 1h per user — the
+    MATCH_RECOGNIZE primitive funnel's skip-between semantics can't
+    express."""
+    from text_to_rdf_ray.stages.windows import pattern_adjacent
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = pattern_adjacent(ev, first="view", second="purchase",
+                           max_gap_us=3_600_000_000).to_pandas()
+    if out.empty or "first_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("user_id", "first_id",
+                                       "second_id", "gap_us")})
+    return (out[["user_id", "first_id", "second_id", "gap_us"]]
+            .sort_values(["user_id", "first_id"]).reset_index(drop=True))
+
+
+def _orders_dpp_join(sf_dir: str) -> pd.DataFrame:
+    """Dynamic partition pruning (Spark DPP shape): the DIMENSION
+    filter's surviving keys (rich customers of nation 1 — bounded,
+    guarded) prune the FACT scan via the lakehouse Bloom/zone-map
+    layout (stages/lakehouse.py::clustered_write + point_lookup, orders
+    clustered AND Bloom'd on o_custkey), then a driver-side broadcast
+    merge + revenue rollup.  bloomscan_* counters prove files were
+    skipped; the layout must be invisible in the result."""
+    from text_to_rdf_ray.stages.lakehouse import clustered_write, point_lookup
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    dim = cust.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t.column("c_nationkey"), pa.scalar(1)),
+            pc.greater_equal(t.column("c_acctbal"),
+                             pa.scalar(5000.0)))),
+        batch_format="pyarrow").to_pandas()
+    keys = sorted(int(k) for k in dim["c_custkey"])
+    if len(keys) > 100_000:
+        raise ValueError("dpp_join: dimension filter not selective "
+                         f"enough to broadcast ({len(keys)} keys)")
+
+    path = os.path.join(_TMP, "lakehouse", "orders_by_cust")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    clustered_write(orders, path, key_col="o_custkey", num_files=16,
+                    bloom_col="o_custkey")
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    hit = point_lookup(path, col="o_custkey", values=keys)
+    agg = exchange_agg(
+        hit.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t.column("o_custkey").cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "o_totalprice": t.column("o_totalprice")}),
+            batch_format="pyarrow"),
+        "c_custkey", [("one", "sum", "n_orders"),
+                      ("o_totalprice", "sum", "revenue")],
+        num_partitions=16).to_pandas()  # <= |keys| rows by construction
+    if agg.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64"),
+                             "revenue": pd.Series(dtype="float64")})
+    agg["c_custkey"] = agg["c_custkey"].astype("int64")
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg["revenue"] = _r(agg["revenue"], 2)
+    return (agg[["c_custkey", "n_orders", "revenue"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6393,6 +6526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mmr": _embeddings_mmr,
         "docs_dsir_sample": _docs_dsir_sample,
         "parts_blocking_quality": _parts_blocking_quality,
+        "kg_bgp_optional": _kg_bgp_optional,
+        "events_pattern_match": _events_pattern_match,
+        "orders_dpp_join": _orders_dpp_join,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8094,6 +8230,63 @@ def oracle_sql() -> dict[str, str]:
                    round(m.n_matched * 1.0 / gold.n_gold, 6)
                      AS pairs_completeness
             FROM m, gold
+        """,
+        "kg_bgp_optional": """
+            -- OPTIONAL = LEFT JOIN on the shared variable: customers
+            -- have no 'named' literal and surface with ename NULL
+            WITH t AS (
+              SELECT 'supplier_' || s_suppkey AS subj, 'located_in' AS pred,
+                     'nation_' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'supplier_' || s_suppkey, 'named', s_name
+              FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'region_' || r_regionkey, 'named', r_name
+              FROM region),
+            req AS (
+              SELECT DISTINCT le.subj AS e, le.obj AS n
+              FROM t r
+              JOIN t pn ON pn.pred = 'part_of' AND pn.obj = r.subj
+              JOIN t le ON le.pred = 'located_in' AND le.obj = pn.subj
+              WHERE r.pred = 'named' AND r.obj = 'EUROPE'),
+            opt AS (SELECT subj, obj FROM t WHERE pred = 'named')
+            SELECT DISTINCT req.e, req.n, opt.obj AS ename
+            FROM req LEFT JOIN opt ON opt.subj = req.e
+            ORDER BY e, n
+        """,
+        "events_pattern_match": """
+            -- strict adjacency: view whose NEXT event (ts, event_id
+            -- order) is a purchase within 1h
+            WITH s AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+                     lead(event_id) OVER w AS nid,
+                     lead(event_type) OVER w AS ntype,
+                     lead(epoch_us(ts)) OVER w AS nt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id AS first_id,
+                   CAST(nid AS BIGINT) AS second_id,
+                   CAST(nt - t AS BIGINT) AS gap_us
+            FROM s
+            WHERE event_type = 'view' AND ntype = 'purchase'
+              AND nt - t <= 3600000000
+            ORDER BY user_id, first_id
+        """,
+        "orders_dpp_join": """
+            -- the pruned layout must be invisible: plain dim-filtered
+            -- join + rollup
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_nationkey = 1 AND c_acctbal >= 5000.0
+            GROUP BY o_custkey ORDER BY c_custkey
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

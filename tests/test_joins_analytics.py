@@ -2217,3 +2217,46 @@ def test_survival_table_hand_computed(ray_session):
     assert abs(out.factor.iloc[0] - 1.0) < 1e-12
     assert abs(out.factor.iloc[1] - 0.5) < 1e-12
     assert abs(out.factor.iloc[2] - 1.0) < 1e-12
+
+
+def test_pattern_adjacent_strict_contiguity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import pattern_adjacent
+
+    base = pd.Timestamp("2026-01-01")
+    m = pd.Timedelta(minutes=1)
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": [base, base + m, base + 2 * m,
+               base, base + m, base + 2 * m],
+        # u1: view -> purchase adjacent (match); u2: view -> click ->
+        # purchase (click breaks contiguity -> NO match)
+        "event_type": ["view", "purchase", "click",
+                       "view", "click", "purchase"],
+    })
+    out = pattern_adjacent(rd.from_pandas(ev)).to_pandas()
+    assert len(out) == 1
+    assert (int(out.user_id.iloc[0]), int(out.first_id.iloc[0]),
+            int(out.second_id.iloc[0])) == (1, 1, 2)
+    assert int(out.gap_us.iloc[0]) == 60_000_000
+
+
+def test_pattern_adjacent_gap_bound(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import pattern_adjacent
+
+    base = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [1, 1],
+        "ts": [base, base + pd.Timedelta(hours=2)],
+        "event_type": ["view", "purchase"],
+    })
+    out = pattern_adjacent(rd.from_pandas(ev),
+                           max_gap_us=3_600_000_000).to_pandas()
+    assert out.empty or len(out) == 0

@@ -335,3 +335,35 @@ def test_sameas_closure_untouched_without_edges(ray_session):
     got = set(map(tuple, out[["subj", "pred", "obj"]].values))
     # identity rewrite, but exact duplicates still dedup
     assert got == {("a", "p", "x"), ("b", "q", "y")}
+
+
+def test_bgp_optional_null_for_unmatched(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import bgp_match_optional
+
+    t = rd.from_pandas(pd.DataFrame({
+        "subj": ["a", "b", "a"],
+        "pred": ["type", "type", "named"],
+        "obj": ["Person", "Person", "Alice"]}))
+    out = bgp_match_optional(
+        t, [("?e", "type", "Person")], [("?e", "named", "?name")]
+    ).to_pandas().sort_values("e").reset_index(drop=True)
+    assert out.e.tolist() == ["a", "b"]
+    assert out.name.iloc[0] == "Alice"
+    assert pd.isna(out.name.iloc[1])
+
+
+def test_bgp_optional_refuses_cartesian(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import bgp_match_optional
+
+    t = rd.from_pandas(pd.DataFrame({
+        "subj": ["a"], "pred": ["type"], "obj": ["Person"]}))
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match_optional(t, [("?e", "type", "Person")],
+                           [("?x", "named", "?y")]).to_pandas()

@@ -109,6 +109,24 @@ def bgp_match(
     ~num_partitions to repartition in front of every exchange (the
     exchange.py module docstring has the measurements).
     """
+    bound, bound_vars = _bgp_join(triples, patterns,
+                                  num_partitions=num_partitions,
+                                  coalesce_blocks=coalesce_blocks)
+    if distinct:
+        bound = exchange_agg(bound, bound_vars,
+                             num_partitions=num_partitions,
+                             coalesce_blocks=coalesce_blocks)
+    return bound
+
+
+def _bgp_join(
+    triples: rd.Dataset,
+    patterns: list[tuple[str, str, str]],
+    *,
+    num_partitions: int = 32,
+    coalesce_blocks: int | None = None,
+) -> tuple[rd.Dataset, list[str]]:
+    """Shared BGP evaluator core: returns (bindings, var order)."""
     if not patterns:
         raise ValueError("bgp_match: empty pattern list")
     rels = [_pattern_relation(triples, p) for p in patterns]
@@ -130,6 +148,52 @@ def bgp_match(
             left_schema=pa.schema([(v, pa.string()) for v in bound_vars]),
             right_schema=pa.schema([(v, pa.string()) for v in rel_vars]))
         # exchange_join emits keys first, then left payload, then right
+        bound_vars = (shared + [v for v in bound_vars if v not in shared]
+                      + new)
+    return bound, bound_vars
+
+
+def bgp_match_optional(
+    triples: rd.Dataset,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]],
+    *,
+    distinct: bool = True,
+    num_partitions: int = 32,
+    coalesce_blocks: int | None = None,
+) -> rd.Dataset:
+    """SPARQL OPTIONAL over :func:`bgp_match`: evaluate the required
+    BGP, then LEFT-join each optional pattern on its shared variables —
+    rows with no optional match keep their required bindings and bind
+    the optional-only variables to NULL (SPARQL's unbound), exactly the
+    semantics of ``{ BGP OPTIONAL { p } OPTIONAL { q } }``.
+
+    Each optional pattern must share >= 1 variable with the bindings so
+    far (same no-Cartesian rule as the required patterns).  Scale shape
+    identical to bgp_match — one more left_outer ``exchange_join`` per
+    optional pattern, all fused into the same plan (static string
+    schemas); the distinct at the end hashes NULL bindings like any
+    other value.
+    """
+    bound, bound_vars = _bgp_join(triples, patterns,
+                                  num_partitions=num_partitions,
+                                  coalesce_blocks=coalesce_blocks)
+    for i, pat in enumerate(optional, start=1):
+        rel, rel_vars = _pattern_relation(triples, pat)
+        shared = [v for v in rel_vars if v in bound_vars]
+        new = [v for v in rel_vars if v not in bound_vars]
+        if not shared:
+            raise ValueError(
+                f"bgp_match_optional: optional pattern {i} ({pat}) "
+                f"shares no variable with the required bindings")
+        bound = exchange_join(
+            bound, rel, on=shared, how="left_outer",
+            num_partitions=num_partitions,
+            coalesce_blocks=coalesce_blocks,
+            left_schema=pa.schema([(v, pa.string())
+                                   for v in bound_vars]),
+            right_schema=pa.schema([(v, pa.string())
+                                    for v in rel_vars]))
         bound_vars = (shared + [v for v in bound_vars if v not in shared]
                       + new)
     if distinct:

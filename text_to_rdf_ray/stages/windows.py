@@ -967,3 +967,57 @@ def survival_table(
         "censored": per_day["censored"].astype("int64"),
         "factor": factor,
     })
+
+
+def pattern_adjacent(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    first: str = "view",
+    second: str = "purchase",
+    max_gap_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """CEP-style adjacency pattern (the MATCH_RECOGNIZE / FlinkCEP
+    ``A NEXT B`` primitive): per key, emit every event of type
+    ``first`` IMMEDIATELY followed — next event in (ts, order) order,
+    nothing in between — by an event of type ``second`` within
+    ``max_gap_us``.  Contrast ``funnel``, which allows arbitrary events
+    between steps; strict contiguity is what funnel can't express.
+
+    Output: (key, first_id, second_id, gap_us).
+
+    Scale shape: the sessionize pattern — one key-hash exchange, one
+    vectorized per-partition pass (sort + groupby.shift(-1) across all
+    keys; no per-key Python).
+    """
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col], kind="mergesort"))
+        t = np.asarray(g[ts_col]).astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_t=t)
+        grp = g.groupby(key_col, sort=False)
+        nid = grp[order_col].shift(-1)
+        ntype = grp[type_col].shift(-1)
+        nt = grp["_t"].shift(-1)
+        gap = nt - g["_t"]
+        hit = ((g[type_col] == first) & (ntype == second)
+               & (gap <= max_gap_us))
+        out = g[hit]
+        return pd.DataFrame({
+            key_col: out[key_col].astype("int64"),
+            "first_id": out[order_col].astype("int64"),
+            "second_id": nid[hit].astype("int64"),
+            "gap_us": gap[hit].astype("int64"),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
