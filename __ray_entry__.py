@@ -6335,6 +6335,53 @@ def _orders_dpp_join(sf_dir: str) -> pd.DataFrame:
             .sort_values("c_custkey").reset_index(drop=True))
 
 
+def _events_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Iceberg-lite time travel (stages/lakehouse.py::commit_version /
+    read_version): v1 = a third of events, v2 = append the rest, v3 =
+    OVERWRITE with the value>=10 slice — then read all three versions
+    back (v1/v2 still intact after the overwrite) and report
+    (version, n_rows, sum_value).  The oracle recomputes each
+    version's contents from the base table: the log layout must be
+    invisible."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import commit_version, read_version
+
+    path = os.path.join(_TMP, "lakehouse", "events_versions")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def third(t: pa.Table, want: bool) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        mod = pa.array(ids % 3 == 0)
+        return t.filter(mod if want else pc.invert(mod))
+
+    commit_version(ev.map_batches(lambda t: third(t, True),
+                                  batch_format="pyarrow"), path)
+    commit_version(ev.map_batches(lambda t: third(t, False),
+                                  batch_format="pyarrow"), path,
+                   mode="append")
+    commit_version(ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"),
+                                            pa.scalar(10.0))),
+        batch_format="pyarrow"), path, mode="overwrite")
+
+    rows = []
+    for v in (1, 2, 3):
+        ds = read_version(path, v)
+        part = ds.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([float(pc.sum(t.column("value"))
+                               .as_py() or 0.0)], pa.float64())}),
+            batch_format="pyarrow").to_pandas()
+        rows.append((v, int(part["n"].sum()),
+                     float(_r(pd.Series([part["s"].sum()]), 2)[0])))
+    return pd.DataFrame(rows, columns=["version", "n_rows",
+                                       "sum_value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6529,6 +6576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": _kg_bgp_optional,
         "events_pattern_match": _events_pattern_match,
         "orders_dpp_join": _orders_dpp_join,
+        "events_time_travel": _events_time_travel,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8287,6 +8335,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON c_custkey = o_custkey
             WHERE c_nationkey = 1 AND c_acctbal >= 5000.0
             GROUP BY o_custkey ORDER BY c_custkey
+        """,
+        "events_time_travel": """
+            -- each version's contents recomputed from the base table:
+            -- v1 = event_id %% 3 = 0, v2 = all, v3 = value >= 10
+            SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(value), 2) AS sum_value
+            FROM events WHERE event_id % 3 = 0
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT), round(sum(value), 2)
+            FROM events
+            UNION ALL
+            SELECT 3, CAST(count(*) AS BIGINT), round(sum(value), 2)
+            FROM events WHERE value >= 10.0
+            ORDER BY version
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

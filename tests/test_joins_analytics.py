@@ -2260,3 +2260,25 @@ def test_pattern_adjacent_gap_bound(ray_session):
     out = pattern_adjacent(rd.from_pandas(ev),
                            max_gap_us=3_600_000_000).to_pandas()
     assert out.empty or len(out) == 0
+
+
+def test_time_travel_versions_survive_overwrite(ray_session, tmp_path):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.lakehouse import commit_version, read_version
+
+    path = str(tmp_path / "tbl")
+    v1 = commit_version(rd.from_pandas(
+        pd.DataFrame({"x": [1, 2, 3]})), path)
+    v2 = commit_version(rd.from_pandas(
+        pd.DataFrame({"x": [4, 5]})), path, mode="append")
+    v3 = commit_version(rd.from_pandas(
+        pd.DataFrame({"x": [99]})), path, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert sorted(read_version(path, 1).to_pandas().x) == [1, 2, 3]
+    assert sorted(read_version(path, 2).to_pandas().x) == [1, 2, 3, 4, 5]
+    assert sorted(read_version(path, 3).to_pandas().x) == [99]
+    with pytest.raises(ValueError, match="no version 9"):
+        read_version(path, 9)

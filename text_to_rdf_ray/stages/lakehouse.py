@@ -635,3 +635,66 @@ def metadata_agg(
 
         total += ds.map_batches(exact, batch_format="pyarrow").count()
     return pd.DataFrame({"n_rows": pd.Series([total], dtype="int64")})
+
+
+def _log_versions(path: str) -> list[int]:
+    import glob as _glob
+
+    return sorted(int(os.path.basename(p)[len("manifest_v"):-len(".parquet")])
+                  for p in _glob.glob(os.path.join(path,
+                                                   "manifest_v*.parquet")))
+
+
+def commit_version(
+    ds: rd.Dataset,
+    path: str,
+    *,
+    mode: str = "append",
+) -> int:
+    """Iceberg-lite versioned commit: data files are IMMUTABLE; each
+    commit writes ``manifest_v{N}.parquet`` naming the version's live
+    file set — ``append`` = previous live set ∪ new files,
+    ``overwrite`` = new files only.  Old manifests (and their files)
+    are never touched, so :func:`read_version` time-travels to any
+    prior version — the audit/reproducibility contract every table
+    format (Iceberg/Delta) provides and a 100 TB training corpus
+    needs (\"which snapshot trained run 47?\").
+
+    The commit itself is a distributed ``write_parquet`` into a
+    version-scoped directory; only the O(files) manifest is driver
+    work.  Returns the new version number.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    versions = _log_versions(path)
+    new_v = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(path, f"commit_{new_v:05d}")
+    ds.write_parquet(data_dir)
+    import glob as _glob
+
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in _glob.glob(os.path.join(data_dir, "*.parquet")))
+    if mode == "append" and versions:
+        prev = pd.read_parquet(os.path.join(
+            path, f"manifest_v{versions[-1]:05d}.parquet"))
+        files = prev["file"].tolist() + new_files
+    else:
+        files = new_files
+    tmp = os.path.join(path, f".manifest_v{new_v:05d}.tmp")
+    pd.DataFrame({"file": files}).to_parquet(tmp, index=False)
+    os.replace(tmp, os.path.join(path,
+                                 f"manifest_v{new_v:05d}.parquet"))
+    return new_v
+
+
+def read_version(path: str, version: int) -> rd.Dataset:
+    """Time-travel read: the exact file set manifest_v{version} named,
+    regardless of any later append/overwrite commits."""
+    mf = os.path.join(path, f"manifest_v{version:05d}.parquet")
+    if not os.path.exists(mf):
+        raise ValueError(f"read_version: no version {version} at {path}"
+                         f" (have {_log_versions(path)})")
+    files = pd.read_parquet(mf)["file"].tolist()
+    return rd.read_parquet([os.path.join(path, f) for f in files])
