@@ -1165,3 +1165,37 @@ def test_blocking_quality_hand_computed(ray_session):
     assert abs(row.pairs_completeness - 1.0) < 1e-12
     # RR = 1 - 9/15
     assert abs(row.reduction_ratio - (1 - 9 / 15)) < 1e-12
+
+
+def test_containment_pairs_matches_bruteforce_random(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import _terms, _word_ngrams
+    from text_to_rdf_ray.stages.dedup import containment_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = pd.DataFrame({
+        "doc_id": range(14),
+        "text": [" ".join(rng.choice(vocab, size=rng.randint(6, 18)))
+                 for _ in range(14)]})
+    out = (containment_pairs(rd.from_pandas(docs), n=3, tau=0.4)
+           .to_pandas())
+    got = {(int(r.id_a), int(r.id_b)): (int(r.inter), int(r.n_a),
+                                        int(r.n_b))
+           for r in out.itertuples()}
+
+    grams = {int(d): set(_word_ngrams(_terms(t), 3))
+             for d, t in zip(docs.doc_id, docs.text)}
+    want = {}
+    for a in grams:
+        for b in grams:
+            if a >= b or not grams[a] or not grams[b]:
+                continue
+            inter = len(grams[a] & grams[b])
+            if inter and max(inter / len(grams[a]),
+                             inter / len(grams[b])) >= 0.4:
+                want[(a, b)] = (inter, len(grams[a]), len(grams[b]))
+    assert got == want

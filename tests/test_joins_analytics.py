@@ -2282,3 +2282,36 @@ def test_time_travel_versions_survive_overwrite(ray_session, tmp_path):
     assert sorted(read_version(path, 3).to_pandas().x) == [99]
     with pytest.raises(ValueError, match="no version 9"):
         read_version(path, 9)
+
+
+def test_time_weighted_avg_matches_reference_random(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.windows import time_weighted_avg
+
+    rng = np.random.RandomState(5)
+    n = 300
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 12, n),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "value": rng.rand(n) * 100,
+    })
+    out = time_weighted_avg(rd.from_pandas(ev)).to_pandas()
+    got = dict(zip(out.user_id, out.twa))
+
+    ref = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g.ts.astype("int64").to_numpy() // 1000  # ns -> us
+        dur = np.diff(t).astype(np.float64)
+        if len(dur) == 0 or dur.sum() <= 0:
+            continue
+        ref[uid] = float((g.value.to_numpy()[:-1] * dur).sum()
+                         / dur.sum())
+    assert set(got) == set(ref)
+    for uid in ref:
+        assert abs(got[uid] - ref[uid]) < 1e-9, uid
