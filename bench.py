@@ -34,7 +34,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: RAY_GRAFT_BEST_OF=1 for a quick single-pass run.
 BEST_OF = int(os.environ.get("RAY_GRAFT_BEST_OF", "2"))
 HEADLINE_BEST_OF = int(os.environ.get("RAY_GRAFT_HEADLINE_BEST_OF", "3"))
-PAGES_PER_DOC = 100  # synthetic pages per documents-table row (sf0.1 -> 500k pages)
+#: synthetic pages per documents-table row (sf0.1 -> 500k pages);
+#: override for the data-size scaling replicate (e.g. 400 -> 2M pages)
+PAGES_PER_DOC = int(os.environ.get("RAY_GRAFT_PAGES_PER_DOC", "100"))
 LONG_EVERY = 40  # every 40th page long/chunked (2.5%): weights compute toward extraction
 
 

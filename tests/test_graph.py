@@ -503,3 +503,42 @@ def test_modularity_cross_community_edges_not_intra(ray_session):
     # m=4 (self-loop 3-3 dropped; bridge 2-4 counts toward degrees only)
     assert list(out.intra_edges) == [2, 1]
     assert list(out.deg_sum) == [5, 3]
+
+
+def test_lpa_engines_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import label_propagation
+
+    rng = np.random.RandomState(9)
+    e = pd.DataFrame({"src": rng.randint(0, 60, 400),
+                      "dst": rng.randint(60, 120, 400)})
+    ds = rd.from_pandas(e)
+    a = label_propagation(ds, iterations=3, engine="dataset",
+                          num_partitions=8).to_pandas()
+    b = label_propagation(ds, iterations=3, engine="bsp",
+                          num_partitions=8).to_pandas()
+    assert dict(zip(a.node, a.lbl)) == dict(zip(b.node, b.lbl))
+
+
+def test_hits_engines_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import hits
+
+    rng = np.random.RandomState(13)
+    e = pd.DataFrame({"src": rng.randint(0, 40, 300),
+                      "dst": rng.randint(40, 110, 300)})
+    ds = rd.from_pandas(e)
+    a = hits(ds, iterations=3, engine="dataset",
+             num_partitions=8).to_pandas()
+    b = hits(ds, iterations=3, engine="bsp",
+             num_partitions=8).to_pandas()
+    da = {int(r.node): (r.hub, r.auth) for r in a.itertuples()}
+    db = {int(r.node): (r.hub, r.auth) for r in b.itertuples()}
+    assert set(da) == set(db)
+    for n in da:
+        assert abs(da[n][0] - db[n][0]) < 1e-12
+        assert abs(da[n][1] - db[n][1]) < 1e-12

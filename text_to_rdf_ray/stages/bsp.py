@@ -456,3 +456,212 @@ def connected_components_bsp(
             f"connected_components_bsp did not converge within {max_rounds} "
             "rounds; raise max_rounds")
     return rd.from_arrow_refs(lbl_parts), rounds
+
+
+# ------------------------------------------------- Label propagation
+
+
+@ray.remote
+def _lpa_vote(epart: pa.Table, lblpart: pa.Table, num_parts: int):
+    """Stationary und-edges (node, nbr) partitioned on hash(nbr) join
+    this partition's labels (node, lbl) — co-partitioned, so lbl(nbr)
+    resolves locally — and emit per-(voter, lbl) partial vote counts,
+    split by hash(voter) for the reduce side."""
+    empty = pa.schema([("node", pa.int64()), ("lbl", pa.int64()),
+                       ("c", pa.int64())])
+    if epart.num_rows == 0 or lblpart.num_rows == 0:
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
+    e = pd.DataFrame({
+        "voter": epart.column("node").to_numpy(zero_copy_only=False),
+        "node": epart.column("nbr").to_numpy(zero_copy_only=False),
+    })
+    lab = pd.DataFrame({
+        "node": lblpart.column("node").to_numpy(zero_copy_only=False),
+        "lbl": lblpart.column("lbl").to_numpy(zero_copy_only=False),
+    })
+    m = e.merge(lab, on="node", how="inner")
+    g = (m.groupby(["voter", "lbl"], sort=False)
+         .size().rename("c").reset_index())
+    t = pa.table({
+        "node": pa.array(g["voter"].to_numpy(np.int64), pa.int64()),
+        "lbl": pa.array(g["lbl"].to_numpy(np.int64), pa.int64()),
+        "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+    })
+    return _rets(_split(t, ["node"], num_parts), num_parts)
+
+
+@ray.remote
+def _lpa_winner(*partials: pa.Table) -> pa.Table:
+    """Sum partial votes per (node, lbl) and pick each node's winner:
+    highest count, ties to the smaller label — one vectorized
+    sort + drop_duplicates over every node in the partition."""
+    live = [t for t in partials if t.num_rows]
+    if not live:
+        return _empty_like(pa.schema([("node", pa.int64()),
+                                      ("lbl", pa.int64())]))
+    cat = pa.concat_tables(live)
+    g = cat.group_by(["node", "lbl"]).aggregate([("c", "sum")])
+    df = pd.DataFrame({
+        "node": g.column("node").to_numpy(zero_copy_only=False),
+        "lbl": g.column("lbl").to_numpy(zero_copy_only=False),
+        "c": g.column("c_sum").to_numpy(zero_copy_only=False),
+    })
+    df = (df.sort_values(["node", "c", "lbl"],
+                         ascending=[True, False, True],
+                         kind="mergesort")
+          .drop_duplicates("node"))
+    return pa.table({
+        "node": pa.array(df["node"].to_numpy(np.int64), pa.int64()),
+        "lbl": pa.array(df["lbl"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def label_propagation_bsp(
+    und: rd.Dataset,
+    *,
+    iterations: int,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """BSP synchronous label propagation.  ``und``: (node, nbr) rows,
+    BOTH orientations already present.  Edges exchange ONCE into
+    stationary hash(nbr) partitions; per round only the O(nodes) label
+    table moves (vote partials pre-counted inside each task).  Same
+    semantics as the Dataset form: labels start as node ids, majority
+    vote, ties to the smaller label, all nodes update synchronously.
+    Every und node appears as a voter (both orientations present), so
+    the winner table covers every node each round."""
+    _S_E = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+    eparts = dataset_to_part_refs(und, "nbr", num_parts, _S_E)
+
+    @ray.remote
+    def _init_labels(ep: pa.Table) -> pa.Table:
+        # labels live on hash(node); seed from the nbr endpoints this
+        # partition owns (nbr is the partition key => lbl rows for node
+        # X land exactly where votes for X's neighbors probe)
+        ids = np.unique(ep.column("nbr").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "lbl": pa.array(ids, pa.int64())})
+
+    lbl_parts = [_init_labels.remote(ep) for ep in eparts]
+    for _ in range(iterations):
+        votes = [
+            _lpa_vote.options(num_returns=num_parts).remote(
+                eparts[p], lbl_parts[p], num_parts)
+            for p in range(num_parts)
+        ]
+        if num_parts == 1:
+            votes = [[v] for v in votes]
+        lbl_parts = [
+            _lpa_winner.remote(*[votes[p][q] for p in range(num_parts)])
+            for q in range(num_parts)
+        ]
+    return rd.from_arrow_refs(lbl_parts)
+
+
+# ------------------------------------------------- HITS
+
+
+@ray.remote
+def _hits_push(epart: pa.Table, scorepart: pa.Table, num_parts: int):
+    """Stationary directed edges (node, _o) partitioned on hash(node)
+    join this partition's scores (node, s) locally; emit per-_o partial
+    sums split by hash(_o)."""
+    empty = pa.schema([("node", pa.int64()), ("s", pa.float64())])
+    if epart.num_rows == 0 or scorepart.num_rows == 0:
+        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
+                     num_parts)
+    e = pd.DataFrame({
+        "node": epart.column("node").to_numpy(zero_copy_only=False),
+        "_o": epart.column("_o").to_numpy(zero_copy_only=False),
+    })
+    sc = pd.DataFrame({
+        "node": scorepart.column("node").to_numpy(zero_copy_only=False),
+        "s": scorepart.column("s").to_numpy(zero_copy_only=False),
+    })
+    m = e.merge(sc, on="node", how="inner")
+    g = m.groupby("_o", sort=False)["s"].sum().reset_index()
+    t = pa.table({
+        "node": pa.array(g["_o"].to_numpy(np.int64), pa.int64()),
+        "s": pa.array(g["s"].to_numpy(np.float64), pa.float64()),
+    })
+    return _rets(_split(t, ["node"], num_parts), num_parts)
+
+
+@ray.remote
+def _hits_reduce(*partials: pa.Table) -> pa.Table:
+    live = [t for t in partials if t.num_rows]
+    if not live:
+        return _empty_like(pa.schema([("node", pa.int64()),
+                                      ("s", pa.float64())]))
+    cat = pa.concat_tables(live)
+    g = cat.group_by("node").aggregate([("s", "sum")])
+    return pa.table({"node": g.column("node"),
+                     "s": g.column("s_sum")})
+
+
+@ray.remote
+def _part_sum(tbl: pa.Table) -> float:
+    if tbl.num_rows == 0:
+        return 0.0
+    return float(np.sum(tbl.column("s").to_numpy(zero_copy_only=False)))
+
+
+@ray.remote
+def _scale_scores(tbl: pa.Table, tot: float) -> pa.Table:
+    # DIVIDE by the total (not multiply by its inverse) — the same
+    # float expression shape the Dataset engine and the SQL oracle use
+    return pa.table({
+        "node": tbl.column("node"),
+        "s": pa.array(tbl.column("s").to_numpy(zero_copy_only=False)
+                      / np.float64(tot), pa.float64()),
+    })
+
+
+def hits_bsp(
+    eo: rd.Dataset,
+    ei: rd.Dataset,
+    *,
+    iterations: int,
+    num_parts: int = 16,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """BSP HITS.  ``eo``: (node=src, _o=dst) rows; ``ei``: the reverse.
+    Both orientations exchange ONCE into stationary hash(node)
+    partitions; per half-step only the O(nodes) score table moves, and
+    the L1 normalizer is O(num_parts) driver scalars.  Returns the
+    final (hub, auth) Datasets (node, s)."""
+    _S_E = pa.schema([("node", pa.int64()), ("_o", pa.int64())])
+    eparts_o = dataset_to_part_refs(eo, "node", num_parts, _S_E)
+    eparts_i = dataset_to_part_refs(ei, "node", num_parts, _S_E)
+
+    @ray.remote
+    def _init_hub(ep: pa.Table) -> pa.Table:
+        ids = np.unique(ep.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "s": pa.array(np.ones(len(ids), np.float64))})
+
+    hub = [_init_hub.remote(ep) for ep in eparts_o]
+
+    def half_step(eparts, scores):
+        pushed = [
+            _hits_push.options(num_returns=num_parts).remote(
+                eparts[p], scores[p], num_parts)
+            for p in range(num_parts)
+        ]
+        if num_parts == 1:
+            pushed = [[c] for c in pushed]
+        red = [
+            _hits_reduce.remote(*[pushed[p][q]
+                                  for p in range(num_parts)])
+            for q in range(num_parts)
+        ]
+        tot = float(sum(ray.get([_part_sum.remote(r) for r in red])))
+        if tot == 0.0:
+            tot = 1.0
+        return [_scale_scores.remote(r, tot) for r in red]
+
+    auth = None
+    for _ in range(iterations):
+        auth = half_step(eparts_o, hub)   # auth lives on hash(dst)
+        hub = half_step(eparts_i, auth)   # hub lives on hash(src)
+    return rd.from_arrow_refs(hub), rd.from_arrow_refs(auth)

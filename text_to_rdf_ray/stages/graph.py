@@ -1134,6 +1134,7 @@ def hits(
     dst_col: str = "dst",
     iterations: int = 3,
     num_partitions: int = 32,
+    engine: str = "bsp",
 ) -> rd.Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over a directed graph,
     L1-normalized per half-step (sum-to-1 instead of the classical L2 —
@@ -1145,11 +1146,13 @@ def hits(
     every distinct source node.  Output: ``(node, hub, auth)`` full
     outer over the two score tables, absent side = 0.0.
 
-    Scale shape: both edge orientations are materialized ONCE with
-    ``exchange_join``-ready schemas and only the O(nodes) score tables
-    move per iteration — two exchange_joins + two exchange_aggs, plus a
-    bounded O(blocks) driver scalar for each normalizer (same economics
-    as ``personalized_pagerank``; the edge table never re-exchanges).
+    ``engine="bsp"`` (default): both orientations exchange ONCE into
+    stationary hash partitions (stages/bsp.py::hits_bsp — the
+    pagerank/CC/LPA pattern); per half-step only O(nodes) score rows
+    move and the L1 normalizer is O(num_parts) driver scalars.
+    ``engine="dataset"`` keeps the exchange formulation (two
+    exchange_joins + two exchange_aggs per iteration) — parity-tested
+    against the BSP path.
     """
     from .analytics import distinct_rows
     from .exchange import exchange_agg, exchange_join
@@ -1164,6 +1167,15 @@ def hits(
                             "_o": t.column("node")}),
         batch_format="pyarrow").materialize()
     e_schema = pa.schema([("node", pa.int64()), ("_o", pa.int64())])
+
+    if engine == "bsp":
+        from .bsp import hits_bsp
+
+        hub_ds, auth_ds = hits_bsp(eo, ei, iterations=iterations,
+                                   num_parts=min(num_partitions, 16))
+        return _hits_merge(hub_ds, auth_ds, num_partitions)
+    if engine != "dataset":
+        raise ValueError(f"unknown engine {engine!r}")
 
     hub = exchange_agg(eo.select_columns(["node"]), "node", [],
                        num_partitions=num_partitions).map_batches(
@@ -1210,6 +1222,15 @@ def hits(
         auth = _push(hub, eo)
         hub = _push(auth, ei)
 
+    return _hits_merge(hub, auth, num_partitions)
+
+
+def _hits_merge(hub: rd.Dataset, auth: rd.Dataset,
+                num_partitions: int) -> rd.Dataset:
+    """Full outer merge of the (node, s) hub/auth score tables into
+    (node, hub, auth); absent side = 0.0."""
+    from .exchange import exchange_join
+
     merged = exchange_join(
         hub.map_batches(lambda t: pa.table(
             {"node": t.column("node"), "hub": t.column("s")}),
@@ -1242,6 +1263,7 @@ def label_propagation(
     dst_col: str = "dst",
     iterations: int = 3,
     num_partitions: int = 32,
+    engine: str = "bsp",
 ) -> rd.Dataset:
     """Synchronous label propagation (Raghavan 2007, deterministic
     variant): community detection by iterated majority vote — each node
@@ -1253,13 +1275,13 @@ def label_propagation(
 
     Output after ``iterations`` rounds: ``(node, lbl)``.
 
-    Scale shape: the undirected distinct edge table materializes ONCE;
-    per round one edge⋈labels ``exchange_join`` on the neighbor endpoint
-    (O(E) vote rows — the standard LPA cost), one (node,label)-keyed
-    ``exchange_agg`` count whose per-batch combiner collapses repeat
-    votes early, and one ``topk_per_group`` winner pick (batch-local
-    top-1 combiner, node-hash exchange, vectorized reduce).  Only the
-    O(nodes) label table is iteration state.
+    ``engine="bsp"`` (default): the undirected edge set exchanges ONCE
+    into stationary hash(nbr) partitions (stages/bsp.py — the pagerank/
+    CC pattern); per round only O(nodes) label rows move, vote counts
+    pre-reduced inside each task.  ``engine="dataset"`` keeps the
+    exchange formulation (one edge⋈labels ``exchange_join`` + one
+    (node,label) ``exchange_agg`` + one ``topk_per_group`` winner per
+    round) — parity-tested against the BSP path.
     """
     from .analytics import distinct_rows, topk_per_group
     from .exchange import exchange_agg, exchange_join
@@ -1276,6 +1298,14 @@ def label_propagation(
         batch_format="pyarrow")
     und = distinct_rows(und, cols=["node", "nbr"]).materialize()
     und_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
+    if engine == "bsp":
+        from .bsp import label_propagation_bsp
+
+        return label_propagation_bsp(und, iterations=iterations,
+                                     num_parts=min(num_partitions, 16))
+    if engine != "dataset":
+        raise ValueError(f"unknown engine {engine!r}")
 
     labels = distinct_rows(
         und.select_columns(["node"]), cols=["node"]).map_batches(
