@@ -6382,6 +6382,22 @@ def _events_time_travel(sf_dir: str) -> pd.DataFrame:
                                        "sum_value"])
 
 
+def _docs_auc(sf_dir: str) -> pd.DataFrame:
+    """Distributed ROC AUC (stages/analytics.py::auc_score — sort-free
+    Mann–Whitney U over the per-score count table, integer-exact until
+    the final division): how well doc length separates English docs."""
+    from text_to_rdf_ray.stages.analytics import auc_score
+
+    docs = _documents(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "score": b["n_chars"].astype("int64"),
+            "label": (b["lang"] == "en").astype("int64")}),
+        batch_format="pandas")
+    out = auc_score(docs, score_col="score", label_col="label")
+    out["auc"] = _r(out["auc"], 6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6577,6 +6593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pattern_match": _events_pattern_match,
         "orders_dpp_join": _orders_dpp_join,
         "events_time_travel": _events_time_travel,
+        "docs_auc": _docs_auc,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8349,6 +8366,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, CAST(count(*) AS BIGINT), round(sum(value), 2)
             FROM events WHERE value >= 10.0
             ORDER BY version
+        """,
+        "docs_auc": """
+            -- Mann-Whitney U over the per-score count table; all
+            -- integers until the final division
+            WITH vc AS (
+              SELECT n_chars AS s,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+              FROM documents GROUP BY n_chars),
+            w AS (
+              SELECT s, pos, neg,
+                     coalesce(sum(neg) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS neg_below
+              FROM vc),
+            agg AS (
+              SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(neg) AS BIGINT) AS n_neg,
+                     CAST(sum(2 * pos * neg_below + pos * neg)
+                          AS BIGINT) AS u2
+              FROM w)
+            SELECT n_pos, n_neg, u2,
+                   round(u2 * 1.0 / (2.0 * (n_pos * n_neg)), 6) AS auc
+            FROM agg
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

@@ -2315,3 +2315,58 @@ def test_time_weighted_avg_matches_reference_random(ray_session):
     assert set(got) == set(ref)
     for uid in ref:
         assert abs(got[uid] - ref[uid]) < 1e-9, uid
+
+
+def test_auc_score_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import auc_score
+
+    rng = np.random.RandomState(17)
+    n = 500
+    # positives drawn higher on average, WITH ties (integer scores)
+    y = (rng.rand(n) < 0.4).astype(np.int64)
+    s = rng.randint(0, 40, n) + y * rng.randint(0, 15, n)
+    df = pd.DataFrame({"score": s, "label": y})
+    out = auc_score(rd.from_pandas(df), score_col="score",
+                    label_col="label")
+
+    # reference: rank-based AUC with midrank tie handling
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(n, np.float64)
+    sorted_s = s[order]
+    i = 0
+    r = 1
+    while i < n:
+        j = i
+        while j < n and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    n_pos = int(y.sum())
+    n_neg = n - n_pos
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    ref = u / (n_pos * n_neg)
+    assert abs(out.auc.iloc[0] - ref) < 1e-12
+    assert int(out.n_pos.iloc[0]) == n_pos
+
+
+def test_auc_perfect_and_random(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import auc_score
+
+    perfect = pd.DataFrame({"score": [1, 2, 3, 10, 11, 12],
+                            "label": [0, 0, 0, 1, 1, 1]})
+    out = auc_score(rd.from_pandas(perfect), score_col="score",
+                    label_col="label")
+    assert abs(out.auc.iloc[0] - 1.0) < 1e-12
+    allsame = pd.DataFrame({"score": [5] * 6,
+                            "label": [0, 0, 0, 1, 1, 1]})
+    out2 = auc_score(rd.from_pandas(allsame), score_col="score",
+                     label_col="label")
+    assert abs(out2.auc.iloc[0] - 0.5) < 1e-12

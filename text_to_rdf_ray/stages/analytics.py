@@ -2464,3 +2464,67 @@ def merge_agg_states(
         u = u.union(s)
     return exchange_agg(u, keys, merged_aggs,
                         num_partitions=num_partitions)
+
+
+def auc_score(
+    ds: rd.Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 2_000_000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Distributed ROC AUC without a global sort: the Mann–Whitney U
+    identity over the per-score-value (pos, neg) count table,
+
+        2·U = Σ_s [ 2·pos(s)·negBelow(s) + pos(s)·neg(s) ]
+        AUC = U / (P·N)
+
+    (the middle term is the standard ½ tie credit) — every statistic is
+    an INTEGER until the final division, so the result is exact on any
+    engine/partitioning; 2·U stays below 2⁶³ for P·N < 4.6e18.
+
+    Scale shape: ONE score-keyed ``exchange_agg`` (per-batch combiner
+    — at most one row per distinct score per batch moves) builds the
+    (score, pos, neg) table; the cumulative-below walk happens on that
+    table, bounded by DISTINCT SCORES, not rows (``max_distinct`` guard
+    raises past ~32 MB; at higher cardinality bucket the scores first —
+    AUC over quantized scores is the standard practice).  Returns one
+    row (n_pos, n_neg, u2, auc).
+    """
+    from .exchange import exchange_agg
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        y = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if np.isnan(s.astype(np.float64)).any():
+            raise ValueError(f"auc_score: NaN in {score_col}")
+        df = (pd.DataFrame({"s": s, "pos": y, "neg": 1 - y})
+              .groupby("s", sort=False).sum().reset_index())
+        return pa.table({
+            "s": pa.array(df["s"].to_numpy(np.float64), pa.float64()),
+            "pos": pa.array(df["pos"].to_numpy(np.int64), pa.int64()),
+            "neg": pa.array(df["neg"].to_numpy(np.int64), pa.int64())})
+
+    vc = exchange_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        "s", [("pos", "sum", "pos"), ("neg", "sum", "neg")],
+        num_partitions=num_partitions).to_pandas()
+    if len(vc) > max_distinct:
+        raise ValueError(
+            f"auc_score: {len(vc)} distinct scores exceeds "
+            f"max_distinct={max_distinct}; bucket scores first")
+    vc = vc.sort_values("s").reset_index(drop=True)
+    pos = vc["pos"].to_numpy(np.int64)
+    neg = vc["neg"].to_numpy(np.int64)
+    neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    u2 = int((2 * pos * neg_below + pos * neg).sum())
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    auc = (u2 * 1.0 / (2.0 * (n_pos * n_neg))
+           if n_pos and n_neg else 0.0)
+    return pd.DataFrame({
+        "n_pos": pd.Series([n_pos], dtype="int64"),
+        "n_neg": pd.Series([n_neg], dtype="int64"),
+        "u2": pd.Series([u2], dtype="int64"),
+        "auc": pd.Series([auc], dtype="float64")})
