@@ -6398,6 +6398,22 @@ def _docs_auc(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _events_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """PSI drift report (stages/analytics.py::psi_bins): value
+    distribution of 'view' vs 'purchase' events over 10 equal-width
+    bins of [0, 500) — integer bin counts + per-bin psi_term,
+    PSI = Σ psi_term."""
+    from text_to_rdf_ray.stages.analytics import psi_bins
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = psi_bins(ev, value_col="value", group_col="event_type",
+                   a_value="view", b_value="purchase",
+                   lo=0.0, hi=500.0, bins=10)
+    out["psi_term"] = _r(out["psi_term"], 6)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6594,6 +6610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dpp_join": _orders_dpp_join,
         "events_time_travel": _events_time_travel,
         "docs_auc": _docs_auc,
+        "events_psi_drift": _events_psi_drift,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8390,6 +8407,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_pos, n_neg, u2,
                    round(u2 * 1.0 / (2.0 * (n_pos * n_neg)), 6) AS auc
             FROM agg
+        """,
+        "events_psi_drift": """
+            -- PSI with add-one smoothing; bins replayed with the same
+            -- float expression (v - lo)/(hi - lo)*bins floored+clipped
+            WITH x AS (
+              SELECT least(greatest(CAST(floor((value - 0.0)
+                         / (500.0 - 0.0) * 10) AS BIGINT), 0), 9) AS bin,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                       AS in_a,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS in_b
+              FROM events
+              WHERE event_type IN ('view', 'purchase')),
+            cnt AS (
+              SELECT b.bin,
+                     CAST(coalesce(sum(x.in_a), 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(sum(x.in_b), 0) AS BIGINT) AS n_b
+              FROM (SELECT unnest(range(0, 10)) AS bin) b
+              LEFT JOIN x ON x.bin = b.bin
+              GROUP BY b.bin),
+            tot AS (SELECT sum(n_a) AS a_tot, sum(n_b) AS b_tot
+                    FROM cnt)
+            SELECT bin, n_a, n_b,
+                   round(((n_a + 1.0) / ((SELECT a_tot FROM tot) + 10.0)
+                          - (n_b + 1.0)
+                            / ((SELECT b_tot FROM tot) + 10.0))
+                         * ln(((n_a + 1.0)
+                               / ((SELECT a_tot FROM tot) + 10.0))
+                              / ((n_b + 1.0)
+                                 / ((SELECT b_tot FROM tot) + 10.0))),
+                         6) AS psi_term
+            FROM cnt ORDER BY bin
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

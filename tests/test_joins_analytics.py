@@ -2370,3 +2370,41 @@ def test_auc_perfect_and_random(ray_session):
     out2 = auc_score(rd.from_pandas(allsame), score_col="score",
                      label_col="label")
     assert abs(out2.auc.iloc[0] - 0.5) < 1e-12
+
+
+def test_psi_bins_identical_slices_near_zero(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import psi_bins
+
+    rng = np.random.RandomState(23)
+    v = rng.rand(2000) * 100
+    df = pd.DataFrame({"value": np.concatenate([v, v]),
+                       "grp": ["a"] * 2000 + ["b"] * 2000})
+    out = psi_bins(rd.from_pandas(df), value_col="value",
+                   group_col="grp", a_value="a", b_value="b",
+                   lo=0.0, hi=100.0, bins=10)
+    # identical distributions -> PSI exactly 0 (same counts per bin)
+    assert abs(out.psi_term.sum()) < 1e-12
+    assert (out.n_a.to_numpy() == out.n_b.to_numpy()).all()
+
+
+def test_psi_bins_shifted_distribution_flags_drift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import psi_bins
+
+    rng = np.random.RandomState(24)
+    a = rng.rand(3000) * 50          # concentrated low
+    b = 50 + rng.rand(3000) * 50     # concentrated high
+    df = pd.DataFrame({"value": np.concatenate([a, b]),
+                       "grp": ["a"] * 3000 + ["b"] * 3000})
+    out = psi_bins(rd.from_pandas(df), value_col="value",
+                   group_col="grp", a_value="a", b_value="b",
+                   lo=0.0, hi=100.0, bins=10)
+    assert out.psi_term.sum() > 0.2  # the standard drift threshold
+    assert len(out) == 10

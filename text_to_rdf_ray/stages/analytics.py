@@ -2528,3 +2528,75 @@ def auc_score(
         "n_neg": pd.Series([n_neg], dtype="int64"),
         "u2": pd.Series([u2], dtype="int64"),
         "auc": pd.Series([auc], dtype="float64")})
+
+
+def psi_bins(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    a_value,
+    b_value,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Population-stability-index drift report between two slices of a
+    numeric column — the train/serve monitoring staple:
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    over ``bins`` equal-width bins of [lo, hi) (values clipped into the
+    edge bins), with add-one smoothing p = (n_a+1)/(A+bins) so empty
+    bins stay finite and the arithmetic replays exactly in SQL.
+    Returns one row per bin: (bin, n_a, n_b, psi_term) — counts are
+    INTEGER-exact on any partitioning, psi_term is one per-row float
+    expression; PSI = Σ psi_term.
+
+    Scale shape: one streaming pass into per-batch (bin, slice) count
+    partials (≤ 2·bins rows per batch) and ONE bin exchange; the
+    bins-row result is inherently bounded.  PSI > 0.2 is the usual
+    "investigate" threshold.
+    """
+    from .exchange import exchange_agg
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(np.float64)
+        g = batch[group_col]
+        in_a = (g == a_value).to_numpy()
+        in_b = (g == b_value).to_numpy()
+        keep = in_a | in_b
+        if not keep.any():
+            return pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                                 "n_a": pd.Series(dtype="int64"),
+                                 "n_b": pd.Series(dtype="int64")})
+        v = v[keep]
+        if np.isnan(v).any():
+            raise ValueError(f"psi_bins: NaN in {value_col}")
+        b = np.floor((v - lo) / (hi - lo) * bins).astype(np.int64)
+        b = np.clip(b, 0, bins - 1)
+        return (pd.DataFrame({"bin": b,
+                              "n_a": in_a[keep].astype(np.int64),
+                              "n_b": in_b[keep].astype(np.int64)})
+                .groupby("bin", sort=False).sum().reset_index())
+
+    cnt = exchange_agg(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=65536),
+        "bin", [("n_a", "sum", "n_a"), ("n_b", "sum", "n_b")],
+        num_partitions=min(num_partitions, bins),
+        combine=False).to_pandas()
+    full = pd.DataFrame({"bin": np.arange(bins, dtype=np.int64)})
+    cnt = (full.merge(cnt, on="bin", how="left").fillna(0))
+    na = cnt["n_a"].to_numpy(np.int64)
+    nb = cnt["n_b"].to_numpy(np.int64)
+    a_tot, b_tot = int(na.sum()), int(nb.sum())
+    p = (na + 1.0) / (a_tot + float(bins))
+    q = (nb + 1.0) / (b_tot + float(bins))
+    term = (p - q) * np.log(p / q)
+    return pd.DataFrame({
+        "bin": cnt["bin"].astype("int64"),
+        "n_a": pd.Series(na, dtype="int64"),
+        "n_b": pd.Series(nb, dtype="int64"),
+        "psi_term": pd.Series(term, dtype="float64")})
