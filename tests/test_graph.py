@@ -542,3 +542,36 @@ def test_hits_engines_parity(ray_session):
     for n in da:
         assert abs(da[n][0] - db[n][0]) < 1e-12
         assert abs(da[n][1] - db[n][1]) < 1e-12
+
+
+def test_pagerank_bsp_checkpoint_resume_exact(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.bsp import pagerank_bsp
+
+    rng = np.random.RandomState(1)
+    e = pd.DataFrame({"node": [str(x) for x in rng.randint(0, 40, 300)],
+                      "dst": [str(x) for x in rng.randint(0, 40, 300)]})
+    deg = e.groupby("node").size()
+    e["factor"] = 1.0 / deg.reindex(e["node"]).to_numpy()
+    nodes = pd.DataFrame({"node": sorted(set(e["node"]) | set(e["dst"]))})
+    efd, nds = rd.from_pandas(e), rd.from_pandas(nodes)
+    n = len(nodes)
+
+    full = pagerank_bsp(efd, nds, n, iterations=6, damping=0.85,
+                        num_parts=4).to_pandas()
+    ck = str(tmp_path / "ck")
+    # first run leaves checkpoints at iterations 2 and 4
+    pagerank_bsp(efd, nds, n, iterations=6, damping=0.85, num_parts=4,
+                 checkpoint_dir=ck, checkpoint_every=2).to_pandas()
+    import os
+    assert os.path.exists(os.path.join(ck, "iter_4", "_DONE"))
+    # the "preempted rerun" resumes from iter_4 and must be BIT-equal
+    # to the uninterrupted run (same float op sequence from there on)
+    b = pagerank_bsp(efd, nds, n, iterations=6, damping=0.85,
+                     num_parts=4, checkpoint_dir=ck,
+                     checkpoint_every=2).to_pandas()
+    da = dict(zip(full.node, full["rank"]))
+    db = dict(zip(b.node, b["rank"]))
+    assert da == db

@@ -99,6 +99,8 @@ def pagerank(
     sum_parts: int = 64,
     driver_threshold: int = DRIVER_PAGERANK_THRESHOLD,
     engine: str = "bsp",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> rd.Dataset:
     """PageRank over an edge Dataset (one row per directed edge; parallel
     edges each contribute).  Node columns are strings.  Returns
@@ -181,7 +183,9 @@ def pagerank(
         from .bsp import pagerank_bsp
 
         return pagerank_bsp(efact, nodes, n, iterations=iterations,
-                            damping=damping, num_parts=num_partitions)
+                            damping=damping, num_parts=num_partitions,
+                            checkpoint_dir=checkpoint_dir,
+                            checkpoint_every=checkpoint_every)
 
     e = _solid(efact)
 
