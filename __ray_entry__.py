@@ -6414,6 +6414,29 @@ def _events_psi_drift(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def _events_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram (stages/analytics.py::calibration_bins):
+    sigmoid((value−250)/50) as the probabilistic score, purchase as the
+    label — per score bin, predicted probability vs observed rate."""
+    from text_to_rdf_ray.stages.analytics import calibration_bins
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "score": 1.0 / (1.0 + np.exp(-((v - 250.0) / 50.0))),
+            "label": (b["event_type"] == "purchase").astype("int64")})
+
+    out = calibration_bins(ev.map_batches(score, batch_format="pandas"),
+                           score_col="score", label_col="label",
+                           bins=10)
+    out["frac_pos"] = _r(out["frac_pos"], 6)
+    out["avg_score"] = _r(out["avg_score"], 6)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6611,6 +6634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_travel": _events_time_travel,
         "docs_auc": _docs_auc,
         "events_psi_drift": _events_psi_drift,
+        "events_calibration": _events_calibration,
         "events_user_types": _events_user_types,
         "graph_degree_hist": _graph_degree_hist,
         "docs_rag_chunks": _docs_rag_chunks,
@@ -8439,6 +8463,26 @@ def oracle_sql() -> dict[str, str]:
                                  / ((SELECT b_tot FROM tot) + 10.0))),
                          6) AS psi_term
             FROM cnt ORDER BY bin
+        """,
+        "events_calibration": """
+            -- same sigmoid + bin expressions; integer counts,
+            -- float folds rounded to 6dp
+            WITH x AS (
+              SELECT 1.0 / (1.0 + exp(-((value - 250.0) / 50.0)))
+                       AS score,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS label
+              FROM events),
+            b AS (
+              SELECT least(greatest(CAST(floor(score * 10) AS BIGINT),
+                                    0), 9) AS bin,
+                     score, label
+              FROM x)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   round(sum(label) * 1.0 / count(*), 6) AS frac_pos,
+                   round(sum(score) / count(*), 6) AS avg_score
+            FROM b GROUP BY bin ORDER BY bin
         """,
         "events_logreg": _logreg_sql(iterations=3, lr=0.5),
         "docs_quality_classifier": f"""

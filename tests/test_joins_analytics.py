@@ -2408,3 +2408,26 @@ def test_psi_bins_shifted_distribution_flags_drift(ray_session):
                    lo=0.0, hi=100.0, bins=10)
     assert out.psi_term.sum() > 0.2  # the standard drift threshold
     assert len(out) == 10
+
+
+def test_calibration_bins_perfectly_calibrated(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import calibration_bins
+
+    # score s repeated 100x; labels = exactly s*100 positives per group
+    rows = []
+    for s in (0.05, 0.25, 0.55, 0.95):
+        k = int(s * 100)
+        rows += [(s, 1)] * k + [(s, 0)] * (100 - k)
+    df = pd.DataFrame(rows, columns=["score", "label"])
+    out = calibration_bins(rd.from_pandas(df), score_col="score",
+                           label_col="label", bins=10)
+    got = dict(zip(out.bin, out.frac_pos))
+    assert abs(got[0] - 0.05) < 1e-12
+    assert abs(got[2] - 0.25) < 1e-12
+    assert abs(got[5] - 0.55) < 1e-12
+    assert abs(got[9] - 0.95) < 1e-12
+    assert out.n.tolist() == [100, 100, 100, 100]

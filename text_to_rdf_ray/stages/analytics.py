@@ -2600,3 +2600,58 @@ def psi_bins(
         "n_a": pd.Series(na, dtype="int64"),
         "n_b": pd.Series(nb, dtype="int64"),
         "psi_term": pd.Series(term, dtype="float64")})
+
+
+def calibration_bins(
+    ds: rd.Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Reliability diagram (calibration curve) for a probabilistic
+    score in [0, 1]: per equal-width score bin, how often is the label
+    actually positive?  The third leg of the on-engine eval family —
+    AUC measures discrimination, PSI measures drift, this measures
+    calibration (a model can ace both and still say "90%" when it
+    means 60%).
+
+    Returns one row per bin: (bin, n, n_pos, frac_pos, avg_score) —
+    n/n_pos are INTEGER-exact; avg_score folds a float score sum whose
+    partition-order drift callers round away (the repo's 6dp
+    convention).
+
+    Scale shape: one streaming pass into ≤ bins count partials per
+    batch + one bin exchange; the bins-row result is inherently
+    bounded.
+    """
+    from .exchange import exchange_agg
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[score_col].to_numpy(np.float64)
+        if np.isnan(s).any():
+            raise ValueError(f"calibration_bins: NaN in {score_col}")
+        y = batch[label_col].to_numpy(np.int64)
+        b = np.clip(np.floor(s * bins).astype(np.int64), 0, bins - 1)
+        return (pd.DataFrame({"bin": b, "n": np.ones(len(b), np.int64),
+                              "n_pos": y, "sum_score": s})
+                .groupby("bin", sort=False).sum().reset_index())
+
+    cnt = exchange_agg(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=65536),
+        "bin", [("n", "sum", "n"), ("n_pos", "sum", "n_pos"),
+                ("sum_score", "sum", "sum_score")],
+        num_partitions=min(num_partitions, bins),
+        combine=False).to_pandas()
+    cnt = cnt.sort_values("bin").reset_index(drop=True)
+    n = cnt["n"].to_numpy(np.int64)
+    npos = cnt["n_pos"].to_numpy(np.int64)
+    ss = cnt["sum_score"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "bin": cnt["bin"].astype("int64"),
+        "n": pd.Series(n, dtype="int64"),
+        "n_pos": pd.Series(npos, dtype="int64"),
+        "frac_pos": pd.Series(npos * 1.0 / n, dtype="float64"),
+        "avg_score": pd.Series(ss / n, dtype="float64")})
