@@ -348,7 +348,8 @@ def run_bench() -> dict:
                      "orders_planned_join", "events_scaled_value",
                      "events_target_encoding", "docs_rerank_rbo",
                      "graph_scc", "graph_modularity", "docs_readability",
-                     "events_metadata_count"):
+                     "events_metadata_count", "events_twa", "docs_auc",
+                     "events_psi_drift", "docs_containment_pairs"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
