@@ -505,6 +505,35 @@ def test_modularity_cross_community_edges_not_intra(ray_session):
     assert list(out.deg_sum) == [5, 3]
 
 
+def test_modularity_tier_parity(ray_session):
+    """Broadcast-label tier == exchange tier on a random multigraph with
+    self-loops, duplicate edges, and labels covering exactly the edge-set
+    nodes (the documented parity contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import modularity
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 80, 600)
+    dst = rng.randint(0, 80, 600)
+    e = pd.DataFrame({"src": src, "dst": dst})
+    keep = src != dst
+    en = np.unique(np.concatenate([src[keep], dst[keep]]))
+    lab = pd.DataFrame({"node": en, "lbl": en % 5})
+    edges = rd.from_pandas(e).repartition(6).materialize()
+    labels = rd.from_pandas(lab).materialize()
+    bc = (modularity(edges, labels, broadcast_threshold=10_000)
+          .to_pandas().sort_values("lbl").reset_index(drop=True))
+    ex = (modularity(edges, labels, broadcast_threshold=0)
+          .to_pandas().sort_values("lbl").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        bc.astype({"lbl": "int64", "n_nodes": "int64",
+                   "intra_edges": "int64", "deg_sum": "int64"}),
+        ex.astype({"lbl": "int64", "n_nodes": "int64",
+                   "intra_edges": "int64", "deg_sum": "int64"}))
+
+
 def test_lpa_engines_parity(ray_session):
     import pandas as pd
     import ray.data as rd

@@ -1765,6 +1765,7 @@ def modularity(
     node_col: str = "node",
     lbl_col: str = "lbl",
     num_partitions: int = 32,
+    broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Newman modularity of a community assignment, reported as one row
     per community with INTEGER sufficient statistics (exact on any
@@ -1777,11 +1778,35 @@ def modularity(
     edge counted once with endpoints normalized lo < hi); ``m`` is the
     total undirected edge count and ``deg_sum`` counts both endpoints.
 
-    Scale shape: edge normalize + distinct (one exchange), two chained
-    ``exchange_join``s attaching both endpoint labels (static schemas —
-    one fused plan), per-community count exchanges, and a final
-    left_outer join of intra counts onto degree sums (communities with
-    no internal edge get intra 0).  ``m`` is the only driver scalar.
+    Scale shape, two tiers on the LABEL-TABLE size (labels are O(nodes),
+    the small side of the computation — edges never leave the cluster in
+    either tier):
+
+    * ``count(labels) <= broadcast_threshold`` (default 2M ≈ 32 MB of
+      int64 pairs): the label table is collected once, sorted, and
+      ``ray.put`` as two numpy arrays; ONE map pass over the distinct
+      edge set looks both endpoint labels up via ``searchsorted`` and
+      emits per-batch (lbl, intra, deg_sum) partials, unioned with the
+      driver-computed per-community node counts, through ONE
+      ``exchange_agg``.  Two exchanges total (the edge distinct + the
+      final agg) instead of five.
+    * above the threshold: edge normalize + distinct (one exchange),
+      two chained ``exchange_join``s attaching both endpoint labels
+      (static schemas — one fused plan), per-community count exchanges,
+      and a final left_outer join of intra counts onto degree sums
+      (communities with no internal edge get intra 0).
+
+    Both tiers agree exactly whenever every labeled node appears in the
+    edge set (always true for labels produced by LPA/CC over the same
+    edges — engine-parity tested): an edge with an unlabeled endpoint
+    still counts toward ``m`` and toward the labeled endpoint's degree,
+    and is intra only when both labels exist and match.  The one
+    divergence outside that contract: the broadcast tier counts
+    isolated labeled nodes into ``n_nodes`` (they have deg 0 and
+    contribute 0 to Q) while the exchange tier omits them — the
+    broadcast tier reads community sizes off the already-collected
+    label table instead of paying a third exchange.  ``m`` is the only
+    driver scalar.
     """
     from .analytics import distinct_rows
     from .exchange import exchange_agg, exchange_join
@@ -1806,6 +1831,73 @@ def modularity(
             "q_term": pa.array([], pa.float64())}))
 
     lab = _project(labels, [(node_col, "node"), (lbl_col, "lbl")])
+
+    if labels.count() <= broadcast_threshold:
+        lab_df = lab.to_pandas()
+        nodes_sorted = np.sort(lab_df["node"].to_numpy(np.int64))
+        order = np.argsort(lab_df["node"].to_numpy(np.int64), kind="stable")
+        lbls_sorted = lab_df["lbl"].to_numpy(np.int64)[order]
+        ref = ray.put((nodes_sorted, lbls_sorted))
+
+        def _lookup(keys: np.ndarray, nodes: np.ndarray,
+                    lbls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            idx = np.searchsorted(nodes, keys)
+            idx_c = np.minimum(idx, len(nodes) - 1)
+            ok = nodes[idx_c] == keys
+            return lbls[idx_c], ok
+
+        def edge_partials(t: pa.Table) -> pa.Table:
+            nodes, lbls = ray.get(ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            ll, ok_l = _lookup(lo, nodes, lbls)
+            lh, ok_h = _lookup(hi, nodes, lbls)
+            # degree: every labeled endpoint contributes 1 to its community
+            deg_lbls = np.concatenate([ll[ok_l], lh[ok_h]])
+            u_deg, c_deg = np.unique(deg_lbls, return_counts=True)
+            # intra: both endpoints labeled AND labels equal
+            both = ok_l & ok_h & (ll == lh)
+            u_in, c_in = np.unique(ll[both], return_counts=True)
+            in_map = np.zeros(len(u_deg), np.int64)
+            pos = np.searchsorted(u_deg, u_in)
+            in_map[pos] = c_in  # every intra lbl also has degree rows
+            return pa.table({
+                "lbl": pa.array(u_deg, pa.int64()),
+                "intra_edges": pa.array(in_map, pa.int64()),
+                "deg_sum": pa.array(c_deg, pa.int64()),
+                "n_nodes": pa.array(np.zeros(len(u_deg), np.int64)),
+            })
+
+        u_nodes, c_nodes = np.unique(lbls_sorted, return_counts=True)
+        node_rows = rd.from_arrow(pa.table({
+            "lbl": pa.array(u_nodes, pa.int64()),
+            "intra_edges": pa.array(np.zeros(len(u_nodes), np.int64)),
+            "deg_sum": pa.array(np.zeros(len(u_nodes), np.int64)),
+            "n_nodes": pa.array(c_nodes, pa.int64()),
+        }))
+        folded = exchange_agg(
+            e0.map_batches(edge_partials, batch_format="pyarrow")
+              .union(node_rows),
+            "lbl",
+            [("intra_edges", "sum", "intra_edges"),
+             ("deg_sum", "sum", "deg_sum"),
+             ("n_nodes", "sum", "n_nodes")],
+            num_partitions=num_partitions)
+
+        def bc_finalize(t: pa.Table, m_total: int = m) -> pa.Table:
+            intra_v = t.column("intra_edges").to_numpy(zero_copy_only=False)
+            degs = t.column("deg_sum").to_numpy(zero_copy_only=False)
+            mm = float(m_total)
+            q = intra_v / mm - (degs / (2.0 * mm)) ** 2
+            return pa.table({
+                "lbl": t.column("lbl"),
+                "n_nodes": t.column("n_nodes"),
+                "intra_edges": t.column("intra_edges"),
+                "deg_sum": t.column("deg_sum"),
+                "q_term": pa.array(q, pa.float64())})
+
+        return folded.map_batches(bc_finalize, batch_format="pyarrow")
+
     l_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
     e_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
 
