@@ -6437,6 +6437,175 @@ def _events_calibration(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def _events_burst_detect(sf_dir: str) -> pd.DataFrame:
+    """Windowed burst detection (stages/windows.py::burst_detect):
+    hourly event counts per type, z-scored against the trailing 6
+    present windows (population mean/var over exact integer rolling
+    sums) — the trending/anomaly-spike primitive.  Oracle replays the
+    rolling sums with ROWS BETWEEN window frames and the identical
+    float expressions."""
+    from text_to_rdf_ray.stages.windows import burst_detect
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    out = burst_detect(ev, baseline=6, z_threshold=2.0).to_pandas()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    for c in ("base_mean", "base_var", "z"):
+        out[c] = _r(out[c], 6)
+    out["burst"] = out["burst"].astype(bool)
+    return (out[["event_type", "window_id", "n", "base_mean", "base_var",
+                 "z", "burst"]]
+            .sort_values(["event_type", "window_id"])
+            .reset_index(drop=True))
+
+
+def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
+    """LOCF densification (stages/windows.py::resample_fill with
+    fill='locf'): per-user hourly grid where silent hours carry the
+    last present hour's sum_value forward (n stays 0) — the sensor /
+    price-series imputation rule.  Oracle: generate_series grid + a
+    running max-present-window carry join."""
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = resample_fill(ev, fill="locf").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = _r(out["sum_value"], 6)
+    return (out[["user_id", "window_id", "n", "sum_value"]]
+            .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+
+def _events_holt_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-user Holt double exponential smoothing (stages/windows.py::
+    double_smooth, α=0.5 β=0.3): level + trend recurrences evaluated as
+    the literal expressions, one fused numpy pass per sequence position
+    — the recursive-CTE oracle reproduces every float bit (6dp rounding
+    is belt-and-braces, as with events_ewma)."""
+    from text_to_rdf_ray.stages.windows import double_smooth
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value", "event_id"])
+    out = double_smooth(ev, alpha=0.5, beta=0.3).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["level"] = _r(out["level"], 6)
+    out["trend"] = _r(out["trend"], 6)
+    return (out[["user_id", "event_id", "level", "trend"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+def _kg_property_path(sf_dir: str) -> pd.DataFrame:
+    """SPARQL property path p{1,3} (stages/kgops.py::property_path) over
+    a derived order-succession graph: each order points at the
+    customer's next order (next_order), plus placed_by distractor
+    triples that must be pruned by the predicate filter.  Output: all
+    (src, dst, min hops ≤ 3) pairs.  Oracle: lead() edge derivation +
+    bounded recursive CTE."""
+    from text_to_rdf_ray.stages.kgops import property_path
+    from text_to_rdf_ray.stages.windows import _part_of
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_part=_part_of(b["o_custkey"], 32))
+
+    def next_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values(["o_custkey", "o_orderkey"], kind="mergesort"))
+        nxt = g.groupby("o_custkey", sort=False)["o_orderkey"].shift(-1)
+        m = nxt.notna()
+        return pd.DataFrame({
+            "subj": "order_" + g.loc[m, "o_orderkey"].astype(str),
+            "pred": "next_order",
+            "obj": "order_" + nxt[m].astype("int64").astype(str)})
+
+    edges = (orders.map_batches(add_part, batch_format="pandas")
+             .groupby("_part").map_groups(next_edges,
+                                          batch_format="pandas"))
+    distract = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "subj": "order_" + b["o_orderkey"].astype(str),
+            "pred": "placed_by",
+            "obj": "customer_" + b["o_custkey"].astype(str)}),
+        batch_format="pandas")
+    out = property_path(edges.union(distract), "next_order",
+                        max_hops=3).to_pandas()
+    out["hops"] = out["hops"].astype("int64")
+    return (out[["src", "dst", "hops"]]
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+
+
+def _kg_cardinality_violations(sf_dir: str) -> pd.DataFrame:
+    """OWL functional-property audit (stages/kgops.py::
+    cardinality_check): located_in declared single-valued; violations
+    PLANTED for custkey % 11 == 0 (second nation), duplicate
+    assertions of the SAME object planted for custkey % 7 == 0 (must
+    NOT violate), multi-valued 'likes' triples as unaudited
+    distractors.  Oracle replays the mutation + HAVING count(DISTINCT
+    obj) > 1."""
+    from text_to_rdf_ray.stages.kgops import cardinality_check
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def triples(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["c_custkey"].to_numpy(np.int64)
+        nk = b["c_nationkey"].to_numpy(np.int64)
+        base = pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + b["c_nationkey"].astype(str)})
+        dup = base[ck % 7 == 0]
+        extra = pd.DataFrame({
+            "subj": "customer_" + pd.Series(ck[ck % 11 == 0]).astype(str),
+            "pred": "located_in",
+            "obj": "nation_" + pd.Series((nk[ck % 11 == 0] + 1) % 25)
+                   .astype(str)})
+        likes_a = pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "likes",
+            "obj": "part_" + pd.Series(ck % 50).astype(str)})
+        likes_b = pd.DataFrame({
+            "subj": "customer_" + b["c_custkey"].astype(str),
+            "pred": "likes",
+            "obj": "part_" + pd.Series((ck + 1) % 50).astype(str)})
+        return pd.concat([base, dup, extra, likes_a, likes_b],
+                         ignore_index=True)
+
+    out = cardinality_check(
+        cust.map_batches(triples, batch_format="pandas"),
+        ["located_in"]).to_pandas()
+    out["n_objects"] = out["n_objects"].astype("int64")
+    return (out[["subj", "pred", "n_objects"]]
+            .sort_values(["subj", "pred"]).reset_index(drop=True))
+
+
+def _events_sampled_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Quantile estimation by deterministic hash-threshold sampling
+    (stages/analytics.py::sampled_quantiles, rate=0.25): keep rows with
+    splitmix64(event_id) < 2^62, exact quantiles of the sample — the
+    mergeable, order-independent alternative to GK/t-digest whose SQL
+    replay is bit-exact rather than within-tolerance."""
+    from text_to_rdf_ray.stages.analytics import sampled_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = sampled_quantiles(ev, id_col="event_id", key_col="event_type",
+                            value_col="value", rate=0.25,
+                            qs=[0.5, 0.95])
+    out = out.rename(columns={"q_0.5": "q_50", "q_0.95": "q_95"})
+    out["n"] = out["n"].astype("int64")
+    out["q_50"] = _r(out["q_50"], 6)
+    out["q_95"] = _r(out["q_95"], 6)
+    return (out[["event_type", "n", "q_50", "q_95"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6647,6 +6816,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": _events_value_mad,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_segment": _docs_bpe_segment,
+        "events_burst_detect": _events_burst_detect,
+        "events_locf_fill": _events_locf_fill,
+        "events_holt_trend": _events_holt_trend,
+        "kg_property_path": _kg_property_path,
+        "kg_cardinality_violations": _kg_cardinality_violations,
+        "events_sampled_quantiles": _events_sampled_quantiles,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -8605,6 +8780,168 @@ def oracle_sql() -> dict[str, str]:
                          (PARTITION BY prev), 6) AS prob
             FROM b WHERE prev IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_burst_detect": """
+            -- burst_detect replay: hourly counts, trailing-6-window
+            -- rolling integer sums via ROWS BETWEEN, identical float
+            -- expressions (mean = s1/6, var = s2/6 - mean^2,
+            -- z = (n-mean)/sqrt(var)); warm-up rows (pos < 6) dropped
+            WITH b AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, window_id, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY window_id) - 1 AS pos,
+                     sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY window_id
+                                  ROWS BETWEEN 6 PRECEDING
+                                  AND 1 PRECEDING) AS s1,
+                     sum(n * n) OVER (PARTITION BY event_type
+                                      ORDER BY window_id
+                                      ROWS BETWEEN 6 PRECEDING
+                                      AND 1 PRECEDING) AS s2
+              FROM b),
+            c AS (
+              SELECT event_type, window_id, n,
+                     s1 / 6.0 AS mean,
+                     s2 / 6.0 - (s1 / 6.0) * (s1 / 6.0) AS var
+              FROM w WHERE pos >= 6),
+            z AS (
+              SELECT event_type, window_id, n, mean, var,
+                     CASE WHEN var > 0.0
+                          THEN (n - mean) / sqrt(var) ELSE 0.0 END AS z
+              FROM c)
+            SELECT event_type, window_id, n,
+                   round(mean, 6) AS base_mean,
+                   round(var, 6) AS base_var,
+                   round(z, 6) AS z,
+                   (var > 0.0 AND z > 2.0) AS burst
+            FROM z ORDER BY event_type, window_id
+        """,
+        "events_locf_fill": """
+            -- resample_fill(fill='locf') replay: hourly sums +
+            -- generate_series grid; silent hours pull sum_value from
+            -- the latest present window via a running max carry
+            WITH b AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     value
+              FROM events),
+            a AS (
+              SELECT user_id, window_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(value) AS sum_value
+              FROM b GROUP BY 1, 2),
+            s AS (SELECT user_id, min(window_id) AS lo,
+                         max(window_id) AS hi
+                  FROM a GROUP BY 1),
+            f AS (SELECT user_id,
+                         unnest(generate_series(lo, hi)) AS window_id
+                  FROM s),
+            j AS (
+              SELECT f.user_id, f.window_id, a.n,
+                     max(CASE WHEN a.n IS NOT NULL
+                              THEN f.window_id END)
+                       OVER (PARTITION BY f.user_id
+                             ORDER BY f.window_id) AS src_w
+              FROM f LEFT JOIN a USING (user_id, window_id))
+            SELECT j.user_id, j.window_id, COALESCE(j.n, 0) AS n,
+                   round(a2.sum_value, 6) AS sum_value
+            FROM j JOIN a a2
+              ON a2.user_id = j.user_id AND a2.window_id = j.src_w
+            ORDER BY 1, 2
+        """,
+        "events_holt_trend": """
+            -- Holt double-smoothing replay: identical recurrence
+            -- expressions, recursive CTE stepping rn -> rn + 1
+            -- (l1 = x1, b1 = 0; the l_t expression appears twice on
+            -- the b_t line exactly as the operator computes it)
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+            r(user_id, event_id, rn, l, t) AS (
+              SELECT user_id, event_id, rn, value, CAST(0 AS DOUBLE)
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.event_id, b.rn,
+                     CAST(0.5 AS DOUBLE) * b.value
+                       + (1 - CAST(0.5 AS DOUBLE)) * (r.l + r.t),
+                     CAST(0.3 AS DOUBLE)
+                       * ((CAST(0.5 AS DOUBLE) * b.value
+                           + (1 - CAST(0.5 AS DOUBLE)) * (r.l + r.t))
+                          - r.l)
+                       + (1 - CAST(0.3 AS DOUBLE)) * r.t
+              FROM r JOIN b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT user_id, event_id, round(l, 6) AS "level",
+                   round(t, 6) AS trend
+            FROM r ORDER BY user_id, event_id
+        """,
+        "kg_property_path": """
+            -- property_path(next_order, <=3 hops) replay: lead() edge
+            -- derivation + bounded recursive expansion, min hops per
+            -- pair; placed_by distractors never enter e
+            WITH RECURSIVE nx AS (
+              SELECT o_custkey, o_orderkey,
+                     lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderkey) AS nxt
+              FROM orders),
+            e AS (SELECT 'order_' || o_orderkey AS src,
+                         'order_' || nxt AS dst
+                  FROM nx WHERE nxt IS NOT NULL),
+            r(src, dst, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION ALL
+              SELECT r.src, e.dst, r.hops + 1
+              FROM r JOIN e ON e.src = r.dst WHERE r.hops < 3)
+            SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kg_cardinality_violations": """
+            -- cardinality_check replay: same planted mutation; a
+            -- duplicate assertion of the SAME object (custkey%7) must
+            -- not violate, the second nation (custkey%11) must
+            WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+            t AS (
+              SELECT 'customer_' || c_custkey AS subj,
+                     'located_in' AS pred,
+                     'nation_' || c_nationkey AS obj FROM c
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey
+              FROM c WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || ((c_nationkey + 1) % 25)
+              FROM c WHERE c_custkey % 11 = 0
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'likes',
+                     'part_' || (c_custkey % 50) FROM c
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'likes',
+                     'part_' || ((c_custkey + 1) % 50) FROM c)
+            SELECT subj, pred,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+            FROM t WHERE pred = 'located_in'
+            GROUP BY 1, 2 HAVING count(DISTINCT obj) > 1
+            ORDER BY 1, 2
+        """,
+        "events_sampled_quantiles": f"""
+            -- sampled_quantiles replay: splitmix64(event_id) < 2^62
+            -- (rate 0.25) then exact quantile_cont over the sample
+            WITH {_sm64_sql("events", "event_id",
+                            ["event_type", "value"], prefix="sq")}
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS q_50,
+                   round(quantile_cont(value, 0.95), 6) AS q_95
+            FROM sqh WHERE hv < 4611686018427387904
+            GROUP BY event_type ORDER BY event_type
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -2431,3 +2431,118 @@ def test_calibration_bins_perfectly_calibrated(ray_session):
     assert abs(got[5] - 0.55) < 1e-12
     assert abs(got[9] - 0.95) < 1e-12
     assert out.n.tolist() == [100, 100, 100, 100]
+
+
+def test_double_smooth_matches_scalar_recursion(ray_session):
+    from text_to_rdf_ray.stages.windows import double_smooth
+
+    rng = np.random.RandomState(6)
+    n = 40
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 3, n),
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "value": rng.rand(n) * 10,
+        "event_id": np.arange(n),
+    })
+    out = (double_smooth(rd.from_pandas(df).repartition(3),
+                         alpha=0.5, beta=0.3)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    a, bt = np.float64(0.5), np.float64(0.3)
+    oma, omb = np.float64(1.0) - a, np.float64(1.0) - bt
+    for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        lvl = trd = None
+        for r in g.itertuples():
+            x = np.float64(r.value)
+            if lvl is None:
+                lvl, trd = x, np.float64(0.0)
+            else:
+                l_new = a * x + oma * (lvl + trd)
+                trd = bt * (l_new - lvl) + omb * trd
+                lvl = l_new
+            row = out[(out.user_id == uid) & (out.event_id == r.event_id)]
+            assert row["level"].iloc[0] == lvl  # bit-exact
+            assert row["trend"].iloc[0] == trd
+
+
+def test_burst_detect_flags_spike_and_drops_warmup(ray_session):
+    from text_to_rdf_ray.stages.windows import burst_detect
+
+    # one key: 6 quiet hours (counts 2,3,2,3,2,3), then a 30-event spike
+    rows = []
+    counts = [2, 3, 2, 3, 2, 3, 30]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append({"event_type": "k",
+                         "ts": pd.Timestamp("2024-01-01") +
+                               pd.Timedelta(hours=h, seconds=i)})
+    out = (burst_detect(rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+                        baseline=6, z_threshold=2.0)
+           .to_pandas())
+    # the 6 warm-up windows are dropped; only the spike window remains
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] == 30
+    assert r["base_mean"] == 15 / 6.0
+    assert bool(r["burst"])
+    assert r["z"] > 2.0
+
+
+def test_burst_detect_flat_baseline_no_burst(ray_session):
+    from text_to_rdf_ray.stages.windows import burst_detect
+
+    rows = []
+    for h in range(7):
+        for i in range(5):  # identical counts -> var 0 on window 7
+            rows.append({"event_type": "k",
+                         "ts": pd.Timestamp("2024-01-01") +
+                               pd.Timedelta(hours=h, seconds=i)})
+    out = burst_detect(rd.from_pandas(pd.DataFrame(rows)),
+                       baseline=6).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["base_var"] == 0.0
+    assert out.iloc[0]["z"] == 0.0
+    assert not bool(out.iloc[0]["burst"])
+
+
+def test_resample_fill_locf_carries_last_sum(ray_session):
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                              "2024-01-01 04:30"]),
+        "value": [2.5, 1.5, 7.0],
+    })
+    out = (resample_fill(rd.from_pandas(df), fill="locf")
+           .to_pandas().sort_values("window_id").reset_index(drop=True))
+    assert list(out["n"]) == [2, 0, 0, 0, 1]
+    assert list(out["sum_value"]) == [4.0, 4.0, 4.0, 4.0, 7.0]
+    # zero mode unchanged
+    outz = (resample_fill(rd.from_pandas(df), fill="zero")
+            .to_pandas().sort_values("window_id").reset_index(drop=True))
+    assert list(outz["sum_value"]) == [4.0, 0.0, 0.0, 0.0, 7.0]
+    import pytest
+    with pytest.raises(ValueError):
+        resample_fill(rd.from_pandas(df), fill="bogus")
+
+
+def test_sampled_quantiles_rate_one_is_exact(ray_session):
+    from text_to_rdf_ray.stages.analytics import sampled_quantiles
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"id": np.arange(400),
+                       "k": rng.randint(0, 3, 400).astype(str),
+                       "v": rng.rand(400) * 100})
+    out = sampled_quantiles(rd.from_pandas(df).repartition(4),
+                            id_col="id", key_col="k", value_col="v",
+                            rate=1.0, qs=[0.5])
+    for k, g in df.groupby("k"):
+        want = np.quantile(g["v"].to_numpy(), 0.5)
+        got = out.loc[out["k"] == k, "q_0.5"].iloc[0]
+        assert abs(got - want) < 1e-9
+    import pytest
+    with pytest.raises(ValueError):
+        sampled_quantiles(rd.from_pandas(df), id_col="id", key_col="k",
+                          value_col="v", rate=0.0)

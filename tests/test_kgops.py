@@ -367,3 +367,51 @@ def test_bgp_optional_refuses_cartesian(ray_session):
     with pytest.raises(ValueError, match="shares no variable"):
         bgp_match_optional(t, [("?e", "type", "Person")],
                            [("?x", "named", "?y")]).to_pandas()
+
+
+def test_property_path_min_hops_cycle_and_pruning(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from text_to_rdf_ray.stages.kgops import property_path
+
+    # chain a->b->c->d plus cycle d->a; distractor predicate must vanish
+    t = pd.DataFrame({
+        "subj": ["a", "b", "c", "d", "a"],
+        "pred": ["p", "p", "p", "p", "q"],
+        "obj": ["b", "c", "d", "a", "zzz"],
+    })
+    out = (property_path(rd.from_pandas(t).repartition(2), "p",
+                         max_hops=3)
+           .to_pandas().set_index(["src", "dst"])["hops"].to_dict())
+    assert out[("a", "b")] == 1 and out[("a", "c")] == 2
+    assert out[("a", "d")] == 3
+    assert out[("d", "c")] == 3  # through the cycle
+    assert ("a", "zzz") not in out  # distractor predicate pruned
+    # min-hop wins when a shorter path exists: add shortcut a->c
+    t2 = pd.concat([t, pd.DataFrame({"subj": ["a"], "pred": ["p"],
+                                     "obj": ["c"]})], ignore_index=True)
+    out2 = (property_path(rd.from_pandas(t2), "p", max_hops=3)
+            .to_pandas().set_index(["src", "dst"])["hops"].to_dict())
+    assert out2[("a", "c")] == 1
+    assert out2[("a", "d")] == 2
+
+
+def test_cardinality_check_distinct_objects_only(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from text_to_rdf_ray.stages.kgops import cardinality_check
+
+    t = pd.DataFrame({
+        "subj": ["s1", "s1", "s2", "s2", "s3", "s3"],
+        "pred": ["f", "f", "f", "f", "g", "g"],
+        "obj": ["x", "x", "x", "y", "u", "v"],
+    })
+    out = (cardinality_check(rd.from_pandas(t).repartition(2), ["f"])
+           .to_pandas())
+    # s1 asserts the same object twice -> not a violation;
+    # s2 has two distinct objects -> violation; g is not audited
+    assert len(out) == 1
+    assert out.iloc[0]["subj"] == "s2"
+    assert out.iloc[0]["n_objects"] == 2

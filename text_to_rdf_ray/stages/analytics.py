@@ -2655,3 +2655,48 @@ def calibration_bins(
         "n_pos": pd.Series(npos, dtype="int64"),
         "frac_pos": pd.Series(npos * 1.0 / n, dtype="float64"),
         "avg_score": pd.Series(ss / n, dtype="float64")})
+
+
+def sampled_quantiles(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    key_col: str,
+    value_col: str,
+    rate: float = 0.25,
+    qs: list[float] = (0.5, 0.95),
+    n_bins: int = 2048,
+) -> pd.DataFrame:
+    """Quantile ESTIMATION via deterministic hash-threshold sampling:
+    keep a row iff ``splitmix64(id) < rate·2^64`` (the bottom-rate /
+    mix_sources rule — mergeable across shards, stable under reruns and
+    corpus growth, no RNG state), then compute EXACT per-group
+    quantiles of the sample with :func:`group_quantiles_exact`.
+
+    This is the practical sketch at 10^12 rows: the sample is
+    rate-proportional, the estimate error is the classic
+    O(1/sqrt(rate·n)) order-statistic bound, and — unlike GK/t-digest,
+    whose merge state depends on arrival order — every byte of the
+    computation is deterministic, so a SQL replay (same hash chain,
+    same quantile_cont) matches bit-for-bit rather than within
+    tolerance.  The sample is materialized once (rate·n rows) so the
+    three quantile passes scan it, not the corpus.
+    """
+    if not (0.0 < rate <= 1.0):
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    thr_int = int(rate * float(2**64))
+    full = thr_int >= 2**64          # rate 1.0: keep everything
+    thr = np.uint64(0) if full else np.uint64(thr_int)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if full:
+            return t
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = splitmix64(ids.astype(np.int64)) < thr
+        return t.filter(pa.array(m))
+
+    sample = ds.map_batches(keep, batch_format="pyarrow").materialize()
+    return group_quantiles_exact(sample, key_col=key_col,
+                                 value_col=value_col, qs=list(qs),
+                                 n_bins=n_bins)

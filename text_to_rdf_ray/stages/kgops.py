@@ -661,3 +661,134 @@ def sameas_closure(
             "obj": pc.coalesce(t.column("canon"), t.column("name"))}),
         batch_format="pyarrow")
     return distinct_rows(rew2, cols=["subj", "pred", "obj"])
+
+
+def property_path(
+    triples: rd.Dataset,
+    pred: str,
+    *,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SPARQL property path ``p{1,max_hops}``: all ``(src, dst, hops)``
+    pairs where ``dst`` is reachable from ``src`` via 1..max_hops edges
+    labeled ``pred``, with ``hops`` the MINIMUM hop count — the bounded
+    transitive traversal behind `skos:broader+` / `org:reportsTo+`
+    style queries.
+
+    Shape: one Arrow filter prunes the triple table to the predicate's
+    edges (never the whole table again); each hop is ONE
+    ``exchange_join`` of the current frontier's dst against the edge
+    src (static string schemas) followed by a hash-exchange distinct of
+    the new pairs, so per-hop all-to-all volume is the surviving pair
+    set.  Frontiers are materialized per round (two consumers: the next
+    join and the accumulator).  The final min-hop dedup is one
+    ``exchange_agg``.  Cycles are safe — pairs dedup per round and the
+    hop bound terminates; an UNBOUNDED ``p+`` needs a frontier-EXCEPT
+    fixpoint instead (see ``analytics.khop_reach`` for that shape).
+    """
+    from .analytics import distinct_rows
+
+    e_schema = pa.schema([("node", pa.string()), ("dst", pa.string())])
+    f_schema = pa.schema([("node", pa.string()), ("src", pa.string())])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column(pred_col).cast(pa.string()), pred)
+        f = t.filter(keep)
+        return pa.table({"node": f.column(subj_col).cast(pa.string()),
+                         "dst": f.column(obj_col).cast(pa.string())})
+
+    edges = triples.map_batches(edge_rows,
+                                batch_format="pyarrow").materialize()
+
+    frontier = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({"src": t.column("node"),
+                                "dst": t.column("dst")}),
+            batch_format="pyarrow"),
+        cols=["src", "dst"]).materialize()
+
+    def with_hops(ds: rd.Dataset, h: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, hh=h: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, hh, np.int64))),
+            batch_format="pyarrow")
+
+    acc = [with_hops(frontier, 1)]
+    for h in range(2, max_hops + 1):
+        ext = exchange_join(
+            frontier.map_batches(
+                lambda t: pa.table({"node": t.column("dst"),
+                                    "src": t.column("src")}),
+                batch_format="pyarrow"),
+            edges, on="node", num_partitions=num_partitions,
+            left_schema=f_schema, right_schema=e_schema)
+        frontier = distinct_rows(
+            ext.map_batches(
+                lambda t: pa.table({"src": t.column("src"),
+                                    "dst": t.column("dst")}),
+                batch_format="pyarrow"),
+            cols=["src", "dst"]).materialize()
+        if frontier.count() == 0:
+            break
+        acc.append(with_hops(frontier, h))
+
+    union = acc[0]
+    for a in acc[1:]:
+        union = union.union(a)
+    return exchange_agg(union, ["src", "dst"],
+                        [("hops", "min", "hops")],
+                        num_partitions=num_partitions)
+
+
+def cardinality_check(
+    triples: rd.Dataset,
+    functional_preds: list[str],
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """OWL functional-property validation: for each predicate declared
+    single-valued, emit every ``(subj, pred, n_objects)`` with more
+    than one DISTINCT object — the cardinality leg of the SHACL-lite
+    family next to :func:`domain_range_check`.
+
+    Shape: one Arrow ``is_in`` filter prunes to the audited predicates,
+    a hash-exchange distinct collapses repeated assertions of the same
+    object (re-extraction of the same fact is not a violation), then
+    one combiner-backed ``exchange_agg`` counts objects per (subj,
+    pred) and a vectorized filter keeps counts > 1.  Nothing touches
+    the driver; the audited-predicate list ships inside the closure
+    (bounded — an ontology's functional predicates are dozens).
+    """
+    from .analytics import distinct_rows
+
+    pset = pa.array(sorted(set(functional_preds)), pa.string())
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(pred_col).cast(pa.string()),
+                        value_set=pset)
+        f = t.filter(keep)
+        return pa.table({"subj": f.column(subj_col).cast(pa.string()),
+                         "pred": f.column(pred_col).cast(pa.string()),
+                         "obj": f.column(obj_col).cast(pa.string())})
+
+    spo = distinct_rows(
+        triples.map_batches(prune, batch_format="pyarrow"),
+        cols=["subj", "pred", "obj"])
+    counted = exchange_agg(
+        spo.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["subj", "pred"], [("one", "sum", "n_objects")],
+        num_partitions=num_partitions)
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_objects"), 1)),
+        batch_format="pyarrow")

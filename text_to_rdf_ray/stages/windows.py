@@ -449,12 +449,18 @@ def resample_fill(
     value_col: str = "value",
     width_us: int = 3_600_000_000,
     num_partitions: int = 64,
+    fill: str = "zero",
 ) -> rd.Dataset:
     """Per-key fixed-width resample with zero-filled gaps: one row per
     key per window between that key's first and last event —
     ``(key, window_id, n, sum_value)`` with ``n=0, sum_value=0.0`` for
     empty windows (the time-series densification in front of lag/trend
-    features).
+    features).  ``fill="locf"`` instead carries the last PRESENT
+    window's ``sum_value`` forward across the gap (last observation
+    carried forward — the sensor/price densification rule); ``n`` stays
+    0 on filled rows either way, so observed and imputed rows remain
+    distinguishable.  A key's span starts at its first present window,
+    so LOCF never sees a leading gap.
 
     Shape: per-batch pyarrow combiner (one partial row per (key,
     window) per batch) -> ONE key-hash exchange so a key's windows
@@ -465,6 +471,9 @@ def resample_fill(
     O(keys_in_partition x max_span) — raise ``num_partitions`` (or
     narrow the window) when spans are long.
     """
+    if fill not in ("zero", "locf"):
+        raise ValueError(f"unsupported fill mode {fill!r}")
+    locf = fill == "locf"  # the inner fn below shadows the name `fill`
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
@@ -493,7 +502,14 @@ def resample_fill(
         full = pd.DataFrame({key_col: keys_rep, "window_id": wids})
         out = full.merge(agg, on=[key_col, "window_id"], how="left")
         out["n"] = out["n"].fillna(0).astype("int64")
-        out["sum_value"] = out["sum_value"].fillna(0.0)
+        if locf:
+            # rows are (key, window)-ordered by construction of the span
+            # fill; groupby.ffill is the vectorized C path (never a
+            # Python call per key)
+            out["sum_value"] = (out.groupby(key_col, sort=False)
+                                ["sum_value"].ffill())
+        else:
+            out["sum_value"] = out["sum_value"].fillna(0.0)
         return out[[key_col, "window_id", "n", "sum_value"]]
 
     return (ds.map_batches(partial, batch_format="pyarrow",
@@ -602,6 +618,144 @@ def ewma(
         return g
 
     return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def double_smooth(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key Holt double exponential smoothing (level + linear trend)
+    in event order — the trend-aware cousin of :func:`ewma`:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    BIT-EXACT by the same construction as ``ewma``: each step is the
+    literal recurrence expression evaluated once per element (one fused
+    numpy pass across every key alive at that sequence position), so a
+    recursive-SQL replay stepping rn→rn+1 with the identical float
+    expression reproduces every bit.  ONE key-hash exchange; the
+    per-partition loop is over sequence POSITIONS, never keys.
+    """
+    a = np.float64(alpha)
+    one_minus_a = np.float64(1.0) - a
+    bt = np.float64(beta)
+    one_minus_b = np.float64(1.0) - bt
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort").reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        x = g[value_col].to_numpy(np.float64)
+        lvl = x.copy()                    # position 0: l = x, b = 0
+        trd = np.zeros(len(g), np.float64)
+        max_pos = int(pos.max()) if len(pos) else 0
+        idx = np.arange(len(g))
+        for t in range(1, max_pos + 1):
+            cur = idx[pos == t]
+            prev = cur - 1                # (key, pos)-sorted adjacency
+            l_new = a * x[cur] + one_minus_a * (lvl[prev] + trd[prev])
+            trd[cur] = bt * (l_new - lvl[prev]) + one_minus_b * trd[prev]
+            lvl[cur] = l_new
+        g[level_col] = lvl
+        g[trend_col] = trd
+        return g
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def burst_detect(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_us: int = 3_600_000_000,
+    baseline: int = 6,
+    z_threshold: float = 2.0,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Windowed burst detection: tumbling event counts per key, each
+    window z-scored against the trailing ``baseline`` PRESENT windows
+    (row-based, mirroring SQL ``ROWS BETWEEN b PRECEDING AND 1
+    PRECEDING``) — the trending-topic / anomaly-spike primitive.
+
+    Emits (key, window_id, n, base_mean, base_var, z, burst) for every
+    window with a FULL baseline behind it (a key's first ``baseline``
+    windows are warm-up and dropped — total functions only, no NULL
+    stats to round-trip through engines).  base stats use the
+    population form mean = Σx/b, var = Σx²/b − mean² over exact integer
+    rolling sums, so the SQL replay is bit-equal (ints are exact; the
+    float ops appear in the same order).  A flat baseline (var = 0)
+    yields z = 0 and burst = false by convention — flag totality beats
+    an undefined z.
+
+    Shape: per-batch pyarrow count combiner (one partial per (key,
+    window) per batch) -> ONE key-hash exchange -> per-partition
+    vectorized pass: rolling sums via a global cumsum + position mask
+    (rows are (key, window)-sorted, so a row's trailing b same-key rows
+    are physically the previous b rows — no Python loop over keys).
+    """
+    b_win = int(baseline)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_id": pa.array(wins, pa.int64())})
+        g = (t.group_by([key_col, "window_id"])
+             .aggregate([([], "count_all")]).to_pandas()
+             .rename(columns={"count_all": "n"}))
+        return g.assign(_part=_part_of(g[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        g = (g.groupby([key_col, "window_id"], sort=False, as_index=False)
+             ["n"].sum())
+        g = (g.sort_values([key_col, "window_id"], kind="mergesort")
+             .reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        csz1 = np.concatenate(([0], np.cumsum(n)))
+        csz2 = np.concatenate(([0], np.cumsum(n * n)))
+        i = np.arange(len(g))
+        ok = pos >= b_win
+        s1 = csz1[i] - csz1[np.maximum(i - b_win, 0)]
+        s2 = csz2[i] - csz2[np.maximum(i - b_win, 0)]
+        mean = s1 / float(b_win)
+        var = s2 / float(b_win) - mean * mean
+        safe = var > 0.0
+        z = np.where(safe, (n - mean) / np.sqrt(np.where(safe, var, 1.0)),
+                     0.0)
+        out = pd.DataFrame({
+            key_col: g[key_col],
+            "window_id": g["window_id"].astype("int64"),
+            "n": n,
+            "base_mean": mean,
+            "base_var": var,
+            "z": z,
+            "burst": safe & (z > z_threshold),
+        })
+        return out[ok].reset_index(drop=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
 
