@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -6606,6 +6607,141 @@ def _events_sampled_quantiles(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _docs_wordlist_screen(sf_dir: str) -> pd.DataFrame:
+    """C4-style blocklist screen (stages/curation.py::wordlist_screen):
+    per-doc blocked-token fraction over space-split lowercase tokens,
+    keep iff fraction < 2% — the cheap lexical gate before model
+    scorers.  Oracle: list_filter over string_split replays the token
+    and hit counts exactly."""
+    from text_to_rdf_ray.stages.curation import wordlist_screen
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = wordlist_screen(
+        docs, ["the", "and", "quick", "lazy"], max_frac=0.02).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_blocked"] = out["n_blocked"].astype("int64")
+    out["blocked_frac"] = _r(out["blocked_frac"], 6)
+    out["keep"] = out["keep"].astype(bool)
+    return (out[["doc_id", "n_tokens", "n_blocked", "blocked_frac",
+                 "keep"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _graph_closeness(sf_dir: str) -> pd.DataFrame:
+    """Landmark closeness centrality (stages/graph.py::
+    closeness_from_seeds on multi_source_bfs): per-seed BFS levels with
+    tracked provenance over the supplier↔customer bipartite graph,
+    seeds = every-5th supplier, k=2; closeness = n_reached / sum of
+    first-reach levels.  Oracle: seed-tracked bounded recursive CTE +
+    min(level) + the identical ratio."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import closeness_from_seeds
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["supp"].astype("int64")
+        c = b["cust"].astype("int64") + 1_000_000
+        return pd.DataFrame({"src": pd.concat([s, c], ignore_index=True),
+                             "dst": pd.concat([c, s], ignore_index=True)})
+
+    edges = joined.map_batches(both_dirs, batch_format="pandas")
+    seeds = [int(x) for x in pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"]).column("s_suppkey").to_pylist()
+        if x % 5 == 0]
+    out = closeness_from_seeds(edges, seeds, k=2,
+                               num_partitions=16).to_pandas()
+    out["seed"] = out["seed"].astype("int64")
+    out["n_reached"] = out["n_reached"].astype("int64")
+    out["sum_dist"] = out["sum_dist"].astype("int64")
+    out["closeness"] = _r(out["closeness"], 6)
+    return (out[["seed", "n_reached", "sum_dist", "closeness"]]
+            .sort_values("seed").reset_index(drop=True))
+
+
+def _events_rate_limit(sf_dir: str) -> pd.DataFrame:
+    """Per-user streaming throttle (stages/windows.py::rate_limit):
+    keep only the first 3 events per (user, hour) in (ts, event_id)
+    order — the abusive-client / inference-cap sampler.  Oracle:
+    row_number() over the identical partition and order."""
+    from text_to_rdf_ray.stages.windows import rate_limit
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    out = rate_limit(ev, max_per_window=3).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["window_id"] = out["window_id"].astype("int64")
+    return (out[["event_id", "user_id", "window_id"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _events_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Per-type autocorrelation of the hourly count series at row lags
+    1..3 (stages/windows.py::autocorr) — the seasonality readout for
+    lag-feature selection.  Present windows only (burst_detect
+    convention); acf_k = Σ d_t d_{t-k} / Σ d_t² with d mean-centered
+    (integer sums → the mean is float-exact, so 6dp absorbs only the
+    Σd² accumulation order).  Oracle: lag() window replay."""
+    from text_to_rdf_ray.stages.windows import autocorr
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    out = autocorr(ev, lags=(1, 2, 3)).to_pandas()
+    out["lag"] = out["lag"].astype("int64")
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["acf"] = _r(out["acf"], 6)
+    return (out[["event_type", "lag", "n_windows", "acf"]]
+            .sort_values(["event_type", "lag"]).reset_index(drop=True))
+
+
+def _events_delete_vectors(sf_dir: str) -> pd.DataFrame:
+    """Iceberg-v2-style positional deletes (stages/lakehouse.py::
+    positional_delete / read_with_deletes): data files stay immutable;
+    a bounded broadcast key set becomes per-file deletion vectors
+    (row positions), and the masked scan hides exactly those rows.
+    Oracle: the plain anti-filter — the DV layout must be invisible."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import (positional_delete,
+                                                  read_with_deletes)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+    path = os.path.join(_SIDE, "events_delete_vectors", "tab")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev.repartition(8).write_parquet(path)
+    keys = [int(x) for x in pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id"]).column("event_id").to_pylist()
+        if x % 7 == 0]
+    positional_delete(path, "event_id", keys)
+    out = read_with_deletes(path).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["event_id", "user_id"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6822,6 +6958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_path": _kg_property_path,
         "kg_cardinality_violations": _kg_cardinality_violations,
         "events_sampled_quantiles": _events_sampled_quantiles,
+        "docs_wordlist_screen": _docs_wordlist_screen,
+        "graph_closeness": _graph_closeness,
+        "events_rate_limit": _events_rate_limit,
+        "events_autocorr": _events_autocorr,
+        "events_delete_vectors": _events_delete_vectors,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -8942,6 +9083,127 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS q_95
             FROM sqh WHERE hv < 4611686018427387904
             GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_wordlist_screen": """
+            -- wordlist_screen replay: space-split lowercase tokens,
+            -- blocklist hits via list_filter; integer counts so the
+            -- fraction division is bit-identical
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(w, x -> list_contains(
+                       ['the', 'and', 'quick', 'lazy'], x)))
+                       AS BIGINT) AS n_blocked
+              FROM t)
+            SELECT doc_id, n_tokens, n_blocked,
+                   round(CASE WHEN n_tokens > 0
+                         THEN CAST(n_blocked AS DOUBLE) / n_tokens
+                         ELSE 0.0 END, 6) AS blocked_frac,
+                   (CASE WHEN n_tokens > 0
+                         THEN CAST(n_blocked AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) < 0.02 AS keep
+            FROM c ORDER BY doc_id
+        """,
+        "graph_closeness": """
+            -- closeness_from_seeds replay: seed-tracked bounded BFS
+            -- (min first-reach level), then n_reached / sum_dist
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey AS src, 1000000 + o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e(src, dst) AS (SELECT src, dst FROM e0
+                            UNION ALL SELECT dst, src FROM e0),
+            r(seed, node, lvl) AS (
+              SELECT CAST(s_suppkey AS BIGINT),
+                     CAST(s_suppkey AS BIGINT), 0
+              FROM supplier WHERE s_suppkey % 5 = 0
+              UNION ALL
+              SELECT r.seed, e.dst, r.lvl + 1 FROM r
+              JOIN e ON e.src = r.node WHERE r.lvl < 2),
+            m AS (SELECT seed, node, min(lvl) AS level
+                  FROM r GROUP BY 1, 2),
+            a AS (SELECT seed,
+                         CAST(sum(CASE WHEN level > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_reached,
+                         CAST(sum(level) AS BIGINT) AS sum_dist
+                  FROM m GROUP BY 1)
+            SELECT seed, n_reached, sum_dist,
+                   round(CASE WHEN sum_dist > 0
+                         THEN CAST(n_reached AS DOUBLE) / sum_dist
+                         ELSE 0.0 END, 6) AS closeness
+            FROM a ORDER BY seed
+        """,
+        "events_rate_limit": """
+            -- rate_limit replay: row_number over the identical
+            -- (user, hour-window) partition and (ts, event_id) order
+            WITH b AS (
+              SELECT event_id, user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     row_number() OVER (
+                       PARTITION BY user_id,
+                         CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT event_id, user_id, window_id
+            FROM b WHERE rn <= 3 ORDER BY event_id
+        """,
+        "events_autocorr": """
+            -- autocorr replay: hourly counts, mean-centered (integer
+            -- sums -> the mean is float-exact), lag() products over
+            -- present-window positions
+            WITH b AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT event_type, window_id,
+                     n - avg(n) OVER (PARTITION BY event_type) AS d,
+                     count(*) OVER (PARTITION BY event_type)
+                       AS n_windows
+              FROM b),
+            l AS (
+              SELECT event_type, n_windows, d,
+                     lag(d, 1) OVER (PARTITION BY event_type
+                                     ORDER BY window_id) AS d1,
+                     lag(d, 2) OVER (PARTITION BY event_type
+                                     ORDER BY window_id) AS d2,
+                     lag(d, 3) OVER (PARTITION BY event_type
+                                     ORDER BY window_id) AS d3
+              FROM d),
+            a AS (
+              SELECT event_type,
+                     CAST(max(n_windows) AS BIGINT) AS n_windows,
+                     sum(d * d) AS den,
+                     COALESCE(sum(d * d1), 0.0) AS num1,
+                     COALESCE(sum(d * d2), 0.0) AS num2,
+                     COALESCE(sum(d * d3), 0.0) AS num3
+              FROM l GROUP BY 1)
+            SELECT event_type, lag, n_windows, round(acf, 6) AS acf
+            FROM (
+              SELECT event_type, CAST(1 AS BIGINT) AS lag, n_windows,
+                     CASE WHEN den > 0 THEN num1 / den ELSE 0.0 END
+                       AS acf FROM a
+              UNION ALL
+              SELECT event_type, CAST(2 AS BIGINT), n_windows,
+                     CASE WHEN den > 0 THEN num2 / den ELSE 0.0 END
+              FROM a
+              UNION ALL
+              SELECT event_type, CAST(3 AS BIGINT), n_windows,
+                     CASE WHEN den > 0 THEN num3 / den ELSE 0.0 END
+              FROM a)
+            ORDER BY event_type, lag
+        """,
+        "events_delete_vectors": """
+            -- positional-delete replay: the DV layout must be
+            -- invisible — plain anti-filter on the deleted key rule
+            SELECT event_id, user_id FROM events
+            WHERE event_id % 7 <> 0 ORDER BY event_id
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -1321,3 +1321,27 @@ def test_dsir_sample_prefers_target_like_docs(ray_session):
             .to_pandas())
     assert out.sort_values("rank").gkey.tolist() == \
         out2.sort_values("rank").gkey.tolist()
+
+
+def test_wordlist_screen_fractions_and_gate(ray_session):
+    from text_to_rdf_ray.stages.curation import wordlist_screen
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox", "clean words only here",
+                 "", "THE the The"],
+    })
+    out = (wordlist_screen(rd.from_pandas(df), ["the", "quick"],
+                           max_frac=0.5)
+           .to_pandas().set_index("doc_id"))
+    assert int(out.loc[1, "n_blocked"]) == 2  # the + quick of 4
+    assert abs(float(out.loc[1, "blocked_frac"]) - 0.5) < 1e-12
+    assert not bool(out.loc[1, "keep"])      # 0.5 < 0.5 is False
+    assert bool(out.loc[2, "keep"]) and int(out.loc[2, "n_blocked"]) == 0
+    assert int(out.loc[3, "n_tokens"]) == 0  # empty doc keeps
+    assert float(out.loc[3, "blocked_frac"]) == 0.0
+    assert bool(out.loc[3, "keep"])
+    assert int(out.loc[4, "n_blocked"]) == 3  # case-insensitive
+    import pytest
+    with pytest.raises(ValueError):
+        wordlist_screen(rd.from_pandas(df), ["a", "b"], max_words=1)

@@ -604,3 +604,42 @@ def test_pagerank_bsp_checkpoint_resume_exact(ray_session, tmp_path):
     da = dict(zip(full.node, full["rank"]))
     db = dict(zip(b.node, b["rank"]))
     assert da == db
+
+
+def test_multi_source_bfs_levels_and_closeness(ray_session):
+    from text_to_rdf_ray.stages.graph import (closeness_from_seeds,
+                                              multi_source_bfs)
+
+    # 1 -> 2 -> 3 -> 4, 5 isolated-as-source-of-nothing (no out-edges),
+    # 6 -> 1 gives seed 6 a longer reach
+    edges = [(1, 2), (2, 3), (3, 4), (6, 1)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = (multi_source_bfs(ds, [1, 5, 6], k=2, num_partitions=4)
+           .to_pandas())
+    got = {(int(r.seed), int(r.node)): int(r.level)
+           for r in out.itertuples()}
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2,
+                   (5, 5): 0,
+                   (6, 6): 0, (6, 1): 1, (6, 2): 2}
+    clo = (closeness_from_seeds(ds, [1, 5, 6], k=2, num_partitions=4)
+           .to_pandas().set_index("seed"))
+    # seed 1: reaches {2@1, 3@2} -> 2 / 3; seed 5: nothing -> 0
+    assert int(clo.loc[1, "n_reached"]) == 2
+    assert int(clo.loc[1, "sum_dist"]) == 3
+    assert abs(float(clo.loc[1, "closeness"]) - 2.0 / 3.0) < 1e-12
+    assert int(clo.loc[5, "n_reached"]) == 0
+    assert float(clo.loc[5, "closeness"]) == 0.0
+    assert abs(float(clo.loc[6, "closeness"]) - 2.0 / 3.0) < 1e-12
+
+
+def test_multi_source_bfs_first_reach_wins_on_diamond(ray_session):
+    from text_to_rdf_ray.stages.graph import multi_source_bfs
+
+    # diamond: 1->2, 1->3, 2->4, 3->4, plus the long way 1->5->6->4;
+    # node 4 must be level 2 (first reach), never 3
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 6), (6, 4)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = multi_source_bfs(ds, [1], k=3, num_partitions=2).to_pandas()
+    lvl = dict(zip(out["node"].astype(int), out["level"].astype(int)))
+    assert lvl[4] == 2
+    assert len(out) == out[["seed", "node"]].drop_duplicates().shape[0]

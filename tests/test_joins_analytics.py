@@ -2546,3 +2546,92 @@ def test_sampled_quantiles_rate_one_is_exact(ray_session):
     with pytest.raises(ValueError):
         sampled_quantiles(rd.from_pandas(df), id_col="id", key_col="k",
                           value_col="v", rate=0.0)
+
+
+def test_rate_limit_caps_per_window_deterministically(ray_session):
+    from text_to_rdf_ray.stages.windows import rate_limit
+
+    rows = []
+    # user 1: 7 events in hour 0 (2 share a ts -> event_id tiebreak),
+    # 2 events in hour 1; user 2: 3 events in hour 0
+    base = pd.Timestamp("2024-01-01")
+    for i in range(7):
+        rows.append({"user_id": 1, "event_id": 100 - i,
+                     "ts": base + pd.Timedelta(minutes=min(i, 5))})
+    for i in range(2):
+        rows.append({"user_id": 1, "event_id": 200 + i,
+                     "ts": base + pd.Timedelta(hours=1, minutes=i)})
+    for i in range(3):
+        rows.append({"user_id": 2, "event_id": 300 + i,
+                     "ts": base + pd.Timedelta(minutes=i)})
+    out = rate_limit(rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+                     max_per_window=6).to_pandas()
+    got = set(out["event_id"])
+    # user 1 hour 0: (ts, event_id) order -> minutes 0..4 win, then the
+    # shared-minute-5 pair resolves by smaller event_id (94 in, 95 out)
+    assert got == {100, 99, 98, 97, 96, 94, 200, 201, 300, 301, 302}
+    assert (out.groupby(["user_id", "window_id"]).size() <= 6).all()
+
+
+def test_autocorr_matches_numpy_reference(ray_session):
+    from text_to_rdf_ray.stages.windows import autocorr
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for key, n_h in (("a", 30), ("b", 12)):
+        for h in range(n_h):
+            for _ in range(int(rng.randint(1, 6))):
+                rows.append({"event_type": key,
+                             "ts": pd.Timestamp("2024-01-01") +
+                                   pd.Timedelta(hours=h, minutes=1)})
+    df = pd.DataFrame(rows)
+    out = autocorr(rd.from_pandas(df).repartition(4),
+                   lags=(1, 2)).to_pandas()
+    # reference: per-key hourly counts, mean-centered lag products
+    cnt = (df.assign(w=df["ts"].values.astype("datetime64[h]"))
+           .groupby(["event_type", "w"]).size())
+    for key in ("a", "b"):
+        x = cnt[key].to_numpy(np.float64)
+        d = x - x.mean()
+        den = float((d * d).sum())
+        for k in (1, 2):
+            want = float((d[k:] * d[:-k]).sum()) / den
+            r = out[(out["event_type"] == key) & (out["lag"] == k)]
+            assert len(r) == 1
+            assert abs(float(r["acf"].iloc[0]) - want) < 1e-9
+            assert int(r["n_windows"].iloc[0]) == len(x)
+
+
+def test_autocorr_constant_series_zero(ray_session):
+    from text_to_rdf_ray.stages.windows import autocorr
+
+    rows = [{"event_type": "k",
+             "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)}
+            for h in range(6)]
+    out = autocorr(rd.from_pandas(pd.DataFrame(rows)),
+                   lags=(1,)).to_pandas()
+    assert len(out) == 1
+    assert out["acf"].iloc[0] == 0.0  # den = 0 -> defined as 0
+    with pytest.raises(ValueError):
+        autocorr(rd.from_pandas(pd.DataFrame(rows)), lags=(0,))
+
+
+def test_positional_delete_masked_scan(ray_session, tmp_path):
+    from text_to_rdf_ray.stages.lakehouse import (positional_delete,
+                                                  read_with_deletes)
+
+    path = str(tmp_path / "tab")
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "v": np.arange(100, dtype=np.int64) * 10})
+    rd.from_pandas(df).repartition(4).write_parquet(path)
+    res = positional_delete(path, "k", [5, 17, 17, 99, 1000])
+    assert res["rows_deleted"] == 3  # 1000 absent, 17 deduped
+    assert res["files_with_deletes"] <= res["files_total"]
+    out = read_with_deletes(path).to_pandas().sort_values("k")
+    assert set(out["k"]) == set(range(100)) - {5, 17, 99}
+    assert (out["v"].to_numpy() == out["k"].to_numpy() * 10).all()
+    # data files untouched (immutable): a raw scan still sees all rows
+    import ray.data as _rd
+    assert _rd.read_parquet(path).count() == 100
+    with pytest.raises(ValueError):
+        positional_delete(path, "k", range(10), max_keys=5)

@@ -2601,3 +2601,48 @@ def dsir_sample(
     return top.map_batches(
         lambda b: b[[id_col, "n_tokens", "score", "gkey", "rank"]],
         batch_format="pandas")
+
+
+def wordlist_screen(
+    ds: rd.Dataset,
+    blocklist: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_frac: float = 0.05,
+    max_words: int = 1_000_000,
+) -> rd.Dataset:
+    """C4-style blocklist screening: per document, count space-split
+    lowercase tokens that hit the blocklist and keep the doc iff the
+    blocked fraction stays under ``max_frac`` — the cheap lexical
+    safety/quality gate run before any model-based scorer.
+
+    Emits (id, n_tokens, n_blocked, blocked_frac, keep).  Pure map; the
+    blocklist ships inside the closure as a frozenset (guarded by
+    ``max_words`` — C4's list is ~400 entries, an operator asked to
+    broadcast millions of phrases should use a join instead).  An empty
+    document keeps (0 tokens, fraction 0).
+    """
+    if len(blocklist) > max_words:
+        raise ValueError(
+            f"wordlist_screen: blocklist of {len(blocklist)} exceeds "
+            f"max_words={max_words} — use a join-based screen instead")
+    bset = frozenset(w.lower() for w in blocklist)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.zeros(len(b), np.int64)
+        n_bad = np.zeros(len(b), np.int64)
+        for i, txt in enumerate(b[text_col].tolist()):
+            toks = [t for t in (txt or "").lower().split(" ") if t]
+            n_tok[i] = len(toks)
+            n_bad[i] = sum(1 for t in toks if t in bset)
+        frac = np.where(n_tok > 0, n_bad / np.maximum(n_tok, 1), 0.0)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_tokens": n_tok,
+            "n_blocked": n_bad,
+            "blocked_frac": frac,
+            "keep": frac < max_frac})
+
+    return ds.map_batches(score, batch_format="pandas",
+                          batch_size=4096)

@@ -1974,3 +1974,144 @@ def modularity(
             "q_term": pa.array(q, pa.float64())})
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def multi_source_bfs(
+    edges: rd.Dataset,
+    seeds: list[int],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-seed BFS levels: every ``(seed, node, level)`` with node
+    reachable from that seed within ``k`` directed hops, level = FIRST
+    reach (0 = the seed itself) — ``analytics.khop_reach`` generalized
+    to tracked provenance, the primitive under closeness/eccentricity
+    readouts.
+
+    Same iterated-frontier shape as khop_reach: the edge table is
+    exchanged/materialized ONCE; per level one ``exchange_join`` of the
+    (seed, node) frontier against it, a pair distinct, an EXCEPT
+    against the visited pair set (shuffle set-op, never a broadcast),
+    and a union into visited.  Frontier rows carry only (seed, node) —
+    all-to-all volume per level is the surviving pair set, bounded by
+    |seeds| x |nodes|.  ``seeds`` is the bounded driver-side list by
+    design (closeness from a handful of landmarks; full all-pairs BFS
+    is a different algorithm).
+    """
+    from .analytics import distinct_rows, set_op_rows
+    from .exchange import exchange_join
+
+    e_keyed = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": t.column(src_col).cast(pa.int64()),
+                "_nxt": t.column(dst_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["node", "_nxt"]).materialize()
+    es = pa.schema([("node", pa.int64()), ("_nxt", pa.int64())])
+    fs = pa.schema([("seed", pa.int64()), ("node", pa.int64())])
+
+    # block types must stay UNIFORM through the unions below (mixing
+    # pandas and arrow blocks trips Ray's batcher) — distinct_rows /
+    # set_op_rows emit pandas blocks, so everything here is pandas
+    sarr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+    frontier = rd.from_pandas(
+        pd.DataFrame({"seed": sarr, "node": sarr})).materialize()
+
+    def stamp(level: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "seed": b["seed"].astype("int64"),
+                "node": b["node"].astype("int64"),
+                "level": np.full(len(b), level, np.int64)})
+        return fn
+
+    levels = [frontier.map_batches(stamp(0), batch_format="pandas")]
+    visited = frontier
+    for lvl in range(1, k + 1):
+        nb = exchange_join(
+            frontier.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node").cast(pa.int64()),
+                    "seed": t.column("seed").cast(pa.int64())}),
+                batch_format="pyarrow"),
+            e_keyed, on="node", num_partitions=num_partitions,
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("seed", pa.int64())]),
+            right_schema=es)
+        nb = distinct_rows(
+            nb.map_batches(
+                lambda t: pa.table({"seed": t.column("seed"),
+                                    "node": t.column("_nxt")}),
+                batch_format="pyarrow"),
+            cols=["seed", "node"])
+        new = set_op_rows(nb, visited, cols=["seed", "node"],
+                          op="except",
+                          num_partitions=num_partitions).materialize()
+        if new.count() == 0:
+            break
+        levels.append(new.map_batches(stamp(lvl), batch_format="pandas"))
+        visited = distinct_rows(visited.union(new),
+                                cols=["seed", "node"]).materialize()
+        frontier = new
+    out = levels[0]
+    for p in levels[1:]:
+        out = out.union(p)
+    return out
+
+
+def closeness_from_seeds(
+    edges: rd.Dataset,
+    seeds: list[int],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Landmark closeness centrality: for each seed, the harmonic-free
+    classic readout over its ``<= k``-hop reach —
+
+        (seed, n_reached, sum_dist, closeness = n_reached / sum_dist)
+
+    where n_reached counts nodes at level >= 1 and sum_dist sums their
+    first-reach levels (a seed reaching nothing gets closeness 0).
+    Built on :func:`multi_source_bfs` + one combiner-backed
+    ``exchange_agg`` per seed — the sampled stand-in for exact
+    closeness at graph sizes where all-pairs BFS is off the table.
+    """
+    from .exchange import exchange_agg
+
+    bfs = multi_source_bfs(edges, seeds, src_col=src_col,
+                           dst_col=dst_col, k=k,
+                           num_partitions=num_partitions)
+
+    def reached(t: pa.Table) -> pa.Table:
+        # keep level-0 rows (they contribute 0 to both sums) so every
+        # seed has a group and a no-reach seed emits closeness 0
+        lv = t.column("level").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seed": t.column("seed"),
+            "one": pa.array((lv > 0).astype(np.int64)),
+            "level": t.column("level")})
+
+    agg = exchange_agg(
+        bfs.map_batches(reached, batch_format="pyarrow"),
+        "seed", [("one", "sum", "n_reached"),
+                 ("level", "sum", "sum_dist")],
+        num_partitions=num_partitions)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_reached").to_numpy(zero_copy_only=False)
+        s = t.column("sum_dist").to_numpy(zero_copy_only=False)
+        c = np.where(s > 0, n / np.maximum(s, 1).astype(np.float64), 0.0)
+        return pa.table({
+            "seed": t.column("seed"),
+            "n_reached": t.column("n_reached"),
+            "sum_dist": t.column("sum_dist"),
+            "closeness": pa.array(c, pa.float64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

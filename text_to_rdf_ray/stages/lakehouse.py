@@ -698,3 +698,108 @@ def read_version(path: str, version: int) -> rd.Dataset:
                          f" (have {_log_versions(path)})")
     files = pd.read_parquet(mf)["file"].tolist()
     return rd.read_parquet([os.path.join(path, f) for f in files])
+
+
+def positional_delete(
+    path: str,
+    key_col: str,
+    delete_keys,
+    *,
+    max_keys: int = 5_000_000,
+) -> dict:
+    """Delta-3 / Iceberg-v2-style DELETE as per-file deletion vectors:
+    data files stay IMMUTABLE; for every parquet file under ``path``
+    whose rows match the (bounded, broadcast) key set, write
+    ``_deletes/<file>.dv.parquet`` holding the deleted ROW POSITIONS.
+    A 10⁹-row delete touches no data bytes — only O(deleted) position
+    rows — and the table stays readable at full scan speed through
+    :func:`read_with_deletes`.
+
+    One Ray task per data file (the file list is the only driver
+    state); each task reads ONLY ``key_col``, computes positions via a
+    vectorized ``np.isin`` against the ``ray.put`` key set, and writes
+    its vector.  Files with no hits write nothing.  Returns
+    {files_total, files_with_deletes, rows_deleted} (also emitted as
+    ``dv_*`` counters).
+    """
+    import glob as _glob
+
+    import ray
+
+    keys = np.asarray(sorted(set(delete_keys)))
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"positional_delete: {len(keys)} keys exceeds max_keys="
+            f"{max_keys} (~{len(keys) * 8 // 2**20} MB broadcast) — "
+            f"use an anti-join rewrite instead")
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    dv_dir = os.path.join(path, "_deletes")
+    os.makedirs(dv_dir, exist_ok=True)
+    kref = ray.put(keys)
+
+    def one_file(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        out = []
+        for f in b["file"]:
+            col = pq.read_table(f, columns=[key_col]).column(key_col)
+            vals = col.to_numpy(zero_copy_only=False)
+            pos = np.nonzero(np.isin(vals, ks))[0].astype(np.int64)
+            if len(pos):
+                dv = os.path.join(
+                    dv_dir, os.path.basename(f) + ".dv.parquet")
+                pq.write_table(
+                    pa.table({"pos": pa.array(pos, pa.int64())}), dv)
+            out.append({"file": os.path.basename(f),
+                        "n_deleted": int(len(pos))})
+        return pd.DataFrame(out)
+
+    stats = (rd.from_items([{"file": f} for f in files])
+             .map_batches(one_file, batch_format="pandas", batch_size=1)
+             .to_pandas())
+    res = {"files_total": len(files),
+           "files_with_deletes": int((stats["n_deleted"] > 0).sum()),
+           "rows_deleted": int(stats["n_deleted"].sum())}
+    counters.incr({"dv_files_total": res["files_total"],
+                   "dv_files_with_deletes": res["files_with_deletes"],
+                   "dv_rows_deleted": res["rows_deleted"]})
+    return res
+
+
+def read_with_deletes(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Scan a table masking out any :func:`positional_delete` vectors —
+    one task per data file reads the file (column-pruned) plus its
+    (tiny) position vector and drops those rows with a boolean mask.
+    Files without a vector stream through untouched.  Emits
+    ``dvscan_files`` / ``dvscan_rows_masked`` counters.
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    dv_dir = os.path.join(path, "_deletes")
+    counters.incr({"dvscan_files": len(files)})
+
+    def one_file(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        masked = 0
+        for f in b["file"]:
+            t = pq.read_table(f, columns=columns)
+            dv = os.path.join(dv_dir,
+                              os.path.basename(f) + ".dv.parquet")
+            if os.path.exists(dv):
+                pos = pq.read_table(dv).column("pos").to_numpy(
+                    zero_copy_only=False)
+                keep = np.ones(t.num_rows, bool)
+                keep[pos] = False
+                masked += len(pos)
+                t = t.filter(pa.array(keep))
+            frames.append(t.to_pandas())
+        if masked:
+            counters.incr({"dvscan_rows_masked": masked})
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.from_items([{"file": f} for f in files])
+            .map_batches(one_file, batch_format="pandas", batch_size=1))

@@ -1175,3 +1175,121 @@ def pattern_adjacent(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def rate_limit(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    width_us: int = 3_600_000_000,
+    max_per_window: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Streaming throttle: keep only the FIRST ``max_per_window`` events
+    per (key, tumbling window) in (ts, tiebreak) order — the
+    rate-limiting / sampling-per-user rule in front of an expensive
+    downstream stage (dedup of abusive clients, per-user inference
+    caps).
+
+    ONE key-hash exchange; per partition a single vectorized pass:
+    sort by (key, ts, tiebreak), derive the window id, and keep rows
+    whose ``groupby(key, window).cumcount()`` (pandas' C path) is below
+    the cap.  Deterministic under ts ties via the tiebreak column.
+    Emits all original columns plus ``window_id``.
+    """
+    cap = int(max_per_window)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort").reset_index(drop=True))
+        wins = (g[ts_col].values.astype("datetime64[us]").astype(np.int64)
+                // width_us)
+        g["window_id"] = wins
+        rank = g.groupby([key_col, "window_id"], sort=False).cumcount()
+        return g[rank.to_numpy() < cap].reset_index(drop=True)
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def autocorr(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_us: int = 3_600_000_000,
+    lags: tuple[int, ...] = (1, 2, 3),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key autocorrelation of the hourly count series at the given
+    row-based lags (present windows only, the :func:`burst_detect`
+    convention): for the mean-centered series d,
+
+        acf_k = Σ_t d_t · d_{t-k}  /  Σ_t d_t²
+
+    — the seasonality/self-similarity readout feeding lag-feature
+    selection.  Emits (key, lag, n_windows, acf).
+
+    Shape: per-batch pyarrow count combiner -> ONE key-hash exchange ->
+    per-partition vectorized pass (per-key mean via groupby.transform,
+    lag products via the (key, window)-sorted position mask — a row's
+    lag-k neighbor is physically k rows back iff its within-key
+    position is >= k; never a Python loop over keys).  Partitioning
+    assumption: one key's present windows fit in its partition
+    (time-bounded — windows per key <= total range / width).
+    """
+    lag_list = sorted(set(int(x) for x in lags))
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lags must be >= 1")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_id": pa.array(wins, pa.int64())})
+        g = (t.group_by([key_col, "window_id"])
+             .aggregate([([], "count_all")]).to_pandas()
+             .rename(columns={"count_all": "n"}))
+        return g.assign(_part=_part_of(g[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        g = (g.groupby([key_col, "window_id"], sort=False, as_index=False)
+             ["n"].sum())
+        g = (g.sort_values([key_col, "window_id"], kind="mergesort")
+             .reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        x = g["n"].to_numpy(np.float64)
+        mean = (g.groupby(key_col, sort=False)["n"]
+                .transform("mean").to_numpy(np.float64))
+        d = x - mean
+        keys = g[key_col]
+        den = pd.Series(d * d).groupby(keys.values, sort=False).sum()
+        nwin = keys.value_counts(sort=False).reindex(den.index)
+        denv = den.to_numpy(np.float64)
+        out = []
+        for k in lag_list:               # bounded lag list, not keys
+            prod = np.zeros(len(g), np.float64)
+            ok = pos >= k
+            idx = np.arange(len(g))
+            prod[ok] = d[ok] * d[idx[ok] - k]
+            num = (pd.Series(prod).groupby(keys.values, sort=False)
+                   .sum().reindex(den.index).to_numpy(np.float64))
+            out.append(pd.DataFrame({
+                key_col: den.index,
+                "lag": np.full(len(den), k, np.int64),
+                "n_windows": nwin.to_numpy(np.int64),
+                "acf": np.where(denv > 0.0, num / np.where(
+                    denv > 0.0, denv, 1.0), 0.0)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
