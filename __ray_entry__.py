@@ -6742,6 +6742,190 @@ def _events_delete_vectors(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _events_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit per event type
+    (stages/analytics.py::benford_audit): integer-cents fix, first
+    significant digit by integer division, Benford-expected counts and
+    chi-square terms.  Oracle: the identical cents/digit/expectation
+    arithmetic (floor before the BIGINT cast — DuckDB CAST rounds)."""
+    from text_to_rdf_ray.stages.analytics import benford_audit
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = benford_audit(ev).to_pandas()
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["expected_n"] = _r(out["expected_n"], 6)
+    out["chi2_term"] = _r(out["chi2_term"], 6)
+    return (out[["event_type", "digit", "n", "expected_n", "chi2_term"]]
+            .sort_values(["event_type", "digit"]).reset_index(drop=True))
+
+
+def _events_kanon(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity / l-diversity audit (stages/curation.py::kanon_audit)
+    over the (event_type, hour-of-day) quasi-identifier with user_id as
+    the sensitive attribute, k=5 / l=2 — the privacy gate on
+    user-derived training records.  Oracle: GROUP BY the same quasi
+    columns with count(*) / count(DISTINCT)."""
+    from text_to_rdf_ray.stages.curation import kanon_audit
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "user_id"])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "hour": b["ts"].dt.hour.astype("int64"),
+                             "user_id": b["user_id"]})
+
+    out = kanon_audit(ev.map_batches(add_hour, batch_format="pandas"),
+                      quasi_cols=["event_type", "hour"],
+                      sensitive_col="user_id", k=5, l=2).to_pandas()
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["n_sensitive"] = out["n_sensitive"].astype("int64")
+    out["k_violation"] = out["k_violation"].astype(bool)
+    out["l_violation"] = out["l_violation"].astype(bool)
+    return (out[["event_type", "hour", "n", "n_sensitive",
+                 "k_violation", "l_violation"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+def _dedup_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup semantic dedup (stages/dedup.py::semdedup): k-means
+    (k=8, 5 iters, deterministic lowest-id init) then within-cluster
+    drop of every vector whose 6dp-rounded cosine to a LOWER-id member
+    exceeds 0.95.  Planted exact duplicates (id+offset, same bytes —
+    identical centroid distances, so both engines cluster them with
+    their originals) guarantee the drop path fires.  Oracle: assignment
+    argmin replayed from the centroid side table (kmeans_embeddings
+    pattern), then the same first-wins rule as a within-cluster
+    self-join."""
+    from text_to_rdf_ray.stages.dedup import semdedup
+    from text_to_rdf_ray.stages.knn import kmeans_lloyd
+
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(batch.column("vec_id"),
+                             pa.scalar(_EMB_DUP_OFFSET)),
+            "embedding": batch.column("embedding")})
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+    assign, cent = kmeans_lloyd(aug, id_col="vec_id",
+                                emb_col="embedding", k=8, iters=5)
+    k, d = cent.shape
+    _side_write("dedup_semdedup", "centroids.parquet", pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), k),
+        "val": cent.ravel()}))
+    out = semdedup(aug, assignments=assign, tau=0.95).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return (out[["vec_id", "cluster", "keep"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def _graph_neighbor_agg(sf_dir: str) -> pd.DataFrame:
+    """One GraphSAGE-style mean-aggregation round (stages/graph.py::
+    neighbor_agg) over a deterministic synthetic 2-out-regular graph on
+    the embedding ids (v -> (7v+3) mod n and v -> (13v+5) mod n):
+    per-destination per-dimension mean of in-neighbor embeddings.
+    Oracle: unnest + join + sum/count per (dst, dim)."""
+    from text_to_rdf_ray.stages.graph import neighbor_agg
+
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+    n = emb.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([v, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([(v * 7 + 3) % n,
+                                            (v * 13 + 5) % n]), pa.int64())})
+
+    edges = emb.map_batches(mk_edges, batch_format="pyarrow")
+    out = neighbor_agg(edges, emb).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["val"] = _r(out["val"], 6)
+    out["n_neighbors"] = out["n_neighbors"].astype("int64")
+    return (out[["node", "dim", "val", "n_neighbors"]]
+            .sort_values(["node", "dim"]).reset_index(drop=True))
+
+
+def _events_vacuum_scan(sf_dir: str) -> pd.DataFrame:
+    """VACUUM after an OVERWRITE (stages/lakehouse.py::vacuum_table):
+    v1 = the event_id%3==0 slice, v2 = append the rest, v3 = OVERWRITE
+    with the value>=10 slice; vacuum keep_last=1 drops manifests v1/v2
+    and physically deletes every data file only they referenced.  The
+    surviving v3 must still read back intact — the oracle recomputes
+    its contents from the base table (physical deletion itself is
+    pytest-asserted)."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import (commit_version,
+                                                  read_version,
+                                                  vacuum_table)
+
+    path = os.path.join(_TMP, "lakehouse", "events_vacuum")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def third(t: pa.Table, want: bool) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        mod = pa.array(ids % 3 == 0)
+        return t.filter(mod if want else pc.invert(mod))
+
+    commit_version(ev.map_batches(lambda t: third(t, True),
+                                  batch_format="pyarrow"), path)
+    commit_version(ev.map_batches(lambda t: third(t, False),
+                                  batch_format="pyarrow"), path,
+                   mode="append")
+    commit_version(ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"),
+                                            pa.scalar(10.0))),
+        batch_format="pyarrow"), path, mode="overwrite")
+    res = vacuum_table(path, keep_last=1)
+    part = read_version(path, 3).map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([float(pc.sum(t.column("value"))
+                           .as_py() or 0.0)], pa.float64())}),
+        batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(part["n"].sum())], dtype="int64"),
+        "sum_value": pd.Series(
+            [float(_r(pd.Series([part["s"].sum()]), 2)[0])],
+            dtype="float64"),
+        "versions_kept": pd.Series([int(res["versions_kept"])],
+                                   dtype="int64"),
+        "manifests_removed": pd.Series([int(res["manifests_removed"])],
+                                       dtype="int64")})
+
+
+def _events_cusum(sf_dir: str) -> pd.DataFrame:
+    """One-sided CUSUM changepoint scores per event type over the hourly
+    count series (stages/windows.py::cusum_detect — Page 1954), ref =
+    per-key mean count, kappa=0.5, h=4.  BIT-EXACT recurrence: the
+    oracle is a recursive CTE stepping rn -> rn+1 with the identical
+    float expression (the events_ewma construction)."""
+    from text_to_rdf_ray.stages.windows import cusum_detect
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    out = cusum_detect(ev, kappa=0.5, h=4.0).to_pandas()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["alarm"] = out["alarm"].astype(bool)
+    out["s"] = _r(out["s"], 6)
+    return (out[["event_type", "window_id", "n", "s", "alarm"]]
+            .sort_values(["event_type", "window_id"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -6963,6 +7147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limit": _events_rate_limit,
         "events_autocorr": _events_autocorr,
         "events_delete_vectors": _events_delete_vectors,
+        "events_benford": _events_benford,
+        "events_kanon": _events_kanon,
+        "dedup_semdedup": _dedup_semdedup,
+        "graph_neighbor_agg": _graph_neighbor_agg,
+        "events_vacuum_scan": _events_vacuum_scan,
+        "events_cusum": _events_cusum,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -9204,6 +9394,140 @@ def oracle_sql() -> dict[str, str]:
             -- invisible — plain anti-filter on the deleted key rule
             SELECT event_id, user_id FROM events
             WHERE event_id % 7 <> 0 ORDER BY event_id
+        """,
+        "events_benford": """
+            -- benford_audit replay: integer cents (floor BEFORE the
+            -- BIGINT cast — DuckDB CAST rounds), first digit from the
+            -- decimal string, expected = total * log10(1 + 1/d)
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE floor(value * 100) > 0),
+            g AS (SELECT event_type,
+                         CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS total
+                  FROM g GROUP BY 1)
+            SELECT g.event_type, g.digit, g.n,
+                   round(t.total * log10(1 + 1.0 / g.digit), 6)
+                     AS expected_n,
+                   round((g.n - t.total * log10(1 + 1.0 / g.digit))
+                         * (g.n - t.total * log10(1 + 1.0 / g.digit))
+                         / (t.total * log10(1 + 1.0 / g.digit)), 6)
+                     AS chi2_term
+            FROM g JOIN t USING (event_type)
+            ORDER BY 1, 2
+        """,
+        "events_kanon": """
+            -- k-anonymity / l-diversity replay: equivalence classes =
+            -- GROUP BY the quasi columns; violations are plain count
+            -- thresholds
+            WITH b AS (SELECT event_type,
+                              CAST(extract(hour FROM ts) AS BIGINT)
+                                AS hour,
+                              user_id
+                       FROM events)
+            SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_sensitive,
+                   count(*) < 5 AS k_violation,
+                   count(DISTINCT user_id) < 2 AS l_violation
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_semdedup": f"""
+            -- assignment argmin replayed from the centroid side table
+            -- (the kmeans_embeddings pattern), then the SemDeDup rule:
+            -- drop iff ANY lower-id same-cluster member has
+            -- round(cosine, 6) > tau — non-transitive first-wins
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {_EMB_DUP_OFFSET}, embedding
+              FROM embeddings),
+            c AS (SELECT cluster, dim, val
+                  FROM read_parquet('{os.path.join(_SIDE, "dedup_semdedup", "centroids.parquet")}')),
+            u AS (SELECT vec_id, unnest(embedding) AS ev,
+                         generate_subscripts(embedding, 1) - 1 AS dim
+                  FROM aug),
+            dist AS (SELECT u.vec_id, c.cluster,
+                            sum((u.ev - c.val) * (u.ev - c.val)) AS dist
+                     FROM u JOIN c ON c.dim = u.dim
+                     GROUP BY u.vec_id, c.cluster),
+            best AS (SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+                     FROM dist),
+            a AS (SELECT b.vec_id, b.cluster, g.embedding
+                  FROM best b JOIN aug g USING (vec_id)
+                  WHERE rn = 1)
+            SELECT x.vec_id, x.cluster,
+                   count(y.vec_id) = 0 AS keep
+            FROM a x LEFT JOIN a y
+              ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+             AND round(list_cosine_similarity(x.embedding,
+                                              y.embedding), 6) > 0.95
+            GROUP BY x.vec_id, x.cluster
+            ORDER BY x.vec_id
+        """,
+        "graph_neighbor_agg": """
+            -- neighbor mean replay: the same deterministic 2-out edges,
+            -- unnest + join + sum/count per (dst, dim)
+            WITH nn AS (SELECT count(*) AS c FROM embeddings),
+            e AS (SELECT vec_id AS src, (vec_id * 7 + 3) % c AS dst
+                  FROM embeddings, nn
+                  UNION ALL
+                  SELECT vec_id, (vec_id * 13 + 5) % c
+                  FROM embeddings, nn),
+            x AS (SELECT vec_id,
+                         CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS dim
+                  FROM embeddings)
+            SELECT e.dst AS node, CAST(x.dim AS BIGINT) AS dim,
+                   round(sum(x.v) / count(*), 6) AS val,
+                   CAST(count(*) AS BIGINT) AS n_neighbors
+            FROM e JOIN x ON x.vec_id = e.src
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_vacuum_scan": """
+            -- post-vacuum survivor replay: v3 was the value>=10
+            -- OVERWRITE; keep_last=1 keeps exactly it and removes the
+            -- two older manifests
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(1 AS BIGINT) AS versions_kept,
+                   CAST(2 AS BIGINT) AS manifests_removed
+            FROM events WHERE value >= 10.0
+        """,
+        "events_cusum": """
+            -- CUSUM replay: the SAME recurrence, same float ops, same
+            -- order — recursive CTE stepping rn -> rn + 1 (the
+            -- events_ewma construction); ref = per-key mean count
+            WITH RECURSIVE g AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            b AS (
+              SELECT event_type, window_id, n,
+                     avg(n) OVER (PARTITION BY event_type) AS ref,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY window_id) AS rn
+              FROM g),
+            r(event_type, window_id, n, rn, s) AS (
+              SELECT event_type, window_id, n, rn,
+                     greatest(0.0, (n - ref) - 0.5)
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.event_type, b.window_id, b.n, b.rn,
+                     greatest(0.0, r.s + ((b.n - ref) - 0.5))
+              FROM r JOIN b
+                ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+            SELECT event_type, window_id, n, round(s, 6) AS s,
+                   s > 4.0 AS alarm
+            FROM r ORDER BY event_type, window_id
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -1345,3 +1345,34 @@ def test_wordlist_screen_fractions_and_gate(ray_session):
     import pytest
     with pytest.raises(ValueError):
         wordlist_screen(rd.from_pandas(df), ["a", "b"], max_words=1)
+
+
+def test_kanon_audit_violations(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import kanon_audit
+
+    # class (a, 1): 5 rows, 3 distinct sensitive -> no violations
+    # class (a, 2): 2 rows, 1 distinct           -> both violations
+    # class (b, 1): 6 rows, 1 distinct           -> l-violation only
+    df = pd.DataFrame({
+        "qa": ["a"] * 5 + ["a"] * 2 + ["b"] * 6,
+        "qb": [1] * 5 + [2] * 2 + [1] * 6,
+        "s":  [10, 11, 12, 10, 11] + [7, 7] + [9] * 6})
+    out = (kanon_audit(rd.from_pandas(df), quasi_cols=["qa", "qb"],
+                       sensitive_col="s", k=5, l=2).to_pandas()
+           .set_index(["qa", "qb"]).sort_index())
+    assert len(out) == 3
+    r = out.loc[("a", 1)]
+    assert (int(r["n"]), int(r["n_sensitive"])) == (5, 3)
+    assert not r["k_violation"] and not r["l_violation"]
+    r = out.loc[("a", 2)]
+    assert (int(r["n"]), int(r["n_sensitive"])) == (2, 1)
+    assert r["k_violation"] and r["l_violation"]
+    r = out.loc[("b", 1)]
+    assert (int(r["n"]), int(r["n_sensitive"])) == (6, 1)
+    assert not r["k_violation"] and r["l_violation"]
+    with pytest.raises(ValueError):
+        kanon_audit(rd.from_pandas(df), quasi_cols=[],
+                    sensitive_col="s")

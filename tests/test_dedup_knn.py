@@ -1199,3 +1199,60 @@ def test_containment_pairs_matches_bruteforce_random(ray_session):
                              inter / len(grams[b])) >= 0.4:
                 want[(a, b)] = (inter, len(grams[a]), len(grams[b]))
     assert got == want
+
+
+def test_semdedup_first_wins(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import semdedup
+
+    # ids 0/1/2 identical direction (scaled copies -> cosine 1.0);
+    # id 3 orthogonal.  First-wins: only id 0 of the triplet survives.
+    vecs = [[1.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.5, 0.0, 0.0],
+            [0.0, 1.0, 0.0]]
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": [np.asarray(v, np.float32) for v in vecs]}))
+    assign = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "cluster": np.zeros(4, dtype=np.int64)}))
+    out = (semdedup(emb, assignments=assign, tau=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert list(out["keep"]) == [True, False, False, True]
+    assert set(out["cluster"]) == {0}
+
+    # internal k-means path (squared-L2, k=2): id 1 = [2,0,0] is far
+    # from [1,0,0] in L2 and becomes its own cluster (a singleton
+    # always keeps); id 2 = [0.5,0,0] stays with id 0 and still drops
+    out2 = (semdedup(emb, k=2, iters=3, tau=0.95).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert list(out2["keep"]) == [True, True, False, True]
+
+
+def test_semdedup_non_transitive_vs_earlier_dropped(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import semdedup
+
+    # id 1 is near id 0 (dropped); id 2 is near id 1 but NOT near id 0.
+    # SemDeDup compares against ALL earlier members (kept or not), so
+    # id 2 drops too — the non-transitive first-wins rule.
+    a = np.array([1.0, 0.0], np.float64)
+
+    def rot(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        return np.array([c, s], np.float64)
+
+    # cos(0.25) ~ 0.969 > 0.95; cos(0.5) ~ 0.878 < 0.95
+    vecs = [a, rot(0.25), rot(0.5)]
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs]}))
+    assign = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "cluster": np.zeros(3, dtype=np.int64)}))
+    out = (semdedup(emb, assignments=assign, tau=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert list(out["keep"]) == [True, False, False]

@@ -643,3 +643,25 @@ def test_multi_source_bfs_first_reach_wins_on_diamond(ray_session):
     lvl = dict(zip(out["node"].astype(int), out["level"].astype(int)))
     assert lvl[4] == 2
     assert len(out) == out[["seed", "node"]].drop_duplicates().shape[0]
+
+
+def test_neighbor_agg_manual_means(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import neighbor_agg
+
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [np.asarray(v, np.float32) for v in
+                      [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]]}))
+    # node 7 <- {0, 1}; node 8 <- {2, 2} (duplicate edge counts twice)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.array([0, 1, 2, 2], np.int64),
+        "dst": np.array([7, 7, 8, 8], np.int64)}))
+    out = (neighbor_agg(edges, emb, num_partitions=4).to_pandas()
+           .sort_values(["node", "dim"]).reset_index(drop=True))
+    assert list(out["node"]) == [7, 7, 8, 8]
+    assert list(out["dim"]) == [0, 1, 0, 1]
+    np.testing.assert_allclose(out["val"].to_numpy(),
+                               [2.0, 3.0, 5.0, 6.0])
+    assert list(out["n_neighbors"]) == [2, 2, 2, 2]

@@ -2635,3 +2635,117 @@ def test_positional_delete_masked_scan(ray_session, tmp_path):
     assert _rd.read_parquet(path).count() == 100
     with pytest.raises(ValueError):
         positional_delete(path, "k", range(10), max_keys=5)
+
+
+def test_benford_audit_manual(ray_session):
+    from text_to_rdf_ray.stages.analytics import benford_audit
+
+    # digits: 1.23 -> 123 cents -> 1; 45.0 -> 4500 -> 4; 0.09 -> 9 -> 9;
+    # 0.0 and -3.0 excluded (cents <= 0)
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "a", "a", "b"],
+        "value": [1.23, 45.0, 0.09, 0.0, -3.0, 1.0]})
+    out = benford_audit(rd.from_pandas(df)).to_pandas()
+    a = out[out["event_type"] == "a"].set_index("digit")
+    assert sorted(a.index) == [1, 4, 9]
+    assert int(a.loc[1, "n"]) == 1
+    total = 3.0
+    exp1 = total * np.log10(1 + 1.0 / 1)
+    assert abs(float(a.loc[1, "expected_n"]) - exp1) < 1e-12
+    assert abs(float(a.loc[1, "chi2_term"])
+               - (1 - exp1) ** 2 / exp1) < 1e-12
+    b = out[out["event_type"] == "b"]
+    assert len(b) == 1 and int(b["digit"].iloc[0]) == 1
+    # single-digit-class key: expected = total (log10(2)*?) no — digit 1
+    # with total 1: expected = log10(2) ~ 0.301
+    assert abs(float(b["expected_n"].iloc[0]) - np.log10(2.0)) < 1e-12
+
+
+def test_cusum_detect_level_shift(ray_session):
+    from text_to_rdf_ray.stages.windows import cusum_detect
+
+    # key "x": 1 event/hour for 20h, then 5/hour for 10h -> CUSUM climbs
+    # after the shift and alarms; manual recurrence replayed exactly
+    rows = []
+    for h in range(20):
+        rows.append({"event_type": "x",
+                     "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)})
+    for h in range(20, 30):
+        for j in range(5):
+            rows.append({"event_type": "x",
+                         "ts": (pd.Timestamp("2024-01-01")
+                                + pd.Timedelta(hours=h, minutes=j))})
+    out = (cusum_detect(rd.from_pandas(pd.DataFrame(rows)),
+                        kappa=0.5, h=4.0).to_pandas()
+           .sort_values("window_id").reset_index(drop=True))
+    assert len(out) == 30
+    x = out["n"].to_numpy(np.float64)
+    ref = x.mean()
+    s = 0.0
+    for i in range(30):
+        s = max(0.0, s + ((x[i] - ref) - 0.5))
+        assert abs(float(out["s"].iloc[i]) - s) < 1e-12
+        assert bool(out["alarm"].iloc[i]) == (s > 4.0)
+    assert not out["alarm"].iloc[:20].any()
+    assert out["alarm"].iloc[-1]
+
+
+def test_vacuum_table_reclaims_files(ray_session, tmp_path):
+    import glob
+    import os
+
+    from text_to_rdf_ray.stages.lakehouse import (commit_version,
+                                                  read_version,
+                                                  vacuum_table)
+
+    path = str(tmp_path / "tab")
+    d1 = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    d2 = pd.DataFrame({"k": np.arange(10, 20, dtype=np.int64)})
+    d3 = pd.DataFrame({"k": np.arange(100, 105, dtype=np.int64)})
+    commit_version(rd.from_pandas(d1).repartition(2), path)
+    commit_version(rd.from_pandas(d2).repartition(2), path, mode="append")
+    commit_version(rd.from_pandas(d3).repartition(2), path,
+                   mode="overwrite")
+    files_before = len(glob.glob(os.path.join(path, "commit_*",
+                                              "*.parquet")))
+    res = vacuum_table(path, keep_last=1)
+    assert res == {"versions_kept": 1, "manifests_removed": 2,
+                   "files_removed": files_before - len(
+                       glob.glob(os.path.join(path, "commit_*",
+                                              "*.parquet")))}
+    assert res["files_removed"] > 0
+    # v3 survives byte-intact; v1/v2 manifests are gone
+    assert sorted(read_version(path, 3).to_pandas()["k"]) == list(
+        range(100, 105))
+    with pytest.raises(ValueError):
+        read_version(path, 1)
+    with pytest.raises(ValueError):
+        vacuum_table(path, keep_last=0)
+    # idempotent second vacuum removes nothing further
+    res2 = vacuum_table(path, keep_last=1)
+    assert res2["files_removed"] == 0 and res2["manifests_removed"] == 0
+
+
+def test_vacuum_keeps_append_chain(ray_session, tmp_path):
+    """keep_last=2 over v1 + append-v2: v1's files stay live through
+    v2's manifest, so nothing is physically deleted."""
+    import glob
+    import os
+
+    from text_to_rdf_ray.stages.lakehouse import (commit_version,
+                                                  read_version,
+                                                  vacuum_table)
+
+    path = str(tmp_path / "tab")
+    commit_version(rd.from_pandas(
+        pd.DataFrame({"k": np.arange(5, dtype=np.int64)})), path)
+    commit_version(rd.from_pandas(
+        pd.DataFrame({"k": np.arange(5, 9, dtype=np.int64)})), path,
+        mode="append")
+    commit_version(rd.from_pandas(
+        pd.DataFrame({"k": np.arange(9, 12, dtype=np.int64)})), path,
+        mode="append")
+    res = vacuum_table(path, keep_last=2)
+    assert res["manifests_removed"] == 1
+    assert res["files_removed"] == 0  # v1 files live via v2's manifest
+    assert sorted(read_version(path, 2).to_pandas()["k"]) == list(range(9))

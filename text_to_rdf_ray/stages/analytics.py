@@ -2700,3 +2700,68 @@ def sampled_quantiles(
     return group_quantiles_exact(sample, key_col=key_col,
                                  value_col=value_col, qs=list(qs),
                                  n_bins=n_bins)
+
+
+def benford_audit(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Benford's-law first-digit audit per key — the classic
+    fabricated-data / instrumentation-bug detector for monetary-shaped
+    columns.  Values are fixed to integer cents (``floor(value*100)``,
+    an IEEE multiply + floor both engines reproduce bit-for-bit; rows
+    with cents <= 0 are excluded), the first significant digit is
+    extracted by INTEGER repeated division (never float log10, whose
+    rounding at powers of ten is engine-dependent), and each
+    (key, digit) row carries the observed count, the Benford-expected
+    count ``total * log10(1 + 1/d)`` and its chi-square term.
+
+    Shape: per-batch pyarrow combiner on (key, digit) -> ONE key-hash
+    exchange -> per-partition vectorized finalize (per-key totals via
+    groupby.transform).  Output is O(keys x 9).
+    """
+    from .exchange import _key_hash  # noqa: F401  (partition idiom)
+    from .windows import _part_of
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        ok = cents > 0
+        d = cents[ok].astype(np.int64)
+        # first significant digit via integer division — exact
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        t = pa.table({key_col: batch.column(key_col).take(
+                          pa.array(np.flatnonzero(ok), pa.int64())),
+                      "digit": pa.array(d, pa.int64())})
+        g = (t.group_by([key_col, "digit"])
+             .aggregate([([], "count_all")]).to_pandas()
+             .rename(columns={"count_all": "n"}))
+        return g.assign(_part=_part_of(g[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        g = (g.groupby([key_col, "digit"], sort=False, as_index=False)
+             ["n"].sum())
+        total = (g.groupby(key_col, sort=False)["n"]
+                 .transform("sum").to_numpy(np.float64))
+        dig = g["digit"].to_numpy(np.float64)
+        expected = total * np.log10(1.0 + 1.0 / dig)
+        obs = g["n"].to_numpy(np.float64)
+        chi2 = (obs - expected) * (obs - expected) / expected
+        return pd.DataFrame({
+            key_col: g[key_col],
+            "digit": g["digit"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "expected_n": expected,
+            "chi2_term": chi2})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))

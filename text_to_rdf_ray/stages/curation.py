@@ -2646,3 +2646,52 @@ def wordlist_screen(
 
     return ds.map_batches(score, batch_format="pandas",
                           batch_size=4096)
+
+
+def kanon_audit(
+    ds: rd.Dataset,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over quasi-identifier columns — the privacy gate a training
+    corpus with user-derived records needs before release: every
+    equivalence class (unique quasi-identifier combination) with its
+    row count, distinct-sensitive-value count, and whether it violates
+    k-anonymity (n < k: the class is re-identifiable) or l-diversity
+    (fewer than l distinct sensitive values: the class leaks the
+    attribute even when anonymous).
+
+    ONE quasi-key hash exchange; per partition a single vectorized
+    pandas pass (groupby size + nunique — C paths across every class
+    in the partition).  Emits (quasi..., n, n_sensitive, k_violation,
+    l_violation).
+    """
+    from .windows import _part_of
+
+    if not quasi_cols:
+        raise ValueError("kanon_audit: quasi_cols must be non-empty")
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        key = b[quasi_cols[0]].astype(str)
+        for c in quasi_cols[1:]:
+            key = key + "\x1f" + b[c].astype(str)
+        return b.assign(_part=_part_of(key, num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        agg = (g.groupby(quasi_cols, sort=False)[sensitive_col]
+               .agg(n="size", n_sensitive="nunique").reset_index())
+        agg["n"] = agg["n"].astype("int64")
+        agg["n_sensitive"] = agg["n_sensitive"].astype("int64")
+        agg["k_violation"] = agg["n"] < k
+        agg["l_violation"] = agg["n_sensitive"] < l
+        return agg
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))

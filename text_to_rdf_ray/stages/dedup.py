@@ -1896,3 +1896,84 @@ def blocking_quality(
         "reduction_ratio": pd.Series([rr], dtype="float64"),
         "pairs_completeness": pd.Series([pc_], dtype="float64"),
     })
+
+
+def semdedup(
+    emb: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.95,
+    chunk: int = 4096,
+    assignments: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, then WITHIN each cluster drop every
+    vector whose cosine similarity (rounded to 6dp — the MMR convention
+    that makes float comparisons replayable) to a LOWER-id cluster
+    member exceeds ``tau``.  First-wins by id, non-transitive — the
+    passage_dedup rule lifted to embedding space.
+
+    Scale shape: clustering is ``knn.kmeans_lloyd`` (streaming passes +
+    O(k*d) reduces); the pairwise stage exchanges (id, cluster,
+    embedding) on cluster — each cluster's members land in ONE
+    partition, where similarity is a row-chunked float64 matmul (peak
+    memory chunk x cluster floats, never |cluster|²).  Partitioning
+    assumption: one cluster's vectors fit in a partition; at corpus
+    scale raise ``k`` so clusters stay bounded (the paper's regime —
+    k ~ sqrt(N)).  Emits (id, cluster, keep).
+
+    ``assignments`` (an (id, cluster) Dataset) skips the internal
+    k-means — for callers that already clustered (IVF index reuse)
+    or need the centroids themselves (oracle side tables).
+    """
+    from .exchange import exchange_join
+    from .knn import kmeans_lloyd
+
+    if assignments is None:
+        assignments, _cent = kmeans_lloyd(emb, id_col=id_col,
+                                          emb_col=emb_col, k=k, iters=iters)
+    assign = assignments
+
+    keyed = exchange_join(
+        assign.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col).cast(pa.int64()),
+                "cluster": t.column("cluster").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        emb.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                                emb_col: t.column(emb_col)}),
+            batch_format="pyarrow"),
+        on=id_col, num_partitions=max(16, k),
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("cluster", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                (emb_col, pa.list_(pa.float32()))]))
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in g[emb_col]])
+        norm = np.sqrt((m * m).sum(axis=1))
+        m = m / np.where(norm > 0, norm, 1.0)[:, None]
+        n = len(g)
+        dropped = np.zeros(n, bool)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            # sims of rows [lo:hi) against ALL rows before hi; a row j
+            # drops iff any STRICTLY-earlier column exceeds tau — the
+            # strict-lower-triangle mask, vectorized across the chunk
+            sims = np.round(m[lo:hi] @ m[:hi].T, 6)
+            earlier = (np.arange(hi)[None, :]
+                       < np.arange(lo, hi)[:, None])
+            dropped[lo:hi] = ((sims > tau) & earlier).any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64"),
+            "cluster": g["cluster"].astype("int64"),
+            "keep": ~dropped})
+
+    return keyed.groupby("cluster").map_groups(per_cluster,
+                                               batch_format="pandas")

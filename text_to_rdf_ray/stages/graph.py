@@ -2115,3 +2115,71 @@ def closeness_from_seeds(
             "closeness": pa.array(c, pa.float64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def neighbor_agg(
+    edges: rd.Dataset,
+    emb: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """One round of GraphSAGE-style neighbor aggregation: for every
+    destination node, the per-dimension MEAN of its in-neighbors'
+    embedding vectors — the message-passing primitive under GNN feature
+    propagation, supernode pooling and label-smoothing.
+
+    Shape: ONE ``exchange_join`` attaches each edge's source embedding
+    (vectors ride the exchange as Arrow lists, never exploded to d rows
+    per edge); then a dst-hash exchange and a per-partition vectorized
+    reduce — rows sort by dst once, vectors stack into a float64
+    matrix, and ``np.add.reduceat`` sums every group in one C pass.
+    Output is LONG (node, dim, val, n_neighbors): node-major vectors
+    explode to d rows only at the final O(nodes x d) emit, which is the
+    output's own size, not shuffle volume.
+    """
+    from .exchange import exchange_join
+    from .windows import _part_of
+
+    joined = exchange_join(
+        edges.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(src_col).cast(pa.int64()),
+                "_dst": t.column(dst_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        emb.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                                emb_col: t.column(emb_col)}),
+            batch_format="pyarrow"),
+        on=id_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("_dst", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                (emb_col, pa.list_(pa.float32()))]))
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_part=_part_of(b["_dst"], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values("_dst", kind="mergesort").reset_index(drop=True))
+        m = np.stack([np.asarray(v, np.float64) for v in g[emb_col]])
+        dst = g["_dst"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        counts = np.diff(np.r_[starts, len(dst)])
+        sums = np.add.reduceat(m, starts, axis=0)
+        mean = sums / counts[:, None]
+        nodes = dst[starts]
+        d = m.shape[1]
+        return pd.DataFrame({
+            "node": np.repeat(nodes, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(nodes)),
+            "val": mean.ravel(),
+            "n_neighbors": np.repeat(counts.astype(np.int64), d)})
+
+    return (joined.map_batches(add_part, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))

@@ -803,3 +803,47 @@ def read_with_deletes(
 
     return (rd.from_items([{"file": f} for f in files])
             .map_batches(one_file, batch_format="pandas", batch_size=1))
+
+
+def vacuum_table(
+    path: str,
+    *,
+    keep_last: int = 1,
+) -> dict:
+    """VACUUM for :func:`commit_version` tables: drop every manifest
+    older than the newest ``keep_last`` versions and physically delete
+    data files no kept manifest references — the storage-reclaim half
+    of the Iceberg/Delta lifecycle (commit / time-travel / compact /
+    delete-vectors / vacuum).  Without it a 100 TB table's overwrite
+    churn retains every byte ever written.
+
+    Driver work is O(files) NAMES only (manifest set-difference); no
+    data bytes move.  Kept versions remain byte-identical readable via
+    :func:`read_version`.  Returns {versions_kept, manifests_removed,
+    files_removed} (also emitted as ``vacuum_*`` counters).
+    """
+    import glob as _glob
+
+    if keep_last < 1:
+        raise ValueError("vacuum_table: keep_last must be >= 1")
+    versions = _log_versions(path)
+    if not versions:
+        raise ValueError(f"vacuum_table: no versions at {path}")
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in kept:
+        live.update(pd.read_parquet(os.path.join(
+            path, f"manifest_v{v:05d}.parquet"))["file"].tolist())
+    n_removed = 0
+    for f in _glob.glob(os.path.join(path, "commit_*", "*.parquet")):
+        if os.path.relpath(f, path) not in live:
+            os.remove(f)
+            n_removed += 1
+    for v in dropped:
+        os.remove(os.path.join(path, f"manifest_v{v:05d}.parquet"))
+    res = {"versions_kept": len(kept),
+           "manifests_removed": len(dropped),
+           "files_removed": n_removed}
+    counters.incr({"vacuum_manifests_removed": res["manifests_removed"],
+                   "vacuum_files_removed": res["files_removed"]})
+    return res

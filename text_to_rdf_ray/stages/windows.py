@@ -1293,3 +1293,69 @@ def autocorr(
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def cusum_detect(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_us: int = 3_600_000_000,
+    kappa: float = 0.5,
+    h: float = 4.0,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """One-sided positive CUSUM changepoint scores (Page 1954) over each
+    key's hourly count series — the drift detector that catches slow
+    level shifts :func:`burst_detect`'s windowed z-score misses:
+
+        ref = per-key mean count (float-exact: integer sums)
+        s_t = max(0, s_{t-1} + ((x_t - ref) - kappa)),  s_0 = 0
+        alarm iff s_t > h
+
+    BIT-EXACT by the :func:`ewma` construction: the recurrence is the
+    literal expression evaluated once per element, so a recursive-SQL
+    replay stepping rn→rn+1 reproduces every float bit.  Shape:
+    per-batch pyarrow count combiner -> ONE key-hash exchange -> a
+    per-partition loop over sequence POSITIONS (one fused numpy pass
+    across every key alive at that position), never a Python call per
+    key.  Emits (key, window_id, n, s, alarm) over present windows.
+    """
+    kap = np.float64(kappa)
+    thresh = np.float64(h)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_id": pa.array(wins, pa.int64())})
+        g = (t.group_by([key_col, "window_id"])
+             .aggregate([([], "count_all")]).to_pandas()
+             .rename(columns={"count_all": "n"}))
+        return g.assign(_part=_part_of(g[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        g = (g.groupby([key_col, "window_id"], sort=False, as_index=False)
+             ["n"].sum())
+        g = (g.sort_values([key_col, "window_id"], kind="mergesort")
+             .reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        x = g["n"].to_numpy(np.float64)
+        ref = (g.groupby(key_col, sort=False)["n"]
+               .transform("mean").to_numpy(np.float64))
+        z = (x - ref) - kap
+        s = np.maximum(0.0, z)            # position 0: s = max(0, z)
+        max_pos = int(pos.max()) if len(pos) else 0
+        idx = np.arange(len(g))
+        for t in range(1, max_pos + 1):
+            cur = idx[pos == t]
+            s[cur] = np.maximum(0.0, s[cur - 1] + z[cur])
+        g["n"] = g["n"].astype("int64")
+        g["s"] = s
+        g["alarm"] = s > thresh
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
