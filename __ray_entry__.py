@@ -6926,6 +6926,113 @@ def _events_cusum(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_kmv_users(sf_dir: str) -> pd.DataFrame:
+    """KMV distinct-count sketch per event type (stages/analytics.py::
+    kmv_distinct): the 64 smallest splitmix64(user_id) hashes; estimate
+    (k-1)*2^64/h_(k) — integer-exact until the single final division,
+    so the SQL replay is bit-for-bit (kth hash compared as a decimal
+    string; uint64 doesn't fit the int64 lane)."""
+    from text_to_rdf_ray.stages.analytics import kmv_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    out = kmv_distinct(ev, key_col="event_type", id_col="user_id",
+                       k=64).to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["est_distinct"] = _r(out["est_distinct"], 6)
+    return (out[["event_type", "n_kept", "kth_hash", "est_distinct"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def _events_robust_z(sf_dir: str) -> pd.DataFrame:
+    """Median/MAD robust z-scores per event type (stages/analytics.py::
+    robust_zscore — Iglewicz-Hoaglin modified z, 0.6745): two exact-
+    quantile passes, medians rounded 6dp before use so the arithmetic
+    is engine-exact.  Oracle: quantile_cont twice + the identical float
+    expression."""
+    from text_to_rdf_ray.stages.analytics import robust_zscore
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = robust_zscore(ev, key_col="event_type", value_col="value",
+                        id_col="event_id", z_thresh=3.5).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["rz"] = _r(out["rz"], 6)
+    out["outlier"] = out["outlier"].astype(bool)
+    return (out[["event_id", "event_type", "value", "rz", "outlier"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _graph_diameter(sf_dir: str) -> pd.DataFrame:
+    """Double-sweep BFS diameter lower bound (stages/graph.py::
+    diameter_double_sweep) over the supplier↔customer bipartite graph,
+    levels bounded at 6.  Oracle: two chained bounded recursive CTEs
+    (UNION-dedup frontier) with the same deterministic farthest pick
+    (max level, ties -> min node)."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import diameter_double_sweep
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = exchange_join(
+        li.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "supp": b["l_suppkey"]}),
+            batch_format="pandas"),
+        orders.map_batches(lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "cust": b["o_custkey"]}),
+            batch_format="pandas"),
+        on="okey", num_partitions=16, coalesce_blocks=16,
+        left_schema=pa.schema([("okey", pa.int64()),
+                               ("supp", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()),
+                                ("cust", pa.int64())]))
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["supp"].astype("int64")
+        c = b["cust"].astype("int64") + 1_000_000
+        return pd.DataFrame({"src": pd.concat([s, c], ignore_index=True),
+                             "dst": pd.concat([c, s], ignore_index=True)})
+
+    edges = joined.map_batches(both_dirs, batch_format="pandas")
+    out = diameter_double_sweep(edges, k=6,
+                                num_partitions=16).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["start_node", "ecc_start", "far_node", "diameter_lb"]]
+
+
+def _events_version_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between two committed versions (stages/lakehouse.py
+    ::version_diff): v1 = the event_id%3==0 slice, v2 = OVERWRITE with
+    the value>=10 slice; added = in v2 only, removed = in v1 only —
+    the CDF/audit readout.  Oracle: the two anti-filters recomputed
+    from the base table (the log layout must be invisible)."""
+    import shutil
+
+    from text_to_rdf_ray.stages.lakehouse import commit_version, version_diff
+
+    path = os.path.join(_TMP, "lakehouse", "events_version_diff")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def third(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    commit_version(ev.map_batches(third, batch_format="pyarrow"), path)
+    commit_version(ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"),
+                                            pa.scalar(10.0))),
+        batch_format="pyarrow"), path, mode="overwrite")
+    out = version_diff(path, 1, 2, cols=["event_id", "value"]).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return (out[["event_id", "value", "change"]]
+            .sort_values(["event_id", "change"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7153,6 +7260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighbor_agg": _graph_neighbor_agg,
         "events_vacuum_scan": _events_vacuum_scan,
         "events_cusum": _events_cusum,
+        "events_kmv_users": _events_kmv_users,
+        "events_robust_z": _events_robust_z,
+        "graph_diameter": _graph_diameter,
+        "events_version_diff": _events_version_diff,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -9528,6 +9639,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_id, n, round(s, 6) AS s,
                    s > 4.0 AS alarm
             FROM r ORDER BY event_type, window_id
+        """,
+        "events_kmv_users": f"""
+            -- KMV replay: distinct (type, user) pairs -> splitmix64 ->
+            -- DISTINCT hashes -> 64 smallest per type; est =
+            -- (63 * 2^64) / kth, all integer until the division
+            WITH kv AS (SELECT DISTINCT event_type, user_id FROM events),
+            {_sm64_sql("kv", "user_id", ["event_type"], prefix="kmv")},
+            dh AS (SELECT DISTINCT event_type, hv FROM kmvh),
+            rk AS (SELECT event_type, hv,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hv) AS rn
+                   FROM dh),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           max(hv) AS kth
+                    FROM rk WHERE rn <= 64 GROUP BY event_type)
+            SELECT event_type, n_kept,
+                   CAST(kth AS VARCHAR) AS kth_hash,
+                   round(CASE WHEN n_kept >= 64
+                         THEN (63.0 * 18446744073709551616.0)
+                              / CAST(kth AS DOUBLE)
+                         ELSE CAST(n_kept AS DOUBLE) END, 6)
+                     AS est_distinct
+            FROM agg ORDER BY event_type
+        """,
+        "events_robust_z": """
+            -- robust-z replay: quantile_cont medians rounded 6dp
+            -- before use (matches the operator), then the identical
+            -- 0.6745*(x-med)/mad expression; MAD=0 -> rz=0
+            WITH med AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.5), 6) AS med
+              FROM events GROUP BY 1),
+            ad AS (SELECT e.event_type, abs(e.value - m.med) AS ad
+                   FROM events e JOIN med m USING (event_type)),
+            mad AS (SELECT event_type,
+                           round(quantile_cont(ad, 0.5), 6) AS mad
+                    FROM ad GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   round(CASE WHEN m2.mad = 0 THEN 0.0
+                         ELSE 0.6745 * (e.value - m.med) / m2.mad
+                         END, 6) AS rz,
+                   (CASE WHEN m2.mad = 0 THEN 0.0
+                         ELSE abs(0.6745 * (e.value - m.med) / m2.mad)
+                         END) > 3.5 AS outlier
+            FROM events e
+            JOIN med m USING (event_type)
+            JOIN mad m2 USING (event_type)
+            ORDER BY e.event_id
+        """,
+        "graph_diameter": """
+            -- double-sweep replay: two bounded recursive BFS CTEs
+            -- (UNION dedups (node, lvl) so walks never multiply);
+            -- farthest pick = max first-reach level, ties -> min node
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey AS src,
+                              1000000 + o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            e(src, dst) AS (SELECT src, dst FROM e0
+                            UNION ALL SELECT dst, src FROM e0),
+            n AS (SELECT CAST(min(least(src, dst)) AS BIGINT) AS start
+                  FROM e),
+            r1(node, lvl) AS (
+              SELECT start, 0 FROM n
+              UNION
+              SELECT e.dst, r1.lvl + 1 FROM r1
+              JOIN e ON e.src = r1.node WHERE r1.lvl < 6),
+            m1 AS (SELECT node, min(lvl) AS level FROM r1 GROUP BY node),
+            p1 AS (SELECT CAST(node AS BIGINT) AS node,
+                          CAST(level AS BIGINT) AS level
+                   FROM m1 ORDER BY level DESC, node LIMIT 1),
+            r2(node, lvl) AS (
+              SELECT node, CAST(0 AS BIGINT) FROM p1
+              UNION
+              SELECT e.dst, r2.lvl + 1 FROM r2
+              JOIN e ON e.src = r2.node WHERE r2.lvl < 6),
+            m2 AS (SELECT node, min(lvl) AS level FROM r2 GROUP BY node)
+            SELECT (SELECT start FROM n) AS start_node,
+                   (SELECT level FROM p1) AS ecc_start,
+                   (SELECT node FROM p1) AS far_node,
+                   CAST((SELECT max(level) FROM m2) AS BIGINT)
+                     AS diameter_lb
+        """,
+        "events_version_diff": """
+            -- version-diff replay: v1 = event_id %% 3 = 0, v2 =
+            -- value >= 10 (OVERWRITE); set-semantics anti-filters
+            SELECT event_id, value, 'added' AS change
+            FROM events WHERE value >= 10.0 AND event_id % 3 <> 0
+            UNION ALL
+            SELECT event_id, value, 'removed'
+            FROM events WHERE event_id % 3 = 0 AND value < 10.0
+            ORDER BY event_id, change
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

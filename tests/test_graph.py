@@ -665,3 +665,31 @@ def test_neighbor_agg_manual_means(ray_session):
     np.testing.assert_allclose(out["val"].to_numpy(),
                                [2.0, 3.0, 5.0, 6.0])
     assert list(out["n_neighbors"]) == [2, 2, 2, 2]
+
+
+def test_diameter_double_sweep_path_and_star(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import diameter_double_sweep
+
+    # undirected path 0-1-...-9: start=0 (min id), ecc=9, far=9, lb=9
+    src = np.arange(9, dtype=np.int64)
+    dst = src + 1
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.concatenate([src, dst]),
+        "dst": np.concatenate([dst, src])}))
+    out = diameter_double_sweep(edges, k=12, num_partitions=4).to_pandas()
+    assert out.iloc[0].to_dict() == {"start_node": 0, "ecc_start": 9,
+                                     "far_node": 9, "diameter_lb": 9}
+
+    # star centered at 0 with leaves 1..5: ecc(0)=1, far=1 (min leaf),
+    # sweep 2 from leaf 1 reaches the others at level 2
+    leaves = np.arange(1, 6, dtype=np.int64)
+    ctr = np.zeros(5, np.int64)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.concatenate([ctr, leaves]),
+        "dst": np.concatenate([leaves, ctr])}))
+    out = diameter_double_sweep(edges, k=4, num_partitions=4).to_pandas()
+    assert out.iloc[0].to_dict() == {"start_node": 0, "ecc_start": 1,
+                                     "far_node": 1, "diameter_lb": 2}

@@ -2749,3 +2749,68 @@ def test_vacuum_keeps_append_chain(ray_session, tmp_path):
     assert res["manifests_removed"] == 1
     assert res["files_removed"] == 0  # v1 files live via v2's manifest
     assert sorted(read_version(path, 2).to_pandas()["k"]) == list(range(9))
+
+
+def test_kmv_distinct_exact_and_estimate(ray_session):
+    from text_to_rdf_ray.stages.analytics import kmv_distinct, splitmix64
+
+    # key "small": 10 distinct ids (< k=16) -> exact count; key "big":
+    # 500 distinct -> estimate = 15 * 2^64 / h_(16), replayed manually
+    rows = pd.DataFrame({
+        "k": ["small"] * 30 + ["big"] * 500,
+        "id": ([*range(10)] * 3) + [*range(1000, 1500)]})
+    out = (kmv_distinct(rd.from_pandas(rows), key_col="k", id_col="id",
+                        k=16).to_pandas().set_index("k"))
+    assert int(out.loc["small", "n_kept"]) == 10
+    assert float(out.loc["small", "est_distinct"]) == 10.0
+    assert int(out.loc["big", "n_kept"]) == 16
+    h = np.sort(splitmix64(np.arange(1000, 1500, dtype=np.int64)))
+    kth = h[15]
+    want = 15 * 2.0 ** 64 / float(kth)
+    assert float(out.loc["big", "est_distinct"]) == want
+    assert out.loc["big", "kth_hash"] == str(int(kth))
+    # the estimate is in the right ballpark for a uniform hash sample
+    assert 250 < want < 1000
+
+
+def test_robust_zscore_outlier_and_zero_mad(ray_session):
+    from text_to_rdf_ray.stages.analytics import robust_zscore
+
+    # key "a": tight cluster + one wild sentinel -> only it flags;
+    # key "b": constant values -> MAD 0 -> rz defined 0, no flags
+    df = pd.DataFrame({
+        "id": np.arange(12, dtype=np.int64),
+        "k": ["a"] * 7 + ["b"] * 5,
+        "v": [10.0, 10.5, 9.5, 10.25, 9.75, 10.1, 1e9] + [3.0] * 5})
+    out = (robust_zscore(rd.from_pandas(df), key_col="k", value_col="v",
+                         id_col="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    assert list(a["outlier"]) == [False] * 6 + [True]
+    # manual: med/MAD of the 7 values (rounded 6dp), modified z
+    vals = np.array([10.0, 10.5, 9.5, 10.25, 9.75, 10.1, 1e9])
+    med = round(float(np.quantile(vals, 0.5)), 6)
+    mad = round(float(np.quantile(np.abs(vals - med), 0.5)), 6)
+    want = 0.6745 * (vals - med) / mad
+    np.testing.assert_allclose(a["rz"].to_numpy(), want, rtol=1e-12)
+    b = out[out["k"] == "b"]
+    assert (b["rz"] == 0.0).all() and not b["outlier"].any()
+
+
+def test_version_diff_added_removed(ray_session, tmp_path):
+    from text_to_rdf_ray.stages.lakehouse import commit_version, version_diff
+
+    path = str(tmp_path / "tab")
+    v1 = pd.DataFrame({"k": np.array([1, 2, 3, 4], np.int64),
+                       "v": np.array([10, 20, 30, 40], np.int64)})
+    # v2: row 2 unchanged, row 3 value changed, row 4 gone, row 5 new
+    v2 = pd.DataFrame({"k": np.array([2, 3, 5], np.int64),
+                       "v": np.array([20, 31, 50], np.int64)})
+    commit_version(rd.from_pandas(v1), path)
+    commit_version(rd.from_pandas(v2), path, mode="overwrite")
+    out = (version_diff(path, 1, 2, cols=["k", "v"]).to_pandas()
+           .sort_values(["change", "k"]).reset_index(drop=True))
+    got = set(map(tuple, out[["k", "v", "change"]].itertuples(index=False)))
+    assert got == {(3, 31, "added"), (5, 50, "added"),
+                   (1, 10, "removed"), (3, 30, "removed"),
+                   (4, 40, "removed")}

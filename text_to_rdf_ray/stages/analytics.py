@@ -2765,3 +2765,129 @@ def benford_audit(
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def kmv_distinct(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """KMV (k-minimum-values) distinct-count sketch per key (Bar-Yossef
+    et al. 2002; Beyer et al. 2007): keep the ``k`` smallest DISTINCT
+    ``splitmix64(id)`` hashes per key; when >= k survive the estimate is
+    ``(k-1) * 2^64 / h_(k)`` (h_(k) = the k-th smallest), else the exact
+    surviving count.  The HLL alternative when the consumer needs the
+    sample itself (the k minima ARE a uniform distinct-value sample) or
+    an estimator that is INTEGER-exact until the single final division —
+    the whole replay is bit-for-bit in SQL, unlike any float-register
+    sketch.  Mergeable: union = concat + re-take k smallest; state is
+    bounded at k hashes per key.
+
+    Shape: per-batch vectorized partial (distinct hashes per key, local
+    k-smallest via one lexsort) -> ONE key-hash exchange (volume <=
+    batches x keys x k rows regardless of cardinality) -> per-partition
+    identical reduce -> O(keys) rows out: (key, n_kept, kth_hash as
+    decimal string — uint64 doesn't fit the int64 lane — and estimate).
+    """
+    from .windows import _part_of
+
+    def _k_smallest(key: pd.Series, hv: np.ndarray) -> pd.DataFrame:
+        df = pd.DataFrame({key_col: key.to_numpy(),
+                           "_hv": hv}).drop_duplicates()
+        df = df.sort_values([key_col, "_hv"], kind="mergesort")
+        rank = df.groupby(key_col, sort=False).cumcount()
+        return df[rank < k].reset_index(drop=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hv = splitmix64(ids.astype(np.int64))
+        out = _k_smallest(batch.column(key_col).to_pandas(), hv)
+        return out.assign(_part=_part_of(out[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = _k_smallest(g[key_col], g["_hv"].to_numpy())
+        agg = (g.groupby(key_col, sort=False)["_hv"]
+               .agg(n_kept="size", kth="max").reset_index())
+        n_kept = agg["n_kept"].to_numpy(np.int64)
+        kth = agg["kth"].to_numpy(np.uint64)
+        est = np.where(
+            n_kept >= k,
+            (k - 1) * 2.0 ** 64 / kth.astype(np.float64),
+            n_kept.astype(np.float64))
+        return pd.DataFrame({
+            key_col: agg[key_col],
+            "n_kept": n_kept,
+            "kth_hash": [str(int(h)) for h in kth],
+            "est_distinct": est})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def robust_zscore(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_thresh: float = 3.5,
+    n_bins: int = 2048,
+) -> rd.Dataset:
+    """Per-key robust z-scores via median/MAD (Iglewicz & Hoaglin 1993's
+    modified z, constant 0.6745) — the outlier detector that survives
+    the heavy tails and contamination that wreck mean/sigma z-scores
+    (one 10^9 sentinel value shifts a mean z arbitrarily; it moves a
+    median not at all).
+
+    Two exact-quantile passes through :func:`group_quantiles_exact`
+    (numpy 'linear' == SQL ``quantile_cont``; histogram-locate, no
+    global sort): pass 1 the per-key median of ``value_col``; pass 2
+    the per-key median of |x - med|.  Both medians are rounded to 6dp
+    BEFORE use (half-away, DuckDB's round) so the downstream arithmetic
+    is engine-exact even when a last-ulp interpolation difference would
+    otherwise cascade.  Medians/MADs are O(keys) driver rows broadcast
+    into the final pure map, which emits per-row
+    ``rz = 0.6745 * (x - med) / mad`` (0 when MAD = 0) and
+    ``outlier = |rz| > z_thresh``.
+    """
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    med_df = group_quantiles_exact(ds, key_col=key_col,
+                                   value_col=value_col, qs=[0.5],
+                                   n_bins=n_bins)
+    med = {key: float(_r6(np.asarray([v]))[0])
+           for key, v in zip(med_df[key_col], med_df["q_0.5"])}
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[key_col].map(med).to_numpy(np.float64)
+        return pd.DataFrame({
+            key_col: b[key_col],
+            "_ad": np.abs(b[value_col].to_numpy(np.float64) - m)})
+
+    mad_df = group_quantiles_exact(
+        ds.map_batches(absdev, batch_format="pandas"),
+        key_col=key_col, value_col="_ad", qs=[0.5], n_bins=n_bins)
+    mad = {key: float(_r6(np.asarray([v]))[0])
+           for key, v in zip(mad_df[key_col], mad_df["q_0.5"])}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value_col].to_numpy(np.float64)
+        m = b[key_col].map(med).to_numpy(np.float64)
+        s = b[key_col].map(mad).to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = 0.6745 * (x - m) / s
+        rz = np.where(s == 0.0, 0.0, rz)
+        return pd.DataFrame({
+            id_col: b[id_col],
+            key_col: b[key_col],
+            value_col: x,
+            "rz": rz,
+            "outlier": np.abs(rz) > z_thresh})
+
+    return ds.map_batches(score, batch_format="pandas",
+                          batch_size=65536)

@@ -2183,3 +2183,65 @@ def neighbor_agg(
     return (joined.map_batches(add_part, batch_format="pandas",
                                batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def diameter_double_sweep(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 8,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Double-sweep BFS diameter lower bound (Magnien, Latapy & Habib
+    2009) — the standard cheap estimator for "how wide is this graph"
+    (two BFS traversals instead of all-pairs): sweep 1 runs BFS from
+    the minimum-id node; the farthest node reached (max first-reach
+    level, ties -> min node id) seeds sweep 2, whose eccentricity is
+    the classic tight lower bound on the true diameter.
+
+    Both sweeps are :func:`multi_source_bfs` (edge table exchanged and
+    pinned once per sweep, frontier joins per level) with levels
+    bounded at ``k`` — the bound is part of the contract (results are
+    "within k hops", exact when the graph's true eccentricities fit).
+    Start-node discovery and the farthest-pick are O(batches) driver
+    folds over per-batch partials, never a full collect.  Emits ONE
+    row: (start_node, ecc_start, far_node, diameter_lb).
+    """
+    from .exchange import exchange_agg
+
+    lo = exchange_agg(
+        edges.map_batches(
+            lambda t: pa.table({
+                "_k": pa.array(np.zeros(2 * t.num_rows, np.int64)),
+                "node": pa.concat_arrays([
+                    t.column(src_col).cast(pa.int64()).combine_chunks(),
+                    t.column(dst_col).cast(pa.int64()).combine_chunks()])}),
+            batch_format="pyarrow"),
+        "_k", [("node", "min", "start")], num_partitions=1).to_pandas()
+    if lo.empty:
+        raise ValueError("diameter_double_sweep: empty edge set")
+    start = int(lo["start"].iloc[0])
+
+    def _farthest(bfs: rd.Dataset) -> tuple[int, int]:
+        # (max level, min node at that level) via per-batch partials
+        part = bfs.map_batches(
+            lambda b: (b.sort_values(["level", "node"],
+                                     ascending=[False, True]).head(1)
+                       [["node", "level"]]),
+            batch_format="pandas").to_pandas()
+        part = part.sort_values(["level", "node"],
+                                ascending=[False, True])
+        return int(part["node"].iloc[0]), int(part["level"].iloc[0])
+
+    far, ecc1 = _farthest(multi_source_bfs(
+        edges, [start], src_col=src_col, dst_col=dst_col, k=k,
+        num_partitions=num_partitions))
+    _far2, dlb = _farthest(multi_source_bfs(
+        edges, [far], src_col=src_col, dst_col=dst_col, k=k,
+        num_partitions=num_partitions))
+    return rd.from_pandas(pd.DataFrame({
+        "start_node": pd.Series([start], dtype="int64"),
+        "ecc_start": pd.Series([ecc1], dtype="int64"),
+        "far_node": pd.Series([far], dtype="int64"),
+        "diameter_lb": pd.Series([dlb], dtype="int64")}))

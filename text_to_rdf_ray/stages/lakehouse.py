@@ -847,3 +847,46 @@ def vacuum_table(
     counters.incr({"vacuum_manifests_removed": res["manifests_removed"],
                    "vacuum_files_removed": res["files_removed"]})
     return res
+
+
+def version_diff(
+    path: str,
+    v_old: int,
+    v_new: int,
+    *,
+    cols: list[str],
+    num_partitions: int = 32,
+) -> "rd.Dataset":
+    """Snapshot diff between two committed versions of a
+    :func:`commit_version` table — the change-data-feed / audit readout
+    ("what did last night's overwrite actually change?") that Delta's
+    CDF and Iceberg's changelog scans provide.  SET semantics over
+    ``cols``: rows of ``v_new`` absent from ``v_old`` are tagged
+    ``'added'``, rows of ``v_old`` absent from ``v_new`` ``'removed'``;
+    unchanged rows never appear.
+
+    Both directions run through ``analytics.set_op_rows`` (per-batch
+    distinct combiner -> one row-hash exchange -> per-partition merge
+    indicator), so the diff streams at shuffle cost proportional to the
+    DISTINCT rows of the two versions — no driver collect, no pairwise
+    compare; manifests alone decide which files are even read.
+    """
+    from .analytics import set_op_rows
+
+    old = read_version(path, v_old).select_columns(cols)
+    new = read_version(path, v_new).select_columns(cols)
+
+    def tag(label: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["change"] = label
+            return b
+        return fn
+
+    added = set_op_rows(new, old, cols=cols, op="except",
+                        num_partitions=num_partitions)
+    removed = set_op_rows(old, new, cols=cols, op="except",
+                          num_partitions=num_partitions)
+    return (added.map_batches(tag("added"), batch_format="pandas")
+            .union(removed.map_batches(tag("removed"),
+                                       batch_format="pandas")))
