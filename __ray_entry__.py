@@ -4924,16 +4924,14 @@ def _kg_predicate_stats(sf_dir: str) -> pd.DataFrame:
     return predicate_stats(triples)
 
 
-def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
-    """SPARQL-style basic-graph-pattern query (stages/kgops.py::
-    bgp_match): entities located in a nation of region EUROPE plus the
-    nation's literal name — four patterns chained through shared-
-    variable exchange_joins in ONE fused plan, most-selective pattern
-    first.  The triple table (supplier/customer located_in nation,
-    nation part_of region, nation/region named literals) derives
-    identically from the TPC-H views in SQL, so no side table."""
-    from text_to_rdf_ray.stages.kgops import bgp_match
-
+def _tpch_triples(sf_dir: str) -> rd.Dataset:
+    """Shared TPC-H-derived triple table for the SPARQL-family queries
+    (bgp_match / bgp_construct): supplier/customer located_in nation,
+    nation part_of region, nation/region named literals — derives
+    identically from the TPC-H views in SQL, so no side table.
+    Materialized ONCE: every pattern scans it, and re-executing the
+    4-way union lineage per pattern multiplies the read tasks by the
+    pattern count."""
     def rel(table, cols, fmt):
         ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                              columns=cols, override_num_blocks=2)
@@ -4966,20 +4964,26 @@ def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
             "subj": "region_" + b["r_regionkey"].astype(str),
             "pred": "named", "obj": b["r_name"].astype(str)})
 
-    # materialize the shared triple table ONCE: every pattern scans it,
-    # and re-executing the 4-way union lineage per pattern multiplies
-    # the read tasks by the pattern count (same multi-consumer
-    # materialize as kg_cooccur_edges' self-join input)
-    triples = (rel("supplier", ["s_suppkey", "s_nationkey"], supp)
-               .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
-               .union(rel("nation",
-                          ["n_nationkey", "n_name", "n_regionkey"], nat))
-               .union(rel("region", ["r_regionkey", "r_name"], reg))
-               .materialize())
+    return (rel("supplier", ["s_suppkey", "s_nationkey"], supp)
+            .union(rel("customer", ["c_custkey", "c_nationkey"], cust))
+            .union(rel("nation",
+                       ["n_nationkey", "n_name", "n_regionkey"], nat))
+            .union(rel("region", ["r_regionkey", "r_name"], reg))
+            .materialize())
+
+
+def _kg_bgp_match(sf_dir: str) -> pd.DataFrame:
+    """SPARQL-style basic-graph-pattern query (stages/kgops.py::
+    bgp_match): entities located in a nation of region EUROPE plus the
+    nation's literal name — four patterns chained through shared-
+    variable exchange_joins in ONE fused plan, most-selective pattern
+    first.  Triple table: :func:`_tpch_triples`."""
+    from text_to_rdf_ray.stages.kgops import bgp_match
+
     # coalesce: the 4-way union read fans into hundreds of tiny blocks;
     # uncoalesced, 4 chained sort exchanges pay O(blocks²) refs each
     # (~50s fixed at 8 CPUs; ~3s with the repartition barriers)
-    out = bgp_match(triples, [
+    out = bgp_match(_tpch_triples(sf_dir), [
         ("?r", "named", "EUROPE"),
         ("?n", "part_of", "?r"),
         ("?e", "located_in", "?n"),
@@ -7033,6 +7037,65 @@ def _events_version_diff(sf_dir: str) -> pd.DataFrame:
             .sort_values(["event_id", "change"]).reset_index(drop=True))
 
 
+def _kg_construct_rewrite(sf_dir: str) -> pd.DataFrame:
+    """SPARQL CONSTRUCT (stages/kgops.py::bgp_construct): WHERE matches
+    entities in EUROPE nations, the templates materialize the derived
+    graph { ?e in_region ?r . ?r has_member ?e } — the ontology-mapping
+    rewrite, DISTINCT set semantics.  Oracle: the relational join +
+    two UNION branches."""
+    from text_to_rdf_ray.stages.kgops import bgp_construct
+
+    out = bgp_construct(
+        _tpch_triples(sf_dir),
+        [("?r", "named", "EUROPE"),
+         ("?n", "part_of", "?r"),
+         ("?e", "located_in", "?n")],
+        [("?e", "in_region", "?r"),
+         ("?r", "has_member", "?e")],
+        coalesce_blocks=8).to_pandas()
+    return (out[["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+
+
+def _events_dp_counts(sf_dir: str) -> pd.DataFrame:
+    """ε-DP Laplace-noised per-type counts (stages/curation.py::
+    dp_counts, ε=1, seed=7): deterministic-seeded noise (53-bit uniform
+    from splitmix64(rank+seed), exact inverse CDF) so the release — and
+    the oracle — replays bit-for-bit.  Only noisy counts are emitted."""
+    from text_to_rdf_ray.stages.curation import dp_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type"])
+    out = dp_counts(ev, key_col="event_type", epsilon=1.0, seed=7)
+    out["noisy_n"] = _r(out["noisy_n"], 6)
+    return (out[["event_type", "noisy_n"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def _parts_fs_links(sf_dir: str) -> pd.DataFrame:
+    """Fellegi–Sunter linkage scoring (stages/dedup.py::fs_link_scores)
+    over brand-blocked part pairs, compared on (p_type, p_size,
+    p_name) with fixed m/u agreement probabilities; decisions by the
+    (0, 2) thresholds.  Oracle: brand self-join + the identical
+    log2-weight CASE sums."""
+    from text_to_rdf_ray.stages.dedup import fs_link_scores
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size", "p_name"])
+    out = fs_link_scores(
+        parts, id_col="p_partkey", block_col="p_brand",
+        fields=["p_type", "p_size", "p_name"],
+        m={"p_type": 0.9, "p_size": 0.9, "p_name": 0.95},
+        u={"p_type": 0.3, "p_size": 0.1, "p_name": 0.05},
+        lower=0.0, upper=2.0).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["w"] = _r(out["w"], 6)
+    return (out[["id_a", "id_b", "w", "decision"]]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7264,6 +7327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_z": _events_robust_z,
         "graph_diameter": _graph_diameter,
         "events_version_diff": _events_version_diff,
+        "kg_construct_rewrite": _kg_construct_rewrite,
+        "events_dp_counts": _events_dp_counts,
+        "parts_fs_links": _parts_fs_links,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -9731,6 +9797,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value, 'removed'
             FROM events WHERE event_id % 3 = 0 AND value < 10.0
             ORDER BY event_id, change
+        """,
+        "kg_construct_rewrite": """
+            -- CONSTRUCT replay: the same WHERE join as kg_bgp_match,
+            -- then one UNION branch per template + DISTINCT (a
+            -- CONSTRUCT emits a triple SET)
+            WITH triples AS (
+              SELECT 'supplier_' || s_suppkey AS subj,
+                     'located_in' AS pred,
+                     'nation_' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'named', n_name FROM nation
+              UNION ALL
+              SELECT 'region_' || r_regionkey, 'named', r_name FROM region),
+            b AS (
+              SELECT t3.subj AS e, t1.subj AS r
+              FROM triples t1
+              JOIN triples t2 ON t2.pred = 'part_of' AND t2.obj = t1.subj
+              JOIN triples t3 ON t3.pred = 'located_in'
+                             AND t3.obj = t2.subj
+              WHERE t1.pred = 'named' AND t1.obj = 'EUROPE')
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT e AS subj, 'in_region' AS pred, r AS obj FROM b
+              UNION ALL
+              SELECT r, 'has_member', e FROM b)
+            ORDER BY subj, pred, obj
+        """,
+        "events_dp_counts": f"""
+            -- DP-release replay: true counts -> sorted-key rank ->
+            -- splitmix64(rank + 7) -> 53-bit uniform -> exact Laplace
+            -- inverse CDF at epsilon = 1
+            WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            ranked AS (SELECT event_type, n,
+                              row_number() OVER (ORDER BY event_type)
+                                - 1 AS rank
+                       FROM c),
+            {_sm64_sql("ranked", "(rank + 7)", ["event_type", "n"],
+                       prefix="dp")},
+            lap AS (
+              SELECT event_type, n,
+                     CAST(hv >> 11 AS DOUBLE) / 9007199254740992.0 - 0.5
+                       AS t
+              FROM dph)
+            SELECT event_type,
+                   round(n + (-(1.0 / 1.0) * sign(t)
+                              * ln(1.0 - 2.0 * abs(t))), 6) AS noisy_n
+            FROM lap ORDER BY event_type
+        """,
+        "parts_fs_links": """
+            -- Fellegi-Sunter replay: brand self-join (the blocking),
+            -- identical log2 m/u weight CASE per field
+            WITH w AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     (CASE WHEN a.p_type = b.p_type
+                           THEN log2(0.9 / 0.3)
+                           ELSE log2(0.1 / 0.7) END)
+                   + (CASE WHEN a.p_size = b.p_size
+                           THEN log2(0.9 / 0.1)
+                           ELSE log2(0.1 / 0.9) END)
+                   + (CASE WHEN a.p_name = b.p_name
+                           THEN log2(0.95 / 0.05)
+                           ELSE log2(0.05 / 0.95) END) AS w
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand
+               AND a.p_partkey < b.p_partkey)
+            SELECT id_a, id_b, round(w, 6) AS w,
+                   CASE WHEN w > 2.0 THEN 'link'
+                        WHEN w < 0.0 THEN 'nonlink'
+                        ELSE 'possible' END AS decision
+            FROM w ORDER BY id_a, id_b
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -1376,3 +1376,32 @@ def test_kanon_audit_violations(ray_session):
     with pytest.raises(ValueError):
         kanon_audit(rd.from_pandas(df), quasi_cols=[],
                     sensitive_col="s")
+
+
+def test_dp_counts_deterministic_laplace(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.analytics import splitmix64
+    from text_to_rdf_ray.stages.curation import dp_counts
+
+    df = pd.DataFrame({"k": ["a"] * 100 + ["b"] * 50 + ["c"] * 10})
+    r1 = dp_counts(rd.from_pandas(df), key_col="k", epsilon=1.0, seed=7)
+    r2 = dp_counts(rd.from_pandas(df), key_col="k", epsilon=1.0, seed=7)
+    pd.testing.assert_frame_equal(r1, r2)  # bit-for-bit replayable
+    assert list(r1.columns) == ["k", "noisy_n"]  # true n never emitted
+    # manual replay of key "a" (rank 0 in sorted order)
+    hv = splitmix64(np.array([0 + 7], np.int64))[0]
+    u = float(hv >> np.uint64(11)) / 9007199254740992.0
+    t = u - 0.5
+    want = 100.0 + (-(1.0) * np.sign(t) * np.log(1.0 - 2.0 * abs(t)))
+    assert float(r1.set_index("k").loc["a", "noisy_n"]) == want
+    # different seed -> different noise; epsilon scales the magnitude
+    r3 = dp_counts(rd.from_pandas(df), key_col="k", epsilon=1.0, seed=8)
+    assert not r1["noisy_n"].equals(r3["noisy_n"])
+    r4 = dp_counts(rd.from_pandas(df), key_col="k", epsilon=10.0, seed=7)
+    n_true = np.array([100.0, 50.0, 10.0])
+    assert (np.abs(r4["noisy_n"].to_numpy() - n_true)
+            <= np.abs(r1["noisy_n"].to_numpy() - n_true) + 1e-12).all()
+    with pytest.raises(ValueError):
+        dp_counts(rd.from_pandas(df), key_col="k", max_groups=2)

@@ -1256,3 +1256,35 @@ def test_semdedup_non_transitive_vs_earlier_dropped(ray_session):
     out = (semdedup(emb, assignments=assign, tau=0.95).to_pandas()
            .sort_values("vec_id").reset_index(drop=True))
     assert list(out["keep"]) == [True, False, False]
+
+
+def test_fs_link_scores_manual_weights(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import fs_link_scores
+
+    # one block of 3: (1,2) agree on both fields -> link;
+    # (1,3)/(2,3) disagree on both -> nonlink; other block no pairs
+    df = pd.DataFrame({
+        "id": np.array([1, 2, 3, 9], np.int64),
+        "blk": ["b1", "b1", "b1", "b2"],
+        "f1": ["x", "x", "y", "z"],
+        "f2": [10, 10, 20, 30]})
+    out = (fs_link_scores(
+        rd.from_pandas(df), id_col="id", block_col="blk",
+        fields=["f1", "f2"],
+        m={"f1": 0.9, "f2": 0.9}, u={"f1": 0.1, "f2": 0.1},
+        lower=0.0, upper=2.0, num_partitions=4).to_pandas()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    wa = float(np.log2(0.9 / 0.1))          # ~3.17 per agreeing field
+    wd = float(np.log2((1 - 0.9) / (1 - 0.1)))
+    assert len(out) == 3
+    r12 = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    assert r12["w"] == 2 * wa and r12["decision"] == "link"
+    r13 = out[(out.id_a == 1) & (out.id_b == 3)].iloc[0]
+    assert r13["w"] == 2 * wd and r13["decision"] == "nonlink"
+    with pytest.raises(ValueError):
+        fs_link_scores(rd.from_pandas(df), id_col="id", block_col="blk",
+                       fields=["f1"], m={"f1": 1.0}, u={"f1": 0.1})

@@ -415,3 +415,31 @@ def test_cardinality_check_distinct_objects_only(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["subj"] == "s2"
     assert out.iloc[0]["n_objects"] == 2
+
+
+def test_bgp_construct_rewrite_and_guards(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.kgops import bgp_construct
+
+    tri = rd.from_pandas(pd.DataFrame({
+        "subj": ["a", "b", "x", "x"],
+        "pred": ["knows", "knows", "type", "type"],
+        "obj": ["x", "x", "Person", "Person"]}))  # duplicate triple
+    out = (bgp_construct(
+        tri,
+        [("?s", "knows", "?o"), ("?o", "type", "Person")],
+        [("?o", "known_by", "?s"), ("?s", "linked", "?o")],
+        num_partitions=4).to_pandas()
+        .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    got = set(map(tuple, out.itertuples(index=False)))
+    # DISTINCT set semantics despite the duplicated type triple
+    assert got == {("x", "known_by", "a"), ("x", "known_by", "b"),
+                   ("a", "linked", "x"), ("b", "linked", "x")}
+    with pytest.raises(ValueError):
+        bgp_construct(tri, [("?s", "knows", "?o")],
+                      [("?s", "r", "?unbound")])
+    with pytest.raises(ValueError):
+        bgp_construct(tri, [("?s", "knows", "?o")], [])

@@ -2695,3 +2695,60 @@ def kanon_audit(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def dp_counts(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    epsilon: float = 1.0,
+    seed: int = 7,
+    max_groups: int = 5_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork, McSherry, Nissim & Smith 2006; sensitivity 1 for disjoint
+    counts) — the privacy release beside :func:`kanon_audit`: publish
+    per-group counts of a user-derived table with calibrated noise
+    instead of the true values.
+
+    The noise is DETERMINISTIC-SEEDED: u = the 53-bit uniform from
+    ``splitmix64(rank + seed)`` where rank = the key's position in the
+    sorted key list, then the exact Laplace inverse CDF
+    ``-(1/ε)·sign(u-½)·ln(1-2|u-½|)``.  A pure function of (key set,
+    seed), so a rerun — and the SQL oracle — reproduces the release
+    bit-for-bit while the noise is still exactly Laplace(1/ε) across
+    keys.  Deterministic noise is a replayability device for the
+    pipeline's audit contract; a production release draws u from a
+    CSPRNG per release (one-line swap, same mechanism).
+
+    Shape: combiner-backed count exchange -> O(groups) driver rows
+    (guarded by ``max_groups``) -> vectorized noise.  Only the noisy
+    counts are returned — emitting the true n beside them would defeat
+    the mechanism.
+    """
+    from .analytics import splitmix64
+    from .exchange import exchange_agg
+
+    counts = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                key_col: t.column(key_col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        key_col, [("one", "sum", "n")],
+        num_partitions=num_partitions).to_pandas()
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"dp_counts: {len(counts)} groups exceed max_groups="
+            f"{max_groups} — release per-partition or raise the guard")
+    counts = counts.sort_values(key_col, kind="mergesort").reset_index(
+        drop=True)
+    rank = np.arange(len(counts), dtype=np.int64)
+    hv = splitmix64(rank + np.int64(seed))
+    u = (hv >> np.uint64(11)).astype(np.float64) / 9007199254740992.0
+    t = u - 0.5
+    noise = -(1.0 / epsilon) * np.sign(t) * np.log(1.0 - 2.0 * np.abs(t))
+    return pd.DataFrame({
+        key_col: counts[key_col],
+        "noisy_n": counts["n"].to_numpy(np.float64) + noise})
