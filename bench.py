@@ -349,7 +349,11 @@ def run_bench() -> dict:
                      "events_target_encoding", "docs_rerank_rbo",
                      "graph_scc", "graph_modularity", "docs_readability",
                      "events_metadata_count", "events_twa", "docs_auc",
-                     "events_psi_drift", "docs_containment_pairs"):
+                     "events_psi_drift", "docs_containment_pairs",
+                     "dedup_semdedup", "graph_neighbor_agg",
+                     "events_cusum", "events_kmv_users",
+                     "events_robust_z", "parts_fs_links",
+                     "graph_diameter", "kg_construct_rewrite"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
