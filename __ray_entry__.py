@@ -7096,6 +7096,90 @@ def _parts_fs_links(sf_dir: str) -> pd.DataFrame:
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def _events_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
+    open/close = value at the (ts, event_id)-min/max row, high/low/n —
+    the metrics-rollup candle.  Oracle: row_number endpoints + plain
+    min/max/count."""
+    from text_to_rdf_ray.stages.windows import ohlc_bars
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "ts", "value"])
+    out = ohlc_bars(ev).to_pandas()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "window_id", "open", "high", "low",
+                 "close", "n"]]
+            .sort_values(["event_type", "window_id"])
+            .reset_index(drop=True))
+
+
+def _docs_weighted_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Token-weighted type-1 length quantiles per source
+    (stages/analytics.py::weighted_quantile, q = 0.5 / 0.9): the
+    "median doc length by token mass" readout — integer weights keep
+    the cumulative-sum boundary engine-exact.  Oracle: window cumsum
+    over the same (value-sorted) order + the first-hit rule."""
+    from text_to_rdf_ray.stages.analytics import weighted_quantile
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].str.split(" ")
+                .map(lambda ws: sum(1 for w in ws if w)))
+        return pd.DataFrame({"source": b["source"],
+                             "n_chars": b["n_chars"].astype("int64"),
+                             "n_tokens": toks.astype("int64")})
+
+    out = weighted_quantile(
+        docs.map_batches(prep, batch_format="pandas"),
+        key_col="source", value_col="n_chars", weight_col="n_tokens",
+        qs=(0.5, 0.9)).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["cum_weight"] = out["cum_weight"].astype("int64")
+    out["total_weight"] = out["total_weight"].astype("int64")
+    return (out[["source", "q", "n_chars", "cum_weight", "total_weight"]]
+            .sort_values(["source", "q"]).reset_index(drop=True))
+
+
+def _orders_f2_custkey(sf_dir: str) -> pd.DataFrame:
+    """AMS F2 self-join-size sketch on orders.o_custkey
+    (stages/analytics.py::f2_moment, k=8): per-sketch s_r = Σ ±1 row
+    signs (integer-exact), est = s², mean over sketches beside the
+    exact Σ c² — the join-planner heaviness readout.  Oracle: 8
+    splitmix chains (one per estimator) via a range cross join."""
+    from text_to_rdf_ray.stages.analytics import f2_moment
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    out = f2_moment(orders, id_col="o_custkey", k=8)
+    mean_est = float(out["est"].to_numpy(np.float64).mean())
+    # exact self-join size distributed: sum over keys of c² via one
+    # count exchange + a per-batch square-and-sum fold
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+    cnt = exchange_agg(
+        orders.map_batches(
+            lambda t: pa.table({
+                "k": t.column("o_custkey"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "k", [("one", "sum", "c")])
+    sq = cnt.map_batches(
+        lambda t: pa.table({"s2": pa.array(
+            [int((t.column("c").to_numpy(zero_copy_only=False).astype(
+                np.int64) ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    exact = int(sq["s2"].sum())
+    out = out.copy()
+    out["r"] = out["r"].astype("int64")
+    out["s"] = out["s"].astype("int64")
+    out["est"] = out["est"].astype("int64")
+    out["mean_est"] = _r(pd.Series([mean_est] * len(out)), 6)
+    out["exact_f2"] = np.int64(exact)
+    return out[["r", "s", "est", "mean_est", "exact_f2"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7330,6 +7414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct_rewrite": _kg_construct_rewrite,
         "events_dp_counts": _events_dp_counts,
         "parts_fs_links": _parts_fs_links,
+        "events_ohlc": _events_ohlc,
+        "docs_weighted_len_quantiles": _docs_weighted_len_quantiles,
+        "orders_f2_custkey": _orders_f2_custkey,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -9873,6 +9960,84 @@ def oracle_sql() -> dict[str, str]:
                         WHEN w < 0.0 THEN 'nonlink'
                         ELSE 'possible' END AS decision
             FROM w ORDER BY id_a, id_b
+        """,
+        "events_ohlc": """
+            -- OHLC replay: row_number endpoints over the identical
+            -- (ts, event_id) order + plain min/max/count
+            WITH b AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     ts, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY event_type,
+                         CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (
+                       PARTITION BY event_type,
+                         CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events),
+            agg AS (SELECT event_type, window_id, max(value) AS high,
+                           min(value) AS low,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY 1, 2),
+            o AS (SELECT event_type, window_id, value AS open
+                  FROM b WHERE rn_a = 1),
+            c AS (SELECT event_type, window_id, value AS close
+                  FROM b WHERE rn_d = 1)
+            SELECT a.event_type, a.window_id, o.open, a.high, a.low,
+                   c.close, a.n
+            FROM agg a
+            JOIN o USING (event_type, window_id)
+            JOIN c USING (event_type, window_id)
+            ORDER BY 1, 2
+        """,
+        "docs_weighted_len_quantiles": """
+            -- weighted type-1 quantile replay: integer token weights,
+            -- window cumsum in the same value order, first row whose
+            -- cumulative weight reaches q x total
+            WITH d AS (
+              SELECT source, n_chars,
+                     CAST(len(list_filter(str_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT) AS w
+              FROM documents),
+            g AS (SELECT source, n_chars, CAST(sum(w) AS BIGINT) AS w
+                  FROM d GROUP BY 1, 2),
+            cw AS (SELECT source, n_chars, w,
+                          sum(w) OVER (PARTITION BY source
+                              ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                          sum(w) OVER (PARTITION BY source) AS tot
+                   FROM g),
+            q(q) AS (VALUES (0.5), (0.9)),
+            hit AS (SELECT source, q.q AS q, n_chars, cum, tot,
+                           row_number() OVER (PARTITION BY source, q.q
+                                              ORDER BY n_chars) AS rn
+                    FROM cw, q
+                    WHERE CAST(cum AS DOUBLE)
+                          >= q.q * CAST(tot AS DOUBLE))
+            SELECT source, q, n_chars, CAST(cum AS BIGINT) AS cum_weight,
+                   CAST(tot AS BIGINT) AS total_weight
+            FROM hit WHERE rn = 1 ORDER BY source, q
+        """,
+        "orders_f2_custkey": f"""
+            -- AMS F2 replay: one splitmix chain over the (custkey, r)
+            -- cross join, sign = bit 0, s_r = sum of signs, est = s²,
+            -- exact = sum of squared key counts
+            WITH ob AS (SELECT o_custkey, i FROM orders, range(8) t(i)),
+            {_sm64_sql("ob", "(o_custkey * 8 + i)", ["i"], prefix="f2")},
+            sr AS (SELECT CAST(i AS BIGINT) AS r,
+                          CAST(sum(CASE WHEN hv % 2 = 1 THEN 1
+                                        ELSE -1 END) AS BIGINT) AS s
+                   FROM f2h GROUP BY i),
+            ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+                   FROM (SELECT count(*) AS c FROM orders
+                         GROUP BY o_custkey)),
+            m AS (SELECT round(avg(CAST(s * s AS DOUBLE)), 6)
+                    AS mean_est FROM sr)
+            SELECT sr.r, sr.s, s * s AS est, m.mean_est, ex.exact_f2
+            FROM sr, m, ex ORDER BY sr.r
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -2814,3 +2814,67 @@ def test_version_diff_added_removed(ray_session, tmp_path):
     assert got == {(3, 31, "added"), (5, 50, "added"),
                    (1, 10, "removed"), (3, 30, "removed"),
                    (4, 40, "removed")}
+
+
+def test_ohlc_bars_endpoints_and_ties(ray_session):
+    from text_to_rdf_ray.stages.windows import ohlc_bars
+
+    base = pd.Timestamp("2024-01-01")
+    # one hour window for key "a": event 2 and 3 tie on ts -> id breaks
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4], np.int64),
+        "event_type": ["a"] * 4,
+        "ts": [base + pd.Timedelta(minutes=m) for m in (5, 50, 50, 20)],
+        "value": [10.0, 99.0, 7.0, 55.0]})
+    out = ohlc_bars(rd.from_pandas(df), num_partitions=4).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["open"] == 10.0          # earliest ts
+    assert r["close"] == 7.0          # ts tie at :50 -> higher id wins
+    assert r["high"] == 99.0 and r["low"] == 7.0 and r["n"] == 4
+
+
+def test_weighted_quantile_manual_and_guards(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import weighted_quantile
+
+    # key "a": values 1(w=1), 2(w=1), 3(w=8): total 10 -> q0.5 target 5
+    # -> first value whose cum >= 5 is 3 (cum 10)
+    df = pd.DataFrame({
+        "k": ["a"] * 3 + ["b"] * 2,
+        "v": np.array([1, 2, 3, 7, 9], np.int64),
+        "w": np.array([1, 1, 8, 5, 5], np.int64)})
+    out = (weighted_quantile(rd.from_pandas(df), key_col="k",
+                             value_col="v", weight_col="w",
+                             qs=(0.5,), num_partitions=4).to_pandas()
+           .set_index("k"))
+    assert int(out.loc["a", "v"]) == 3
+    assert (int(out.loc["a", "cum_weight"]),
+            int(out.loc["a", "total_weight"])) == (10, 10)
+    # key "b": target 5, first hit is 7 (cum 5 >= 5, inclusive)
+    assert int(out.loc["b", "v"]) == 7
+    with pytest.raises(Exception):
+        weighted_quantile(rd.from_pandas(df.assign(w=df.w * 1.5)),
+                          key_col="k", value_col="v", weight_col="w",
+                          qs=(0.5,)).to_pandas()
+    with pytest.raises(ValueError):
+        weighted_quantile(rd.from_pandas(df), key_col="k",
+                          value_col="v", weight_col="w", qs=(0.0,))
+
+
+def test_f2_moment_matches_direct_replay(ray_session):
+    from text_to_rdf_ray.stages.analytics import f2_moment, splitmix64
+
+    ids = np.array([1, 1, 1, 2, 2, 5, 7, 7, 7, 7], np.int64)
+    out = f2_moment(rd.from_pandas(pd.DataFrame({"k": ids})),
+                    id_col="k", k=4)
+    # direct definition replay: s_r = sum of ±1 signs over ROWS
+    for r in range(4):
+        bits = splitmix64(ids * np.int64(4) + np.int64(r)) & np.uint64(1)
+        s = 2 * int(bits.sum()) - len(ids)
+        row = out[out["r"] == r].iloc[0]
+        assert int(row["s"]) == s and int(row["est"]) == s * s
+    # exact F2 (sum of squared counts) for reference: 9+4+1+16 = 30;
+    # the mean estimate is unbiased but noisy at k=4 — just finite
+    assert np.isfinite(out["est"].astype(float).mean())

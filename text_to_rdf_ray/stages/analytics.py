@@ -2891,3 +2891,127 @@ def robust_zscore(
 
     return ds.map_batches(score, batch_format="pandas",
                           batch_size=65536)
+
+
+def weighted_quantile(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.5,),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Weighted type-1 (lower) quantiles per key: q_w = the smallest
+    value v whose INCLUSIVE cumulative weight reaches q x total — the
+    "median doc length weighted by tokens" shape, where every unit of
+    weight (token, byte, dollar) counts equally instead of every row.
+
+    Weights must be non-negative INTEGERS (raises otherwise): integer
+    cumulative sums are order-exact, so the boundary pick is engine-
+    independent — a float cumsum's accumulation order would make the
+    q x total comparison flaky exactly at the quantile row.  Shape:
+    per-batch (key, value)-weight combiner -> ONE key exchange ->
+    per-partition vectorized walk (sort + groupby cumsum + first-hit
+    mask, C paths across every key in the partition).  Output one row
+    per (key, q): (key, q, value, cum_weight, total_weight).
+    """
+    from .exchange import exchange_agg
+    from .windows import _part_of
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"weighted_quantile: q={q} outside (0, 1]")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col)
+        if not pa.types.is_integer(w.type):
+            raise ValueError(
+                f"weighted_quantile: {weight_col!r} must be an integer "
+                f"column (got {w.type}) — float weights make the "
+                f"cumulative-sum boundary engine-dependent")
+        wv = w.to_numpy(zero_copy_only=False).astype(np.int64)
+        if (wv < 0).any():
+            raise ValueError("weighted_quantile: negative weights")
+        return pa.table({key_col: t.column(key_col),
+                         value_col: t.column(value_col),
+                         "_w": pa.array(wv, pa.int64())})
+
+    wsum = exchange_agg(
+        ds.map_batches(to_pairs, batch_format="pyarrow"),
+        [key_col, value_col], [("_w", "sum", "_w")],
+        num_partitions=num_partitions)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_part=_part_of(b[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .groupby([key_col, value_col], sort=False, as_index=False)
+             ["_w"].sum()
+             .sort_values([key_col, value_col], kind="mergesort")
+             .reset_index(drop=True))
+        gb = g.groupby(key_col, sort=False)
+        cum = gb["_w"].cumsum().to_numpy(np.int64)
+        tot = gb["_w"].transform("sum").to_numpy(np.int64)
+        frames = []
+        for q in qs:
+            target = np.float64(q) * tot.astype(np.float64)
+            hit = cum.astype(np.float64) >= target
+            # first hit per key: hits are monotone within a key
+            prev = pd.Series(hit).groupby(
+                g[key_col], sort=False).shift(1, fill_value=False)
+            pick = hit & ~prev.to_numpy(bool)
+            sel = g[pick]
+            frames.append(pd.DataFrame({
+                key_col: sel[key_col],
+                "q": np.full(len(sel), q),
+                value_col: sel[value_col],
+                "cum_weight": cum[pick],
+                "total_weight": tot[pick]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (wsum.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def f2_moment(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    k: int = 8,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """AMS second-moment (F2) sketch (Alon, Matias & Szegedy 1996) of a
+    key column — F2 = Σ_v count(v)² is exactly the SELF-JOIN SIZE on
+    that key, the quantity a join planner needs before moving a row
+    (the skew-aware complement to :func:`hll-based<...>` distinct
+    estimates: HLL says how many keys, F2 says how heavy their
+    collisions are).  ``k`` independent ±1 estimators: sign_r(v) =
+    ±1 from bit 0 of splitmix64(v·k + r); s_r = Σ_rows sign_r — a
+    per-row sum, so each batch contributes k integers regardless of
+    size; estimate = mean_r(s_r²), INTEGER-exact until that one mean.
+
+    Returns a k-row driver DataFrame (r, s, est) plus the combined
+    mean — O(k) state end-to-end, one pass, no shuffle of data rows.
+    """
+    from .exchange import exchange_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = np.empty(k, np.int64)
+        for r in range(k):
+            bits = splitmix64(ids * np.int64(k) + np.int64(r)) & np.uint64(1)
+            s[r] = 2 * int(bits.sum()) - len(ids)
+        return pa.table({"r": pa.array(np.arange(k, dtype=np.int64)),
+                         "s": pa.array(s, pa.int64())})
+
+    out = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "r", [("s", "sum", "s")],
+        num_partitions=num_partitions).to_pandas()
+    out = out.sort_values("r").reset_index(drop=True)
+    out["est"] = out["s"].astype("int64") ** 2  # integer-exact
+    return out

@@ -1359,3 +1359,72 @@ def cusum_detect(
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def ohlc_bars(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    width_us: int = 3_600_000_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-(key, tumbling window) OHLC bars — open / high / low /
+    close / count — the metrics-rollup candle every monitoring and
+    market pipeline materializes.  open/close are the values at the
+    (ts, id)-min/max rows; ``id_col`` breaks exact-timestamp ties
+    deterministically.
+
+    Shape: per-batch combiner collapses each (key, window) to ONE
+    candidate row (batch-local OHLC plus its endpoint orderings), so
+    exchange volume is batches x live windows, not raw rows; ONE
+    key-hash exchange; per-partition vectorized reduce re-applies the
+    same argmin/argmax via two sorts + groupby first (C paths).
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # canonicalize to MICROseconds: pandas batches may arrive ns-
+        # resolution (rd.from_pandas) or us (parquet reads)
+        ts_us = pd.Series(
+            b[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64),
+            index=b.index)
+        g = pd.DataFrame({
+            key_col: b[key_col],
+            "window_id": ts_us // width_us,
+            "_ts": ts_us,
+            "_id": b[id_col].astype("int64"),
+            "_v": b[value_col].astype("float64")})
+        g = g.sort_values([key_col, "window_id", "_ts", "_id"],
+                          kind="mergesort")
+        gb = g.groupby([key_col, "window_id"], sort=False)
+        first = gb.head(1).rename(columns={
+            "_ts": "o_ts", "_id": "o_id", "_v": "open"})
+        last = (gb.tail(1).rename(columns={
+            "_ts": "c_ts", "_id": "c_id", "_v": "close"})
+            .set_index([key_col, "window_id"]))
+        agg = gb["_v"].agg(high="max", low="min", n="size")
+        out = first.set_index([key_col, "window_id"]).join(
+            [last, agg]).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out.assign(_part=_part_of(out[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        keys = [key_col, "window_id"]
+        go = (g.sort_values([*keys, "o_ts", "o_id"], kind="mergesort")
+              .groupby(keys, sort=False).head(1)
+              .set_index(keys)[["open"]])
+        gc = (g.sort_values([*keys, "c_ts", "c_id"], kind="mergesort")
+              .groupby(keys, sort=False).tail(1)
+              .set_index(keys)[["close"]])
+        agg = g.groupby(keys, sort=False).agg(
+            high=("high", "max"), low=("low", "min"), n=("n", "sum"))
+        out = go.join([gc, agg]).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out[[key_col, "window_id", "open", "high", "low",
+                    "close", "n"]]
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
