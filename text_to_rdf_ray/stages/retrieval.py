@@ -552,3 +552,49 @@ def mmr_rerank(
         selected.append(chosen)
         out.append((pick, chosen, rel[chosen]))
     return pd.DataFrame(out, columns=["pick", vec_id_col, "rel"])
+
+
+def rrf_fuse(
+    rankings: list[pd.DataFrame],
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_cols: list[str] | None = None,
+    k: int = 60,
+    top_n: int = 10,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked lists: ``score(q, d) = Σ_lists 1/(k + rank)`` over the lists
+    that returned d, re-ranked by (score desc, doc asc) — the standard
+    zero-training fusion of lexical + dense retrieval (and the third
+    leg beside rerank and RBO in this repo's retrieval family).
+
+    The inputs are TOP-K FUNNEL OUTPUTS by construction (each O(queries
+    x k) rows), so fusion is bounded driver math — the same contract as
+    ``mmr_rerank``'s greedy tail.  Each 1/(k+rank) term is one exact
+    float division; with two lists the sum is a single commutative
+    addition, so the unrounded ordering is engine-exact.  Emits
+    (query, doc, n_lists, rrf_score, rrf_rank <= top_n).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    rank_cols = rank_cols or ["rank"] * len(rankings)
+    if len(rank_cols) != len(rankings):
+        raise ValueError("rrf_fuse: rank_cols/rankings length mismatch")
+    parts = []
+    for df, rc in zip(rankings, rank_cols):
+        parts.append(pd.DataFrame({
+            query_col: df[query_col],
+            doc_col: df[doc_col].astype("int64"),
+            "_c": 1.0 / (k + df[rc].astype("int64").to_numpy(np.float64)),
+        }))
+    u = pd.concat(parts, ignore_index=True)
+    f = (u.groupby([query_col, doc_col], sort=False)["_c"]
+         .agg(rrf_score="sum", n_lists="size").reset_index())
+    f = f.sort_values([query_col, "rrf_score", doc_col],
+                      ascending=[True, False, True], kind="mergesort")
+    f["rrf_rank"] = f.groupby(query_col, sort=False).cumcount() + 1
+    f = f[f["rrf_rank"] <= top_n].reset_index(drop=True)
+    f["n_lists"] = f["n_lists"].astype("int64")
+    f["rrf_rank"] = f["rrf_rank"].astype("int64")
+    return f[[query_col, doc_col, "n_lists", "rrf_score", "rrf_rank"]]

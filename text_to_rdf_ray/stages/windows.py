@@ -1428,3 +1428,45 @@ def ohlc_bars(
     return (ds.map_batches(partial, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def rolling_median(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key ROWS-window rolling MEDIAN (``quantile_cont(0.5) OVER
+    ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``) — the robust smoother
+    that ignores the spikes a rolling mean chases (the despike filter
+    for sensor/metric streams; pairs with :func:`robust_zscore`'s
+    global form).  Fewer rows at the head of each key, ordered by
+    ``(ts, order_col)``.
+
+    Same exchange shape as :func:`rolling_agg`: ONE key-hash exchange,
+    then one pandas ``groupby.rolling.median`` per partition — a C path
+    vectorized across every key in the partition, never a Python call
+    per key.  Emits (key, order_col, value, rolling_med).
+    """
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values([key_col, ts_col, order_col]))
+        med = (g.groupby(key_col, sort=False)[value_col]
+               .rolling(window_rows, min_periods=1).median()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            key_col: g[key_col],
+            order_col: g[order_col].astype("int64"),
+            value_col: g[value_col].astype("float64"),
+            "rolling_med": med.astype("float64")})
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
