@@ -7180,6 +7180,42 @@ def _orders_f2_custkey(sf_dir: str) -> pd.DataFrame:
     return out[["r", "s", "est", "mean_est", "exact_f2"]]
 
 
+def _events_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user 5-row rolling MEDIAN (stages/windows.py::rolling_median)
+    — the despike smoother a rolling mean can't be.  Oracle:
+    quantile_cont(0.5) OVER ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    in the identical (ts, event_id) order."""
+    from text_to_rdf_ray.stages.windows import rolling_median
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_median(ev, window_rows=5).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["rolling_med"] = _r(out["rolling_med"], 6)
+    return (out[["user_id", "event_id", "value", "rolling_med"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _docs_rrf_fuse(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (stages/retrieval.py::rrf_fuse, k=60) of
+    the BM25 top-10 and the hybrid embedding rerank top-10 — the
+    zero-training lexical+dense fusion.  Both inputs are funnel
+    outputs, so fusion is bounded driver math (the rbo contract).
+    Oracle: both rankings replayed (the docs_rerank_rbo chain) + the
+    same 1/(60+rank) sums."""
+    from text_to_rdf_ray.stages.retrieval import rrf_fuse
+
+    bm = _docs_bm25_topk(sf_dir)
+    bm = bm[bm["rank"] <= 10][["query_id", "doc_id", "rank"]]
+    hy = _docs_hybrid_rerank(sf_dir)[["query_id", "doc_id", "rerank"]]
+    out = rrf_fuse([bm, hy], rank_cols=["rank", "rerank"],
+                   k=60, top_n=10)
+    out["rrf_score"] = _r(out["rrf_score"], 6)
+    return (out.sort_values(["query_id", "rrf_rank"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7417,6 +7453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc": _events_ohlc,
         "docs_weighted_len_quantiles": _docs_weighted_len_quantiles,
         "orders_f2_custkey": _orders_f2_custkey,
+        "events_rolling_median": _events_rolling_median,
+        "docs_rrf_fuse": _docs_rrf_fuse,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10038,6 +10076,90 @@ def oracle_sql() -> dict[str, str]:
                     AS mean_est FROM sr)
             SELECT sr.r, sr.s, s * s AS est, m.mean_est, ex.exact_f2
             FROM sr, m, ex ORDER BY sr.r
+        """,
+        "events_rolling_median": """
+            -- rolling-median replay: quantile_cont window over the
+            -- identical (ts, event_id) order
+            SELECT user_id, event_id, value,
+                   round(quantile_cont(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_med
+            FROM events ORDER BY event_id
+        """,
+        "docs_rrf_fuse": """
+            -- RRF replay: both rankings re-derived (the docs_rerank_rbo
+            -- chain), then score = sum of 1/(60+rank) over the lists a
+            -- doc appears in; rank on the UNROUNDED sum (<= 2 exact
+            -- divisions + one commutative addition), ties -> doc asc
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc),
+            cand AS (SELECT query_id, doc_id, "rank" FROM rk
+                     WHERE "rank" <= 50),
+            refd AS (SELECT query_id, doc_id AS ref_id FROM cand
+                     WHERE "rank" = 1),
+            coss AS (
+              SELECT c.query_id, c.doc_id,
+                     round(list_cosine_similarity(
+                       CAST(er.embedding AS DOUBLE[]),
+                       CAST(ec.embedding AS DOUBLE[])), 6) AS cos
+              FROM cand c
+              JOIN refd r ON r.query_id = c.query_id
+              JOIN embeddings er ON er.vec_id = r.ref_id
+              JOIN embeddings ec ON ec.vec_id = c.doc_id),
+            rr AS (SELECT query_id, doc_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, doc_id)
+                            AS rerank
+                   FROM coss),
+            u AS (
+              SELECT query_id, doc_id, 1.0 / (60 + "rank") AS c
+              FROM rk WHERE "rank" <= 10
+              UNION ALL
+              SELECT query_id, doc_id, 1.0 / (60 + rerank)
+              FROM rr WHERE rerank <= 10),
+            f AS (SELECT query_id, doc_id, sum(c) AS sc,
+                         CAST(count(*) AS BIGINT) AS n_lists
+                  FROM u GROUP BY 1, 2),
+            rkf AS (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sc DESC, doc_id) AS rrf_rank
+                    FROM f)
+            SELECT query_id, doc_id, n_lists, round(sc, 6) AS rrf_score,
+                   CAST(rrf_rank AS BIGINT) AS rrf_rank
+            FROM rkf WHERE rrf_rank <= 10
+            ORDER BY query_id, rrf_rank
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

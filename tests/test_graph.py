@@ -693,3 +693,28 @@ def test_diameter_double_sweep_path_and_star(ray_session):
     out = diameter_double_sweep(edges, k=4, num_partitions=4).to_pandas()
     assert out.iloc[0].to_dict() == {"start_node": 0, "ecc_start": 1,
                                      "far_node": 1, "diameter_lb": 2}
+
+
+def test_multi_source_bfs_driver_vs_distributed_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import multi_source_bfs
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    edges = pd.DataFrame({"src": np.concatenate([src, dst]),
+                          "dst": np.concatenate([dst, src])})
+    seeds = [0, 7, 41]
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (df.sort_values(["seed", "node"])
+                .reset_index(drop=True).astype("int64"))
+
+    drv = norm(multi_source_bfs(rd.from_pandas(edges), seeds, k=4,
+                                num_partitions=4))
+    dist = norm(multi_source_bfs(rd.from_pandas(edges), seeds, k=4,
+                                 num_partitions=4, driver_max_edges=0))
+    pd.testing.assert_frame_equal(drv, dist)

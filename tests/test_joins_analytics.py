@@ -2878,3 +2878,40 @@ def test_f2_moment_matches_direct_replay(ray_session):
     # exact F2 (sum of squared counts) for reference: 9+4+1+16 = 30;
     # the mean estimate is unbiased but noisy at k=4 — just finite
     assert np.isfinite(out["est"].astype(float).mean())
+
+
+def test_rolling_median_manual(ray_session):
+    from text_to_rdf_ray.stages.windows import rolling_median
+
+    df = pd.DataFrame({
+        "user_id": np.ones(5, np.int64),
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=5, freq="1min"),
+        "value": [5.0, 1.0, 9.0, 4.0, 100.0]})
+    out = (rolling_median(rd.from_pandas(df), window_rows=3,
+                          num_partitions=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # head-shrunk windows: [5], [5,1], [5,1,9], [1,9,4], [9,4,100]
+    np.testing.assert_allclose(out["rolling_med"].to_numpy(),
+                               [5.0, 3.0, 5.0, 4.0, 9.0])
+
+
+def test_rrf_fuse_manual(ray_session):
+    from text_to_rdf_ray.stages.retrieval import rrf_fuse
+
+    a = pd.DataFrame({"query_id": ["q"] * 3, "doc_id": [10, 20, 30],
+                      "rank": [1, 2, 3]})
+    b = pd.DataFrame({"query_id": ["q"] * 3, "doc_id": [20, 10, 40],
+                      "rank": [1, 2, 3]})
+    out = rrf_fuse([a, b], k=60, top_n=10)
+    f = out.set_index("doc_id")
+    # 10: 1/61 + 1/62; 20: 1/62 + 1/61 (equal sum -> doc asc tie);
+    # 30: 1/63; 40: 1/63 (tie -> 30 first)
+    both = 1 / 61 + 1 / 62
+    assert f.loc[10, "rrf_score"] == both == f.loc[20, "rrf_score"]
+    assert list(out["doc_id"]) == [10, 20, 30, 40]
+    assert list(out["rrf_rank"]) == [1, 2, 3, 4]
+    assert list(out["n_lists"]) == [2, 2, 1, 1]
+    import pytest
+    with pytest.raises(ValueError):
+        rrf_fuse([])
