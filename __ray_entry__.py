@@ -7216,6 +7216,57 @@ def _docs_rrf_fuse(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _parts_er_golden(sf_dir: str) -> pd.DataFrame:
+    """ER capstone: Fellegi–Sunter links (w > 2) -> connected-component
+    clusters (stages/dedup.py::pairs_to_canonical) -> golden-record
+    survivorship (::survivorship_merge — p_name from the newest member,
+    p_type/p_size by majority, ties -> smallest).  Oracle: the weight
+    CASE replay + recursive-reach CC + the identical field rules."""
+    from text_to_rdf_ray.stages.dedup import (fs_link_scores,
+                                              pairs_to_canonical,
+                                              survivorship_merge)
+    from text_to_rdf_ray.stages.exchange import exchange_join
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size", "p_name"])
+    links = fs_link_scores(
+        parts, id_col="p_partkey", block_col="p_brand",
+        fields=["p_type", "p_size", "p_name"],
+        m={"p_type": 0.9, "p_size": 0.9, "p_name": 0.95},
+        u={"p_type": 0.3, "p_size": 0.1, "p_name": 0.05},
+        lower=0.0, upper=2.0)
+    pairs = links.map_batches(
+        lambda b: b.loc[b["decision"] == "link", ["id_a", "id_b"]],
+        batch_format="pandas")
+    canon = pairs_to_canonical(parts, pairs, id_col="p_partkey")
+    joined = exchange_join(
+        parts.map_batches(
+            lambda t: pa.table({
+                "p_partkey": t.column("p_partkey").cast(pa.int64()),
+                "p_type": t.column("p_type"),
+                "p_size": t.column("p_size").cast(pa.int64()),
+                "p_name": t.column("p_name")}),
+            batch_format="pyarrow"),
+        canon, on="p_partkey", num_partitions=16,
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("p_type", pa.string()),
+                               ("p_size", pa.int64()),
+                               ("p_name", pa.string())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("canonical_id", pa.int64())]))
+    out = survivorship_merge(
+        joined, cluster_col="canonical_id", recency_col="p_partkey",
+        latest_cols=["p_name"], majority_cols=["p_type", "p_size"],
+        num_partitions=16).to_pandas()
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return (out[["canonical_id", "n_members", "p_name", "p_type",
+                 "p_size"]]
+            .sort_values("canonical_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7455,6 +7506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_f2_custkey": _orders_f2_custkey,
         "events_rolling_median": _events_rolling_median,
         "docs_rrf_fuse": _docs_rrf_fuse,
+        "parts_er_golden": _parts_er_golden,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10160,6 +10212,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rrf_rank AS BIGINT) AS rrf_rank
             FROM rkf WHERE rrf_rank <= 10
             ORDER BY query_id, rrf_rank
+        """,
+        "parts_er_golden": """
+            -- ER golden-record replay: FS weights (the parts_fs_links
+            -- CASE) -> links w > 2 -> recursive-reach components ->
+            -- min-id canonical -> latest-name / majority-type-size
+            WITH RECURSIVE w AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     (CASE WHEN a.p_type = b.p_type
+                           THEN log2(0.9 / 0.3)
+                           ELSE log2(0.1 / 0.7) END)
+                   + (CASE WHEN a.p_size = b.p_size
+                           THEN log2(0.9 / 0.1)
+                           ELSE log2(0.1 / 0.9) END)
+                   + (CASE WHEN a.p_name = b.p_name
+                           THEN log2(0.95 / 0.05)
+                           ELSE log2(0.05 / 0.95) END) AS w
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand
+               AND a.p_partkey < b.p_partkey),
+            l AS (SELECT id_a, id_b FROM w WHERE w > 2.0),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM l
+                      UNION ALL SELECT id_b, id_a FROM l),
+            nodes AS (SELECT p_partkey AS id FROM part),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach
+              JOIN edges e ON e.src = reach.id),
+            canon AS (SELECT id AS p_partkey,
+                             CAST(min(r) AS BIGINT) AS canonical_id
+                      FROM reach GROUP BY id),
+            m AS (SELECT c.canonical_id, p.p_partkey, p.p_name,
+                         p.p_type, CAST(p.p_size AS BIGINT) AS p_size
+                  FROM part p JOIN canon c USING (p_partkey)),
+            latest AS (
+              SELECT canonical_id, p_name FROM (
+                SELECT canonical_id, p_name,
+                       row_number() OVER (PARTITION BY canonical_id
+                                          ORDER BY p_partkey DESC) AS rn
+                FROM m) WHERE rn = 1),
+            majt AS (
+              SELECT canonical_id, p_type FROM (
+                SELECT canonical_id, p_type,
+                       row_number() OVER (PARTITION BY canonical_id
+                           ORDER BY count(*) DESC, p_type ASC) AS rn
+                FROM m GROUP BY canonical_id, p_type) WHERE rn = 1),
+            majs AS (
+              SELECT canonical_id, p_size FROM (
+                SELECT canonical_id, p_size,
+                       row_number() OVER (PARTITION BY canonical_id
+                           ORDER BY count(*) DESC, p_size ASC) AS rn
+                FROM m GROUP BY canonical_id, p_size) WHERE rn = 1),
+            nn AS (SELECT canonical_id,
+                          CAST(count(*) AS BIGINT) AS n_members
+                   FROM m GROUP BY 1)
+            SELECT canonical_id, n_members, p_name, p_type, p_size
+            FROM nn
+            JOIN latest USING (canonical_id)
+            JOIN majt USING (canonical_id)
+            JOIN majs USING (canonical_id)
+            ORDER BY canonical_id
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -2060,3 +2060,71 @@ def fs_link_scores(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def survivorship_merge(
+    ds: rd.Dataset,
+    *,
+    cluster_col: str,
+    recency_col: str,
+    latest_cols: list[str] = (),
+    majority_cols: list[str] = (),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Golden-record survivorship (the MDM merge step after entity
+    resolution): one output row per cluster, each field resolved by its
+    rule — ``latest`` fields take the newest non-null value
+    (``recency_col`` asc order, last wins), ``majority`` fields the most
+    frequent non-null value (ties -> smallest value).  This is what
+    turns :func:`fs_link_scores` -> :func:`pairs_to_canonical` clusters
+    into ONE publishable record per entity.
+
+    Shape: ONE cluster-hash exchange; per partition a single sort +
+    ``groupby.last`` resolves ALL latest fields at once (pandas last
+    skips NA), and one value-count sort + head(1) per majority field —
+    C paths across every cluster in the partition.  Emits
+    (cluster, n_members, <fields...>).
+
+    ``recency_col`` must be unique within a cluster (an id, or a
+    pre-packed (ts, id) key) — equal recencies would resolve by input
+    order, which no engine-independent replay can promise.
+    """
+    from .windows import _part_of
+
+    latest_cols = list(latest_cols)
+    majority_cols = list(majority_cols)
+    if not latest_cols and not majority_cols:
+        raise ValueError("survivorship_merge: no field rules given")
+
+    cols = [cluster_col, recency_col, *latest_cols, *majority_cols]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols]
+        return b.assign(_part=_part_of(b[cluster_col], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        base = g.groupby(cluster_col, sort=False).size().rename(
+            "n_members").to_frame()
+        if latest_cols:
+            s = g.sort_values([cluster_col, recency_col],
+                              kind="mergesort")
+            last = s.groupby(cluster_col, sort=False)[latest_cols].last()
+            base = base.join(last)
+        for c in majority_cols:
+            vc = (g.groupby([cluster_col, c], sort=False)
+                  .size().rename("_n").reset_index()
+                  .sort_values([cluster_col, "_n", c],
+                               ascending=[True, False, True],
+                               kind="mergesort"))
+            win = (vc.groupby(cluster_col, sort=False).head(1)
+                   .set_index(cluster_col)[[c]])
+            base = base.join(win)
+        out = base.reset_index()
+        out["n_members"] = out["n_members"].astype("int64")
+        return out[[cluster_col, "n_members", *latest_cols,
+                    *majority_cols]]
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
