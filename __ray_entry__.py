@@ -7267,6 +7267,37 @@ def _parts_er_golden(sf_dir: str) -> pd.DataFrame:
             .sort_values("canonical_id").reset_index(drop=True))
 
 
+def _media_dedup(sf_dir: str) -> pd.DataFrame:
+    """Content-addressed media dedup (stages/multimodal.py::
+    media_exact_dedup) — the REAL (no-decoder) member of the multimodal
+    family: 128-bit blake2b per binary payload, hash exchange (blob
+    bytes never reshuffled), min-id winner.  Every 3rd payload is
+    planted again under id+1000.  Oracle: GROUP BY the BLOB itself over
+    the dumped side table — the hash layout must be invisible."""
+    from text_to_rdf_ray.stages.multimodal import (make_fake_media,
+                                                   media_exact_dedup)
+
+    media = make_fake_media(200)
+    ids = media.column("media_id").to_numpy(zero_copy_only=False)
+    keep = ids % 3 == 0
+    dup = pa.table({
+        "media_id": pa.array(ids[keep] + 1000, pa.int64()),
+        "payload": media.column("payload").filter(pa.array(keep)),
+    })
+    base = pa.table({"media_id": media.column("media_id"),
+                     "payload": media.column("payload")})
+    ds = rd.from_arrow(base).union(rd.from_arrow(dup))
+    side = pa.concat_tables([base, dup])
+    d = os.path.join(_SIDE, "media_dedup")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(side, os.path.join(d, "media.parquet"))
+    out = media_exact_dedup(ds).to_pandas()
+    out["media_id"] = out["media_id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return (out[["media_id", "canonical_id"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7507,6 +7538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": _events_rolling_median,
         "docs_rrf_fuse": _docs_rrf_fuse,
         "parts_er_golden": _parts_er_golden,
+        "media_dedup": _media_dedup,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10273,6 +10305,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN majt USING (canonical_id)
             JOIN majs USING (canonical_id)
             ORDER BY canonical_id
+        """,
+        "media_dedup": f"""
+            -- content-addressed dedup replay: GROUP BY the BLOB itself
+            -- (the 128-bit hash layout must be invisible)
+            WITH m AS (SELECT media_id, payload FROM read_parquet(
+                '{os.path.join(_SIDE, "media_dedup", "media.parquet")}')),
+            c AS (SELECT payload, CAST(min(media_id) AS BIGINT)
+                    AS canonical_id
+                  FROM m GROUP BY payload)
+            SELECT m.media_id, c.canonical_id
+            FROM m JOIN c USING (payload) ORDER BY media_id
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -1321,3 +1321,24 @@ def test_survivorship_merge_rules(ray_session):
     with pytest.raises(ValueError):
         survivorship_merge(rd.from_pandas(df), cluster_col="c",
                            recency_col="id")
+
+
+def test_media_exact_dedup_planted_copies(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.multimodal import (make_fake_media,
+                                                   media_exact_dedup)
+
+    media = make_fake_media(9)
+    dup = pa.table({
+        "media_id": pa.array([100, 101], pa.int64()),
+        "payload": media.column("payload").take(pa.array([2, 5]))})
+    base = pa.table({"media_id": media.column("media_id"),
+                     "payload": media.column("payload")})
+    out = (media_exact_dedup(rd.from_arrow(base).union(rd.from_arrow(dup)),
+                             num_partitions=4).to_pandas()
+           .set_index("media_id")["canonical_id"])
+    assert int(out.loc[100]) == 2 and int(out.loc[101]) == 5
+    # originals are their own canonical
+    assert all(int(out.loc[i]) == i for i in range(9))

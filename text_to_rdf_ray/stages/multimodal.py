@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -222,3 +223,53 @@ def sample_frames(ds: rd.Dataset, *, fps_n: int = 4, fake: bool = False,
         concurrency=concurrency,
         fn_constructor_kwargs={"fps_n": fps_n, "fake": fake},
     )
+
+
+def media_exact_dedup(
+    ds: "rd.Dataset",
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    num_partitions: int = 32,
+) -> "rd.Dataset":
+    """Content-addressed exact dedup over an opaque BINARY media column
+    — the first dedup pass of a 100 TB image/audio corpus, and the one
+    that needs NO decoder (so it is fully real here, not fake-mode):
+    128-bit blake2b per payload, then only (digest, id) rows move — the
+    media bytes themselves are hashed in place and never reshuffled
+    (the 16-32x byte-amplification rule from the LSH band exchange,
+    applied to blobs).  Winner = min id per digest.  At 10^9 objects a
+    128-bit content hash collides with probability ~2^-64 — the
+    standard CAS trust level (git/restic/LFS).
+
+    Emits (id, canonical_id) for every input row.  One hash exchange;
+    per partition a vectorized min-per-digest + self-merge.
+    """
+    import hashlib as _hl
+
+    from .windows import _part_of
+
+    def digest(t: pa.Table) -> pd.DataFrame:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h1 = np.empty(len(ids), np.int64)
+        h2 = np.empty(len(ids), np.int64)
+        for i, payload in enumerate(t.column(payload_col).to_pylist()):
+            d = _hl.blake2b(payload, digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            h2[i] = int.from_bytes(d[8:], "little", signed=True)
+        out = pd.DataFrame({id_col: ids.astype(np.int64),
+                            "_h1": h1, "_h2": h2})
+        return out.assign(_part=_part_of(out["_h1"], num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        canon = (g.groupby(["_h1", "_h2"], sort=False)[id_col]
+                 .min().rename("canonical_id").reset_index())
+        out = g.merge(canon, on=["_h1", "_h2"], how="left")
+        return pd.DataFrame({
+            id_col: out[id_col].astype("int64"),
+            "canonical_id": out["canonical_id"].astype("int64")})
+
+    return (ds.map_batches(digest, batch_format="pyarrow",
+                           batch_size=1024)
+            .groupby("_part").map_groups(per_part, batch_format="pandas"))
