@@ -7298,6 +7298,56 @@ def _media_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("media_id").reset_index(drop=True))
 
 
+def _events_chi2_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence test between event type and
+    hour-of-day (stages/analytics.py::chi2_independence) — the
+    categorical leg of the A/B family.  Integer contingency counts;
+    expected/chi2 from one fixed float expression.  Oracle: window
+    marginals + the identical arithmetic."""
+    from text_to_rdf_ray.stages.analytics import chi2_independence
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "hour": b["ts"].dt.hour.astype("int64")})
+
+    out = chi2_independence(ev.map_batches(add_hour,
+                                           batch_format="pandas"),
+                            col_a="event_type", col_b="hour")
+    out["expected_n"] = _r(out["expected_n"], 6)
+    out["chi2_term"] = _r(out["chi2_term"], 6)
+    out["dof"] = out["dof"].astype("int64")
+    return (out.sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+
+
+def _events_best_split(sf_dir: str) -> pd.DataFrame:
+    """CART decision-stump split finder (stages/analytics.py::
+    best_split_gini): the hour-of-day threshold best separating event
+    types by gini gain — every float one fixed expression over integer
+    prefix counts, so is_best needs no rounding.  Oracle: the identical
+    prefix/Σk² algebra via a threshold cross join."""
+    from text_to_rdf_ray.stages.analytics import best_split_gini
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.hour.astype("int64"),
+                             "event_type": b["event_type"]})
+
+    out = best_split_gini(ev.map_batches(prep, batch_format="pandas"),
+                          feature_col="hour", class_col="event_type")
+    out["threshold"] = out["threshold"].astype("int64")
+    out["n_left"] = out["n_left"].astype("int64")
+    out["n_right"] = out["n_right"].astype("int64")
+    out["gain"] = _r(out["gain"], 6)
+    out["is_best"] = out["is_best"].astype(bool)
+    return (out.sort_values("threshold").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7539,6 +7589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rrf_fuse": _docs_rrf_fuse,
         "parts_er_golden": _parts_er_golden,
         "media_dedup": _media_dedup,
+        "events_chi2_type_hour": _events_chi2_type_hour,
+        "events_best_split": _events_best_split,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10316,6 +10368,80 @@ def oracle_sql() -> dict[str, str]:
                   FROM m GROUP BY payload)
             SELECT m.media_id, c.canonical_id
             FROM m JOIN c USING (payload) ORDER BY media_id
+        """,
+        "events_chi2_type_hour": """
+            -- chi2 independence replay: window marginals over the
+            -- observed contingency cells, identical float expression
+            WITH b AS (SELECT event_type,
+                              CAST(extract(hour FROM ts) AS BIGINT)
+                                AS hour
+                       FROM events),
+            c AS (SELECT event_type, hour,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                         CAST(count(DISTINCT event_type) AS BIGINT) AS ra,
+                         CAST(count(DISTINCT hour) AS BIGINT) AS cb
+                  FROM c),
+            m AS (SELECT c.*,
+                         CAST(sum(n) OVER (PARTITION BY event_type)
+                              AS DOUBLE) AS rt,
+                         CAST(sum(n) OVER (PARTITION BY hour)
+                              AS DOUBLE) AS ct
+                  FROM c)
+            SELECT event_type, hour, n,
+                   round(rt * ct / t.total, 6) AS expected_n,
+                   round((n - rt * ct / t.total)
+                         * (n - rt * ct / t.total)
+                         / (rt * ct / t.total), 6) AS chi2_term,
+                   (t.ra - 1) * (t.cb - 1) AS dof
+            FROM m, t ORDER BY event_type, hour
+        """,
+        "events_best_split": """
+            -- gini stump replay: per-threshold integer prefix class
+            -- counts (cross join + filtered sums), identical gain
+            -- expression over exact integers -> is_best unrounded
+            WITH b AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS f,
+                              event_type AS cls
+                       FROM events),
+            c AS (SELECT f, cls, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2),
+            th AS (SELECT DISTINCT f AS t FROM c
+                   WHERE f < (SELECT max(f) FROM c)),
+            ks AS (SELECT DISTINCT cls FROM c),
+            tot AS (SELECT cls, CAST(sum(n) AS BIGINT) AS tn
+                    FROM c GROUP BY 1),
+            nall AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+            lc AS (SELECT th.t, ks.cls,
+                          CAST(coalesce(sum(c.n), 0) AS BIGINT) AS ln
+                   FROM th CROSS JOIN ks
+                   LEFT JOIN c ON c.cls = ks.cls AND c.f <= th.t
+                   GROUP BY 1, 2),
+            agg AS (SELECT lc.t,
+                           CAST(sum(ln) AS BIGINT) AS nl,
+                           CAST(sum(ln * ln) AS BIGINT) AS ssl,
+                           CAST(sum((tot.tn - ln) * (tot.tn - ln))
+                                AS BIGINT) AS ssr
+                    FROM lc JOIN tot USING (cls) GROUP BY 1),
+            sp AS (SELECT CAST(sum(tn * tn) AS BIGINT) AS ssp FROM tot),
+            g AS (SELECT agg.t AS threshold, nl AS n_left,
+                         nall.n - nl AS n_right,
+                         (1.0 - CAST(sp.ssp AS DOUBLE)
+                            / (CAST(nall.n AS DOUBLE)
+                               * CAST(nall.n AS DOUBLE)))
+                       - (CAST(nl AS DOUBLE) / nall.n)
+                         * (1.0 - CAST(ssl AS DOUBLE)
+                            / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+                       - (CAST(nall.n - nl AS DOUBLE) / nall.n)
+                         * (1.0 - CAST(ssr AS DOUBLE)
+                            / (CAST(nall.n - nl AS DOUBLE)
+                               * CAST(nall.n - nl AS DOUBLE)))
+                           AS gain
+                  FROM agg, sp, nall)
+            SELECT threshold, n_left, n_right, round(gain, 6) AS gain,
+                   row_number() OVER (ORDER BY gain DESC, threshold ASC)
+                     = 1 AS is_best
+            FROM g ORDER BY threshold
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -2915,3 +2915,42 @@ def test_rrf_fuse_manual(ray_session):
     import pytest
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_chi2_independence_manual(ray_session):
+    from text_to_rdf_ray.stages.analytics import chi2_independence
+
+    # 2x2 table: a/x 30, a/y 10, b/x 10, b/y 30 -> strong association
+    df = pd.DataFrame({
+        "A": ["a"] * 40 + ["b"] * 40,
+        "B": ["x"] * 30 + ["y"] * 10 + ["x"] * 10 + ["y"] * 30})
+    out = chi2_independence(rd.from_pandas(df), col_a="A", col_b="B")
+    out = out.set_index(["A", "B"])
+    # expected for each cell = 40*40/80 = 20; term = (30-20)^2/20 = 5
+    for cell, o in [(("a", "x"), 30), (("a", "y"), 10),
+                    (("b", "x"), 10), (("b", "y"), 30)]:
+        r = out.loc[cell]
+        assert r["expected_n"] == 20.0
+        assert r["chi2_term"] == (o - 20.0) ** 2 / 20.0
+        assert int(r["dof"]) == 1
+    assert float(out["chi2_term"].sum()) == 20.0
+
+
+def test_best_split_gini_perfect_split(ray_session):
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import best_split_gini
+
+    # feature <= 1 is all class p, > 1 all q -> threshold 1 is perfect
+    df = pd.DataFrame({
+        "f": np.array([0, 1, 1, 2, 3, 3], np.int64),
+        "c": ["p", "p", "p", "q", "q", "q"]})
+    out = best_split_gini(rd.from_pandas(df), feature_col="f",
+                          class_col="c")
+    best = out[out["is_best"]].iloc[0]
+    assert int(best["threshold"]) == 1
+    assert float(best["gain"]) == 0.5  # parent gini 0.5 -> children 0
+    assert (int(best["n_left"]), int(best["n_right"])) == (3, 3)
+    with pytest.raises(ValueError):
+        best_split_gini(rd.from_pandas(df.assign(f=1)),
+                        feature_col="f", class_col="c")

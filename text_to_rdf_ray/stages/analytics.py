@@ -3015,3 +3015,123 @@ def f2_moment(
     out = out.sort_values("r").reset_index(drop=True)
     out["est"] = out["s"].astype("int64") ** 2  # integer-exact
     return out
+
+
+def chi2_independence(
+    ds: rd.Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the categorical leg of the on-engine A/B family (Welch =
+    means, PSI = drift, this = association): contingency counts via one
+    combiner-backed exchange, then per-cell expected = row_total x
+    col_total / N and the chi2 term, plus (r-1)(c-1) degrees of
+    freedom on every row.  All inputs to the float expressions are
+    exact integers, so the replay is engine-deterministic.
+
+    Cells are O(|A| x |B|) — guarded by ``max_cells`` (the driver
+    finalize is O(cells), the distributed pass never is).
+    """
+    from .exchange import exchange_agg
+
+    counts = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                col_a: t.column(col_a), col_b: t.column(col_b),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        [col_a, col_b], [("one", "sum", "n")],
+        num_partitions=num_partitions).to_pandas()
+    if len(counts) > max_cells:
+        raise ValueError(
+            f"chi2_independence: {len(counts)} cells exceed max_cells="
+            f"{max_cells}")
+    counts = counts.sort_values([col_a, col_b],
+                                kind="mergesort").reset_index(drop=True)
+    ra = counts.groupby(col_a, sort=False)["n"].transform("sum")
+    cb = counts.groupby(col_b, sort=False)["n"].transform("sum")
+    total = int(counts["n"].sum())
+    # NOTE: zero-count cells (a value-pair never observed) contribute
+    # their full expected count to the true statistic; this streaming
+    # form reports OBSERVED cells (the standard sparse convention) and
+    # dof from the marginals, which is what the SQL replay computes too
+    exp = (ra.to_numpy(np.float64) * cb.to_numpy(np.float64)
+           / np.float64(total))
+    obs = counts["n"].to_numpy(np.float64)
+    dof = (counts[col_a].nunique() - 1) * (counts[col_b].nunique() - 1)
+    return pd.DataFrame({
+        col_a: counts[col_a], col_b: counts[col_b],
+        "n": counts["n"].astype("int64"),
+        "expected_n": exp,
+        "chi2_term": (obs - exp) * (obs - exp) / exp,
+        "dof": np.int64(dof)})
+
+
+def best_split_gini(
+    ds: rd.Dataset,
+    *,
+    feature_col: str,
+    class_col: str,
+    max_values: int = 100_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Decision-stump split finder (the CART node primitive, gini
+    impurity): for every threshold t over an INTEGER-ordinal feature,
+    the weighted gini of the (feature <= t) / (feature > t) children
+    and the impurity gain vs the parent — all child statistics derive
+    from INTEGER prefix counts (Σ n_k and Σ n_k² per side), so every
+    float is one fixed expression over exact integers and the argmax
+    is engine-deterministic WITHOUT rounding.
+
+    One (feature, class)-count exchange (combiner-backed, volume
+    batches x cells); the threshold walk is a driver numpy pass over
+    the O(|feature values| x |classes|) pivot, guarded by
+    ``max_values``.  Returns one row per candidate threshold
+    (thresholds = distinct feature values except the last):
+    (threshold, n_left, n_right, gain, is_best) — is_best ties break
+    toward the smaller threshold.
+    """
+    from .exchange import exchange_agg
+
+    counts = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                feature_col: t.column(feature_col).cast(pa.int64()),
+                class_col: t.column(class_col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        [feature_col, class_col], [("one", "sum", "n")],
+        num_partitions=num_partitions).to_pandas()
+    if counts[feature_col].nunique() > max_values:
+        raise ValueError("best_split_gini: feature cardinality exceeds "
+                         f"max_values={max_values}")
+    pivot = (counts.pivot_table(index=feature_col, columns=class_col,
+                                values="n", aggfunc="sum", fill_value=0)
+             .sort_index())
+    m = pivot.to_numpy(np.int64)          # values x classes
+    vals = pivot.index.to_numpy(np.int64)
+    if len(vals) < 2:
+        raise ValueError("best_split_gini: need >= 2 feature values")
+    cum = np.cumsum(m, axis=0)            # prefix class counts
+    tot = cum[-1]                         # per-class totals
+    n = int(tot.sum())
+    nl = cum.sum(axis=1)[:-1].astype(np.int64)   # left sizes per t
+    nr = n - nl
+    ssl = (cum[:-1] ** 2).sum(axis=1).astype(np.int64)  # Σ l_k²
+    ssr = ((tot[None, :] - cum[:-1]) ** 2).sum(axis=1).astype(np.int64)
+    ssp = int((tot ** 2).sum())
+    gini_p = 1.0 - ssp / (np.float64(n) * np.float64(n))
+    nlf, nrf = nl.astype(np.float64), nr.astype(np.float64)
+    gain = (gini_p
+            - (nlf / n) * (1.0 - ssl / (nlf * nlf))
+            - (nrf / n) * (1.0 - ssr / (nrf * nrf)))
+    best = int(np.argmax(gain))           # first max -> smaller value
+    return pd.DataFrame({
+        "threshold": vals[:-1],
+        "n_left": nl, "n_right": nr,
+        "gain": gain,
+        "is_best": np.arange(len(gain)) == best})
