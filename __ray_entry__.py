@@ -7348,6 +7348,45 @@ def _events_best_split(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("threshold").reset_index(drop=True))
 
 
+def _web_host_graph(sf_dir: str) -> pd.DataFrame:
+    """Crawl outlink extraction -> host-graph projection
+    (stages/curation.py::extract_links + one count exchange): href
+    pulls per batch, absolute http(s) kept (relative counted), hosts
+    normalized with the canonical_urls surgery; edges = (src_host,
+    dst_host, n_links).  Pages are a deterministic planted side table
+    (case/port/www variants + relative links); the oracle replays
+    regexp_extract_all + the identical host surgery."""
+    from text_to_rdf_ray.stages.curation import extract_links
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    rows = []
+    for i in range(60):
+        url = f"https://www.site{i % 7}.com/p/{i}"
+        html = (
+            f'<html><body><a href="https://Site{(i * 3 + 1) % 7}'
+            f'.COM:443/x/{i}">a</a> '
+            f'<a href="/rel/{i}">rel</a> '
+            f'<a href="http://tracker{(i * 5 + 2) % 9}.net/t?id={i}">t'
+            f"</a></body></html>")
+        rows.append({"page_id": i, "url": url, "html": html})
+    pages = pd.DataFrame(rows)
+    _side_write("web_host_graph", "pages.parquet", pages)
+    links = extract_links(rd.from_pandas(pages))
+    out = exchange_agg(
+        links.map_batches(
+            lambda t: pa.table({
+                "src_host": t.column("src_host"),
+                "dst_host": t.column("dst_host"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["src_host", "dst_host"], [("one", "sum", "n_links")],
+        num_partitions=8).to_pandas()
+    out["n_links"] = out["n_links"].astype("int64")
+    return (out[["src_host", "dst_host", "n_links"]]
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7591,6 +7630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _media_dedup,
         "events_chi2_type_hour": _events_chi2_type_hour,
         "events_best_split": _events_best_split,
+        "web_host_graph": _web_host_graph,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10442,6 +10482,31 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY gain DESC, threshold ASC)
                      = 1 AS is_best
             FROM g ORDER BY threshold
+        """,
+        "web_host_graph": f"""
+            -- outlink replay: regexp_extract_all on the planted pages,
+            -- absolute-only filter, identical host surgery, count per
+            -- (src_host, dst_host)
+            WITH p AS (SELECT page_id, url, html FROM read_parquet(
+                '{os.path.join(_SIDE, "web_host_graph", "pages.parquet")}')),
+            l AS (SELECT page_id, url,
+                         unnest(regexp_extract_all(html,
+                             'href="([^"]*)"', 1)) AS dst_url
+                  FROM p),
+            a AS (SELECT *,
+                         regexp_replace(regexp_replace(lower(
+                           regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                           '^www\\.', ''), ':(80|443)$', '') AS src_host,
+                         regexp_replace(regexp_replace(lower(
+                           regexp_extract(dst_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                           '^www\\.', ''), ':(80|443)$', '') AS dst_host
+                  FROM l
+                  WHERE regexp_matches(dst_url, '^[hH][tT][tT][pP][sS]?://'))
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

@@ -1405,3 +1405,25 @@ def test_dp_counts_deterministic_laplace(ray_session):
             <= np.abs(r1["noisy_n"].to_numpy() - n_true) + 1e-12).all()
     with pytest.raises(ValueError):
         dp_counts(rd.from_pandas(df), key_col="k", max_groups=2)
+
+
+def test_extract_links_absolute_and_host_norm(ray_session):
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.curation import extract_links
+    from text_to_rdf_ray.state import counters
+
+    pages = pd.DataFrame({
+        "page_id": np.array([1], np.int64),
+        "url": ["https://WWW.Example.COM:443/p"],
+        "html": ['<a href="https://Other.com:80/x">o</a>'
+                 '<a href="/relative">r</a>'
+                 '<a href="HTTP://www.third.net/y?z=1">t</a>']})
+    counters.snapshot(reset=True)
+    out = (extract_links(rd.from_pandas(pages)).to_pandas()
+           .sort_values("dst_url").reset_index(drop=True))
+    assert len(out) == 2  # relative dropped (counted)
+    assert set(out["src_host"]) == {"example.com"}
+    assert set(out["dst_host"]) == {"other.com", "third.net"}
+    snap = counters.snapshot(reset=True)
+    assert snap.get("extractlinks_relative", 0) == 1

@@ -2752,3 +2752,57 @@ def dp_counts(
     return pd.DataFrame({
         key_col: counts[key_col],
         "noisy_n": counts["n"].to_numpy(np.float64) + noise})
+
+
+def extract_links(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "page_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Outlink extraction — the web-graph builder every crawl pipeline
+    runs beside text extraction (host graph -> PageRank/centrality ->
+    crawl prioritization & spam scoring): ``href="..."`` attributes
+    pulled with ONE compiled-regex ``str.findall`` pass per batch,
+    ABSOLUTE http(s) targets kept (relative links are counted via the
+    ``extractlinks_relative`` counter, never silently dropped), and
+    both endpoints' hosts normalized with the ``canonical_urls``
+    surgery (lowercase, leading ``www.`` strip, default-port strip).
+
+    Emits one edge row (page_id, src_host, dst_url, dst_host); the
+    page HTML never re-ships — only the O(edges) link rows leave the
+    extraction stage.  Host-graph projection = one (src_host,
+    dst_host) count exchange downstream.
+    """
+    from ..state import counters
+
+    href_re = r'href="([^"]*)"'
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+    def _norm_host(h: pd.Series) -> pd.Series:
+        return (h.str.lower()
+                .str.replace(r"^www\.", "", regex=True)
+                .str.replace(r":(80|443)$", "", regex=True))
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        links = b[html_col].str.findall(href_re)
+        out = pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "src_host": _norm_host(b[url_col].str.extract(
+                host_re, expand=False).fillna("")),
+            "dst_url": links})
+        out = out.explode("dst_url")
+        out = out[out["dst_url"].notna()]
+        absolute = out["dst_url"].str.match(r"^https?://", case=False)
+        n_rel = int((~absolute).sum())
+        if n_rel:
+            counters.incr({"extractlinks_relative": n_rel})
+        out = out[absolute]
+        out["dst_host"] = _norm_host(out["dst_url"].str.extract(
+            host_re, expand=False).fillna(""))
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(per_batch, batch_format="pandas",
+                          batch_size=4096)
