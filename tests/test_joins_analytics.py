@@ -2954,3 +2954,81 @@ def test_best_split_gini_perfect_split(ray_session):
     with pytest.raises(ValueError):
         best_split_gini(rd.from_pandas(df.assign(f=1)),
                         feature_col="f", class_col="c")
+
+
+def test_weighted_quantile_random_vs_bruteforce(ray_session):
+    from text_to_rdf_ray.stages.analytics import weighted_quantile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "v": rng.integers(-50, 50, 300).astype(np.int64),
+        "w": rng.integers(0, 7, 300).astype(np.int64)})
+    qs = (0.25, 0.5, 0.9, 1.0)
+    out = (weighted_quantile(rd.from_pandas(df), key_col="k",
+                             value_col="v", weight_col="w", qs=qs,
+                             num_partitions=8).to_pandas()
+           .set_index(["k", "q"]).sort_index())
+
+    g = (df.groupby(["k", "v"], as_index=False)["w"].sum()
+         .sort_values(["k", "v"]))
+    for key, sub in g.groupby("k"):
+        tot = int(sub["w"].sum())
+        if tot == 0:
+            continue
+        cum = sub["w"].cumsum().to_numpy()
+        for q in qs:
+            # brute force: smallest v with inclusive cum weight >= q*tot
+            i = int(np.argmax(cum.astype(np.float64)
+                              >= np.float64(q) * tot))
+            want = int(sub["v"].iloc[i])
+            assert int(out.loc[(key, q), "v"]) == want
+
+
+def test_kmv_distinct_random_vs_exact_replay(ray_session):
+    from text_to_rdf_ray.stages.analytics import kmv_distinct, splitmix64
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 10_000, 2000).astype(np.int64)
+    df = pd.DataFrame({"k": np.where(ids % 2 == 0, "even", "odd"),
+                       "id": ids})
+    out = (kmv_distinct(rd.from_pandas(df), key_col="k", id_col="id",
+                        k=32, num_partitions=8).to_pandas()
+           .set_index("k"))
+    for key, mask in (("even", ids % 2 == 0), ("odd", ids % 2 != 0)):
+        u = np.unique(ids[mask])
+        h = np.sort(np.unique(splitmix64(u)))
+        if len(h) >= 32:
+            kth = h[31]
+            want = 31 * 2.0 ** 64 / float(kth)
+        else:
+            kth = h[-1]
+            want = float(len(h))
+        assert out.loc[key, "kth_hash"] == str(int(kth))
+        assert float(out.loc[key, "est_distinct"]) == want
+
+
+def test_ohlc_bars_random_vs_pandas_reference(ray_session):
+    from text_to_rdf_ray.stages.windows import ohlc_bars
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s")),
+        "value": np.round(rng.random(n) * 100, 3)})
+    out = (ohlc_bars(rd.from_pandas(df), num_partitions=8).to_pandas()
+           .set_index(["event_type", "window_id"]).sort_index())
+    ref = df.copy()
+    ref["window_id"] = (ref["ts"].astype("datetime64[us]").astype("int64")
+                        // 3_600_000_000)
+    ref = ref.sort_values(["ts", "event_id"])
+    gb = ref.groupby(["event_type", "window_id"])
+    want = gb["value"].agg(open="first", high="max", low="min",
+                           close="last", n="size")
+    pd.testing.assert_frame_equal(
+        out[["open", "high", "low", "close", "n"]].astype(
+            {"n": "int64"}),
+        want.sort_index().astype({"n": "int64"}))
