@@ -7387,6 +7387,30 @@ def _web_host_graph(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _docs_auc_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-slice ROC AUC (stages/analytics.py::auc_by_group): how well
+    doc length separates English docs WITHIN each source — the sliced
+    model-quality readout a global AUC hides.  Same integer
+    Mann–Whitney algebra as docs_auc, per group.  Oracle: the docs_auc
+    window replay with PARTITION BY source."""
+    from text_to_rdf_ray.stages.analytics import auc_by_group
+
+    docs = _documents(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "source": b["source"],
+            "s": b["n_chars"].astype("float64"),
+            "y": (b["lang"] == "en").astype("int64")}),
+        batch_format="pandas")
+    out = auc_by_group(docs, group_col="source", score_col="s",
+                       label_col="y")
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["n_neg"] = out["n_neg"].astype("int64")
+    out["u2"] = out["u2"].astype("int64")
+    out["auc"] = _r(out["auc"], 6)
+    return (out[["source", "n_pos", "n_neg", "u2", "auc"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline & kernels (SURVEY.md §2 / §3)
@@ -7631,6 +7655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2_type_hour": _events_chi2_type_hour,
         "events_best_split": _events_best_split,
         "web_host_graph": _web_host_graph,
+        "docs_auc_by_source": _docs_auc_by_source,
         # multimodal plumbing
         "media_features_fake": _media_features,
         "media_frames_fake": _media_frames,
@@ -10507,6 +10532,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM a GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_auc_by_source": """
+            -- sliced Mann-Whitney replay: the docs_auc window chain
+            -- with PARTITION BY source; integers until the division
+            WITH vc AS (
+              SELECT source, n_chars AS s,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+              FROM documents GROUP BY source, n_chars),
+            w AS (
+              SELECT source, s, pos, neg,
+                     coalesce(sum(neg) OVER (PARTITION BY source
+                         ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS neg_below
+              FROM vc),
+            agg AS (
+              SELECT source,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(neg) AS BIGINT) AS n_neg,
+                     CAST(sum(2 * pos * neg_below + pos * neg)
+                          AS BIGINT) AS u2
+              FROM w GROUP BY source)
+            SELECT source, n_pos, n_neg, u2,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                         THEN u2 * 1.0 / (2.0 * (n_pos * n_neg))
+                         ELSE 0.0 END, 6) AS auc
+            FROM agg ORDER BY source
         """,
         "events_ewma": """
             -- EWMA replay: the SAME recurrence, same float ops, same

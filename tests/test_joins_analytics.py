@@ -3032,3 +3032,26 @@ def test_ohlc_bars_random_vs_pandas_reference(ray_session):
         out[["open", "high", "low", "close", "n"]].astype(
             {"n": "int64"}),
         want.sort_index().astype({"n": "int64"}))
+
+
+def test_auc_by_group_matches_global_per_slice(ray_session):
+    from text_to_rdf_ray.stages.analytics import auc_by_group, auc_score
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 400),
+        "s": np.round(rng.random(400) * 10, 2),
+        "y": rng.integers(0, 2, 400).astype(np.int64)})
+    # one slice with a single class -> auc defined as 0.0
+    df.loc[df["g"] == "c", "y"] = 1
+    out = (auc_by_group(rd.from_pandas(df), group_col="g",
+                        score_col="s", label_col="y").to_pandas()
+           .set_index("g"))
+    for g in ("a", "b"):
+        sub = df[df["g"] == g]
+        ref = auc_score(rd.from_pandas(sub), score_col="s",
+                        label_col="y")
+        assert int(out.loc[g, "u2"]) == int(ref["u2"].iloc[0])
+        assert float(out.loc[g, "auc"]) == float(ref["auc"].iloc[0])
+    assert float(out.loc["c", "auc"]) == 0.0
+    assert int(out.loc["c", "n_neg"]) == 0

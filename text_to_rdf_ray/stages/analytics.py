@@ -3135,3 +3135,68 @@ def best_split_gini(
         "n_left": nl, "n_right": nr,
         "gain": gain,
         "is_best": np.arange(len(gain)) == best})
+
+
+def auc_by_group(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 2_000_000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Per-slice ROC AUC — :func:`auc_score`'s Mann–Whitney identity
+    evaluated independently inside every ``group_col`` slice, the
+    sliced-evaluation readout (per-language / per-source / per-cohort
+    model quality — a global AUC routinely hides a slice that scores
+    at chance).  Identical integer algebra per group: ONE
+    (group, score)-keyed combiner exchange, then a vectorized grouped
+    cumulative-below walk over the count table (bounded by distinct
+    (group, score) pairs, ``max_distinct``-guarded).  Returns one row
+    per group: (group, n_pos, n_neg, u2, auc); groups with an empty
+    class report auc = 0.0 (the auc_score convention).
+    """
+    from .exchange import exchange_agg
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        y = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if np.isnan(s.astype(np.float64)).any():
+            raise ValueError(f"auc_by_group: NaN in {score_col}")
+        df = (pd.DataFrame({"g": batch.column(group_col).to_pandas(),
+                            "s": s, "pos": y, "neg": 1 - y})
+              .groupby(["g", "s"], sort=False).sum().reset_index())
+        return pa.table({
+            "g": pa.array(df["g"]),
+            "s": pa.array(df["s"].to_numpy(np.float64), pa.float64()),
+            "pos": pa.array(df["pos"].to_numpy(np.int64), pa.int64()),
+            "neg": pa.array(df["neg"].to_numpy(np.int64), pa.int64())})
+
+    vc = exchange_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["g", "s"], [("pos", "sum", "pos"), ("neg", "sum", "neg")],
+        num_partitions=num_partitions).to_pandas()
+    if len(vc) > max_distinct:
+        raise ValueError(
+            f"auc_by_group: {len(vc)} distinct (group, score) pairs "
+            f"exceed max_distinct={max_distinct}; bucket scores first")
+    vc = vc.sort_values(["g", "s"], kind="mergesort").reset_index(
+        drop=True)
+    gb = vc.groupby("g", sort=False)
+    neg_below = (gb["neg"].cumsum() - vc["neg"]).to_numpy(np.int64)
+    pos = vc["pos"].to_numpy(np.int64)
+    neg = vc["neg"].to_numpy(np.int64)
+    vc["_u2"] = 2 * pos * neg_below + pos * neg
+    agg = gb.agg(n_pos=("pos", "sum"), n_neg=("neg", "sum"),
+                 u2=("_u2", "sum")).reset_index()
+    n_pos = agg["n_pos"].to_numpy(np.int64)
+    n_neg = agg["n_neg"].to_numpy(np.int64)
+    u2 = agg["u2"].to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        auc = u2 * 1.0 / (2.0 * (n_pos * n_neg))
+    auc = np.where((n_pos > 0) & (n_neg > 0), auc, 0.0)
+    return pd.DataFrame({
+        group_col: agg["g"],
+        "n_pos": n_pos, "n_neg": n_neg, "u2": u2, "auc": auc})
