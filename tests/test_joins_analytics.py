@@ -3044,9 +3044,8 @@ def test_auc_by_group_matches_global_per_slice(ray_session):
         "y": rng.integers(0, 2, 400).astype(np.int64)})
     # one slice with a single class -> auc defined as 0.0
     df.loc[df["g"] == "c", "y"] = 1
-    out = (auc_by_group(rd.from_pandas(df), group_col="g",
-                        score_col="s", label_col="y").to_pandas()
-           .set_index("g"))
+    out = auc_by_group(rd.from_pandas(df), group_col="g",
+                       score_col="s", label_col="y").set_index("g")
     for g in ("a", "b"):
         sub = df[df["g"] == g]
         ref = auc_score(rd.from_pandas(sub), score_col="s",
