@@ -2917,6 +2917,25 @@ def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def _docs_ndcg(sf_dir: str) -> pd.DataFrame:
+    """Binary-relevance NDCG@10 of the BM25 top-15 ranking (stages/
+    retrieval.py::binary_ndcg): relevance = doc contains >= 2 DISTINCT
+    query terms (deterministic lexical qrels — fully replayable), the
+    per-query total-relevant count R is computed distributed, and
+    every gain term is rounded to 9dp before summing so the SQL
+    replay is bit-equal regardless of summation order."""
+    from text_to_rdf_ray.stages.retrieval import binary_ndcg, bm25_topk
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    ranking = bm25_topk(docs, _BM25_QUERIES, k=15).to_pandas()
+    ranking["doc_id"] = ranking["doc_id"].astype("int64")
+    ranking["rank"] = ranking["rank"].astype("int64")
+    out = binary_ndcg(docs, _BM25_QUERIES, ranking, k=10, min_terms=2)
+    for c in ("n_rel_total", "n_rel_ranked"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment via map-side join (stages/joins.py::
     broadcast_join — part table broadcast once via ray.put, lineitem
@@ -7517,6 +7536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_encode": _docs_vocab_encode,
         "docs_bm25_topk": _docs_bm25_topk,
         "docs_bm25_topk_join": _docs_bm25_topk_join,
+        "docs_ndcg": _docs_ndcg,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -11207,6 +11227,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
             FROM rk WHERE "rank" <= 15
             ORDER BY query_id, "rank"
+        """,
+        "docs_ndcg": """
+            -- NDCG@10 with binary lexical relevance (doc has >= 2
+            -- DISTINCT query terms) over the BM25 top-15 ranking;
+            -- gains rounded 9dp before summing, dcg/idcg/ndcg 6dp
+            -- (stages/retrieval.py::binary_ndcg)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc),
+            rel AS (SELECT q.query_id, p.doc_id
+                    FROM (SELECT DISTINCT doc_id, term FROM tf) p
+                    JOIN q USING (term)
+                    GROUP BY q.query_id, p.doc_id
+                    HAVING count(DISTINCT term) >= 2),
+            tot AS (SELECT query_id, count(*) AS n_rel_total
+                    FROM rel GROUP BY 1),
+            hits AS (SELECT rk.query_id, rk."rank"
+                     FROM rk JOIN rel ON rel.query_id = rk.query_id
+                                     AND rel.doc_id = rk.doc_id
+                     WHERE rk."rank" <= 10),
+            dc AS (SELECT query_id,
+                          round(sum(round(1.0 / log2("rank" + 1), 9)), 6)
+                              AS dcg,
+                          count(*) AS n_rel_ranked
+                   FROM hits GROUP BY 1),
+            ic AS (SELECT t.query_id,
+                          round(sum(round(1.0 / log2(g.i + 1), 9)), 6)
+                              AS idcg
+                   FROM tot t,
+                        unnest(generate_series(
+                            1, least(t.n_rel_total, 10))) AS g(i)
+                   GROUP BY 1)
+            SELECT qq.query_id,
+                   CAST(coalesce(tot.n_rel_total, 0) AS BIGINT)
+                       AS n_rel_total,
+                   CAST(coalesce(dc.n_rel_ranked, 0) AS BIGINT)
+                       AS n_rel_ranked,
+                   coalesce(dc.dcg, 0.0) AS dcg,
+                   coalesce(ic.idcg, 0.0) AS idcg,
+                   CASE WHEN coalesce(ic.idcg, 0.0) > 0
+                        THEN round(coalesce(dc.dcg, 0.0) / ic.idcg, 6)
+                        ELSE 0.0 END AS ndcg
+            FROM (SELECT DISTINCT query_id FROM q) qq
+            LEFT JOIN tot USING (query_id)
+            LEFT JOIN dc USING (query_id)
+            LEFT JOIN ic USING (query_id)
+            ORDER BY query_id
         """,
         "docs_weighted_sample": f"""
             WITH {_sm64_sql("documents", "doc_id", ["doc_id", "n_chars"])},

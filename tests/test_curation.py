@@ -1427,3 +1427,46 @@ def test_extract_links_absolute_and_host_norm(ray_session):
     assert set(out["dst_host"]) == {"other.com", "third.net"}
     snap = counters.snapshot(reset=True)
     assert snap.get("extractlinks_relative", 0) == 1
+
+
+def test_binary_ndcg_manual(ray_session):
+    from text_to_rdf_ray.stages.retrieval import binary_ndcg
+
+    # relevance (>=2 distinct query terms): q1 {hash,join,table} ->
+    # docs 0,1 relevant; q2 {scan,window} -> doc 3 only (doc 2 has
+    # window but not scan; doc 0 has scan+table but table not in q2)
+    texts = [
+        "hash join table scan",     # q1: hash,join,table (3 terms)
+        "hash hash join extra",     # q1: hash,join (2 terms)
+        "window agg stream window",  # q2: window only -> not relevant
+        "scan window scan",         # q2: scan,window (2 terms)
+        "",
+        "unrelated words only here",
+    ]
+    queries = {"q1": ["hash", "join", "table"], "q2": ["scan", "window"]}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    # a fixed ranking: q1 ranks docs [1, 5, 0]; q2 ranks [2, 3]
+    ranking = pd.DataFrame({
+        "query_id": ["q1", "q1", "q1", "q2", "q2"],
+        "doc_id": [1, 5, 0, 2, 3],
+        "rank": [1, 2, 3, 1, 2],
+    })
+    out = (binary_ndcg(ds, queries, ranking, k=3, min_terms=2)
+           .set_index("query_id"))
+
+    g = [round(1.0 / math.log2(r + 1), 9) for r in range(1, 4)]
+    # q1: hits at ranks 1 and 3 of {0,1}; R=2 -> idcg over ranks 1,2
+    assert out.loc["q1", "n_rel_total"] == 2
+    assert out.loc["q1", "n_rel_ranked"] == 2
+    assert out.loc["q1", "dcg"] == round(g[0] + g[2], 6)
+    assert out.loc["q1", "idcg"] == round(g[0] + g[1], 6)
+    assert out.loc["q1", "ndcg"] == round(
+        round(g[0] + g[2], 6) / round(g[0] + g[1], 6), 6)
+    # q2: only doc 3 relevant, ranked at 2; R=1
+    assert out.loc["q2", "n_rel_total"] == 1
+    assert out.loc["q2", "n_rel_ranked"] == 1
+    assert out.loc["q2", "dcg"] == round(g[1], 6)
+    assert out.loc["q2", "idcg"] == round(g[0], 6)
