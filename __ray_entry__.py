@@ -2936,6 +2936,22 @@ def _docs_ndcg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def _docs_retrieval_eval(sf_dir: str) -> pd.DataFrame:
+    """MRR / precision@10 / recall@10 of the BM25 ranking against the
+    shared lexical qrels (stages/retrieval.py::retrieval_eval — same
+    relevance rule as docs_ndcg, so the eval legs agree)."""
+    from text_to_rdf_ray.stages.retrieval import bm25_topk, retrieval_eval
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+    ranking = bm25_topk(docs, _BM25_QUERIES, k=15).to_pandas()
+    ranking["doc_id"] = ranking["doc_id"].astype("int64")
+    ranking["rank"] = ranking["rank"].astype("int64")
+    out = retrieval_eval(docs, _BM25_QUERIES, ranking, k=10, min_terms=2)
+    for c in ("n_rel_total", "n_rel_ranked", "first_rel_rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment via map-side join (stages/joins.py::
     broadcast_join — part table broadcast once via ray.put, lineitem
@@ -7537,6 +7553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": _docs_bm25_topk,
         "docs_bm25_topk_join": _docs_bm25_topk_join,
         "docs_ndcg": _docs_ndcg,
+        "docs_retrieval_eval": _docs_retrieval_eval,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -11303,6 +11320,77 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (query_id)
             LEFT JOIN dc USING (query_id)
             LEFT JOIN ic USING (query_id)
+            ORDER BY query_id
+        """,
+        "docs_retrieval_eval": """
+            -- MRR / P@10 / R@10 against the shared lexical qrels
+            -- (doc has >= 2 DISTINCT query terms) over the BM25
+            -- top-15 ranking (stages/retrieval.py::retrieval_eval)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM pos WHERE term IN (SELECT term FROM q)
+                   GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY query_id, doc_id),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+                   FROM sc),
+            rel AS (SELECT q.query_id, p.doc_id
+                    FROM (SELECT DISTINCT doc_id, term FROM tf) p
+                    JOIN q USING (term)
+                    GROUP BY q.query_id, p.doc_id
+                    HAVING count(DISTINCT term) >= 2),
+            tot AS (SELECT query_id, count(*) AS n_rel_total
+                    FROM rel GROUP BY 1),
+            hits AS (SELECT rk.query_id, rk."rank"
+                     FROM rk JOIN rel ON rel.query_id = rk.query_id
+                                     AND rel.doc_id = rk.doc_id
+                     WHERE rk."rank" <= 10),
+            hs AS (SELECT query_id, count(*) AS n_hit,
+                          min("rank") AS first_rank
+                   FROM hits GROUP BY 1)
+            SELECT qq.query_id,
+                   CAST(coalesce(tot.n_rel_total, 0) AS BIGINT)
+                       AS n_rel_total,
+                   CAST(coalesce(hs.n_hit, 0) AS BIGINT) AS n_rel_ranked,
+                   CAST(coalesce(hs.first_rank, 0) AS BIGINT)
+                       AS first_rel_rank,
+                   CASE WHEN hs.first_rank IS NOT NULL
+                        THEN round(1.0 / hs.first_rank, 6)
+                        ELSE 0.0 END AS mrr,
+                   round(coalesce(hs.n_hit, 0) / 10.0, 6)
+                       AS precision_at_k,
+                   CASE WHEN coalesce(tot.n_rel_total, 0) > 0
+                        THEN round(CAST(coalesce(hs.n_hit, 0) AS DOUBLE)
+                                   / tot.n_rel_total, 6)
+                        ELSE 0.0 END AS recall_at_k
+            FROM (SELECT DISTINCT query_id FROM q) qq
+            LEFT JOIN tot USING (query_id)
+            LEFT JOIN hs USING (query_id)
             ORDER BY query_id
         """,
         "docs_weighted_sample": f"""

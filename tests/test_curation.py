@@ -1470,3 +1470,39 @@ def test_binary_ndcg_manual(ray_session):
     assert out.loc["q2", "n_rel_ranked"] == 1
     assert out.loc["q2", "dcg"] == round(g[1], 6)
     assert out.loc["q2", "idcg"] == round(g[0], 6)
+
+
+def test_retrieval_eval_manual(ray_session):
+    from text_to_rdf_ray.stages.retrieval import retrieval_eval
+
+    texts = [
+        "hash join table scan",
+        "hash hash join extra",
+        "window agg stream window",
+        "scan window scan",
+        "",
+        "unrelated words only here",
+    ]
+    queries = {"q1": ["hash", "join", "table"], "q2": ["scan", "window"]}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    ranking = pd.DataFrame({
+        "query_id": ["q1", "q1", "q1", "q2", "q2"],
+        "doc_id": [5, 1, 0, 2, 3],
+        "rank": [1, 2, 3, 1, 2],
+    })
+    out = (retrieval_eval(ds, queries, ranking, k=3, min_terms=2)
+           .set_index("query_id"))
+    # q1: rel {0,1}; hits at ranks 2,3 -> first=2, mrr=0.5,
+    # P@3 = 2/3, R@3 = 2/2
+    assert out.loc["q1", "n_rel_total"] == 2
+    assert out.loc["q1", "first_rel_rank"] == 2
+    assert out.loc["q1", "mrr"] == 0.5
+    assert out.loc["q1", "precision_at_k"] == round(2 / 3, 6)
+    assert out.loc["q1", "recall_at_k"] == 1.0
+    # q2: rel {3}; hit at rank 2
+    assert out.loc["q2", "mrr"] == 0.5
+    assert out.loc["q2", "precision_at_k"] == round(1 / 3, 6)
+    assert out.loc["q2", "recall_at_k"] == 1.0

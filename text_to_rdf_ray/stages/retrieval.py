@@ -600,6 +600,77 @@ def rrf_fuse(
     return f[[query_col, doc_col, "n_lists", "rrf_score", "rrf_rank"]]
 
 
+def lexical_qrels(
+    docs: rd.Dataset,
+    queries: dict[str, list[str]],
+    *,
+    ranked_ids: set[int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_terms: int = 2,
+) -> tuple[set[tuple[str, int]], dict[str, int]]:
+    """Deterministic lexical judgment set shared by the ranked-eval
+    family (binary_ndcg, retrieval_eval): a doc is relevant to a query
+    iff it contains >= ``min_terms`` DISTINCT query terms (whitespace
+    tokens, lowercased) — fully replayable in SQL, no external qrels.
+
+    One vectorized pass over the corpus builds distinct (doc,
+    query-vocab term) pairs per batch (doc-local, so per-batch dedup
+    is global dedup); per-query totals go through one count exchange.
+    Returns ``(rel_set, n_total)`` where rel_set holds (qid, doc_id)
+    pairs restricted to ``ranked_ids`` when given (bounded — the
+    ranking is a top-k funnel output) and n_total maps qid -> TOTAL
+    relevant docs in the corpus.
+    """
+    from .exchange import exchange_agg
+
+    qitems = sorted(queries.items())
+    term_q: dict[str, list[str]] = {}
+    for qid, ts in qitems:
+        for t in set(ts):
+            term_q.setdefault(t, []).append(qid)
+    qvocab = frozenset(term_q)
+    _empty = pd.DataFrame({"_qid": pd.Series([], dtype="object"),
+                           id_col: pd.Series([], dtype="int64")})
+
+    def rel_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _empty.copy()
+        toks = b[text_col].str.lower().str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        dids = np.repeat(b[id_col].to_numpy(np.int64), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks])
+        m = pd.Series(flat).isin(qvocab).to_numpy()
+        if not m.any():
+            return _empty.copy()
+        pairs = (pd.DataFrame({id_col: dids[m], "term": flat[m]})
+                 .drop_duplicates())
+        pairs = pairs.assign(_qid=pairs["term"].map(term_q))
+        pairs = pairs.explode("_qid")
+        cnt = (pairs.groupby(["_qid", id_col], sort=False)
+               .size().reset_index(name="nt"))
+        hit = cnt[cnt["nt"] >= min_terms]
+        return pd.DataFrame({
+            "_qid": hit["_qid"].astype(object),
+            id_col: hit[id_col].astype("int64")})
+
+    rel = docs.map_batches(rel_rows, batch_format="pandas").materialize()
+    totals = exchange_agg(
+        rel.map_batches(
+            lambda t: pa.table({
+                "_qid": t.column("_qid"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "_qid", [("one", "sum", "n_rel")], num_partitions=8).to_pandas()
+    rel_pairs = rel.to_pandas() if ranked_ids is None else rel.map_batches(
+        lambda b, ids=ranked_ids: b[b[id_col].isin(ids)],
+        batch_format="pandas").to_pandas()
+    rel_set = set(zip(rel_pairs["_qid"], rel_pairs[id_col]))
+    n_total = {q: int(n) for q, n in zip(totals["_qid"], totals["n_rel"])}
+    return rel_set, n_total
+
+
 def binary_ndcg(
     docs: rd.Dataset,
     queries: dict[str, list[str]],
@@ -627,56 +698,12 @@ def binary_ndcg(
     SQL replay regardless of summation order.
     Returns (query_id, n_rel_total, n_rel_ranked, dcg, idcg, ndcg).
     """
-    from .exchange import exchange_agg
-
     qitems = sorted(queries.items())
-    term_q: dict[str, list[str]] = {}
-    for qid, ts in qitems:
-        for t in set(ts):
-            term_q.setdefault(t, []).append(qid)
-    qvocab = frozenset(term_q)
-    _empty = pd.DataFrame({"_qid": pd.Series([], dtype="object"),
-                           id_col: pd.Series([], dtype="int64")})
-
-    def rel_rows(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return _empty.copy()
-        toks = b[text_col].str.lower().str.split(" ")
-        lens = toks.str.len().to_numpy(np.int64)
-        dids = np.repeat(b[id_col].to_numpy(np.int64), lens)
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks])
-        m = pd.Series(flat).isin(qvocab).to_numpy()
-        if not m.any():
-            return _empty.copy()
-        # distinct (doc, query-vocab term) pairs — doc-local, so
-        # per-batch dedup is global dedup (each doc is in one batch)
-        pairs = (pd.DataFrame({id_col: dids[m], "term": flat[m]})
-                 .drop_duplicates())
-        pairs = pairs.assign(_qid=pairs["term"].map(term_q))
-        pairs = pairs.explode("_qid")
-        cnt = (pairs.groupby(["_qid", id_col], sort=False)
-               .size().reset_index(name="nt"))
-        hit = cnt[cnt["nt"] >= min_terms]
-        return pd.DataFrame({
-            "_qid": hit["_qid"].astype(object),
-            id_col: hit[id_col].astype("int64")})
-
-    rel = docs.map_batches(rel_rows, batch_format="pandas").materialize()
-    totals = exchange_agg(
-        rel.map_batches(
-            lambda t: pa.table({
-                "_qid": t.column("_qid"),
-                "one": pa.array(np.ones(t.num_rows, np.int64))}),
-            batch_format="pyarrow"),
-        "_qid", [("one", "sum", "n_rel")], num_partitions=8).to_pandas()
-    rel_pairs = rel.to_pandas() if ranking.empty else rel.map_batches(
-        lambda b, ids=set(map(int, ranking[id_col])): b[
-            b[id_col].isin(ids)],
-        batch_format="pandas").to_pandas()
-
-    rel_set = set(zip(rel_pairs["_qid"], rel_pairs[id_col]))
-    n_total = dict(zip(totals["_qid"], totals["n_rel"]))
+    rel_set, n_total = lexical_qrels(
+        docs, queries,
+        ranked_ids=None if ranking.empty
+        else set(map(int, ranking[id_col])),
+        id_col=id_col, text_col=text_col, min_terms=min_terms)
     rows = []
     for qid, _terms_ in qitems:
         sub = ranking[(ranking["query_id"] == qid)
@@ -695,3 +722,53 @@ def binary_ndcg(
     return pd.DataFrame(rows, columns=[
         "query_id", "n_rel_total", "n_rel_ranked", "dcg", "idcg",
         "ndcg"])
+
+
+def retrieval_eval(
+    docs: rd.Dataset,
+    queries: dict[str, list[str]],
+    ranking: pd.DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "rank",
+    k: int = 10,
+    min_terms: int = 2,
+) -> pd.DataFrame:
+    """MRR / precision@k / recall@k of a ranking against the shared
+    deterministic lexical qrels (lexical_qrels — same judgment rule as
+    binary_ndcg, so the three graded-eval legs agree on relevance).
+
+    MRR = 1/rank of the FIRST relevant doc within the top k (0 when
+    none); precision@k divides by k (the fixed cutoff, not the
+    returned count — standard trec_eval semantics); recall@k divides
+    by the query's corpus-wide relevant total R (computed distributed
+    inside lexical_qrels).  All ratios rounded 6dp.
+    Returns (query_id, n_rel_total, n_rel_ranked, first_rel_rank,
+    mrr, precision_at_k, recall_at_k).
+    """
+    qitems = sorted(queries.items())
+    rel_set, n_total = lexical_qrels(
+        docs, queries,
+        ranked_ids=None if ranking.empty
+        else set(map(int, ranking[id_col])),
+        id_col=id_col, text_col=text_col, min_terms=min_terms)
+    rows = []
+    for qid, _terms_ in qitems:
+        sub = ranking[(ranking["query_id"] == qid)
+                      & (ranking[rank_col] <= k)]
+        ranks = sub[rank_col].to_numpy(np.int64)
+        hits = np.asarray([(qid, int(d)) in rel_set
+                           for d in sub[id_col]], bool)
+        hit_ranks = ranks[hits]
+        first = int(hit_ranks.min()) if hit_ranks.size else 0
+        r_tot = int(n_total.get(qid, 0))
+        n_hit = int(hits.sum())
+        rows.append((
+            qid, r_tot, n_hit, first,
+            round(1.0 / first, 6) if first else 0.0,
+            round(n_hit / k, 6),
+            round(n_hit / r_tot, 6) if r_tot else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "query_id", "n_rel_total", "n_rel_ranked", "first_rel_rank",
+        "mrr", "precision_at_k", "recall_at_k"])
