@@ -2166,6 +2166,59 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """
 
 
+def _textrank_sql(iterations: int = 5, damping: float = 0.85,
+                  window: int = 2, top_k: int = 20) -> str:
+    """DuckDB replay of _docs_textrank: the same window-2 word
+    co-occurrence graph, then an unrolled WEIGHTED power-iteration
+    chain (contribution w_ij / W_j — the _pagerank_sql shape plus
+    edge weights)."""
+    prev = "it0"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            it{i} AS (
+              SELECT nd.node,
+                     (1 - {damping}) / nn.c
+                     + {damping} * coalesce(x.s, 0) AS r
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum(p.r * e.w / o.ws) AS s
+                         FROM edges e
+                         JOIN {prev} p ON e.src = p.node
+                         JOIN ows o ON e.src = o.src
+                         GROUP BY e.dst) x USING (node))""")
+        prev = f"it{i}"
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(str_split(lower(text), ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        pos AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS i
+                FROM d),
+        pr AS (SELECT least(a.term, b.term) AS u,
+                      greatest(a.term, b.term) AS v
+               FROM pos a JOIN pos b
+                 ON a.doc_id = b.doc_id AND b.i > a.i
+                AND b.i - a.i <= {window} AND a.term <> b.term),
+        wt AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS w
+               FROM pr GROUP BY u, v),
+        edges AS (SELECT u AS src, v AS dst, w FROM wt
+                  UNION ALL SELECT v, u, w FROM wt),
+        ows AS (SELECT src, sum(w) AS ws FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT count(*) AS c FROM nodes),
+        it0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+        {",".join(steps)},
+        rk AS (SELECT node AS word, round(r, 9) AS score,
+                      row_number() OVER (ORDER BY round(r, 9) DESC,
+                                         node ASC) AS rnk
+               FROM {prev})
+        SELECT word, score, CAST(rnk AS BIGINT) AS "rank"
+        FROM rk WHERE rnk <= {top_k} ORDER BY "rank"
+    """
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark 8-gram decontamination (stages/curation.py::decontaminate
     — distinct-combined benchmark gram set broadcast once via ray.put;
@@ -2950,6 +3003,21 @@ def _docs_retrieval_eval(sf_dir: str) -> pd.DataFrame:
     for c in ("n_rel_total", "n_rel_ranked", "first_rel_rank"):
         out[c] = out[c].astype("int64")
     return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _docs_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank keywords (stages/curation.py::textrank_keywords):
+    distributed co-occurrence pair counting (window 2) -> one
+    term-pair exchange -> bounded driver weighted power iteration
+    (5 rounds, d=0.85), scores rounded 9dp before the top-20 rank."""
+    from text_to_rdf_ray.stages.curation import textrank_keywords
+
+    out = textrank_keywords(
+        _documents(sf_dir).select_columns(["text"]),
+        window=2, iterations=5, damping=0.85, top_k=20)
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["word", "score", "rank"]]
+            .sort_values("rank").reset_index(drop=True))
 
 
 def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
@@ -7554,6 +7622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk_join": _docs_bm25_topk_join,
         "docs_ndcg": _docs_ndcg,
         "docs_retrieval_eval": _docs_retrieval_eval,
+        "docs_textrank": _docs_textrank,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -7921,6 +7990,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_render": _kg_jsonld_render_sql(),
         "kg_llm_mode": _kg_llm_mode_sql(),
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
+        "docs_textrank": _textrank_sql(iterations=5, damping=0.85,
+                                       window=2, top_k=20),
         # assignment argmin replayed from the final centroid side table;
         # squared-L2 recomputed from raw dims (independent of the Ray
         # side's matmul expansion), ties to the lowest cluster id

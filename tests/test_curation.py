@@ -1506,3 +1506,50 @@ def test_retrieval_eval_manual(ray_session):
     assert out.loc["q2", "mrr"] == 0.5
     assert out.loc["q2", "precision_at_k"] == round(1 / 3, 6)
     assert out.loc["q2", "recall_at_k"] == 1.0
+
+
+def test_textrank_matches_brute(ray_session):
+    from text_to_rdf_ray.stages.curation import textrank_keywords
+
+    texts = [
+        "graph rank word graph rank",
+        "word graph node edge",
+        "rank edge node",
+        "",
+        "solo",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = textrank_keywords(ds, window=2, iterations=4, top_k=10)
+
+    # brute force: window-2 co-occurrence weights, weighted pagerank
+    from collections import Counter
+    wts: Counter = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split(" ") if w]
+        for i in range(len(toks)):
+            for j in (i + 1, i + 2):
+                if j < len(toks) and toks[i] != toks[j]:
+                    wts[tuple(sorted((toks[i], toks[j])))] += 1
+    words = sorted({w for p in wts for w in p})
+    idx = {w: i for i, w in enumerate(words)}
+    n = len(words)
+    wsum = [0.0] * n
+    for (a, b), w in wts.items():
+        wsum[idx[a]] += w
+        wsum[idx[b]] += w
+    r = [1.0 / n] * n
+    for _ in range(4):
+        contrib = [0.0] * n
+        for (a, b), w in wts.items():
+            contrib[idx[b]] += r[idx[a]] * w / wsum[idx[a]]
+            contrib[idx[a]] += r[idx[b]] * w / wsum[idx[b]]
+        r = [0.15 / n + 0.85 * c for c in contrib]
+    ref = sorted(((round(s, 9), w) for w, s in zip(words, r)),
+                 key=lambda t: (-t[0], t[1]))
+    assert "solo" not in set(out["word"])  # isolated word: no edges
+    for rank, (score, word) in enumerate(ref[:10], 1):
+        row = out[out["rank"] == rank].iloc[0]
+        assert row["word"] == word
+        assert abs(row["score"] - score) < 1e-9

@@ -2806,3 +2806,110 @@ def extract_links(
 
     return ds.map_batches(per_batch, batch_format="pandas",
                           batch_size=4096)
+
+
+def textrank_keywords(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 5,
+    damping: float = 0.85,
+    top_k: int = 20,
+    max_edges: int = 2_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus word co-occurrence graph.
+
+    The corpus-proportional work is fully distributed — each batch
+    emits per-batch-counted co-occurrence pairs (two numpy shifts of
+    the flat token stream, positions <= ``window`` apart inside one
+    doc, canonicalized u<v) into ONE term-pair exchange_agg sum.  The
+    resulting WORD graph is vocabulary-bounded, not corpus-bounded
+    (the bounded-small-side pattern used by ontology_closure /
+    build_vocab), so the power iteration runs on the driver over <=
+    ``max_edges`` distinct pairs — raises loudly above that; a
+    larger-vocabulary corpus needs the BSP pagerank engine with edge
+    weights.
+
+    Scores: r = (1-d)/N + d * Σ_j w_ji/W_j r_j, r0 = 1/N, fixed
+    ``iterations``; final scores rounded to 9dp BEFORE the (score
+    desc, word asc) top-k ranking, so ordering is engine-independent.
+    Returns (word, score, rank).
+    """
+    from .exchange import exchange_agg
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "u": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="object"),
+                "w": pd.Series([], dtype="int64")})
+        toks = b[text_col].str.lower().str.split(" ").map(
+            lambda ws: [t for t in ws if t])
+        lens = toks.str.len().to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame({
+                "u": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="object"),
+                "w": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks])
+        did = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        parts = []
+        for off in range(1, window + 1):
+            if off >= len(flat):
+                break
+            a, c = flat[:-off], flat[off:]
+            same = did[:-off] == did[off:]
+            keep = same & (a != c)
+            if keep.any():
+                aa, cc = a[keep], c[keep]
+                lo = np.where(aa < cc, aa, cc)
+                hi = np.where(aa < cc, cc, aa)
+                parts.append(pd.DataFrame({"u": lo, "v": hi}))
+        if not parts:
+            return pd.DataFrame({
+                "u": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="object"),
+                "w": pd.Series([], dtype="int64")})
+        cnt = (pd.concat(parts, ignore_index=True)
+               .groupby(["u", "v"], sort=False)
+               .size().reset_index(name="w"))
+        cnt["w"] = cnt["w"].astype("int64")
+        return cnt
+
+    pairs = exchange_agg(
+        ds.map_batches(pair_rows, batch_format="pandas"),
+        ["u", "v"], [("w", "sum", "w")],
+        num_partitions=num_partitions).to_pandas()
+    if len(pairs) > max_edges:
+        raise ValueError(
+            f"textrank_keywords: {len(pairs)} distinct co-occurrence "
+            f"pairs exceeds max_edges={max_edges}; the word graph no "
+            f"longer fits the driver tier — use the BSP pagerank engine "
+            f"with edge weights")
+    words = pd.Index(sorted(set(pairs["u"]) | set(pairs["v"])))
+    n = len(words)
+    if n == 0:
+        return pd.DataFrame(columns=["word", "score", "rank"])
+    ui = words.get_indexer(pairs["u"]).astype(np.int64)
+    vi = words.get_indexer(pairs["v"]).astype(np.int64)
+    w = pairs["w"].to_numpy(np.float64)
+    src = np.concatenate([ui, vi])
+    dst = np.concatenate([vi, ui])
+    ww = np.concatenate([w, w])
+    wsum = np.zeros(n, np.float64)
+    np.add.at(wsum, src, ww)
+    r = np.full(n, 1.0 / n, np.float64)
+    for _ in range(iterations):
+        contrib = np.zeros(n, np.float64)
+        np.add.at(contrib, dst, r[src] * ww / wsum[src])
+        r = (1.0 - damping) / n + damping * contrib
+    out = pd.DataFrame({"word": words.to_numpy(object),
+                        "score": np.round(r, 9)})
+    out = out.sort_values(["score", "word"],
+                          ascending=[False, True]).head(top_k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.reset_index(drop=True)
