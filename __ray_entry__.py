@@ -3020,6 +3020,22 @@ def _docs_textrank(sf_dir: str) -> pd.DataFrame:
             .sort_values("rank").reset_index(drop=True))
 
 
+def _events_seasonal(sf_dir: str) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    count series (stages/windows.py::seasonal_decompose): distributed
+    combiner count -> time-bounded driver 2x24 centered-MA trend,
+    per-hour-of-day seasonal index, remainder (all 6dp-rounded at the
+    same points the SQL replay rounds)."""
+    from text_to_rdf_ray.stages.windows import seasonal_decompose
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+    out = seasonal_decompose(ev, period=24)
+    out["window_id"] = out["window_id"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
 def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment via map-side join (stages/joins.py::
     broadcast_join — part table broadcast once via ray.put, lineitem
@@ -7623,6 +7639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ndcg": _docs_ndcg,
         "docs_retrieval_eval": _docs_retrieval_eval,
         "docs_textrank": _docs_textrank,
+        "events_seasonal": _events_seasonal,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -11463,6 +11480,45 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (query_id)
             LEFT JOIN hs USING (query_id)
             ORDER BY query_id
+        """,
+        "events_seasonal": """
+            -- additive decomposition of hourly counts: 2x24 centered
+            -- MA trend (half-weighted endpoints), per-phase seasonal
+            -- index, remainder; rows without a full MA window dropped
+            -- (stages/windows.py::seasonal_decompose)
+            WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS window_id,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1),
+            bounds AS (SELECT min(window_id) AS lo, max(window_id) AS hi
+                       FROM hc),
+            grid AS (SELECT unnest(generate_series(lo, hi)) AS window_id
+                     FROM bounds),
+            dense AS (SELECT g.window_id,
+                             CAST(coalesce(hc.cnt, 0) AS DOUBLE) AS cnt
+                      FROM grid g LEFT JOIN hc USING (window_id)),
+            ma AS (SELECT window_id, cnt,
+                          round((0.5 * lag(cnt, 12) OVER w
+                                 + sum(cnt) OVER (ORDER BY window_id
+                                     ROWS BETWEEN 11 PRECEDING
+                                     AND 11 FOLLOWING)
+                                 + 0.5 * lead(cnt, 12) OVER w) / 24.0,
+                                6) AS trend,
+                          count(*) OVER (ORDER BY window_id
+                              ROWS BETWEEN 12 PRECEDING
+                              AND 12 FOLLOWING) AS nfull
+                   FROM dense
+                   WINDOW w AS (ORDER BY window_id)),
+            full_rows AS (SELECT window_id, cnt, trend,
+                                 window_id % 24 AS phase,
+                                 cnt - trend AS detr
+                          FROM ma WHERE nfull = 25),
+            si AS (SELECT phase, round(avg(detr), 6) AS seasonal
+                   FROM full_rows GROUP BY 1)
+            SELECT f.window_id, CAST(f.cnt AS BIGINT) AS cnt, f.trend,
+                   si.seasonal,
+                   round(f.detr - si.seasonal, 6) AS remainder
+            FROM full_rows f JOIN si USING (phase)
+            ORDER BY f.window_id
         """,
         "docs_weighted_sample": f"""
             WITH {_sm64_sql("documents", "doc_id", ["doc_id", "n_chars"])},

@@ -3054,3 +3054,49 @@ def test_auc_by_group_matches_global_per_slice(ray_session):
         assert float(out.loc[g, "auc"]) == float(ref["auc"].iloc[0])
     assert float(out.loc["c", "auc"]) == 0.0
     assert int(out.loc["c", "n_neg"]) == 0
+
+
+def test_seasonal_decompose_reference(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import seasonal_decompose
+
+    # 4 days of hourly events: count = 3 + phase%5, hour 30 missing
+    rows = []
+    eid = 0
+    for h in range(96):
+        if h == 30:
+            continue
+        for _ in range(3 + (h % 24) % 5):
+            rows.append((eid, h * 3_600_000_000 + 7))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = seasonal_decompose(rd.from_arrow(tbl).repartition(4),
+                             period=24)
+    assert list(out["window_id"]) == list(range(12, 84))
+    # gap hour filled with zero count
+    assert int(out[out["window_id"] == 30]["cnt"].iloc[0]) == 0
+
+    # reference: dense numpy replay
+    dense = np.zeros(96)
+    for h in range(96):
+        if h != 30:
+            dense[h] = 3 + (h % 24) % 5
+    t_idx = np.arange(12, 84)
+    trend = np.round((0.5 * dense[t_idx - 12]
+                      + np.array([dense[t - 11:t + 12].sum()
+                                  for t in t_idx])
+                      + 0.5 * dense[t_idx + 12]) / 24, 6)
+    detr = dense[t_idx] - trend
+    seas = np.zeros(24)
+    for p in range(24):
+        m = (t_idx % 24) == p
+        seas[p] = round(detr[m].mean(), 6)
+    assert np.allclose(out["trend"], trend)
+    assert np.allclose(out["seasonal"], seas[t_idx % 24])
+    assert np.allclose(out["remainder"],
+                       np.round(detr - seas[t_idx % 24], 6))

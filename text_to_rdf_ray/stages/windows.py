@@ -1470,3 +1470,90 @@ def rolling_median(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def seasonal_decompose(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    period: int = 24,
+    width_us: int = 3_600_000_000,
+    max_points: int = 2_000_000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of the per-window
+    event-count series: count -> centered 2xP moving-average trend ->
+    per-phase seasonal index -> remainder.
+
+    The corpus-proportional work is ONE distributed count aggregation
+    (per-batch pyarrow combiner -> hash exchange, the tumbling_agg
+    shape); the resulting series is TIME-bounded, not data-bounded
+    (2M hourly points = 228 years), so the decomposition itself is
+    bounded driver math behind ``max_points`` — the bounded-small-side
+    pattern.  Missing windows inside [min, max] are filled with count
+    0 (the decomposition needs a dense series).
+
+    trend[t] = (0.5*x[t-P/2] + Σ x[t-P/2+1 .. t+P/2-1] + 0.5*x[t+P/2])
+    / P (the standard 2xP centered MA; ``period`` must be even),
+    rounded 6dp; seasonal[phase] = round(mean of detrended at that
+    phase, 6); remainder = round(detrended - seasonal, 6).  Rows
+    without a full MA window (the first/last P/2) are dropped.
+    Returns (window_id, cnt, trend, seasonal, remainder).
+    """
+    from .exchange import exchange_agg
+
+    if period % 2:
+        raise ValueError("seasonal_decompose: period must be even "
+                         "(2xP centered moving average)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = (batch.column(ts_col).cast(pa.timestamp("us"))
+                 .cast(pa.int64()))
+        wins = ts_us.to_numpy(zero_copy_only=False) // width_us
+        t = pa.table({"window_id": pa.array(wins, pa.int64()),
+                      "one": pa.array(np.ones(len(wins), np.int64))})
+        return t.group_by(["window_id"]).aggregate([("one", "sum")])
+
+    hc = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "window_id", [("one_sum", "sum", "cnt")],
+        num_partitions=num_partitions).to_pandas()
+    if not len(hc):
+        return pd.DataFrame(columns=["window_id", "cnt", "trend",
+                                     "seasonal", "remainder"])
+    lo, hi = int(hc["window_id"].min()), int(hc["window_id"].max())
+    if hi - lo + 1 > max_points:
+        raise ValueError(
+            f"seasonal_decompose: series spans {hi - lo + 1} windows > "
+            f"max_points={max_points}; decompose per shard or widen "
+            f"width_us")
+    dense = np.zeros(hi - lo + 1, np.float64)
+    dense[hc["window_id"].to_numpy(np.int64) - lo] = (
+        hc["cnt"].to_numpy(np.float64))
+    n = len(dense)
+    half = period // 2
+    if n < period + 1:
+        return pd.DataFrame(columns=["window_id", "cnt", "trend",
+                                     "seasonal", "remainder"])
+    csum = np.concatenate([[0.0], np.cumsum(dense)])
+    # inner sum x[t-half+1 .. t+half-1] plus half-weighted endpoints
+    t_idx = np.arange(half, n - half)
+    inner = csum[t_idx + half] - csum[t_idx - half + 1]
+    trend = np.round(
+        (0.5 * dense[t_idx - half] + inner + 0.5 * dense[t_idx + half])
+        / period, 6)
+    detr = dense[t_idx] - trend
+    phase = (t_idx + lo) % period
+    s_sum = np.zeros(period, np.float64)
+    s_cnt = np.zeros(period, np.int64)
+    np.add.at(s_sum, phase, detr)
+    np.add.at(s_cnt, phase, 1)
+    seasonal_idx = np.round(s_sum / np.maximum(s_cnt, 1), 6)
+    seasonal = seasonal_idx[phase]
+    return pd.DataFrame({
+        "window_id": (t_idx + lo).astype(np.int64),
+        "cnt": dense[t_idx].astype(np.int64),
+        "trend": trend,
+        "seasonal": seasonal,
+        "remainder": np.round(detr - seasonal, 6)})
