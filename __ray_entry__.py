@@ -7215,6 +7215,32 @@ def _parts_fs_links(sf_dir: str) -> pd.DataFrame:
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def _parts_reciprocal_best(sf_dir: str) -> pd.DataFrame:
+    """One-to-one ER assignment (stages/dedup.py::reciprocal_best_match)
+    over the same brand-blocked Fellegi-Sunter pair scores as
+    parts_fs_links: a pair survives iff each part is the other's
+    best-scoring counterpart (6dp-rounded scores, smaller-id
+    tiebreak) — order-independent matching, so SQL-replayable."""
+    from text_to_rdf_ray.stages.dedup import (fs_link_scores,
+                                              reciprocal_best_match)
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size", "p_name"])
+    scored = fs_link_scores(
+        parts, id_col="p_partkey", block_col="p_brand",
+        fields=["p_type", "p_size", "p_name"],
+        m={"p_type": 0.9, "p_size": 0.9, "p_name": 0.95},
+        u={"p_type": 0.3, "p_size": 0.1, "p_name": 0.05},
+        lower=0.0, upper=2.0)
+    out = reciprocal_best_match(scored, round_dp=6).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["score"] = _r(out["score"], 6)
+    return (out[["id_a", "id_b", "score"]]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7640,6 +7666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_retrieval_eval": _docs_retrieval_eval,
         "docs_textrank": _docs_textrank,
         "events_seasonal": _events_seasonal,
+        "parts_reciprocal_best": _parts_reciprocal_best,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10324,6 +10351,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN w < 0.0 THEN 'nonlink'
                         ELSE 'possible' END AS decision
             FROM w ORDER BY id_a, id_b
+        """,
+        "parts_reciprocal_best": """
+            -- mutual-best replay: same FS weights as parts_fs_links,
+            -- symmetrized, per-side argmax on (round(w,6) desc, dst
+            -- asc), pair kept iff both directions pick it
+            WITH w AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     round(
+                       (CASE WHEN a.p_type = b.p_type
+                             THEN log2(0.9 / 0.3)
+                             ELSE log2(0.1 / 0.7) END)
+                     + (CASE WHEN a.p_size = b.p_size
+                             THEN log2(0.9 / 0.1)
+                             ELSE log2(0.1 / 0.9) END)
+                     + (CASE WHEN a.p_name = b.p_name
+                             THEN log2(0.95 / 0.05)
+                             ELSE log2(0.05 / 0.95) END), 6) AS w
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand
+               AND a.p_partkey < b.p_partkey),
+            sym AS (SELECT id_a AS src, id_b AS dst, w FROM w
+                    UNION ALL SELECT id_b, id_a, w FROM w),
+            best AS (SELECT src, dst, w,
+                            row_number() OVER (PARTITION BY src
+                                ORDER BY w DESC, dst ASC) AS rn
+                     FROM sym)
+            SELECT b1.src AS id_a, b1.dst AS id_b, b1.w AS score
+            FROM best b1 JOIN best b2
+              ON b1.src = b2.dst AND b1.dst = b2.src
+             AND b1.rn = 1 AND b2.rn = 1
+            WHERE b1.src < b1.dst
+            ORDER BY id_a, id_b
         """,
         "events_ohlc": """
             -- OHLC replay: row_number endpoints over the identical

@@ -1342,3 +1342,26 @@ def test_media_exact_dedup_planted_copies(ray_session):
     assert int(out.loc[100]) == 2 and int(out.loc[101]) == 5
     # originals are their own canonical
     assert all(int(out.loc[i]) == i for i in range(9))
+
+
+def test_reciprocal_best_match_manual(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import reciprocal_best_match
+
+    # 1's best is 2 (0.9); 2's best is 1 (0.9)  -> mutual
+    # 3's best is 4 (0.8); 4's best is 5 (0.85) -> not mutual
+    # 5's best is 4 -> (4,5) mutual
+    # 6-7 tie with 6-8 at 0.5: 6's best breaks to smaller id 7;
+    # 7's best is 6 -> mutual; 8's best is 6 but 6 chose 7
+    pairs = pa.table({
+        "id_a": pa.array([1, 2, 3, 4, 6, 6], pa.int64()),
+        "id_b": pa.array([2, 3, 4, 5, 7, 8], pa.int64()),
+        "w": pa.array([0.9, 0.4, 0.8, 0.85, 0.5, 0.5], pa.float64()),
+    })
+    out = (reciprocal_best_match(rd.from_arrow(pairs).repartition(3))
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    assert list(zip(out["id_a"], out["id_b"])) == [(1, 2), (4, 5), (6, 7)]
+    assert list(out["score"]) == [0.9, 0.85, 0.5]

@@ -2128,3 +2128,66 @@ def survivorship_merge(
     return (ds.map_batches(add_part, batch_format="pandas",
                            batch_size=65536)
             .groupby("_part").map_groups(per_part, batch_format="pandas"))
+
+
+def reciprocal_best_match(
+    pairs: rd.Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "w",
+    round_dp: int = 6,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """One-to-one ER assignment by mutual best match: keep a scored
+    candidate pair iff each side is the other's HIGHEST-scoring
+    counterpart.  The greedy-matching step of an entity-resolution
+    pipeline that is order-independent (unlike sequential greedy
+    matching) and therefore both distributable and SQL-replayable.
+
+    Scores are rounded to ``round_dp`` BEFORE the per-side argmax and
+    ties break toward the SMALLER counterpart id, so "best" is
+    engine-independent.  Shape: symmetrize (2x pair rows) ->
+    topk_per_group(k=1) per side (batch-local combiner + one hash
+    exchange — never per-key Python) -> canonical-pair exchange_agg
+    count; a pair survives iff BOTH directed best rows land on it
+    (count == 2).  Returns (id_a, id_b, score) with id_a < id_b.
+    """
+    from .exchange import exchange_agg
+    from .analytics import topk_per_group
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.round(t.column(score_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64), round_dp)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "score": pa.array(np.concatenate([w, w]), pa.float64())})
+
+    best = topk_per_group(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        key_col="src", sort_col="score", tiebreak_col="dst", k=1,
+        descending=True)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_a: pa.array(np.minimum(s, d), pa.int64()),
+            id_b: pa.array(np.maximum(s, d), pa.int64()),
+            "score": t.column("score"),
+            "n_dir": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counted = exchange_agg(
+        best.map_batches(canon, batch_format="pyarrow"),
+        [id_a, id_b],
+        [("n_dir", "sum", "n_dir"), ("score", "min", "score")],
+        num_partitions=num_partitions)
+    import pyarrow.compute as pc
+
+    return counted.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_dir"), 2))
+                   .select([id_a, id_b, "score"]),
+        batch_format="pyarrow")
