@@ -3036,6 +3036,23 @@ def _events_seasonal(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_id").reset_index(drop=True)
 
 
+def _docs_bm25_prf(sf_dir: str) -> pd.DataFrame:
+    """Rocchio pseudo-relevance-feedback BM25 (stages/retrieval.py::
+    bm25_prf): pass-1 top-5 docs feed 3 tf-x-idf expansion terms per
+    query (weight 0.5, selection ranked on round(tf*idf,6) desc /
+    term asc), then a weighted re-rank — all feedback intermediates
+    vocabulary/fb-bounded, corpus never shuffled."""
+    from text_to_rdf_ray.stages.retrieval import bm25_prf
+
+    out = (bm25_prf(_documents(sf_dir).select_columns(["doc_id", "text"]),
+                    _BM25_QUERIES, k=10, fb_docs=5, fb_terms=3,
+                    beta=0.5).to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["query_id", "doc_id", "score", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def _revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment via map-side join (stages/joins.py::
     broadcast_join — part table broadcast once via ray.put, lineitem
@@ -7667,6 +7684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_textrank": _docs_textrank,
         "events_seasonal": _events_seasonal,
         "parts_reciprocal_best": _parts_reciprocal_best,
+        "docs_bm25_prf": _docs_bm25_prf,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -11578,6 +11596,88 @@ def oracle_sql() -> dict[str, str]:
                    round(f.detr - si.seasonal, 6) AS remainder
             FROM full_rows f JOIN si USING (phase)
             ORDER BY f.window_id
+        """,
+        "docs_bm25_prf": """
+            -- Rocchio PRF replay: bm25 pass-1 top-5 feedback, top-3
+            -- tf*idf expansion terms (anti-joined against the query,
+            -- round-6dp/term-asc selection), weighted re-rank
+            -- (stages/retrieval.py::bm25_prf)
+            WITH q(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','table'),
+              ('q2','window'), ('q2','agg'), ('q2','stream'),
+              ('q3','vector'), ('q3','scan'), ('q3','dup')),
+            d AS (SELECT doc_id,
+                         list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+            pos AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            tf1 AS (SELECT doc_id, term, count(*) AS tf
+                    FROM pos WHERE term IN (SELECT term FROM q)
+                    GROUP BY doc_id, term),
+            df1 AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM pos WHERE term IN (SELECT term FROM q)
+                    GROUP BY term),
+            contrib1 AS (
+              SELECT q.query_id, tf1.doc_id,
+                     ln(1 + (s.n - df1.df + 0.5) / (df1.df + 0.5))
+                       * tf1.tf * (1.2 + 1)
+                       / (tf1.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM q JOIN tf1 USING (term) JOIN df1 USING (term)
+              JOIN dl ON dl.doc_id = tf1.doc_id CROSS JOIN s),
+            sc1 AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                    FROM contrib1 GROUP BY query_id, doc_id),
+            rk1 AS (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS "rank"
+                    FROM sc1),
+            fb AS (SELECT query_id, doc_id FROM rk1 WHERE "rank" <= 5),
+            fbtf AS (SELECT f.query_id, p.term, count(*) AS tf
+                     FROM fb f JOIN pos p USING (doc_id)
+                     GROUP BY f.query_id, p.term),
+            voc AS (SELECT DISTINCT term FROM fbtf
+                    UNION SELECT term FROM q),
+            df2 AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM pos WHERE term IN (SELECT term FROM voc)
+                    GROUP BY term),
+            idf AS (SELECT term,
+                           ln(1 + (s.n - df + 0.5) / (df + 0.5)) AS idf
+                    FROM df2 CROSS JOIN s),
+            exp AS (SELECT f.query_id, f.term,
+                           row_number() OVER (PARTITION BY f.query_id
+                             ORDER BY round(f.tf * i.idf, 6) DESC,
+                                      f.term ASC) AS rn
+                    FROM fbtf f JOIN idf i USING (term)
+                    LEFT JOIN q ON q.query_id = f.query_id
+                               AND q.term = f.term
+                    WHERE q.term IS NULL),
+            wq AS (SELECT query_id, term, 1.0 AS w FROM q
+                   UNION ALL
+                   SELECT query_id, term, 0.5 FROM exp WHERE rn <= 3),
+            tf2 AS (SELECT doc_id, term, count(*) AS tf
+                    FROM pos WHERE term IN (SELECT term FROM voc)
+                    GROUP BY doc_id, term),
+            contrib2 AS (
+              SELECT wq.query_id, tf2.doc_id,
+                     wq.w * i.idf * tf2.tf * (1.2 + 1)
+                       / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM wq JOIN idf i USING (term) JOIN tf2 USING (term)
+              JOIN dl ON dl.doc_id = tf2.doc_id CROSS JOIN s),
+            sc2 AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+                    FROM contrib2 GROUP BY query_id, doc_id),
+            rk2 AS (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS "rank"
+                    FROM sc2)
+            SELECT query_id, doc_id, score,
+                   CAST("rank" AS BIGINT) AS "rank"
+            FROM rk2 WHERE "rank" <= 10
+            ORDER BY query_id, "rank"
         """,
         "docs_weighted_sample": f"""
             WITH {_sm64_sql("documents", "doc_id", ["doc_id", "n_chars"])},

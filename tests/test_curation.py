@@ -1553,3 +1553,31 @@ def test_textrank_matches_brute(ray_session):
         row = out[out["rank"] == rank].iloc[0]
         assert row["word"] == word
         assert abs(row["score"] - score) < 1e-9
+
+
+def test_bm25_prf_expands_and_reranks(ray_session):
+    from text_to_rdf_ray.stages.retrieval import bm25_prf, bm25_topk
+
+    # "alpha" always co-occurs with query term "hash" in the feedback
+    # docs, so PRF must pull doc 4 ("alpha" only, no query terms) into
+    # the ranking where plain BM25 cannot score it at all.
+    texts = [
+        "hash join alpha",
+        "hash alpha table",
+        "hash join table scan",
+        "window agg stream",
+        "alpha alpha alpha",
+        "unrelated words",
+    ]
+    queries = {"q1": ["hash", "join"]}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    base = bm25_topk(ds, queries, k=6).to_pandas()
+    assert 4 not in set(base["doc_id"])
+    out = bm25_prf(ds, queries, k=6, fb_docs=3, fb_terms=3,
+                   beta=0.5).to_pandas()
+    assert 4 in set(out["doc_id"])
+    # ranking still deterministic: rank 1..n unique per query
+    assert sorted(out["rank"]) == list(range(1, len(out) + 1))

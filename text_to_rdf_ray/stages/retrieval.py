@@ -772,3 +772,153 @@ def retrieval_eval(
     return pd.DataFrame(rows, columns=[
         "query_id", "n_rel_total", "n_rel_ranked", "first_rel_rank",
         "mrr", "precision_at_k", "recall_at_k"])
+
+
+def _vocab_stats(
+    ds: rd.Dataset,
+    vocab: frozenset[str],
+    *,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> tuple[int, float, dict[str, float]]:
+    """Corpus N / avgdl + Lucene idf for a BOUNDED vocabulary — the
+    bm25_topk pass-1 shape (sentinel term '' carries the totals; the
+    exchange output is <= len(vocab)+1 rows BY CONSTRUCTION)."""
+    from .exchange import exchange_agg
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dfc: Counter = Counter()
+        n = 0
+        sdl = 0
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt or "")
+            n += 1
+            sdl += len(toks)
+            dfc.update(vocab.intersection(toks))
+        terms = [""] + sorted(dfc)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([0] + [dfc[t] for t in terms[1:]], pa.int64()),
+            "n_docs": pa.array([n] + [0] * (len(terms) - 1), pa.int64()),
+            "sum_dl": pa.array([sdl] + [0] * (len(terms) - 1), pa.int64()),
+        })
+
+    agg = exchange_agg(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        "term",
+        [("df", "sum", "df"), ("n_docs", "sum", "n_docs"),
+         ("sum_dl", "sum", "sum_dl")],
+        num_partitions=num_partitions).to_pandas()
+    sent = agg[agg["term"] == ""]
+    n_docs = int(sent["n_docs"].sum())
+    if n_docs == 0:
+        raise ValueError("_vocab_stats: empty corpus")
+    avgdl = int(sent["sum_dl"].sum()) / n_docs
+    idf = {t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+           for t, d in zip(agg["term"], agg["df"]) if t}
+    return n_docs, avgdl, idf
+
+
+def bm25_prf(
+    ds: rd.Dataset,
+    queries: dict[str, list[str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    beta: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """BM25 with Rocchio-style pseudo-relevance feedback: rank with
+    the original query, treat its top ``fb_docs`` as relevant, expand
+    the query with the ``fb_terms`` highest tf x idf terms from those
+    docs (weight ``beta``; original terms keep weight 1.0), and
+    re-rank with the weighted query.
+
+    Every non-corpus-scale intermediate is bounded: the feedback set
+    is ``fb_docs x |queries|`` docs (collected once), the candidate
+    vocabulary is their distinct tokens, and the second stats pass is
+    vocabulary-bounded (:func:`_vocab_stats`).  The corpus is scanned
+    exactly three times (pass-1 stats via bm25_topk, feedback-doc
+    fetch, weighted scoring) — never shuffled.
+
+    Determinism: expansion selection ranks on (round(tf x idf, 6)
+    desc, term asc); final scores round 6dp BEFORE ranking (the bm25
+    contract).  Returns (query_id, doc_id, score, rank).
+    """
+    from .analytics import topk_per_group
+
+    r1 = bm25_topk(ds, queries, text_col=text_col, id_col=id_col,
+                   k=fb_docs, k1=k1, b=b,
+                   num_partitions=num_partitions).to_pandas()
+    fb_ids = frozenset(int(i) for i in r1[id_col])
+    fb = ds.map_batches(
+        lambda t, ids=fb_ids: t.filter(
+            pc.is_in(t.column(id_col),
+                     value_set=pa.array(sorted(ids), pa.int64()))),
+        batch_format="pyarrow").to_pandas()  # bounded: fb_docs x |queries|
+    fb_toks = {int(i): _terms(t or "")
+               for i, t in zip(fb[id_col], fb[text_col])}
+
+    qlist = sorted((qid, sorted(set(ts))) for qid, ts in queries.items())
+    cand_vocab = frozenset(t for toks in fb_toks.values() for t in toks)
+    vocab = cand_vocab | frozenset(t for _, ts in qlist for t in ts)
+    _, avgdl, idf = _vocab_stats(ds, vocab, text_col=text_col)
+
+    weighted: list[tuple[str, list[tuple[str, float]]]] = []
+    for qid, terms in qlist:
+        tf_fb: Counter = Counter()
+        for did in r1.loc[r1["query_id"] == qid, id_col]:
+            tf_fb.update(fb_toks.get(int(did), []))
+        cands = sorted(
+            ((round(n * idf.get(t, 0.0), 6), t)
+             for t, n in tf_fb.items() if t not in terms),
+            key=lambda x: (-x[0], x[1]))
+        exp = [t for _, t in cands[:fb_terms]]
+        weighted.append((qid, sorted(
+            [(t, 1.0) for t in terms] + [(t, beta) for t in exp])))
+
+    bcast = ray.put((weighted, idf, avgdl))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(bcast)
+        wq, idfm, adl = st
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        ids = batch.column(id_col).to_pylist()
+        for did, txt in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _terms(txt or "")
+            dl = len(toks)
+            tf = Counter(t for t in toks if t in idfm)
+            if not tf:
+                continue
+            norm = k1 * (1.0 - b + b * dl / adl)
+            for qid, terms in wq:
+                s = 0.0
+                hit = False
+                for t, w in terms:
+                    f = tf.get(t, 0)
+                    if f:
+                        hit = True
+                        s += w * idfm[t] * f * (k1 + 1.0) / (f + norm)
+                if hit:
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_s.append(round(s, 6))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(scored, key_col="query_id", sort_col="score",
+                          tiebreak_col="doc_id", k=k, descending=True)
