@@ -2219,6 +2219,71 @@ def _textrank_sql(iterations: int = 5, damping: float = 0.85,
     """
 
 
+def _betweenness_sql(n_seeds: int = 5, k: int = 4) -> str:
+    """DuckDB replay of _graph_betweenness_parts: same symmetrized
+    co-purchase edges + smallest-node seeds, unrolled forward sigma
+    levels (anti-joined against visited) and backward Brandes
+    dependency quantized to int64 NANO-UNITS per level (the engine
+    contract — integer-exact final sums)."""
+    fwd = []
+    vis_prev = "vis0"
+    for i in range(1, k + 1):
+        fwd.append(f"""
+            lvl{i} AS (SELECT l.seed, e.dst AS node,
+                              sum(l.sigma) AS sigma
+                       FROM lvl{i - 1} l JOIN edges e ON e.src = l.node
+                       LEFT JOIN {vis_prev} x
+                         ON x.seed = l.seed AND x.node = e.dst
+                       WHERE x.node IS NULL
+                       GROUP BY l.seed, e.dst),
+            vis{i} AS (SELECT * FROM {vis_prev}
+                       UNION ALL SELECT seed, node FROM lvl{i})""")
+        vis_prev = f"vis{i}"
+    bwd = [f"dep{k} AS (SELECT seed, node, sigma, "
+           f"CAST(0 AS BIGINT) AS dep_n FROM lvl{k})"]
+    for i in range(k - 1, 0, -1):
+        bwd.append(f"""
+            dep{i} AS (
+              SELECT l.seed, l.node, l.sigma,
+                     CAST(round(coalesce(x.s, 0) * 1e9, 0) AS BIGINT)
+                         AS dep_n
+              FROM lvl{i} l LEFT JOIN (
+                SELECT l2.seed, l2.node,
+                       sum(l2.sigma * (1.0 + d.dep_n / 1000000000.0)
+                           / d.sigma) AS s
+                FROM lvl{i} l2 JOIN edges e ON e.src = l2.node
+                JOIN dep{i + 1} d
+                  ON d.seed = l2.seed AND d.node = e.dst
+                GROUP BY l2.seed, l2.node) x
+                ON x.seed = l.seed AND x.node = l.node)""")
+    union = " UNION ALL ".join(
+        f"SELECT node, dep_n FROM dep{i}" for i in range(1, k + 1))
+    return f"""
+        WITH inst AS (
+          SELECT least(a.l_partkey, b.l_partkey) AS u,
+                 greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+        e AS (SELECT DISTINCT u, v FROM inst),
+        edges AS (SELECT u AS src, v AS dst FROM e
+                  UNION ALL SELECT v, u FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        seeds AS (SELECT node AS seed FROM
+                    (SELECT node, row_number() OVER (ORDER BY node)
+                         AS rn FROM nodes)
+                  WHERE rn <= {n_seeds}),
+        lvl0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+                 FROM seeds),
+        vis0 AS (SELECT seed, node FROM lvl0),
+        {",".join(fwd)},
+        {",".join(bwd)}
+        SELECT node, CAST(sum(dep_n) AS BIGINT) AS bc_nano,
+               CAST(sum(dep_n) AS BIGINT) / 1000000000.0 AS bc
+        FROM ({union}) GROUP BY node ORDER BY node
+    """
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark 8-gram decontamination (stages/curation.py::decontaminate
     — distinct-combined benchmark gram set broadcast once via ray.put;
@@ -7258,6 +7323,52 @@ def _parts_reciprocal_best(sf_dir: str) -> pd.DataFrame:
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def _graph_betweenness_parts(sf_dir: str) -> pd.DataFrame:
+    """Truncated 4-hop Brandes betweenness (stages/graph.py::
+    betweenness_from_seeds) from the 5 smallest part nodes over the
+    symmetrized co-purchase graph: distinct u<v pairs from a lineitem
+    self exchange_join, symmetrized; per-level dependency quantized
+    to int64 nano-units (integer-exact final sums — the engine
+    contract replayed by the unrolled SQL)."""
+    from text_to_rdf_ray.stages.analytics import distinct_rows
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import betweenness_from_seeds
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("pk2").to_numpy(zero_copy_only=False)
+        m = a != b
+        return pa.table({"src": pa.array(a[m], pa.int64()),
+                         "dst": pa.array(b[m], pa.int64())})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    # seeds: 5 smallest nodes — the node set is bounded by the part
+    # table (a dimension), so this distinct collect is bounded
+    nodes = distinct_rows(
+        edges.map_batches(lambda t: t.select(["src"]),
+                          batch_format="pyarrow"),
+        cols=["src"]).to_pandas()
+    seeds = sorted(int(n) for n in nodes["src"])[:5]
+    out = betweenness_from_seeds(edges, seeds, k=4).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["bc_nano"] = out["bc_nano"].astype("int64")
+    return (out[["node", "bc_nano", "bc"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7685,6 +7796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal": _events_seasonal,
         "parts_reciprocal_best": _parts_reciprocal_best,
         "docs_bm25_prf": _docs_bm25_prf,
+        "graph_betweenness_parts": _graph_betweenness_parts,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -8054,6 +8166,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_suppcust": _pagerank_sql(iterations=3),
         "docs_textrank": _textrank_sql(iterations=5, damping=0.85,
                                        window=2, top_k=20),
+        "graph_betweenness_parts": _betweenness_sql(n_seeds=5, k=4),
         # assignment argmin replayed from the final centroid side table;
         # squared-L2 recomputed from raw dims (independent of the Ray
         # side's matmul expansion), ties to the lowest cluster id

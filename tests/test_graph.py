@@ -718,3 +718,51 @@ def test_multi_source_bfs_driver_vs_distributed_parity(ray_session):
     dist = norm(multi_source_bfs(rd.from_pandas(edges), seeds, k=4,
                                  num_partitions=4, driver_max_edges=0))
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_betweenness_diamond_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.graph import betweenness_from_seeds
+
+    # diamond + tail: 1->2, 1->3, 2->4, 3->4, 4->5; seed {1}
+    # sigma: L1 {2:1, 3:1}, L2 {4:2}, L3 {5:2}
+    # dep:   5: 0; 4: 2/2*(1+0)=1; 2: 1/2*(1+1)=1; 3: 1
+    edges = pa.table({
+        "src": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "dst": pa.array([2, 3, 4, 4, 5], pa.int64()),
+    })
+    out = (betweenness_from_seeds(rd.from_arrow(edges), [1], k=4)
+           .to_pandas().set_index("node"))
+    assert out.loc[2, "bc_nano"] == 1_000_000_000
+    assert out.loc[3, "bc_nano"] == 1_000_000_000
+    assert out.loc[4, "bc_nano"] == 1_000_000_000
+    assert out.loc[5, "bc_nano"] == 0
+    assert out.loc[4, "bc"] == 1.0
+
+
+def test_betweenness_distributed_parity(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.graph import betweenness_from_seeds
+
+    # deterministic pseudo-random graph, multiple seeds, both tiers
+    rng = np.random.RandomState(7)
+    n = 60
+    src = rng.randint(0, n, 400).astype(np.int64)
+    dst = rng.randint(0, n, 400).astype(np.int64)
+    m = src != dst
+    edges = pa.table({
+        "src": pa.array(np.concatenate([src[m], dst[m]]), pa.int64()),
+        "dst": pa.array(np.concatenate([dst[m], src[m]]), pa.int64()),
+    })
+    ds = rd.from_arrow(edges).repartition(4)
+    seeds = [0, 1, 2, 3]
+    a = (betweenness_from_seeds(ds, seeds, k=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (betweenness_from_seeds(ds, seeds, k=3, driver_max_edges=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(a["node"]) == list(b["node"])
+    # nano units are integer-exact up to the per-level rint boundary;
+    # engines may differ by at most 1 nano per level fold
+    assert (a["bc_nano"] - b["bc_nano"]).abs().max() <= 4

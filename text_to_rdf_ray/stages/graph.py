@@ -2292,3 +2292,251 @@ def diameter_double_sweep(
         "ecc_start": pd.Series([ecc1], dtype="int64"),
         "far_node": pd.Series([far], dtype="int64"),
         "diameter_lb": pd.Series([dlb], dtype="int64")}))
+
+
+def betweenness_from_seeds(
+    edges: rd.Dataset,
+    seeds: list[int],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 4,
+    num_partitions: int = 32,
+    driver_max_edges: int = 2_000_000,
+) -> rd.Dataset:
+    """Truncated (<= ``k``-hop) Brandes betweenness from a bounded
+    seed set — the k-betweenness / source-sampled approximation
+    (Brandes 2001; Bader et al. 2007 sampling), completing the
+    centrality family beside pagerank/HITS/closeness.
+
+    Forward: per level, path counts sigma accumulate over
+    predecessor frontiers (BFS DAG).  Backward: Brandes dependency
+    delta(v) = sum over successors w of sigma_v * (1 + delta_w) /
+    sigma_w, accumulated level by level.  Each level's delta is
+    quantized to INTEGER nano-units (rint(delta * 1e9) -> int64) in
+    EVERY engine — driver, distributed, SQL replay — so float drift
+    cannot compound across levels AND the final per-node sum over
+    levels/seeds is integer-exact (a float sum of 1e-9 multiples
+    lands ON a rounding boundary ~1/1000 of the time; summation
+    order would then flip the last digit between engines).  bc(v) =
+    that nano sum, for every node first reached at level >= 1.
+
+    Two tiers (the multi_source_bfs rule): distinct edges <=
+    ``driver_max_edges`` -> vectorized numpy BFS + dependency on the
+    driver; above it, per-level (seed, node)-keyed exchange
+    joins/aggs against the ONE materialized edge table — frontier
+    rows carry (seed, node, sigma) only.  ``seeds`` is the bounded
+    driver-side list by design.  Returns (node, bc_nano, bc) with
+    bc = bc_nano / 1e9 (one exact division — identical bits in any
+    engine).
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    e_keyed = distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": t.column(src_col).cast(pa.int64()),
+                "_nxt": t.column(dst_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["node", "_nxt"]).materialize()
+    sarr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+
+    if e_keyed.count() <= driver_max_edges:
+        ed = e_keyed.to_pandas()
+        src = ed["node"].to_numpy(np.int64)
+        dst = ed["_nxt"].to_numpy(np.int64)
+        order = np.argsort(src, kind="mergesort")
+        src, dst = src[order], dst[order]
+
+        def adj(frontier: np.ndarray):
+            lo = np.searchsorted(src, frontier, side="left")
+            hi = np.searchsorted(src, frontier, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            flat = (np.repeat(lo, cnt)
+                    + (np.arange(tot)
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+            return dst[flat], np.repeat(
+                np.arange(len(frontier), dtype=np.int64), cnt)
+
+        bc: dict[int, int] = {}
+        for seed in sarr:
+            levels = [(np.asarray([seed], np.int64),
+                       np.asarray([1], np.int64))]
+            visited = np.asarray([seed], np.int64)
+            for _lvl in range(1, k + 1):
+                fnodes, fsig = levels[-1]
+                tgt, fidx = adj(fnodes)
+                if not len(tgt):
+                    break
+                keep = ~np.isin(tgt, visited)
+                tgt, fidx = tgt[keep], fidx[keep]
+                if not len(tgt):
+                    break
+                uniq, inv = np.unique(tgt, return_inverse=True)
+                sig = np.zeros(len(uniq), np.int64)
+                np.add.at(sig, inv, fsig[fidx])
+                levels.append((uniq, sig))
+                visited = np.concatenate([visited, uniq])
+            deps = [np.zeros(len(n), np.int64) for n, _ in levels]
+            for lvl in range(len(levels) - 2, -1, -1):
+                vnodes, vsig = levels[lvl]
+                wnodes, wsig = levels[lvl + 1]
+                wdep = deps[lvl + 1]
+                tgt, vidx = adj(vnodes)
+                if len(tgt):
+                    pos = np.searchsorted(wnodes, tgt)
+                    pos_c = np.minimum(pos, len(wnodes) - 1)
+                    ok = wnodes[pos_c] == tgt
+                    c = (vsig[vidx[ok]]
+                         * (1.0 + wdep[pos_c[ok]] / 1e9)
+                         / wsig[pos_c[ok]])
+                    d = np.zeros(len(vnodes), np.float64)
+                    np.add.at(d, vidx[ok], c)
+                    deps[lvl] = np.rint(d * 1e9).astype(np.int64)
+            for lvl in range(1, len(levels)):
+                for n, d in zip(levels[lvl][0], deps[lvl]):
+                    bc[int(n)] = bc.get(int(n), 0) + int(d)
+        nodes = np.asarray(sorted(bc), np.int64)
+        nano = np.asarray([bc[int(n)] for n in nodes], np.int64)
+        return rd.from_pandas(pd.DataFrame({
+            "node": nodes, "bc_nano": nano, "bc": nano / 1e9}))
+
+    # ---- distributed tier: per-level (seed,node)-keyed exchanges
+    es = pa.schema([("node", pa.int64()), ("_nxt", pa.int64())])
+    fsch = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                      ("sigma", pa.int64())])
+    vsch = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                      ("_vis", pa.int8())])
+    frontier = rd.from_arrow(pa.table({
+        "seed": pa.array(sarr, pa.int64()),
+        "node": pa.array(sarr, pa.int64()),
+        "sigma": pa.array(np.ones(len(sarr), np.int64))})).materialize()
+    visited = frontier.map_batches(
+        lambda t: pa.table({
+            "seed": t.column("seed"), "node": t.column("node"),
+            "_vis": pa.array(np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow").materialize()
+    levels = [frontier]
+    for _lvl in range(1, k + 1):
+        nb = exchange_join(frontier, e_keyed, on="node",
+                           num_partitions=num_partitions,
+                           left_schema=fsch, right_schema=es)
+        cand = exchange_agg(
+            nb.map_batches(
+                lambda t: pa.table({
+                    "seed": t.column("seed"),
+                    "node": t.column("_nxt"),
+                    "sigma": t.column("sigma")}),
+                batch_format="pyarrow"),
+            ["seed", "node"], [("sigma", "sum", "sigma")],
+            num_partitions=num_partitions)
+        new = exchange_join(cand, visited, on=["seed", "node"],
+                            how="left_outer",
+                            num_partitions=num_partitions,
+                            left_schema=fsch, right_schema=vsch)
+        new = new.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("_vis")))
+                       .select(["seed", "node", "sigma"]),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        levels.append(new)
+        visited = visited.union(new.map_batches(
+            lambda t: pa.table({
+                "seed": t.column("seed"), "node": t.column("node"),
+                "_vis": pa.array(np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow")).materialize()
+        frontier = new
+
+    def with_dep(lvl_ds: rd.Dataset) -> rd.Dataset:
+        return lvl_ds.map_batches(
+            lambda t: t.append_column(
+                "dep_n", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+
+    deps: list[rd.Dataset | None] = [None] * len(levels)
+    deps[-1] = with_dep(levels[-1]).materialize()
+    for lvl in range(len(levels) - 2, -1, -1):
+        nxt = deps[lvl + 1].map_batches(
+            lambda t: pa.table({
+                "seed": t.column("seed"),
+                "_nxt": t.column("node"),
+                "sigma_w": t.column("sigma"),
+                "dep_w": t.column("dep_n")}),
+            batch_format="pyarrow")
+        j1 = exchange_join(levels[lvl], e_keyed, on="node",
+                           num_partitions=num_partitions,
+                           left_schema=fsch, right_schema=es)
+        j2 = exchange_join(
+            j1.map_batches(
+                lambda t: pa.table({
+                    "seed": t.column("seed"),
+                    "_nxt": t.column("_nxt"),
+                    "node": t.column("node"),
+                    "sigma": t.column("sigma")}),
+                batch_format="pyarrow"),
+            nxt, on=["seed", "_nxt"], num_partitions=num_partitions,
+            left_schema=pa.schema([("seed", pa.int64()),
+                                   ("_nxt", pa.int64()),
+                                   ("node", pa.int64()),
+                                   ("sigma", pa.int64())]),
+            right_schema=pa.schema([("seed", pa.int64()),
+                                    ("_nxt", pa.int64()),
+                                    ("sigma_w", pa.int64()),
+                                    ("dep_w", pa.int64())]))
+        contrib = j2.map_batches(
+            lambda t: pa.table({
+                "seed": t.column("seed"),
+                "node": t.column("node"),
+                "c": pa.array(
+                    t.column("sigma").to_numpy(zero_copy_only=False)
+                    * (1.0 + t.column("dep_w")
+                       .to_numpy(zero_copy_only=False) / 1e9)
+                    / t.column("sigma_w")
+                    .to_numpy(zero_copy_only=False), pa.float64())}),
+            batch_format="pyarrow")
+        dsum = exchange_agg(contrib, ["seed", "node"],
+                            [("c", "sum", "dep")],
+                            num_partitions=num_partitions)
+        dep_lvl = exchange_join(
+            levels[lvl], dsum, on=["seed", "node"], how="left_outer",
+            num_partitions=num_partitions, left_schema=fsch,
+            right_schema=pa.schema([("seed", pa.int64()),
+                                    ("node", pa.int64()),
+                                    ("dep", pa.float64())]))
+        deps[lvl] = dep_lvl.map_batches(
+            lambda t: pa.table({
+                "seed": t.column("seed"), "node": t.column("node"),
+                "sigma": t.column("sigma"),
+                "dep_n": pa.array(np.rint(np.nan_to_num(
+                    t.column("dep").to_numpy(zero_copy_only=False)
+                    .astype(np.float64)) * 1e9).astype(np.int64),
+                    pa.int64())}),
+            batch_format="pyarrow").materialize()
+    if len(deps) == 1:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "bc_nano": pa.array([], pa.int64()),
+            "bc": pa.array([], pa.float64())}))
+    acc = deps[1]
+    for d in deps[2:]:
+        acc = acc.union(d)
+    total = exchange_agg(
+        acc.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "dep_n": t.column("dep_n")}),
+            batch_format="pyarrow"),
+        "node", [("dep_n", "sum", "bc_nano")],
+        num_partitions=num_partitions)
+    return total.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "bc_nano": t.column("bc_nano"),
+            "bc": pa.array(
+                t.column("bc_nano").to_numpy(zero_copy_only=False)
+                / 1e9, pa.float64())}),
+        batch_format="pyarrow")
