@@ -2284,6 +2284,51 @@ def _betweenness_sql(n_seeds: int = 5, k: int = 4) -> str:
     """
 
 
+def _pca_power_sql(iterations: int = 12) -> str:
+    """DuckDB replay of _embeddings_pca_scores: unnested moments ->
+    9dp-quantized mean/cov -> unrolled power iterations (each iterate
+    re-quantized 9dp) -> 6dp projection."""
+    steps = []
+    prev = "v0"
+    for i in range(1, iterations + 1):
+        # norm via a window aggregate so each CTE is referenced ONCE
+        # (a separate norm CTE would double-reference w{{i}} and DuckDB
+        # inlines CTEs -> 2^iterations re-evaluations)
+        steps.append(f"""
+            w{i} AS (SELECT c.i AS dim, sum(c.c * v.val) AS w
+                     FROM cov c JOIN {prev} v ON v.dim = c.j
+                     GROUP BY c.i),
+            v{i} AS (SELECT dim,
+                            round(w / sqrt(sum(w * w) OVER ()), 9)
+                                AS val
+                     FROM w{i})""")
+        prev = f"v{i}"
+    return f"""
+        WITH u AS MATERIALIZED (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(unnest(embedding) AS DOUBLE) AS val
+                   FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        dd AS (SELECT max(dim) + 1 AS d FROM u),
+        mean AS MATERIALIZED (SELECT dim, round(sum(val) / nn.n, 9) AS m
+                 FROM u CROSS JOIN nn GROUP BY dim, nn.n),
+        cov AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+                       round(sum(a.val * b.val) / nn.n
+                             - ma.m * mb.m, 9) AS c
+                FROM u a JOIN u b USING (vec_id) CROSS JOIN nn
+                JOIN mean ma ON ma.dim = a.dim
+                JOIN mean mb ON mb.dim = b.dim
+                GROUP BY a.dim, b.dim, nn.n, ma.m, mb.m),
+        v0 AS (SELECT dim, round(1.0 / sqrt(d), 9) AS val
+               FROM mean CROSS JOIN dd),
+        {",".join(steps)}
+        SELECT u.vec_id,
+               round(sum((u.val - m.m) * v.val), 6) AS pc1
+        FROM u JOIN mean m USING (dim) JOIN {prev} v USING (dim)
+        GROUP BY u.vec_id ORDER BY u.vec_id
+    """
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark 8-gram decontamination (stages/curation.py::decontaminate
     — distinct-combined benchmark gram set broadcast once via ray.put;
@@ -4164,6 +4209,19 @@ def _embeddings_cov_moments(sf_dir: str) -> pd.DataFrame:
     out["s"] = _r(out["s"], 6)
     return (out[["i", "j", "s"]]
             .sort_values(["i", "j"]).reset_index(drop=True))
+
+
+def _embeddings_pca_scores(sf_dir: str) -> pd.DataFrame:
+    """Power-iteration PC1 projection (stages/knn.py::
+    pca_power_scores, 12 iterations): mean/cov quantized 9dp from the
+    distributed moment pass, every iterate re-quantized 9dp, scores
+    6dp — the unrolled SQL replays the identical vector."""
+    from text_to_rdf_ray.stages.knn import pca_power_scores
+
+    out = pca_power_scores(_embeddings(sf_dir), iterations=12).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return (out[["vec_id", "pc1"]]
+            .sort_values("vec_id").reset_index(drop=True))
 
 
 def _events_logreg(sf_dir: str) -> pd.DataFrame:
@@ -7797,6 +7855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_reciprocal_best": _parts_reciprocal_best,
         "docs_bm25_prf": _docs_bm25_prf,
         "graph_betweenness_parts": _graph_betweenness_parts,
+        "embeddings_pca_scores": _embeddings_pca_scores,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -8167,6 +8226,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_textrank": _textrank_sql(iterations=5, damping=0.85,
                                        window=2, top_k=20),
         "graph_betweenness_parts": _betweenness_sql(n_seeds=5, k=4),
+        "embeddings_pca_scores": _pca_power_sql(iterations=12),
         # assignment argmin replayed from the final centroid side table;
         # squared-L2 recomputed from raw dims (independent of the Ray
         # side's matmul expansion), ties to the lowest cluster id

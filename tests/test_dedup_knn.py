@@ -1365,3 +1365,29 @@ def test_reciprocal_best_match_manual(ray_session):
            .reset_index(drop=True))
     assert list(zip(out["id_a"], out["id_b"])) == [(1, 2), (4, 5), (6, 7)]
     assert list(out["score"]) == [0.9, 0.85, 0.5]
+
+
+def test_pca_power_scores_matches_eigh(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import embedding_pca, pca_power_scores
+
+    # anisotropic cloud with a dominant axis: power iteration must
+    # align with the eigh top component (up to sign)
+    rng = np.random.RandomState(3)
+    d, n = 8, 300
+    base = rng.randn(n, d)
+    base[:, 2] *= 6.0  # dominant variance direction
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base]),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = (pca_power_scores(ds, iterations=30).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    _, comps, mean = embedding_pca(ds, k=1)
+    ref = (base - mean) @ comps[0]
+    got = out["pc1"].to_numpy()
+    sign = 1.0 if np.dot(got, ref) >= 0 else -1.0
+    assert np.abs(got - sign * ref).max() < 1e-4

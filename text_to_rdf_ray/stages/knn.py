@@ -1078,3 +1078,63 @@ def random_projection(
             "proj": pa.array(list(y), pa.list_(pa.float64()))})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def pca_power_scores(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iterations: int = 12,
+) -> rd.Dataset:
+    """First-principal-component scores via POWER ITERATION — the
+    SQL-replayable companion to :func:`embedding_pca` (whose eigh
+    decomposition no SQL engine can replay): same single distributed
+    moment pass, then a fixed-iteration driver power method on the
+    d x d covariance, then a distributed projection map.
+
+    Engine-exactness contract: mean and covariance entries are
+    quantized to 9dp (mean = round(Sx/n, 9); cov = round(Sxy/n -
+    mean_i*mean_j, 9)), v0 = round(1/sqrt(d), 9) in every dim, and
+    each iterate v_k = round(w / sqrt(w.w), 9) with w = cov @
+    v_{k-1} — re-quantizing every step stops float drift compounding,
+    so an unrolled SQL replay lands on the identical vector.  The
+    result is the ITERATE, deterministically, not the eigh limit
+    (eigenvalue near-ties therefore cannot make it engine-dependent).
+    Scores: pc1 = round((x - mean) . v, 6) per row, broadcast v,
+    pure map.  Returns (id_col, pc1).
+    """
+    import math
+
+    m = embedding_moments(ds, emb_col=emb_col).to_pandas()
+    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "s"].iloc[0])
+    if n == 0:
+        raise ValueError("pca_power_scores: empty input")
+    d = int(m["i"].max()) + 1
+    mean = np.zeros(d)
+    first = m[(m["j"] == -1) & (m["i"] >= 0)]
+    mean[first["i"].to_numpy(np.int64)] = first["s"].to_numpy() / n
+    mean = np.round(mean, 9)
+    cov = np.zeros((d, d))
+    sec = m[m["j"] >= 0]
+    ii = sec["i"].to_numpy(np.int64)
+    jj = sec["j"].to_numpy(np.int64)
+    cov[ii, jj] = sec["s"].to_numpy()
+    cov[jj, ii] = sec["s"].to_numpy()
+    cov = np.round(cov / n - np.outer(mean, mean), 9)
+
+    v = np.full(d, round(1.0 / math.sqrt(d), 9))
+    for _ in range(iterations):
+        w = cov @ v
+        nm = math.sqrt(float(w @ w))
+        if nm == 0.0:
+            break
+        v = np.round(w / nm, 9)
+
+    def score(batch: pa.Table) -> pa.Table:
+        X = _emb_matrix(batch, emb_col).astype(np.float64)
+        s = np.round((X - mean) @ v, 6)
+        return pa.table({id_col: batch.column(id_col),
+                         "pc1": pa.array(s, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
