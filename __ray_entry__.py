@@ -7427,6 +7427,24 @@ def _graph_betweenness_parts(sf_dir: str) -> pd.DataFrame:
             .sort_values("node").reset_index(drop=True))
 
 
+def _web_warc_records(sf_dir: str) -> pd.DataFrame:
+    """WARC source round-trip (sources/warc.py::read_warc): 120
+    deterministic WARC/1.0 pages (warcinfo + request records the
+    reader must skip, Content-Length-framed payloads containing blank
+    lines, planted 404s) parsed into the page table; the oracle
+    re-parses the SAME shard files with read_text + string slicing
+    (ASCII fixture keeps byte offsets == char offsets)."""
+    from text_to_rdf_ray.sources.warc import read_warc, write_warc_fixture
+
+    out_dir = os.path.join(_SIDE, "web_warc_records", "warc")
+    paths = write_warc_fixture(out_dir, 120, shards=4)
+    out = read_warc(paths).to_pandas()
+    out["http_status"] = out["http_status"].astype("int64")
+    return (out[["target_uri", "record_id", "http_status",
+                 "content_type", "body"]]
+            .sort_values("target_uri").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7856,6 +7874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_prf": _docs_bm25_prf,
         "graph_betweenness_parts": _graph_betweenness_parts,
         "embeddings_pca_scores": _embeddings_pca_scores,
+        "web_warc_records": _web_warc_records,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10574,6 +10593,43 @@ def oracle_sql() -> dict[str, str]:
              AND b1.rn = 1 AND b2.rn = 1
             WHERE b1.src < b1.dst
             ORDER BY id_a, id_b
+        """,
+        "web_warc_records": f"""
+            -- independent DuckDB parse of the WARC shards the query
+            -- wrote: record split on the version line, Content-Length
+            -- payload slicing (ASCII fixture: chars == bytes), HTTP
+            -- status/ctype/body extraction (sources/warc.py)
+            WITH raw AS (SELECT content FROM read_text(
+                   '{os.path.join(_SIDE, "web_warc_records", "warc", "*.warc")}')),
+            recs AS (SELECT unnest(str_split(
+                       content, 'WARC/1.0' || chr(13) || chr(10))) AS r
+                     FROM raw),
+            hp AS (SELECT r, strpos(r, chr(13) || chr(10)
+                                       || chr(13) || chr(10)) AS he
+                   FROM recs WHERE r <> ''),
+            f AS (SELECT substr(r, 1, he - 1) AS hdr,
+                         substr(r, he + 4,
+                                CAST(regexp_extract(substr(r, 1, he - 1),
+                                     'Content-Length: ([0-9]+)', 1)
+                                     AS BIGINT)) AS payload
+                  FROM hp WHERE he > 0),
+            resp AS (SELECT hdr, payload,
+                            strpos(payload, chr(13) || chr(10)
+                                            || chr(13) || chr(10)) AS pe
+                     FROM f
+                     WHERE regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+                           = 'response')
+            SELECT regexp_extract(hdr, 'WARC-Target-URI: ([^\\r\\n]+)', 1)
+                       AS target_uri,
+                   regexp_extract(hdr, 'WARC-Record-ID: <([^>]+)>', 1)
+                       AS record_id,
+                   CAST(regexp_extract(payload,
+                        '^HTTP/1.1 ([0-9]+)', 1) AS BIGINT)
+                       AS http_status,
+                   regexp_extract(substr(payload, 1, pe - 1),
+                        'Content-Type: ([^\\r\\n]+)', 1) AS content_type,
+                   substr(payload, pe + 4) AS body
+            FROM resp ORDER BY target_uri
         """,
         "events_ohlc": """
             -- OHLC replay: row_number endpoints over the identical

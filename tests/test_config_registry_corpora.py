@@ -264,3 +264,34 @@ def test_ntriples_bad_lines_counted(ray_session, tmp_path):
     assert len(got) == 2
     snap = counters.snapshot()
     assert snap.get("ntriples_bad_lines") == 2
+
+
+def test_warc_roundtrip_framing(ray_session, tmp_path):
+    from text_to_rdf_ray.sources.warc import (_parse_warc_bytes,
+                                              read_warc,
+                                              write_warc_fixture)
+
+    paths = write_warc_fixture(str(tmp_path), 25, shards=2)
+    out = (read_warc(paths).to_pandas()
+           .sort_values("target_uri").reset_index(drop=True))
+    assert len(out) == 25
+    # planted 404s at i % 13 == 0
+    assert set(out[out["http_status"] == 404]["target_uri"]) == {
+        "http://site0.example.com/page/0",
+        "http://site6.example.com/page/13",
+    }
+    # bodies keep their internal blank line intact (Content-Length
+    # framing, not blank-line splitting)
+    assert out["body"].str.contains("\r\n\r\ntail ").all()
+    assert (out["content_type"] == "text/html").all()
+
+    # a payload containing the record separator must NOT split the
+    # record when framed by Content-Length
+    evil_body = b"WARC/1.0\r\nnot a record"
+    http = b"HTTP/1.1 200 X\r\nContent-Type: t/x\r\n\r\n" + evil_body
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://e/x\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(http) + http
+           + b"\r\n\r\n")
+    rows, skipped, bad = _parse_warc_bytes(rec)
+    assert len(rows) == 1 and rows[0]["body"] == evil_body.decode()
