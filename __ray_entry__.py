@@ -7445,6 +7445,56 @@ def _web_warc_records(sf_dir: str) -> pd.DataFrame:
             .sort_values("target_uri").reset_index(drop=True))
 
 
+def _web_warc_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Webtext ingestion capstone: WARC shards (planted duplicate
+    bodies + 404s) -> response/200 filter -> vectorized tag strip +
+    whitespace tokenization -> global exact text dedup (min-URI
+    keeper via exchange_agg) -> per-host rollup joining pre-dedup
+    page counts with keeper counts/token mass.  Every stage the same
+    SQL fragment as its standalone-oracled building block."""
+    from text_to_rdf_ray.sources.warc import read_warc, write_warc_fixture
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    out_dir = os.path.join(_SIDE, "web_warc_pipeline", "warc")
+    paths = write_warc_fixture(out_dir, 200, shards=4, dup_every=9)
+    pages = read_warc(paths)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["http_status"] == 200]
+        txt = b["body"].str.replace(r"<[^>]+>", " ", regex=True)
+        toks = txt.str.split(r"[ \r\n\t]+", regex=True).map(
+            lambda ws: [t for t in ws if t])
+        return pd.DataFrame({
+            "host": b["target_uri"].str.split("/").str[2],
+            "uri": b["target_uri"],
+            "text": toks.str.join(" "),
+            "n_tokens": toks.str.len().astype("int64")})
+
+    prepped = pages.map_batches(prep, batch_format="pandas")
+    n_pages = exchange_agg(prepped.map_batches(
+        lambda t: pa.table({"host": t.column("host"),
+                            "one": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"),
+        "host", [("one", "sum", "n_pages")]).to_pandas()
+    keep = exchange_agg(prepped, "text",
+                        [("uri", "min", "uri"),
+                         ("n_tokens", "min", "n_tokens")])
+    uniq = exchange_agg(keep.map_batches(
+        lambda b: pd.DataFrame({
+            "host": b["uri"].str.split("/").str[2],
+            "one": np.ones(len(b), np.int64),
+            "n_tokens": b["n_tokens"].astype("int64")}),
+        batch_format="pandas"),
+        "host", [("one", "sum", "n_unique"),
+                 ("n_tokens", "sum", "total_tokens")]).to_pandas()
+    out = n_pages.merge(uniq, on="host", how="left")
+    for c in ("n_pages", "n_unique", "total_tokens"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (out[["host", "n_pages", "n_unique", "total_tokens"]]
+            .sort_values("host").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7875,6 +7925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness_parts": _graph_betweenness_parts,
         "embeddings_pca_scores": _embeddings_pca_scores,
         "web_warc_records": _web_warc_records,
+        "web_warc_pipeline": _web_warc_pipeline,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10630,6 +10681,60 @@ def oracle_sql() -> dict[str, str]:
                         'Content-Type: ([^\\r\\n]+)', 1) AS content_type,
                    substr(payload, pe + 4) AS body
             FROM resp ORDER BY target_uri
+        """,
+        "web_warc_pipeline": f"""
+            -- full webtext ingestion replay: WARC parse (same
+            -- fragment as web_warc_records), 200 filter, tag strip +
+            -- whitespace tokenization, min-URI text dedup, host rollup
+            WITH raw AS (SELECT content FROM read_text(
+                   '{os.path.join(_SIDE, "web_warc_pipeline", "warc", "*.warc")}')),
+            recs AS (SELECT unnest(str_split(
+                       content, 'WARC/1.0' || chr(13) || chr(10))) AS r
+                     FROM raw),
+            hp AS (SELECT r, strpos(r, chr(13) || chr(10)
+                                       || chr(13) || chr(10)) AS he
+                   FROM recs WHERE r <> ''),
+            f AS (SELECT substr(r, 1, he - 1) AS hdr,
+                         substr(r, he + 4,
+                                CAST(regexp_extract(substr(r, 1, he - 1),
+                                     'Content-Length: ([0-9]+)', 1)
+                                     AS BIGINT)) AS payload
+                  FROM hp WHERE he > 0),
+            resp AS (SELECT hdr, payload,
+                            strpos(payload, chr(13) || chr(10)
+                                            || chr(13) || chr(10)) AS pe
+                     FROM f
+                     WHERE regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+                           = 'response'),
+            pages AS (SELECT
+                        regexp_extract(hdr,
+                            'WARC-Target-URI: ([^\\r\\n]+)', 1) AS uri,
+                        CAST(regexp_extract(payload,
+                            '^HTTP/1.1 ([0-9]+)', 1) AS BIGINT)
+                            AS status,
+                        substr(payload, pe + 4) AS body
+                      FROM resp),
+            p2 AS (SELECT uri, split_part(uri, '/', 3) AS host,
+                          list_filter(regexp_split_to_array(
+                              regexp_replace(body, '<[^>]+>', ' ', 'g'),
+                              '[ \\r\\n\\t]+'), x -> x <> '') AS toks
+                   FROM pages WHERE status = 200),
+            p3 AS (SELECT uri, host, array_to_string(toks, ' ') AS text,
+                          len(toks) AS n_tokens
+                   FROM p2),
+            np AS (SELECT host, count(*) AS n_pages FROM p3 GROUP BY 1),
+            keep AS (SELECT text, min(uri) AS uri,
+                            min(n_tokens) AS n_tokens
+                     FROM p3 GROUP BY text),
+            uq AS (SELECT split_part(uri, '/', 3) AS host,
+                          count(*) AS n_unique,
+                          sum(n_tokens) AS total_tokens
+                   FROM keep GROUP BY 1)
+            SELECT np.host, CAST(np.n_pages AS BIGINT) AS n_pages,
+                   CAST(coalesce(uq.n_unique, 0) AS BIGINT) AS n_unique,
+                   CAST(coalesce(uq.total_tokens, 0) AS BIGINT)
+                       AS total_tokens
+            FROM np LEFT JOIN uq USING (host) ORDER BY np.host
         """,
         "events_ohlc": """
             -- OHLC replay: row_number endpoints over the identical

@@ -295,3 +295,16 @@ def test_warc_roundtrip_framing(ray_session, tmp_path):
            + b"\r\n\r\n")
     rows, skipped, bad = _parse_warc_bytes(rec)
     assert len(rows) == 1 and rows[0]["body"] == evil_body.decode()
+
+
+def test_warc_pipeline_dedup_counts(ray_session, tmp_path):
+    from text_to_rdf_ray.sources.warc import read_warc, write_warc_fixture
+
+    # dup_every=5: pages 0,5,10,15 share page 1's body (page 0 is a
+    # 404 so only 5,10,15 survive the status filter alongside 1)
+    paths = write_warc_fixture(str(tmp_path), 18, shards=2, dup_every=5)
+    df = read_warc(paths).to_pandas()
+    ok = df[df["http_status"] == 200]
+    dup_bodies = ok[ok["body"].str.contains("tail 1<")]
+    assert len(dup_bodies) == 4  # pages 1, 5, 10, 15
+    assert ok["target_uri"].nunique() == len(ok)  # URIs stay distinct

@@ -130,12 +130,15 @@ _WORDS = ["alpha", "beta", "gamma", "delta", "scan", "merge", "table",
 
 
 def write_warc_fixture(out_dir: str, n_pages: int,
-                       shards: int = 4) -> list[str]:
+                       shards: int = 4,
+                       dup_every: int | None = None) -> list[str]:
     """Deterministic ASCII WARC/1.0 shards for tests/oracles: one
     warcinfo record per shard, then alternating request (skipped by
     the reader) + response records; every 13th response is a 404.
-    ASCII-only payloads keep byte offsets == char offsets so a SQL
-    replay's character substr sees the same slices."""
+    ``dup_every``: every that-many-th page reuses page 1's body
+    (distinct URI, duplicate content) so dedup stages have planted
+    work.  ASCII-only payloads keep byte offsets == char offsets so a
+    SQL replay's character substr sees the same slices."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for s in range(shards):
@@ -157,13 +160,15 @@ def write_warc_fixture(out_dir: str, n_pages: int,
                          + b"Content-Length: %d\r\n\r\n" % len(req)
                          + req + b"\r\n\r\n")
             status = 404 if i % 13 == 0 else 200
-            rng = np.random.RandomState(i)
+            eff = 1 if (dup_every and i % dup_every == 0
+                        and i != 1) else i
+            rng = np.random.RandomState(eff)
             words = " ".join(_WORDS[j] for j in rng.randint(
-                0, len(_WORDS), 8 + i % 5))
+                0, len(_WORDS), 8 + eff % 5))
             # body deliberately contains a blank line: the
             # Content-Length framing must survive it
             body = (f"<html><body>{words}\r\n\r\n"
-                    f"tail {i}</body></html>").encode()
+                    f"tail {eff}</body></html>").encode()
             http = (f"HTTP/1.1 {status} X\r\n"
                     f"Content-Type: text/html\r\n\r\n").encode() + body
             parts.append(b"WARC/1.0\r\n"
