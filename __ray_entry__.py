@@ -7420,7 +7420,12 @@ def _graph_betweenness_parts(sf_dir: str) -> pd.DataFrame:
                           batch_format="pyarrow"),
         cols=["src"]).to_pandas()
     seeds = sorted(int(n) for n in nodes["src"])[:5]
-    out = betweenness_from_seeds(edges, seeds, k=4).to_pandas()
+    # sf0.1's co-purchase graph is 2.39M distinct directed edges —
+    # just over the default driver tier; the numpy BFS handles it in
+    # seconds while the distributed tier pays ~20 fixed exchange
+    # rounds, so raise the crossover for this bounded dimension graph
+    out = betweenness_from_seeds(edges, seeds, k=4,
+                                 driver_max_edges=8_000_000).to_pandas()
     out["node"] = out["node"].astype("int64")
     out["bc_nano"] = out["bc_nano"].astype("int64")
     return (out[["node", "bc_nano", "bc"]]

@@ -353,7 +353,10 @@ def run_bench() -> dict:
                      "dedup_semdedup", "graph_neighbor_agg",
                      "events_cusum", "events_kmv_users",
                      "events_robust_z", "parts_fs_links",
-                     "graph_diameter", "kg_construct_rewrite"):
+                     "graph_diameter", "kg_construct_rewrite",
+                     "docs_textrank", "graph_betweenness_parts",
+                     "embeddings_pca_scores", "docs_bm25_prf",
+                     "parts_reciprocal_best", "events_seasonal"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
