@@ -7500,6 +7500,41 @@ def _web_warc_pipeline(sf_dir: str) -> pd.DataFrame:
             .sort_values("host").reset_index(drop=True))
 
 
+def _kg_property_entailment(sf_dir: str) -> pd.DataFrame:
+    """OWL property-characteristics entailment (stages/kgops.py::
+    property_entailment): per-brand part chains (first 30 by partkey,
+    a bounded dimension fixture) assert `follows` links + `peer_of`
+    among the first 10; the operator materializes the symmetric
+    expansion, the path-doubled transitive closure of `follows`, and
+    the `precedes` inverse mirror of the CLOSED predicate; asserted
+    triples stay entailed=false."""
+    from text_to_rdf_ray.stages.analytics import topk_per_group
+    from text_to_rdf_ray.stages.kgops import property_entailment
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_brand"])
+    top = topk_per_group(parts, key_col="p_brand",
+                         sort_col="p_partkey",
+                         tiebreak_col="p_partkey", k=30,
+                         descending=False).to_pandas()  # 25 x 30 rows
+    links = []
+    for _brand, g in top.groupby("p_brand"):
+        ids = g.sort_values("rank")["p_partkey"].tolist()
+        for a, b in zip(ids, ids[1:]):
+            links.append((f"part_{a}", "follows", f"part_{b}"))
+        for a, b in zip(ids[:10], ids[1:10]):
+            links.append((f"part_{a}", "peer_of", f"part_{b}"))
+    triples = rd.from_pandas(pd.DataFrame(
+        links, columns=["subj", "pred", "obj"]))
+    out = property_entailment(
+        triples, transitive=("follows",), symmetric=("peer_of",),
+        inverse=(("follows", "precedes"),)).to_pandas()
+    out["entailed"] = out["entailed"].astype(bool)
+    return (out[["subj", "pred", "obj", "entailed"]]
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7931,6 +7966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca_scores": _embeddings_pca_scores,
         "web_warc_records": _web_warc_records,
         "web_warc_pipeline": _web_warc_pipeline,
+        "kg_property_entailment": _kg_property_entailment,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10740,6 +10776,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(uq.total_tokens, 0) AS BIGINT)
                        AS total_tokens
             FROM np LEFT JOIN uq USING (host) ORDER BY np.host
+        """,
+        "kg_property_entailment": """
+            -- OWL entailment replay: same brand chains, symmetric
+            -- expansion, recursive transitive closure of follows,
+            -- precedes mirror of the CLOSED predicate; asserted wins
+            WITH RECURSIVE ranked AS (
+              SELECT p_partkey, p_brand,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_partkey) AS rn
+              FROM part),
+            top30 AS (SELECT * FROM ranked WHERE rn <= 30),
+            fol AS (SELECT 'part_' || a.p_partkey AS s,
+                           'follows' AS p,
+                           'part_' || b.p_partkey AS o
+                    FROM top30 a JOIN top30 b
+                      ON a.p_brand = b.p_brand AND b.rn = a.rn + 1),
+            peer AS (SELECT 'part_' || a.p_partkey AS s,
+                            'peer_of' AS p,
+                            'part_' || b.p_partkey AS o
+                     FROM top30 a JOIN top30 b
+                       ON a.p_brand = b.p_brand AND b.rn = a.rn + 1
+                      AND a.rn <= 9),
+            base AS (SELECT * FROM fol UNION ALL SELECT * FROM peer),
+            fp AS (SELECT s, o FROM fol),
+            clo(s, o) AS (
+              SELECT s, o FROM fp
+              UNION
+              SELECT c.s, f.o FROM clo c JOIN fp f ON f.s = c.o),
+            full_set AS (
+              SELECT s, p, o FROM base
+              UNION ALL SELECT o, p, s FROM base WHERE p = 'peer_of'
+              UNION ALL SELECT s, 'follows', o FROM clo
+              UNION ALL SELECT o, 'precedes', s FROM clo),
+            fin AS (SELECT DISTINCT s, p, o FROM full_set)
+            SELECT fin.s AS subj, fin.p AS pred, fin.o AS obj,
+                   (b.s IS NULL) AS entailed
+            FROM fin LEFT JOIN (SELECT DISTINCT s, p, o FROM base) b
+              ON b.s = fin.s AND b.p = fin.p AND b.o = fin.o
+            ORDER BY subj, pred, obj
         """,
         "events_ohlc": """
             -- OHLC replay: row_number endpoints over the identical

@@ -443,3 +443,43 @@ def test_bgp_construct_rewrite_and_guards(ray_session):
                       [("?s", "r", "?unbound")])
     with pytest.raises(ValueError):
         bgp_construct(tri, [("?s", "knows", "?o")], [])
+
+
+def test_property_entailment_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.kgops import property_entailment
+
+    # chain a->b->c->d (transitive follows), x peer_of y (symmetric),
+    # precedes = inverse of the CLOSED follows
+    triples = pa.table({
+        "subj": pa.array(["a", "b", "c", "x"], pa.string()),
+        "pred": pa.array(["follows", "follows", "follows", "peer_of"],
+                         pa.string()),
+        "obj": pa.array(["b", "c", "d", "y"], pa.string()),
+    })
+    out = (property_entailment(
+        rd.from_arrow(triples), transitive=("follows",),
+        symmetric=("peer_of",), inverse=(("follows", "precedes"),))
+        .to_pandas())
+    got = {(r.subj, r.pred, r.obj): bool(r.entailed)
+           for r in out.itertuples()}
+    # closure adds a->c, a->d, b->d (entailed); asserted stay False
+    assert got[("a", "follows", "b")] is False
+    assert got[("a", "follows", "c")] is True
+    assert got[("a", "follows", "d")] is True
+    assert got[("b", "follows", "d")] is True
+    # symmetric
+    assert got[("x", "peer_of", "y")] is False
+    assert got[("y", "peer_of", "x")] is True
+    # inverse mirrors the closure, not just asserted links
+    assert got[("d", "precedes", "a")] is True
+    assert got[("b", "precedes", "a")] is True
+    # 4 asserted + 1 sym + 3 closure + 6 precedes = 14 rows
+    assert len(out) == 14
+
+    import pytest
+    with pytest.raises(ValueError):
+        property_entailment(rd.from_arrow(triples),
+                            transitive=("q",),
+                            inverse=(("p", "q"),))

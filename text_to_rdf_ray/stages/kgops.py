@@ -844,3 +844,145 @@ def bgp_construct(
         bound.map_batches(emit, batch_format="pandas"),
         ["subj", "pred", "obj"], num_partitions=num_partitions,
         coalesce_blocks=coalesce_blocks)
+
+
+def property_entailment(
+    triples: rd.Dataset,
+    *,
+    transitive: tuple[str, ...] = (),
+    symmetric: tuple[str, ...] = (),
+    inverse: tuple[tuple[str, str], ...] = (),
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    max_iters: int = 16,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """OWL property-characteristics entailment: materialize the
+    triples implied by ``owl:SymmetricProperty`` /
+    ``owl:TransitiveProperty`` / ``owl:inverseOf`` declarations —
+    the property-level companion to type_inference (rdfs:subClassOf)
+    and sameas_closure.
+
+    Rule order (documented contract, replayed by the SQL oracle):
+    (1) symmetric expansion, (2) transitive closure over the expanded
+    pairs, (3) inverse mirroring of the CLOSED predicate (OWL inverse
+    applies to every entailed statement).  The rule sets must name
+    disjoint predicates, so one pass saturates — asserted for the
+    closure of a predicate that is itself inverse-DERIVED would need
+    a fixpoint loop this operator refuses to guess at (raises).
+
+    Transitive closure is PATH-DOUBLING: each round one
+    ``exchange_join`` of the closure with itself (R := R ∪ R∘R), so
+    a length-L chain closes in O(log L) rounds, not O(L) — the
+    Hash-to-Min lesson from connected_components applied to
+    reachability.  Every round ends in a hash-exchange distinct;
+    per-round volume is the closure pair set for that predicate.
+
+    Returns distinct ``(subj, pred, obj, entailed)``; an asserted
+    triple rediscovered by a rule stays ``entailed=False`` (min-wins
+    exchange_agg, the type_inference convention).
+    """
+    from .exchange import exchange_agg, exchange_join
+    from ..stages.analytics import distinct_rows
+
+    inv_preds = {q for _, q in inverse}
+    if inv_preds & (set(transitive) | set(symmetric)):
+        raise ValueError("property_entailment: an inverse-derived "
+                         "predicate cannot also be transitive/symmetric "
+                         "in one pass — saturation order is ambiguous")
+
+    tsch = pa.schema([(subj_col, pa.string()), (pred_col, pa.string()),
+                      (obj_col, pa.string()), ("entailed", pa.int8())])
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            subj_col: t.column(subj_col).cast(pa.string()),
+            pred_col: t.column(pred_col).cast(pa.string()),
+            obj_col: t.column(obj_col).cast(pa.string()),
+            "entailed": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    base = triples.map_batches(base_rows,
+                               batch_format="pyarrow").materialize()
+    outs = [base]
+
+    def flipped(src: rd.Dataset, from_pred: str, to_pred: str):
+        def flip(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column(pred_col), from_pred)
+            f = t.filter(m)
+            return pa.table({
+                subj_col: f.column(obj_col),
+                pred_col: pa.array([to_pred] * f.num_rows, pa.string()),
+                obj_col: f.column(subj_col),
+                "entailed": pa.array(np.ones(f.num_rows, np.int8))})
+        return src.map_batches(flip, batch_format="pyarrow")
+
+    # (1) symmetric expansion
+    sym_parts = [flipped(base, p, p) for p in symmetric]
+    expanded = base
+    for sp in sym_parts:
+        expanded = expanded.union(sp)
+    expanded = expanded.materialize()
+
+    # (2) transitive closure by path doubling, per predicate
+    closed_parts: list[rd.Dataset] = []
+    for p in transitive:
+        pairs = distinct_rows(
+            expanded.map_batches(
+                lambda t, p=p: t.filter(pc.equal(t.column(pred_col), p))
+                                .select([subj_col, obj_col]),
+                batch_format="pyarrow"),
+            cols=[subj_col, obj_col]).materialize()
+        n_prev = pairs.count()
+        for _ in range(max_iters):
+            left = pairs.map_batches(
+                lambda t: pa.table({"_mid": t.column(obj_col),
+                                    subj_col: t.column(subj_col)}),
+                batch_format="pyarrow")
+            right = pairs.map_batches(
+                lambda t: pa.table({"_mid": t.column(subj_col),
+                                    obj_col: t.column(obj_col)}),
+                batch_format="pyarrow")
+            hop = exchange_join(
+                left, right, on="_mid", num_partitions=num_partitions,
+                left_schema=pa.schema([("_mid", pa.string()),
+                                       (subj_col, pa.string())]),
+                right_schema=pa.schema([("_mid", pa.string()),
+                                        (obj_col, pa.string())]))
+            # distinct_rows emits pandas blocks; the union side must
+            # match (mixed block types trip Ray's block builder)
+            pairs = distinct_rows(
+                pairs.union(hop.map_batches(
+                    lambda b: b[[subj_col, obj_col]],
+                    batch_format="pandas")),
+                cols=[subj_col, obj_col]).materialize()
+            n_now = pairs.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        closed_parts.append(pairs.map_batches(
+            lambda t, p=p: pa.table({
+                subj_col: t.column(subj_col),
+                pred_col: pa.array([p] * t.num_rows, pa.string()),
+                obj_col: t.column(obj_col),
+                "entailed": pa.array(np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow"))
+    for cp in closed_parts:
+        outs.append(cp)
+    for sp in sym_parts:
+        outs.append(sp)
+
+    # (3) inverse mirrors of the CLOSED predicates
+    closed_all = outs[0]
+    for o in outs[1:]:
+        closed_all = closed_all.union(o)
+    closed_all = closed_all.materialize()
+    for p, q in inverse:
+        outs.append(flipped(closed_all, p, q))
+
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc.union(o)
+    return exchange_agg(acc, [subj_col, pred_col, obj_col],
+                        [("entailed", "min", "entailed")],
+                        num_partitions=num_partitions)
