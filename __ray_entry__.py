@@ -7535,6 +7535,34 @@ def _kg_property_entailment(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _kg_sparql_groupby(sf_dir: str) -> pd.DataFrame:
+    """SPARQL SELECT-aggregate with FILTER (stages/kgops.py::bgp_match
+    + a vectorized regex filter + exchange_agg):
+    ``SELECT ?r (COUNT(*) AS n_suppliers) WHERE { ?s located_in ?n .
+    ?n part_of ?r . FILTER(regex(?s, '^supplier_')) } GROUP BY ?r`` —
+    bag semantics (distinct=False) so COUNT counts solutions."""
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+    from text_to_rdf_ray.stages.kgops import bgp_match
+
+    sols = bgp_match(_tpch_triples(sf_dir),
+                     [("?s", "located_in", "?n"),
+                      ("?n", "part_of", "?r")],
+                     distinct=False)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s"].str.match(r"supplier_")]
+        return pd.DataFrame({
+            "r": b["r"].astype(str),
+            "one": np.ones(len(b), np.int64)})
+
+    out = exchange_agg(
+        sols.map_batches(filt, batch_format="pandas"),
+        "r", [("one", "sum", "n_suppliers")]).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["r", "n_suppliers"]]
+            .sort_values("r").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7967,6 +7995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_warc_records": _web_warc_records,
         "web_warc_pipeline": _web_warc_pipeline,
         "kg_property_entailment": _kg_property_entailment,
+        "kg_sparql_groupby": _kg_sparql_groupby,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10776,6 +10805,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(uq.total_tokens, 0) AS BIGINT)
                        AS total_tokens
             FROM np LEFT JOIN uq USING (host) ORDER BY np.host
+        """,
+        "kg_sparql_groupby": """
+            -- SPARQL SELECT-agg replay: same derived triples, BGP
+            -- join, regex FILTER, GROUP BY region
+            WITH triples AS (
+              SELECT 'supplier_' || s_suppkey AS subj,
+                     'located_in' AS pred,
+                     'nation_' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'customer_' || c_custkey, 'located_in',
+                     'nation_' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'part_of',
+                     'region_' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'nation_' || n_nationkey, 'named', n_name FROM nation
+              UNION ALL
+              SELECT 'region_' || r_regionkey, 'named', r_name FROM region)
+            SELECT t2.obj AS r,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM triples t1
+            JOIN triples t2 ON t2.pred = 'part_of' AND t2.subj = t1.obj
+            WHERE t1.pred = 'located_in'
+              AND regexp_matches(t1.subj, '^supplier_')
+            GROUP BY t2.obj ORDER BY r
         """,
         "kg_property_entailment": """
             -- OWL entailment replay: same brand chains, symmetric
