@@ -7563,6 +7563,53 @@ def _kg_sparql_groupby(sf_dir: str) -> pd.DataFrame:
             .sort_values("r").reset_index(drop=True))
 
 
+def _events_pit_enrich(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time feature enrichment (stages/joins.py::
+    point_in_time_join over stages/windows.py::scd2_history): per-user
+    value-bucket state history (high/low runs), purchases enriched
+    with the bucket version valid AT their timestamp — the
+    feature-store as-of-correct join; leakage impossible by
+    construction."""
+    from text_to_rdf_ray.stages.joins import point_in_time_join
+    from text_to_rdf_ray.stages.windows import scd2_history
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "ts": b["ts"],
+            "event_id": b["event_id"].astype("int64"),
+            "state": np.where(
+                b["value"].to_numpy(np.float64) >= 50.0,
+                "high", "low")})
+
+    dim = scd2_history(ev.map_batches(bucket, batch_format="pandas"),
+                       key_col="user_id", ts_col="ts",
+                       order_col="event_id", attr_col="state")
+    # scd2's pandas lineage reports numpy dtypes; the asof pad needs
+    # an Arrow-typed schema
+    dim = dim.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "state": t.column("state").cast(pa.string()),
+            "valid_from_us": t.column("valid_from_us").cast(pa.int64()),
+            "valid_to_us": t.column("valid_to_us").cast(pa.int64())}),
+        batch_format="pyarrow")
+    facts = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    out = point_in_time_join(facts, dim, key_col="user_id",
+                             ts_col="ts").to_pandas()
+    for c in ("event_id", "user_id", "ts", "valid_to_us"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_id", "user_id", "ts", "state", "valid_to_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -7996,6 +8043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_warc_pipeline": _web_warc_pipeline,
         "kg_property_entailment": _kg_property_entailment,
         "kg_sparql_groupby": _kg_sparql_groupby,
+        "events_pit_enrich": _events_pit_enrich,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10805,6 +10853,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(uq.total_tokens, 0) AS BIGINT)
                        AS total_tokens
             FROM np LEFT JOIN uq USING (host) ORDER BY np.host
+        """,
+        "events_pit_enrich": """
+            -- PIT replay: value-bucket SCD2 ranges (the events_scd2
+            -- fragment over state = value>=50), purchases joined on
+            -- valid_from <= ts AND (open OR ts < valid_to)
+            WITH b AS (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+                     CASE WHEN value >= 50.0 THEN 'high'
+                          ELSE 'low' END AS state,
+                     event_type
+              FROM events),
+            x AS (
+              SELECT user_id, state, ts_us,
+                     lag(state) OVER w AS prev_attr,
+                     row_number() OVER w AS rn
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            ch AS (
+              SELECT user_id, state, ts_us, rn FROM x
+              WHERE prev_attr IS NULL OR state <> prev_attr),
+            dim AS (
+              SELECT user_id, state, ts_us AS valid_from_us,
+                     coalesce(lead(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY rn), -1)
+                         AS valid_to_us
+              FROM ch)
+            SELECT f.event_id, f.user_id,
+                   CAST(f.ts_us AS BIGINT) AS ts, d.state,
+                   CAST(d.valid_to_us AS BIGINT) AS valid_to_us
+            FROM b f JOIN dim d
+              ON d.user_id = f.user_id
+             AND d.valid_from_us <= f.ts_us
+             AND (d.valid_to_us = -1 OR f.ts_us < d.valid_to_us)
+            WHERE f.event_type = 'purchase'
+            ORDER BY f.event_id
         """,
         "kg_sparql_groupby": """
             -- SPARQL SELECT-agg replay: same derived triples, BGP

@@ -3100,3 +3100,30 @@ def test_seasonal_decompose_reference(ray_session):
     assert np.allclose(out["seasonal"], seas[t_idx % 24])
     assert np.allclose(out["remainder"],
                        np.round(detr - seas[t_idx % 24], 6))
+
+
+def test_point_in_time_join_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.joins import point_in_time_join
+
+    dim = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "state": pa.array(["a", "b", "z"], pa.string()),
+        "valid_from_us": pa.array([100, 200, 100], pa.int64()),
+        "valid_to_us": pa.array([200, -1, 150], pa.int64()),
+    })
+    facts = pa.table({
+        "fact_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([150, 200, 500, 120, 300], pa.int64()),
+    })
+    out = (point_in_time_join(
+        rd.from_arrow(facts).repartition(2),
+        rd.from_arrow(dim), key_col="user_id", ts_col="ts")
+        .to_pandas().sort_values("fact_id").reset_index(drop=True))
+    got = dict(zip(out["fact_id"], out["state"]))
+    # fact 10 at 150 -> version a (100..200); fact 11 at exactly 200
+    # -> version b starts (inclusive as-of); fact 12 -> open b;
+    # fact 13 -> z; fact 14 at 300: z expired at 150 -> DROPPED
+    assert got == {10: "a", 11: "b", 12: "b", 13: "z"}

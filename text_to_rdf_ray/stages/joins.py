@@ -997,3 +997,49 @@ def planned_join(
                          num_partitions=num_partitions,
                          left_schema=left_schema,
                          right_schema=right_schema)
+
+
+def point_in_time_join(
+    facts: rd.Dataset,
+    dim_history: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from_us",
+    valid_to_col: str = "valid_to_us",
+    open_sentinel: int = -1,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Feature-store point-in-time join (the Feast/Tecton
+    "as-of-correct enrichment"): attach to each fact row the
+    dimension VERSION valid at its timestamp — greatest
+    ``valid_from <= ts`` per key, kept only while not expired
+    (``ts < valid_to`` or ``valid_to == open_sentinel`` for the
+    currently-open version).  Guards against feature leakage: a
+    version that starts after the fact can never match.
+
+    Composition: one :func:`asof_join` (key-hash exchange + one
+    ``pd.merge_asof(by=key)`` per partition) + a vectorized validity
+    filter — facts whose matched version expired before ``ts`` (a
+    history GAP) are dropped like asof's unmatched rows (inner
+    semantics).  Pairs with windows.scd2_history, whose
+    ``(key, attr, valid_from_us, valid_to_us)`` output is this
+    operator's dimension-side contract.
+    """
+    # tiebreak on valid_to (any right payload works: versions of one
+    # key have distinct valid_from, so ties cannot occur; asof_join
+    # excludes its right_ts column from the payload, so it cannot
+    # double as the tiebreak)
+    j = asof_join(facts, dim_history, key_col=key_col,
+                  left_ts=ts_col, right_ts=valid_from_col,
+                  tiebreak_col=valid_to_col, inclusive=True,
+                  num_partitions=num_partitions)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        vt = t.column(valid_to_col)
+        m = pc.or_(pc.equal(vt, open_sentinel),
+                   pc.greater(vt.cast(pa.int64()), ts.cast(pa.int64())))
+        return t.filter(m)
+
+    return j.map_batches(keep, batch_format="pyarrow")
