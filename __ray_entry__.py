@@ -2818,6 +2818,34 @@ def _sm64_sql(table: str, id_col: str, keep: list[str],
                  FROM {p}s3)"""
 
 
+def _bootstrap_sql(replicates: int = 32) -> str:
+    """DuckDB replay of _events_bootstrap_means: splitmix64 over
+    id*B+b, the SAME Poisson(1) inverse-CDF thresholds (repr of the
+    module constants — identical doubles), grouped weighted sums."""
+    from text_to_rdf_ray.stages.analytics import POISSON1_CUM
+
+    case = " ".join(f"WHEN u < {POISSON1_CUM[k]!r} THEN {k}"
+                    for k in range(9))
+    B = replicates
+    return f"""
+        WITH e AS (SELECT event_id, value FROM events
+                   WHERE value IS NOT NULL),
+        reps AS (SELECT unnest(generate_series(0, {B - 1})) AS b),
+        pairs AS (SELECT e.event_id * {B} + reps.b AS k,
+                         reps.b AS b, e.value AS value
+                  FROM e CROSS JOIN reps),
+        {_sm64_sql("pairs", "k", ["b", "value"])},
+        w AS (SELECT b, value,
+                     CAST(hv AS DOUBLE) / 18446744073709551616.0 AS u
+              FROM h),
+        wk AS (SELECT b, value, CASE {case} ELSE 9 END AS wt FROM w)
+        SELECT b AS replicate, CAST(sum(wt) AS BIGINT) AS w_sum,
+               round(sum(wt * value), 6) AS wx_sum,
+               round(sum(wt * value) / sum(wt), 6) AS mean
+        FROM wk GROUP BY b ORDER BY replicate
+    """
+
+
 def _docs_hash_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test assignment (stages/curation.py
     hash_split): split = pure function of splitmix64(doc_id) vs exact
@@ -7610,6 +7638,20 @@ def _events_pit_enrich(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def _events_bootstrap_means(sf_dir: str) -> pd.DataFrame:
+    """Poisson-bootstrap uncertainty of the mean event value
+    (stages/analytics.py::poisson_bootstrap, 32 replicates): per-row
+    Poisson(1) weights from splitmix64(id*B+b), one combiner pass +
+    a 32-row exchange — the streaming bootstrap, no resampling
+    shuffle.  Oracle replays weights row-by-row in SQL."""
+    from text_to_rdf_ray.stages.analytics import poisson_bootstrap
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return poisson_bootstrap(ev, id_col="event_id",
+                             value_col="value", replicates=32)
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -8044,6 +8086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_entailment": _kg_property_entailment,
         "kg_sparql_groupby": _kg_sparql_groupby,
         "events_pit_enrich": _events_pit_enrich,
+        "events_bootstrap_means": _events_bootstrap_means,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10854,6 +10897,7 @@ def oracle_sql() -> dict[str, str]:
                        AS total_tokens
             FROM np LEFT JOIN uq USING (host) ORDER BY np.host
         """,
+        "events_bootstrap_means": _bootstrap_sql(replicates=32),
         "events_pit_enrich": """
             -- PIT replay: value-bucket SCD2 ranges (the events_scd2
             -- fragment over state = value>=50), purchases joined on

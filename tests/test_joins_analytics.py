@@ -3127,3 +3127,30 @@ def test_point_in_time_join_manual(ray_session):
     # -> version b starts (inclusive as-of); fact 12 -> open b;
     # fact 13 -> z; fact 14 at 300: z expired at 150 -> DROPPED
     assert got == {10: "a", 11: "b", 12: "b", 13: "z"}
+
+
+def test_poisson_bootstrap_reference(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import (POISSON1_CUM,
+                                                  poisson_bootstrap,
+                                                  splitmix64)
+
+    n, B = 400, 8
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids % 17).astype(np.float64) + 0.25
+    tbl = pa.table({"event_id": pa.array(ids),
+                    "value": pa.array(vals, pa.float64())})
+    out = poisson_bootstrap(rd.from_arrow(tbl).repartition(4),
+                            id_col="event_id", value_col="value",
+                            replicates=B)
+    # reference: identical weights computed directly
+    cum = np.asarray(POISSON1_CUM)
+    for b in range(B):
+        u = splitmix64(ids * B + b).astype(np.float64) / 2.0 ** 64
+        w = np.searchsorted(cum, u, side="right")
+        row = out[out["replicate"] == b].iloc[0]
+        assert int(row["w_sum"]) == int(w.sum())
+        assert row["mean"] == round(float((w * vals).sum() / w.sum()), 6)
+    # weights average ~1: total mass within 4 sigma of n
+    assert abs(out["w_sum"].mean() - n) < 4 * np.sqrt(n)

@@ -3200,3 +3200,74 @@ def auc_by_group(
     return pd.DataFrame({
         group_col: agg["g"],
         "n_pos": n_pos, "n_neg": n_neg, "u2": u2, "auc": auc})
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!),
+#: capped at weight 9 (tail mass ~1e-7); the SQL oracle interpolates
+#: repr() of THESE values so both engines compare identical doubles.
+POISSON1_CUM: tuple[float, ...] = tuple(
+    __import__("math").exp(-1.0)
+    * sum(1.0 / __import__("math").factorial(j) for j in range(k + 1))
+    for k in range(9)
+) + (1.0,)
+
+
+def poisson_bootstrap(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Streaming Poisson bootstrap of the mean (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams") — THE
+    bootstrap that scales: instead of resampling n rows with
+    replacement (needs global ranks + n draws per replicate), every
+    row independently gets weight ~ Poisson(1) per replicate, so the
+    whole thing is one combiner pass + a ``replicates``-row exchange.
+
+    Determinism: weight = PoissonInvCDF(u) with u =
+    splitmix64(id * replicates + b) / 2^64 — replayable anywhere.
+    Returns one row per replicate: (replicate, w_sum, wx_sum, mean)
+    with w_sum integer-exact, wx_sum/mean rounded 6dp; consumers take
+    percentiles of ``mean`` for the CI.
+    """
+    from .exchange import exchange_agg
+
+    cum = np.asarray(POISSON1_CUM)
+    B = int(replicates)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        ids, x = ids[ok].astype(np.int64), x[ok].astype(np.float64)
+        if not len(ids):
+            return pa.table({
+                "replicate": pa.array([], pa.int64()),
+                "w_sum": pa.array([], pa.int64()),
+                "wx_sum": pa.array([], pa.float64())})
+        keys = (ids[:, None] * B
+                + np.arange(B, dtype=np.int64)[None, :]).ravel()
+        u = splitmix64(keys).astype(np.float64) / 2.0 ** 64
+        w = np.searchsorted(cum, u, side="right").reshape(-1, B)
+        return pa.table({
+            "replicate": pa.array(np.arange(B, dtype=np.int64)),
+            "w_sum": pa.array(w.sum(axis=0).astype(np.int64)),
+            "wx_sum": pa.array((w * x[:, None]).sum(axis=0),
+                               pa.float64())})
+
+    agg = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "replicate",
+        [("w_sum", "sum", "w_sum"), ("wx_sum", "sum", "wx_sum")],
+        num_partitions=num_partitions).to_pandas()
+    agg = agg.sort_values("replicate").reset_index(drop=True)
+    agg["mean"] = np.round(
+        agg["wx_sum"].to_numpy() / agg["w_sum"].to_numpy(), 6)
+    agg["wx_sum"] = np.round(agg["wx_sum"].to_numpy(), 6)
+    agg["w_sum"] = agg["w_sum"].astype("int64")
+    agg["replicate"] = agg["replicate"].astype("int64")
+    return agg[["replicate", "w_sum", "wx_sum", "mean"]]
