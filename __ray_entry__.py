@@ -2846,6 +2846,49 @@ def _bootstrap_sql(replicates: int = 32) -> str:
     """
 
 
+def _markov_stationary_sql(iterations: int = 20) -> str:
+    """DuckDB replay of _events_markov_stationary: lag-window
+    transition counts, exact n/rowsum matrix, unrolled 9dp-quantized
+    power iterations (single-reference CTEs, shared scans
+    MATERIALIZED — the pca_power_scores lesson)."""
+    steps = []
+    prev = "it0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            it{i} AS (SELECT st.s AS state,
+                             round(coalesce(x.v, 0), 9) AS pi
+                      FROM states st LEFT JOIN (
+                        SELECT p.t AS state,
+                               sum(prv.pi * p.pr) AS v
+                        FROM p JOIN {prev} prv ON prv.state = p.f
+                        GROUP BY p.t) x ON x.state = st.s)""")
+        prev = f"it{i}"
+    return f"""
+        WITH x AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM events),
+        cnt AS MATERIALIZED (
+          SELECT prev AS f, event_type AS t,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        rt AS (SELECT f, sum(n) AS tot FROM cnt GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT cnt.f, cnt.t, cnt.n / rt.tot AS pr
+          FROM cnt JOIN rt USING (f)),
+        states AS MATERIALIZED (
+          SELECT DISTINCT s FROM (SELECT f AS s FROM cnt
+                                  UNION SELECT t FROM cnt)),
+        ns AS (SELECT count(*) AS n_states FROM states),
+        it0 AS (SELECT states.s AS state,
+                       round(1.0 / ns.n_states, 9) AS pi
+                FROM states CROSS JOIN ns),
+        {",".join(steps)}
+        SELECT state, pi FROM {prev} ORDER BY state
+    """
+
+
 def _docs_hash_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test assignment (stages/curation.py
     hash_split): split = pure function of splitmix64(doc_id) vs exact
@@ -7652,6 +7695,21 @@ def _events_bootstrap_means(sf_dir: str) -> pd.DataFrame:
                              value_col="value", replicates=32)
 
 
+def _events_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the user event-type Markov chain
+    (stages/windows.py::markov_stationary, 20 quantized power
+    iterations over the transition_matrix counts — state-bounded
+    driver tail, corpus work is the one transition-count exchange)."""
+    from text_to_rdf_ray.stages.windows import markov_stationary
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    out = markov_stationary(ev, iterations=20)
+    return (out[["state", "pi"]]
+            .sort_values("state").reset_index(drop=True))
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -8087,6 +8145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_groupby": _kg_sparql_groupby,
         "events_pit_enrich": _events_pit_enrich,
         "events_bootstrap_means": _events_bootstrap_means,
+        "events_markov_stationary": _events_markov_stationary,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10898,6 +10957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM np LEFT JOIN uq USING (host) ORDER BY np.host
         """,
         "events_bootstrap_means": _bootstrap_sql(replicates=32),
+        "events_markov_stationary": _markov_stationary_sql(iterations=20),
         "events_pit_enrich": """
             -- PIT replay: value-bucket SCD2 ranges (the events_scd2
             -- fragment over state = value>=50), purchases joined on

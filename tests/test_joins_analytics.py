@@ -3154,3 +3154,25 @@ def test_poisson_bootstrap_reference(ray_session):
         assert row["mean"] == round(float((w * vals).sum() / w.sum()), 6)
     # weights average ~1: total mass within 4 sigma of n
     assert abs(out["w_sum"].mean() - n) < 4 * np.sqrt(n)
+
+
+def test_markov_stationary_two_state(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import markov_stationary
+
+    # empirical chain of this sequence: A->B 8/8; B->A 7/11,
+    # B->B 4/11.  Stationary: pi(A) = pi(B)*7/11, sum 1
+    # -> pi(A) = 7/18, pi(B) = 11/18
+    seq = ["A", "B", "B", "A", "B", "A", "B", "B", "A", "B",
+           "A", "B", "B", "A", "B", "A", "B", "B", "A", "B"]
+    tbl = pa.table({
+        "user_id": pa.array([1] * len(seq), pa.int64()),
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "ts": pa.array(range(len(seq)), pa.timestamp("us")),
+        "event_type": pa.array(seq, pa.string()),
+    })
+    out = markov_stationary(rd.from_arrow(tbl).repartition(2),
+                            iterations=40).set_index("state")
+    assert abs(out.loc["A", "pi"] - 7 / 18) < 1e-6
+    assert abs(out.loc["B", "pi"] - 11 / 18) < 1e-6

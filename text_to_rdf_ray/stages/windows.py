@@ -1557,3 +1557,55 @@ def seasonal_decompose(
         "trend": trend,
         "seasonal": seasonal,
         "remainder": np.round(detr - seasonal, 6)})
+
+
+def markov_stationary(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    iterations: int = 20,
+    max_states: int = 10_000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Stationary distribution of the first-order event Markov chain:
+    power iteration pi_{k+1} = pi_k P over the row-stochastic matrix
+    built from :func:`transition_matrix` counts — "where do user
+    journeys spend their time" as one number per state.
+
+    The corpus-proportional work is the transition-count pass (one
+    key exchange); the chain itself is STATE-bounded (|states|² <=
+    ``max_states``², guarded), so the iteration is driver math.  The
+    engine-exactness contract of pca_power_scores: P entries are the
+    exact expression n / row_total and every iterate is re-quantized
+    to 9dp, so an unrolled SQL replay lands on the identical vector
+    (the result is the ITERATE, deterministically).  pi0 = uniform.
+    Returns (state, pi).
+    """
+    tm = transition_matrix(ds, key_col=key_col, ts_col=ts_col,
+                           state_col=state_col,
+                           tiebreak_col=tiebreak_col,
+                           num_partitions=num_partitions).to_pandas()
+    states = sorted(set(tm["state_from"]) | set(tm["state_to"]))
+    if len(states) > max_states:
+        raise ValueError(
+            f"markov_stationary: {len(states)} states exceeds "
+            f"max_states={max_states}; the chain no longer fits the "
+            f"driver tier")
+    idx = {s: i for i, s in enumerate(states)}
+    S = len(states)
+    if S == 0:
+        return pd.DataFrame(columns=["state", "pi"])
+    P = np.zeros((S, S))
+    fi = tm["state_from"].map(idx).to_numpy(np.int64)
+    ti = tm["state_to"].map(idx).to_numpy(np.int64)
+    n = tm["n"].to_numpy(np.float64)
+    row_tot = np.zeros(S)
+    np.add.at(row_tot, fi, n)
+    P[fi, ti] = n / row_tot[fi]
+    pi = np.full(S, round(1.0 / S, 9))
+    for _ in range(iterations):
+        pi = np.round(pi @ P, 9)
+    return pd.DataFrame({"state": states, "pi": pi})
