@@ -6795,6 +6795,25 @@ def _events_burst_detect(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_linear_fill(sf_dir: str) -> pd.DataFrame:
+    """Linear-interpolation densification (stages/windows.py::
+    resample_fill with fill='linear'): gap hours interpolate between
+    their present anchors, trailing gaps carry like LOCF.  Oracle:
+    the locf grid + a descending-window next-anchor and the identical
+    interpolation expression."""
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = resample_fill(ev, fill="linear").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = _r(out["sum_value"], 6)
+    return (out[["user_id", "window_id", "n", "sum_value"]]
+            .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8146,6 +8165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pit_enrich": _events_pit_enrich,
         "events_bootstrap_means": _events_bootstrap_means,
         "events_markov_stationary": _events_markov_stationary,
+        "events_linear_fill": _events_linear_fill,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10288,6 +10308,53 @@ def oracle_sql() -> dict[str, str]:
                    round(z, 6) AS z,
                    (var > 0.0 AND z > 2.0) AS burst
             FROM z ORDER BY event_type, window_id
+        """,
+        "events_linear_fill": """
+            -- resample_fill(fill='linear') replay: the locf grid plus
+            -- a DESC-window next-anchor; gaps interpolate
+            -- pv + (nv - pv) * (w - pw) / (nw - pw), trailing carries
+            WITH b AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS window_id,
+                     value
+              FROM events),
+            a AS (
+              SELECT user_id, window_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(value) AS sum_value
+              FROM b GROUP BY 1, 2),
+            s AS (SELECT user_id, min(window_id) AS lo,
+                         max(window_id) AS hi
+                  FROM a GROUP BY 1),
+            f AS (SELECT user_id,
+                         unnest(generate_series(lo, hi)) AS window_id
+                  FROM s),
+            j AS (
+              SELECT f.user_id, f.window_id, a.n, a.sum_value,
+                     max(CASE WHEN a.n IS NOT NULL
+                              THEN f.window_id END)
+                       OVER (PARTITION BY f.user_id
+                             ORDER BY f.window_id) AS pw,
+                     min(CASE WHEN a.n IS NOT NULL
+                              THEN f.window_id END)
+                       OVER (PARTITION BY f.user_id
+                             ORDER BY f.window_id DESC) AS nw
+              FROM f LEFT JOIN a USING (user_id, window_id))
+            SELECT j.user_id, j.window_id, COALESCE(j.n, 0) AS n,
+                   round(CASE
+                     WHEN j.n IS NOT NULL THEN j.sum_value
+                     WHEN j.nw IS NULL THEN ap.sum_value
+                     ELSE ap.sum_value
+                          + (an.sum_value - ap.sum_value)
+                            * ((j.window_id - j.pw)
+                               / CAST(j.nw - j.pw AS DOUBLE))
+                   END, 6) AS sum_value
+            FROM j
+            JOIN a ap ON ap.user_id = j.user_id
+                     AND ap.window_id = j.pw
+            LEFT JOIN a an ON an.user_id = j.user_id
+                          AND an.window_id = j.nw
+            ORDER BY 1, 2
         """,
         "events_locf_fill": """
             -- resample_fill(fill='locf') replay: hourly sums +

@@ -3176,3 +3176,27 @@ def test_markov_stationary_two_state(ray_session):
                             iterations=40).set_index("state")
     assert abs(out.loc["A", "pi"] - 7 / 18) < 1e-6
     assert abs(out.loc["B", "pi"] - 11 / 18) < 1e-6
+
+
+def test_resample_fill_linear(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import resample_fill
+
+    # user 1: values at hours 0 (10), 3 (40) -> gaps 1,2 interpolate
+    # 20, 30; user 2: value at 5 then silent trailing windows don't
+    # exist (span ends at last present window)
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 3 * 3_600_000_000, 5 * 3_600_000_000],
+                       pa.timestamp("us")),
+        "value": pa.array([10.0, 40.0, 7.0], pa.float64()),
+    })
+    out = (resample_fill(rd.from_arrow(tbl), fill="linear")
+           .to_pandas().sort_values(["user_id", "window_id"])
+           .reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["window_id"]) == [0, 1, 2, 3]
+    assert list(u1["sum_value"]) == [10.0, 20.0, 30.0, 40.0]
+    assert list(u1["n"]) == [1, 0, 0, 1]
+    assert len(out[out["user_id"] == 2]) == 1

@@ -460,20 +460,24 @@ def resample_fill(
     carried forward — the sensor/price densification rule); ``n`` stays
     0 on filled rows either way, so observed and imputed rows remain
     distinguishable.  A key's span starts at its first present window,
-    so LOCF never sees a leading gap.
+    so LOCF never sees a leading gap.  ``fill="linear"`` interpolates
+    gap windows between their present anchors
+    (pv + (nv - pv) * (w - pw) / (nw - pw)); a trailing gap (no next
+    anchor) carries the last value like LOCF.
 
     Shape: per-batch pyarrow combiner (one partial row per (key,
     window) per batch) -> ONE key-hash exchange so a key's windows
     co-locate -> per-partition vectorized fill (np.repeat/arange over
-    the per-key spans — no Python loop over keys or windows).  Output
-    volume is Σ per-key spans; a key's span is bounded by
-    total_time_range / width, so the per-partition working set is
-    O(keys_in_partition x max_span) — raise ``num_partitions`` (or
-    narrow the window) when spans are long.
+    the per-key spans, grouped ffill/bfill C paths — no Python loop
+    over keys or windows).  Output volume is Σ per-key spans; a key's
+    span is bounded by total_time_range / width, so the per-partition
+    working set is O(keys_in_partition x max_span) — raise
+    ``num_partitions`` (or narrow the window) when spans are long.
     """
-    if fill not in ("zero", "locf"):
+    if fill not in ("zero", "locf", "linear"):
         raise ValueError(f"unsupported fill mode {fill!r}")
     locf = fill == "locf"  # the inner fn below shadows the name `fill`
+    linear = fill == "linear"
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
@@ -508,6 +512,18 @@ def resample_fill(
             # Python call per key)
             out["sum_value"] = (out.groupby(key_col, sort=False)
                                 ["sum_value"].ffill())
+        elif linear:
+            v = out["sum_value"]
+            present = out["n"] > 0
+            wid_p = out["window_id"].where(present)
+            pw = wid_p.groupby(out[key_col], sort=False).ffill()
+            nw = wid_p.groupby(out[key_col], sort=False).bfill()
+            pv = v.groupby(out[key_col], sort=False).ffill()
+            nv = v.groupby(out[key_col], sort=False).bfill()
+            frac = (out["window_id"] - pw) / (nw - pw)
+            interp = pv + (nv - pv) * frac
+            out["sum_value"] = np.where(
+                present, v, np.where(nw.isna(), pv, interp))
         else:
             out["sum_value"] = out["sum_value"].fillna(0.0)
         return out[[key_col, "window_id", "n", "sum_value"]]
