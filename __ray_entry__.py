@@ -6814,6 +6814,21 @@ def _events_linear_fill(sf_dir: str) -> pd.DataFrame:
             .sort_values(["user_id", "window_id"]).reset_index(drop=True))
 
 
+def _events_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV curves (stages/windows.py::cohort_ltv): first-event
+    day cohorts, purchase revenue by day-age, cumulative per-cohort
+    revenue over cohort size — distributed until the time-bounded
+    (cohorts x ages) grid."""
+    from text_to_rdf_ray.stages.windows import cohort_ltv
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "value"])
+    out = cohort_ltv(ev)
+    return (out.sort_values(["cohort_day", "age"])
+            .reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8166,6 +8181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bootstrap_means": _events_bootstrap_means,
         "events_markov_stationary": _events_markov_stationary,
         "events_linear_fill": _events_linear_fill,
+        "events_cohort_ltv": _events_cohort_ltv,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10308,6 +10324,33 @@ def oracle_sql() -> dict[str, str]:
                    round(z, 6) AS z,
                    (var > 0.0 AND z > 2.0) AS burst
             FROM z ORDER BY event_type, window_id
+        """,
+        "events_cohort_ltv": """
+            -- cohort LTV replay: min-day cohorts, purchase revenue by
+            -- age, windowed cumulative, divided by cohort size
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              event_type, value
+                       FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day
+                  FROM d GROUP BY 1),
+            sizes AS (SELECT cohort_day, count(*) AS cohort_users
+                      FROM c GROUP BY 1),
+            p AS (SELECT c.cohort_day, d.day - c.cohort_day AS age,
+                         sum(d.value) AS revenue
+                  FROM d JOIN c USING (user_id)
+                  WHERE d.event_type = 'purchase'
+                  GROUP BY 1, 2),
+            w AS (SELECT cohort_day, age, revenue,
+                         sum(revenue) OVER (PARTITION BY cohort_day
+                             ORDER BY age) AS cum_revenue
+                  FROM p)
+            SELECT w.cohort_day, w.age, round(w.revenue, 6) AS revenue,
+                   round(w.cum_revenue, 6) AS cum_revenue,
+                   CAST(s.cohort_users AS BIGINT) AS cohort_users,
+                   round(w.cum_revenue / s.cohort_users, 6) AS ltv
+            FROM w JOIN sizes s USING (cohort_day)
+            ORDER BY w.cohort_day, w.age
         """,
         "events_linear_fill": """
             -- resample_fill(fill='linear') replay: the locf grid plus

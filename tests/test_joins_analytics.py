@@ -3200,3 +3200,35 @@ def test_resample_fill_linear(ray_session):
     assert list(u1["sum_value"]) == [10.0, 20.0, 30.0, 40.0]
     assert list(u1["n"]) == [1, 0, 0, 1]
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_cohort_ltv_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import cohort_ltv
+
+    D = 86_400_000_000
+    # users 1,2 first seen day 0 (cohort 0, size 2); user 3 day 1
+    # purchases: u1 day0 10, u1 day1 20, u2 day1 30, u3 day2 5
+    rows = [
+        (1, 0, "signup", 0.0), (2, 0, "view", 0.0),
+        (3, 1 * D, "signup", 0.0),
+        (1, 0, "purchase", 10.0), (1, 1 * D, "purchase", 20.0),
+        (2, 1 * D + 7, "purchase", 30.0),
+        (3, 2 * D, "purchase", 5.0),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = (cohort_ltv(rd.from_arrow(tbl).repartition(3))
+           .set_index(["cohort_day", "age"]))
+    assert out.loc[(0, 0), "revenue"] == 10.0
+    assert out.loc[(0, 1), "revenue"] == 50.0
+    assert out.loc[(0, 1), "cum_revenue"] == 60.0
+    assert out.loc[(0, 1), "cohort_users"] == 2
+    assert out.loc[(0, 1), "ltv"] == 30.0
+    assert out.loc[(1, 1), "revenue"] == 5.0
+    assert out.loc[(1, 1), "ltv"] == 5.0

@@ -1625,3 +1625,88 @@ def markov_stationary(
     for _ in range(iterations):
         pi = np.round(pi @ P, 9)
     return pd.DataFrame({"state": states, "pi": pi})
+
+
+def cohort_ltv(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    revenue_type: str = "purchase",
+    day_us: int = 86_400_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    :func:`retention`: users cohorted by FIRST-event day, revenue
+    events bucketed by day-age, cumulative revenue per cohort divided
+    by cohort size.
+
+    Fully distributed until the final curve: per-user first day via
+    one combiner exchange (the per-user table is never collected),
+    cohort attached to revenue events via exchange_join on the key,
+    then one (cohort_day, age) exchange_agg — the driver sees only
+    the TIME-bounded (cohorts x ages) grid plus cohort sizes.
+    Returns (cohort_day, age, revenue, cum_revenue, cohort_users,
+    ltv) with floats rounded 6dp; ltv = round(cum_rev / users, 6).
+    """
+    from .exchange import exchange_agg, exchange_join
+
+    def days(t: pa.Table) -> pa.Table:
+        ts_us = (t.column(ts_col).cast(pa.timestamp("us"))
+                 .cast(pa.int64()))
+        d = ts_us.to_numpy(zero_copy_only=False) // day_us
+        return pa.table({
+            key_col: t.column(key_col).cast(pa.int64()),
+            "day": pa.array(d, pa.int64()),
+            type_col: t.column(type_col),
+            value_col: t.column(value_col).cast(pa.float64())})
+
+    dd = ds.map_batches(days, batch_format="pyarrow").materialize()
+    cohort = exchange_agg(dd.map_batches(
+        lambda t: t.select([key_col, "day"]), batch_format="pyarrow"),
+        key_col, [("day", "min", "cohort_day")],
+        num_partitions=num_partitions).materialize()
+    sizes = exchange_agg(cohort.map_batches(
+        lambda t: pa.table({
+            "cohort_day": t.column("cohort_day"),
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"),
+        "cohort_day", [("one", "sum", "cohort_users")],
+        num_partitions=8).to_pandas()
+    rev = dd.map_batches(
+        lambda t: t.filter(pc.equal(t.column(type_col), revenue_type))
+                   .select([key_col, "day", value_col]),
+        batch_format="pyarrow")
+    joined = exchange_join(
+        rev, cohort, on=key_col, num_partitions=num_partitions,
+        left_schema=pa.schema([(key_col, pa.int64()),
+                               ("day", pa.int64()),
+                               (value_col, pa.float64())]),
+        right_schema=pa.schema([(key_col, pa.int64()),
+                                ("cohort_day", pa.int64())]))
+    grid = exchange_agg(joined.map_batches(
+        lambda t: pa.table({
+            "cohort_day": t.column("cohort_day"),
+            "age": pa.array(
+                t.column("day").to_numpy(zero_copy_only=False)
+                - t.column("cohort_day")
+                .to_numpy(zero_copy_only=False), pa.int64()),
+            "revenue": t.column(value_col)}),
+        batch_format="pyarrow"),
+        ["cohort_day", "age"], [("revenue", "sum", "revenue")],
+        num_partitions=8).to_pandas()  # TIME-bounded: cohorts x ages
+    grid = grid.sort_values(["cohort_day", "age"]).reset_index(drop=True)
+    grid["cum_revenue"] = (grid.groupby("cohort_day", sort=False)
+                           ["revenue"].cumsum())
+    out = grid.merge(sizes, on="cohort_day", how="left")
+    out["ltv"] = np.round(
+        out["cum_revenue"].to_numpy()
+        / out["cohort_users"].to_numpy(np.float64), 6)
+    out["revenue"] = np.round(out["revenue"].to_numpy(), 6)
+    out["cum_revenue"] = np.round(out["cum_revenue"].to_numpy(), 6)
+    for c in ("cohort_day", "age", "cohort_users"):
+        out[c] = out[c].astype("int64")
+    return out[["cohort_day", "age", "revenue", "cum_revenue",
+                "cohort_users", "ltv"]]
