@@ -6829,6 +6829,27 @@ def _events_cohort_ltv(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _orders_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association rules (stages/analytics.py::
+    assoc_rules, depth-2 Apriori): directed part->part rules with
+    support / confidence / lift over order baskets; pair counts via
+    the co-purchase self exchange_join, item counts attached by two
+    keyed exchange_joins."""
+    from text_to_rdf_ray.stages.analytics import assoc_rules
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    out = assoc_rules(li, basket_col="l_orderkey",
+                      item_col="l_partkey",
+                      min_pair_count=2).to_pandas()
+    for c in ("antecedent", "consequent", "n_ab"):
+        out[c] = out[c].astype("int64")
+    return (out[["antecedent", "consequent", "n_ab", "support",
+                 "confidence", "lift"]]
+            .sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8182,6 +8203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": _events_markov_stationary,
         "events_linear_fill": _events_linear_fill,
         "events_cohort_ltv": _events_cohort_ltv,
+        "orders_assoc_rules": _orders_assoc_rules,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -10324,6 +10346,36 @@ def oracle_sql() -> dict[str, str]:
                    round(z, 6) AS z,
                    (var > 0.0 AND z > 2.0) AS burst
             FROM z ORDER BY event_type, window_id
+        """,
+        "orders_assoc_rules": """
+            -- depth-2 Apriori replay: distinct baskets, a<b pair
+            -- counts >= 2, both directions, identical ratio trees
+            WITH d AS (SELECT DISTINCT l_orderkey AS basket,
+                                       l_partkey AS item
+                       FROM lineitem),
+            nb AS (SELECT count(DISTINCT basket) AS n FROM d),
+            ic AS (SELECT item, count(*) AS n_item FROM d GROUP BY 1),
+            pr AS (SELECT a.item AS x, b.item AS y, count(*) AS n_ab
+                   FROM d a JOIN d b
+                     ON a.basket = b.basket AND a.item < b.item
+                   GROUP BY 1, 2),
+            pf AS (SELECT * FROM pr WHERE n_ab >= 2),
+            rules AS (SELECT x AS antecedent, y AS consequent, n_ab
+                      FROM pf
+                      UNION ALL SELECT y, x, n_ab FROM pf)
+            SELECT r.antecedent, r.consequent,
+                   CAST(r.n_ab AS BIGINT) AS n_ab,
+                   round(CAST(r.n_ab AS DOUBLE) / nb.n, 6) AS support,
+                   round(CAST(r.n_ab AS DOUBLE) / ia.n_item, 6)
+                       AS confidence,
+                   round((CAST(r.n_ab AS DOUBLE) / ia.n_item)
+                         / (CAST(ib.n_item AS DOUBLE) / nb.n), 6)
+                       AS lift
+            FROM rules r
+            JOIN ic ia ON ia.item = r.antecedent
+            JOIN ic ib ON ib.item = r.consequent
+            CROSS JOIN nb
+            ORDER BY antecedent, consequent
         """,
         "events_cohort_ltv": """
             -- cohort LTV replay: min-day cohorts, purchase revenue by

@@ -3232,3 +3232,30 @@ def test_cohort_ltv_manual(ray_session):
     assert out.loc[(0, 1), "ltv"] == 30.0
     assert out.loc[(1, 1), "revenue"] == 5.0
     assert out.loc[(1, 1), "ltv"] == 5.0
+
+
+def test_assoc_rules_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import assoc_rules
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1, {1} x1  (N=6)
+    baskets = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),
+               (4, 1), (4, 3), (5, 2), (5, 3), (6, 1)]
+    tbl = pa.table({
+        "o": pa.array([b for b, _ in baskets], pa.int64()),
+        "p": pa.array([i for _, i in baskets], pa.int64()),
+    })
+    out = (assoc_rules(rd.from_arrow(tbl).repartition(3),
+                       basket_col="o", item_col="p",
+                       min_pair_count=2)
+           .to_pandas().set_index(["antecedent", "consequent"]))
+    # only pair (1,2) reaches count 2 (n_ab=3); n_1=5, n_2=4, N=6
+    assert len(out) == 2
+    r = out.loc[(1, 2)]
+    assert r["n_ab"] == 3
+    assert r["support"] == 0.5
+    assert r["confidence"] == round(3 / 5, 6)
+    assert r["lift"] == round((3 / 5) / (4 / 6), 6)
+    r2 = out.loc[(2, 1)]
+    assert r2["confidence"] == 0.75

@@ -3271,3 +3271,144 @@ def poisson_bootstrap(
     agg["w_sum"] = agg["w_sum"].astype("int64")
     agg["replicate"] = agg["replicate"].astype("int64")
     return agg[["replicate", "w_sum", "wx_sum", "mean"]]
+
+
+def assoc_rules(
+    ds: rd.Dataset,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Pairwise association rules (Apriori truncated at depth 2 — the
+    market-basket readout on top of the co-purchase projection): for
+    every DIRECTED rule a -> b whose basket co-occurrence count
+    reaches ``min_pair_count``, emit support / confidence / lift.
+
+    support = n_ab / N, confidence = n_ab / n_a,
+    lift = confidence / (n_b / N) with N = distinct baskets —
+    all counts integer-exact, ratios rounded 6dp with a fixed
+    expression tree so any engine replays them.
+
+    Shape: distinct (basket, item) -> per-item counts (one
+    exchange_agg) -> basket self exchange_join for a<b pair counts
+    (fan-out bounded by basket size — the copurchase contract; hub
+    baskets need a degree cap upstream) -> both rule directions ->
+    two item-keyed exchange_joins attach n_a / n_b -> pure-map
+    metrics.  N is the one driver scalar.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import exchange_agg, exchange_join
+
+    d = distinct_rows(
+        ds.map_batches(
+            lambda t: pa.table({
+                "basket": t.column(basket_col).cast(pa.int64()),
+                "item": t.column(item_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["basket", "item"]).materialize()
+    n_baskets = distinct_rows(
+        d.map_batches(lambda b: b[["basket"]],
+                      batch_format="pandas"),
+        cols=["basket"]).count()
+    items = exchange_agg(
+        d.map_batches(
+            lambda t: pa.table({
+                "item": t.column("item"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "item", [("one", "sum", "n_item")],
+        num_partitions=num_partitions).materialize()
+    ds_arrow = d.map_batches(
+        lambda b: pa.table({
+            "basket": pa.array(b["basket"].to_numpy(np.int64)),
+            "item": pa.array(b["item"].to_numpy(np.int64))}),
+        batch_format="pandas")
+    bs = pa.schema([("basket", pa.int64()), ("item", pa.int64())])
+    pairs = exchange_join(
+        ds_arrow,
+        ds_arrow.map_batches(
+            lambda t: pa.table({"basket": t.column("basket"),
+                                "item_b": t.column("item")}),
+            batch_format="pyarrow"),
+        on="basket", left_schema=bs,
+        right_schema=pa.schema([("basket", pa.int64()),
+                                ("item_b", pa.int64())]),
+        num_partitions=num_partitions)
+    counted = exchange_agg(
+        pairs.map_batches(
+            lambda t: (lambda f: pa.table({
+                "a": f.column("item"), "b": f.column("item_b"),
+                "one": pa.array(np.ones(f.num_rows, np.int64))}))(
+                t.filter(pc.less(t.column("item"),
+                                 t.column("item_b")))),
+            batch_format="pyarrow"),
+        ["a", "b"], [("one", "sum", "n_ab")],
+        num_partitions=num_partitions)
+    rules = counted.map_batches(
+        lambda t: (lambda f: pa.table({
+            "antecedent": pa.chunked_array([
+                f.column("a").combine_chunks(),
+                f.column("b").combine_chunks()]),
+            "consequent": pa.chunked_array([
+                f.column("b").combine_chunks(),
+                f.column("a").combine_chunks()]),
+            "n_ab": pa.chunked_array([
+                f.column("n_ab").combine_chunks(),
+                f.column("n_ab").combine_chunks()])}))(
+            t.filter(pc.greater_equal(t.column("n_ab"),
+                                      min_pair_count))),
+        batch_format="pyarrow")
+    j1 = exchange_join(
+        rules.map_batches(
+            lambda t: pa.table({"item": t.column("antecedent"),
+                                "consequent": t.column("consequent"),
+                                "n_ab": t.column("n_ab")}),
+            batch_format="pyarrow"),
+        items.map_batches(
+            lambda b: pa.table({
+                "item": pa.array(b["item"].to_numpy(np.int64)),
+                "n_a": pa.array(b["n_item"].to_numpy(np.int64))}),
+            batch_format="pandas"),
+        on="item", num_partitions=num_partitions,
+        left_schema=pa.schema([("item", pa.int64()),
+                               ("consequent", pa.int64()),
+                               ("n_ab", pa.int64())]),
+        right_schema=pa.schema([("item", pa.int64()),
+                                ("n_a", pa.int64())]))
+    j2 = exchange_join(
+        j1.map_batches(
+            lambda t: pa.table({"item": t.column("consequent"),
+                                "antecedent": t.column("item"),
+                                "n_ab": t.column("n_ab"),
+                                "n_a": t.column("n_a")}),
+            batch_format="pyarrow"),
+        items.map_batches(
+            lambda b: pa.table({
+                "item": pa.array(b["item"].to_numpy(np.int64)),
+                "n_b": pa.array(b["n_item"].to_numpy(np.int64))}),
+            batch_format="pandas"),
+        on="item", num_partitions=num_partitions,
+        left_schema=pa.schema([("item", pa.int64()),
+                               ("antecedent", pa.int64()),
+                               ("n_ab", pa.int64()),
+                               ("n_a", pa.int64())]),
+        right_schema=pa.schema([("item", pa.int64()),
+                                ("n_b", pa.int64())]))
+
+    def metrics(t: pa.Table) -> pa.Table:
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False)
+        n_a = t.column("n_a").to_numpy(zero_copy_only=False)
+        n_b = t.column("n_b").to_numpy(zero_copy_only=False)
+        conf = n_ab / n_a
+        return pa.table({
+            "antecedent": t.column("antecedent"),
+            "consequent": t.column("item"),
+            "n_ab": t.column("n_ab"),
+            "support": pa.array(np.round(n_ab / n_baskets, 6)),
+            "confidence": pa.array(np.round(conf, 6)),
+            "lift": pa.array(np.round(conf / (n_b / n_baskets), 6))})
+
+    return j2.map_batches(metrics, batch_format="pyarrow")
