@@ -1920,6 +1920,31 @@ def _docs_source_quality_cap(sf_dir: str) -> pd.DataFrame:
             .sort_values(["source", "rank"]).reset_index(drop=True))
 
 
+def _docs_kn_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (stages/curation.py::
+    kn_perplexity, D=0.75, add-one continuation floor): same
+    every-20th-doc reference and broadcast-model shape as
+    docs_lm_perplexity, real absolute-discount smoothing."""
+    from text_to_rdf_ray.stages.curation import kn_perplexity
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def ref_filter(t, pa=pa):
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    out = kn_perplexity(docs, ref).to_pandas()
+    out["avg_nll"] = _r(out["avg_nll"], 6)
+    out["ppl"] = _r(out["ppl"], 6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return (out[["doc_id", "n_tokens", "avg_nll", "ppl"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     """Bigram-LM perplexity scoring (CCNet/Gopher-style quality filter):
     reference = every 20th document; counts broadcast once via ray.put,
@@ -8204,6 +8229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_fill": _events_linear_fill,
         "events_cohort_ltv": _events_cohort_ltv,
         "orders_assoc_rules": _orders_assoc_rules,
+        "docs_kn_perplexity": _docs_kn_perplexity,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12664,6 +12690,59 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         0) // 2000 AS BIGINT) AS seq_id
             FROM surv ORDER BY doc_id
+        """,
+        "docs_kn_perplexity": """
+            -- interpolated Kneser-Ney bigram replay: same every-20th
+            -- reference; continuation counts N1+(w1,.) / N1+(.,w2),
+            -- T bigram types, add-one continuation floor, D=0.75
+            -- (curation.py::kn_perplexity)
+            WITH rtok AS (
+              SELECT list_filter(str_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 20 = 0),
+            rpos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i
+                     FROM rtok),
+            runi AS (SELECT w[i] AS w1, count(*) AS c1
+                     FROM rpos GROUP BY w1),
+            rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+                    FROM rpos WHERE i < len(w) GROUP BY w1, w2),
+            nf AS (SELECT w1, count(*) AS n1f FROM rbi GROUP BY w1),
+            nb AS (SELECT w2, count(*) AS n1b FROM rbi GROUP BY w2),
+            tv AS (SELECT (SELECT count(*) FROM rbi) AS t,
+                          (SELECT count(*) + 1 FROM runi) AS v),
+            dtok AS (
+              SELECT doc_id, list_filter(str_split(lower(text), ' '),
+                                         x -> x <> '') AS w
+              FROM documents),
+            dpos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                     FROM dtok),
+            dbi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM dpos WHERE i < len(w)),
+            sc AS (
+              SELECT d.doc_id,
+                     ln(CASE
+                       WHEN u.c1 IS NOT NULL
+                            AND coalesce(f.n1f, 0) > 0
+                       THEN (greatest(coalesce(b.c12, 0) - 0.75, 0.0)
+                             + 0.75 * f.n1f
+                               * ((coalesce(g.n1b, 0) + 1.0)
+                                  / (tv.t + tv.v))) / u.c1
+                       ELSE (coalesce(g.n1b, 0) + 1.0)
+                            / (tv.t + tv.v)
+                     END) AS lp
+              FROM dbi d
+              LEFT JOIN rbi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN runi u ON d.w1 = u.w1
+              LEFT JOIN nf f ON d.w1 = f.w1
+              LEFT JOIN nb g ON d.w2 = g.w2
+              CROSS JOIN tv),
+            agg AS (SELECT doc_id, -sum(lp) / count(*) AS nll
+                    FROM sc GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   round(coalesce(a.nll, 0.0), 6) AS avg_nll,
+                   round(coalesce(exp(a.nll), 1.0), 6) AS ppl
+            FROM dtok t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "docs_lm_perplexity": """
             -- add-one-smoothed bigram LM trained on every 20th document,

@@ -1581,3 +1581,38 @@ def test_bm25_prf_expands_and_reranks(ray_session):
     assert 4 in set(out["doc_id"])
     # ranking still deterministic: rank 1..n unique per query
     assert sorted(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_kn_perplexity_reference(ray_session):
+    from text_to_rdf_ray.stages.curation import kn_perplexity
+
+    ref_texts = ["a b a c", "b a b"]
+    doc_texts = ["a b", "a z", "q q q", "x"]
+    ref = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(ref_texts)), pa.int64()),
+        "text": pa.array(ref_texts, pa.string())}))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(doc_texts)), pa.int64()),
+        "text": pa.array(doc_texts, pa.string())})).repartition(2)
+    out = (kn_perplexity(docs, ref).to_pandas()
+           .set_index("doc_id"))
+
+    # model: uni a3 b3 c1; bigrams: (a,b)1 (b,a)2 (a,c)1 (b,b)... wait
+    # ref bigrams: a-b, b-a, a-c | b-a, a-b -> (a,b)2 (b,a)2 (a,c)1
+    # n1f: a->{b,c}=2, b->{a}=1; n1b: b<-{a}=1, a<-{b}=1, c<-{a}=1
+    # T=3 types, V=3+1=4
+    import math
+    T, V, D = 3, 4, 0.75
+    def pcont(w):
+        return ({"a": 1, "b": 1, "c": 1}.get(w, 0) + 1.0) / (T + V)
+    # doc 0 "a b": c(a)=3, n1f(a)=2, c12(a,b)=2
+    p_ab = (max(2 - D, 0.0) + D * 2 * pcont("b")) / 3
+    assert abs(out.loc[0, "avg_nll"] - (-math.log(p_ab))) < 1e-9
+    # doc 1 "a z": unseen continuation z -> floor
+    p_az = (max(0 - D, 0.0) + D * 2 * pcont("z")) / 3
+    assert abs(out.loc[1, "avg_nll"] - (-math.log(p_az))) < 1e-9
+    # doc 2 "q q q": unseen context -> pure continuation floor
+    p_qq = pcont("q")
+    assert abs(out.loc[2, "avg_nll"] - (-math.log(p_qq))) < 1e-9
+    # doc 3: single token
+    assert out.loc[3, "ppl"] == 1.0

@@ -2913,3 +2913,110 @@ def textrank_keywords(
                           ascending=[False, True]).head(top_k)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out.reset_index(drop=True)
+
+
+def kn_perplexity(
+    ds: rd.Dataset,
+    ref: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> rd.Dataset:
+    """Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the real LM-quality filter beside the
+    add-one baseline :func:`lm_perplexity`: absolute discounting plus
+    the CONTINUATION unigram (how many distinct contexts a word
+    follows, not how often it occurs — "San Francisco" inflates
+    c(francisco) but not its continuation count).
+
+    P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1,.) * Pcont(w2)) / c(w1)
+    when c(w1) > 0 and w1 has continuations, else Pcont(w2); with
+    Pcont(w2) = (N1+(., w2) + 1) / (T + V) — an add-one floor over
+    the T distinct bigram types keeps unseen words finite (and the
+    whole score SQL-replayable).  Docs with < 2 tokens score nll 0 /
+    ppl 1.
+
+    Scale shape identical to lm_perplexity: the reference model is a
+    per-batch-combined driver merge broadcast ONCE; the corpus side
+    is a pure map — no shuffle touches the big side.
+    Output: (id_col, n_tokens, avg_nll, ppl).
+    """
+    import math
+
+    import ray
+
+    def ref_counts(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt)
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return pa.table({
+            "w1": pa.array([k for k in uni] + [a for a, _ in bi],
+                           pa.string()),
+            "w2": pa.array([None] * len(uni) + [b for _, b in bi],
+                           pa.string()),
+            "c": pa.array(list(uni.values()) + list(bi.values()),
+                          pa.int64())})
+
+    parts = ref.map_batches(ref_counts, batch_format="pyarrow").to_pandas()
+    if len(parts):
+        is_uni = parts["w2"].isna()
+        uni_counts = parts[is_uni].groupby("w1")["c"].sum().to_dict()
+        bi_counts = {(r.w1, r.w2): r.c for r in
+                     parts[~is_uni]
+                     .groupby(["w1", "w2"], as_index=False)["c"]
+                     .sum().itertuples()}
+    else:
+        uni_counts, bi_counts = {}, {}
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for a, b in bi_counts:
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    t_types = len(bi_counts)
+    v_size = len(uni_counts) + 1
+    model_ref = ray.put((uni_counts, bi_counts, n1f, n1b,
+                         t_types, v_size, float(discount)))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = cache.get("m")
+        if m is None:
+            m = cache["m"] = ray.get(model_ref)
+        uni, bi, nf, nb, T, v, D = m
+        out_n, out_nll, out_ppl = [], [], []
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt)
+            n = len(toks)
+            if n < 2:
+                out_n.append(n)
+                out_nll.append(0.0)
+                out_ppl.append(1.0)
+                continue
+            s = 0.0
+            for a, b in zip(toks, toks[1:]):
+                pcont = (nb.get(b, 0) + 1.0) / (T + v)
+                c1 = uni.get(a, 0)
+                f = nf.get(a, 0)
+                if c1 > 0 and f > 0:
+                    p = (max(bi.get((a, b), 0) - D, 0.0)
+                         + D * f * pcont) / c1
+                else:
+                    p = pcont
+                s += math.log(p)
+            nll = -s / (n - 1)
+            out_n.append(n)
+            out_nll.append(nll)
+            out_ppl.append(math.exp(nll))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "avg_nll": pa.array(out_nll, pa.float64()),
+            "ppl": pa.array(out_ppl, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
