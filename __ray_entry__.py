@@ -1945,6 +1945,93 @@ def _docs_kn_perplexity(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _docs_extractive_summary(sf_dir: str) -> pd.DataFrame:
+    """Segment-level TextRank extractive summaries (stages/
+    curation.py::extractive_summary): 8-token segments, Jaccard
+    edges, 4 quantized damped iterations, top-2 per doc — doc-local,
+    one pure map pass."""
+    from text_to_rdf_ray.stages.curation import extractive_summary
+
+    out = extractive_summary(
+        _documents(sf_dir).select_columns(["doc_id", "text"]),
+        segment_tokens=8, top_k=2, iterations=4).to_pandas()
+    for c in ("doc_id", "segment", "rank"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "segment", "score", "rank"]]
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
+def _summary_sql(iterations: int = 4, top_k: int = 2,
+                 seg: int = 8) -> str:
+    """DuckDB replay of _docs_extractive_summary: fixed-window
+    segments, Jaccard edges, unrolled grouped power iteration (the
+    textrank shape partitioned by doc)."""
+    steps = []
+    prev = "it0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            it{i} AS (SELECT n1.doc_id, n1.seg,
+                             round((1.0 - 0.85) / nd.n
+                                   + 0.85 * coalesce(x.s, 0), 9) AS pi
+                      FROM nodes n1 JOIN nd USING (doc_id)
+                      LEFT JOIN (
+                        SELECT e.doc_id, e.dst AS seg,
+                               sum(e.wt * (p.pi / w.wsum)) AS s
+                        FROM edges e
+                        JOIN {prev} p ON p.doc_id = e.doc_id
+                                     AND p.seg = e.src
+                        JOIN ws w ON w.doc_id = e.doc_id
+                                 AND w.src = e.src
+                        GROUP BY e.doc_id, e.dst) x
+                        ON x.doc_id = n1.doc_id AND x.seg = n1.seg)""")
+        prev = f"it{i}"
+    return f"""
+        WITH dtok AS (
+          SELECT doc_id, list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '') AS w
+          FROM documents),
+        dpos AS (SELECT doc_id, unnest(w) AS term,
+                        generate_subscripts(w, 1) AS i
+                 FROM dtok),
+        segt AS (SELECT DISTINCT doc_id,
+                        CAST((i - 1) // {seg} AS BIGINT) AS seg, term
+                 FROM dpos),
+        ssize AS (SELECT doc_id, seg, count(*) AS sz
+                  FROM segt GROUP BY 1, 2),
+        inter AS (SELECT a.doc_id, a.seg AS s1, b.seg AS s2,
+                         count(*) AS ic
+                  FROM segt a JOIN segt b
+                    ON a.doc_id = b.doc_id AND a.term = b.term
+                   AND a.seg < b.seg
+                  GROUP BY 1, 2, 3),
+        e0 AS (SELECT i.doc_id, i.s1, i.s2,
+                      CAST(i.ic AS DOUBLE)
+                      / (x.sz + y.sz - i.ic) AS wt
+               FROM inter i
+               JOIN ssize x ON x.doc_id = i.doc_id AND x.seg = i.s1
+               JOIN ssize y ON y.doc_id = i.doc_id AND y.seg = i.s2),
+        edges AS MATERIALIZED (
+          SELECT doc_id, s1 AS src, s2 AS dst, wt FROM e0
+          UNION ALL SELECT doc_id, s2, s1, wt FROM e0),
+        nodes AS MATERIALIZED (SELECT doc_id, seg FROM ssize),
+        nd AS MATERIALIZED (SELECT doc_id, count(*) AS n
+                            FROM nodes GROUP BY 1),
+        ws AS MATERIALIZED (SELECT doc_id, src, sum(wt) AS wsum
+                            FROM edges GROUP BY 1, 2),
+        it0 AS (SELECT nodes.doc_id, nodes.seg,
+                       round(1.0 / nd.n, 9) AS pi
+                FROM nodes JOIN nd USING (doc_id)),
+        {",".join(steps)},
+        rk AS (SELECT doc_id, seg, pi,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY pi DESC, seg ASC) AS rn
+               FROM {prev})
+        SELECT doc_id, seg AS segment, pi AS score,
+               CAST(rn AS BIGINT) AS "rank"
+        FROM rk WHERE rn <= {top_k} ORDER BY doc_id, "rank"
+    """
+
+
 def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     """Bigram-LM perplexity scoring (CCNet/Gopher-style quality filter):
     reference = every 20th document; counts broadcast once via ray.put,
@@ -8230,6 +8317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_ltv": _events_cohort_ltv,
         "orders_assoc_rules": _orders_assoc_rules,
         "docs_kn_perplexity": _docs_kn_perplexity,
+        "docs_extractive_summary": _docs_extractive_summary,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12691,6 +12779,8 @@ def oracle_sql() -> dict[str, str]:
                         0) // 2000 AS BIGINT) AS seq_id
             FROM surv ORDER BY doc_id
         """,
+        "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
+                                                seg=8),
         "docs_kn_perplexity": """
             -- interpolated Kneser-Ney bigram replay: same every-20th
             -- reference; continuation counts N1+(w1,.) / N1+(.,w2),

@@ -1616,3 +1616,38 @@ def test_kn_perplexity_reference(ray_session):
     assert abs(out.loc[2, "avg_nll"] - (-math.log(p_qq))) < 1e-9
     # doc 3: single token
     assert out.loc[3, "ppl"] == 1.0
+
+
+def test_extractive_summary_brute(ray_session):
+    from text_to_rdf_ray.stages.curation import extractive_summary
+
+    # 3 segments of 3 tokens: seg0/seg1 share 2 tokens, seg2 isolated
+    text = "a b c a b d x y z"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([text], pa.string())}))
+    out = (extractive_summary(ds, segment_tokens=3, top_k=3,
+                              iterations=4)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+
+    # brute reference
+    segs = [frozenset("abc"), frozenset("abd"), frozenset("xyz")]
+    W = np.zeros((3, 3))
+    for i in range(3):
+        for j in range(i + 1, 3):
+            inter = len(segs[i] & segs[j])
+            if inter:
+                W[i, j] = W[j, i] = inter / (len(segs[i])
+                                             + len(segs[j]) - inter)
+    wsum = W.sum(1)
+    pi = np.full(3, round(1 / 3, 9))
+    for _ in range(4):
+        nz = wsum > 0
+        contrib = np.zeros(3)
+        contrib = W[:, nz] @ (pi[nz] / wsum[nz])
+        pi = np.round(0.15 / 3 + 0.85 * contrib, 9)
+    ref = sorted(range(3), key=lambda k: (-pi[k], k))
+    assert list(out["segment"]) == ref
+    assert np.allclose(out["score"], pi[ref])
+    # isolated segment ranks last with the bare teleport score
+    assert out.iloc[2]["segment"] == 2
