@@ -2032,6 +2032,23 @@ def _summary_sql(iterations: int = 4, top_k: int = 2,
     """
 
 
+def _docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality gate bundle (stages/curation.py::
+    gopher_rules): token-count / mean-word-length / duplicate-bigram
+    heuristics with per-rule flags + conjunctive keep, statistics
+    rounded 6dp before the threshold compares."""
+    from text_to_rdf_ray.stages.curation import gopher_rules
+
+    out = gopher_rules(
+        _documents(sf_dir).select_columns(["doc_id", "text"]),
+        min_tokens=30).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    for c in ("pass_len", "pass_word_len", "pass_rep", "keep"):
+        out[c] = out[c].astype(bool)
+    return (out.sort_values("doc_id").reset_index(drop=True))
+
+
 def _docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     """Bigram-LM perplexity scoring (CCNet/Gopher-style quality filter):
     reference = every 20th document; counts broadcast once via ray.put,
@@ -8318,6 +8335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_assoc_rules": _orders_assoc_rules,
         "docs_kn_perplexity": _docs_kn_perplexity,
         "docs_extractive_summary": _docs_extractive_summary,
+        "docs_gopher_rules": _docs_gopher_rules,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12781,6 +12799,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "docs_gopher_rules": """
+            -- Gopher gate replay: token/word-length/dup-bigram stats
+            -- rounded 6dp before the identical threshold compares
+            WITH d AS (SELECT doc_id,
+                              list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '') AS w
+                       FROM documents),
+            base AS (SELECT doc_id, len(w) AS n_tokens,
+                            CAST(list_sum(list_transform(
+                                w, x -> len(x))) AS BIGINT) AS tot_len
+                     FROM d),
+            bi AS (SELECT doc_id,
+                          count(*) AS n_bi,
+                          count(DISTINCT (w[i], w[i+1])) AS n_dist
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, len(w) + 1)) AS i
+                         FROM d)
+                   WHERE i < len(w)
+                   GROUP BY doc_id),
+            s AS (SELECT b.doc_id, b.n_tokens,
+                         round(CASE WHEN b.n_tokens > 0
+                               THEN CAST(b.tot_len AS DOUBLE)
+                                    / b.n_tokens
+                               ELSE 0.0 END, 6) AS mean_word_len,
+                         round(CASE WHEN coalesce(x.n_bi, 0) > 0
+                               THEN 1.0 - CAST(x.n_dist AS DOUBLE)
+                                          / x.n_bi
+                               ELSE 0.0 END, 6) AS dup_bigram_frac
+                  FROM base b LEFT JOIN bi x USING (doc_id))
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   mean_word_len, dup_bigram_frac,
+                   (n_tokens >= 30 AND n_tokens <= 100000) AS pass_len,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS pass_word_len,
+                   (dup_bigram_frac <= 0.2) AS pass_rep,
+                   ((n_tokens >= 30 AND n_tokens <= 100000)
+                    AND (mean_word_len >= 3.0
+                         AND mean_word_len <= 10.0)
+                    AND dup_bigram_frac <= 0.2) AS keep
+            FROM s ORDER BY doc_id
+        """,
         "docs_kn_perplexity": """
             -- interpolated Kneser-Ney bigram replay: same every-20th
             -- reference; continuation counts N1+(w1,.) / N1+(.,w2),

@@ -1651,3 +1651,24 @@ def test_extractive_summary_brute(ray_session):
     assert np.allclose(out["score"], pi[ref])
     # isolated segment ranks last with the bare teleport score
     assert out.iloc[2]["segment"] == 2
+
+
+def test_gopher_rules_flags(ray_session):
+    from text_to_rdf_ray.stages.curation import gopher_rules
+
+    texts = [
+        " ".join(f"word{i}" for i in range(40)),      # 40 tokens, ok
+        "a b",                                        # too short
+        " ".join(["xx"] * 40),                        # word len 2, rep 1.0
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = (gopher_rules(ds, min_tokens=10).to_pandas()
+           .set_index("doc_id"))
+    assert bool(out.loc[0, "keep"]) is True
+    assert bool(out.loc[1, "pass_len"]) is False
+    r2 = out.loc[2]
+    assert bool(r2["pass_word_len"]) is False
+    assert r2["dup_bigram_frac"] == round(1.0 - 1 / 39, 6)
+    assert bool(r2["pass_rep"]) is False

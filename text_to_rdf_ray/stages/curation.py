@@ -3092,3 +3092,55 @@ def extractive_summary(
             "rank": pa.array(out_rank, pa.int64())})
 
     return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def gopher_rules(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_bigram_frac: float = 0.2,
+) -> rd.Dataset:
+    """Gopher-style repetition/length quality gate (Rae et al. 2021,
+    "Scaling Language Models", Table A1 heuristics) as ONE doc-local
+    pure-map bundle: token-count bounds, mean-word-length bounds, and
+    duplicate-bigram fraction, each reported as its own flag plus the
+    conjunctive ``keep`` — filters downstream read the flags, audits
+    read the raw statistics.
+
+    dup_bigram_frac = 1 - distinct_bigrams / total_bigrams (0 for
+    docs with < 2 tokens); mean_word_len = Σ len(token) / n.  Both
+    rounded 6dp BEFORE the threshold compare so the decision is
+    engine-independent.  Returns (id_col, n_tokens, mean_word_len,
+    dup_bigram_frac, pass_len, pass_word_len, pass_rep, keep).
+    """
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch[text_col].str.lower().str.split(" ")
+                .map(lambda ws: [t for t in ws if t]))
+        n = toks.str.len().to_numpy(np.int64)
+        tot_len = toks.map(lambda ws: sum(len(t) for t in ws)).to_numpy(
+            np.int64)
+        mwl = np.round(np.where(n > 0, tot_len / np.maximum(n, 1), 0.0),
+                       6)
+        dup = np.round(np.asarray([
+            0.0 if len(ws) < 2
+            else 1.0 - len(set(zip(ws, ws[1:]))) / (len(ws) - 1)
+            for ws in toks]), 6)
+        pass_len = (n >= min_tokens) & (n <= max_tokens)
+        pass_wl = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        pass_rep = dup <= max_dup_bigram_frac
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "n_tokens": n,
+            "mean_word_len": mwl,
+            "dup_bigram_frac": dup,
+            "pass_len": pass_len,
+            "pass_word_len": pass_wl,
+            "pass_rep": pass_rep,
+            "keep": pass_len & pass_wl & pass_rep})
+
+    return ds.map_batches(stats, batch_format="pandas")
