@@ -6979,6 +6979,32 @@ def _orders_assoc_rules(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_did_impact(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences impact estimate (stages/analytics.py::
+    did_estimate): treated = even user_id, post = from 2024-01-16;
+    four (treat, post) cells of (n, Σx, Σx²) via one combiner
+    exchange, 6dp-rounded cell means/vars before differencing."""
+    from text_to_rdf_ray.stages.analytics import did_estimate
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    cut_day = 19738  # 2024-01-16 as epoch days
+
+    def flags(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({
+            "treat": pa.array(uid % 2 == 0),
+            "post": pa.array(day >= cut_day),
+            "value": t.column("value")})
+
+    return did_estimate(ev.map_batches(flags, batch_format="pyarrow"),
+                        treat_col="treat", post_col="post",
+                        value_col="value")
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8336,6 +8362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_kn_perplexity": _docs_kn_perplexity,
         "docs_extractive_summary": _docs_extractive_summary,
         "docs_gopher_rules": _docs_gopher_rules,
+        "events_did_impact": _events_did_impact,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12799,6 +12826,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "events_did_impact": """
+            -- DiD replay: identical cell stats (6dp means/vars),
+            -- identical differencing and left-assoc SE expression
+            WITH e AS (SELECT (user_id % 2 = 0) AS tr,
+                              (epoch_us(ts) // 86400000000 >= 19738)
+                                  AS po,
+                              value
+                       FROM events WHERE value IS NOT NULL),
+            cells AS (SELECT CAST(tr AS INT) * 2 + CAST(po AS INT)
+                                 AS cell,
+                             count(*) AS n, sum(value) AS sx,
+                             sum(value * value) AS sxx
+                      FROM e GROUP BY 1),
+            st AS (SELECT cell, n, round(sx / n, 6) AS mean,
+                          round((sxx - sx * sx / n) / (n - 1), 6)
+                              AS var
+                   FROM cells),
+            p AS (SELECT
+                    max(CASE WHEN cell = 0 THEN n END) AS n_c_pre,
+                    max(CASE WHEN cell = 1 THEN n END) AS n_c_post,
+                    max(CASE WHEN cell = 2 THEN n END) AS n_t_pre,
+                    max(CASE WHEN cell = 3 THEN n END) AS n_t_post,
+                    max(CASE WHEN cell = 0 THEN mean END) AS m0,
+                    max(CASE WHEN cell = 1 THEN mean END) AS m1,
+                    max(CASE WHEN cell = 2 THEN mean END) AS m2,
+                    max(CASE WHEN cell = 3 THEN mean END) AS m3,
+                    max(CASE WHEN cell = 0 THEN var END) AS v0,
+                    max(CASE WHEN cell = 1 THEN var END) AS v1,
+                    max(CASE WHEN cell = 2 THEN var END) AS v2,
+                    max(CASE WHEN cell = 3 THEN var END) AS v3
+                  FROM st)
+            SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+                   CAST(n_c_post AS BIGINT) AS n_c_post,
+                   CAST(n_t_pre AS BIGINT) AS n_t_pre,
+                   CAST(n_t_post AS BIGINT) AS n_t_post,
+                   m0 AS mean_c_pre, m1 AS mean_c_post,
+                   m2 AS mean_t_pre, m3 AS mean_t_post,
+                   round((m3 - m2) - (m1 - m0), 6) AS did,
+                   round(sqrt(v0 / n_c_pre + v1 / n_c_post
+                              + v2 / n_t_pre + v3 / n_t_post), 6)
+                       AS se,
+                   round(round((m3 - m2) - (m1 - m0), 6)
+                         / round(sqrt(v0 / n_c_pre + v1 / n_c_post
+                                      + v2 / n_t_pre + v3 / n_t_post),
+                                 6), 6) AS t_stat
+            FROM p
+        """,
         "docs_gopher_rules": """
             -- Gopher gate replay: token/word-length/dup-bigram stats
             -- rounded 6dp before the identical threshold compares

@@ -3259,3 +3259,29 @@ def test_assoc_rules_manual(ray_session):
     assert r["lift"] == round((3 / 5) / (4 / 6), 6)
     r2 = out.loc[(2, 1)]
     assert r2["confidence"] == 0.75
+
+
+def test_did_estimate_planted_effect(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import did_estimate
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    treat = np.arange(n) % 2 == 0
+    post = np.arange(n) % 4 < 2
+    base = rng.randn(n)
+    # common trend +1 in post; treatment effect +5 only treated post
+    x = base + np.where(post, 1.0, 0.0) + np.where(treat & post, 5.0,
+                                                   0.0)
+    tbl = pa.table({
+        "treat": pa.array(treat), "post": pa.array(post),
+        "value": pa.array(x, pa.float64())})
+    out = did_estimate(rd.from_arrow(tbl).repartition(4),
+                       treat_col="treat", post_col="post",
+                       value_col="value").iloc[0]
+    # the common trend cancels; the planted effect survives
+    assert abs(out["did"] - 5.0) < 0.3
+    assert out["t_stat"] > 10
+    assert out["n_t_post"] + out["n_t_pre"] + out["n_c_post"] \
+        + out["n_c_pre"] == n

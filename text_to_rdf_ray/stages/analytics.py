@@ -3412,3 +3412,76 @@ def assoc_rules(
             "lift": pa.array(np.round(conf / (n_b / n_baskets), 6))})
 
     return j2.map_batches(metrics, batch_format="pyarrow")
+
+
+def did_estimate(
+    ds: rd.Dataset,
+    *,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Difference-in-differences (Card & Krueger 1994 design): the
+    causal-impact readout beside welch_ttest/chi2 — effect =
+    (treated post - treated pre) - (control post - control pre),
+    with a large-sample SE from the four independent cell variances
+    (sqrt of Σ s²_g / n_g).
+
+    One combiner exchange carries four (treat, post) cells of
+    (n, Σx, Σx²) — integer/float partials, O(1) state per batch;
+    the estimate is driver arithmetic over 4 rows.  Cell means/vars
+    rounded 6dp BEFORE the differencing (the robust_zscore
+    convention) so the estimate replays identically in SQL.
+    Returns one row: (mean_t_pre, mean_t_post, mean_c_pre,
+    mean_c_post, did, se, t_stat) + the four cell counts.
+    """
+    from .exchange import exchange_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        tr = t.column(treat_col).to_numpy(zero_copy_only=False)
+        po = t.column(post_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        x, tr, po = x[ok], tr[ok].astype(bool), po[ok].astype(bool)
+        cell = tr.astype(np.int64) * 2 + po.astype(np.int64)
+        n = np.zeros(4, np.int64)
+        sx = np.zeros(4)
+        sxx = np.zeros(4)
+        np.add.at(n, cell, 1)
+        np.add.at(sx, cell, x)
+        np.add.at(sxx, cell, x * x)
+        return pa.table({
+            "cell": pa.array(np.arange(4, dtype=np.int64)),
+            "n": pa.array(n), "sx": pa.array(sx),
+            "sxx": pa.array(sxx)})
+
+    agg = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "cell", [("n", "sum", "n"), ("sx", "sum", "sx"),
+                 ("sxx", "sum", "sxx")],
+        num_partitions=num_partitions).to_pandas()
+    agg = agg.set_index("cell")
+    stats = {}
+    for c in range(4):
+        n = int(agg.loc[c, "n"]) if c in agg.index else 0
+        if n < 2:
+            raise ValueError(f"did_estimate: cell {c} has n={n} < 2")
+        sx = float(agg.loc[c, "sx"])
+        sxx = float(agg.loc[c, "sxx"])
+        mean = round(sx / n, 6)
+        var = round((sxx - sx * sx / n) / (n - 1), 6)
+        stats[c] = (n, mean, var)
+    # cell = treat*2 + post: 0=c_pre 1=c_post 2=t_pre 3=t_post
+    did = round((stats[3][1] - stats[2][1])
+                - (stats[1][1] - stats[0][1]), 6)
+    se = round(float(np.sqrt(sum(
+        stats[c][2] / stats[c][0] for c in range(4)))), 6)
+    return pd.DataFrame([{
+        "n_c_pre": stats[0][0], "n_c_post": stats[1][0],
+        "n_t_pre": stats[2][0], "n_t_post": stats[3][0],
+        "mean_c_pre": stats[0][1], "mean_c_post": stats[1][1],
+        "mean_t_pre": stats[2][1], "mean_t_post": stats[3][1],
+        "did": did, "se": se,
+        "t_stat": round(did / se, 6) if se > 0 else 0.0}])
