@@ -356,7 +356,10 @@ def run_bench() -> dict:
                      "graph_diameter", "kg_construct_rewrite",
                      "docs_textrank", "graph_betweenness_parts",
                      "embeddings_pca_scores", "docs_bm25_prf",
-                     "parts_reciprocal_best", "events_seasonal"):
+                     "parts_reciprocal_best", "events_seasonal",
+                     "docs_kn_perplexity", "docs_extractive_summary",
+                     "docs_gopher_rules", "orders_assoc_rules",
+                     "events_cohort_ltv", "events_bootstrap_means"):
             timed(name, lambda name=name: q[name](SF_DIR))
 
         def best_extra(fn, sec_key):
