@@ -7005,6 +7005,30 @@ def _events_did_impact(sf_dir: str) -> pd.DataFrame:
                         value_col="value")
 
 
+_ALLOWED_TRANSITIONS = [
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+    ("error", "view"), ("view", "error"),
+]
+
+
+def _events_fsm_conformance(sf_dir: str) -> pd.DataFrame:
+    """Process-model conformance audit (stages/windows.py::
+    fsm_conformance): per-user transition sequences scored against a
+    fixed allowed-transition whitelist — one key exchange, key-local
+    counts."""
+    from text_to_rdf_ray.stages.windows import fsm_conformance
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    out = fsm_conformance(ev, _ALLOWED_TRANSITIONS).to_pandas()
+    for c in ("user_id", "n_steps", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "n_steps", "n_violations", "conformance"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8363,6 +8387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_extractive_summary": _docs_extractive_summary,
         "docs_gopher_rules": _docs_gopher_rules,
         "events_did_impact": _events_did_impact,
+        "events_fsm_conformance": _events_fsm_conformance,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12826,6 +12851,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "events_fsm_conformance": """
+            -- conformance replay: lag transitions vs the whitelist,
+            -- per-user violation counts, round(1 - v/steps, 6)
+            WITH allowed(f, t) AS (VALUES
+              ('signup','view'), ('view','view'), ('view','click'),
+              ('click','view'), ('click','purchase'),
+              ('purchase','view'), ('error','view'), ('view','error')),
+            x AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                  FROM events),
+            st AS (SELECT user_id,
+                          count(*) FILTER (prev IS NOT NULL) AS n_steps,
+                          count(*) FILTER (
+                            prev IS NOT NULL AND a.f IS NULL)
+                              AS n_violations
+                   FROM x LEFT JOIN allowed a
+                     ON a.f = x.prev AND a.t = x.event_type
+                   GROUP BY user_id)
+            SELECT user_id, CAST(n_steps AS BIGINT) AS n_steps,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   round(CASE WHEN n_steps > 0
+                         THEN 1.0 - CAST(n_violations AS DOUBLE)
+                                    / n_steps
+                         ELSE 1.0 END, 6) AS conformance
+            FROM st ORDER BY user_id
+        """,
         "events_did_impact": """
             -- DiD replay: identical cell stats (6dp means/vars),
             -- identical differencing and left-assoc SE expression

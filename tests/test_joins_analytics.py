@@ -3285,3 +3285,31 @@ def test_did_estimate_planted_effect(ray_session):
     assert out["t_stat"] > 10
     assert out["n_t_post"] + out["n_t_pre"] + out["n_c_post"] \
         + out["n_c_pre"] == n
+
+
+def test_fsm_conformance_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import fsm_conformance
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([0, 1, 2, 3, 4, 5], pa.timestamp("us")),
+        "event_type": pa.array(
+            ["signup", "view", "click", "view", "error", "view"],
+            pa.string()),
+    })
+    out = (fsm_conformance(
+        rd.from_arrow(tbl).repartition(2),
+        [("signup", "view"), ("view", "click")])
+        .to_pandas().set_index("user_id"))
+    # user 1: signup->view ok, view->click ok
+    assert out.loc[1, "n_violations"] == 0
+    assert out.loc[1, "conformance"] == 1.0
+    # user 2: view->error not allowed
+    assert out.loc[2, "n_violations"] == 1
+    assert out.loc[2, "conformance"] == 0.0
+    # user 3: single event, zero steps
+    assert out.loc[3, "n_steps"] == 0
+    assert out.loc[3, "conformance"] == 1.0

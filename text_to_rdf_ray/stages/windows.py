@@ -1710,3 +1710,66 @@ def cohort_ltv(
         out[c] = out[c].astype("int64")
     return out[["cohort_day", "age", "revenue", "cum_revenue",
                 "cohort_users", "ltv"]]
+
+
+def fsm_conformance(
+    ds: rd.Dataset,
+    allowed: list[tuple[str, str]],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Process-mining conformance checking: score every key's event
+    sequence against an allowed-transition whitelist (the
+    Celonis-style "does reality follow the process model" audit).
+    Emits per key: (key, n_steps, n_violations, conformance) with
+    conformance = round(1 - violations/steps, 6) (1.0 for
+    single-event keys — zero steps violate nothing).
+
+    Same one-exchange shape as transition_matrix: a key's events
+    co-locate, consecutive pairs form via vectorized groupby.shift,
+    membership against the broadcast whitelist is one pandas isin
+    over (from, to) tuples, and per-key counts aggregate in
+    the same partition (key-local — no second exchange).  The model
+    is caller-supplied and bounded by |states|² by nature.
+    """
+    allowed_set = {(a, b) for a, b in allowed}
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_of(batch[key_col],
+                                           num_partitions))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort")
+        prev = g.groupby(key_col, sort=False)[state_col].shift(1)
+        m = prev.notna()
+        # tuple membership, not packed strings: numpy's fixed-width
+        # unicode truncates embedded separators on astype(str)
+        pair = pd.Series(list(zip(prev[m], g.loc[m, state_col])),
+                         index=prev[m].index, dtype="object")
+        viol = ~pair.isin(allowed_set)
+        steps = pd.DataFrame({key_col: g.loc[m, key_col],
+                              "viol": viol.astype(np.int64)})
+        per_key = (steps.groupby(key_col, as_index=False)
+                   .agg(n_steps=("viol", "size"),
+                        n_violations=("viol", "sum")))
+        singles = (g.groupby(key_col, as_index=False).size()
+                   .rename(columns={"size": "_n"}))
+        out = singles[[key_col]].merge(per_key, on=key_col, how="left")
+        out["n_steps"] = out["n_steps"].fillna(0).astype("int64")
+        out["n_violations"] = (out["n_violations"].fillna(0)
+                               .astype("int64"))
+        out["conformance"] = np.round(np.where(
+            out["n_steps"] > 0,
+            1.0 - out["n_violations"] / np.maximum(out["n_steps"], 1),
+            1.0), 6)
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_part").map_groups(per_part,
+                                         batch_format="pandas"))
