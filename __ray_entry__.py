@@ -7029,6 +7029,42 @@ def _events_fsm_conformance(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _custs_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (stages/analytics.py::rfm_segments): exact
+    NTILE quintiles over the customer dimension, ties on custkey —
+    bit-identical to the SQL window."""
+    from text_to_rdf_ray.stages.analytics import rfm_segments
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    return rfm_segments(orders).reset_index(drop=True)
+
+
+def _parts_abc_classes(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto analysis of part revenue (stages/analytics.py::
+    abc_analysis): lineitem revenue per part (2dp pre-round), ranked
+    cumulative share, 80/95 class cut."""
+    from text_to_rdf_ray.stages.analytics import abc_analysis
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "rev": pa.array(np.round(ep * (1.0 - dc), 2),
+                            pa.float64())})
+
+    out = abc_analysis(li.map_batches(rev, batch_format="pyarrow"),
+                       key_col="l_partkey", value_col="rev")
+    return (out.rename(columns={"key": "l_partkey"})
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8388,6 +8424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": _docs_gopher_rules,
         "events_did_impact": _events_did_impact,
         "events_fsm_conformance": _events_fsm_conformance,
+        "custs_rfm_segments": _custs_rfm_segments,
+        "parts_abc_classes": _parts_abc_classes,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12851,6 +12889,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "custs_rfm_segments": """
+            -- RFM replay: identical per-customer aggregates and
+            -- NTILE(5) windows with custkey tiebreaks
+            WITH a AS (SELECT o_custkey AS cust,
+                              max(epoch_us(o_orderdate)
+                                  // 86400000000) AS last_day,
+                              count(*) AS n_orders,
+                              round(sum(o_totalprice), 2) AS revenue
+                       FROM orders GROUP BY 1),
+            s AS (SELECT cust, last_day, n_orders, revenue,
+                         ntile(5) OVER (ORDER BY last_day, cust)
+                             AS r_score,
+                         ntile(5) OVER (ORDER BY n_orders, cust)
+                             AS f_score,
+                         ntile(5) OVER (ORDER BY revenue, cust)
+                             AS m_score
+                  FROM a)
+            SELECT cust, CAST(last_day AS BIGINT) AS last_day,
+                   CAST(n_orders AS BIGINT) AS n_orders, revenue,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score
+                        AS BIGINT) AS segment
+            FROM s ORDER BY cust
+        """,
+        "parts_abc_classes": """
+            -- ABC replay: 2dp per-key revenue, (value desc, key asc)
+            -- cumulative share rounded 9dp, 80/95 cut
+            WITH r AS (SELECT l_partkey,
+                              round(l_extendedprice
+                                    * (1.0 - l_discount), 2) AS rev
+                       FROM lineitem),
+            a AS (SELECT l_partkey AS key,
+                         round(sum(rev), 2) AS value
+                  FROM r GROUP BY 1),
+            t AS (SELECT sum(value) AS total FROM a),
+            w AS (SELECT a.key, a.value,
+                         round(sum(a.value) OVER (
+                             ORDER BY a.value DESC, a.key ASC)
+                               / t.total, 9) AS cum_share
+                  FROM a CROSS JOIN t)
+            SELECT key AS l_partkey, value, cum_share,
+                   CASE WHEN cum_share <= 0.8 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM w ORDER BY l_partkey
+        """,
         "events_fsm_conformance": """
             -- conformance replay: lag transitions vs the whitelist,
             -- per-user violation counts, round(1 - v/steps, 6)

@@ -3313,3 +3313,36 @@ def test_fsm_conformance_manual(ray_session):
     # user 3: single event, zero steps
     assert out.loc[3, "n_steps"] == 0
     assert out.loc[3, "conformance"] == 1.0
+
+
+def test_ntile_matches_sql_distribution(ray_session):
+    from text_to_rdf_ray.stages.analytics import _ntile
+
+    # 7 rows, 3 tiles -> sizes 3,2,2 (first tiles get the remainder)
+    key = np.asarray([10, 20, 30, 40, 50, 60, 70])
+    tb = np.arange(7)
+    t = _ntile(key, tb, 3)
+    assert list(t) == [1, 1, 1, 2, 2, 3, 3]
+    # ties order by tiebreak: equal keys split deterministically
+    key2 = np.zeros(4, np.int64)
+    t2 = _ntile(key2, np.asarray([3, 1, 2, 0]), 2)
+    # sorted by tiebreak: rows 3,1,2,0 -> tiles 1,1,2,2
+    assert list(t2) == [2, 1, 2, 1]
+
+
+def test_abc_analysis_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import abc_analysis
+
+    tbl = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([70.0, 20.0, 6.0, 4.0], pa.float64()),
+    })
+    out = (abc_analysis(rd.from_arrow(tbl).repartition(2),
+                        key_col="k", value_col="v")
+           .set_index("key"))
+    assert out.loc[1, "abc_class"] == "A"   # 0.70
+    assert out.loc[2, "abc_class"] == "B"   # 0.90
+    assert out.loc[3, "abc_class"] == "C"   # 0.96
+    assert out.loc[4, "abc_class"] == "C"

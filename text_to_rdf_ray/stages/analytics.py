@@ -3485,3 +3485,131 @@ def did_estimate(
         "mean_t_pre": stats[2][1], "mean_t_post": stats[3][1],
         "did": did, "se": se,
         "t_stat": round(did / se, 6) if se > 0 else 0.0}])
+
+
+def _ntile(order_key: np.ndarray, tiebreak: np.ndarray,
+           n_tiles: int) -> np.ndarray:
+    """Exact SQL NTILE over (order_key asc, tiebreak asc): first
+    ``N % n`` tiles get the extra row — bit-identical to the window
+    function, vectorized."""
+    n = len(order_key)
+    order = np.lexsort((tiebreak, order_key))
+    base, rem = divmod(n, n_tiles)
+    sizes = np.full(n_tiles, base, np.int64)
+    sizes[:rem] += 1
+    bounds = np.cumsum(sizes)
+    tile_of_pos = np.searchsorted(bounds, np.arange(n), side="right") + 1
+    out = np.empty(n, np.int64)
+    out[order] = tile_of_pos
+    return out
+
+
+def rfm_segments(
+    orders: rd.Dataset,
+    *,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    n_tiles: int = 5,
+    max_customers: int = 5_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """RFM customer segmentation (Hughes 1994): recency / frequency /
+    monetary scored into exact NTILE quintiles (ascending, so
+    ``n_tiles`` = best on every axis), segment = R*100 + F*10 + M.
+
+    Per-customer aggregates reduce through one combiner exchange;
+    scoring is a driver rank pass over the CUSTOMER DIMENSION
+    (bounded — guarded by ``max_customers``; at 10^9 customers the
+    rank scores become quantile_bucket thresholds instead).  NTILE
+    ties break on the customer key, bit-identical to the SQL window.
+    Returns (cust, last_day, n_orders, revenue, r_score, f_score,
+    m_score, segment).
+    """
+    from .exchange import exchange_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column(ts_col).cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({
+            "cust": t.column(cust_col).cast(pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "val": t.column(value_col).cast(pa.float64())})
+
+    agg = exchange_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "cust",
+        [("day", "max", "last_day"), ("one", "sum", "n_orders"),
+         ("val", "sum", "revenue")],
+        num_partitions=num_partitions).to_pandas()
+    if len(agg) > max_customers:
+        raise ValueError(
+            f"rfm_segments: {len(agg)} customers exceeds "
+            f"max_customers={max_customers}; use quantile_bucket "
+            f"thresholds for the scores at this scale")
+    agg = agg.sort_values("cust").reset_index(drop=True)
+    cust = agg["cust"].to_numpy(np.int64)
+    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 2)
+    agg["r_score"] = _ntile(agg["last_day"].to_numpy(np.int64),
+                            cust, n_tiles)
+    agg["f_score"] = _ntile(agg["n_orders"].to_numpy(np.int64),
+                            cust, n_tiles)
+    agg["m_score"] = _ntile(agg["revenue"].to_numpy(), cust, n_tiles)
+    agg["segment"] = (agg["r_score"] * 100 + agg["f_score"] * 10
+                      + agg["m_score"]).astype("int64")
+    for c in ("cust", "last_day", "n_orders"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["cust", "last_day", "n_orders", "revenue", "r_score",
+                "f_score", "m_score", "segment"]]
+
+
+def abc_analysis(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+    max_keys: int = 10_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """ABC / Pareto analysis: keys sorted by value descending, class A
+    while the cumulative share <= ``a_share``, B while <= ``b_share``,
+    else C — the inventory-management 80/15/5 cut.
+
+    One combiner exchange reduces per-key values; the ranked
+    cumulative pass runs on the driver over the KEY DIMENSION
+    (bounded, guarded).  Per-key values are rounded 2dp BEFORE the
+    total/cumsum so shares are engine-exact (sums of 2dp values in
+    the same (value desc, key asc) order); cum_share rounds 9dp
+    before the class compare.  Returns (key, value, cum_share,
+    abc_class).
+    """
+    from .exchange import exchange_agg
+
+    agg = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                "key": t.column(key_col).cast(pa.int64()),
+                "val": t.column(value_col).cast(pa.float64())}),
+            batch_format="pyarrow"),
+        "key", [("val", "sum", "value")],
+        num_partitions=num_partitions).to_pandas()
+    if len(agg) > max_keys:
+        raise ValueError(
+            f"abc_analysis: {len(agg)} keys exceeds max_keys="
+            f"{max_keys}; range_sort + a distributed prefix sum "
+            f"replaces the driver tail at this scale")
+    agg["value"] = np.round(agg["value"].to_numpy(), 2)
+    agg = (agg.sort_values(["value", "key"], ascending=[False, True])
+           .reset_index(drop=True))
+    total = float(agg["value"].sum())
+    cum = np.round(np.cumsum(agg["value"].to_numpy()) / total, 9)
+    cls = np.where(cum <= a_share, "A",
+                   np.where(cum <= b_share, "B", "C"))
+    agg["cum_share"] = cum
+    agg["abc_class"] = cls
+    agg["key"] = agg["key"].astype("int64")
+    return agg[["key", "value", "cum_share", "abc_class"]]
