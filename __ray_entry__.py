@@ -7065,6 +7065,21 @@ def _parts_abc_classes(sf_dir: str) -> pd.DataFrame:
             .sort_values("l_partkey").reset_index(drop=True))
 
 
+def _embeddings_triplets(sf_dir: str) -> pd.DataFrame:
+    """Hard-example triplet mining (stages/knn.py::triplet_mining):
+    hardest positive / hardest negative per anchor by 6dp-rounded
+    cosine with min-id tiebreaks — the knn_bruteforce broadcast
+    pattern, two matmuls per batch."""
+    from text_to_rdf_ray.stages.knn import triplet_mining
+
+    out = triplet_mining(_embeddings(sf_dir)).to_pandas()
+    for c in ("vec_id", "pos_id", "neg_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["vec_id", "pos_id", "neg_id", "pos_sim", "neg_sim",
+                 "margin"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8426,6 +8441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fsm_conformance": _events_fsm_conformance,
         "custs_rfm_segments": _custs_rfm_segments,
         "parts_abc_classes": _parts_abc_classes,
+        "embeddings_triplets": _embeddings_triplets,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12889,6 +12905,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "embeddings_triplets": """
+            -- triplet replay: pairwise cosine rounded 6dp, hardest
+            -- positive = (sim asc, ib asc) rn 1 within label,
+            -- hardest negative = (sim desc, ib asc) rn 1 across
+            WITH u AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings),
+            nrm AS MATERIALIZED (
+              SELECT vec_id, sqrt(sum(val * val)) AS nrm
+              FROM u GROUP BY 1),
+            lab AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+            s AS MATERIALIZED (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     round(sum(a.val * b.val) / (na.nrm * nb.nrm), 6)
+                         AS sim
+              FROM u a JOIN u b
+                ON a.dim = b.dim AND a.vec_id <> b.vec_id
+              JOIN nrm na ON na.vec_id = a.vec_id
+              JOIN nrm nb ON nb.vec_id = b.vec_id
+              GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+            sl AS MATERIALIZED (
+              SELECT s.ia, s.ib, s.sim, la.label AS lab_a,
+                     lb.label AS lab_b
+              FROM s JOIN lab la ON la.vec_id = s.ia
+              JOIN lab lb ON lb.vec_id = s.ib),
+            pos AS (SELECT ia, ib, sim,
+                           row_number() OVER (PARTITION BY ia
+                               ORDER BY sim ASC, ib ASC) AS rn
+                    FROM sl WHERE lab_a = lab_b),
+            neg AS (SELECT ia, ib, sim,
+                           row_number() OVER (PARTITION BY ia
+                               ORDER BY sim DESC, ib ASC) AS rn
+                    FROM sl WHERE lab_a <> lab_b)
+            SELECT p.ia AS vec_id, p.ib AS pos_id, n.ib AS neg_id,
+                   p.sim AS pos_sim, n.sim AS neg_sim,
+                   round(p.sim - n.sim, 6) AS margin
+            FROM pos p JOIN neg n ON n.ia = p.ia AND n.rn = 1
+            WHERE p.rn = 1 ORDER BY vec_id
+        """,
         "custs_rfm_segments": """
             -- RFM replay: identical per-customer aggregates and
             -- NTILE(5) windows with custkey tiebreaks

@@ -1391,3 +1391,32 @@ def test_pca_power_scores_matches_eigh(ray_session):
     got = out["pc1"].to_numpy()
     sign = 1.0 if np.dot(got, ref) >= 0 else -1.0
     assert np.abs(got - sign * ref).max() < 1e-4
+
+
+def test_triplet_mining_manual(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.knn import triplet_mining
+
+    # label 0: vecs 0,1,2 along x with slight tilts; label 1: vec 3
+    # opposite-ish, vec 4 near x (the hard negative)
+    vecs = [
+        [1.0, 0.0], [0.9, 0.1], [0.0, 1.0],   # label 0
+        [-1.0, 0.0], [0.95, 0.05],            # label 1
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+        "label": pa.array([0, 0, 0, 1, 1], pa.int32()),
+    })
+    out = (triplet_mining(rd.from_arrow(tbl).repartition(2))
+           .to_pandas().set_index("vec_id"))
+    # anchor 0 (label 0): hardest positive = 2 (orthogonal);
+    # hardest negative = 4 (cosine ~0.9986), not 3
+    assert out.loc[0, "pos_id"] == 2
+    assert out.loc[0, "neg_id"] == 4
+    assert out.loc[0, "margin"] < 0  # negative closer than positive
+    # anchor 3 (label 1): only positive is 4
+    assert out.loc[3, "pos_id"] == 4
+    assert len(out) == 5

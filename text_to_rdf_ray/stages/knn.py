@@ -1138,3 +1138,88 @@ def pca_power_scores(
                          "pc1": pa.array(s, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def triplet_mining(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    max_vectors: int = 2_000_000,
+) -> rd.Dataset:
+    """Hard-example triplet mining (FaceNet, Schroff 2015 — the
+    metric-learning data-prep step): for every anchor, its HARDEST
+    positive (lowest-cosine same-label neighbour) and HARDEST
+    negative (highest-cosine different-label neighbour), plus the
+    margin — the triplets an embedding trainer consumes.
+
+    Shape = the knn_bruteforce broadcast pattern: the (id, label,
+    normalized-vector) corpus is broadcast ONCE via ray.put (guarded
+    by ``max_vectors``; beyond it, mine within IVF clusters — the
+    knn_ivf path) and every batch does two float64 matmuls against
+    it.  Similarities round 6dp BEFORE the argmin/argmax and ties
+    break to the smaller counterpart id, so selection is
+    engine-exact.  Anchors whose label has no second member are
+    dropped (no positive exists).  Returns (id_col, pos_id, neg_id,
+    pos_sim, neg_sim, margin = round(pos_sim - neg_sim, 6)).
+    """
+    import ray
+
+    head = ds.map_batches(
+        lambda t: pa.table({
+            "_id": t.column(id_col).cast(pa.int64()),
+            "_lab": t.column(label_col).cast(pa.int64()),
+            emb_col: t.column(emb_col)}),
+        batch_format="pyarrow").to_pandas()
+    if len(head) > max_vectors:
+        raise ValueError(
+            f"triplet_mining: {len(head)} vectors exceeds "
+            f"max_vectors={max_vectors}; mine within IVF clusters at "
+            f"this scale")
+    C = _normalize(np.asarray(
+        [np.asarray(v, np.float64) for v in head[emb_col]],
+        dtype=np.float64))
+    ids = head["_id"].to_numpy(np.int64)
+    labs = head["_lab"].to_numpy(np.int64)
+    bcast = ray.put((C, ids, labs))
+    cache: dict = {}
+    big = np.iinfo(np.int64).max
+
+    def mine(batch: pa.Table) -> pa.Table:
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(bcast)
+        Cm, cids, clabs = st
+        X = _normalize(_emb_matrix(batch, emb_col).astype(np.float64))
+        bids = (batch.column(id_col).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        blabs = (batch.column(label_col).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        sims = np.round(X @ Cm.T, 6)
+        same = blabs[:, None] == clabs[None, :]
+        not_self = bids[:, None] != cids[None, :]
+        pos_mask = same & not_self
+        neg_mask = ~same
+        # hardest positive: MIN sim among same-label, tie -> min id
+        ps = np.where(pos_mask, sims, np.inf)
+        pos_sim = ps.min(axis=1)
+        pos_id = np.where(ps == pos_sim[:, None],
+                          cids[None, :], big).min(axis=1)
+        # hardest negative: MAX sim among other labels, tie -> min id
+        ns = np.where(neg_mask, sims, -np.inf)
+        neg_sim = ns.max(axis=1)
+        neg_id = np.where(ns == neg_sim[:, None],
+                          cids[None, :], big).min(axis=1)
+        ok = np.isfinite(pos_sim) & np.isfinite(neg_sim)
+        return pa.table({
+            id_col: pa.array(bids[ok], pa.int64()),
+            "pos_id": pa.array(pos_id[ok], pa.int64()),
+            "neg_id": pa.array(neg_id[ok], pa.int64()),
+            "pos_sim": pa.array(pos_sim[ok], pa.float64()),
+            "neg_sim": pa.array(neg_sim[ok], pa.float64()),
+            "margin": pa.array(
+                np.round(pos_sim[ok] - neg_sim[ok], 6), pa.float64())})
+
+    return ds.map_batches(mine, batch_format="pyarrow",
+                          batch_size=4096)
