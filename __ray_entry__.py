@@ -7080,6 +7080,23 @@ def _embeddings_triplets(sf_dir: str) -> pd.DataFrame:
             .sort_values("vec_id").reset_index(drop=True))
 
 
+def _events_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavioral entropy over event types (stages/
+    analytics.py::group_entropy): H = ln(N) - Σ n ln n / N via two
+    count exchanges, no per-key probability pass."""
+    from text_to_rdf_ray.stages.analytics import group_entropy
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    out = group_entropy(ev, key_col="user_id",
+                        cat_col="event_type").to_pandas()
+    out = out.rename(columns={"key": "user_id"})
+    for c in ("user_id", "n", "n_cats"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "n", "n_cats", "entropy"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8442,6 +8459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_rfm_segments": _custs_rfm_segments,
         "parts_abc_classes": _parts_abc_classes,
         "embeddings_triplets": _embeddings_triplets,
+        "events_user_entropy": _events_user_entropy,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12905,6 +12923,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_extractive_summary": _summary_sql(iterations=4, top_k=2,
                                                 seg=8),
+        "events_user_entropy": """
+            -- entropy replay: identical H = ln(N) - sum(n ln n)/N
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT user_id, sum(n) AS n,
+                         sum(n * ln(n)) AS s,
+                         count(*) AS n_cats
+                  FROM c GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST(n_cats AS BIGINT) AS n_cats,
+                   round(ln(n) - s / n, 6) AS entropy
+            FROM a ORDER BY user_id
+        """,
         "embeddings_triplets": """
             -- triplet replay: pairwise cosine rounded 6dp, hardest
             -- positive = (sim asc, ib asc) rn 1 within label,

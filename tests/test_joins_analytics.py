@@ -3346,3 +3346,25 @@ def test_abc_analysis_manual(ray_session):
     assert out.loc[2, "abc_class"] == "B"   # 0.90
     assert out.loc[3, "abc_class"] == "C"   # 0.96
     assert out.loc[4, "abc_class"] == "C"
+
+
+def test_group_entropy_manual(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import group_entropy
+
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "t": pa.array(["a", "a", "b", "b", "a", "a", "x"],
+                      pa.string()),
+    })
+    out = (group_entropy(rd.from_arrow(tbl).repartition(3),
+                         key_col="u", cat_col="t")
+           .to_pandas().set_index("key"))
+    # user 1: uniform over 2 cats -> ln 2; user 2: single cat -> 0
+    assert abs(out.loc[1, "entropy"] - round(math.log(2), 6)) < 1e-9
+    assert out.loc[2, "entropy"] == 0.0
+    assert out.loc[3, "entropy"] == 0.0
+    assert out.loc[1, "n_cats"] == 2

@@ -3613,3 +3613,62 @@ def abc_analysis(
     agg["abc_class"] = cls
     agg["key"] = agg["key"].astype("int64")
     return agg[["key", "value", "cum_share", "abc_class"]]
+
+
+def group_entropy(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    cat_col: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Shannon entropy of a categorical distribution per key (nats) —
+    the behavioral-diversity feature (how varied is a user's event
+    mix / a host's content mix).
+
+    Uses the identity H = ln(N) - (Σ n_c ln n_c) / N so ONE
+    (key, cat)-count exchange followed by ONE key-keyed exchange_agg
+    of (n, n ln n) partials suffices — no per-key probability
+    materialization, no second pass.  Category counts are exact;
+    entropy rounds 6dp with the identical expression tree in SQL.
+    Returns (key, n, n_cats, entropy).
+    """
+    from .exchange import exchange_agg
+
+    counts = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                "k": t.column(key_col).cast(pa.int64()),
+                "c": t.column(cat_col).cast(pa.string()),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["k", "c"], [("one", "sum", "n")],
+        num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "k": t.column("k"),
+            "n": t.column("n"),
+            "nlogn": pa.array(n * np.log(n), pa.float64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = exchange_agg(
+        counts.map_batches(partial, batch_format="pyarrow"),
+        "k", [("n", "sum", "n"), ("nlogn", "sum", "s"),
+              ("one", "sum", "n_cats")],
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": t.column("k"),
+            "n": t.column("n"),
+            "n_cats": t.column("n_cats"),
+            "entropy": pa.array(np.round(np.log(n) - s / n, 6),
+                                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
