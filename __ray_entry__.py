@@ -465,6 +465,36 @@ def _dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup CLUSTERS: the dedup_simhash_pairs generator
+    fed through stages/dedup.py::pairs_to_canonical (connected
+    components, min-id canonical) — completing the pairs->clusters
+    duality for the simhash family (minhash and embedding already
+    have both).  Oracle: same side-written simhash values, exact
+    Hamming pair join, recursive reach."""
+    from text_to_rdf_ray.stages.dedup import (pairs_to_canonical,
+                                              simhash_pairs)
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        from text_to_rdf_ray.kernels.minhash import simhash64
+
+        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": pa.array(hs, pa.uint64())})
+
+    side = docs.map_batches(hashes, batch_format="pyarrow").to_pandas()
+    _side_write("dedup_simhash_docs", "simhash.parquet",
+                side.sort_values("doc_id").reset_index(drop=True))
+    out = pairs_to_canonical(docs, simhash_pairs(docs),
+                             "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return (out[["doc_id", "canonical_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _dedup_ngram(sf_dir: str) -> pd.DataFrame:
     from text_to_rdf_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -8460,6 +8490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc_classes": _parts_abc_classes,
         "embeddings_triplets": _embeddings_triplets,
         "events_user_entropy": _events_user_entropy,
+        "dedup_simhash_docs": _dedup_simhash_docs,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -13596,6 +13627,24 @@ def oracle_sql() -> dict[str, str]:
                        FROM h a JOIN h b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, CAST(d AS DOUBLE) AS score
             FROM p WHERE d <= 3 ORDER BY id_a, id_b
+        """,
+        "dedup_simhash_docs": f"""
+            -- simhash pairs (side-written hashes, exact Hamming join)
+            -- -> connected components -> min-id canonical
+            WITH RECURSIVE h AS (SELECT doc_id, h FROM read_parquet(
+                   '{os.path.join(_SIDE, "dedup_simhash_docs", "simhash.parquet")}')),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM h a JOIN h b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.h, b.h)) <= 3),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION ALL SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM h
+              UNION
+              SELECT e.dst, reach.r FROM reach
+              JOIN edges e ON e.src = reach.id)
+            SELECT id AS doc_id, min(r) AS canonical_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "knn_ivf": f"""
             WITH a AS (SELECT vec_id, cluster
