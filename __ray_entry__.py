@@ -684,6 +684,41 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _knn_recall_eval(sf_dir: str) -> pd.DataFrame:
+    """ANN recall@10 — the accuracy-vs-cost readout for the IVF index:
+    the same nprobe=4 IVF run as knn_ivf scored against exact
+    brute-force top-10 per query; recall = |ivf ∩ exact| / 10.  Side
+    tables dumped under THIS query's dir so the oracle replays both
+    rankings independently and recomputes the overlap."""
+    from text_to_rdf_ray.stages.knn import (ivf_assignments,
+                                            knn_bruteforce, knn_ivf)
+
+    q, qids = _knn_queries(sf_dir)
+    emb = _embeddings(sf_dir)
+    side: dict = {}
+    approx = knn_ivf(emb, q, qids, k=10, n_clusters=16, nprobe=4,
+                     side_out=side)
+    assign = ivf_assignments(emb, side["centers"]).to_pandas()
+    _side_write("knn_recall_eval", "assign.parquet",
+                assign.sort_values("vec_id").reset_index(drop=True))
+    probes = pd.DataFrame(
+        [(qid, c) for qid, clusters in side["probes"] for c in clusters],
+        columns=["query_id", "cluster"])
+    _side_write("knn_recall_eval", "probes.parquet", probes)
+    exact = knn_bruteforce(emb, q, qids, k=10)
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = exact.assign(hit=[
+        (r, n) in a for r, n in zip(exact["query_id"],
+                                    exact["neighbor_id"])])
+    out = (hits.groupby("query_id", as_index=False)
+           .agg(n_overlap=("hit", "sum")))
+    out["n_overlap"] = out["n_overlap"].astype("int64")
+    out["recall"] = np.round(out["n_overlap"].to_numpy() / 10.0, 6)
+    out["query_id"] = out["query_id"].astype("int64")
+    return (out[["query_id", "n_overlap", "recall"]]
+            .sort_values("query_id").reset_index(drop=True))
+
+
 def _knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN (stages/knn.py knn_lsh): random-hyperplane sign
     buckets, multiprobe=1 (own bucket + every 1-bit flip).  Recall < 1 vs
@@ -8491,6 +8526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_triplets": _embeddings_triplets,
         "events_user_entropy": _events_user_entropy,
         "dedup_simhash_docs": _dedup_simhash_docs,
+        "knn_recall_eval": _knn_recall_eval,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -13645,6 +13681,45 @@ def oracle_sql() -> dict[str, str]:
               JOIN edges e ON e.src = reach.id)
             SELECT id AS doc_id, min(r) AS canonical_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "knn_recall_eval": f"""
+            -- recall@10 replay: IVF ranking from THIS query's side
+            -- tables (the knn_ivf fragment) vs exact brute-force,
+            -- overlap counted per query
+            WITH a AS (SELECT vec_id, cluster
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_recall_eval", "assign.parquet")}')),
+                 p AS (SELECT query_id, cluster
+                       FROM read_parquet('{os.path.join(_SIDE, "knn_recall_eval", "probes.parquet")}')),
+                 q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < {_QUERY_N}),
+                 s1 AS (SELECT p.query_id AS qid, a.vec_id AS nid,
+                               list_cosine_similarity(q.qe, e.embedding)
+                                   AS sim
+                        FROM p JOIN a ON a.cluster = p.cluster
+                               JOIN q ON q.qid = p.query_id
+                               JOIN embeddings e ON e.vec_id = a.vec_id),
+                 r1 AS (SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rnk
+                        FROM s1),
+                 ivf AS (SELECT qid, nid FROM r1 WHERE rnk <= 10),
+                 s2 AS (SELECT q.qid, e.vec_id AS nid,
+                               list_cosine_similarity(q.qe, e.embedding)
+                                   AS sim
+                        FROM q CROSS JOIN embeddings e),
+                 r2 AS (SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rnk
+                        FROM s2),
+                 ex AS (SELECT qid, nid FROM r2 WHERE rnk <= 10),
+                 ov AS (SELECT ex.qid, count(i.nid) AS n_overlap
+                        FROM ex LEFT JOIN ivf i
+                          ON i.qid = ex.qid AND i.nid = ex.nid
+                        GROUP BY ex.qid)
+            SELECT qid AS query_id,
+                   CAST(n_overlap AS BIGINT) AS n_overlap,
+                   round(n_overlap / 10.0, 6) AS recall
+            FROM ov ORDER BY query_id
         """,
         "knn_ivf": f"""
             WITH a AS (SELECT vec_id, cluster
