@@ -7162,6 +7162,30 @@ def _events_user_entropy(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _parts_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration Gini over parts (stages/analytics.py::
+    gini_coefficient) — same 2dp revenue derivation as
+    parts_abc_classes, ranked ascending with key tiebreak."""
+    from text_to_rdf_ray.stages.analytics import gini_coefficient
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "rev": pa.array(np.round(ep * (1.0 - dc), 2),
+                            pa.float64())})
+
+    out = gini_coefficient(li.map_batches(rev, batch_format="pyarrow"),
+                           key_col="l_partkey", value_col="rev")
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8527,6 +8551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": _events_user_entropy,
         "dedup_simhash_docs": _dedup_simhash_docs,
         "knn_recall_eval": _knn_recall_eval,
+        "parts_revenue_gini": _parts_revenue_gini,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -13069,6 +13094,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_score * 100 + f_score * 10 + m_score
                         AS BIGINT) AS segment
             FROM s ORDER BY cust
+        """,
+        "parts_revenue_gini": """
+            -- Gini replay: identical 2dp per-key revenue, ascending
+            -- rank sum, identical closed-form expression
+            WITH r AS (SELECT l_partkey,
+                              round(l_extendedprice
+                                    * (1.0 - l_discount), 2) AS rev
+                       FROM lineitem),
+            a AS (SELECT l_partkey AS key,
+                         round(sum(rev), 2) AS v
+                  FROM r GROUP BY 1),
+            rk AS (SELECT v, row_number() OVER (ORDER BY v ASC,
+                                                key ASC) AS i
+                   FROM a),
+            t AS (SELECT count(*) AS n, sum(v) AS total,
+                         sum(i * v) AS s
+                  FROM rk)
+            SELECT CAST(n AS BIGINT) AS n_keys,
+                   round(total, 2) AS total,
+                   round(2.0 * s / (n * total) - (n + 1.0) / n, 9)
+                       AS gini
+            FROM t
         """,
         "parts_abc_classes": """
             -- ABC replay: 2dp per-key revenue, (value desc, key asc)

@@ -3368,3 +3368,22 @@ def test_group_entropy_manual(ray_session):
     assert out.loc[2, "entropy"] == 0.0
     assert out.loc[3, "entropy"] == 0.0
     assert out.loc[1, "n_cats"] == 2
+
+
+def test_gini_coefficient_extremes(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.analytics import gini_coefficient
+
+    # perfect equality -> 0
+    eq = pa.table({"k": pa.array(range(10), pa.int64()),
+                   "v": pa.array([5.0] * 10, pa.float64())})
+    g0 = gini_coefficient(rd.from_arrow(eq), key_col="k",
+                          value_col="v").iloc[0]["gini"]
+    assert abs(g0) < 1e-9
+    # all mass on one key of n -> (n-1)/n
+    one = pa.table({"k": pa.array(range(10), pa.int64()),
+                    "v": pa.array([0.0] * 9 + [100.0], pa.float64())})
+    g1 = gini_coefficient(rd.from_arrow(one), key_col="k",
+                          value_col="v").iloc[0]["gini"]
+    assert abs(g1 - 0.9) < 1e-9

@@ -3672,3 +3672,53 @@ def group_entropy(
                                 pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def gini_coefficient(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    max_keys: int = 10_000_000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Gini concentration coefficient of per-key value mass — the
+    inequality readout beside abc_analysis (how concentrated is
+    revenue/traffic over parts/hosts/users).
+
+    G = 2 Σ i·v_i / (n Σ v) - (n + 1) / n over values sorted
+    ascending (ties are rank-order invariant: equal values contribute
+    the same sum under any permutation, so the key tiebreak is for
+    engine determinism only).  Per-key values reduce through one
+    combiner exchange and are rounded 2dp; the ranked pass is a
+    driver fold over the bounded key dimension (guarded — the
+    abc_analysis contract).  Returns one row (n_keys, total, gini
+    rounded 9dp).
+    """
+    from .exchange import exchange_agg
+
+    agg = exchange_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                "key": t.column(key_col).cast(pa.int64()),
+                "val": t.column(value_col).cast(pa.float64())}),
+            batch_format="pyarrow"),
+        "key", [("val", "sum", "value")],
+        num_partitions=num_partitions).to_pandas()
+    if len(agg) > max_keys:
+        raise ValueError(
+            f"gini_coefficient: {len(agg)} keys exceeds max_keys="
+            f"{max_keys}; use range_sort + a distributed weighted "
+            f"rank sum at this scale")
+    v = np.round(agg["value"].to_numpy(), 2)
+    order = np.lexsort((agg["key"].to_numpy(np.int64), v))
+    v = v[order]
+    n = len(v)
+    total = float(v.sum())
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    gini = round(2.0 * float((ranks * v).sum()) / (n * total)
+                 - (n + 1.0) / n, 9)
+    return pd.DataFrame([{
+        "n_keys": np.int64(n),
+        "total": round(total, 2),
+        "gini": gini}])
