@@ -3883,6 +3883,31 @@ def _docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
             .sort_values("rank").reset_index(drop=True))
 
 
+def _docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility metrics for the learned 6-merge BPE
+    (stages/bpe.py::bpe_train): tokens per word occurrence and chars
+    per token over the corpus word distribution — THE
+    tokenizer-quality readout (a fertility near 1 means whole-word
+    tokens; chars/token tracks compression).  Integer-exact sums,
+    two rounded divisions."""
+    _, words = _bpe_run(sf_dir)
+    # tokens = space-separated symbols; a standalone '</w>' marker is
+    # not a token (a FUSED 'x</w>' is -- GPT-2-style end-of-word)
+    nt = words["sym"].map(
+        lambda s: len([p for p in s.split(" ")
+                       if p and p != "</w>"]))
+    cnt = words["cnt"].astype("int64")
+    word_occ = int(cnt.sum())
+    tok_occ = int((cnt * nt).sum())
+    char_occ = int((cnt * words["word"].str.len()).sum())
+    return pd.DataFrame([{
+        "n_distinct_words": np.int64(len(words)),
+        "word_occurrences": np.int64(word_occ),
+        "token_occurrences": np.int64(tok_occ),
+        "fertility": round(tok_occ / word_occ, 6),
+        "chars_per_token": round(char_occ / tok_occ, 6)}])
+
+
 def _docs_bpe_segment(sf_dir: str) -> pd.DataFrame:
     """Final word segmentation after the 6 merges (stages/bpe.py::
     bpe_train) — double-space replace invariant makes the distributed
@@ -8552,6 +8577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _dedup_simhash_docs,
         "knn_recall_eval": _knn_recall_eval,
         "parts_revenue_gini": _parts_revenue_gini,
+        "docs_bpe_fertility": _docs_bpe_fertility,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12352,6 +12378,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "docs_bpe_fertility": _bpe_sql(6, """
+            SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+                   CAST(sum(cnt) AS BIGINT) AS word_occurrences,
+                   CAST(sum(cnt * nt) AS BIGINT) AS token_occurrences,
+                   round(CAST(sum(cnt * nt) AS DOUBLE)
+                         / sum(cnt), 6) AS fertility,
+                   round(CAST(sum(cnt * len(word)) AS DOUBLE)
+                         / sum(cnt * nt), 6) AS chars_per_token
+            FROM (SELECT word, cnt,
+                         len(list_filter(str_split(sym, '  '),
+                                         x -> x <> ''
+                                              AND x <> '</w>')) AS nt
+                  FROM w6)"""),
         "docs_bm25_topk_join": """
             -- BM25 top-15 per query, Lucene ln(1+(N-df+.5)/(df+.5)) idf,
             -- k1=1.2 b=0.75; rank on (round(score,6) desc, doc_id)
