@@ -3908,6 +3908,18 @@ def _docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
         "chars_per_token": round(char_occ / tok_occ, 6)}])
 
 
+def _docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law OLS over the top-100 term frequencies (stages/
+    curation.py::zipf_fit — build_vocab's funneled top-k + a
+    closed-form driver fit)."""
+    from text_to_rdf_ray.stages.curation import zipf_fit
+
+    out = zipf_fit(_documents(sf_dir).select_columns(["text"]),
+                   top_k=100)
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _docs_bpe_segment(sf_dir: str) -> pd.DataFrame:
     """Final word segmentation after the 6 merges (stages/bpe.py::
     bpe_train) — double-space replace invariant makes the distributed
@@ -8578,6 +8590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall_eval": _knn_recall_eval,
         "parts_revenue_gini": _parts_revenue_gini,
         "docs_bpe_fertility": _docs_bpe_fertility,
+        "docs_zipf_fit": _docs_zipf_fit,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12378,6 +12391,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "docs_zipf_fit": """
+            -- Zipf OLS replay: (count desc, term asc) ranks, identical
+            -- closed-form slope/intercept/r2 trees
+            WITH tc AS (SELECT term, count(*) AS c FROM (
+                          SELECT unnest(list_filter(
+                              str_split(lower(text), ' '),
+                              x -> x <> '')) AS term
+                          FROM documents) GROUP BY 1),
+            rk AS (SELECT c, row_number() OVER (ORDER BY c DESC,
+                                                term ASC) AS r
+                   FROM tc),
+            top AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                           ln(CAST(c AS DOUBLE)) AS y
+                    FROM rk WHERE r <= 100),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy,
+                         sum(y * y) AS syy
+                  FROM top)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n, 6)
+                       AS intercept,
+                   round(CASE WHEN (n * sxx - sx * sx)
+                                   * (n * syy - sy * sy) > 0
+                         THEN (n * sxy - sx * sy)
+                              * (n * sxy - sx * sy)
+                              / ((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy))
+                         ELSE 1.0 END, 6) AS r2
+            FROM s
+        """,
         "docs_bpe_fertility": _bpe_sql(6, """
             SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
                    CAST(sum(cnt) AS BIGINT) AS word_occurrences,

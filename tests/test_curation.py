@@ -1672,3 +1672,23 @@ def test_gopher_rules_flags(ray_session):
     assert bool(r2["pass_word_len"]) is False
     assert r2["dup_bigram_frac"] == round(1.0 - 1 / 39, 6)
     assert bool(r2["pass_rep"]) is False
+
+
+def test_zipf_fit_planted_power_law(ray_session):
+    from text_to_rdf_ray.stages.curation import zipf_fit
+
+    # plant term frequencies following freq = 1000 / rank exactly:
+    # slope must come out -1, r2 = 1
+    words = []
+    for r in range(1, 21):
+        words += [f"term{r:02d}"] * (1000 // r)
+    # one doc per 50 words
+    texts = [" ".join(words[i:i + 50])
+             for i in range(0, len(words), 50)]
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = zipf_fit(ds, top_k=20).iloc[0]
+    # 1000//r is near-exact power law; slope close to -1
+    assert abs(out["slope"] + 1.0) < 0.02
+    assert out["r2"] > 0.999
+    assert out["n_terms"] == 20

@@ -3144,3 +3144,42 @@ def gopher_rules(
             "keep": pass_len & pass_wl & pass_rep})
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def zipf_fit(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus term distribution: OLS of
+    ln(freq) on ln(rank) for the top ``top_k`` terms — the classic
+    corpus-health readout (natural text sits near slope -1; synthetic
+    or templated corpora deviate visibly).
+
+    Term counting is :func:`build_vocab`'s funneled top-k (the full
+    vocabulary is never collected); the fit is driver arithmetic over
+    ``top_k`` rows with the closed-form slope/intercept expressions
+    (the group_ols tree), ln values and results rounded where the SQL
+    replay rounds.  Returns one row (n_terms, slope, intercept,
+    r2) — slope is the (negative) Zipf exponent.
+    """
+    vocab = (build_vocab(ds, text_col=text_col, max_vocab=top_k)
+             .to_pandas().sort_values("token_id"))
+    n = len(vocab)
+    if n < 2:
+        raise ValueError("zipf_fit: need >= 2 distinct terms")
+    x = np.log(vocab["token_id"].to_numpy(np.float64))
+    y = np.log(vocab["count"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = ((n * sxy - sx * sy) ** 2 / denom) if denom > 0 else 1.0
+    return pd.DataFrame([{
+        "n_terms": np.int64(n),
+        "slope": round(slope, 6),
+        "intercept": round(intercept, 6),
+        "r2": round(r2, 6)}])
