@@ -3920,6 +3920,19 @@ def _docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _docs_heaps_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth fit (stages/curation.py::
+    heaps_fit): per-term first-doc exchange + per-bucket token
+    counts, log-log OLS over 10 doc-id-ordered prefixes."""
+    from text_to_rdf_ray.stages.curation import heaps_fit
+
+    out = heaps_fit(
+        _documents(sf_dir).select_columns(["doc_id", "text"]),
+        n_buckets=10)
+    out["n_buckets"] = out["n_buckets"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _docs_bpe_segment(sf_dir: str) -> pd.DataFrame:
     """Final word segmentation after the 6 merges (stages/bpe.py::
     bpe_train) — double-space replace invariant makes the distributed
@@ -8591,6 +8604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_revenue_gini": _parts_revenue_gini,
         "docs_bpe_fertility": _docs_bpe_fertility,
         "docs_zipf_fit": _docs_zipf_fit,
+        "docs_heaps_fit": _docs_heaps_fit,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12391,6 +12405,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "docs_heaps_fit": """
+            -- Heaps replay: first-doc per term -> bucket counts,
+            -- per-bucket tokens, cumulative points, identical OLS
+            WITH d AS (SELECT doc_id,
+                              list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '') AS w
+                       FROM documents),
+            bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                       FROM d),
+            pos AS (SELECT doc_id, unnest(w) AS term FROM d),
+            ft AS (SELECT term, min(doc_id) AS fd FROM pos GROUP BY 1),
+            nb AS (SELECT least((fd - b.lo) * 10
+                                // (b.hi - b.lo + 1), 9) AS bucket,
+                          count(*) AS new_terms
+                   FROM ft CROSS JOIN bounds b GROUP BY 1),
+            tk AS (SELECT least((doc_id - b.lo) * 10
+                                // (b.hi - b.lo + 1), 9) AS bucket,
+                          sum(len(w)) AS ntok
+                   FROM d CROSS JOIN bounds b GROUP BY 1),
+            f AS (SELECT bucket,
+                         coalesce(new_terms, 0) AS new_terms,
+                         coalesce(ntok, 0) AS ntok
+                  FROM nb FULL OUTER JOIN tk USING (bucket)),
+            c AS (SELECT sum(new_terms) OVER (ORDER BY bucket) AS v,
+                         sum(ntok) OVER (ORDER BY bucket) AS n
+                  FROM f),
+            pts AS (SELECT ln(CAST(n AS DOUBLE)) AS x,
+                           ln(CAST(v AS DOUBLE)) AS y
+                    FROM c WHERE v > 0 AND n > 0),
+            s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy,
+                         sum(y * y) AS syy
+                  FROM pts)
+            SELECT CAST(m AS BIGINT) AS n_buckets,
+                   round((m * sxy - sx * sy)
+                         / (m * sxx - sx * sx), 6) AS beta,
+                   round((sy - ((m * sxy - sx * sy)
+                                / (m * sxx - sx * sx)) * sx) / m, 6)
+                       AS log_k,
+                   round(CASE WHEN (m * sxx - sx * sx)
+                                   * (m * syy - sy * sy) > 0
+                         THEN (m * sxy - sx * sy)
+                              * (m * sxy - sx * sy)
+                              / ((m * sxx - sx * sx)
+                                 * (m * syy - sy * sy))
+                         ELSE 1.0 END, 6) AS r2
+            FROM s
+        """,
         "docs_zipf_fit": """
             -- Zipf OLS replay: (count desc, term asc) ranks, identical
             -- closed-form slope/intercept/r2 trees

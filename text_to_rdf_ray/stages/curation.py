@@ -3183,3 +3183,104 @@ def zipf_fit(
         "slope": round(slope, 6),
         "intercept": round(intercept, 6),
         "r2": round(r2, 6)}])
+
+
+def heaps_fit(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Heaps'-law fit — the vocabulary-growth companion to
+    :func:`zipf_fit`: V(n) ~ K n^beta with V = distinct terms and n =
+    tokens seen, measured at ``n_buckets`` doc-id-ordered corpus
+    prefixes.  beta well below 1 is natural text; beta near 1 means
+    the corpus keeps minting novel tokens (ids, noise, boilerplate
+    hashes) — a curation smell.
+
+    Fully distributed measurement: per-term FIRST doc via one
+    term-keyed min exchange (a term's first occurrence defines where
+    it enters the vocabulary), token counts per doc bucket via a
+    second count exchange; both reduce to ``n_buckets`` rows
+    (buckets = equal doc-id ranges between observed min/max).  The
+    log-log OLS is the zipf_fit closed form over the bucket points.
+    Returns (n_buckets, beta, log_k, r2).
+    """
+    from .exchange import exchange_agg
+
+    ids = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(pc.min(t.column(id_col)).as_py())]
+                           if t.num_rows else [], pa.int64()),
+            "hi": pa.array([int(pc.max(t.column(id_col)).as_py())]
+                           if t.num_rows else [], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    lo, hi = int(ids["lo"].min()), int(ids["hi"].max())
+    span = max(hi - lo + 1, 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_t: list[str] = []
+        out_d: list[int] = []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            for t in set(_terms(txt or "")):
+                out_t.append(t)
+                out_d.append(did)
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "doc": pa.array(out_d, pa.int64())})
+
+    first = exchange_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "term", [("doc", "min", "first_doc")],
+        num_partitions=num_partitions)
+    newv = exchange_agg(
+        first.map_batches(
+            lambda t: pa.table({
+                "bucket": pa.array(np.minimum(
+                    (t.column("first_doc")
+                     .to_numpy(zero_copy_only=False) - lo)
+                    * n_buckets // span, n_buckets - 1), pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "bucket", [("one", "sum", "new_terms")],
+        num_partitions=4).to_pandas()
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        bk: dict[int, int] = {}
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            b = min((did - lo) * n_buckets // span, n_buckets - 1)
+            bk[b] = bk.get(b, 0) + len(_terms(txt or ""))
+        return pa.table({
+            "bucket": pa.array(list(bk), pa.int64()),
+            "ntok": pa.array(list(bk.values()), pa.int64())})
+
+    toks = exchange_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        "bucket", [("ntok", "sum", "ntok")],
+        num_partitions=4).to_pandas()
+    folded = (newv.merge(toks, on="bucket", how="outer").fillna(0)
+              .sort_values("bucket").reset_index(drop=True))
+    v = folded["new_terms"].cumsum().to_numpy(np.float64)
+    n = folded["ntok"].cumsum().to_numpy(np.float64)
+    ok = (v > 0) & (n > 0)
+    x = np.log(n[ok])
+    y = np.log(v[ok])
+    m = len(x)
+    if m < 2:
+        raise ValueError("heaps_fit: not enough non-empty buckets")
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    log_k = (sy - beta * sx) / m
+    denom = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    r2 = ((m * sxy - sx * sy) ** 2 / denom) if denom > 0 else 1.0
+    return pd.DataFrame([{
+        "n_buckets": np.int64(m),
+        "beta": round(beta, 6),
+        "log_k": round(log_k, 6),
+        "r2": round(r2, 6)}])
