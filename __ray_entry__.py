@@ -3933,6 +3933,18 @@ def _docs_heaps_fit(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _docs_bigram_entropy(sf_dir: str) -> pd.DataFrame:
+    """Corpus entropy rate (stages/curation.py::bigram_entropy):
+    unigram/bigram entropies by the sum-n-ln-n identity, conditional
+    next-token entropy by the chain rule, bigram perplexity bound."""
+    from text_to_rdf_ray.stages.curation import bigram_entropy
+
+    out = bigram_entropy(_documents(sf_dir).select_columns(["text"]))
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _docs_bpe_segment(sf_dir: str) -> pd.DataFrame:
     """Final word segmentation after the 6 merges (stages/bpe.py::
     bpe_train) — double-space replace invariant makes the distributed
@@ -8605,6 +8617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_fertility": _docs_bpe_fertility,
         "docs_zipf_fit": _docs_zipf_fit,
         "docs_heaps_fit": _docs_heaps_fit,
+        "docs_bigram_entropy": _docs_bigram_entropy,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12405,6 +12418,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "docs_bigram_entropy": """
+            -- entropy-rate replay: sum n ln n identity per gram kind,
+            -- chain-rule conditional, rounded where the engine rounds
+            WITH d AS (SELECT list_filter(str_split(lower(text), ' '),
+                                          x -> x <> '') AS w
+                       FROM documents),
+            uni AS (SELECT t, count(*) AS c FROM (
+                      SELECT unnest(w) AS t FROM d) GROUP BY 1),
+            su AS (SELECT sum(c) AS n1, sum(c * ln(c)) AS s1 FROM uni),
+            pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM d),
+            bi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c
+                   FROM pos WHERE i < len(w) GROUP BY 1, 2),
+            sb AS (SELECT sum(c) AS n2, sum(c * ln(c)) AS s2 FROM bi),
+            sel AS (SELECT n1, n2,
+                           round(ln(n1) - s1 / n1, 6) AS h1,
+                           round(ln(n2) - s2 / n2, 6) AS h2
+                    FROM su CROSS JOIN sb)
+            SELECT CAST(n1 AS BIGINT) AS n_tokens,
+                   CAST(n2 AS BIGINT) AS n_bigrams,
+                   h1 AS h_unigram, h2 AS h_bigram,
+                   round(h2 - h1, 6) AS h_conditional,
+                   round(exp(round(h2 - h1, 6)), 6) AS ppl_bound
+            FROM sel
+        """,
         "docs_heaps_fit": """
             -- Heaps replay: first-doc per term -> bucket counts,
             -- per-bucket tokens, cumulative points, identical OLS

@@ -3284,3 +3284,73 @@ def heaps_fit(
         "beta": round(beta, 6),
         "log_k": round(log_k, 6),
         "r2": round(r2, 6)}])
+
+
+def bigram_entropy(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Corpus entropy rate: unigram entropy H(W), bigram entropy
+    H(W1,W2) and the conditional next-token entropy H(W2|W1) =
+    H(W1,W2) - H(W1) (chain rule), in nats — how predictable the
+    corpus is token-to-token (the model-free floor under any LM's
+    perplexity; exp(H(W2|W1)) is the bigram perplexity bound).
+
+    All three reduce from ONE pass of per-batch (kind, gram) count
+    partials through a gram-keyed exchange, then the Σ n ln n
+    identity per kind (the group_entropy shape) — probabilities are
+    never materialized.  Unigram counts include every token; bigram
+    counts pair consecutive tokens within a doc.  Returns one row
+    (n_tokens, n_bigrams, h_unigram, h_bigram, h_conditional,
+    ppl_bound), entropies rounded 6dp.
+    """
+    from collections import Counter
+
+    from .exchange import exchange_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for txt in batch.column(text_col).to_pylist():
+            toks = _terms(txt or "")
+            uni.update(toks)
+            bi.update(f"{a}\x1f{b}" for a, b in zip(toks, toks[1:]))
+        grams = list(uni) + list(bi)
+        kinds = [0] * len(uni) + [1] * len(bi)
+        cnts = list(uni.values()) + list(bi.values())
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "gram": pa.array(grams, pa.string()),
+            "n": pa.array(cnts, pa.int64())})
+
+    counts = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "gram"], [("n", "sum", "n")],
+        num_partitions=num_partitions)
+    agg = exchange_agg(
+        counts.map_batches(
+            lambda t: pa.table({
+                "kind": t.column("kind"),
+                "n": t.column("n"),
+                "nlogn": pa.array(
+                    t.column("n").to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    * np.log(t.column("n")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.float64)), pa.float64())}),
+            batch_format="pyarrow"),
+        "kind", [("n", "sum", "total"), ("nlogn", "sum", "s")],
+        num_partitions=2).to_pandas().set_index("kind")
+    import math
+
+    n1 = int(agg.loc[0, "total"])
+    n2 = int(agg.loc[1, "total"])
+    h1 = round(math.log(n1) - float(agg.loc[0, "s"]) / n1, 6)
+    h2 = round(math.log(n2) - float(agg.loc[1, "s"]) / n2, 6)
+    hc = round(h2 - h1, 6)
+    return pd.DataFrame([{
+        "n_tokens": np.int64(n1), "n_bigrams": np.int64(n2),
+        "h_unigram": h1, "h_bigram": h2, "h_conditional": hc,
+        "ppl_bound": round(math.exp(hc), 6)}])
