@@ -7248,6 +7248,20 @@ def _parts_revenue_gini(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _events_power_analysis(sf_dir: str) -> pd.DataFrame:
+    """A/B sample-size calculation for the event value metric
+    (stages/analytics.py::power_analysis, MDE 0.5 absolute,
+    alpha 0.05 / power 0.80 normal approximation)."""
+    from text_to_rdf_ray.stages.analytics import power_analysis
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    out = power_analysis(ev, value_col="value", mde_abs=0.5)
+    out["n"] = out["n"].astype("int64")
+    out["n_per_arm"] = out["n_per_arm"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8618,6 +8632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_fit": _docs_zipf_fit,
         "docs_heaps_fit": _docs_heaps_fit,
         "docs_bigram_entropy": _docs_bigram_entropy,
+        "events_power_analysis": _events_power_analysis,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12418,6 +12433,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "events_power_analysis": """
+            -- power-analysis replay: same moments, same z literals,
+            -- same closed-form expression tree, ceil
+            WITH s AS (SELECT count(*) AS n, sum(value) AS sx,
+                              sum(value * value) AS sxx
+                       FROM events WHERE value IS NOT NULL),
+            m AS (SELECT n, round(sx / n, 6) AS mean,
+                         round((sxx - sx * sx / n) / (n - 1), 6)
+                             AS var,
+                         (1.959963985 + 0.8416212336) AS z
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n, mean, var,
+                   0.5 AS mde_abs,
+                   CAST(ceil(2.0 * z * z * var / (0.5 * 0.5))
+                        AS BIGINT) AS n_per_arm
+            FROM m
+        """,
         "docs_bigram_entropy": """
             -- entropy-rate replay: sum n ln n identity per gram kind,
             -- chain-rule conditional, rounded where the engine rounds

@@ -3722,3 +3722,58 @@ def gini_coefficient(
         "n_keys": np.int64(n),
         "total": round(total, 2),
         "gini": gini}])
+
+
+#: two-sided alpha=0.05 / power=0.80 normal quantiles (Abramowitz &
+#: Stegun 26.2.23 values, fixed literals shared with the SQL replay)
+Z_ALPHA_025 = 1.959963985
+Z_BETA_080 = 0.8416212336
+
+
+def power_analysis(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    mde_abs: float,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """A/B test sample-size calculation (normal approximation, equal
+    arms, two-sided alpha 0.05 / power 0.80): n per arm =
+    2 (z_a + z_b)^2 s^2 / delta^2 with s^2 the observed metric
+    variance and delta the absolute minimum detectable effect —
+    the experiment-planning readout beside welch_ttest/did_estimate.
+
+    One (n, Σx, Σx²) combiner pass; mean/var rounded 6dp, n_per_arm
+    = ceil of the closed form.  Returns one row
+    (n, mean, var, mde_abs, n_per_arm).
+    """
+    import math
+
+    from .exchange import exchange_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)].astype(np.float64)
+        return pa.table({
+            "k": pa.array([0], pa.int8()),
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64())})
+
+    a = exchange_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "k", [("n", "sum", "n"), ("sx", "sum", "sx"),
+              ("sxx", "sum", "sxx")],
+        num_partitions=num_partitions).to_pandas().iloc[0]
+    n = int(a["n"])
+    if n < 2:
+        raise ValueError("power_analysis: need >= 2 rows")
+    mean = round(float(a["sx"]) / n, 6)
+    var = round((float(a["sxx"]) - float(a["sx"]) ** 2 / n) / (n - 1),
+                6)
+    z = Z_ALPHA_025 + Z_BETA_080
+    n_arm = math.ceil(2.0 * z * z * var / (mde_abs * mde_abs))
+    return pd.DataFrame([{
+        "n": np.int64(n), "mean": mean, "var": var,
+        "mde_abs": float(mde_abs), "n_per_arm": np.int64(n_arm)}])
