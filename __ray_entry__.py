@@ -440,6 +440,36 @@ def _dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster-size histogram — the dedup AUDIT readout (how
+    much mass sits in big clusters drives dedup-rate expectations):
+    minhash_dedup's (doc, canonical) mapping folded by two count
+    exchanges into (cluster_size, n_clusters)."""
+    from text_to_rdf_ray.stages.dedup import minhash_dedup
+    from text_to_rdf_ray.stages.exchange import exchange_agg
+
+    clusters = minhash_dedup(_documents(sf_dir), threshold=0.8)
+    sizes = exchange_agg(
+        clusters.map_batches(
+            lambda b: pd.DataFrame({
+                "canonical_id": b["canonical_id"].astype("int64"),
+                "one": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        "canonical_id", [("one", "sum", "size")])
+    hist = exchange_agg(
+        sizes.map_batches(
+            lambda t: pa.table({
+                "size": t.column("size"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "size", [("one", "sum", "n_clusters")],
+        num_partitions=4).to_pandas()
+    hist["size"] = hist["size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return (hist[["size", "n_clusters"]]
+            .sort_values("size").reset_index(drop=True))
+
+
 def _dedup_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash pairs.  The 4x16-bit banding is EXACT for Hamming <= 3
     (pigeonhole), so dumping the per-doc simhash values as a side table
@@ -8633,6 +8663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heaps_fit": _docs_heaps_fit,
         "docs_bigram_entropy": _docs_bigram_entropy,
         "events_power_analysis": _events_power_analysis,
+        "dedup_cluster_sizes": _dedup_cluster_sizes,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -14129,6 +14160,43 @@ def oracle_sql() -> dict[str, str]:
                    round(inter * 1.0 / (la + lb - inter), 6) AS score
             FROM p WHERE inter * 1.0 / (la + lb - inter) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "dedup_cluster_sizes": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []
+                          WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(
+                            [array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+                     END AS g
+              FROM (SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN []
+                                ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                           END AS w
+                    FROM documents)
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) AS la, len(b.g) AS lb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.g) > 0 AND len(b.g) > 0
+            ),
+            e0 AS (SELECT id_a, id_b FROM p
+                   WHERE inter * 1.0 / (la + lb - inter) >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+                      UNION ALL SELECT id_b, id_a FROM e0),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            cc AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+            sz AS (SELECT canonical_id, count(*) AS size
+                   FROM cc GROUP BY 1)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY size ORDER BY size
         """,
         "dedup_minhash_docs": """
             WITH RECURSIVE sh AS (
