@@ -7292,6 +7292,21 @@ def _events_power_analysis(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _events_dau_wau(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU/stickiness per day (stages/windows.py::dau_wau): exact
+    trailing-7-day distinct actives via constant-factor pair
+    replication — no windowed distinct union ever materializes."""
+    from text_to_rdf_ray.stages.windows import dau_wau
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = dau_wau(ev).to_pandas()
+    for c in ("day", "dau", "wau"):
+        out[c] = out[c].astype("int64")
+    return (out[["day", "dau", "wau", "stickiness"]]
+            .sort_values("day").reset_index(drop=True))
+
+
 def _events_locf_fill(sf_dir: str) -> pd.DataFrame:
     """LOCF densification (stages/windows.py::resample_fill with
     fill='locf'): per-user hourly grid where silent hours carry the
@@ -8664,6 +8679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_entropy": _docs_bigram_entropy,
         "events_power_analysis": _events_power_analysis,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "events_dau_wau": _events_dau_wau,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12464,6 +12480,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "events_dau_wau": """
+            -- DAU/WAU replay: distinct (day,user), 7-day replication
+            -- for WAU, DAU 0 kept inside the observed range
+            WITH du AS (SELECT DISTINCT
+                            epoch_us(ts) // 86400000000 AS day,
+                            user_id AS u
+                        FROM events),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+            dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+            rep AS (SELECT DISTINCT du.day + o.i AS day, du.u
+                    FROM du CROSS JOIN (
+                      SELECT unnest(generate_series(0, 6)) AS i) o),
+            wau AS (SELECT day, count(*) AS wau FROM rep GROUP BY 1)
+            SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+                   round(coalesce(d.dau, 0) / CAST(w.wau AS DOUBLE),
+                         6) AS stickiness
+            FROM wau w LEFT JOIN dau d USING (day)
+            CROSS JOIN bounds b
+            WHERE w.day >= b.lo AND w.day <= b.hi
+            ORDER BY w.day
+        """,
         "events_power_analysis": """
             -- power-analysis replay: same moments, same z literals,
             -- same closed-form expression tree, ceil

@@ -3387,3 +3387,25 @@ def test_gini_coefficient_extremes(ray_session):
     g1 = gini_coefficient(rd.from_arrow(one), key_col="k",
                           value_col="v").iloc[0]["gini"]
     assert abs(g1 - 0.9) < 1e-9
+
+
+def test_dau_wau_manual(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.windows import dau_wau
+
+    D = 86_400_000_000
+    # user 1 active day 0 and 8; user 2 active day 0 only
+    tbl = pa.table({
+        "user_id": pa.array([1, 2, 1], pa.int64()),
+        "ts": pa.array([5, 99, 8 * D + 3], pa.timestamp("us")),
+    })
+    out = (dau_wau(rd.from_arrow(tbl).repartition(2), window_days=7)
+           .to_pandas().set_index("day"))
+    assert out.loc[0, "dau"] == 2 and out.loc[0, "wau"] == 2
+    # day 5: nobody active, but both users are within trailing 7d
+    assert out.loc[5, "dau"] == 0 and out.loc[5, "wau"] == 2
+    # day 7: day-0 activity aged out (supports days 0..6), day 8 not yet
+    assert out.loc[7, "wau"] == 0 if 7 in out.index else True
+    assert out.loc[8, "dau"] == 1 and out.loc[8, "wau"] == 1
+    assert out.loc[0, "stickiness"] == 1.0

@@ -1773,3 +1773,108 @@ def fsm_conformance(
                            batch_size=65536)
             .groupby("_part").map_groups(per_part,
                                          batch_format="pandas"))
+
+
+def dau_wau(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    day_us: int = 86_400_000_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """DAU / WAU / stickiness per day — the growth-analytics staple.
+
+    Exact trailing-window distinct WITHOUT a windowed distinct
+    aggregate: each distinct (day, user) pair REPLICATES to the
+    ``window_days`` trailing days it supports (a user active on day d
+    counts toward WAU(d..d+w-1)), then one distinct + count exchange
+    per day.  Replication factor is the window length — constant,
+    shuffle volume w x distinct pairs; no per-day set union ever
+    materializes.  Days with WAU support but no activity (DAU 0)
+    inside the observed range are kept.  Returns (day, dau, wau,
+    stickiness = round(dau / wau, 6)).
+    """
+    from .exchange import exchange_agg
+    from ..stages.analytics import distinct_rows
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts_us = (t.column(ts_col).cast(pa.timestamp("us"))
+                 .cast(pa.int64()))
+        day = ts_us.to_numpy(zero_copy_only=False) // day_us
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "u": t.column(key_col).cast(pa.int64())})
+
+    du = distinct_rows(ds.map_batches(pairs, batch_format="pyarrow"),
+                       cols=["day", "u"]).materialize()
+    lohi = du.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["day"].min()],
+                                "hi": [b["day"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(lohi["lo"].min()), int(lohi["hi"].max())
+    dau = exchange_agg(
+        du.map_batches(
+            lambda b: pd.DataFrame({
+                "day": b["day"].astype("int64"),
+                "one": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        "day", [("one", "sum", "dau")],
+        num_partitions=num_partitions)
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["day"].to_numpy(np.int64)
+        u = b["u"].to_numpy(np.int64)
+        dd = (np.repeat(d, window_days)
+              + np.tile(np.arange(window_days, dtype=np.int64),
+                        len(d)))
+        return pd.DataFrame({
+            "day": dd, "u": np.repeat(u, window_days)})
+
+    wau_pairs = distinct_rows(
+        du.map_batches(replicate, batch_format="pandas"),
+        cols=["day", "u"])
+    wau = exchange_agg(
+        wau_pairs.map_batches(
+            lambda b: pd.DataFrame({
+                "day": b["day"].astype("int64"),
+                "one": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        "day", [("one", "sum", "wau")],
+        num_partitions=num_partitions)
+    from ..stages.exchange import exchange_join
+
+    j = exchange_join(
+        wau.map_batches(
+            lambda b: pa.table({
+                "day": pa.array(b["day"].to_numpy(np.int64)),
+                "wau": pa.array(b["wau"].to_numpy(np.int64))}),
+            batch_format="pandas"),
+        dau.map_batches(
+            lambda b: pa.table({
+                "day": pa.array(b["day"].to_numpy(np.int64)),
+                "dau": pa.array(b["dau"].to_numpy(np.int64))}),
+            batch_format="pandas"),
+        on="day", how="left_outer", num_partitions=num_partitions,
+        left_schema=pa.schema([("day", pa.int64()),
+                               ("wau", pa.int64())]),
+        right_schema=pa.schema([("day", pa.int64()),
+                                ("dau", pa.int64())]))
+
+    def finish(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        keep = (day >= lo) & (day <= hi)
+        f = t.filter(pa.array(keep))
+        dau_v = np.nan_to_num(
+            f.column("dau").to_numpy(zero_copy_only=False)
+            .astype(np.float64)).astype(np.int64)
+        wau_v = f.column("wau").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": f.column("day"),
+            "dau": pa.array(dau_v, pa.int64()),
+            "wau": pa.array(wau_v, pa.int64()),
+            "stickiness": pa.array(np.round(dau_v / wau_v, 6),
+                                   pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
