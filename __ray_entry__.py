@@ -8222,6 +8222,35 @@ def _events_markov_stationary(sf_dir: str) -> pd.DataFrame:
             .sort_values("state").reset_index(drop=True))
 
 
+def _graph_centralization_parts(sf_dir: str) -> pd.DataFrame:
+    """Freeman degree centralization of the symmetrized co-purchase
+    graph (stages/graph.py::degree_centralization): integer-exact
+    n*deg_max - deg_sum fold, no degree table collected."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import degree_centralization
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "pk2": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    pairs = exchange_join(
+        li, right, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("pk2", pa.int64())]))
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("l_partkey"),
+                            "dst": t.column("pk2")}),
+        batch_format="pyarrow")
+    out = degree_centralization(edges)
+    for c in ("n_nodes", "n_edges", "deg_max"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _events_ohlc(sf_dir: str) -> pd.DataFrame:
     """Hourly OHLC bars per event type (stages/windows.py::ohlc_bars):
     open/close = value at the (ts, event_id)-min/max row, high/low/n —
@@ -8680,6 +8709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_power_analysis": _events_power_analysis,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "events_dau_wau": _events_dau_wau,
+        "graph_centralization_parts": _graph_centralization_parts,
         "revenue_by_part_type": _revenue_by_part_type,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
@@ -12480,6 +12510,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_merges": _bpe_sql(6, 'SELECT * FROM (SELECT 1 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best1 UNION ALL SELECT 2 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best2 UNION ALL SELECT 3 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best3 UNION ALL SELECT 4 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best4 UNION ALL SELECT 5 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best5 UNION ALL SELECT 6 AS "rank", str_split(pair,\' \')[1] AS "left", str_split(pair,\' \')[2] AS "right", replace(pair,\' \',\'\') AS merged, CAST(cnt AS BIGINT) AS pair_cnt FROM best6) ORDER BY "rank"'),
         "docs_bpe_segment": _bpe_sql(6, "SELECT word, CAST(cnt AS BIGINT) AS cnt, trim(replace(sym, '  ', ' ')) AS sym FROM w6 ORDER BY word"),
+        "graph_centralization_parts": """
+            -- Freeman centralization replay: distinct neighbor
+            -- degrees over the symmetrized co-purchase graph,
+            -- identical integer fold and expression tree
+            WITH inst AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            e AS (SELECT DISTINCT u AS node, v AS nbr FROM inst),
+            deg AS (SELECT node, count(*) AS d FROM e GROUP BY 1),
+            s AS (SELECT count(*) AS n, sum(d) AS dsum,
+                         max(d) AS dmax
+                  FROM deg)
+            SELECT CAST(n AS BIGINT) AS n_nodes,
+                   CAST(dsum // 2 AS BIGINT) AS n_edges,
+                   CAST(dmax AS BIGINT) AS deg_max,
+                   round((n * dmax - dsum)
+                         / ((n - 1.0) * (n - 2.0)), 9)
+                       AS centralization
+            FROM s
+        """,
         "events_dau_wau": """
             -- DAU/WAU replay: distinct (day,user), 7-day replication
             -- for WAU, DAU 0 kept inside the observed range

@@ -766,3 +766,25 @@ def test_betweenness_distributed_parity(ray_session):
     # nano units are integer-exact up to the per-level rint boundary;
     # engines may differ by at most 1 nano per level fold
     assert (a["bc_nano"] - b["bc_nano"]).abs().max() <= 4
+
+
+def test_degree_centralization_star_and_ring(ray_session):
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.graph import degree_centralization
+
+    def sym(pairs):
+        src = [a for a, b in pairs] + [b for a, b in pairs]
+        dst = [b for a, b in pairs] + [a for a, b in pairs]
+        return rd.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())}))
+
+    # perfect 5-star -> centralization 1.0
+    star = degree_centralization(sym([(0, i) for i in range(1, 5)]))
+    assert star.iloc[0]["centralization"] == 1.0
+    assert star.iloc[0]["deg_max"] == 4
+    # 5-ring (regular) -> 0.0
+    ring = degree_centralization(sym([(i, (i + 1) % 5)
+                                      for i in range(5)]))
+    assert ring.iloc[0]["centralization"] == 0.0

@@ -2540,3 +2540,68 @@ def betweenness_from_seeds(
                 t.column("bc_nano").to_numpy(zero_copy_only=False)
                 / 1e9, pa.float64())}),
         batch_format="pyarrow")
+
+
+def degree_centralization(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Freeman degree centralization (Freeman 1979) of an undirected
+    graph: C = Σ_v (deg_max - deg_v) / ((n - 1)(n - 2)) — 0 for a
+    ring/regular graph, 1 for a perfect star; the one-number
+    "is this graph hub-dominated" readout beside the degree
+    histogram.
+
+    Input edges are taken as ALREADY symmetrized-or-not directed
+    rows; degree = distinct neighbors per node (self-loops dropped).
+    One distinct + one count exchange; the closing fold needs only
+    (n, deg_max, deg_sum_deficit), reduced via a bounded
+    per-partition partial — no degree table is collected.  Returns
+    one row (n_nodes, n_edges, deg_max, centralization rounded 9dp).
+    """
+    from .exchange import exchange_agg
+    from .analytics import distinct_rows
+
+    e = distinct_rows(
+        edges.map_batches(
+            lambda t: (lambda f: pa.table({
+                "node": f.column(src_col).cast(pa.int64()),
+                "nbr": f.column(dst_col).cast(pa.int64())}))(
+                t.filter(pc.not_equal(t.column(src_col),
+                                      t.column(dst_col)))),
+            batch_format="pyarrow"),
+        cols=["node", "nbr"]).materialize()
+    deg = exchange_agg(
+        e.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].astype("int64"),
+                "one": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        "node", [("one", "sum", "deg")],
+        num_partitions=num_partitions)
+    part = deg.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "dsum": pa.array([int(t.column("deg")
+                                  .to_numpy(zero_copy_only=False)
+                                  .sum())] if t.num_rows else [0],
+                             pa.int64()),
+            "dmax": pa.array([int(t.column("deg")
+                                  .to_numpy(zero_copy_only=False)
+                                  .max())] if t.num_rows else [0],
+                             pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n = int(part["n"].sum())
+    if n < 3:
+        raise ValueError("degree_centralization: need >= 3 nodes")
+    dsum = int(part["dsum"].sum())
+    dmax = int(part["dmax"].max())
+    cent = round((n * dmax - dsum) / ((n - 1.0) * (n - 2.0)), 9)
+    return pd.DataFrame([{
+        "n_nodes": np.int64(n),
+        "n_edges": np.int64(dsum // 2),
+        "deg_max": np.int64(dmax),
+        "centralization": cent}])
