@@ -3596,40 +3596,21 @@ def _docs_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
 
 def _parts_copurchase(sf_dir: str) -> pd.DataFrame:
     """Co-purchase graph projection (the bipartite order↔part table
-    projected onto part–part edges): distinct (order, part) rows, self
-    exchange_join on the order, pair filter a < b, exchange_agg count,
-    weight >= 2 — the item-item edge list a recommender trains on.
-    Per-order pair fan-out is bounded by order size (≤7 lineitems in
-    TPC-H-shaped data); hub orders would need the documented degree cap
-    from graph_common_neighbors."""
-    from text_to_rdf_ray.stages.analytics import distinct_rows
-    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+    projected onto part–part edges) via the shared
+    stages/graph.py::common_neighbors operator: distinct (order, part)
+    rows, hub-order degree cap (max_wedge_degree=10,000, counted as
+    commonnb_capped_*; never fires on TPC-H-shaped data where orders
+    have ≤7 lineitems — the SQL replays the cap anyway), self
+    exchange_join on the order, pair count, weight >= 2 — the item-item
+    edge list a recommender trains on."""
+    from text_to_rdf_ray.stages.graph import common_neighbors
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_partkey"])
-    d = distinct_rows(li, cols=["l_orderkey", "l_partkey"]).materialize()
-    s = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
-    pairs = exchange_join(
-        d, d.map_batches(
-            lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
-                                "part_b": t.column("l_partkey")}),
-            batch_format="pyarrow"),
-        on="l_orderkey", left_schema=s,
-        right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("part_b", pa.int64())]))
-
-    def lt(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.less(t.column("l_partkey"), t.column("part_b")))
-        return pa.table({"part_a": f.column("l_partkey"),
-                         "part_b": f.column("part_b")})
-
-    counted = exchange_agg(
-        pairs.map_batches(lt, batch_format="pyarrow"),
-        ["part_a", "part_b"], [("part_b", "count", "weight")])
-    out = counted.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("weight"),
-                                            pa.scalar(2, pa.int64()))),
-        batch_format="pyarrow").to_pandas()
+    out = common_neighbors(
+        li, a_col="l_partkey", z_col="l_orderkey", min_common=2,
+        max_wedge_degree=10_000,
+        out_a="part_a", out_b="part_b", out_count="weight").to_pandas()
     out["weight"] = out["weight"].astype("int64")
     return (out[["part_a", "part_b", "weight"]]
             .sort_values(["part_a", "part_b"]).reset_index(drop=True))
@@ -6010,13 +5991,14 @@ def _events_cdc_state(sf_dir: str) -> pd.DataFrame:
 
 def _graph_common_neighbors(sf_dir: str) -> pd.DataFrame:
     """Co-occurrence similarity (common-neighbor counts): supplier pairs
-    sharing ≥ 3 distinct customers in the supplier→customer graph —
-    distinct edges, self exchange_join on the customer, pair filter
-    a < b, exchange_agg count, threshold.  The per-customer pair explode
-    is the documented cost: O(Σ deg²); production caps hub customers
-    first (key_skew_stats + a degree threshold)."""
-    from text_to_rdf_ray.stages.analytics import distinct_rows
-    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+    sharing ≥ 3 distinct customers in the supplier→customer graph, via
+    the shared stages/graph.py::common_neighbors operator — distinct
+    edges, hub-customer degree cap (max_wedge_degree=10,000, counted as
+    commonnb_capped_z / commonnb_capped_wedges; the SQL replays the cap
+    in its z-degree CTE so the oracle stays exact even if it fires),
+    self exchange_join on the customer, pair count, threshold."""
+    from text_to_rdf_ray.stages.exchange import exchange_join
+    from text_to_rdf_ray.stages.graph import common_neighbors
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey"])
@@ -6034,38 +6016,10 @@ def _graph_common_neighbors(sf_dir: str) -> pd.DataFrame:
         on="okey",
         left_schema=pa.schema([("okey", pa.int64()), ("supp", pa.int64())]),
         right_schema=pa.schema([("okey", pa.int64()), ("cust", pa.int64())]))
-    edges = distinct_rows(
-        joined.map_batches(
-            lambda b: b[["supp", "cust"]].drop_duplicates(),
-            batch_format="pandas", batch_size=65536),
-        cols=["supp", "cust"]).materialize()
-    es = pa.schema([("cust", pa.int64()), ("supp", pa.int64())])
-    pairs = exchange_join(
-        edges.map_batches(
-            lambda t: pa.table({"cust": t.column("cust"),
-                                "supp": t.column("supp")}),
-            batch_format="pyarrow"),
-        edges.map_batches(
-            lambda t: pa.table({"cust": t.column("cust"),
-                                "supp_b": t.column("supp")}),
-            batch_format="pyarrow"),
-        on="cust", left_schema=es,
-        right_schema=pa.schema([("cust", pa.int64()),
-                                ("supp_b", pa.int64())]))
-
-    def lt(t: pa.Table) -> pa.Table:
-        keep = pc.less(t.column("supp"), t.column("supp_b"))
-        f = t.filter(keep)
-        return pa.table({"supp_a": f.column("supp"),
-                         "supp_b": f.column("supp_b")})
-
-    cnt = exchange_agg(pairs.map_batches(lt, batch_format="pyarrow"),
-                       ["supp_a", "supp_b"],
-                       [("supp_b", "count", "common")])
-    out = cnt.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("common"),
-                                            pa.scalar(3, pa.int64()))),
-        batch_format="pyarrow").to_pandas()
+    out = common_neighbors(
+        joined, a_col="supp", z_col="cust", min_common=3,
+        max_wedge_degree=10_000,
+        out_a="supp_a", out_b="supp_b", out_count="common").to_pandas()
     for c in ("supp_a", "supp_b", "common"):
         out[c] = out[c].astype("int64")
     return (out[["supp_a", "supp_b", "common"]]
@@ -9446,12 +9400,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_copurchase": """
             -- co-purchase projection replay: distinct bipartite rows,
+            -- hub cap (deg <= 10000, the operator's max_wedge_degree),
             -- self-join per order, pair count, weight >= 2
             WITH d AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            ok AS (
+              SELECT l_orderkey FROM d GROUP BY 1
+              HAVING count(*) <= 10000),
+            dc AS (SELECT d.* FROM d JOIN ok USING (l_orderkey)),
             p AS (
               SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-              FROM d a JOIN d b
+              FROM dc a JOIN dc b
                 ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey)
             SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS weight
@@ -10051,13 +10010,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_common_neighbors": """
             -- common-neighbor counts over the distinct supplier->customer
-            -- graph: pairs of suppliers sharing >= 3 customers
+            -- graph: hub cap (deg <= 10000, the operator's
+            -- max_wedge_degree), pairs of suppliers sharing >= 3 customers
             WITH edges AS (
               SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            ok AS (
+              SELECT cust FROM edges GROUP BY 1
+              HAVING count(*) <= 10000),
+            e AS (SELECT edges.* FROM edges JOIN ok USING (cust))
             SELECT a.supp AS supp_a, b.supp AS supp_b,
                    CAST(count(*) AS BIGINT) AS common
-            FROM edges a JOIN edges b
+            FROM e a JOIN e b
               ON a.cust = b.cust AND a.supp < b.supp
             GROUP BY 1, 2 HAVING count(*) >= 3
             ORDER BY 1, 2
@@ -10309,7 +10273,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
                               CAST(o_custkey AS BIGINT) AS z
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            d AS (SELECT z, count(*) AS degz FROM e GROUP BY z),
+            d AS (SELECT z, count(*) AS degz FROM e GROUP BY z
+                  HAVING count(*) <= 10000),
             w AS (
               SELECT e1.a AS a, e2.a AS b, d.degz AS degz
               FROM e e1

@@ -788,3 +788,64 @@ def test_degree_centralization_star_and_ring(ray_session):
     ring = degree_centralization(sym([(i, (i + 1) % 5)
                                       for i in range(5)]))
     assert ring.iloc[0]["centralization"] == 0.0
+
+
+def test_link_prediction_hub_cap_fires_and_is_counted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.state import counters
+    from text_to_rdf_ray.stages.graph import link_prediction
+
+    # z=99 is a planted hub with 6 neighbors; z=10/11 are normal (deg 2)
+    hub = pd.DataFrame({"src": [1, 2, 3, 4, 5, 6], "dst": [99] * 6})
+    norm = pd.DataFrame({"src": [1, 2, 1, 2], "dst": [10, 10, 11, 11]})
+    e = pd.concat([hub, norm], ignore_index=True)
+
+    counters.snapshot(reset=True)
+    capped = (link_prediction(rd.from_pandas(e), min_common=1,
+                              max_wedge_degree=5)
+              .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    snap = counters.snapshot(reset=True)
+    # hub z=99 (deg 6 > 5) dropped: only the (1,2) pair via z=10,11 remains
+    assert len(capped) == 1
+    assert (capped.a[0], capped.b[0], capped.common[0]) == (1, 2, 2)
+    assert snap.get("linkpred_capped_z") == 1
+    assert snap.get("linkpred_capped_wedges") == 15  # 6*5/2
+
+    # forced-uncapped parity: hub wedges present, no counter
+    full = (link_prediction(rd.from_pandas(e), min_common=1,
+                            max_wedge_degree=None)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    snap2 = counters.snapshot(reset=True)
+    assert "linkpred_capped_z" not in snap2
+    assert len(full) == 15  # C(6,2) hub pairs, (1,2) merged with its row
+    assert int(full.loc[(full.a == 1) & (full.b == 2), "common"].iloc[0]) == 3
+
+
+def test_common_neighbors_hub_cap_and_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.state import counters
+    from text_to_rdf_ray.stages.graph import common_neighbors
+
+    hub = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [99] * 4})
+    norm = pd.DataFrame({"src": [1, 2, 1, 2], "dst": [10, 10, 11, 11]})
+    e = pd.concat([hub, norm], ignore_index=True)
+
+    counters.snapshot(reset=True)
+    capped = (common_neighbors(rd.from_pandas(e), min_common=1,
+                               max_wedge_degree=3)
+              .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    snap = counters.snapshot(reset=True)
+    assert list(capped.itertuples(index=False)) == [(1, 2, 2)]
+    assert snap.get("commonnb_capped_z") == 1
+    assert snap.get("commonnb_capped_wedges") == 6  # 4*3/2
+
+    full = (common_neighbors(rd.from_pandas(e), min_common=1,
+                             max_wedge_degree=None)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(full) == 6  # C(4,2) via hub, (1,2) row merged
+    assert int(full.loc[(full.a == 1) & (full.b == 2),
+                        "common"].iloc[0]) == 3

@@ -1682,12 +1682,104 @@ def scc(
         batch_format="pyarrow")
 
 
+def _cap_hub_degrees(degz: rd.Dataset, deg_col: str, cap: int,
+                     counter_prefix: str) -> rd.Dataset:
+    """Drop hub rows with ``deg_col > cap`` from a per-z degree table,
+    incrementing ``{prefix}_capped_z`` (hub count) and
+    ``{prefix}_capped_wedges`` (deg*(deg-1)/2 wedge mass avoided) — the
+    repo's no-silent-caps convention (see stages/dedup.py max_bucket).
+    Materialized: the degree table is O(distinct z) (small vs edges) and
+    downstream exchange plans may re-execute a lazy lineage, which would
+    double-count the side-effect counters."""
+    capv = pa.scalar(int(cap), pa.int64())
+
+    def flt(t: pa.Table) -> pa.Table:
+        from ..state.counters import incr
+
+        over = pc.greater(t.column(deg_col), capv)
+        n_over = pc.sum(over.cast(pa.int64())).as_py() or 0
+        if n_over:
+            d = t.filter(over).column(deg_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            incr({f"{counter_prefix}_capped_z": int(n_over),
+                  f"{counter_prefix}_capped_wedges":
+                      int((d * (d - 1) // 2).sum())})
+        return t.filter(pc.invert(over))
+
+    return degz.map_batches(flt, batch_format="pyarrow").materialize()
+
+
+def common_neighbors(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "src",
+    z_col: str = "dst",
+    min_common: int = 2,
+    max_wedge_degree: int | None = 10_000,
+    num_partitions: int = 32,
+    out_a: str = "a",
+    out_b: str = "b",
+    out_count: str = "common",
+) -> rd.Dataset:
+    """Common-neighbor pair counts over a bipartite edge table ``(a, z)``:
+    pairs ``(a, b)``, ``a < b``, sharing >= ``min_common`` distinct z's.
+    The projection step of co-occurrence similarity / co-purchase graphs.
+
+    Scale shape: distinct edges -> per-z degree -> hub cap (drop z's with
+    deg > ``max_wedge_degree`` BEFORE the wedge explode; counted as
+    ``commonnb_capped_z`` / ``commonnb_capped_wedges``, same convention as
+    ``link_prediction``) -> semi-join edges to surviving z's -> self
+    ``exchange_join`` on z -> ``a < b`` filter -> per-pair
+    ``exchange_agg`` count -> threshold.  O(sum deg(z)^2) bounded by
+    cap^2 per z.  SQL oracles replay the cap with
+    ``HAVING count(*) <= cap`` on the z-degree CTE.
+    """
+    from .analytics import distinct_rows
+    from .exchange import exchange_agg, exchange_join
+
+    e = distinct_rows(
+        _project(edges, [(a_col, "a"), (z_col, "z")]),
+        cols=["a", "z"]).materialize()
+    es = pa.schema([("z", pa.int64()), ("a", pa.int64())])
+    if max_wedge_degree is not None:
+        degz = _cap_hub_degrees(
+            exchange_agg(e, "z", [("a", "count", "degz")],
+                         num_partitions=num_partitions),
+            "degz", int(max_wedge_degree), "commonnb")
+        # semi-join: keep only edges whose z survived the cap (the degz
+        # payload rides along and is dropped in the projection below)
+        e = exchange_join(
+            e, degz, on="z", num_partitions=num_partitions,
+            left_schema=es,
+            right_schema=pa.schema([("z", pa.int64()),
+                                    ("degz", pa.int64())]))
+    pairs = exchange_join(
+        _project(e, [("z", "z"), ("a", "a")]),
+        _project(e, [("z", "z"), ("a", "b")]),
+        on="z", num_partitions=num_partitions,
+        left_schema=pa.schema([("z", pa.int64()), ("a", pa.int64())]),
+        right_schema=pa.schema([("z", pa.int64()), ("b", pa.int64())]))
+
+    def lt(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less(t.column("a"), t.column("b")))
+        return pa.table({out_a: f.column("a"), out_b: f.column("b")})
+
+    cnt = exchange_agg(pairs.map_batches(lt, batch_format="pyarrow"),
+                       [out_a, out_b], [(out_b, "count", out_count)],
+                       num_partitions=num_partitions)
+    mc = pa.scalar(int(min_common), pa.int64())
+    return cnt.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column(out_count), mc)),
+        batch_format="pyarrow")
+
+
 def link_prediction(
     edges: rd.Dataset,
     *,
     a_col: str = "src",
     z_col: str = "dst",
     min_common: int = 2,
+    max_wedge_degree: int | None = 10_000,
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """Common-neighbor link-prediction scores (Adamic–Adar and
@@ -1701,14 +1793,23 @@ def link_prediction(
     any z contributing to a pair has deg >= 2 and ln(deg) > 0).
 
     Scale shape: distinct-edge pass (``exchange_agg`` distinct) ->
-    per-z degree (``exchange_agg`` count) -> one ``exchange_join``
-    attaching deg(z) to edges -> self ``exchange_join`` on z exploding
-    wedges (the documented O(sum deg(z)^2) cost — same as
-    common-neighbor counting; production caps hub z's first via a
-    degree threshold) -> per-pair ``exchange_agg`` sums.  Per-row float
-    terms 1/ln(deg) and 1/deg are computed vectorized inside the map;
-    only the pair sums are float — callers round before comparing
-    across engines (sum order is partition-dependent).
+    per-z degree (``exchange_agg`` count) -> hub cap (below) -> one
+    ``exchange_join`` attaching deg(z) to edges -> self ``exchange_join``
+    on z exploding wedges (the documented O(sum deg(z)^2) cost) ->
+    per-pair ``exchange_agg`` sums.  Per-row float terms 1/ln(deg) and
+    1/deg are computed vectorized inside the map; only the pair sums are
+    float — callers round before comparing across engines (sum order is
+    partition-dependent).
+
+    ``max_wedge_degree`` (default 10,000) drops hub z's whose degree
+    exceeds the cap BEFORE the wedge explode — one celebrity node with
+    deg 10^6 would otherwise materialize ~5*10^11 wedge rows.  Dropped
+    hubs are COUNTED, never silent: ``linkpred_capped_z`` (hubs) and
+    ``linkpred_capped_wedges`` (deg*(deg-1)/2 wedge mass they would have
+    produced).  A capped hub contributes 1/ln(deg)->0 per wedge anyway,
+    so AA/RA scores degrade gracefully; pass ``None`` for exact-recall.
+    Callers with an SQL oracle replay the cap as
+    ``WHERE degz <= max_wedge_degree`` in the wedge CTE.
     """
     from .analytics import distinct_rows
     from .exchange import exchange_agg, exchange_join, join_out_schema
@@ -1719,6 +1820,9 @@ def link_prediction(
     es = pa.schema([("a", pa.int64()), ("z", pa.int64())])
     degz = exchange_agg(e, "z", [("a", "count", "degz")],
                         num_partitions=num_partitions)
+    if max_wedge_degree is not None:
+        degz = _cap_hub_degrees(degz, "degz", int(max_wedge_degree),
+                                "linkpred")
     ds_deg = pa.schema([("z", pa.int64()), ("degz", pa.int64())])
     ew = exchange_join(e, degz, on="z", num_partitions=num_partitions,
                        left_schema=es, right_schema=ds_deg)
