@@ -3409,3 +3409,29 @@ def test_dau_wau_manual(ray_session):
     assert out.loc[7, "wau"] == 0 if 7 in out.index else True
     assert out.loc[8, "dau"] == 1 and out.loc[8, "wau"] == 1
     assert out.loc[0, "stickiness"] == 1.0
+
+
+def test_group_broadcast_family_max_groups_guard(ray_session):
+    """The O(groups)-broadcast transforms raise (never silently collect)
+    past max_groups — the percentile_rank guard pattern applied to the
+    whole family (VERDICT r4 #3)."""
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import (group_zscore,
+                                                  minmax_scale,
+                                                  quantile_bucket,
+                                                  target_encode_loo)
+
+    df = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                       "v": np.arange(10, dtype=np.float64)})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="group_zscore.*max_groups"):
+        group_zscore(ds, key_col="k", value_col="v", max_groups=5)
+    with pytest.raises(ValueError, match="minmax_scale.*max_groups"):
+        minmax_scale(ds, key_col="k", value_col="v", max_groups=5)
+    with pytest.raises(ValueError, match="target_encode_loo.*max_groups"):
+        target_encode_loo(ds, key_col="k", target_col="v", max_groups=5)
+    # quantile_bucket needs >= 2 rows per group for sane quantiles;
+    # 10 singleton groups still build the bound table, which trips first
+    with pytest.raises(ValueError, match="quantile_bucket.*max_groups"):
+        quantile_bucket(ds, key_col="k", value_col="v", max_groups=5)

@@ -746,6 +746,7 @@ def quantile_bucket(
     value_col: str,
     n_buckets: int = 4,
     out_col: str = "bucket",
+    max_groups: int = 2_000_000,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Per-group quantile-bucket assignment (curriculum / quality tiers):
@@ -761,18 +762,24 @@ def quantile_bucket(
     value can sit within one ulp of it; a bound that IS a data value is
     bit-exact in any quantile_cont implementation (lerp with frac=0 or
     equal endpoints), so ``v > bound`` replays identically in SQL.
+
+    Raises above ``max_groups`` groups (the broadcast bound matrix is
+    O(groups * n_buckets) float64); past that attach the bounds with an
+    ``exchange_join`` on the key instead of a driver broadcast.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     qdf = group_quantiles_exact(ds, key_col=key_col, value_col=value_col,
                                 qs=qs)
-    bounds = {row[key_col]: np.array([row[f"q_{q}"] for q in qs],
-                                     dtype=np.float64)
-              for _, row in qdf.iterrows()}
-    key_ix = {k: i for i, k in enumerate(bounds)}
-    bmat = (np.stack(list(bounds.values()))
-            if bounds else np.zeros((0, len(qs))))
+    if len(qdf) > max_groups:
+        raise ValueError(
+            f"quantile_bucket: {len(qdf)} groups exceeds "
+            f"max_groups={max_groups}; attach bounds via exchange_join "
+            "at that cardinality instead of a driver broadcast")
+    key_ix = {k: i for i, k in enumerate(qdf[key_col])}
+    bmat = (qdf[[f"q_{q}" for q in qs]].to_numpy(np.float64)
+            if len(qdf) else np.zeros((0, len(qs))))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -791,6 +798,7 @@ def group_zscore(
     key_col: str,
     value_col: str,
     out_col: str = "z",
+    max_groups: int = 2_000_000,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Per-group z-score standardization (population std): the reward /
@@ -800,7 +808,15 @@ def group_zscore(
     streaming pass that appends ``out_col`` rounded to 6 dp.  Groups
     with zero variance get z = 0.0 (documented; SQL replays via
     coalesce).  No shuffle of the data rows themselves.
+
+    Raises above ``max_groups`` distinct keys (the broadcast table is
+    O(groups); 2M key->(mean,std) entries ~ 50 MB).  Past that the
+    broadcast-stats shape is wrong: attach the per-group stats with an
+    ``exchange_join`` on the key instead (one extra exchange of the
+    O(groups) table, zero driver memory).
     """
+    import ray
+
     from .exchange import exchange_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -815,28 +831,41 @@ def group_zscore(
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         key_col, [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss")],
         num_partitions=num_partitions, combine=False).to_pandas()
+    if len(red) > max_groups:
+        raise ValueError(
+            f"group_zscore: {len(red)} groups exceeds "
+            f"max_groups={max_groups}; attach stats via exchange_join "
+            "at that cardinality instead of a driver broadcast")
 
     # round the per-group constants to 6 dp BEFORE applying: the engines'
     # sums differ in the last ulp (summation order), but the rounded
     # constants agree, making every per-row z bit-identical to the SQL
-    # replay computed from the same rounded mean/std
-    def _r6(x: float) -> float:
-        return float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+    # replay computed from the same rounded mean/std.  Vectorized over
+    # the O(groups) table (no iterrows); the two key->constant dicts are
+    # built ONCE here and broadcast via ray.put (read once per worker,
+    # never rebuilt per batch).
+    n = red["n"].to_numpy(np.float64)
+    s = red["s"].to_numpy(np.float64)
+    ss = red["ss"].to_numpy(np.float64)
+    mean = s / n
+    var = np.maximum(ss / n - mean * mean, 0.0)
 
-    stats: dict = {}
-    for _, row in red.iterrows():
-        n, s, ss = row["n"], row["s"], row["ss"]
-        mean = s / n
-        var = max(ss / n - mean * mean, 0.0)
-        stats[row[key_col]] = (_r6(mean), _r6(float(np.sqrt(var))))
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    mean_map = dict(zip(red[key_col], _r6(mean)))
+    std_map = dict(zip(red[key_col], _r6(np.sqrt(var))))
+    ref = ray.put((mean_map, std_map))
+    cache: dict = {}
 
     def apply_z(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return batch.assign(**{out_col: pd.Series(dtype="float64")})
-        mean = batch[key_col].map({k: v[0] for k, v in stats.items()}) \
-            .to_numpy(dtype=np.float64)
-        std = batch[key_col].map({k: v[1] for k, v in stats.items()}) \
-            .to_numpy(dtype=np.float64)
+        st = cache.get("s")
+        if st is None:
+            st = cache["s"] = ray.get(ref)
+        mean = batch[key_col].map(st[0]).to_numpy(dtype=np.float64)
+        std = batch[key_col].map(st[1]).to_numpy(dtype=np.float64)
         v = batch[value_col].to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(std > 0, (v - mean) / std, 0.0)
@@ -2364,13 +2393,16 @@ def minmax_scale(
     key_col: str,
     value_col: str,
     out_col: str = "scaled",
+    max_groups: int = 2_000_000,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Per-group min-max feature scaling:
     ``(x − min_g) / (max_g − min_g)`` (constant groups scale to 0.0).
     One combiner-backed exchange_agg computes the O(groups) fence table,
     which rides a broadcast into a pure map — the fact stream never
-    shuffles (same economics as iqr_outliers)."""
+    shuffles (same economics as iqr_outliers).  Raises above
+    ``max_groups`` groups; past that attach the fences with an
+    ``exchange_join`` on the key instead of a driver broadcast."""
     import ray
 
     from .exchange import exchange_agg
@@ -2379,6 +2411,11 @@ def minmax_scale(
         ds.select_columns([key_col, value_col]), key_col,
         [(value_col, "min", "_mn"), (value_col, "max", "_mx")],
         num_partitions=num_partitions).to_pandas()
+    if len(fences) > max_groups:
+        raise ValueError(
+            f"minmax_scale: {len(fences)} groups exceeds "
+            f"max_groups={max_groups}; attach fences via exchange_join "
+            "at that cardinality instead of a driver broadcast")
     mn = dict(zip(fences[key_col], fences["_mn"].astype(np.float64)))
     mx = dict(zip(fences[key_col], fences["_mx"].astype(np.float64)))
     ref = ray.put((mn, mx))
@@ -2405,13 +2442,15 @@ def target_encode_loo(
     key_col: str,
     target_col: str,
     out_col: str = "te",
+    max_groups: int = 2_000_000,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Leave-one-out target encoding — the leakage-safe categorical
     encoder: each row gets ``(Σ_g target − own target) / (n_g − 1)``;
     singleton groups get NaN (no information without leakage).  Same
     broadcast shape as :func:`minmax_scale`: one O(groups) sum/count
-    exchange, then a pure map."""
+    exchange, then a pure map — and the same ``max_groups`` guard
+    (exchange_join the stats past it)."""
     import ray
 
     from .exchange import exchange_agg
@@ -2420,6 +2459,11 @@ def target_encode_loo(
         ds.select_columns([key_col, target_col]), key_col,
         [(target_col, "sum", "_s"), (target_col, "count", "_n")],
         num_partitions=num_partitions).to_pandas()
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"target_encode_loo: {len(stats)} groups exceeds "
+            f"max_groups={max_groups}; attach stats via exchange_join "
+            "at that cardinality instead of a driver broadcast")
     sm = dict(zip(stats[key_col], stats["_s"].astype(np.float64)))
     nm = dict(zip(stats[key_col], stats["_n"].astype(np.float64)))
     ref = ray.put((sm, nm))
