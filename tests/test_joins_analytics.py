@@ -1552,6 +1552,12 @@ def test_khop_reach_levels_and_early_exit(ray_session):
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert out[["node", "level"]].to_numpy().tolist() == [
         [1, 0], [2, 1], [3, 2], [4, 3]]
+    # forced-distributed parity (driver_max_edges=0 disables the tier)
+    dist = (khop_reach(rd.from_pandas(e), rd.from_pandas(seeds), k=5,
+                       num_partitions=4, driver_max_edges=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dist[["node", "level"]].to_numpy().tolist() == \
+        out[["node", "level"]].to_numpy().tolist()
 
 
 def test_transition_matrix_counts_and_probs(ray_session):

@@ -1899,6 +1899,7 @@ def khop_reach(
     dst_col: str = "dst",
     k: int = 3,
     num_partitions: int = 32,
+    driver_max_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """BFS reachability with levels: every node within ``k`` directed
     hops of the seed set, labelled with its FIRST-reach level
@@ -1911,6 +1912,13 @@ def khop_reach(
     once and never reshuffled between levels (each level's join
     re-exchanges only the frontier side).  Early-exits when a level
     adds nothing.
+
+    Driver tier (same crossover as graph.multi_source_bfs / scc /
+    betweenness_from_seeds): below ``driver_max_edges`` distinct edges
+    the k executor rounds of fixed plan-spinup cost dwarf the frontier
+    work, so the BFS runs as one numpy searchsorted loop on the
+    collected edge table; the distributed tier above the threshold is
+    unchanged and parity-tested.
     """
     from .exchange import exchange_join
 
@@ -1920,6 +1928,37 @@ def khop_reach(
         lambda t: pa.table({"node": t.column(src_col).cast(pa.int64()),
                             "_nxt": t.column(dst_col).cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+
+    if e_keyed.count() <= driver_max_edges:
+        ed = e_keyed.to_pandas()
+        src = ed["node"].to_numpy(np.int64)
+        dst = ed["_nxt"].to_numpy(np.int64)
+        order = np.argsort(src, kind="mergesort")
+        src, dst = src[order], dst[order]
+        sd = (seeds.map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(pa.int64())}),
+            batch_format="pyarrow").to_pandas())
+        level = {int(n): 0 for n in sd["node"].unique()}
+        frontier = np.asarray(sorted(level), np.int64)
+        for lvl in range(1, k + 1):
+            lo = np.searchsorted(src, frontier, side="left")
+            hi = np.searchsorted(src, frontier, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                break
+            flat = (np.repeat(lo, cnt)
+                    + (np.arange(int(cnt.sum()))
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+            nxt = np.unique(dst[flat])
+            new = np.asarray([n for n in nxt if n not in level], np.int64)
+            if len(new) == 0:
+                break
+            for n in new:
+                level[int(n)] = lvl
+            frontier = new
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series(list(level.keys()), dtype="int64"),
+            "level": pd.Series(list(level.values()), dtype="int64")}))
 
     frontier = distinct_rows(
         seeds.map_batches(
