@@ -849,3 +849,94 @@ def test_common_neighbors_hub_cap_and_parity(ray_session):
     assert len(full) == 6  # C(4,2) via hub, (1,2) row merged
     assert int(full.loc[(full.a == 1) & (full.b == 2),
                         "common"].iloc[0]) == 3
+
+
+def test_bsp_tree_combine_parity_all_algorithms(ray_session):
+    """Forced tree combine (two-level exchange) must be BIT-identical to
+    the flat P x P exchange for every BSP algorithm — the regroup task
+    preserves source-partition concat order, so even float sums agree
+    (VERDICT r4 #2)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.bsp import (connected_components_bsp,
+                                            hits_bsp,
+                                            label_propagation_bsp,
+                                            pagerank_bsp)
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 40, 200).astype(np.int64)
+    dst = rng.randint(0, 40, 200).astype(np.int64)
+    e = pd.DataFrame({"src": src, "dst": dst})
+    e = e[e.src != e.dst].drop_duplicates().reset_index(drop=True)
+    und = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})]) \
+        .drop_duplicates().reset_index(drop=True)
+
+    # pagerank: float ranks must be bit-equal
+    outdeg = e.groupby("src").size()
+    ef = e.assign(node=e["src"].astype(str), dst2=e["dst"].astype(str),
+                  factor=(1.0 / e["src"].map(outdeg)).astype(np.float64))
+    ef = ef[["node", "dst2", "factor"]].rename(columns={"dst2": "dst"})
+    nodes = pd.DataFrame(
+        {"node": pd.unique(pd.concat([e["src"], e["dst"]]).astype(str))})
+    n = len(nodes)
+    flat = pagerank_bsp(rd.from_pandas(ef), rd.from_pandas(nodes), n,
+                        iterations=5, damping=0.85, num_parts=5,
+                        tree_combine=False).to_pandas()
+    tree = pagerank_bsp(rd.from_pandas(ef), rd.from_pandas(nodes), n,
+                        iterations=5, damping=0.85, num_parts=5,
+                        tree_combine=True).to_pandas()
+    assert dict(zip(flat["node"], flat["rank"])) == \
+        dict(zip(tree["node"], tree["rank"]))  # exact float equality
+
+    # connected components: labels + round count
+    undi = und.astype({"src": "int64", "dst": "int64"})
+    lf, rf = connected_components_bsp(rd.from_pandas(undi), num_parts=5,
+                                      tree_combine=False)
+    lt, rt = connected_components_bsp(rd.from_pandas(undi), num_parts=5,
+                                      tree_combine=True)
+    lf, lt = lf.to_pandas(), lt.to_pandas()
+    assert dict(zip(lf["name_id"], lf["component"])) == \
+        dict(zip(lt["name_id"], lt["component"]))
+    assert rf == rt
+
+    # LPA: labels
+    lund = und.rename(columns={"src": "node", "dst": "nbr"})
+    pf = label_propagation_bsp(rd.from_pandas(lund), iterations=3,
+                               num_parts=5, tree_combine=False).to_pandas()
+    pt = label_propagation_bsp(rd.from_pandas(lund), iterations=3,
+                               num_parts=5, tree_combine=True).to_pandas()
+    assert dict(zip(pf["node"], pf["lbl"])) == \
+        dict(zip(pt["node"], pt["lbl"]))
+
+    # HITS: float hub/auth scores must be bit-equal
+    eo = e.rename(columns={"src": "node", "dst": "_o"})
+    ei = e.rename(columns={"dst": "node", "src": "_o"})[["node", "_o"]]
+    hf, af = hits_bsp(rd.from_pandas(eo), rd.from_pandas(ei),
+                      iterations=3, num_parts=5, tree_combine=False)
+    ht, at = hits_bsp(rd.from_pandas(eo), rd.from_pandas(ei),
+                      iterations=3, num_parts=5, tree_combine=True)
+    assert dict(zip(hf.to_pandas()["node"], hf.to_pandas()["s"])) == \
+        dict(zip(ht.to_pandas()["node"], ht.to_pandas()["s"]))
+    assert dict(zip(af.to_pandas()["node"], af.to_pandas()["s"])) == \
+        dict(zip(at.to_pandas()["node"], at.to_pandas()["s"]))
+
+
+def test_bsp_fan_plan_object_counts():
+    """Plan math: auto threshold, full partition coverage, and the
+    O(P^1.5) object-count bound the tree combine exists for."""
+    from text_to_rdf_ray.stages.bsp import (TREE_COMBINE_THRESHOLD,
+                                            _fan_plan)
+
+    assert _fan_plan(512) is None          # at threshold: flat
+    assert _fan_plan(1) is None
+    assert _fan_plan(4, tree_combine=True) == (2, 2)
+    for P in (513, 1000, 4096):
+        gsz, G = _fan_plan(P)
+        # every partition owned by exactly one group slot
+        owners = [(q // gsz, q % gsz) for q in range(P)]
+        assert len(set(owners)) == P
+        assert all(j < G and (j * gsz + i) < P for j, i in owners)
+        # objects per phase: map P*G + regroup P  <<  flat P*P
+        assert P * G + P < P * P / 8
+    assert TREE_COMBINE_THRESHOLD == 512

@@ -21,9 +21,17 @@ Partitioning assumptions / scale shape:
   so the edge-state join inside a task is complete without probing
   other partitions.
 - each phase creates ``num_parts ** 2`` small objects (per-task
-  ``num_returns=num_parts`` splits).  At num_parts <= ~512 that is fine
-  for Ray's object store; beyond that add a tree combine (two-level
-  exchange) — documented, not needed at this repo's partition counts.
+  ``num_returns=num_parts`` splits) at num_parts <= ``
+  TREE_COMBINE_THRESHOLD`` (512).  Beyond that the phase exchange
+  switches automatically to a TWO-LEVEL tree combine: map tasks split
+  into G = ceil(P / ceil(sqrt(P))) destination GROUPS (num_returns=G),
+  one regroup task per group concatenates its P slices — in source-
+  partition order, so every downstream reduction sees the exact same
+  row order as the flat exchange and stays bit-identical — and
+  re-splits into the group's member partitions.  Objects per phase:
+  P*G + P = O(P^1.5) instead of P^2 (P=4096: ~266k vs 16.8M).
+  ``tree_combine=True/False`` on each algorithm forces the mode for
+  parity tests.
 - partition refs live in the object store and spill like any block;
   nothing materializes on the driver except O(num_parts) scalars per
   round (convergence sums).
@@ -43,6 +51,26 @@ import ray.data as rd
 from .exchange import _key_hash
 
 
+#: above this partition count a phase exchange switches from the flat
+#: P x P split to the two-level tree combine (see module docstring)
+TREE_COMBINE_THRESHOLD = 512
+
+
+def _fan_plan(num_parts: int,
+              tree_combine: bool | None = None) -> tuple[int, int] | None:
+    """(group_size, n_groups) for the tree combine, or None for the flat
+    exchange.  ``tree_combine`` forces the mode; None = auto by
+    ``TREE_COMBINE_THRESHOLD``."""
+    import math
+
+    if tree_combine is False or num_parts <= 1:
+        return None
+    if tree_combine is None and num_parts <= TREE_COMBINE_THRESHOLD:
+        return None
+    gsz = math.ceil(math.sqrt(num_parts))
+    return gsz, math.ceil(num_parts / gsz)
+
+
 def _empty_like(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
 
@@ -53,12 +81,64 @@ def _rets(out: tuple, num_parts: int):
     return out[0] if num_parts == 1 else out
 
 
-def _split(tbl: pa.Table, key_cols: list[str], num_parts: int) -> tuple:
+def _split(tbl: pa.Table, key_cols: list[str], num_parts: int,
+           group_size: int | None = None) -> tuple:
+    """Hash split into num_parts partitions — or, with ``group_size``,
+    into ceil(num_parts/group_size) GROUP buckets where group j owns
+    partitions [j*group_size, (j+1)*group_size) (the tree-combine map
+    side; the per-partition hash is identical, only the bucketing
+    coarsens, so regroup + member filter reproduces the flat split
+    exactly)."""
     h = (_key_hash(tbl, key_cols) % np.uint64(num_parts)).astype(np.int64)
-    out = []
-    for p in range(num_parts):
-        out.append(tbl.filter(pa.array(h == p)))
-    return tuple(out)
+    if group_size is None:
+        return tuple(tbl.filter(pa.array(h == p))
+                     for p in range(num_parts))
+    b = h // group_size
+    fan = -(-num_parts // group_size)
+    return tuple(tbl.filter(pa.array(b == j)) for j in range(fan))
+
+
+@ray.remote
+def _regroup_task(j: int, gsz: int, num_parts: int, key_cols: list[str],
+                  schema: pa.Schema, *slices: pa.Table):
+    """Tree-combine middle level: concatenate group j's slices from every
+    source partition (IN SOURCE ORDER — downstream reductions then see
+    the same row order as the flat exchange, keeping float sums
+    bit-identical) and split into the group's member partitions."""
+    members = list(range(j * gsz, min((j + 1) * gsz, num_parts)))
+    live = [t for t in slices if t is not None and t.num_rows]
+    if not live:
+        out = tuple(_empty_like(schema) for _ in members)
+    else:
+        cat = pa.concat_tables(live).combine_chunks()
+        h = (_key_hash(cat, key_cols)
+             % np.uint64(num_parts)).astype(np.int64)
+        out = tuple(cat.filter(pa.array(h == q)) for q in members)
+    return out[0] if len(members) == 1 else out
+
+
+def _phase_exchange(task_refs: list, num_parts: int,
+                    plan: tuple[int, int] | None,
+                    key_cols: list[str], schema: pa.Schema) -> list[list]:
+    """Route one phase's fanned map outputs to destination partitions.
+
+    ``task_refs``: one entry per source partition — a tuple of refs of
+    length fan (P flat / G tree), or the bare ref when fan == 1.
+    Returns ``dest[q]`` = list of partial refs for partition q (P refs
+    in flat mode, exactly 1 in tree mode)."""
+    P = num_parts
+    if plan is None:
+        refs = [[r] for r in task_refs] if P == 1 else task_refs
+        return [[refs[p][q] for p in range(len(refs))] for q in range(P)]
+    gsz, n_groups = plan
+    mids: list[list] = []
+    for j in range(n_groups):
+        n_members = min((j + 1) * gsz, P) - j * gsz
+        m = _regroup_task.options(num_returns=n_members).remote(
+            j, gsz, P, key_cols, schema,
+            *[task_refs[p][j] for p in range(len(task_refs))])
+        mids.append([m] if n_members == 1 else list(m))
+    return [[mids[q // gsz][q % gsz]] for q in range(P)]
 
 
 @ray.remote
@@ -196,15 +276,17 @@ def two_phase_reduce(
 
 
 @ray.remote
-def _pr_contrib(epart: pa.Table, rankpart: pa.Table, num_parts: int):
+def _pr_contrib(epart: pa.Table, rankpart: pa.Table, num_parts: int,
+                gsz: int | None = None):
     """Join stationary edges (node, dst, factor) with this partition's
     ranks (node, rank) — co-partitioned on hash(node), so the join is
     complete locally — then emit per-dst partial contribution sums,
-    split by hash(dst) for the reduce side."""
+    split by hash(dst) for the reduce side (``gsz``: tree-combine
+    group size -> split into groups instead of partitions)."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     if epart.num_rows == 0 or rankpart.num_rows == 0:
         empty = pa.schema([("dst", pa.string()), ("contrib", pa.float64())])
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     e = pd.DataFrame({
         "node": epart.column("node").to_pandas(),
         "dst": epart.column("dst").to_pandas(),
@@ -222,7 +304,7 @@ def _pr_contrib(epart: pa.Table, rankpart: pa.Table, num_parts: int):
     })
     g = t.group_by("dst").aggregate([("contrib", "sum")])
     g = pa.table({"dst": g.column("dst"), "contrib": g.column("contrib_sum")})
-    return _rets(_split(g, ["dst"], num_parts), num_parts)
+    return _rets(_split(g, ["dst"], num_parts, gsz), fan)
 
 
 @ray.remote
@@ -258,6 +340,7 @@ def pagerank_bsp(
     num_parts: int = 32,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    tree_combine: bool | None = None,
 ) -> rd.Dataset:
     """BSP power iteration.  ``efact``: (node=src, dst, factor=1/outdeg)
     rows; ``nodes``: distinct (node) rows; both may be lazy.  Returns a
@@ -326,17 +409,19 @@ def pagerank_bsp(
     if rank_parts is None:
         rank_parts = [_init_ranks.remote(np_) for np_ in node_parts]
 
+    plan = _fan_plan(num_parts, tree_combine)
+    fan = num_parts if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
+    _S_C = pa.schema([("dst", pa.string()), ("contrib", pa.float64())])
     for it in range(start_iter, iterations):
         contribs = [
-            _pr_contrib.options(num_returns=num_parts).remote(
-                eparts[p], rank_parts[p], num_parts)
+            _pr_contrib.options(num_returns=fan).remote(
+                eparts[p], rank_parts[p], num_parts, gsz)
             for p in range(num_parts)
         ]
-        if num_parts == 1:
-            contribs = [[c] for c in contribs]
+        dest = _phase_exchange(contribs, num_parts, plan, ["dst"], _S_C)
         rank_parts = [
-            _pr_reduce.remote(node_parts[q], base, damping,
-                              *[contribs[p][q] for p in range(num_parts)])
+            _pr_reduce.remote(node_parts[q], base, damping, *dest[q])
             for q in range(num_parts)
         ]
         t = it + 1
@@ -358,15 +443,16 @@ def pagerank_bsp(
 
 
 @ray.remote
-def _cc_prop(epart: pa.Table, lblpart: pa.Table, num_parts: int):
+def _cc_prop(epart: pa.Table, lblpart: pa.Table, num_parts: int,
+             gsz: int | None = None):
     """Neighbor propagation: for stationary und-edges (src, dst) and this
     partition's labels (name_id, component) — co-partitioned on
     hash(src) — emit per-dst min(component) messages, split by
     hash(dst)."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     empty = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
     if epart.num_rows == 0 or lblpart.num_rows == 0:
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     e = pd.DataFrame({
         "src": epart.column("src").to_numpy(zero_copy_only=False),
         "dst": epart.column("dst").to_numpy(zero_copy_only=False),
@@ -381,33 +467,35 @@ def _cc_prop(epart: pa.Table, lblpart: pa.Table, num_parts: int):
         "name_id": pa.array(g["dst"].to_numpy(), pa.int64()),
         "component": pa.array(g["component"].to_numpy(), pa.int64()),
     })
-    return _rets(_split(t, ["name_id"], num_parts), num_parts)
+    return _rets(_split(t, ["name_id"], num_parts, gsz), fan)
 
 
 @ray.remote
-def _cc_jump_req(lblpart: pa.Table, num_parts: int):
+def _cc_jump_req(lblpart: pa.Table, num_parts: int,
+                 gsz: int | None = None):
     """Pointer-jump request: route (x, c) to the partition owning label
     value c, so the owner can answer with component(c)."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     empty = pa.schema([("name_id", pa.int64()), ("c", pa.int64())])
     if lblpart.num_rows == 0:
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     t = pa.table({
         "name_id": lblpart.column("name_id"),
         "c": lblpart.column("component"),
     })
-    return _rets(_split(t, ["c"], num_parts), num_parts)
+    return _rets(_split(t, ["c"], num_parts, gsz), fan)
 
 
 @ray.remote
-def _cc_jump_serve(lblpart: pa.Table, num_parts: int, *reqs: pa.Table):
+def _cc_jump_serve(lblpart: pa.Table, num_parts: int,
+                   gsz: int | None, *reqs: pa.Table):
     """Answer pointer-jump requests: (x, c) + local (c -> c') ->
     (x, c'), split by hash(x) for the reduce."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     empty = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
     live = [t for t in reqs if t.num_rows]
     if not live or lblpart.num_rows == 0:
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     req = pa.concat_tables(live)
     r = pd.DataFrame({
         "name_id": req.column("name_id").to_numpy(zero_copy_only=False),
@@ -422,7 +510,7 @@ def _cc_jump_serve(lblpart: pa.Table, num_parts: int, *reqs: pa.Table):
         "name_id": pa.array(m["name_id"].to_numpy(), pa.int64()),
         "component": pa.array(m["component"].to_numpy(), pa.int64()),
     })
-    return _rets(_split(t, ["name_id"], num_parts), num_parts)
+    return _rets(_split(t, ["name_id"], num_parts, gsz), fan)
 
 
 @ray.remote(num_returns=2)
@@ -453,6 +541,7 @@ def connected_components_bsp(
     *,
     num_parts: int = 16,
     max_rounds: int = 64,
+    tree_combine: bool | None = None,
 ) -> tuple[rd.Dataset, int]:
     """BSP min-label propagation + pointer jumping.  ``und`` must be the
     SYMMETRIC (both directions present) edge set with int64 src/dst.
@@ -477,36 +566,35 @@ def connected_components_bsp(
 
     lbl_parts = [_init_labels.remote(ep) for ep in eparts]
 
-    def _fan(nested):
-        return [[n] for n in nested] if num_parts == 1 else nested
+    plan = _fan_plan(num_parts, tree_combine)
+    fan = num_parts if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
+    _S_MSG = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
+    _S_REQ = pa.schema([("name_id", pa.int64()), ("c", pa.int64())])
 
     prev_sum = None
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        props = _fan([
-            _cc_prop.options(num_returns=num_parts).remote(
-                eparts[p], lbl_parts[p], num_parts)
+        props = _phase_exchange([
+            _cc_prop.options(num_returns=fan).remote(
+                eparts[p], lbl_parts[p], num_parts, gsz)
             for p in range(num_parts)
-        ])
-        reqs = _fan([
-            _cc_jump_req.options(num_returns=num_parts).remote(
-                lbl_parts[p], num_parts)
+        ], num_parts, plan, ["name_id"], _S_MSG)
+        reqs = _phase_exchange([
+            _cc_jump_req.options(num_returns=fan).remote(
+                lbl_parts[p], num_parts, gsz)
             for p in range(num_parts)
-        ])
-        serves = _fan([
-            _cc_jump_serve.options(num_returns=num_parts).remote(
-                lbl_parts[r], num_parts,
-                *[reqs[p][r] for p in range(num_parts)])
+        ], num_parts, plan, ["c"], _S_REQ)
+        serves = _phase_exchange([
+            _cc_jump_serve.options(num_returns=fan).remote(
+                lbl_parts[r], num_parts, gsz, *reqs[r])
             for r in range(num_parts)
-        ])
+        ], num_parts, plan, ["name_id"], _S_MSG)
         new_parts, sums = [], []
         for q in range(num_parts):
             lp, s = _cc_reduce.remote(
-                lbl_parts[q],
-                *[props[p][q] for p in range(num_parts)],
-                *[serves[r][q] for r in range(num_parts)],
-            )
+                lbl_parts[q], *props[q], *serves[q])
             new_parts.append(lp)
             sums.append(s)
         lbl_parts = new_parts
@@ -525,16 +613,17 @@ def connected_components_bsp(
 
 
 @ray.remote
-def _lpa_vote(epart: pa.Table, lblpart: pa.Table, num_parts: int):
+def _lpa_vote(epart: pa.Table, lblpart: pa.Table, num_parts: int,
+              gsz: int | None = None):
     """Stationary und-edges (node, nbr) partitioned on hash(nbr) join
     this partition's labels (node, lbl) — co-partitioned, so lbl(nbr)
     resolves locally — and emit per-(voter, lbl) partial vote counts,
     split by hash(voter) for the reduce side."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     empty = pa.schema([("node", pa.int64()), ("lbl", pa.int64()),
                        ("c", pa.int64())])
     if epart.num_rows == 0 or lblpart.num_rows == 0:
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     e = pd.DataFrame({
         "voter": epart.column("node").to_numpy(zero_copy_only=False),
         "node": epart.column("nbr").to_numpy(zero_copy_only=False),
@@ -551,7 +640,7 @@ def _lpa_vote(epart: pa.Table, lblpart: pa.Table, num_parts: int):
         "lbl": pa.array(g["lbl"].to_numpy(np.int64), pa.int64()),
         "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
     })
-    return _rets(_split(t, ["node"], num_parts), num_parts)
+    return _rets(_split(t, ["node"], num_parts, gsz), fan)
 
 
 @ray.remote
@@ -585,6 +674,7 @@ def label_propagation_bsp(
     *,
     iterations: int,
     num_parts: int = 32,
+    tree_combine: bool | None = None,
 ) -> rd.Dataset:
     """BSP synchronous label propagation.  ``und``: (node, nbr) rows,
     BOTH orientations already present.  Edges exchange ONCE into
@@ -607,17 +697,19 @@ def label_propagation_bsp(
                          "lbl": pa.array(ids, pa.int64())})
 
     lbl_parts = [_init_labels.remote(ep) for ep in eparts]
+    plan = _fan_plan(num_parts, tree_combine)
+    fan = num_parts if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
+    _S_V = pa.schema([("node", pa.int64()), ("lbl", pa.int64()),
+                      ("c", pa.int64())])
     for _ in range(iterations):
-        votes = [
-            _lpa_vote.options(num_returns=num_parts).remote(
-                eparts[p], lbl_parts[p], num_parts)
+        votes = _phase_exchange([
+            _lpa_vote.options(num_returns=fan).remote(
+                eparts[p], lbl_parts[p], num_parts, gsz)
             for p in range(num_parts)
-        ]
-        if num_parts == 1:
-            votes = [[v] for v in votes]
+        ], num_parts, plan, ["node"], _S_V)
         lbl_parts = [
-            _lpa_winner.remote(*[votes[p][q] for p in range(num_parts)])
-            for q in range(num_parts)
+            _lpa_winner.remote(*votes[q]) for q in range(num_parts)
         ]
     return rd.from_arrow_refs(lbl_parts)
 
@@ -626,14 +718,15 @@ def label_propagation_bsp(
 
 
 @ray.remote
-def _hits_push(epart: pa.Table, scorepart: pa.Table, num_parts: int):
+def _hits_push(epart: pa.Table, scorepart: pa.Table, num_parts: int,
+               gsz: int | None = None):
     """Stationary directed edges (node, _o) partitioned on hash(node)
     join this partition's scores (node, s) locally; emit per-_o partial
     sums split by hash(_o)."""
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     empty = pa.schema([("node", pa.int64()), ("s", pa.float64())])
     if epart.num_rows == 0 or scorepart.num_rows == 0:
-        return _rets(tuple(_empty_like(empty) for _ in range(num_parts)),
-                     num_parts)
+        return _rets(tuple(_empty_like(empty) for _ in range(fan)), fan)
     e = pd.DataFrame({
         "node": epart.column("node").to_numpy(zero_copy_only=False),
         "_o": epart.column("_o").to_numpy(zero_copy_only=False),
@@ -648,7 +741,7 @@ def _hits_push(epart: pa.Table, scorepart: pa.Table, num_parts: int):
         "node": pa.array(g["_o"].to_numpy(np.int64), pa.int64()),
         "s": pa.array(g["s"].to_numpy(np.float64), pa.float64()),
     })
-    return _rets(_split(t, ["node"], num_parts), num_parts)
+    return _rets(_split(t, ["node"], num_parts, gsz), fan)
 
 
 @ray.remote
@@ -687,6 +780,7 @@ def hits_bsp(
     *,
     iterations: int,
     num_parts: int = 16,
+    tree_combine: bool | None = None,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """BSP HITS.  ``eo``: (node=src, _o=dst) rows; ``ei``: the reverse.
     Both orientations exchange ONCE into stationary hash(node)
@@ -705,17 +799,19 @@ def hits_bsp(
 
     hub = [_init_hub.remote(ep) for ep in eparts_o]
 
+    plan = _fan_plan(num_parts, tree_combine)
+    fan = num_parts if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
+    _S_S = pa.schema([("node", pa.int64()), ("s", pa.float64())])
+
     def half_step(eparts, scores):
-        pushed = [
-            _hits_push.options(num_returns=num_parts).remote(
-                eparts[p], scores[p], num_parts)
+        pushed = _phase_exchange([
+            _hits_push.options(num_returns=fan).remote(
+                eparts[p], scores[p], num_parts, gsz)
             for p in range(num_parts)
-        ]
-        if num_parts == 1:
-            pushed = [[c] for c in pushed]
+        ], num_parts, plan, ["node"], _S_S)
         red = [
-            _hits_reduce.remote(*[pushed[p][q]
-                                  for p in range(num_parts)])
+            _hits_reduce.remote(*pushed[q])
             for q in range(num_parts)
         ]
         tot = float(sum(ray.get([_part_sum.remote(r) for r in red])))
