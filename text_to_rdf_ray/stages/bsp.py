@@ -272,6 +272,59 @@ def two_phase_reduce(
     return rd.from_arrow_refs(out)
 
 
+# ------------------------------------------------- checkpoint helpers
+
+
+@ray.remote
+def _ckpt_write_task(tbl: pa.Table, d: str, p: int) -> int:
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, os.path.join(d, f"part_{p:05d}.parquet"))
+    return tbl.num_rows
+
+
+def _ckpt_complete_iters(checkpoint_dir: str | None) -> list[int]:
+    """Iterations with a complete (``_DONE``-marked) checkpoint."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return []
+    out = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("iter_") and os.path.exists(
+                os.path.join(checkpoint_dir, name, "_DONE")):
+            out.append(int(name[len("iter_"):]))
+    return sorted(out)
+
+
+def _ckpt_write(parts: list, checkpoint_dir: str, t: int,
+                num_parts: int) -> None:
+    """Persist one iteration's state partitions as Parquet + an
+    atomically-renamed ``_DONE`` marker (the resume contract: a dir
+    without the marker is an aborted write and is ignored)."""
+    d = os.path.join(checkpoint_dir, f"iter_{t}")
+    os.makedirs(d, exist_ok=True)
+    ray.get([_ckpt_write_task.remote(parts[p], d, p)
+             for p in range(num_parts)])
+    marker = os.path.join(d, "_DONE")
+    tmp = marker + ".tmp"
+    open(tmp, "w").close()
+    os.replace(tmp, marker)
+
+
+@ray.remote
+def _ckpt_load_task(d: str, p: int) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(d, f"part_{p:05d}.parquet"))
+
+
+def _ckpt_load(checkpoint_dir: str, t: int, num_parts: int) -> list:
+    """Restore one iteration's partitions as refs — loaded by remote
+    tasks (parallel, never materialized on the driver; at real scale
+    the state is O(nodes) x num_parts and the driver only holds refs)."""
+    d = os.path.join(checkpoint_dir, f"iter_{t}")
+    return [_ckpt_load_task.remote(d, p) for p in range(num_parts)]
+
+
 # ---------------------------------------------------------------- PageRank
 
 
@@ -374,38 +427,13 @@ def pagerank_bsp(
             "rank": pa.array(np.full(npart.num_rows, init), pa.float64()),
         })
 
-    @ray.remote
-    def _ckpt_write(tbl: pa.Table, d: str, p: int) -> int:
-        import pyarrow.parquet as pq
-
-        pq.write_table(tbl, os.path.join(d, f"part_{p:05d}.parquet"))
-        return tbl.num_rows
-
-    def _complete_ckpts() -> list[int]:
-        if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
-            return []
-        out = []
-        for name in os.listdir(checkpoint_dir):
-            if name.startswith("iter_") and os.path.exists(
-                    os.path.join(checkpoint_dir, name, "_DONE")):
-                out.append(int(name[len("iter_"):]))
-        return sorted(out)
-
     start_iter = 0
     rank_parts = None
-    done = _complete_ckpts()
+    done = _ckpt_complete_iters(checkpoint_dir)
     usable = [t for t in done if t <= iterations]
     if usable:
-        t = usable[-1]
-        d = os.path.join(checkpoint_dir, f"iter_{t}")
-        import pyarrow.parquet as pq
-
-        rank_parts = [
-            ray.put(pq.read_table(
-                os.path.join(d, f"part_{p:05d}.parquet")))
-            for p in range(num_parts)
-        ]
-        start_iter = t
+        start_iter = usable[-1]
+        rank_parts = _ckpt_load(checkpoint_dir, start_iter, num_parts)
     if rank_parts is None:
         rank_parts = [_init_ranks.remote(np_) for np_ in node_parts]
 
@@ -428,14 +456,7 @@ def pagerank_bsp(
         if (checkpoint_dir and checkpoint_every
                 and t % checkpoint_every == 0 and t < iterations
                 and t not in done):
-            d = os.path.join(checkpoint_dir, f"iter_{t}")
-            os.makedirs(d, exist_ok=True)
-            ray.get([_ckpt_write.remote(rank_parts[p], d, p)
-                     for p in range(num_parts)])
-            marker = os.path.join(d, "_DONE")
-            tmp = marker + ".tmp"
-            open(tmp, "w").close()
-            os.replace(tmp, marker)
+            _ckpt_write(rank_parts, checkpoint_dir, t, num_parts)
     return rd.from_arrow_refs(rank_parts)
 
 
@@ -542,6 +563,8 @@ def connected_components_bsp(
     num_parts: int = 16,
     max_rounds: int = 64,
     tree_combine: bool | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> tuple[rd.Dataset, int]:
     """BSP min-label propagation + pointer jumping.  ``und`` must be the
     SYMMETRIC (both directions present) edge set with int64 src/dst.
@@ -551,7 +574,16 @@ def connected_components_bsp(
     one pointer-jump request/serve exchange over the label partitions
     (O(nodes) rows), one reduce — labels only ever decrease, so a
     stable global label sum is the exact fixed-point test (same
-    convergence contract as the Dataset-exchange formulation)."""
+    convergence contract as the Dataset-exchange formulation).
+
+    ``checkpoint_dir`` + ``checkpoint_every``: same per-partition
+    Parquet + ``_DONE`` resume contract as :func:`pagerank_bsp`; a
+    rerun restores the newest complete label checkpoint and replays
+    only the remaining rounds.  The convergence state needs no side
+    file — ``prev_sum`` after round t IS the label sum of the
+    checkpointed labels, so it is recomputed from the restored
+    partitions and the resumed run is bit-equal to an uninterrupted
+    one (including the returned total round count)."""
     _S_E = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     eparts = dataset_to_part_refs(und, "src", num_parts, _S_E)
 
@@ -566,15 +598,31 @@ def connected_components_bsp(
 
     lbl_parts = [_init_labels.remote(ep) for ep in eparts]
 
+    start_round = 0
+    prev_sum = None
+    done = _ckpt_complete_iters(checkpoint_dir)
+    usable = [t for t in done if t <= max_rounds]
+    if usable:
+        start_round = usable[-1]
+        lbl_parts = _ckpt_load(checkpoint_dir, start_round, num_parts)
+
+        @ray.remote
+        def _lbl_sum(tbl: pa.Table) -> str:
+            return str(int(sum(
+                int(x) for x in tbl.column("component").to_numpy(
+                    zero_copy_only=False))))
+
+        prev_sum = sum(int(s) for s in ray.get(
+            [_lbl_sum.remote(lp) for lp in lbl_parts]))
+
     plan = _fan_plan(num_parts, tree_combine)
     fan = num_parts if plan is None else plan[1]
     gsz = None if plan is None else plan[0]
     _S_MSG = pa.schema([("name_id", pa.int64()), ("component", pa.int64())])
     _S_REQ = pa.schema([("name_id", pa.int64()), ("c", pa.int64())])
 
-    prev_sum = None
-    rounds = 0
-    for _ in range(max_rounds):
+    rounds = start_round
+    for _ in range(start_round, max_rounds):
         rounds += 1
         props = _phase_exchange([
             _cc_prop.options(num_returns=fan).remote(
@@ -602,6 +650,10 @@ def connected_components_bsp(
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
+        if (checkpoint_dir and checkpoint_every
+                and rounds % checkpoint_every == 0
+                and rounds not in done):
+            _ckpt_write(lbl_parts, checkpoint_dir, rounds, num_parts)
     else:
         raise RuntimeError(
             f"connected_components_bsp did not converge within {max_rounds} "
@@ -675,6 +727,8 @@ def label_propagation_bsp(
     iterations: int,
     num_parts: int = 32,
     tree_combine: bool | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> rd.Dataset:
     """BSP synchronous label propagation.  ``und``: (node, nbr) rows,
     BOTH orientations already present.  Edges exchange ONCE into
@@ -683,7 +737,9 @@ def label_propagation_bsp(
     semantics as the Dataset form: labels start as node ids, majority
     vote, ties to the smaller label, all nodes update synchronously.
     Every und node appears as a voter (both orientations present), so
-    the winner table covers every node each round."""
+    the winner table covers every node each round.  ``checkpoint_dir``
+    + ``checkpoint_every``: pagerank_bsp's per-partition Parquet +
+    ``_DONE`` resume contract over the (node, lbl) state."""
     _S_E = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
     eparts = dataset_to_part_refs(und, "nbr", num_parts, _S_E)
 
@@ -697,12 +753,18 @@ def label_propagation_bsp(
                          "lbl": pa.array(ids, pa.int64())})
 
     lbl_parts = [_init_labels.remote(ep) for ep in eparts]
+    start_iter = 0
+    done = _ckpt_complete_iters(checkpoint_dir)
+    usable = [t for t in done if t <= iterations]
+    if usable:
+        start_iter = usable[-1]
+        lbl_parts = _ckpt_load(checkpoint_dir, start_iter, num_parts)
     plan = _fan_plan(num_parts, tree_combine)
     fan = num_parts if plan is None else plan[1]
     gsz = None if plan is None else plan[0]
     _S_V = pa.schema([("node", pa.int64()), ("lbl", pa.int64()),
                       ("c", pa.int64())])
-    for _ in range(iterations):
+    for it in range(start_iter, iterations):
         votes = _phase_exchange([
             _lpa_vote.options(num_returns=fan).remote(
                 eparts[p], lbl_parts[p], num_parts, gsz)
@@ -711,6 +773,11 @@ def label_propagation_bsp(
         lbl_parts = [
             _lpa_winner.remote(*votes[q]) for q in range(num_parts)
         ]
+        t = it + 1
+        if (checkpoint_dir and checkpoint_every
+                and t % checkpoint_every == 0 and t < iterations
+                and t not in done):
+            _ckpt_write(lbl_parts, checkpoint_dir, t, num_parts)
     return rd.from_arrow_refs(lbl_parts)
 
 
@@ -781,12 +848,17 @@ def hits_bsp(
     iterations: int,
     num_parts: int = 16,
     tree_combine: bool | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """BSP HITS.  ``eo``: (node=src, _o=dst) rows; ``ei``: the reverse.
     Both orientations exchange ONCE into stationary hash(node)
     partitions; per half-step only the O(nodes) score table moves, and
     the L1 normalizer is O(num_parts) driver scalars.  Returns the
-    final (hub, auth) Datasets (node, s)."""
+    final (hub, auth) Datasets (node, s).  ``checkpoint_dir`` +
+    ``checkpoint_every``: pagerank_bsp's resume contract over the HUB
+    state (auth is recomputed by the next half-step, so hub after a
+    full iteration is the complete iteration state)."""
     _S_E = pa.schema([("node", pa.int64()), ("_o", pa.int64())])
     eparts_o = dataset_to_part_refs(eo, "node", num_parts, _S_E)
     eparts_i = dataset_to_part_refs(ei, "node", num_parts, _S_E)
@@ -819,8 +891,20 @@ def hits_bsp(
             tot = 1.0
         return [_scale_scores.remote(r, tot) for r in red]
 
+    start_iter = 0
+    done = _ckpt_complete_iters(checkpoint_dir)
+    usable = [t for t in done if t < iterations]
+    if usable:
+        start_iter = usable[-1]
+        hub = _ckpt_load(checkpoint_dir, start_iter, num_parts)
+
     auth = None
-    for _ in range(iterations):
+    for it in range(start_iter, iterations):
         auth = half_step(eparts_o, hub)   # auth lives on hash(dst)
         hub = half_step(eparts_i, auth)   # hub lives on hash(src)
+        t = it + 1
+        if (checkpoint_dir and checkpoint_every
+                and t % checkpoint_every == 0 and t < iterations
+                and t not in done):
+            _ckpt_write(hub, checkpoint_dir, t, num_parts)
     return rd.from_arrow_refs(hub), rd.from_arrow_refs(auth)
