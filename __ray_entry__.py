@@ -3080,7 +3080,10 @@ def _markov_stationary_sql(iterations: int = 20) -> str:
     """DuckDB replay of _events_markov_stationary: lag-window
     transition counts, exact n/rowsum matrix, unrolled 9dp-quantized
     power iterations (single-reference CTEs, shared scans
-    MATERIALIZED — the pca_power_scores lesson)."""
+    MATERIALIZED — the pca_power_scores lesson).  Replays the engine's
+    documented SUB-STOCHASTIC semantics: terminal states have no p
+    rows, so mass reaching them evaporates (no renormalization on
+    either side — see windows.py::markov_stationary)."""
     steps = []
     prev = "it0"
     for i in range(1, iterations + 1):
@@ -13565,7 +13568,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_kn_perplexity": """
             -- interpolated Kneser-Ney bigram replay: same every-20th
             -- reference; continuation counts N1+(w1,.) / N1+(.,w2),
-            -- T bigram types, add-one continuation floor, D=0.75
+            -- bigram-context-total denominator (standard KN), T bigram
+            -- types, add-one continuation floor, D=0.75
             -- (curation.py::kn_perplexity)
             WITH rtok AS (
               SELECT list_filter(str_split(lower(text), ' '),
@@ -13579,6 +13583,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM rpos WHERE i < len(w) GROUP BY w1, w2),
             nf AS (SELECT w1, count(*) AS n1f FROM rbi GROUP BY w1),
             nb AS (SELECT w2, count(*) AS n1b FROM rbi GROUP BY w2),
+            rctx AS (SELECT w1, sum(c12) AS ctx FROM rbi GROUP BY w1),
             tv AS (SELECT (SELECT count(*) FROM rbi) AS t,
                           (SELECT count(*) + 1 FROM runi) AS v),
             dtok AS (
@@ -13592,18 +13597,18 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
               SELECT d.doc_id,
                      ln(CASE
-                       WHEN u.c1 IS NOT NULL
+                       WHEN x.ctx IS NOT NULL
                             AND coalesce(f.n1f, 0) > 0
                        THEN (greatest(coalesce(b.c12, 0) - 0.75, 0.0)
                              + 0.75 * f.n1f
                                * ((coalesce(g.n1b, 0) + 1.0)
-                                  / (tv.t + tv.v))) / u.c1
+                                  / (tv.t + tv.v))) / x.ctx
                        ELSE (coalesce(g.n1b, 0) + 1.0)
                             / (tv.t + tv.v)
                      END) AS lp
               FROM dbi d
               LEFT JOIN rbi b ON d.w1 = b.w1 AND d.w2 = b.w2
-              LEFT JOIN runi u ON d.w1 = u.w1
+              LEFT JOIN rctx x ON d.w1 = x.w1
               LEFT JOIN nf f ON d.w1 = f.w1
               LEFT JOIN nb g ON d.w2 = g.w2
               CROSS JOIN tv),

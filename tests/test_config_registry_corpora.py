@@ -296,6 +296,21 @@ def test_warc_roundtrip_framing(ray_session, tmp_path):
     rows, skipped, bad = _parse_warc_bytes(rec)
     assert len(rows) == 1 and rows[0]["body"] == evil_body.decode()
 
+    # spec-legal no-space separator 'Content-Length:N' must parse
+    # (ADVICE r4: partition(': ') bad-counted it)
+    rec_ns = (b"WARC/1.0\r\nWARC-Type:response\r\n"
+              b"WARC-Target-URI:http://e/y\r\n"
+              b"Content-Length:%d\r\n\r\n" % len(http) + http
+              + b"\r\n\r\n")
+    rows, skipped, bad = _parse_warc_bytes(rec_ns)
+    assert len(rows) == 1 and bad == 0
+    assert rows[0]["target_uri"] == "http://e/y"
+
+    # truncated final payload: bad-counted, never a shortened body
+    trunc = rec[:-(len(http) // 2 + 4)]
+    rows, skipped, bad = _parse_warc_bytes(trunc)
+    assert len(rows) == 0 and bad == 1
+
 
 def test_warc_pipeline_dedup_counts(ray_session, tmp_path):
     from text_to_rdf_ray.sources.warc import read_warc, write_warc_fixture

@@ -1618,6 +1618,30 @@ def test_kn_perplexity_reference(ray_session):
     assert out.loc[3, "ppl"] == 1.0
 
 
+def test_kn_perplexity_context_total_denominator(ray_session):
+    """The KN denominator is the bigram-context total sum_w c(w1,w),
+    NOT the unigram count — they diverge exactly when w1 ends a
+    reference document (ADVICE r4: with c(w1) the conditional would
+    sum to < 1 at document-final contexts)."""
+    import math
+
+    from text_to_rdf_ray.stages.curation import kn_perplexity
+
+    # 'b' ends "b a b": uni(b)=3 but ctx(b) = c(b,a) = 2
+    ref_texts = ["a b a c", "b a b"]
+    ref = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array(ref_texts, pa.string())}))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["b a"], pa.string())}))
+    out = kn_perplexity(docs, ref).to_pandas().set_index("doc_id")
+    T, V, D = 3, 4, 0.75
+    pcont_a = (1 + 1.0) / (T + V)
+    p_ba = (max(2 - D, 0.0) + D * 1 * pcont_a) / 2  # ctx(b)=2, not 3
+    assert abs(out.loc[0, "avg_nll"] - (-math.log(p_ba))) < 1e-9
+
+
 def test_extractive_summary_brute(ray_session):
     from text_to_rdf_ray.stages.curation import extractive_summary
 
@@ -1692,3 +1716,28 @@ def test_zipf_fit_planted_power_law(ray_session):
     assert abs(out["slope"] + 1.0) < 0.02
     assert out["r2"] > 0.999
     assert out["n_terms"] == 20
+
+
+def test_null_text_guards_textrank_gopher_qrels(ray_session):
+    """Null text columns must not crash the pandas-vectorized paths
+    (ADVICE r4): textrank_keywords, gopher_rules, lexical_qrels all
+    treat null as empty text, matching the _terms(txt or "")
+    convention."""
+    from text_to_rdf_ray.stages.curation import (gopher_rules,
+                                                 textrank_keywords)
+    from text_to_rdf_ray.stages.retrieval import lexical_qrels
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta alpha gamma", None, "beta beta"],
+                         pa.string())}))
+    tk = textrank_keywords(docs)  # returns a driver DataFrame
+    assert len(tk) > 0  # doc 1/3 terms survive, null contributed nothing
+
+    gr = gopher_rules(docs, min_tokens=1).to_pandas()
+    assert len(gr) == 3
+    assert int(gr.set_index("doc_id").loc[2, "n_tokens"]) == 0
+
+    rel, totals = lexical_qrels(docs, {"q1": ["alpha", "gamma"]},
+                                min_terms=2)
+    assert ("q1", 1) in rel and totals.get("q1", 0) == 1

@@ -3441,3 +3441,28 @@ def test_group_broadcast_family_max_groups_guard(ray_session):
     # 10 singleton groups still build the bound table, which trips first
     with pytest.raises(ValueError, match="quantile_bucket.*max_groups"):
         quantile_bucket(ds, key_col="k", value_col="v", max_groups=5)
+
+
+def test_markov_stationary_substochastic_terminal_state(ray_session):
+    """Pinned contract (ADVICE r4): terminal states absorb-and-evaporate
+    — the iterate is the surviving-trajectory occupancy measure, so
+    sum(pi) < 1 for chains with an absorbing end state, and the exact
+    leaked mass matches the hand-computed killed-chain iterate."""
+    from text_to_rdf_ray.stages.windows import markov_stationary
+
+    # a -> b deterministic; b terminal (no outgoing row): after k
+    # steps only mass that started in a and is now in b survives once
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([1, 2], unit="s"),
+        "event_type": ["a", "b"],
+        "event_id": [1, 2]})
+    out = (markov_stationary(rd.from_pandas(df), iterations=3)
+           .set_index("state"))
+    # P = [[0,1],[0,0]]; pi0 = [.5,.5] -> [0,.5] -> [0,0] -> [0,0]
+    assert out.loc["a", "pi"] == 0.0
+    assert out.loc["b", "pi"] == 0.0
+    one = (markov_stationary(rd.from_pandas(df), iterations=1)
+           .set_index("state"))
+    assert one.loc["b", "pi"] == 0.5  # mass in flight, not yet killed
+    assert one["pi"].sum() == 0.5  # < 1: the documented evaporation

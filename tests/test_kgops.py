@@ -483,3 +483,26 @@ def test_property_entailment_manual(ray_session):
         property_entailment(rd.from_arrow(triples),
                             transitive=("q",),
                             inverse=(("p", "q"),))
+
+
+def test_property_entailment_unconverged_raises(ray_session):
+    """An iteration-budget exit without a fixpoint must raise, never
+    return a silently incomplete closure (ADVICE r4)."""
+    import pytest
+
+    from text_to_rdf_ray.stages.kgops import property_entailment
+
+    # chain of length 5 needs 3 doubling rounds; max_iters=1 cannot
+    subj = [f"n{i}" for i in range(5)]
+    obj = [f"n{i + 1}" for i in range(5)]
+    t = rd.from_arrow(pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(["part_of"] * 5, pa.string()),
+        "obj": pa.array(obj, pa.string())}))
+    with pytest.raises(RuntimeError, match="max_iters=1"):
+        property_entailment(t, transitive=("part_of",),
+                            max_iters=1).to_pandas()
+    # and with enough rounds the same chain closes fine
+    ok = property_entailment(t, transitive=("part_of",),
+                             max_iters=4).to_pandas()
+    assert len(ok) == 5 + 10  # asserted + C(5,2) entailed pairs

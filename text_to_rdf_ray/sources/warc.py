@@ -54,9 +54,12 @@ def _parse_warc_bytes(data: bytes) -> tuple[list[dict], int, int]:
         header = data[start + 10:hdr_end].decode("utf-8", "replace")
         fields = {}
         for line in header.split("\r\n"):
-            k, _, v = line.partition(": ")
-            if k:
-                fields[k.lower()] = v
+            # spec-legal separator is ':' with OPTIONAL whitespace
+            # ("Content-Length:123" is valid) — split on the bare colon
+            # and strip, not partition(': ')
+            k, _, v = line.partition(":")
+            if k and _:
+                fields[k.strip().lower()] = v.strip()
         try:
             clen = int(fields.get("content-length", ""))
         except ValueError:
@@ -65,6 +68,11 @@ def _parse_warc_bytes(data: bytes) -> tuple[list[dict], int, int]:
             continue
         payload = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
+        if len(payload) < clen:
+            # truncated final record: count it, never emit a silently
+            # shortened body
+            bad += 1
+            continue
         if fields.get("warc-type") != "response":
             skipped += 1
             continue

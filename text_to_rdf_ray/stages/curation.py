@@ -2846,7 +2846,7 @@ def textrank_keywords(
                 "u": pd.Series([], dtype="object"),
                 "v": pd.Series([], dtype="object"),
                 "w": pd.Series([], dtype="int64")})
-        toks = b[text_col].str.lower().str.split(" ").map(
+        toks = b[text_col].fillna("").str.lower().str.split(" ").map(
             lambda ws: [t for t in ws if t])
         lens = toks.str.len().to_numpy(np.int64)
         if not lens.sum():
@@ -2930,8 +2930,12 @@ def kn_perplexity(
     follows, not how often it occurs — "San Francisco" inflates
     c(francisco) but not its continuation count).
 
-    P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1,.) * Pcont(w2)) / c(w1)
-    when c(w1) > 0 and w1 has continuations, else Pcont(w2); with
+    P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1,.) * Pcont(w2)) / ctx(w1)
+    where ctx(w1) = sum_w c(w1, w) is the BIGRAM-CONTEXT total (the
+    standard interpolated-KN denominator — using the unigram count
+    c(w1) instead would leak probability mass at document-final
+    contexts, where the conditional would sum to < 1) when ctx(w1) > 0
+    and w1 has continuations, else Pcont(w2); with
     Pcont(w2) = (N1+(., w2) + 1) / (T + V) — an add-one floor over
     the T distinct bigram types keeps unseen words finite (and the
     whole score SQL-replayable).  Docs with < 2 tokens score nll 0 /
@@ -2975,12 +2979,18 @@ def kn_perplexity(
         uni_counts, bi_counts = {}, {}
     n1f: dict[str, int] = {}
     n1b: dict[str, int] = {}
-    for a, b in bi_counts:
+    ctx_counts: dict[str, int] = {}
+    for (a, b), c in bi_counts.items():
         n1f[a] = n1f.get(a, 0) + 1
         n1b[b] = n1b.get(b, 0) + 1
+        # bigram-context total sum_w c(a, w) — the standard interpolated
+        # KN denominator; differs from the unigram count c(a) exactly at
+        # document-final contexts (last tokens have no successor), where
+        # using c(a) would make the conditional distribution sum to < 1
+        ctx_counts[a] = ctx_counts.get(a, 0) + int(c)
     t_types = len(bi_counts)
     v_size = len(uni_counts) + 1
-    model_ref = ray.put((uni_counts, bi_counts, n1f, n1b,
+    model_ref = ray.put((ctx_counts, bi_counts, n1f, n1b,
                          t_types, v_size, float(discount)))
     cache: dict = {}
 
@@ -2988,7 +2998,7 @@ def kn_perplexity(
         m = cache.get("m")
         if m is None:
             m = cache["m"] = ray.get(model_ref)
-        uni, bi, nf, nb, T, v, D = m
+        ctx, bi, nf, nb, T, v, D = m
         out_n, out_nll, out_ppl = [], [], []
         for txt in batch.column(text_col).to_pylist():
             toks = _terms(txt)
@@ -3001,7 +3011,7 @@ def kn_perplexity(
             s = 0.0
             for a, b in zip(toks, toks[1:]):
                 pcont = (nb.get(b, 0) + 1.0) / (T + v)
-                c1 = uni.get(a, 0)
+                c1 = ctx.get(a, 0)
                 f = nf.get(a, 0)
                 if c1 > 0 and f > 0:
                     p = (max(bi.get((a, b), 0) - D, 0.0)
@@ -3119,7 +3129,7 @@ def gopher_rules(
     dup_bigram_frac, pass_len, pass_word_len, pass_rep, keep).
     """
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = (batch[text_col].str.lower().str.split(" ")
+        toks = (batch[text_col].fillna("").str.lower().str.split(" ")
                 .map(lambda ws: [t for t in ws if t]))
         n = toks.str.len().to_numpy(np.int64)
         tot_len = toks.map(lambda ws: sum(len(t) for t in ws)).to_numpy(

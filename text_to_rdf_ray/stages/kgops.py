@@ -934,6 +934,7 @@ def property_entailment(
                 batch_format="pyarrow"),
             cols=[subj_col, obj_col]).materialize()
         n_prev = pairs.count()
+        converged = False
         for _ in range(max_iters):
             left = pairs.map_batches(
                 lambda t: pa.table({"_mid": t.column(obj_col),
@@ -958,8 +959,20 @@ def property_entailment(
                 cols=[subj_col, obj_col]).materialize()
             n_now = pairs.count()
             if n_now == n_prev:
+                converged = True
                 break
             n_prev = n_now
+        if not converged:
+            # chains longer than 2^max_iters exist: an incomplete
+            # closure must never be returned silently (the repo's
+            # counted-anomaly convention) — path doubling means this
+            # only fires on pathological inputs, so raise with the
+            # named budget rather than count-and-continue
+            raise RuntimeError(
+                f"property_entailment: transitive closure of {p!r} did "
+                f"not reach a fixpoint within max_iters={max_iters} "
+                f"path-doubling rounds (chain length > 2^{max_iters}); "
+                "raise max_iters")
         closed_parts.append(pairs.map_batches(
             lambda t, p=p: pa.table({
                 subj_col: t.column(subj_col),

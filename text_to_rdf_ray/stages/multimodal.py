@@ -75,9 +75,26 @@ class DecodeStub:
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        # real mode would load codecs/models here, once per actor
+        # codec probe ONCE per actor (the stateful-stage convention):
+        # real image decode lights up automatically if the environment
+        # ever grows PIL; audio/video additionally need ffmpeg
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image" and self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((4, 4))
+            v = np.asarray(img, dtype=np.float32).reshape(-1)
+            return v / np.float32(255.0)
         raise NotImplementedError(
             "media decoding requires PIL/ffmpeg, not available in this environment; "
             "construct DecodeStub(fake=True) for deterministic fake features"
@@ -127,8 +144,23 @@ class ResizeStub:
         self.width = width
         self.height = height
         self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def _resize_real(self, payload: bytes) -> bytes:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload))
+            out = io.BytesIO()
+            img.resize((self.width, self.height)).save(out, format="PNG")
+            return out.getvalue()
         raise NotImplementedError(
             "image resize requires PIL/libvips, not available in this "
             "environment; construct ResizeStub(fake=True)"

@@ -636,7 +636,9 @@ def lexical_qrels(
     def rel_rows(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
             return _empty.copy()
-        toks = b[text_col].str.lower().str.split(" ")
+        # null text -> "" (str.split(NaN) yields NaN lens and breaks the
+        # int64 cast below; the _terms(txt or "") convention elsewhere)
+        toks = b[text_col].fillna("").str.lower().str.split(" ")
         lens = toks.str.len().to_numpy(np.int64)
         dids = np.repeat(b[id_col].to_numpy(np.int64), lens)
         flat = np.concatenate([np.asarray(t, dtype=object)

@@ -1598,7 +1598,19 @@ def markov_stationary(
     exact expression n / row_total and every iterate is re-quantized
     to 9dp, so an unrolled SQL replay lands on the identical vector
     (the result is the ITERATE, deterministically).  pi0 = uniform.
-    Returns (state, pi).
+
+    SUB-STOCHASTIC variant, by contract: a state with no outgoing
+    transitions (a terminal event type — the last event of every user
+    journey has no successor) gets an all-zero row, so probability
+    mass reaching it EVAPORATES each iteration and the returned
+    vector need not sum to 1.  The iterate is therefore the
+    occupancy measure of trajectories still alive after k steps (the
+    "killed chain" reading), NOT a renormalized stationary
+    distribution — deliberately, because per-iteration L1
+    renormalization would make the 9dp-quantized engine/SQL parity
+    depend on cross-engine float summation order.  Callers wanting a
+    distribution can normalize the returned vector.  Returns
+    (state, pi).
     """
     tm = transition_matrix(ds, key_col=key_col, ts_col=ts_col,
                            state_col=state_col,
