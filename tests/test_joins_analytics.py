@@ -521,6 +521,14 @@ def test_two_phase_reduce_matches_dataset_form(ray_session):
     assert (g["key"].to_numpy() == w["key"].to_numpy()).all()
     assert (g["val"].to_numpy() == w["val"].to_numpy()).all()
 
+    # forced tree combine (the >512-part object-count path) must be
+    # bit-identical to the flat exchange
+    gt = (two_phase_reduce(ds, "p1", "p2", r1, r2, num_parts=8,
+                           tree_combine=True).to_pandas()
+          .sort_values("key").reset_index(drop=True))
+    assert (gt["key"].to_numpy() == w["key"].to_numpy()).all()
+    assert (gt["val"].to_numpy() == w["val"].to_numpy()).all()
+
 
 def test_set_op_rows_except_intersect_match_pandas(ray_session):
     import ray.data as rd

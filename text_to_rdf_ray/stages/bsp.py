@@ -194,28 +194,77 @@ def dataset_to_part_refs(
 
 
 @ray.remote
-def _split_col_task(tbl: pa.Table, col: str, num_parts: int):
-    """Split a typed Arrow block by an existing int partition column."""
+def _split_col_task(tbl: pa.Table, col: str, num_parts: int,
+                    gsz: int | None = None):
+    """Split a typed Arrow block by an existing int partition column —
+    into partitions (``v % P``), or into tree-combine groups
+    (``(v % P) // gsz``) when ``gsz`` is given."""
     if num_parts == 1:
         return tbl
     v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    return tuple(tbl.filter(pa.array(v % num_parts == p))
-                 for p in range(num_parts))
+    if gsz is None:
+        return tuple(tbl.filter(pa.array(v % num_parts == p))
+                     for p in range(num_parts))
+    b = (v % num_parts) // gsz
+    fan = -(-num_parts // gsz)
+    return tuple(tbl.filter(pa.array(b == j)) for j in range(fan))
 
 
 @ray.remote
-def _reduce_split_task(reduce_fn, col: str, num_parts: int, *tbls: pa.Table):
+def _mod_regroup_task(j: int, gsz: int, num_parts: int, col: str,
+                      *slices: pa.Table):
+    """Tree-combine middle level for MOD-partitioned columns (the
+    two_phase_reduce split law): concat group j's slices in source
+    order, re-split into member partitions by ``v % P``."""
+    members = list(range(j * gsz, min((j + 1) * gsz, num_parts)))
+    live = [t for t in slices if t is not None and t.num_rows]
+    if not live:
+        out = tuple(slices[0].slice(0, 0) for _ in members)
+    else:
+        cat = pa.concat_tables(live).combine_chunks()
+        v = cat.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = tuple(cat.filter(pa.array(v % num_parts == q))
+                    for q in members)
+    return out[0] if len(members) == 1 else out
+
+
+def _mod_exchange(task_refs: list, num_parts: int,
+                  plan: tuple[int, int] | None, col: str) -> list[list]:
+    """_phase_exchange for mod-partitioned columns."""
+    P = num_parts
+    if plan is None:
+        refs = [[r] for r in task_refs] if P == 1 else task_refs
+        return [[refs[p][q] for p in range(len(refs))] for q in range(P)]
+    gsz, n_groups = plan
+    mids: list[list] = []
+    for j in range(n_groups):
+        n_members = min((j + 1) * gsz, P) - j * gsz
+        m = _mod_regroup_task.options(num_returns=n_members).remote(
+            j, gsz, P, col,
+            *[task_refs[p][j] for p in range(len(task_refs))])
+        mids.append([m] if n_members == 1 else list(m))
+    return [[mids[q // gsz][q % gsz]] for q in range(P)]
+
+
+@ray.remote
+def _reduce_split_task(reduce_fn, col: str, num_parts: int,
+                       gsz: int | None, *tbls: pa.Table):
     """Concat one partition's slices, reduce, and re-split the result by
     the NEXT phase's partition column — the middle stage of a two-phase
-    exchange fused into one task."""
+    exchange fused into one task (``gsz``: split into tree-combine
+    groups instead of partitions)."""
     cat = pa.concat_tables([t for t in tbls if t.num_rows]) \
         if any(t.num_rows for t in tbls) else tbls[0]
     red = reduce_fn(cat)
     if num_parts == 1:
         return red
     v = red.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    return tuple(red.filter(pa.array(v % num_parts == q))
-                 for q in range(num_parts))
+    if gsz is None:
+        return tuple(red.filter(pa.array(v % num_parts == q))
+                     for q in range(num_parts))
+    b = (v % num_parts) // gsz
+    fan = -(-num_parts // gsz)
+    return tuple(red.filter(pa.array(b == j)) for j in range(fan))
 
 
 @ray.remote
@@ -233,6 +282,7 @@ def two_phase_reduce(
     reduce2,
     *,
     num_parts: int = 32,
+    tree_combine: bool | None = None,
 ) -> rd.Dataset:
     """Two chained hash exchanges + vectorized reduces as RAW Ray tasks.
 
@@ -246,27 +296,36 @@ def two_phase_reduce(
     ``reduce2`` receives the concatenated second-phase partition.
 
     Scale shape: identical shuffle volume to the Dataset form; one
-    partition must fit in a worker (raise ``num_parts`` with data, and
-    beyond ~512 partitions switch to the Dataset form or add a tree
-    combine — same caveat as the module docstring).
+    partition must fit in a worker (raise ``num_parts`` with data).
+    Past ``TREE_COMBINE_THRESHOLD`` partitions both exchanges switch
+    to the two-level tree combine (mod-split variant of the BSP phase
+    tree — (B+P)*sqrt(P) objects instead of B*P + P^2); source-order
+    concat keeps the reduces bit-identical, and ``tree_combine``
+    forces the mode for parity tests.
     """
     blocks = ds.materialize().to_arrow_refs()
     if not blocks:
         raise ValueError("two_phase_reduce: empty input dataset")
     P = num_parts
-    s1 = [_split_col_task.options(num_returns=P).remote(b, p1_col, P)
+    plan = _fan_plan(P, tree_combine)
+    fan = P if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
+    s1 = [_split_col_task.options(num_returns=fan).remote(
+              b, p1_col, P, gsz)
           for b in blocks]
-    if P == 1:
+    if fan == 1:
         s1 = [[s] for s in s1]
+    dest1 = _mod_exchange(s1, P, plan, p1_col)
     mid = [
-        _reduce_split_task.options(num_returns=P).remote(
-            reduce1, p2_col, P, *[s[p] for s in s1])
+        _reduce_split_task.options(num_returns=fan).remote(
+            reduce1, p2_col, P, gsz, *dest1[p])
         for p in range(P)
     ]
-    if P == 1:
+    if fan == 1:
         mid = [[m] for m in mid]
+    dest2 = _mod_exchange(mid, P, plan, p2_col)
     out = [
-        _reduce_task.remote(reduce2, *[mid[p][q] for p in range(P)])
+        _reduce_task.remote(reduce2, *dest2[q])
         for q in range(P)
     ]
     return rd.from_arrow_refs(out)
