@@ -143,17 +143,18 @@ def _phase_exchange(task_refs: list, num_parts: int,
 
 @ray.remote
 def _split_task(tbl: pa.Table, key_cols: list[str], num_parts: int,
-                schema: pa.Schema):
+                schema: pa.Schema, gsz: int | None = None):
     # map_groups lineages can emit empty zero-COLUMN blocks (Ray 2.49
     # artifact); replace them with typed empties so downstream phases
     # always see the declared schema
+    fan = num_parts if gsz is None else -(-num_parts // gsz)
     if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
-        out = tuple(_empty_like(schema) for _ in range(num_parts))
+        out = tuple(_empty_like(schema) for _ in range(fan))
     else:
-        out = _split(tbl.select(schema.names), key_cols, num_parts)
+        out = _split(tbl.select(schema.names), key_cols, num_parts, gsz)
     # num_returns=1 does NOT unpack a returned tuple — the single object
     # must be the bare table
-    return out[0] if num_parts == 1 else out
+    return out[0] if fan == 1 else out
 
 
 @ray.remote
@@ -166,29 +167,34 @@ def _concat_task(schema: pa.Schema, *tbls: pa.Table) -> pa.Table:
 
 def dataset_to_part_refs(
     ds: rd.Dataset, key_cols: list[str] | str, num_parts: int,
-    schema: pa.Schema,
+    schema: pa.Schema, tree_combine: bool | None = None,
 ) -> list[ray.ObjectRef]:
     """One raw-task hash exchange: Dataset blocks -> ``num_parts``
     object-store refs of Arrow tables partitioned on ``key_cols``.
 
     The input dataset is materialized (its blocks become the map side);
     the returned refs are the stationary partitions every subsequent
-    BSP phase reads in place.
+    BSP phase reads in place.  Past ``TREE_COMBINE_THRESHOLD``
+    partitions this initial exchange trees too (B*sqrt(P) + P objects
+    instead of B*P — with B ~ input-size/block-size, the B*P term is
+    the larger blowup at real scale).
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     blocks = ds.materialize().to_arrow_refs()
     if not blocks:
         empty = ray.put(_empty_like(schema))
         return [empty for _ in range(num_parts)]
+    plan = _fan_plan(num_parts, tree_combine)
+    fan = num_parts if plan is None else plan[1]
+    gsz = None if plan is None else plan[0]
     splits = [
-        _split_task.options(num_returns=num_parts).remote(
-            b, key_cols, num_parts, schema)
+        _split_task.options(num_returns=fan).remote(
+            b, key_cols, num_parts, schema, gsz)
         for b in blocks
     ]
-    if num_parts == 1:
-        splits = [[s] for s in splits]
+    dest = _phase_exchange(splits, num_parts, plan, key_cols, schema)
     return [
-        _concat_task.remote(schema, *[s[p] for s in splits])
+        _concat_task.remote(schema, *dest[p])
         for p in range(num_parts)
     ]
 
@@ -313,16 +319,12 @@ def two_phase_reduce(
     s1 = [_split_col_task.options(num_returns=fan).remote(
               b, p1_col, P, gsz)
           for b in blocks]
-    if fan == 1:
-        s1 = [[s] for s in s1]
     dest1 = _mod_exchange(s1, P, plan, p1_col)
     mid = [
         _reduce_split_task.options(num_returns=fan).remote(
             reduce1, p2_col, P, gsz, *dest1[p])
         for p in range(P)
     ]
-    if fan == 1:
-        mid = [[m] for m in mid]
     dest2 = _mod_exchange(mid, P, plan, p2_col)
     out = [
         _reduce_task.remote(reduce2, *dest2[q])
@@ -473,8 +475,10 @@ def pagerank_bsp(
     _S_E = pa.schema([("node", pa.string()), ("dst", pa.string()),
                       ("factor", pa.float64())])
     _S_N = pa.schema([("node", pa.string())])
-    eparts = dataset_to_part_refs(efact, "node", num_parts, _S_E)
-    node_parts = dataset_to_part_refs(nodes, "node", num_parts, _S_N)
+    eparts = dataset_to_part_refs(efact, "node", num_parts, _S_E,
+                                  tree_combine)
+    node_parts = dataset_to_part_refs(nodes, "node", num_parts, _S_N,
+                                      tree_combine)
 
     init = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
@@ -644,7 +648,8 @@ def connected_components_bsp(
     partitions and the resumed run is bit-equal to an uninterrupted
     one (including the returned total round count)."""
     _S_E = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    eparts = dataset_to_part_refs(und, "src", num_parts, _S_E)
+    eparts = dataset_to_part_refs(und, "src", num_parts, _S_E,
+                                  tree_combine)
 
     @ray.remote
     def _init_labels(ep: pa.Table) -> pa.Table:
@@ -800,7 +805,8 @@ def label_propagation_bsp(
     + ``checkpoint_every``: pagerank_bsp's per-partition Parquet +
     ``_DONE`` resume contract over the (node, lbl) state."""
     _S_E = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
-    eparts = dataset_to_part_refs(und, "nbr", num_parts, _S_E)
+    eparts = dataset_to_part_refs(und, "nbr", num_parts, _S_E,
+                                  tree_combine)
 
     @ray.remote
     def _init_labels(ep: pa.Table) -> pa.Table:
@@ -919,8 +925,10 @@ def hits_bsp(
     state (auth is recomputed by the next half-step, so hub after a
     full iteration is the complete iteration state)."""
     _S_E = pa.schema([("node", pa.int64()), ("_o", pa.int64())])
-    eparts_o = dataset_to_part_refs(eo, "node", num_parts, _S_E)
-    eparts_i = dataset_to_part_refs(ei, "node", num_parts, _S_E)
+    eparts_o = dataset_to_part_refs(eo, "node", num_parts, _S_E,
+                                    tree_combine)
+    eparts_i = dataset_to_part_refs(ei, "node", num_parts, _S_E,
+                                    tree_combine)
 
     @ray.remote
     def _init_hub(ep: pa.Table) -> pa.Table:
