@@ -2080,6 +2080,26 @@ def modularity(
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def bfs_prepare_edges(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Distinct (node, _nxt) int64 edge table, materialized — the
+    shared preparation for :func:`multi_source_bfs` sweeps (one
+    distinct exchange reused across sweeps over the same graph)."""
+    from .analytics import distinct_rows
+
+    return distinct_rows(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": t.column(src_col).cast(pa.int64()),
+                "_nxt": t.column(dst_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        cols=["node", "_nxt"]).materialize()
+
+
 def multi_source_bfs(
     edges: rd.Dataset,
     seeds: list[int],
@@ -2089,6 +2109,7 @@ def multi_source_bfs(
     k: int = 3,
     num_partitions: int = 32,
     driver_max_edges: int = 2_000_000,
+    prepared: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Per-seed BFS levels: every ``(seed, node, level)`` with node
     reachable from that seed within ``k`` directed hops, level = FIRST
@@ -2105,17 +2126,18 @@ def multi_source_bfs(
     |seeds| x |nodes|.  ``seeds`` is the bounded driver-side list by
     design (closeness from a handful of landmarks; full all-pairs BFS
     is a different algorithm).
+
+    ``prepared``: the materialized distinct (node, _nxt) edge table
+    from :func:`bfs_prepare_edges` — callers issuing several sweeps
+    over the SAME graph (diameter's double sweep, landmark closeness)
+    pass it so the distinct exchange runs once, not per sweep.
     """
     from .analytics import distinct_rows, set_op_rows
     from .exchange import exchange_join
 
-    e_keyed = distinct_rows(
-        edges.map_batches(
-            lambda t: pa.table({
-                "node": t.column(src_col).cast(pa.int64()),
-                "_nxt": t.column(dst_col).cast(pa.int64())}),
-            batch_format="pyarrow"),
-        cols=["node", "_nxt"]).materialize()
+    e_keyed = (prepared if prepared is not None
+               else bfs_prepare_edges(edges, src_col=src_col,
+                                      dst_col=dst_col))
 
     # driver tier (same rule as pagerank/scc): BFS is ~12 executor
     # rounds of fixed plan-spinup cost at k=6 x 2 sweeps, which dwarfs
@@ -2361,13 +2383,14 @@ def diameter_double_sweep(
     """
     from .exchange import exchange_agg
 
+    prepared = bfs_prepare_edges(edges, src_col=src_col, dst_col=dst_col)
     lo = exchange_agg(
-        edges.map_batches(
+        prepared.map_batches(
             lambda t: pa.table({
                 "_k": pa.array(np.zeros(2 * t.num_rows, np.int64)),
                 "node": pa.concat_arrays([
-                    t.column(src_col).cast(pa.int64()).combine_chunks(),
-                    t.column(dst_col).cast(pa.int64()).combine_chunks()])}),
+                    t.column("node").combine_chunks(),
+                    t.column("_nxt").combine_chunks()])}),
             batch_format="pyarrow"),
         "_k", [("node", "min", "start")], num_partitions=1).to_pandas()
     if lo.empty:
@@ -2387,10 +2410,10 @@ def diameter_double_sweep(
 
     far, ecc1 = _farthest(multi_source_bfs(
         edges, [start], src_col=src_col, dst_col=dst_col, k=k,
-        num_partitions=num_partitions))
+        num_partitions=num_partitions, prepared=prepared))
     _far2, dlb = _farthest(multi_source_bfs(
         edges, [far], src_col=src_col, dst_col=dst_col, k=k,
-        num_partitions=num_partitions))
+        num_partitions=num_partitions, prepared=prepared))
     return rd.from_pandas(pd.DataFrame({
         "start_node": pd.Series([start], dtype="int64"),
         "ecc_start": pd.Series([ecc1], dtype="int64"),
