@@ -1012,3 +1012,32 @@ def test_cc_lpa_hits_bsp_checkpoint_resume_exact(ray_session, tmp_path):
         dict(zip(hr.to_pandas().node, hr.to_pandas().s))
     assert dict(zip(af.to_pandas().node, af.to_pandas().s)) == \
         dict(zip(ar.to_pandas().node, ar.to_pandas().s))
+
+
+def test_bsp_auto_tree_mode_above_threshold(ray_session):
+    """Integration proof that the AUTO tree switch works above
+    TREE_COMBINE_THRESHOLD: a real P=513 run (plan (23, 23) — ~12k
+    objects/phase instead of 263k) produces labels identical to a
+    small-P run.  Runtime is task-overhead-bound (~8s) by design —
+    the point is the engine no longer has a partition-count ceiling."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.bsp import (_fan_plan,
+                                            connected_components_bsp)
+
+    assert _fan_plan(513) == (23, 23)
+    rng = np.random.RandomState(5)
+    e = pd.DataFrame({"src": rng.randint(0, 800, 2500).astype(np.int64),
+                      "dst": rng.randint(0, 800, 2500).astype(np.int64)})
+    e = e[e.src != e.dst].drop_duplicates()
+    und = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})]) \
+        .drop_duplicates().reset_index(drop=True)
+    big, rb = connected_components_bsp(rd.from_pandas(und),
+                                       num_parts=513)
+    small, rs = connected_components_bsp(rd.from_pandas(und),
+                                         num_parts=4)
+    bd, sd = big.to_pandas(), small.to_pandas()
+    assert dict(zip(bd.name_id, bd.component)) == \
+        dict(zip(sd.name_id, sd.component))
+    assert rb == rs
