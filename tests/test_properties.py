@@ -194,3 +194,36 @@ def test_cdc_cut_positions_partition_byte_range(text):
     sizes = [b - a for a, b in zip(cuts, cuts[1:])]
     assert sum(sizes) == n
     assert all(s >= 0 for s in sizes)
+
+
+@given(st.integers(2, 8192),
+       st.lists(st.integers(-2**62, 2**62), min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_tree_split_reconstructs_flat_split(P, keys):
+    """Property: for ANY partition count and key set, the tree-combine
+    map split (group buckets) followed by the per-member re-filter is
+    row-identical to the flat per-partition split — the invariant the
+    bit-exactness of the BSP tree combine rests on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.bsp import _fan_plan, _split
+    from text_to_rdf_ray.stages.exchange import _key_hash
+
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(range(len(keys)), pa.int64())})
+    plan = _fan_plan(P, tree_combine=True)
+    if plan is None:  # P <= 1 never happens here
+        return
+    gsz, G = plan
+    flat = _split(tbl, ["k"], P)
+    grouped = _split(tbl, ["k"], P, gsz)
+    assert len(grouped) == G
+    h = (_key_hash(tbl, ["k"]) % np.uint64(P)).astype(np.int64)
+    for j, gtbl in enumerate(grouped):
+        gh = (_key_hash(gtbl, ["k"]) % np.uint64(P)).astype(np.int64)
+        for q in range(j * gsz, min((j + 1) * gsz, P)):
+            member = gtbl.filter(pa.array(gh == q))
+            assert member.equals(flat[q])  # rows AND order identical
+    # every row lands in exactly one group
+    assert sum(t.num_rows for t in grouped) == tbl.num_rows
