@@ -1208,19 +1208,25 @@ def _events_cube_counts(sf_dir: str) -> pd.DataFrame:
 def _events_props_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured parsing: JSON props column -> typed value, fully
     vectorized via Arrow's C-backed ``pc.extract_regex`` (no per-row
-    Python json.loads).  The regex targets the top-level integer "k"
-    member of the flat props objects this table carries; rows without
-    one raise (null after extract) rather than silently dropping —
-    same contract as the previous json.loads form (KeyError)."""
+    Python json.loads).  The pattern is ANCHORED at the object start
+    (^\s*{\s*"k"\s*:\s*INT followed by , or }) so it can only match
+    the first top-level member of the flat props objects this table
+    carries — a "k" inside a string value, a non-integer k, or any
+    other shape yields null and RAISES rather than silently extracting
+    the wrong number (the SQL oracle parses real JSON via
+    json_extract_string, so a silent regex mismatch would diverge)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "props"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(batch.column("props"),
-                             r'"k"\s*:\s*(?P<k>-?\d+)')
+        m = pc.extract_regex(
+            batch.column("props"),
+            r'^\s*\{\s*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
         ks = pc.struct_field(m, "k")
         if pc.any(pc.is_null(ks)).as_py():
-            raise ValueError("props row without an integer k member")
+            raise ValueError(
+                "props row is not a flat object with a leading integer "
+                "k member — extend the pattern or parse as JSON")
         return pa.table({"event_id": batch.column("event_id"),
                          "k": ks.cast(pa.int64())})
 

@@ -311,6 +311,13 @@ def test_warc_roundtrip_framing(ray_session, tmp_path):
     rows, skipped, bad = _parse_warc_bytes(trunc)
     assert len(rows) == 0 and bad == 1
 
+    # negative Content-Length must bad-count and ADVANCE, not step
+    # pos backward and loop forever (review r5)
+    rec_neg = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: -100\r\n\r\n" + rec)
+    rows, skipped, bad = _parse_warc_bytes(rec_neg)
+    assert bad == 1 and len(rows) == 1  # trailing good record parsed
+
 
 def test_warc_pipeline_dedup_counts(ray_session, tmp_path):
     from text_to_rdf_ray.sources.warc import read_warc, write_warc_fixture

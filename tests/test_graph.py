@@ -1041,3 +1041,36 @@ def test_bsp_auto_tree_mode_above_threshold(ray_session):
     assert dict(zip(bd.name_id, bd.component)) == \
         dict(zip(sd.name_id, sd.component))
     assert rb == rs
+
+
+def test_bsp_small_p_forced_tree_and_ckpt_partition_guard(ray_session,
+                                                          tmp_path):
+    """Review r5 regressions: (a) forced tree at P=2 falls back to flat
+    (a one-group tree would break the bare-ref fan contract); (b)
+    resuming a checkpoint at a different partition count raises instead
+    of silently loading a co-partitioning-breaking subset."""
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.bsp import (_fan_plan,
+                                            connected_components_bsp)
+
+    assert _fan_plan(2, tree_combine=True) is None
+    assert _fan_plan(3, tree_combine=True) == (2, 2)
+
+    e = pd.DataFrame({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]})
+    lbl, _ = connected_components_bsp(rd.from_pandas(e), num_parts=2,
+                                      tree_combine=True)  # flat fallback
+    df = lbl.to_pandas()
+    assert set(df.component) == {1}
+
+    ck = str(tmp_path / "cc")
+    connected_components_bsp(rd.from_pandas(e), num_parts=4,
+                             checkpoint_dir=ck, checkpoint_every=1)
+    assert os.path.exists(os.path.join(ck, "iter_1", "_DONE"))
+    with pytest.raises(ValueError, match="num_parts=2"):
+        connected_components_bsp(rd.from_pandas(e), num_parts=2,
+                                 checkpoint_dir=ck, checkpoint_every=1)

@@ -66,6 +66,12 @@ def _parse_warc_bytes(data: bytes) -> tuple[list[dict], int, int]:
             bad += 1
             pos = hdr_end + 4
             continue
+        if clen < 0:
+            # a negative length would step pos BACKWARD and re-find the
+            # same record forever — bad-count and skip past the header
+            bad += 1
+            pos = hdr_end + 4
+            continue
         payload = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if len(payload) < clen:

@@ -79,6 +79,7 @@ def group_quantiles_exact(
     qs: list[float],
     n_bins: int = 2048,
     max_collect: int = 5_000_000,
+    max_groups: int | None = None,
 ) -> pd.DataFrame:
     """Exact linear-interpolated quantiles (numpy 'linear' == SQL
     ``quantile_cont``) of ``value_col`` per ``key_col`` group.
@@ -87,8 +88,20 @@ def group_quantiles_exact(
     exact value-counts exceed ``max_collect`` distinct (group, value)
     pairs — the documented escape hatch is more ``n_bins``.  Returns a
     driver DataFrame with one row per group: (key, q_<q>..., n).
+
+    ``max_groups``: when set, the per-group stats table is counted
+    BEFORE it is collected (materialize -> metadata count) and the
+    call raises past the budget — the guard must fire before the
+    driver holds the table, not after.
     """
     stats_ds = _pass_stats(ds, key_col, value_col)
+    if max_groups is not None:
+        stats_ds = stats_ds.materialize()
+        n_groups = stats_ds.count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"group_quantiles_exact: {n_groups} groups exceeds "
+                f"max_groups={max_groups}")
     stats = stats_ds.to_pandas()
     if stats.empty:
         return pd.DataFrame(columns=[key_col, "n", *[f"q_{q}" for q in qs]])
@@ -770,13 +783,17 @@ def quantile_bucket(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    qdf = group_quantiles_exact(ds, key_col=key_col, value_col=value_col,
-                                qs=qs)
-    if len(qdf) > max_groups:
-        raise ValueError(
-            f"quantile_bucket: {len(qdf)} groups exceeds "
-            f"max_groups={max_groups}; attach bounds via exchange_join "
-            "at that cardinality instead of a driver broadcast")
+    try:
+        qdf = group_quantiles_exact(ds, key_col=key_col,
+                                    value_col=value_col, qs=qs,
+                                    max_groups=max_groups)
+    except ValueError as e:
+        if "max_groups" in str(e):
+            raise ValueError(
+                f"quantile_bucket: {e}; attach bounds via exchange_join "
+                "at that cardinality instead of a driver broadcast") \
+                from None
+        raise
     key_ix = {k: i for i, k in enumerate(qdf[key_col])}
     bmat = (qdf[[f"q_{q}" for q in qs]].to_numpy(np.float64)
             if len(qdf) else np.zeros((0, len(qs))))
@@ -827,15 +844,18 @@ def group_zscore(
              .reset_index())
         return g
 
-    red = exchange_agg(
+    red_ds = exchange_agg(
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         key_col, [("n", "sum", "n"), ("s", "sum", "s"), ("ss", "sum", "ss")],
-        num_partitions=num_partitions, combine=False).to_pandas()
-    if len(red) > max_groups:
+        num_partitions=num_partitions, combine=False).materialize()
+    # guard BEFORE the driver collect (metadata count on the
+    # materialized O(groups) table, which lives in the object store)
+    if red_ds.count() > max_groups:
         raise ValueError(
-            f"group_zscore: {len(red)} groups exceeds "
+            f"group_zscore: {red_ds.count()} groups exceeds "
             f"max_groups={max_groups}; attach stats via exchange_join "
             "at that cardinality instead of a driver broadcast")
+    red = red_ds.to_pandas()
 
     # round the per-group constants to 6 dp BEFORE applying: the engines'
     # sums differ in the last ulp (summation order), but the rounded
@@ -2446,15 +2466,16 @@ def minmax_scale(
 
     from .exchange import exchange_agg
 
-    fences = exchange_agg(
+    fences_ds = exchange_agg(
         ds.select_columns([key_col, value_col]), key_col,
         [(value_col, "min", "_mn"), (value_col, "max", "_mx")],
-        num_partitions=num_partitions).to_pandas()
-    if len(fences) > max_groups:
+        num_partitions=num_partitions).materialize()
+    if fences_ds.count() > max_groups:
         raise ValueError(
-            f"minmax_scale: {len(fences)} groups exceeds "
+            f"minmax_scale: {fences_ds.count()} groups exceeds "
             f"max_groups={max_groups}; attach fences via exchange_join "
             "at that cardinality instead of a driver broadcast")
+    fences = fences_ds.to_pandas()
     mn = dict(zip(fences[key_col], fences["_mn"].astype(np.float64)))
     mx = dict(zip(fences[key_col], fences["_mx"].astype(np.float64)))
     ref = ray.put((mn, mx))
@@ -2494,15 +2515,16 @@ def target_encode_loo(
 
     from .exchange import exchange_agg
 
-    stats = exchange_agg(
+    stats_ds = exchange_agg(
         ds.select_columns([key_col, target_col]), key_col,
         [(target_col, "sum", "_s"), (target_col, "count", "_n")],
-        num_partitions=num_partitions).to_pandas()
-    if len(stats) > max_groups:
+        num_partitions=num_partitions).materialize()
+    if stats_ds.count() > max_groups:
         raise ValueError(
-            f"target_encode_loo: {len(stats)} groups exceeds "
+            f"target_encode_loo: {stats_ds.count()} groups exceeds "
             f"max_groups={max_groups}; attach stats via exchange_join "
             "at that cardinality instead of a driver broadcast")
+    stats = stats_ds.to_pandas()
     sm = dict(zip(stats[key_col], stats["_s"].astype(np.float64)))
     nm = dict(zip(stats[key_col], stats["_n"].astype(np.float64)))
     ref = ray.put((sm, nm))

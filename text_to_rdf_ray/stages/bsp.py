@@ -68,7 +68,12 @@ def _fan_plan(num_parts: int,
     if tree_combine is None and num_parts <= TREE_COMBINE_THRESHOLD:
         return None
     gsz = math.ceil(math.sqrt(num_parts))
-    return gsz, math.ceil(num_parts / gsz)
+    n_groups = math.ceil(num_parts / gsz)
+    if n_groups <= 1:
+        # P=2 forced: one group == a pointless full concat, and fan==1
+        # would break the bare-ref num_returns contract — stay flat
+        return None
+    return gsz, n_groups
 
 
 def _empty_like(schema: pa.Schema) -> pa.Table:
@@ -117,14 +122,16 @@ def _regroup_task(j: int, gsz: int, num_parts: int, key_cols: list[str],
     return out[0] if len(members) == 1 else out
 
 
-def _phase_exchange(task_refs: list, num_parts: int,
-                    plan: tuple[int, int] | None,
-                    key_cols: list[str], schema: pa.Schema) -> list[list]:
-    """Route one phase's fanned map outputs to destination partitions.
+def _route(task_refs: list, num_parts: int,
+           plan: tuple[int, int] | None, submit_regroup) -> list[list]:
+    """Shared tree/flat routing for one phase's fanned map outputs.
 
-    ``task_refs``: one entry per source partition — a tuple of refs of
-    length fan (P flat / G tree), or the bare ref when fan == 1.
-    Returns ``dest[q]`` = list of partial refs for partition q (P refs
+    ``task_refs``: one entry per source — a tuple of refs of length fan
+    (P flat / G tree), or the bare ref when fan == 1.
+    ``submit_regroup(j, n_members, slices)``: submits the middle-level
+    regroup task for group j (hash- or mod-split law — the ONLY thing
+    that differs between the two exchange flavors).  Returns
+    ``dest[q]`` = list of partial refs for partition q (one per source
     in flat mode, exactly 1 in tree mode)."""
     P = num_parts
     if plan is None:
@@ -134,11 +141,22 @@ def _phase_exchange(task_refs: list, num_parts: int,
     mids: list[list] = []
     for j in range(n_groups):
         n_members = min((j + 1) * gsz, P) - j * gsz
-        m = _regroup_task.options(num_returns=n_members).remote(
-            j, gsz, P, key_cols, schema,
-            *[task_refs[p][j] for p in range(len(task_refs))])
+        m = submit_regroup(
+            j, n_members,
+            [task_refs[p][j] for p in range(len(task_refs))])
         mids.append([m] if n_members == 1 else list(m))
     return [[mids[q // gsz][q % gsz]] for q in range(P)]
+
+
+def _phase_exchange(task_refs: list, num_parts: int,
+                    plan: tuple[int, int] | None,
+                    key_cols: list[str], schema: pa.Schema) -> list[list]:
+    """:func:`_route` with the hash-split regroup (BSP phase law)."""
+    gsz = plan[0] if plan else None
+    return _route(
+        task_refs, num_parts, plan,
+        lambda j, n, slices: _regroup_task.options(num_returns=n).remote(
+            j, gsz, num_parts, key_cols, schema, *slices))
 
 
 @ray.remote
@@ -236,20 +254,12 @@ def _mod_regroup_task(j: int, gsz: int, num_parts: int, col: str,
 
 def _mod_exchange(task_refs: list, num_parts: int,
                   plan: tuple[int, int] | None, col: str) -> list[list]:
-    """_phase_exchange for mod-partitioned columns."""
-    P = num_parts
-    if plan is None:
-        refs = [[r] for r in task_refs] if P == 1 else task_refs
-        return [[refs[p][q] for p in range(len(refs))] for q in range(P)]
-    gsz, n_groups = plan
-    mids: list[list] = []
-    for j in range(n_groups):
-        n_members = min((j + 1) * gsz, P) - j * gsz
-        m = _mod_regroup_task.options(num_returns=n_members).remote(
-            j, gsz, P, col,
-            *[task_refs[p][j] for p in range(len(task_refs))])
-        mids.append([m] if n_members == 1 else list(m))
-    return [[mids[q // gsz][q % gsz]] for q in range(P)]
+    """:func:`_route` with the mod-split regroup (two_phase_reduce law)."""
+    gsz = plan[0] if plan else None
+    return _route(
+        task_refs, num_parts, plan,
+        lambda j, n, slices: _mod_regroup_task.options(
+            num_returns=n).remote(j, gsz, num_parts, col, *slices))
 
 
 @ray.remote
@@ -381,8 +391,20 @@ def _ckpt_load_task(d: str, p: int) -> pa.Table:
 def _ckpt_load(checkpoint_dir: str, t: int, num_parts: int) -> list:
     """Restore one iteration's partitions as refs — loaded by remote
     tasks (parallel, never materialized on the driver; at real scale
-    the state is O(nodes) x num_parts and the driver only holds refs)."""
+    the state is O(nodes) x num_parts and the driver only holds refs).
+
+    Raises if the checkpoint's partition count differs from
+    ``num_parts``: state partitions are hash-co-partitioned with the
+    edge partitions, so resuming at a different P would silently load
+    a subset AND break every co-partitioned join."""
     d = os.path.join(checkpoint_dir, f"iter_{t}")
+    n_files = len([f for f in os.listdir(d)
+                   if f.startswith("part_") and f.endswith(".parquet")])
+    if n_files != num_parts:
+        raise ValueError(
+            f"checkpoint {d} has {n_files} partitions but the run uses "
+            f"num_parts={num_parts}; resume with the original partition "
+            "count (state is hash-co-partitioned with the edges)")
     return [_ckpt_load_task.remote(d, p) for p in range(num_parts)]
 
 
@@ -660,10 +682,9 @@ def connected_components_bsp(
             "component": pa.array(ids, pa.int64()),
         })
 
-    lbl_parts = [_init_labels.remote(ep) for ep in eparts]
-
     start_round = 0
     prev_sum = None
+    lbl_parts = None
     done = _ckpt_complete_iters(checkpoint_dir)
     usable = [t for t in done if t <= max_rounds]
     if usable:
@@ -678,6 +699,10 @@ def connected_components_bsp(
 
         prev_sum = sum(int(s) for s in ray.get(
             [_lbl_sum.remote(lp) for lp in lbl_parts]))
+    if lbl_parts is None:
+        # only submit the O(nodes) init tasks when NOT resuming —
+        # pagerank_bsp's "if rank_parts is None" pattern
+        lbl_parts = [_init_labels.remote(ep) for ep in eparts]
 
     plan = _fan_plan(num_parts, tree_combine)
     fan = num_parts if plan is None else plan[1]
@@ -817,13 +842,15 @@ def label_propagation_bsp(
         return pa.table({"node": pa.array(ids, pa.int64()),
                          "lbl": pa.array(ids, pa.int64())})
 
-    lbl_parts = [_init_labels.remote(ep) for ep in eparts]
     start_iter = 0
+    lbl_parts = None
     done = _ckpt_complete_iters(checkpoint_dir)
     usable = [t for t in done if t <= iterations]
     if usable:
         start_iter = usable[-1]
         lbl_parts = _ckpt_load(checkpoint_dir, start_iter, num_parts)
+    if lbl_parts is None:
+        lbl_parts = [_init_labels.remote(ep) for ep in eparts]
     plan = _fan_plan(num_parts, tree_combine)
     fan = num_parts if plan is None else plan[1]
     gsz = None if plan is None else plan[0]
@@ -936,7 +963,6 @@ def hits_bsp(
         return pa.table({"node": pa.array(ids, pa.int64()),
                          "s": pa.array(np.ones(len(ids), np.float64))})
 
-    hub = [_init_hub.remote(ep) for ep in eparts_o]
 
     plan = _fan_plan(num_parts, tree_combine)
     fan = num_parts if plan is None else plan[1]
@@ -959,11 +985,14 @@ def hits_bsp(
         return [_scale_scores.remote(r, tot) for r in red]
 
     start_iter = 0
+    hub = None
     done = _ckpt_complete_iters(checkpoint_dir)
     usable = [t for t in done if t < iterations]
     if usable:
         start_iter = usable[-1]
         hub = _ckpt_load(checkpoint_dir, start_iter, num_parts)
+    if hub is None:
+        hub = [_init_hub.remote(ep) for ep in eparts_o]
 
     auth = None
     for it in range(start_iter, iterations):
