@@ -3474,3 +3474,72 @@ def test_markov_stationary_substochastic_terminal_state(ray_session):
            .set_index("state"))
     assert one.loc["b", "pi"] == 0.5  # mass in flight, not yet killed
     assert one["pi"].sum() == 0.5  # < 1: the documented evaporation
+
+
+def test_exchange_key_hash_null_and_prefix_invariants(ray_session):
+    import pyarrow as pa
+
+    """Review r5 exchange fixes: (a) a null in an int64 key batch must
+    not perturb sibling big-id hashes (no float64 round-trip); (b)
+    string keys hash their FULL bytes — long-IRI keys with a shared
+    40-byte prefix must spread across partitions, not collapse into
+    one; (c) a string's hash is independent of the batch max width."""
+    from text_to_rdf_ray.stages.exchange import _key_hash
+
+    big = 9007199254740993  # 2^53 + 1: rounds under float64
+    with_null = pa.table({"k": pa.array([big, None], pa.int64())})
+    alone = pa.table({"k": pa.array([big], pa.int64())})
+    assert _key_hash(with_null, ["k"])[0] == _key_hash(alone, ["k"])[0]
+
+    pre = "http://example.org/very/long/namespace/prefix/entity/"
+    iris = pa.table({"k": [pre + f"{i:06d}" for i in range(256)]})
+    parts = set(_key_hash(iris, ["k"]) % np.uint64(32))
+    assert len(parts) > 16  # spreads, not one hot partition
+
+    s1 = pa.table({"k": ["ab"]})
+    s2 = pa.table({"k": ["ab", "x" * 300]})
+    assert _key_hash(s1, ["k"])[0] == _key_hash(s2, ["k"])[0]
+
+
+def test_exchange_join_guards_and_nullable_bigint_keys(ray_session):
+    import pyarrow as pa
+
+    """Cross-family key types raise (they hash on different code paths
+    — a silent empty join otherwise); reserved internal names raise;
+    nullable int64 keys preserve all 64 bits through the merge."""
+    import pytest
+
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    big = 9007199254740993
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([big, big - 1, None], pa.int64()),
+        "lv": pa.array([1, 2, 3], pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([big, big - 1], pa.int64()),
+        "rv": pa.array([10, 20], pa.int64())}))
+    out = (exchange_join(l, r, on="k", num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # 2^53+1 and 2^53 must NOT spuriously merge (float64 would conflate)
+    assert list(out["lv"]) == [1, 2] and list(out["rv"]) == [10, 20]
+    assert set(out["k"].astype("int64")) == {big, big - 1}
+
+    rf = rd.from_arrow(pa.table({
+        "k": pa.array([1.0], pa.float64()),
+        "rv": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="family mismatch"):
+        exchange_join(l, rf, on="k")
+
+    bad = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "_xj_part": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="reserved"):
+        exchange_join(bad, r, on="k")
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 1], pa.int64()),
+                                 "x": pa.array([3, 5], pa.int64())}))
+    with pytest.raises(ValueError, match="duplicate output"):
+        exchange_agg(ds, "k", [("x", "min"), ("x", "max")])
+    ok = exchange_agg(ds, "k", [("x", "min", "lo"),
+                                ("x", "max", "hi")]).to_pandas()
+    assert (int(ok["lo"].iloc[0]), int(ok["hi"].iloc[0])) == (3, 5)

@@ -52,27 +52,75 @@ _SIDE = "_xj_side"
 _PART = "_xj_part"
 
 
+#: hash assigned to a NULL key element (any type) — a fixed arbitrary
+#: odd constant so null keys co-partition deterministically
+_NULL_KEY_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash_strings(vals: list) -> np.ndarray:
+    """Stable FNV-1a over each string's FULL utf-8 bytes — unlike the
+    minhash shingle hash (40-byte truncation, fine for short n-grams),
+    partition KEYS must not collide on a shared long prefix (IRIs with
+    a common namespace would all land in ONE partition).  The masked
+    column loop makes each hash independent of the batch's max width,
+    so the same key hashes identically in every batch."""
+    encoded = [(s if s is not None else None) for s in vals]
+    null_mask = np.array([e is None for e in encoded], bool)
+    byts = [e.encode("utf-8") if e is not None else b"" for e in encoded]
+    n = len(byts)
+    lens = np.array([len(b) for b in byts], np.uint64)
+    width = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    if width:
+        buf = b"".join(b.ljust(width, b"\x00") for b in byts)
+        arr = (np.frombuffer(buf, np.uint8)
+               .reshape(n, width).astype(np.uint64))
+        with np.errstate(over="ignore"):
+            for j in range(width):
+                hx = (h ^ arr[:, j]) * _FNV_PRIME
+                h = np.where(lens > np.uint64(j), hx, h)
+    with np.errstate(over="ignore"):
+        h = (h ^ lens) * _FNV_PRIME
+    if null_mask.any():
+        h = np.where(null_mask, _NULL_KEY_HASH, h)
+    return h
+
+
 def _key_hash(tbl: pa.Table, on: list[str]) -> np.ndarray:
     """Vectorized uint64 hash of the key tuple (splitmix64 for integer
-    columns, FNV for strings; columns combined with a rotate-xor)."""
+    columns, full-length FNV for strings; columns combined with a
+    rotate-xor).  NULL key elements hash to a fixed constant on every
+    type path — an int64 column with nulls must NOT round-trip through
+    numpy float64 (ids above 2^53 would round, making a key's partition
+    depend on which batch it shares with a null)."""
+    import pyarrow.compute as pc
+
     from .analytics import splitmix64
 
     acc = np.zeros(len(tbl), np.uint64)
     for c in on:
         col = tbl.column(c)
+        nulls = col.null_count
         if pa.types.is_integer(col.type):
-            h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64))
+            filled = pc.fill_null(col, 0) if nulls else col
+            h = splitmix64(
+                filled.to_numpy(zero_copy_only=False).astype(np.int64))
         elif pa.types.is_floating(col.type):
             # hash the IEEE bit pattern (equal float64 keys — including
             # +0.0 after the canonicalization below — share a partition)
-            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            filled = pc.fill_null(col, 0.0) if nulls else col
+            v = filled.to_numpy(zero_copy_only=False).astype(np.float64)
             v = v + 0.0  # -0.0 -> +0.0 so it groups with +0.0
             h = splitmix64(v.view(np.int64))
         else:
-            from ..kernels.minhash import _hash_shingles
-
-            h = _hash_shingles([x if x is not None else "\x00null"
-                                for x in col.to_pylist()])
+            h = _hash_strings(col.to_pylist())
+            nulls = 0  # _hash_strings handled them
+        if nulls:
+            mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            h = np.where(mask, _NULL_KEY_HASH, h)
         acc = ((acc << np.uint64(13)) | (acc >> np.uint64(51))) ^ h
     return acc
 
@@ -139,12 +187,25 @@ def exchange_agg(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     norm: list[tuple[str, str, str]] = []
+    seen_out: set[str] = set(keys)
     for a in aggs:
         col, fn = a[0], a[1]
         out = a[2] if len(a) > 2 else col
         if fn not in ("min", "max", "sum", "count"):
             raise ValueError(f"unsupported agg fn {fn!r}")
+        if out in seen_out:
+            # two aggs defaulting to the same out name would silently
+            # keep only the last one in the reduce's dict-build
+            raise ValueError(
+                f"duplicate output column {out!r} — give each agg an "
+                "explicit out name")
+        if out == _PART:
+            raise ValueError(
+                f"output name {_PART!r} is reserved by the exchange")
+        seen_out.add(out)
         norm.append((col, fn, out))
+    if _PART in keys:
+        raise ValueError(f"key name {_PART!r} is reserved by the exchange")
 
     def _agg(t: pa.Table, specs: list[tuple[str, str, str]]) -> pa.Table:
         g = t.group_by(keys).aggregate([(c, fn) for c, fn, _ in specs])
@@ -216,27 +277,56 @@ def exchange_join(
     ``.schema()`` triggers a schema-probe execution of that lineage.
     Chained exchange joins with schemas provided fuse into ONE executor
     plan (no actor pools, no intermediate materialization).
+
+    Semantics deviation from Dataset.join / SQL, by contract: NULL
+    join keys MATCH each other (they co-partition via a fixed hash and
+    pandas-merge treats them as equal) — callers with nullable keys
+    that need SQL null semantics must filter nulls first.  No oracled
+    path here carries null keys.
     """
+    import pyarrow.compute as _pc  # noqa: F401  (used below)
+
     if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported how={how!r}")
     on = [on] if isinstance(on, str) else list(on)
     ls = left_schema if left_schema is not None else left.schema()
     rs = right_schema if right_schema is not None else right.schema()
+
+    def _family(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        return "other"
+
     key_types = {}
     for k in on:
         if k not in ls.names or k not in rs.names:
             raise ValueError(f"join key {k!r} missing from one side")
-        key_types[k] = ls.types[ls.names.index(k)]
+        lt = ls.types[ls.names.index(k)]
+        rt = rs.types[rs.names.index(k)]
+        if _family(lt) != _family(rt):
+            # int vs float keys hash on DIFFERENT code paths (value vs
+            # IEEE bits) — equal-valued keys would never co-partition,
+            # silently returning an empty/partial join; refuse loudly
+            raise ValueError(
+                f"join key {k!r} type family mismatch: {lt} vs {rt} — "
+                "cast both sides to one family first")
+        key_types[k] = lt
+    out_schema = join_out_schema(ls, rs, on)
     l_fields = [(n, t) for n, t in zip(ls.names, ls.types) if n not in on]
     r_fields = [(n, t) for n, t in zip(rs.names, rs.types) if n not in on]
     overlap = {n for n, _ in l_fields} & {n for n, _ in r_fields}
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
+    reserved = {_SIDE, _PART} & (set(ls.names) | set(rs.names))
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "exchange_join's internal padding — rename them")
     all_fields = l_fields + r_fields
     l_names = [n for n, _ in l_fields]
     r_names = [n for n, _ in r_fields]
-    out_schema = pa.schema(
-        [(k, key_types[k]) for k in on] + [(n, t) for n, t in all_fields])
 
     def pad(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -267,9 +357,18 @@ def exchange_join(
         lmask = pc.equal(side, 0)
         L = g.filter(lmask)
         R = g.filter(pc.invert(lmask))
-        ldf = pd.DataFrame({k: L.column(k).to_pandas() for k in on})
+        def key_series(col):
+            # a NULLABLE int64 key would round-trip to float64 and
+            # round ids above 2^53 (the exact corruption the payload
+            # .take() path avoids) — object-dtype ints preserve all 64
+            # bits; the null-free fast path stays zero-copy int64
+            if (pa.types.is_integer(col.type) and col.null_count):
+                return col.to_pandas(integer_object_nulls=True)
+            return col.to_pandas()
+
+        ldf = pd.DataFrame({k: key_series(L.column(k)) for k in on})
         ldf["_li"] = np.arange(len(L), dtype=np.int64)
-        rdf = pd.DataFrame({k: R.column(k).to_pandas() for k in on})
+        rdf = pd.DataFrame({k: key_series(R.column(k)) for k in on})
         rdf["_ri"] = np.arange(len(R), dtype=np.int64)
         m = ldf.merge(rdf, on=on,
                       how={"inner": "inner", "left_outer": "left",
