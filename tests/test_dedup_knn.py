@@ -1481,3 +1481,47 @@ def test_media_real_decode_raises_without_pil(ray_session):
     stub = DecodeStub(fake=False)
     with pytest.raises(NotImplementedError, match="PIL"):
         stub._decode_real(b"xx", "image")
+
+
+def test_sorted_neighborhood_numeric_key_global_order(ray_session):
+    """Review r5: the block-offset fold must order blocks NATIVELY —
+    str() ordering put key 10 before key 9 and corrupted every global
+    row number for numeric sort keys."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import sorted_neighborhood_pairs
+
+    # keys 1..30 with ids equal to keys; window 2 -> pairs are exactly
+    # consecutive integers (9,10), (10,11), ... regardless of blocking
+    df = pd.DataFrame({"k": np.arange(1, 31, dtype=np.int64),
+                       "doc_id": np.arange(1, 31, dtype=np.int64)})
+    out = (sorted_neighborhood_pairs(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3)),
+        key_col="k", id_col="doc_id", window=2, chunk=7)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = [(i, i + 1) for i in range(1, 30)]
+    assert list(zip(out.id_a, out.id_b)) == want
+
+
+def test_dedup_pair_generators_empty_corpus(ray_session):
+    """Review r5: empty upstream slices produce empty pair sets, not
+    crashes — exact_dedup's empty contract extended to the LSH family
+    and embedding_neardup_pairs."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.dedup import (embedding_neardup_pairs,
+                                              minhash_lsh_pairs)
+
+    empty_docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "text": pd.Series(dtype="object")}))
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+
+    empty_vecs = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        "embedding": pd.Series(dtype="object")}))
+    assert embedding_neardup_pairs(empty_vecs).count() == 0

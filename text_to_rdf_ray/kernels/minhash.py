@@ -58,21 +58,33 @@ _MAX_HASH_BYTES = 40
 
 
 def _hash_shingles(shingles) -> np.ndarray:
-    """Stable 64-bit hashes of shingles — vectorized FNV-1a over a padded
-    byte matrix (one numpy pass per byte column instead of a Python-loop
-    digest per shingle; deterministic across runs and platforms)."""
+    """Stable 64-bit hashes of shingles — vectorized FNV-1a over the
+    FULL utf-8 bytes of each shingle (one numpy pass per byte column
+    instead of a Python-loop digest per shingle; deterministic across
+    runs and platforms).
+
+    No truncation: the previous 40-byte cap made distinct shingles
+    sharing a 40-byte prefix collide SYSTEMATICALLY (long compound
+    words, URLs, CJK at 3 bytes/char), silently inflating every
+    hash-equality-based intersection (dedup_against jaccard, n-gram
+    verify) — review r5.  The masked update keeps each hash equal to
+    the true FNV-1a of exactly the shingle's bytes, independent of the
+    batch's max width, so the same shingle hashes identically in every
+    batch; batches of short shingles pay exactly the old per-column
+    cost."""
     n = len(shingles)
-    encoded = [s.encode("utf-8")[:_MAX_HASH_BYTES] for s in shingles]
-    # FIXED width: the hash of a shingle must not depend on which other
-    # shingles happen to be in the batch (padding participates in FNV)
-    width = _MAX_HASH_BYTES
-    buf = b"".join(b.ljust(width, b"\x00") for b in encoded)
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, width).astype(np.uint64)
+    encoded = [s.encode("utf-8") for s in shingles]
     lens = np.array([len(b) for b in encoded], dtype=np.uint64)
+    width = int(lens.max()) if n else 0
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    for j in range(width):
-        h = (h ^ arr[:, j]) * _FNV_PRIME
-    # fold in the true length so zero-padding cannot collide
+    if width:
+        buf = b"".join(b.ljust(width, b"\x00") for b in encoded)
+        arr = (np.frombuffer(buf, dtype=np.uint8)
+               .reshape(n, width).astype(np.uint64))
+        for j in range(width):
+            hx = (h ^ arr[:, j]) * _FNV_PRIME
+            h = np.where(lens > np.uint64(j), hx, h)
+    # fold in the length so prefixes cannot collide with extensions
     h = (h ^ lens) * _FNV_PRIME
     return h
 

@@ -200,9 +200,15 @@ def _explode_bands(ds: rd.Dataset, bands_feat_fn, id_col: str, payload_col: str,
             ob_arr = np.array(ob, dtype=np.int64)
             oh_arr = np.array(oh, dtype=np.int64)
             of_list = of if has_feat else None
-        shard = ((oh_arr.astype(np.uint64)
-                  ^ (ob_arr.astype(np.uint64) << np.uint64(56)))
-                 % np.uint64(512)).astype(np.int32)
+        # splitmix-style finalize: '^ (band_id << 56)' alone is a no-op
+        # under % 512 (2^56 is divisible by 2^9), which co-located equal
+        # band_hash values from EVERY band in one shard (review r5)
+        from .analytics import splitmix64
+
+        mixed = splitmix64(
+            (oh_arr.astype(np.uint64)
+             ^ (ob_arr.astype(np.uint64) << np.uint64(56))).view(np.int64))
+        shard = (mixed % np.uint64(512)).astype(np.int32)
         cols = {
             "shard": pa.array(shard, pa.int32()),
             "band_id": pa.array(ob_arr.astype(np.int32), pa.int32()),
@@ -394,11 +400,20 @@ def _pairs_from_buckets(
         g = t.group_by(["id_a", "id_b"]).aggregate([])
         return pa.table({"id_a": g.column("id_a"), "id_b": g.column("id_b")})
 
-    cands = two_phase_reduce(
-        _explode_bands(ds, bands_feat_fn, id_col, payload_col,
-                       bands_feat_batch_fn=bands_feat_batch_fn),
-        "shard", "ppart", reduce1_tbl, reduce2_tbl, num_parts=64,
-    ).materialize()
+    exploded = _explode_bands(
+        ds, bands_feat_fn, id_col, payload_col,
+        bands_feat_batch_fn=bands_feat_batch_fn).materialize()
+    if exploded.count() == 0:
+        # empty corpus (or nothing shingled): empty candidate set, not
+        # two_phase_reduce's empty-input ValueError (review r5)
+        cands = rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    else:
+        cands = two_phase_reduce(
+            exploded,
+            "shard", "ppart", reduce1_tbl, reduce2_tbl, num_parts=64,
+        ).materialize()
 
     n_cands = cands.count()
     if _dbg:
@@ -474,13 +489,14 @@ def _pairs_from_buckets(
         need = (need_set if need_ids is None
                 else {int(r[id_col]) for r in need_ids.take_all()})
         need_ref = ray.put(need)
-        cache: dict = {}
 
         def extract_feats(batch: pa.Table) -> pa.Table:
-            keep = cache.get("k")
-            if keep is None:
-                keep = cache["k"] = ray.get(need_ref)
-            return featurize(batch, keep)
+            # _worker_obj_cache, not a closure dict: map_batches
+            # re-pickles the closure per task, so a closure-level memo
+            # starts empty every task and refetches the broadcast
+            # (review r5 — the exact pattern the module comment at
+            # _WORKER_OBJ_CACHE documents)
+            return featurize(batch, _worker_obj_cache(need_ref))
 
         # features stay PICKLED BYTES end-to-end: a dict of bytes
         # deserializes as memcpys on ray.get, where a dict of Python
@@ -641,9 +657,27 @@ def _pairs_inband(
         s_out: list[np.ndarray] = []
         oversized_buckets = oversized_rows = 0
         skipped_buckets = skipped_pairs = 0
-        for _, g in group.groupby(["band_id", "band_hash"], sort=True):
-            g = g.drop_duplicates(id_col).sort_values(id_col)
-            n = len(g)
+        # ONE global dedup + mergesort, then run-length bucket slicing —
+        # a pandas groupby object per bucket is the per-bucket-dispatch
+        # pathology shard_candidates documents (hundreds of thousands of
+        # tiny buckets per shard at simhash scale); numpy slices keep
+        # the only per-bucket Python the verify_vec call itself
+        g = (group.drop_duplicates(["band_id", "band_hash", id_col])
+             .sort_values(["band_id", "band_hash", id_col],
+                          kind="mergesort").reset_index(drop=True))
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        all_ids = g[id_col].to_numpy()
+        all_feats = g["feat"].tolist()
+        if len(g):
+            change = np.concatenate(
+                [[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [len(g)]])
+        else:
+            starts = ends = np.array([], np.int64)
+        for s0, e0 in zip(starts, ends):
+            n = int(e0 - s0)
             if n < 2:
                 continue
             if n > max_bucket:
@@ -653,8 +687,8 @@ def _pairs_inband(
                     skipped_buckets += 1
                     skipped_pairs += n * (n - 1) // 2
                     continue
-            ids = g[id_col].to_numpy()
-            feats = g["feat"].tolist()
+            ids = all_ids[s0:e0]
+            feats = all_feats[s0:e0]
             if verify_vec is not None:
                 ii, jj, sc = verify_vec(feats)
                 a_out.append(ids[ii])
@@ -970,6 +1004,13 @@ def embedding_neardup_pairs(
     per band = 2^planes); oversized-bucket volume is visible through the
     ``emblsh_*`` counters."""
     sample = ds.take(1)
+    if not sample:
+        # empty corpus -> empty pair set, matching exact_dedup's
+        # empty-input contract (review r5)
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     d = dim or len(sample[0][emb_col])
     rng = np.random.RandomState(seed)
     hyper = rng.randn(d, 2 * planes).astype(np.float32)
@@ -1186,16 +1227,20 @@ def dedup_against(
                                 ("jaccard", pa.float64())]))
 
     def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         jac = t.column("jaccard").to_numpy(zero_copy_only=False).astype(np.float64)
-        rid = t.column("ref_id").to_numpy(zero_copy_only=False).astype(np.float64)
         isdup = ~np.isnan(jac)
         jr = np.nan_to_num(jac, nan=0.0)
         jr = np.floor(jr * 1e6 + 0.5) / 1e6
+        # fill the unmatched-row null in ARROW int64 — a numpy float64
+        # round-trip would round ref ids above 2^53 (review r5)
+        rid = pc.fill_null(t.column("ref_id"), pa.scalar(-1, pa.int64()))
         return pa.table({
             id_col: t.column("nid"),
             "is_dup": pa.array(isdup),
-            "ref_id": pa.array(np.where(isdup, rid, -1.0).astype(np.int64),
-                               pa.int64()),
+            "ref_id": rid.combine_chunks()
+            if isinstance(rid, pa.ChunkedArray) else rid,
             "jaccard": pa.array(jr, pa.float64()),
         })
 
@@ -1393,9 +1438,12 @@ def editdist_join(
             # BEFORE the vectorized verify (the 33M->k collapse on
             # short near-identical strings)
             fa, fb = first[keep], sec[keep]
-            key = (ia[keep].astype(np.uint64) << np.uint64(32)) \
-                | ib[keep].astype(np.uint64)
-            _, uidx = np.unique(key, return_index=True)
+            # full 2-column unique — a (id_a << 32) | id_b packed key
+            # collides for ids >= 2^32 (or negative) and would DROP
+            # true pairs (review r5)
+            _, uidx = np.unique(
+                np.stack([ia[keep], ib[keep]], axis=1),
+                axis=0, return_index=True)
             fa, fb = fa[uidx], fb[uidx]
             d = _ed1_dist(ss[fa], ss[fb])
             hit = d <= 1
@@ -1495,13 +1543,16 @@ def sorted_neighborhood_pairs(
         .sort([key_col, id_col]).materialize()
 
     def block_stats(batch: pa.Table) -> pa.Table:
+        # the block key keeps its NATIVE type: str() would order the
+        # driver fold lexicographically ('10' < '9') while the dataset
+        # sort ordered natively, corrupting every global offset for
+        # numeric keys (review r5)
         if batch.num_rows == 0:
-            return pa.table({"k": pa.array([], pa.string()),
+            return pa.table({"k": batch.column(key_col).slice(0, 0),
                              "i": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         return pa.table({
-            "k": pa.array([str(batch.column(key_col)[0].as_py())],
-                          pa.string()),
+            "k": batch.column(key_col).slice(0, 1).combine_chunks(),
             "i": pa.array([batch.column(id_col)[0].as_py()], pa.int64()),
             "n": pa.array([batch.num_rows], pa.int64())})
 
@@ -1513,7 +1564,6 @@ def sorted_neighborhood_pairs(
         np.concatenate([[0], np.cumsum(partials["n"].to_numpy())[:-1]]))}
     import ray
     off_ref = ray.put(offsets)
-    cache: dict = {}
     w = int(window)
 
     def route(batch: pa.Table) -> pa.Table:
@@ -1521,10 +1571,9 @@ def sorted_neighborhood_pairs(
             return pa.table({id_col: pa.array([], pa.int64()),
                              "_rn": pa.array([], pa.int64()),
                              "_part": pa.array([], pa.int32())})
-        off = cache.get("o")
-        if off is None:
-            off = cache["o"] = ray.get(off_ref)
-        base = off[(str(batch.column(key_col)[0].as_py()),
+        # per-worker cache, not a closure dict (re-pickled per task)
+        off = _worker_obj_cache(off_ref)
+        base = off[(batch.column(key_col)[0].as_py(),
                     batch.column(id_col)[0].as_py())]
         rn = base + np.arange(batch.num_rows, dtype=np.int64)
         ids = batch.column(id_col).to_numpy(
@@ -1887,7 +1936,9 @@ def blocking_quality(
         batch_format="pyarrow").to_pandas()["m"].sum())
 
     total = n_rows * (n_rows - 1) // 2
-    rr = 1.0 - n_candidates * 1.0 / total
+    # < 2 base rows: zero possible pairs — reduction ratio is trivially
+    # perfect rather than a ZeroDivisionError (review r5)
+    rr = 1.0 - n_candidates * 1.0 / total if total else 1.0
     pc_ = n_matched * 1.0 / n_gold if n_gold else 0.0
     return pd.DataFrame({
         "n_candidates": pd.Series([n_candidates], dtype="int64"),
@@ -2008,6 +2059,13 @@ def fs_link_scores(
     numpy equality over the pair index arrays — no per-pair Python.  A
     block with k rows is inherently O(k²) pairs; that is the blocking
     scheme's contract, measured by ``blocking_quality``.
+
+    Missing values: a comparison where EITHER side is missing (None or
+    NaN) contributes weight 0 — the standard Fellegi–Sunter treatment.
+    Without the explicit mask, None==None on object columns would count
+    shared missingness as agreement evidence while NaN!=NaN on float
+    columns counted it as disagreement — the decision would flip on
+    the column's dtype (review r5).
     """
     from .graph import _pairs_within_groups
     from .windows import _part_of
@@ -2049,8 +2107,12 @@ def fs_link_scores(
         w = np.zeros(len(ai), np.float64)
         for f in fields:
             v = g[f].to_numpy()
-            agree = v[ai] == v[bi]
-            w += np.where(agree, w_agree[f], w_disagree[f])
+            miss = pd.isna(g[f]).to_numpy()
+            both = ~(miss[ai] | miss[bi])
+            agree = (v[ai] == v[bi]) & both
+            w += np.where(both,
+                          np.where(agree, w_agree[f], w_disagree[f]),
+                          0.0)
         dec = np.where(w > upper, "link",
                        np.where(w < lower, "nonlink", "possible"))
         return pd.DataFrame({
