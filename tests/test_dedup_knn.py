@@ -1525,3 +1525,47 @@ def test_dedup_pair_generators_empty_corpus(ray_session):
         "vec_id": pd.Series(dtype="int64"),
         "embedding": pd.Series(dtype="object")}))
     assert embedding_neardup_pairs(empty_vecs).count() == 0
+
+
+def test_canonicalize_head_entity_beyond_max_bucket_unifies(ray_session):
+    """Review r5: >max_bucket identical-norm spellings saturate every
+    band bucket (identical signatures), so the LSH loop skips them all
+    — the dedicated same-norm pass must still unify them, on BOTH
+    paths, with the skip still counted."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from text_to_rdf_ray.state import counters
+    from text_to_rdf_ray.stages.canonicalize import (canonicalize_local,
+                                                     canonicalize_surfaces)
+
+    # 70 case-variant spellings of one name (max_bucket default 64),
+    # plus an unrelated surface that must stay its own cluster
+    base = "united states of america"
+    variants = []
+    for i in range(70):
+        chars = list(base)
+        for j, c in enumerate(chars):
+            if (i >> (j % 7)) & 1 and c.isalpha():
+                chars[j] = c.upper()
+        variants.append("".join(chars) + "")
+    variants = sorted(set(variants))[:70]
+    assert len(variants) == 70
+    surfaces = variants + ["zzz unrelated zzz"]
+
+    local = canonicalize_local(surfaces)
+    canon_of = {s: local.get(s, s) for s in surfaces}
+    assert len({canon_of[v] for v in variants}) == 1
+    assert canon_of["zzz unrelated zzz"] == "zzz unrelated zzz"
+
+    counters.snapshot(reset=True)
+    dist = (canonicalize_surfaces(
+        rd.from_pandas(pd.DataFrame({"surface": surfaces})))
+        .to_pandas())
+    snap = counters.snapshot(reset=True)
+    dmap = dict(zip(dist["surface"], dist["canonical"]))
+    dcanon = {s: dmap.get(s, s) for s in surfaces}
+    assert dcanon == canon_of  # parity incl. the head group
+    # the oversized buckets were still skipped-and-counted
+    assert snap.get("canon_skipped_rows", 0) > 0

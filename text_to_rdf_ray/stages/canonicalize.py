@@ -135,13 +135,12 @@ def connected_components(
     """
     n_edges = edges.count()
     if n_edges == 0:
-        return rd.from_items([]).map_batches(
-            lambda t: pa.table(
-                {"name_id": pa.array([], pa.int64()),
-                 "component": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
+        # from_arrow, not from_items([]).map_batches: with zero blocks
+        # the lambda never runs and the dataset is schema-less
+        # (review r5)
+        return rd.from_arrow(pa.table(
+            {"name_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
     if n_edges < driver_threshold:
         rows = _local_union_find(edges.take_all())
         return rd.from_arrow(
@@ -291,7 +290,12 @@ def canonicalize_local(surface_list: list[str], *, num_perm: int = DEFAULT_NUM_P
     """Driver-local canonicalization of a SMALL distinct-surface list.
 
     Same LSH blocking + union-find semantics as ``canonicalize_surfaces``
-    (identical bands/thresholds, so outputs agree); used by the pipeline
+    (identical bands/thresholds; the distributed path ADDITIONALLY
+    prunes candidates whose b-bit sketch agreement falls below tau-0.2
+    — a wide-margin estimate whose false-prune rate is vanishingly
+    small but not zero, so pairs within one ulp of the threshold are
+    not bit-contracted to agree across the paths; same-norm pairs are
+    exact on BOTH paths via the dedicated pass); used by the pipeline
     when the distinct-surface set fits comfortably on the driver — the
     broadcast-small-side analogue of the distributed path.  Returns only
     the surfaces whose canonical differs.
@@ -325,6 +329,18 @@ def canonicalize_local(surface_list: list[str], *, num_perm: int = DEFAULT_NUM_P
         if i not in shingle_cache:
             shingle_cache[i] = char_shingles(norms[ordered[i]])
         return shingle_cache[i]
+
+    # EXACT same-norm unification first, independent of bucket caps: a
+    # head entity with >max_bucket identical-norm spellings saturates
+    # every band bucket (identical signatures), so the LSH loop below
+    # would skip all of them — the documented still-unified guarantee
+    # needs this dedicated O(n) pass (review r5)
+    by_norm: dict[str, int] = {}
+    for idx in range(len(ordered)):
+        nrm = norms[ordered[idx]]
+        first = by_norm.setdefault(nrm, idx)
+        if first != idx:
+            union(first, idx)
 
     for members in buckets.values():
         members = sorted(set(members))
@@ -361,27 +377,38 @@ def canonicalize_surfaces(
 
     ``surfaces`` must have a ``surface`` string column (distinct values).
     """
-    ids = surfaces.map_batches(
-        lambda t: pa.table(
-            {
-                "surface": t.column("surface"),
-                "name_id": pa.array(
-                    [
-                        int.from_bytes(
-                            __import__("hashlib").blake2b(
-                                s.encode("utf-8"), digest_size=8
-                            ).digest(),
-                            "little",
-                        )
-                        >> 1
-                        for s in t.column("surface").to_pylist()
-                    ],
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def assign_ids(t: pa.Table) -> pa.Table:
+        from hashlib import blake2b
+
+        return pa.table({
+            "surface": t.column("surface"),
+            "name_id": pa.array(
+                [int.from_bytes(
+                    blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "little") >> 1
+                 for s in t.column("surface").to_pylist()],
+                pa.int64()),
+        })
+
+    ids = surfaces.map_batches(assign_ids,
+                               batch_format="pyarrow").materialize()
+
+    # 63-bit id collision guard: a digest collision would silently merge
+    # two unrelated surfaces into one component corpus-wide (birthday
+    # bound ~5% at 1e9 distinct surfaces), so the distinct-id count is
+    # checked against the distinct-surface contract before clustering
+    from .exchange import exchange_agg, exchange_join
+
+    n_surfaces = ids.count()
+    n_ids = exchange_agg(
+        ids.map_batches(lambda t: pa.table({"name_id": t.column("name_id")}),
+                        batch_format="pyarrow"),
+        "name_id", [], num_partitions=16).count()
+    if n_ids != n_surfaces:
+        raise RuntimeError(
+            f"canonicalize_surfaces: {n_surfaces - n_ids} 63-bit name_id "
+            "collisions detected — raise the digest size (two unrelated "
+            "surfaces would silently share a canonical form)")
 
     # payload-free LSH pair generation (stages/dedup.py machinery): the band
     # exchange carries only (shard, band, hash, name_id); surfaces are
@@ -407,15 +434,45 @@ def canonicalize_surfaces(
         bands_feat_batch_fn=_minhash_bands_feat_batch(
             lambda s: char_shingles(_norm(s)), num_perm, bands
         ),
-        # head-surface skew guard stays (identical surfaces still unify via
-        # their unskewed bands; see module docstring) — but the dropped
-        # volume is now visible via canon_skipped_* counters
+        # head-surface skew guard stays; dropped volume visible via
+        # canon_skipped_* counters.  Exact-duplicate recall does NOT
+        # depend on it: the same-norm edge pass below unifies identical
+        # norms directly (identical signatures saturate EVERY band
+        # bucket, so a >max_bucket group would otherwise never pair —
+        # review r5)
         counter_prefix="canon",
     )
+
+    # exact same-norm edges: min name_id per norm (one combiner-backed
+    # exchange over short strings), members joined back, edge to the
+    # group min for every non-min member — O(n), no quadratic explode,
+    # immune to bucket caps
+    nm = ids.map_batches(
+        lambda t: pa.table({
+            "norm": pa.array([_norm(s) for s in
+                              t.column("surface").to_pylist()],
+                             pa.string()),
+            "name_id": t.column("name_id")}),
+        batch_format="pyarrow")
+    nmin = exchange_agg(nm, "norm", [("name_id", "min", "root")],
+                        num_partitions=16)
+    nsch = pa.schema([("norm", pa.string()), ("name_id", pa.int64())])
+    njoin = exchange_join(
+        nm, nmin, on="norm", num_partitions=16,
+        left_schema=nsch,
+        right_schema=pa.schema([("norm", pa.string()),
+                                ("root", pa.int64())]))
+    norm_edges = njoin.map_batches(
+        lambda t: (lambda f: pa.table({"src": f.column("name_id"),
+                                       "dst": f.column("root")}))(
+            t.filter(pc.invert(pc.equal(t.column("name_id"),
+                                        t.column("root"))))),
+        batch_format="pyarrow")
+
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),
         batch_format="pyarrow",
-    ).materialize()
+    ).union(norm_edges).materialize()
 
     if edges.count() == 0:
         return ids.map_batches(
@@ -477,15 +534,14 @@ def apply_canonical_map(triples: rd.Dataset, mapping: dict[str, str]) -> rd.Data
     import ray
 
     map_ref = ray.put(mapping)
-    cache: dict = {}
-
     def rewrite(batch: pa.Table) -> pa.Table:
-        # task mode: the broadcast dict is fetched once per worker process
-        # (a class here would become an actor pool and cap the parallelism
-        # of every stage Ray fuses with it)
-        m = cache.get("m")
-        if m is None:
-            m = cache["m"] = ray.get(map_ref)
+        # task mode via the per-worker object cache (a closure dict is
+        # re-pickled EMPTY for every task — dedup._WORKER_OBJ_CACHE's
+        # documented measurement; a class here would become an actor
+        # pool and cap the parallelism of every fused stage)
+        from .dedup import _worker_obj_cache
+
+        m = _worker_obj_cache(map_ref)
         subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
         objs = batch.column("obj").to_pylist()
         obj_types = batch.column("obj_type").to_pylist()
@@ -586,6 +642,22 @@ def apply_canonical_join(
 _PACK_SEP = "\x1f"
 
 
+#: dedup_triples output schema (unpack's column layout) — used for the
+#: typed empty-input result
+_DEDUP_OUT_SCHEMA = pa.schema([
+    ("url", pa.string()), ("subj", pa.string()),
+    ("subj_slug", pa.string()), ("subj_lower", pa.string()),
+    ("pred", pa.string()), ("pred_key", pa.string()),
+    ("obj", pa.string()), ("subj_type", pa.string()),
+    ("obj_type", pa.string()), ("nested_in", pa.string()),
+    ("chunk_id", pa.int32()), ("span_start", pa.int64()),
+    ("span_end", pa.int64()), ("method", pa.string()),
+    ("subj_uri", pa.string()), ("subj_link_conf", pa.float64()),
+    ("obj_uri", pa.string()), ("obj_link_conf", pa.float64()),
+    ("confidence", pa.float64()), ("valid", pa.bool_()),
+])
+
+
 def dedup_triples(triples: rd.Dataset, salt: int = 16,
                   engine: str = "tasks") -> rd.Dataset:
     """Global exact (subj, pred, obj) dedup — the final canonical shuffle
@@ -630,32 +702,37 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16,
         def pad(arr, width):
             return pc.utf8_lpad(s(arr), width=width, padding="0")
 
+        # string defaults are "" — a null column element would null the
+        # ENTIRE packed prov via binary_join_element_wise, silently
+        # erasing every row's provenance when one optional column is
+        # absent (review r5)
         prov = pc.binary_join_element_wise(
-            col("url"),
+            col("url", ""),
             pad(col("chunk_id", 0, pa.int32()), 8),
             pad(col("span_start", 0, pa.int64()), 10),
             pad(col("span_end", 0, pa.int64()), 10),
-            col("method"),
-            col("nested_in"),
-            col("subj_type"),
-            col("obj_type"),
+            col("method", ""),
+            col("nested_in", ""),
+            col("subj_type", ""),
+            col("obj_type", ""),
             pc.fill_null(col("subj_uri"), ""),
             s(col("subj_link_conf", 0.0, pa.float64())),
             pc.fill_null(col("obj_uri"), ""),
             s(col("obj_link_conf", 0.0, pa.float64())),
             s(col("confidence", 0.0, pa.float64())),
             pc.if_else(col("valid", True, pa.bool_()), pa.scalar("1"), pa.scalar("0")),
-            col("subj_slug"),
-            col("subj_lower"),
-            col("pred_key"),
+            col("subj_slug", ""),
+            col("subj_lower", ""),
+            col("pred_key", ""),
             _PACK_SEP,
         )
         # salt = fnv(url) % S: a globally-hot (s,p,o) spreads over S
         # reducers in phase 1 (SURVEY.md §4.2 skew handling); the salt only
         # exists in the partial-agg phase and is dropped by phase 2
-        salts = (_hash_shingles(batch.column("url").to_pylist()) % np.uint64(salt)).astype(
-            np.int32
-        )
+        salts = (_hash_shingles(
+            [u if u is not None else ""
+             for u in col("url", "").to_pylist()])
+            % np.uint64(salt)).astype(np.int32)
         tbl = pa.table(
             {
                 "subj": batch.column("subj"),
@@ -772,7 +849,11 @@ def dedup_triples(triples: rd.Dataset, salt: int = 16,
         from .bsp import two_phase_reduce
 
         packed = triples.map_batches(pack, batch_format="pyarrow",
-                                     batch_size=65536)
+                                     batch_size=65536).materialize()
+        if packed.count() == 0:
+            # zero-block/zero-row input: empty result, not
+            # two_phase_reduce's empty-input ValueError (review r5)
+            return rd.from_arrow(_DEDUP_OUT_SCHEMA.empty_table())
         agg = two_phase_reduce(packed, "p1", "p2", reduce1, reduce2,
                                num_parts=32)
     else:
