@@ -3543,3 +3543,71 @@ def test_exchange_join_guards_and_nullable_bigint_keys(ray_session):
     ok = exchange_agg(ds, "k", [("x", "min", "lo"),
                                 ("x", "max", "hi")]).to_pandas()
     assert (int(ok["lo"].iloc[0]), int(ok["hi"].iloc[0])) == (3, 5)
+
+
+def test_joins_review_r5_regressions(ray_session):
+    """Review r5 joins.py fixes, pinned: ns-unit interval windows,
+    null-value range sums, empty-batch bloom, bigint payloads through
+    the broadcast as-of, null-key MERGE refusal."""
+    import pyarrow as pa
+    import pytest
+
+    from text_to_rdf_ray.stages.joins import (asof_join_broadcast,
+                                              interval_self_join,
+                                              range_join_agg,
+                                              semi_join_bloom,
+                                              upsert_merge)
+
+    # interval_self_join with datetime64[ns] input: a 30s gap must be
+    # inside a 60s window (ns cast made the window 1000x too small)
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([0, 30], unit="s"),
+        "event_id": [1, 2]})
+    out = (interval_self_join(rd.from_pandas(df), key_col="user_id",
+                              ts_col="ts", id_col="event_id",
+                              window_us=60_000_000).to_pandas())
+    assert len(out) == 1 and int(out["dt_us"].iloc[0]) == 30_000_000
+
+    # range_join_agg: a null value contributes 0 to sum_value, and must
+    # not zero the running sum for later matches
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "lts": pa.array([100], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "rts": pa.array([50, 60], pa.int64()),
+        "v": pa.array([5.0, None], pa.float64()),
+    }))
+    ra = range_join_agg(left, right, key_col="k", left_ts="lts",
+                        right_ts="rts", lower_us=-100, upper_us=0,
+                        value_col="v").to_pandas()
+    assert int(ra["n_matched"].iloc[0]) == 2  # COUNT(*) contract
+    assert float(ra["sum_value"].iloc[0]) == 5.0  # null contributes 0
+
+    # semi_join_bloom survives zero-row key batches
+    ks = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    assert semi_join_bloom(ds, ks, key_col="k").count() == 0
+
+    # asof_join_broadcast: nullable int64 right payload keeps 64 bits
+    big = 9007199254740993
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "lts": pa.array([10], pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "rts": pa.array([5, 20], pa.int64()),
+        "rid": pa.array([big, None], pa.int64())}))
+    ab = asof_join_broadcast(l, r, key_col="k", left_ts="lts",
+                             right_ts="rts", tiebreak_col="rts").to_pandas()
+    assert int(ab["rid"].iloc[0]) == big  # float64 would round to 2^53
+
+    # upsert_merge refuses null keys instead of dropping the row
+    b = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "o": pa.array([1, 2], pa.int64()),
+        "t": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception, match="null values in key"):
+        upsert_merge(b, b, key_col="k", order_col="o",
+                     tiebreak_col="t").to_pandas()

@@ -76,23 +76,35 @@ def _pad_union(
     axis (from each side's own ts column) are the only common fields.
     Returns (union_ds, left_payload_fields, right_payload_fields).
     """
-    from .exchange import _key_hash
+    from .exchange import _key_hash, as_arrow_schema
 
-    ls, rs = left.schema(), right.schema()
+    # normalize pandas-block-reported numpy/object dtypes to Arrow types
+    # (the cast-to-declared-type below needs real pa.DataType)
+    ls, rs = as_arrow_schema(left.schema()), as_arrow_schema(right.schema())
     l_fields = [(n, t) for n, t in zip(ls.names, ls.types) if n not in (key_col, left_ts)]
     r_fields = [(n, t) for n, t in zip(rs.names, rs.types) if n not in (key_col, right_ts)]
     overlap = {n for n, _ in l_fields} & {n for n, _ in r_fields}
     if overlap:
         raise ValueError(f"payload column collision between sides: {sorted(overlap)}")
+    reserved = {_TS64, _SIDE, _PART} & (set(ls.names) | set(rs.names))
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by the "
+            "temporal-join padding — rename them")
     all_fields = l_fields + r_fields
+    key_type = ls.types[ls.names.index(key_col)]
 
     def pad(ts_name: str, side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            cols: dict = {key_col: batch.column(key_col)}
+            # cast to the DECLARED types (exchange_join's pad invariant):
+            # a large_string block or a narrower int key on one side
+            # would otherwise produce heterogeneous union block schemas
+            cols: dict = {key_col: batch.column(key_col).cast(key_type)}
             cols[_TS64] = _ts_to_us(batch.column(ts_name))
             for name, typ in all_fields:
-                cols[name] = (batch.column(name) if name in batch.column_names
+                cols[name] = (batch.column(name).cast(typ)
+                              if name in batch.column_names
                               else pa.nulls(n, typ))
             cols[_SIDE] = pa.array(np.full(n, side, np.int8))
             cols[_PART] = pa.array(
@@ -199,35 +211,49 @@ def asof_join_broadcast(
     ``asof_join`` then).  Output schema matches ``asof_join``.
     """
     out_ts = out_left_ts or left_ts
-    rt = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+    # materialize the right side as ARROW blocks — right.to_pandas()
+    # would already coerce nullable int64 payloads to float64 before
+    # the take-based gather can protect them (review r5)
+    blocks = ray.get(right.materialize().to_arrow_refs())
+    blocks = [b if isinstance(b, pa.Table)
+              else pa.Table.from_pandas(b, preserve_index=False)
+              for b in blocks]
+    rt = pa.concat_tables(blocks).combine_chunks()
     if len(rt) > max_right_rows:
         raise ValueError(
             f"right side has {len(rt)} rows > max_right_rows={max_right_rows}; "
             "use the co-partitioned asof_join")
     r_names = [n for n in rt.column_names if n not in (key_col, right_ts)]
-    rdf = pd.DataFrame({
-        "_k": rt.column(key_col).to_numpy(zero_copy_only=False),
-        "_t": _ts_to_us(rt.column(right_ts)).to_numpy(zero_copy_only=False),
-        **{n: rt.column(n).to_pandas() for n in r_names},
-    }).sort_values(["_k", "_t", tiebreak_col]).reset_index(drop=True)
-    # per-key slice offsets into the fully sorted frame.  Keys are stored
-    # raw (numpy scalar -> .item()) so string / non-numeric key columns
-    # work and numeric-strings ('01' vs '1') never collapse — parity with
-    # the co-partitioned asof_join, which supports arbitrary key types.
-    keys, starts = np.unique(rdf["_k"].to_numpy(), return_index=True)
-    bounds = np.append(starts, len(rdf))
+    # sort order computed on (key, ts, tiebreak) only — STABLE, matching
+    # asof_join's determinism contract — and the payloads stay an ARROW
+    # table gathered by .take(): a pandas round-trip would coerce a
+    # nullable int64 payload to float64 and round ids above 2^53
+    # (review r5; exchange.merge_part documents the same pitfall)
+    key_np = rt.column(key_col).to_numpy(zero_copy_only=False)
+    t_np = _ts_to_us(rt.column(right_ts)).to_numpy(zero_copy_only=False)
+    order_idx = (pd.DataFrame({
+        "_k": key_np, "_t": t_np,
+        "_tb": rt.column(tiebreak_col).to_numpy(zero_copy_only=False)})
+        .sort_values(["_k", "_t", "_tb"], kind="stable").index
+        .to_numpy(np.int64))
+    rt_sorted = rt.take(pa.array(order_idx, pa.int64()))
+    k_sorted = key_np[order_idx]
+    t_sorted = np.ascontiguousarray(t_np[order_idx])
+    # per-key slice offsets into the sorted table.  Keys are stored raw
+    # (numpy scalar -> .item()) so string / non-numeric key columns work
+    # and numeric-strings ('01' vs '1') never collapse — parity with the
+    # co-partitioned asof_join, which supports arbitrary key types.
+    keys, starts = np.unique(k_sorted, return_index=True)
+    bounds = np.append(starts, len(k_sorted))
     index = {_key_scalar(k): (int(bounds[i]), int(bounds[i + 1]))
              for i, k in enumerate(keys)}
-    ref = ray.put((index, rdf))
+    ref = ray.put((index, t_sorted, rt_sorted))
     side = "right" if inclusive else "left"
-    cache: dict = {}
 
     def probe(batch: pa.Table) -> pa.Table:
-        got = cache.get("r")
-        if got is None:
-            got = cache["r"] = ray.get(ref)
-        idx_map, frame = got
-        rts_all = frame["_t"].to_numpy()
+        from .dedup import _worker_obj_cache
+
+        idx_map, rts_all, rt_s = _worker_obj_cache(ref)
         lk = batch.column(key_col).to_numpy(zero_copy_only=False)
         lt = _ts_to_us(batch.column(left_ts)).to_numpy(zero_copy_only=False)
         match = np.full(len(lk), -1, np.int64)
@@ -252,8 +278,11 @@ def asof_join_broadcast(
             if n not in (key_col, left_ts):
                 cols[n] = L.column(n)
         hit = match[keep]
+        hit_idx = pa.array(hit, pa.int64())
         for n in r_names:
-            cols[n] = pa.array(frame[n].to_numpy()[hit])
+            col = rt_s.column(n).take(hit_idx)
+            cols[n] = (col.combine_chunks()
+                       if isinstance(col, pa.ChunkedArray) else col)
         return pa.table(cols)
 
     return left.map_batches(probe, batch_format="pyarrow")
@@ -314,7 +343,14 @@ def range_join_agg(
             rdf = pd.DataFrame({
                 key_col: R.column(key_col).to_pandas(),
                 _TS64: R.column(_TS64).to_numpy(zero_copy_only=False),
-                **({"_v": R.column(value_col).to_numpy(zero_copy_only=False)}
+                # null values contribute 0 to the running sum (SQL SUM
+                # skips nulls) — leaving NaN in the cumsum would conflate
+                # the null row's prefix with "no match" under fillna(0)
+                # and silently zero the window sum (review r5).
+                # n_matched stays COUNT(*) over the window, by contract.
+                **({"_v": np.nan_to_num(
+                    R.column(value_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64), nan=0.0)}
                    if value_col else {}),
             }).sort_values(_TS64, kind="stable").reset_index(drop=True)
             grp = rdf.groupby(key_col, sort=False)
@@ -437,6 +473,11 @@ def semi_join_bloom(
     (~(1 - e^(-kn/m))^k) — enter the verify exchange against the
     distinct key set. With 50M keys the broadcast alternative ships
     400 MB per worker; this ships 2 MB plus a survivors-only shuffle.
+    
+
+    ``anti=True`` executes the ``ds`` lineage TWICE (the maybe- and
+    miss-side filters are separate consumers) — pass a read-backed or
+    materialized ``ds``, the same caveat ``skew_join`` documents.
     """
     from .exchange import (_key_hash, as_arrow_schema, exchange_agg,
                             exchange_join)
@@ -458,6 +499,11 @@ def semi_join_bloom(
         return out
 
     def key_words(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # reduceat(empty, [0]) raises IndexError (review r5)
+            return pa.table({"word": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int32())})
         h = _key_hash(pa.table({key_col: batch.column(kc)}), [key_col])
         pos = positions(h).ravel()
         words = (pos >> np.uint64(6)).astype(np.int64)
@@ -475,6 +521,9 @@ def semi_join_bloom(
         })
 
     def or_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.int64())})
         w = g.column("word").to_numpy(zero_copy_only=False)
         b = g.column("bits").to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(w, kind="stable")
@@ -588,13 +637,11 @@ def broadcast_join(
             f"broadcast_join: small side has {len(sm)} rows > max_rows="
             f"{max_rows}; use exchange_join for sides this large")
     ref = ray.put(sm)
-    cache: dict = {}
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        s = cache.get("s")
-        if s is None:
-            s = cache["s"] = ray.get(ref)
-        return batch.merge(s, on=on, how=how)
+        from .dedup import _worker_obj_cache
+
+        return batch.merge(_worker_obj_cache(ref), on=on, how=how)
 
     return ds.map_batches(merge, batch_format="pandas")
 
@@ -635,6 +682,12 @@ def upsert_merge(
         updates.map_batches(tag(1), batch_format="pandas"))
 
     def local_win(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch[key_col].isna().any():
+            # pandas groupby drops NaN keys — in a MERGE that is silent
+            # data loss, so refuse loudly (review r5)
+            raise ValueError(
+                f"upsert_merge: null values in key column {key_col!r} — "
+                "filter or fill them first")
         out = (batch.sort_values(by, ascending=asc)
                .groupby(key_col, sort=False).head(1))
         part = (_hash_shingles(out[key_col].astype(str).tolist())
@@ -838,6 +891,12 @@ def cdc_apply(
         changes.map_batches(tag_chg, batch_format="pandas"))
 
     def local_win(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch[key_col].isna().any():
+            # pandas groupby drops NaN keys — in a MERGE that is silent
+            # data loss, so refuse loudly (review r5)
+            raise ValueError(
+                f"cdc_apply: null values in key column {key_col!r} — "
+                "filter or fill them first")
         out = (batch.sort_values(by, ascending=asc)
                .groupby(key_col, sort=False).head(1))
         part = (_hash_shingles(out[key_col].astype(str).tolist())
@@ -902,7 +961,12 @@ def interval_self_join(
             return pd.DataFrame(out_cols)
         ts = g[ts_col]
         if pd.api.types.is_datetime64_any_dtype(ts):
-            tsu = ts.astype("int64").to_numpy()
+            # normalize to MICROSECONDS regardless of the stored unit —
+            # datetime64[ns] cast straight to int64 yields nanoseconds,
+            # making window_us 1000x too small and dt_us a lie
+            # (review r5; _ts_to_us is the arrow-side twin)
+            tsu = (ts.to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))
         else:
             tsu = ts.to_numpy(dtype=np.int64)
         ids = g[id_col].to_numpy(dtype=np.int64)
@@ -984,8 +1048,16 @@ def planned_join(
     est = hll_join_estimate(left, right, left_col=on,
                             right_col=on).to_pandas().iloc[0]
     if est["est_right"] <= broadcast_limit:
-        counters.incr({"plannedjoin_broadcast": 1})
-        return broadcast_join(left, right, on=on, how=how)
+        # broadcast_join guards on total ROWS while the estimate is
+        # DISTINCT KEYS — a low-cardinality/high-row right side (100+
+        # rows per key) must fall back to the shuffle plan, not crash
+        # on the broadcast row budget (review r5)
+        try:
+            plan = broadcast_join(left, right, on=on, how=how)
+            counters.incr({"plannedjoin_broadcast": 1})
+            return plan
+        except ValueError:
+            counters.incr({"plannedjoin_broadcast_fallback": 1})
     counters.incr({"plannedjoin_shuffle": 1})
     # schema probe: one small batch per side (planning cost only)
     if left_schema is None:
