@@ -3611,3 +3611,48 @@ def test_joins_review_r5_regressions(ray_session):
     with pytest.raises(Exception, match="null values in key"):
         upsert_merge(b, b, key_col="k", order_col="o",
                      tiebreak_col="t").to_pandas()
+
+
+def test_analytics_review_r5_regressions(ray_session):
+    """Review r5 analytics.py fixes, pinned: all-null quantile groups,
+    float order-column prefix offsets, null-excluding winsorized mean,
+    degenerate-arm welch refusal."""
+    import pyarrow as pa
+    import pytest
+
+    from text_to_rdf_ray.stages.analytics import (group_quantiles_exact,
+                                                  prefix_max,
+                                                  welch_ttest,
+                                                  winsorized_mean)
+
+    # all-null group dropped, not KeyError
+    t = pa.table({"k": pa.array(["a", "a", "b"], pa.string()),
+                  "v": pa.array([1.0, 3.0, None], pa.float64())})
+    q = group_quantiles_exact(rd.from_arrow(t), key_col="k",
+                              value_col="v", qs=[0.5])
+    assert list(q["k"]) == ["a"] and float(q["q_0.5"].iloc[0]) == 2.0
+
+    # float order column: offsets keyed on the raw value (int() collided
+    # 5.2 and 5.7); running max must thread through block boundaries
+    df = pd.DataFrame({"o": [5.2, 5.7, 6.1, 6.9],
+                       "v": [4.0, 1.0, 9.0, 2.0]})
+    pm = (prefix_max(rd.from_pandas(df).repartition(4), order_col="o",
+                     value_col="v").to_pandas().sort_values("o"))
+    got = pm["running_max"].tolist()
+    assert got[1:] == [4.0, 4.0, 9.0]  # exclusive prefix maxima
+
+    # winsorized mean excludes nulls (clip(NaN) poisoned the group)
+    t2 = pa.table({"k": pa.array(["a"] * 5 + ["a"], pa.string()),
+                   "v": pa.array([1.0, 2.0, 3.0, 4.0, 100.0, None],
+                                 pa.float64())})
+    w = winsorized_mean(rd.from_arrow(t2), key_col="k", value_col="v",
+                        q_lo=0.1, q_hi=0.9).to_pandas()
+    assert int(w["n"].iloc[0]) == 5  # null not counted
+    assert np.isfinite(w["w_mean"].iloc[0])
+
+    # degenerate arm raises, never NaN/inf output
+    t3 = pa.table({"g": pa.array(["a", "b", "b"], pa.string()),
+                   "v": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    with pytest.raises(Exception, match="n=1 < 2"):
+        welch_ttest(rd.from_arrow(t3), group_col="g", value_col="v",
+                    group_a="a", group_b="b")

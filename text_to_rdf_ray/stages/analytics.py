@@ -106,13 +106,23 @@ def group_quantiles_exact(
     if stats.empty:
         return pd.DataFrame(columns=[key_col, "n", *[f"q_{q}" for q in qs]])
 
+    # all-null groups (n=0 after pyarrow's null-skipping count) have no
+    # quantiles and no histogram rows — drop them here rather than
+    # KeyError in the finalize (review r5)
+    stats = stats[stats["n"] > 0]
+    if stats.empty:
+        return pd.DataFrame(columns=[key_col, "n", *[f"q_{q}" for q in qs]])
+
     # per-group histogram geometry + needed order-statistic ranks
+    # (itertuples, not iterrows — the O(groups) driver fold convention)
     geo: dict = {}
-    for _, row in stats.iterrows():
-        key, n, lo, hi = row[key_col], int(row["n"]), row["vmin"], row["vmax"]
+    for row in stats.itertuples(index=False):
+        key = getattr(row, key_col) if key_col.isidentifier() else row[0]
+        n = int(row.n)
         ranks = sorted({int(np.floor((n - 1) * q)) for q in qs}
                        | {int(np.ceil((n - 1) * q)) for q in qs})
-        geo[key] = {"n": n, "lo": float(lo), "hi": float(hi), "ranks": ranks}
+        geo[key] = {"n": n, "lo": float(row.vmin), "hi": float(row.vmax),
+                    "ranks": ranks}
 
     hist = _pass_hist(ds, key_col, value_col, geo, n_bins).to_pandas()
 
@@ -135,9 +145,13 @@ def group_quantiles_exact(
                             max_collect).to_pandas()
 
     out_rows = []
+    # pre-group ONCE — a per-group boolean scan of the whole collected
+    # frame is O(groups x rows) on the driver (review r5)
+    vc_by_key = {k: g for k, g in vc.groupby(key_col, sort=False)}
+    _empty_vc = vc.iloc[0:0]
     for key, info in geo.items():
         n = info["n"]
-        g = vc[vc[key_col] == key].sort_values("value")
+        g = vc_by_key.get(key, _empty_vc).sort_values("value")
         vals = g["value"].to_numpy()
         cnts = g["cnt"].to_numpy().astype(np.int64)
         # global rank of the first copy of each collected distinct value
@@ -203,8 +217,6 @@ def _bin_of(vals: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
 
 def _pass_hist(ds: rd.Dataset, key_col: str, value_col: str,
                geo: dict, n_bins: int) -> rd.Dataset:
-    from ray.data.aggregate import Sum
-
     ref = ray.put(geo)
     cache: dict = {}
 
@@ -234,8 +246,6 @@ def _pass_hist(ds: rd.Dataset, key_col: str, value_col: str,
 def _pass_value_counts(ds: rd.Dataset, key_col: str, value_col: str,
                        geo: dict, targets: dict, n_bins: int,
                        max_collect: int) -> rd.Dataset:
-    from ray.data.aggregate import Sum
-
     ref = ray.put((geo, targets))
     cache: dict = {}
 
@@ -396,6 +406,13 @@ def hll_registers(ids: np.ndarray, p: int = 12) -> np.ndarray:
     return reg
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero 6dp rounding — THE cross-engine quantization
+    every SQL replay mirrors; one shared definition so no copy can
+    drift (review r5)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def hll_estimate(reg: np.ndarray) -> float:
     """Flajolet et al. 2007 estimator with the small-range linear-counting
     correction (the large-range correction is unnecessary at 64-bit
@@ -416,17 +433,7 @@ def approx_distinct(ds: rd.Dataset, *, col: str, p: int = 12) -> float:
     is an elementwise max — the canonical sketch shape: a 100 TB column
     reduces to 4 KB per batch with no shuffle at all.  Standard error
     ~1.04/sqrt(2^p) (~1.6% at p=12)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"reg": pa.array([hll_registers(ids, p).tobytes()],
-                                         pa.binary())})
-
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=65536).iter_rows():
-        merged = np.maximum(merged, np.frombuffer(row["reg"], dtype=np.uint8))
-    return hll_estimate(merged)
+    return hll_estimate(_hll_fold(ds, col, p))
 
 
 def windowed_approx_distinct(
@@ -621,7 +628,7 @@ def group_corr(
         keep = (n >= 2) & (vx > 0) & (vy > 0)
         r = (n[keep] * sxy[keep] - sx[keep] * sy[keep]) / np.sqrt(
             vx[keep] * vy[keep])
-        r = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+        r = _round6(r)
         return pa.table({
             key_col: t.column(key_col).filter(pa.array(keep)),
             "n": pa.array(n[keep].astype(np.int64), pa.int64()),
@@ -681,7 +688,7 @@ def group_ols(
         intercept = (sy[keep] - slope * sx[keep]) / n[keep]
 
         def r6(a: np.ndarray) -> np.ndarray:
-            return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+            return _round6(a)
 
         return pa.table({
             key_col: t.column(key_col).filter(pa.array(keep)),
@@ -729,8 +736,13 @@ def winsorized_mean(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         lo = batch[key_col].map(lo_map).to_numpy(dtype=np.float64)
         hi = batch[key_col].map(hi_map).to_numpy(dtype=np.float64)
-        v = np.clip(batch[value_col].to_numpy(dtype=np.float64), lo, hi)
-        g = (pd.DataFrame({key_col: batch[key_col], "v": v})
+        raw = batch[value_col].to_numpy(dtype=np.float64)
+        # nulls are excluded (the quantile bounds were computed over
+        # non-null values only — clip(NaN) would poison the whole
+        # group's mean and over-count n; review r5)
+        ok = ~np.isnan(raw)
+        v = np.clip(raw[ok], lo[ok], hi[ok])
+        g = (pd.DataFrame({key_col: batch[key_col].to_numpy()[ok], "v": v})
              .groupby(key_col, sort=False)["v"].agg(["size", "sum"])
              .reset_index())
         return g.rename(columns={"size": "n", "sum": "s"})
@@ -744,7 +756,7 @@ def winsorized_mean(
         n = t.column("n").to_numpy(zero_copy_only=False)
         s = t.column("s").to_numpy(zero_copy_only=False)
         m = s / n
-        m = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        m = _round6(m)
         return pa.table({key_col: t.column(key_col),
                          "n": pa.array(n.astype(np.int64), pa.int64()),
                          "w_mean": pa.array(m, pa.float64())})
@@ -760,7 +772,6 @@ def quantile_bucket(
     n_buckets: int = 4,
     out_col: str = "bucket",
     max_groups: int = 2_000_000,
-    num_partitions: int = 16,
 ) -> rd.Dataset:
     """Per-group quantile-bucket assignment (curriculum / quality tiers):
     each row gets bucket 1..n_buckets where bucket i covers values in
@@ -871,7 +882,7 @@ def group_zscore(
     var = np.maximum(ss / n - mean * mean, 0.0)
 
     def _r6(x: np.ndarray) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        return _round6(x)
 
     mean_map = dict(zip(red[key_col], _r6(mean)))
     std_map = dict(zip(red[key_col], _r6(np.sqrt(var))))
@@ -889,7 +900,7 @@ def group_zscore(
         v = batch[value_col].to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(std > 0, (v - mean) / std, 0.0)
-        z = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6
+        z = _round6(z)
         return batch.assign(**{out_col: z})
 
     return ds.map_batches(apply_z, batch_format="pandas", batch_size=65536)
@@ -1397,8 +1408,10 @@ def grouped_prefix_sum(
         sum_last = float(v[karr == kl].sum())
         return pa.table({
             "first_key": pa.array([kf], key_type),
-            "first_order": pa.array(
-                [int(batch.column(order_col)[0].as_py())], pa.int64()),
+            # NATIVE order type — int() truncated float order columns,
+            # colliding distinct block offsets (review r5)
+            "first_order": batch.column(order_col).slice(0, 1)
+            .combine_chunks(),
             "last_key": pa.array([kl], key_type),
             "sum_last": pa.array([sum_last], pa.float64()),
         })
@@ -1412,7 +1425,7 @@ def grouped_prefix_sum(
     running_key, running_sum = None, 0.0
     for row in partials.itertuples(index=False):
         off = running_sum if row.first_key == running_key else 0.0
-        offsets[(row.first_key, int(row.first_order))] = off
+        offsets[(row.first_key, row.first_order)] = off
         base = off if row.last_key == row.first_key else 0.0
         running_key, running_sum = row.last_key, base + float(row.sum_last)
     off_ref = ray.put(offsets)
@@ -1431,7 +1444,7 @@ def grouped_prefix_sum(
         excl = (pd.Series(v).groupby(k, sort=False).cumsum() - v).to_numpy()
         first_key = k.iloc[0]
         block_off = off[(first_key,
-                         int(batch.column(order_col)[0].as_py()))]
+                         batch.column(order_col)[0].as_py())]
         excl[(k == first_key).to_numpy()] += block_off
         return batch.append_column(out_col, pa.array(excl, pa.float64()))
 
@@ -1631,13 +1644,15 @@ def prefix_max(
 
     def block_stats(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({"first_order": pa.array([], pa.int64()),
+            return pa.table({"first_order": batch.column(order_col)
+                             .slice(0, 0),
                              "max_val": pa.array([], pa.float64())})
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.float64)
         return pa.table({
-            "first_order": pa.array(
-                [int(batch.column(order_col)[0].as_py())], pa.int64()),
+            # NATIVE order type (int() truncated float orders, review r5)
+            "first_order": batch.column(order_col).slice(0, 1)
+            .combine_chunks(),
             "max_val": pa.array([float(v.max())], pa.float64()),
         })
 
@@ -1647,7 +1662,7 @@ def prefix_max(
     offsets: dict[int, float] = {}
     running = -np.inf
     for row in partials.itertuples(index=False):
-        offsets[int(row.first_order)] = running
+        offsets[row.first_order] = running
         running = max(running, float(row.max_val))
     off_ref = ray.put(offsets)
     cache: dict = {}
@@ -1665,7 +1680,7 @@ def prefix_max(
         local[0] = -np.inf
         if len(v) > 1:
             local[1:] = np.maximum.accumulate(v)[:-1]
-        block_off = off[int(batch.column(order_col)[0].as_py())]
+        block_off = off[batch.column(order_col)[0].as_py()]
         out = np.maximum(local, block_off)
         # -inf can only survive at the globally first row (every later
         # row has at least one finite predecessor); emit it as null
@@ -2332,6 +2347,14 @@ def welch_ttest(
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         "_k", aggs, num_partitions=num_partitions).to_pandas().iloc[0]
 
+    for t in ("a", "b"):
+        if tot[f"n_{t}"] < 2:
+            # an absent or single-row arm yields NaN/inf statistics —
+            # raise like did_estimate/power_analysis (review r5)
+            raise ValueError(
+                f"welch_ttest: arm {t!r} has n={int(tot[f'n_{t}'])} < 2 "
+                "non-null rows — the variance is undefined")
+
     out: dict = {}
     se = {}
     for t in ("a", "b"):
@@ -2722,10 +2745,13 @@ def calibration_bins(
     calibration (a model can ace both and still say "90%" when it
     means 60%).
 
-    Returns one row per bin: (bin, n, n_pos, frac_pos, avg_score) —
-    n/n_pos are INTEGER-exact; avg_score folds a float score sum whose
-    partition-order drift callers round away (the repo's 6dp
-    convention).
+    Returns one row per NON-EMPTY bin: (bin, n, n_pos, frac_pos,
+    avg_score) — bins with zero scores are omitted (frac_pos/avg_score
+    are 0/0 there; reindex against range(bins) for a dense axis —
+    unlike psi_bins, where zero-count bins carry distribution mass and
+    are emitted).  n/n_pos are INTEGER-exact; avg_score folds a float
+    score sum whose partition-order drift callers round away (the
+    repo's 6dp convention).
 
     Scale shape: one streaming pass into ≤ bins count partials per
     batch + one bin exchange; the bins-row result is inherently
@@ -2960,7 +2986,7 @@ def robust_zscore(
     ``outlier = |rz| > z_thresh``.
     """
     def _r6(x: np.ndarray) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        return _round6(x)
 
     med_df = group_quantiles_exact(ds, key_col=key_col,
                                    value_col=value_col, qs=[0.5],
@@ -3119,6 +3145,10 @@ def f2_moment(
         num_partitions=num_partitions).to_pandas()
     out = out.sort_values("r").reset_index(drop=True)
     out["est"] = out["s"].astype("int64") ** 2  # integer-exact
+    # the combined estimator the docstring defines: mean over the k
+    # replicate estimates (constant column — the headline F2 number
+    # rides with the per-replicate table; review r5)
+    out["est_mean"] = float(out["est"].mean())
     return out
 
 
