@@ -1074,3 +1074,49 @@ def test_bsp_small_p_forced_tree_and_ckpt_partition_guard(ray_session,
     with pytest.raises(ValueError, match="num_parts=2"):
         connected_components_bsp(rd.from_pandas(e), num_parts=2,
                                  checkpoint_dir=ck, checkpoint_every=1)
+
+
+def test_graph_review_r5_regressions(ray_session):
+    """Review r5 graph.py fixes, pinned: big-id color/contribution
+    integrity, unsymmetrized centralization, empty/degenerate guards."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from text_to_rdf_ray.stages.graph import (degree_centralization,
+                                              hits, pagerank, scc)
+
+    # unsymmetrized path graph: node 4 is dst-only and must count
+    e = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    out = degree_centralization(rd.from_pandas(e))
+    assert int(out["n_nodes"].iloc[0]) == 4
+    assert int(out["n_edges"].iloc[0]) == 3
+    assert abs(float(out["centralization"].iloc[0]) - 1.0 / 3) < 1e-9
+
+    # scc distributed tier on an empty edge set: typed empty, no crash
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                         "dst": pd.Series(dtype="int64")}))
+    s = scc(empty, engine="distributed")
+    assert s.count() == 0
+    assert s.schema().names == ["node", "comp"]  # typed, not schema-less
+    # (Ray's to_pandas drops columns on zero-row datasets — the
+    # dataset-level schema is the contract)
+
+    # degenerate iteration counts / engines raise
+    ds = rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(Exception, match="iterations"):
+        hits(ds, iterations=0, engine="dataset")
+    with pytest.raises(Exception, match="unknown engine"):
+        pagerank(ds, iterations=1, engine="bps", driver_threshold=0)
+
+    # scc distributed tier with hash-scale node ids survives exactly
+    # (the float64 pcol round-trip rounded ids above 2^53)
+    big = 2**62 + 12345
+    e2 = pd.DataFrame({"src": [big, big + 1, 7],
+                       "dst": [big + 1, big, big]})
+    s2 = (scc(rd.from_pandas(e2), engine="distributed", num_partitions=4)
+          .to_pandas())
+    comp = dict(zip(s2.node, s2.comp))
+    assert comp[big] == comp[big + 1]  # the 2-cycle is one SCC
+    assert comp[7] != comp[big]
+    assert set(s2.node) == {big, big + 1, 7}  # ids intact, no phantoms

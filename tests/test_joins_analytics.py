@@ -3656,3 +3656,35 @@ def test_analytics_review_r5_regressions(ray_session):
     with pytest.raises(Exception, match="n=1 < 2"):
         welch_ttest(rd.from_arrow(t3), group_col="g", value_col="v",
                     group_a="a", group_b="b")
+
+
+def test_exchange_join_mixed_block_union_bigint_payloads(ray_session):
+    """Review r5 (root-caused from scc): when ANY block in a unioned
+    lineage is a pandas block (Ray 2.49 emits empty zero-column pandas
+    blocks that map_batches skips), Ray's sort exchange normalizes all
+    blocks to pandas — a NULL-padded int64 payload then rode through
+    float64 and ids above 2^53 rounded.  The pad's non-null zero filler
+    (never read by merge_part) keeps payloads exact."""
+    import pyarrow as pa
+
+    from text_to_rdf_ray.stages.exchange import exchange_agg, exchange_join
+
+    big = 2**62 + 12345
+    arrow_part = rd.from_arrow(pa.table({
+        "node": pa.array([big, big + 1], pa.int64()),
+        "comp": pa.array([big + 1, big + 1], pa.int64())}))
+    empty_pd = rd.from_pandas(pd.DataFrame({
+        "node": pd.Series(dtype="int64"),
+        "comp": pd.Series(dtype="int64")}))
+    out = arrow_part.union(empty_pd)
+    mins = exchange_agg(out, "comp", [("node", "min", "mn")],
+                        num_partitions=4)
+    final = (exchange_join(
+        out, mins, on="comp", num_partitions=4,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("comp", pa.int64())]),
+        right_schema=pa.schema([("comp", pa.int64()),
+                                ("mn", pa.int64())]))
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    assert final["node"].tolist() == [big, big + 1]  # exact, no rounding
+    assert final["mn"].tolist() == [big, big]

@@ -335,9 +335,24 @@ def exchange_join(
             # output schema exactly (e.g. a large_string block)
             cols: dict = {k: batch.column(k).cast(key_types[k]) for k in on}
             for name, typ in all_fields:
-                cols[name] = (batch.column(name).cast(typ)
-                              if name in batch.column_names
-                              else pa.nulls(n, typ))
+                if name in batch.column_names:
+                    cols[name] = batch.column(name).cast(typ)
+                elif pa.types.is_integer(typ):
+                    # NON-NULL zero filler, not pa.nulls: if ANY block in
+                    # the unioned lineage is a pandas block (Ray 2.49
+                    # emits empty zero-column pandas blocks from some
+                    # map_groups lineages, and map_batches skips them),
+                    # Ray's sort exchange normalizes ALL blocks to
+                    # pandas — a nullable int64 column then rides through
+                    # float64 and ids above 2^53 round (review r5,
+                    # reproduced).  merge_part gathers each side's
+                    # payload from that side's rows only, so the
+                    # opposite-side filler is never read.
+                    cols[name] = pa.array(np.zeros(n, np.int64)).cast(typ)
+                elif pa.types.is_boolean(typ):
+                    cols[name] = pa.array(np.zeros(n, bool))
+                else:
+                    cols[name] = pa.nulls(n, typ)
             cols[_SIDE] = pa.array(np.full(n, side, np.int8))
             cols[_PART] = pa.array(
                 (_key_hash(batch, on) % np.uint64(num_partitions))

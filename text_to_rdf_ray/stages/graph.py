@@ -179,6 +179,8 @@ def pagerank(
 
     efact = e.map_batches(edge_factor, batch_format="pyarrow")
 
+    if engine not in ("bsp", "dataset"):
+        raise ValueError(f"pagerank: unknown engine {engine!r}")
     if engine == "bsp":
         from .bsp import pagerank_bsp
 
@@ -301,6 +303,7 @@ TRIANGLE_BROADCAST_THRESHOLD = 5_000_000
 def triangle_count(
     edges: rd.Dataset,
     *,
+    pre_canonical: bool = False,
     src: str = "src",
     dst: str = "dst",
     num_partitions: int = 64,
@@ -347,9 +350,16 @@ def triangle_count(
         return pa.table({"u": pa.array(u[keep], pa.int64()),
                          "v": pa.array(v[keep], pa.int64())})
 
-    e = _solid(exchange_agg(
-        edges.map_batches(canon, batch_format="pyarrow"),
-        ["u", "v"], num_partitions=num_partitions), n=num_partitions // 4)
+    if pre_canonical:
+        # caller guarantees distinct canonical (u, v) rows (u < v) —
+        # skip the re-canon + distinct exchange (clustering_coeff's
+        # shared edge table; review r5)
+        e = edges
+    else:
+        e = _solid(exchange_agg(
+            edges.map_batches(canon, batch_format="pyarrow"),
+            ["u", "v"], num_partitions=num_partitions),
+            n=max(num_partitions // 4, 1))
     n_edges = e.count()
 
     if n_edges <= broadcast_threshold:
@@ -461,7 +471,7 @@ def _triangle_shuffle(e: rd.Dataset, *, num_partitions: int) -> rd.Dataset:
         })
 
     o = _solid(ed.map_batches(orient, batch_format="pyarrow"),
-               n=num_partitions // 4)
+               n=max(num_partitions // 4, 1))
     _S_O = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                       ("db", pa.int64())])
     o2 = _project(o, [("a", "a"), ("b", "c"), ("db", "dc")])
@@ -655,12 +665,15 @@ def kcore(
             batch_format="pyarrow")
         ks = pa.schema([("a", pa.int64())])
         # semi-join both endpoints against the surviving node set
-        e = exchange_join(e, keep, on="a", left_schema=es, right_schema=ks)
+        e = exchange_join(e, keep, on="a", left_schema=es,
+                          right_schema=ks,
+                          num_partitions=num_partitions)
         e = exchange_join(
             e.map_batches(lambda t: pa.table({"a": t.column("b"),
                                               "b": t.column("a")}),
                           batch_format="pyarrow"),
-            keep, on="a", left_schema=es, right_schema=ks)
+            keep, on="a", left_schema=es, right_schema=ks,
+            num_partitions=num_partitions)
         e = e.map_batches(lambda t: pa.table({"a": t.column("b"),
                                               "b": t.column("a")}),
                           batch_format="pyarrow").materialize()
@@ -916,12 +929,20 @@ def personalized_pagerank(
                                right_schema=eo_schema).materialize()
 
         def contrib(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            m = df["_dst"].notna()
-            r = df.loc[m, "rank"].to_numpy(np.float64)
-            deg = df.loc[m, "outdeg"].to_numpy(np.float64)
+            import pyarrow.compute as pac
+
+            # arrow filter, not a pandas round-trip: a null _dst in the
+            # batch would coerce the whole int64 column to float64 and
+            # round hash-derived ids above 2^53 (review r5)
+            f = t.filter(pac.is_valid(t.column("_dst")))
+            r = f.column("rank").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            deg = f.column("outdeg").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            dst = f.column("_dst").cast(pa.int64())
             return pa.table({
-                "node": pa.array(df.loc[m, "_dst"].astype("int64")),
+                "node": dst.combine_chunks()
+                if isinstance(dst, pa.ChunkedArray) else dst,
                 "_c": pa.array(d * r / deg, pa.float64())})
 
         csum = exchange_agg(
@@ -1004,7 +1025,7 @@ def clustering_coeff(
         e.map_batches(endpoints, batch_format="pyarrow"),
         "node", [("one", "sum", "deg")],
         num_partitions=min(num_partitions, 16))
-    tri = triangle_count(e, src="u", dst="v",
+    tri = triangle_count(e, pre_canonical=True, src="u", dst="v",
                          num_partitions=num_partitions)
     joined = exchange_join(
         deg, tri, on="node", how="left_outer",
@@ -1158,6 +1179,9 @@ def hits(
     exchange_joins + two exchange_aggs per iteration) — parity-tested
     against the BSP path.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1 (the auth pass "
+                         "defines the output)")
     from .analytics import distinct_rows
     from .exchange import exchange_agg, exchange_join
 
@@ -1578,12 +1602,18 @@ def scc(
                                         ("pcol", pa.int64())]))
 
             def upd(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pac
+
                 old = t.column("col").to_numpy(zero_copy_only=False) \
                     .astype(np.int64)
-                pc = t.column("pcol").to_numpy(zero_copy_only=False) \
-                    .astype(np.float64)
-                pc = np.nan_to_num(pc, nan=-np.inf)
-                new = np.maximum(old, pc).astype(np.int64)
+                # fill the unmatched-row null in ARROW int64 — a float64
+                # round-trip would round hash-derived ids above 2^53
+                # (review r5; exchange.merge_part documents the pitfall)
+                pcv = pac.fill_null(t.column("pcol"),
+                                    pa.scalar(np.iinfo(np.int64).min,
+                                              pa.int64())) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                new = np.maximum(old, pcv)
                 return pa.table({
                     "node": t.column("node"),
                     "col": pa.array(new, pa.int64()),
@@ -1664,6 +1694,14 @@ def scc(
             batch_format="pyarrow").materialize()
 
     counters.incr({"scc_outer_rounds": outer})
+    # drop zero-row batches (a peel round can assign nothing, and Ray
+    # empties may be schema-less) — an all-empty list means an empty
+    # graph: typed empty result (assigned[0] would IndexError)
+    assigned = [a for a in assigned if a.count() > 0]
+    if not assigned:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "comp": pa.array([], pa.int64())}))
     out = assigned[0]
     for a in assigned[1:]:
         out = out.union(a)
@@ -2430,6 +2468,7 @@ def betweenness_from_seeds(
     k: int = 4,
     num_partitions: int = 32,
     driver_max_edges: int = 2_000_000,
+    prepared: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Truncated (<= ``k``-hop) Brandes betweenness from a bounded
     seed set — the k-betweenness / source-sampled approximation
@@ -2457,16 +2496,11 @@ def betweenness_from_seeds(
     bc = bc_nano / 1e9 (one exact division — identical bits in any
     engine).
     """
-    from .analytics import distinct_rows
     from .exchange import exchange_agg, exchange_join
 
-    e_keyed = distinct_rows(
-        edges.map_batches(
-            lambda t: pa.table({
-                "node": t.column(src_col).cast(pa.int64()),
-                "_nxt": t.column(dst_col).cast(pa.int64())}),
-            batch_format="pyarrow"),
-        cols=["node", "_nxt"]).materialize()
+    e_keyed = (prepared if prepared is not None
+               else bfs_prepare_edges(edges, src_col=src_col,
+                                      dst_col=dst_col))
     sarr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
 
     if e_keyed.count() <= driver_max_edges:
@@ -2682,8 +2716,11 @@ def degree_centralization(
     "is this graph hub-dominated" readout beside the degree
     histogram.
 
-    Input edges are taken as ALREADY symmetrized-or-not directed
-    rows; degree = distinct neighbors per node (self-loops dropped).
+    Edges are symmetrized INTERNALLY (both orientations emitted before
+    the distinct), so the input may be one row per undirected edge OR
+    already symmetric — degree = distinct neighbors per node either
+    way (self-loops dropped).  Counting src-rows only would silently
+    miss dst-only endpoints on unsymmetrized input (review r5).
     One distinct + one count exchange; the closing fold needs only
     (n, deg_max, deg_sum_deficit), reduced via a bounded
     per-partition partial — no degree table is collected.  Returns
@@ -2692,14 +2729,18 @@ def degree_centralization(
     from .exchange import exchange_agg
     from .analytics import distinct_rows
 
+    def sym(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column(src_col), t.column(dst_col)))
+        s = f.column(src_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = f.column(dst_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([s, d]), pa.int64()),
+            "nbr": pa.array(np.concatenate([d, s]), pa.int64())})
+
     e = distinct_rows(
-        edges.map_batches(
-            lambda t: (lambda f: pa.table({
-                "node": f.column(src_col).cast(pa.int64()),
-                "nbr": f.column(dst_col).cast(pa.int64())}))(
-                t.filter(pc.not_equal(t.column(src_col),
-                                      t.column(dst_col)))),
-            batch_format="pyarrow"),
+        edges.map_batches(sym, batch_format="pyarrow"),
         cols=["node", "nbr"]).materialize()
     deg = exchange_agg(
         e.map_batches(

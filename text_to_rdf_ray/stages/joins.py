@@ -103,9 +103,17 @@ def _pad_union(
             cols: dict = {key_col: batch.column(key_col).cast(key_type)}
             cols[_TS64] = _ts_to_us(batch.column(ts_name))
             for name, typ in all_fields:
-                cols[name] = (batch.column(name).cast(typ)
-                              if name in batch.column_names
-                              else pa.nulls(n, typ))
+                if name in batch.column_names:
+                    cols[name] = batch.column(name).cast(typ)
+                elif pa.types.is_integer(typ):
+                    # non-null filler — the exchange.py pad's Ray-2.49
+                    # mixed-block float64 hazard (opposite-side padding
+                    # is never read by the merges)
+                    cols[name] = pa.array(np.zeros(n, np.int64)).cast(typ)
+                elif pa.types.is_boolean(typ):
+                    cols[name] = pa.array(np.zeros(n, bool))
+                else:
+                    cols[name] = pa.nulls(n, typ)
             cols[_SIDE] = pa.array(np.full(n, side, np.int8))
             cols[_PART] = pa.array(
                 (_key_hash(batch, [key_col]) % np.uint64(num_partitions))
