@@ -3688,3 +3688,38 @@ def test_exchange_join_mixed_block_union_bigint_payloads(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True))
     assert final["node"].tolist() == [big, big + 1]  # exact, no rounding
     assert final["mn"].tolist() == [big, big]
+
+
+def test_windows_review_r5_regressions(ray_session):
+    """Review r5 windows.py fixes, pinned: ns-unit decayed_sum, empty
+    inputs, the reserved _part guard."""
+    import pytest
+
+    from text_to_rdf_ray.stages.windows import (dau_wau, decayed_sum,
+                                                sessionize,
+                                                survival_table)
+
+    # decayed_sum with datetime64[ns] input: a 1-hour age at half-life
+    # 1h decays to exactly value/2 (the raw ns cast made age 1000x off)
+    as_of = 3_600_000_000  # us
+    df = pd.DataFrame({"user_id": [1],
+                       "ts": pd.to_datetime([0], unit="s"),
+                       "value": [8.0]})
+    out = decayed_sum(rd.from_pandas(df), key_col="user_id",
+                      ts_col="ts", value_col="value",
+                      as_of_us=as_of, half_life_s=3600.0).to_pandas()
+    assert abs(float(out["decayed_sum"].iloc[0]) - 8.0 * np.exp(-1)) < 1e-9
+
+    # empty inputs: typed empties, not int(NaN) crashes
+    empty = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]")}))
+    assert len(survival_table(empty, key_col="user_id", ts_col="ts")) == 0
+    assert dau_wau(empty, key_col="user_id", ts_col="ts").count() == 0
+
+    # reserved _part column refuses loudly instead of silent clobber
+    bad = rd.from_pandas(pd.DataFrame({
+        "user_id": [1], "ts": pd.to_datetime([1], unit="s"),
+        "event_id": [1], "_part": [9]}))
+    with pytest.raises(Exception, match="_part.*reserved"):
+        sessionize(bad).to_pandas()

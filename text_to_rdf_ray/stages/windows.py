@@ -47,6 +47,32 @@ def _part_of(s: pd.Series, num_partitions: int) -> np.ndarray:
             % np.uint64(num_partitions)).astype(np.int32)
 
 
+def _with_part(frame: pd.DataFrame, key_col: str,
+               num_partitions: int) -> pd.DataFrame:
+    """Tag a batch with its exchange partition id — the ONE shared
+    add-part step for every windows operator.  Raises on a pre-existing
+    ``_part`` column instead of silently clobbering it (exchange.py's
+    reserved-name convention; review r5)."""
+    if "_part" in frame.columns:
+        raise ValueError(
+            "column name '_part' is reserved by the windows exchange — "
+            "rename it")
+    return frame.assign(_part=_part_of(frame[key_col], num_partitions))
+
+
+def _key_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run_starts, run_lengths) of a key-sorted array — the per-key
+    offsets the position-loop recurrences index with (touching only
+    keys still alive at each step keeps total work Σ len_k instead of
+    the O(rows x max_len) full-array rescan per step; review r5)."""
+    if len(keys) == 0:
+        return (np.array([], np.int64), np.array([], np.int64))
+    change = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(change).astype(np.int64)
+    lens = np.diff(np.append(starts, len(keys))).astype(np.int64)
+    return starts, lens
+
+
 def tumbling_agg(
     ds: rd.Dataset,
     *,
@@ -120,10 +146,10 @@ def hopping_agg(
         base = ts_us.to_numpy(zero_copy_only=False) // hop_us
         # windows containing ts: starts (base - i) * hop for i in 0..fan-1
         starts = (np.repeat(base, fan) - np.tile(np.arange(fan), len(base))) * hop_us
-        keys = batch.column(key_col).take(
-            pa.array(np.repeat(np.arange(len(base)), fan), pa.int64()))
-        vals = batch.column(value_col).take(
-            pa.array(np.repeat(np.arange(len(base)), fan), pa.int64()))
+        take_idx = pa.array(np.repeat(np.arange(len(base)), fan),
+                            pa.int64())
+        keys = batch.column(key_col).take(take_idx)
+        vals = batch.column(value_col).take(take_idx)
         t = pa.table({key_col: keys,
                       "window_start": pa.array(starts, pa.int64()),
                       value_col: vals})
@@ -155,7 +181,7 @@ def sessionize(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass over ALL keys in the partition: groupby.diff
@@ -216,7 +242,7 @@ def rolling_agg(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -271,7 +297,7 @@ def funnel(
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch[type_col].isin(steps)  # shrink the exchange to
         batch = batch[keep]                  # funnel-relevant events only
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
@@ -328,7 +354,7 @@ def retention(
                .astype(np.int64) // us_per_day)
         out = pd.DataFrame({key_col: batch[key_col], "day": day})
         out = out.drop_duplicates()  # per-batch combiner
-        return out.assign(_part=_part_of(out[key_col], num_partitions))
+        return _with_part(out, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"]).drop_duplicates()
@@ -373,7 +399,7 @@ def lag_delta(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -488,7 +514,7 @@ def resample_fill(
         g = (t.group_by([key_col, "window_id"])
              .aggregate([(value_col, "sum"), (value_col, "count")])
              .to_pandas())
-        return g.assign(_part=_part_of(g[key_col], num_partitions))
+        return _with_part(g, key_col, num_partitions)
 
     sum_c, cnt_c = f"{value_col}_sum", f"{value_col}_count"
 
@@ -558,7 +584,7 @@ def transition_matrix(
     from .exchange import exchange_agg
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, tiebreak_col],
@@ -614,19 +640,18 @@ def ewma(
     one_minus = np.float64(1.0) - a
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
              .sort_values([key_col, ts_col, tiebreak_col],
                           kind="mergesort").reset_index(drop=True))
-        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
         x = g[value_col].to_numpy(np.float64)
         y = x.copy()                      # position 0: y = x
-        max_pos = int(pos.max()) if len(pos) else 0
-        idx = np.arange(len(g))
+        starts, lens = _key_runs(g[key_col].to_numpy())
+        max_pos = int(lens.max()) - 1 if len(lens) else 0
         for t in range(1, max_pos + 1):
-            cur = idx[pos == t]
+            cur = starts[lens > t] + t
             # rows are (key, pos)-sorted, so the predecessor of a
             # position-t row is physically the previous row
             y[cur] = a * x[cur] + one_minus * y[cur - 1]
@@ -671,20 +696,19 @@ def double_smooth(
     one_minus_b = np.float64(1.0) - bt
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
              .sort_values([key_col, ts_col, tiebreak_col],
                           kind="mergesort").reset_index(drop=True))
-        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
         x = g[value_col].to_numpy(np.float64)
         lvl = x.copy()                    # position 0: l = x, b = 0
         trd = np.zeros(len(g), np.float64)
-        max_pos = int(pos.max()) if len(pos) else 0
-        idx = np.arange(len(g))
+        starts, lens = _key_runs(g[key_col].to_numpy())
+        max_pos = int(lens.max()) - 1 if len(lens) else 0
         for t in range(1, max_pos + 1):
-            cur = idx[pos == t]
+            cur = starts[lens > t] + t
             prev = cur - 1                # (key, pos)-sorted adjacency
             l_new = a * x[cur] + one_minus_a * (lvl[prev] + trd[prev])
             trd[cur] = bt * (l_new - lvl[prev]) + one_minus_b * trd[prev]
@@ -739,7 +763,7 @@ def burst_detect(
         g = (t.group_by([key_col, "window_id"])
              .aggregate([([], "count_all")]).to_pandas()
              .rename(columns={"count_all": "n"}))
-        return g.assign(_part=_part_of(g[key_col], num_partitions))
+        return _with_part(g, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
@@ -799,7 +823,7 @@ def interval_coverage(
     dur = np.int64(dur_us)
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -852,7 +876,7 @@ def debounce(
     keys = list(key_cols or ["user_id", "event_type"])
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[keys[0]], num_partitions))
+        return _with_part(batch, keys[0], num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -891,7 +915,7 @@ def scd2_history(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -938,7 +962,7 @@ def grouped_path(
     import pyarrow.compute as pc
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -985,7 +1009,13 @@ def decayed_sum(
     from .exchange import exchange_agg
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+        col = batch.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            # normalize to MICROSECONDS (parquet gives us, pandas frames
+            # give ns — a raw int64 cast of ns made age_s 1000x off and
+            # exp() under/overflowed; review r5)
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         v = batch.column(value_col).to_numpy(
             zero_copy_only=False).astype(np.float64)
@@ -1032,7 +1062,7 @@ def time_weighted_avg(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -1103,10 +1133,23 @@ def survival_table(
         key_col, [("_t", "min", "t0"), ("_t", "max", "t1")],
         num_partitions=num_partitions).materialize()
     # corpus max: O(batches) partial rows -> driver max
-    tmax = int(spans.map_batches(
+    _mf = spans.map_batches(
         lambda t: pa.table({"m": pa.array(
             [pc.max(t.column("t1")).as_py()], pa.int64())}),
-        batch_format="pyarrow").to_pandas()["m"].max())
+        batch_format="pyarrow").to_pandas()
+    # empty input: map_batches skips empty blocks, so the frame may be
+    # column-less (Ray 2.49) — treat as NaN
+    _m = _mf["m"].max() if "m" in _mf.columns and len(_mf) else float("nan")
+    if pd.isna(_m):
+        # empty input: empty life table, not int(NaN) (review r5;
+        # seasonal_decompose's convention)
+        return pd.DataFrame({
+            "day": pd.Series(dtype="int64"),
+            "at_risk": pd.Series(dtype="int64"),
+            "deaths": pd.Series(dtype="int64"),
+            "censored": pd.Series(dtype="int64"),
+            "factor": pd.Series(dtype="float64")})
+    tmax = int(_m)
 
     def per_key(t: pa.Table) -> pa.Table:
         t0 = t.column("t0").to_numpy(zero_copy_only=False)
@@ -1166,7 +1209,7 @@ def pattern_adjacent(
     """
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -1218,7 +1261,7 @@ def rate_limit(
     cap = int(max_per_window)
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -1273,7 +1316,7 @@ def autocorr(
         g = (t.group_by([key_col, "window_id"])
              .aggregate([([], "count_all")]).to_pandas()
              .rename(columns={"count_all": "n"}))
-        return g.assign(_part=_part_of(g[key_col], num_partitions))
+        return _with_part(g, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
@@ -1348,7 +1391,7 @@ def cusum_detect(
         g = (t.group_by([key_col, "window_id"])
              .aggregate([([], "count_all")]).to_pandas()
              .rename(columns={"count_all": "n"}))
-        return g.assign(_part=_part_of(g[key_col], num_partitions))
+        return _with_part(g, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
@@ -1356,16 +1399,15 @@ def cusum_detect(
              ["n"].sum())
         g = (g.sort_values([key_col, "window_id"], kind="mergesort")
              .reset_index(drop=True))
-        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
         x = g["n"].to_numpy(np.float64)
         ref = (g.groupby(key_col, sort=False)["n"]
                .transform("mean").to_numpy(np.float64))
         z = (x - ref) - kap
         s = np.maximum(0.0, z)            # position 0: s = max(0, z)
-        max_pos = int(pos.max()) if len(pos) else 0
-        idx = np.arange(len(g))
+        starts, lens = _key_runs(g[key_col].to_numpy())
+        max_pos = int(lens.max()) - 1 if len(lens) else 0
         for t in range(1, max_pos + 1):
-            cur = idx[pos == t]
+            cur = starts[lens > t] + t
             s[cur] = np.maximum(0.0, s[cur - 1] + z[cur])
         g["n"] = g["n"].astype("int64")
         g["s"] = s
@@ -1423,7 +1465,7 @@ def ohlc_bars(
         out = first.set_index([key_col, "window_id"]).join(
             [last, agg]).reset_index()
         out["n"] = out["n"].astype("int64")
-        return out.assign(_part=_part_of(out[key_col], num_partitions))
+        return _with_part(out, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
@@ -1469,7 +1511,7 @@ def rolling_median(
     per key.  Emits (key, order_col, value, rolling_med).
     """
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col], num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop(columns=["_part"])
@@ -1751,19 +1793,35 @@ def fsm_conformance(
     allowed_set = {(a, b) for a, b in allowed}
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_of(batch[key_col],
-                                           num_partitions))
+        return _with_part(batch, key_col, num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, tiebreak_col],
                           kind="mergesort")
         prev = g.groupby(key_col, sort=False)[state_col].shift(1)
         m = prev.notna()
-        # tuple membership, not packed strings: numpy's fixed-width
-        # unicode truncates embedded separators on astype(str)
-        pair = pd.Series(list(zip(prev[m], g.loc[m, state_col])),
-                         index=prev[m].index, dtype="object")
-        viol = ~pair.isin(allowed_set)
+        # factorize + packed int codes, not per-row Python tuples (the
+        # only O(n)-Python loop the file had; review r5) — factorizing
+        # states + whitelist TOGETHER gives shared codes, and the
+        # int64 pack `from * n + to` is immune to the fixed-width
+        # unicode truncation that ruled out string packing
+        all_states = pd.concat([
+            g[state_col].astype("object"),
+            pd.Series([s for p_ in allowed_set for s in p_],
+                      dtype="object")])
+        codes, _uniq = pd.factorize(all_states, sort=False)
+        n_codes = np.int64(max(len(_uniq), 1))
+        st_codes = codes[:len(g)]
+        wl = codes[len(g):].reshape(-1, 2) if len(allowed_set) else \
+            np.zeros((0, 2), np.int64)
+        code_s = pd.Series(st_codes, index=g.index)
+        prev_c = code_s.groupby(g[key_col], sort=False).shift(1)
+        packed = (prev_c[m].to_numpy(np.float64).astype(np.int64)
+                  * n_codes + code_s[m].to_numpy(np.int64))
+        wl_packed = wl[:, 0].astype(np.int64) * n_codes \
+            + wl[:, 1].astype(np.int64)
+        viol = pd.Series(~np.isin(packed, wl_packed),
+                         index=prev[m].index)
         steps = pd.DataFrame({key_col: g.loc[m, key_col],
                               "viol": viol.astype(np.int64)})
         per_key = (steps.groupby(key_col, as_index=False)
@@ -1825,6 +1883,14 @@ def dau_wau(
         lambda b: pd.DataFrame({"lo": [b["day"].min()],
                                 "hi": [b["day"].max()]}),
         batch_format="pandas").to_pandas()
+    if lohi.empty or "lo" not in lohi.columns \
+            or pd.isna(lohi["lo"].min()):
+        # empty input: empty activity table, not int(NaN) (review r5)
+        return rd.from_arrow(pa.table({
+            "day": pa.array([], pa.int64()),
+            "dau": pa.array([], pa.int64()),
+            "wau": pa.array([], pa.int64()),
+            "stickiness": pa.array([], pa.float64())}))
     lo, hi = int(lohi["lo"].min()), int(lohi["hi"].max())
     dau = exchange_agg(
         du.map_batches(
