@@ -787,7 +787,7 @@ def _knn_lsh_indexed(sf_dir: str) -> pd.DataFrame:
 
     tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     idx_dir = os.path.join(_TMP, f"lsh_index_{tag}")
-    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+    if not _index_meta_current(idx_dir):
         # meta.json is written LAST; its absence means a missing or
         # half-built index — clear before rebuilding (write_parquet
         # appends, it does not replace)
@@ -812,6 +812,22 @@ def _knn_lsh_indexed(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _index_meta_current(idx_dir: str) -> bool:
+    """A cached ANN index is reusable iff its meta.json exists AND
+    carries the current stored-assignment format (2) — older cached
+    indexes lack the stored list/bucket column the probes now read."""
+    import json as _json
+
+    p = os.path.join(idx_dir, "meta.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as fh:
+            return _json.load(fh).get("format") == 2
+    except Exception:
+        return False
+
+
 def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     """Write-once partitioned IVF index + probe (stages/knn.py
     build_ivf_index / knn_ivf_indexed).  nprobe = n_clusters, so the result
@@ -823,7 +839,7 @@ def _knn_ivf_indexed(sf_dir: str) -> pd.DataFrame:
 
     tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     idx_dir = os.path.join(_TMP, f"ivf_index_{tag}")
-    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+    if not _index_meta_current(idx_dir):
         # meta.json is written LAST; its absence means a missing or
         # half-built index — clear before rebuilding (write_parquet
         # appends, it does not replace)

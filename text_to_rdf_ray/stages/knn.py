@@ -42,14 +42,51 @@ def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
             flat.reshape(len(arr), -1), dtype=np.float32
         )
     except Exception:
-        # ragged/null lists: fall back to the copying path
-        return _to_matrix(arr.to_pylist())
+        rows = arr.to_pylist()
+        if any(r is None for r in rows):
+            raise ValueError(
+                f"{emb_col!r} contains null embedding rows — drop or "
+                "impute them before the KNN stage") from None
+        lens = {len(r) for r in rows}
+        if len(lens) > 1:
+            raise ValueError(
+                f"{emb_col!r} has ragged embedding lengths {sorted(lens)} "
+                "— a constant dim is the KNN contract") from None
+        # genuine fallback (unusual layouts): the copying path
+        return _to_matrix(rows)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _sort_batch_by_id(ids: np.ndarray, m: np.ndarray):
+    """Reorder a batch ascending by id so the STABLE local top-k below
+    breaks score ties by neighbor_id — bare argpartition resolved
+    k-boundary ties arbitrarily, so the same query could return
+    different neighbors under different block splits (review r5)."""
+    order = np.argsort(ids, kind="stable")
+    return ids[order], m[order]
+
+
+def _stable_topk_idx(sims: np.ndarray, kk: int) -> np.ndarray:
+    """(nq, kk) indices of the per-query top-k under the deterministic
+    (-score, position) order — callers pre-sort the batch by id so
+    position order IS neighbor_id order."""
+    return np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+
+
+def _topk_part_fn(k: int):
+    """The qidx-partitioned distributed top-k reduce (one vectorized
+    sort + grouped head per partition) — shared by every KNN scorer."""
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .sort_values(["qidx", "score", "neighbor_id"],
+                          ascending=[True, False, True]))
+        return g.groupby("qidx", sort=False).head(k)
+    return topk_part
 
 
 def _driver_topk(partial: pd.DataFrame, query_ids, k: int) -> pd.DataFrame:
@@ -98,10 +135,12 @@ def knn_bruteforce(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize(_emb_matrix(batch, emb_col))
+            ids, m = _sort_batch_by_id(ids, m)
             sims = self.q @ m.T  # (n_queries, batch)
             kk = min(k, sims.shape[1])
-            # local top-k per query (combiner before the partitioned reduce)
-            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            # local top-k per query (combiner before the partitioned
+            # reduce) — stable, deterministic at score ties
+            idx = _stable_topk_idx(sims, kk)
             nq = sims.shape[0]
             out_q = np.repeat(np.arange(nq, dtype=np.int32), kk)
             out_n = ids[idx.ravel()]
@@ -115,31 +154,14 @@ def knn_bruteforce(
                 }
             )
 
-    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pass over every qidx in the partition
-        g = (g.drop(columns=["_part"])
-             .sort_values(["qidx", "score", "neighbor_id"],
-                          ascending=[True, False, True]))
-        return g.groupby("qidx", sort=False).head(k)
-
     reduced = (
         ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
                        concurrency=(1, 16))
         .groupby("_part")
-        .map_groups(topk_part, batch_format="pandas")
+        .map_groups(_topk_part_fn(k), batch_format="pandas")
         .to_pandas()
     )
-    red = reduced.sort_values(["qidx", "score", "neighbor_id"],
-                              ascending=[True, False, True])
-    red = red.groupby("qidx", sort=False).head(k).copy()
-    red["rank"] = (red.groupby("qidx", sort=False).cumcount() + 1).astype("int64")
-    return pd.DataFrame({
-        "query_id": np.asarray(query_ids, dtype=np.int64)[
-            red["qidx"].to_numpy()],
-        "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
-        "rank": red["rank"].to_numpy(),
-        "score": red["score"].round(6).to_numpy(),
-    })
+    return _driver_topk(reduced, query_ids, k)
 
 
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5,
@@ -212,31 +234,45 @@ def knn_ivf(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize(_emb_matrix(batch, emb_col))
+            ids, m = _sort_batch_by_id(ids, m)
             assign = (m @ self.centers.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
             for qi, probe in enumerate(self.probes):
                 mask = np.isin(assign, list(probe))
                 if not mask.any():
                     continue
-                sub = m[mask]
                 sub_ids = ids[mask]
-                sims = self.q[qi] @ sub.T
+                sims = self.q[qi] @ m[mask].T
                 kk = min(k, len(sub_ids))
-                idx = np.argpartition(-sims, kth=kk - 1)[:kk]
-                for j in idx:
-                    out_q.append(qi)
-                    out_n.append(int(sub_ids[j]))
-                    out_s.append(float(sims[j]))
+                idx = np.argsort(-sims, kind="stable")[:kk]
+                out_q.append(np.full(kk, qi, np.int32))
+                out_n.append(sub_ids[idx])
+                out_s.append(sims[idx].astype(np.float64))
+            if out_q:
+                oq = np.concatenate(out_q)
+                on = np.concatenate(out_n)
+                os_ = np.concatenate(out_s)
+            else:
+                oq = np.empty(0, np.int32)
+                on = np.empty(0, np.int64)
+                os_ = np.empty(0, np.float64)
             return pa.table(
                 {
-                    "qidx": pa.array(out_q, pa.int32()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
+                    "qidx": pa.array(oq, pa.int32()),
+                    "_part": pa.array(oq % np.int32(32), pa.int32()),
+                    "neighbor_id": pa.array(on, pa.int64()),
+                    "score": pa.array(os_, pa.float64()),
                 }
             )
 
-    partial = ds.map_batches(ScoreIVF, batch_format="pyarrow", batch_size=4096,
-                             concurrency=(1, 16)).to_pandas()
+    # qidx-partitioned distributed reduce BEFORE the driver collect —
+    # the partial volume is n_batches x n_queries x k otherwise, the
+    # exact driver bottleneck the module docstring bans (review r5)
+    partial = (ds.map_batches(ScoreIVF, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, 16))
+               .groupby("_part")
+               .map_groups(_topk_part_fn(k), batch_format="pandas")
+               .to_pandas())
     return _driver_topk(partial, query_ids, k)
 
 
@@ -339,7 +375,14 @@ def build_ivf_index(
             c = cache["c"] = ray.get(c_ref)
         m = _normalize(_emb_matrix(batch, emb_col))
         lists = (m @ c.T).argmax(axis=1).astype(np.int32)
-        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+        # list_id twice: the hive partition column (pruned-scan layout)
+        # AND a stored data column — write_parquet strips partition
+        # cols from the row data, and the probe needs the BUILD-time
+        # assignment without re-deriving it (review r5)
+        return (batch
+                .append_column("list_id", pa.array(lists, pa.int32()))
+                .append_column("list_id_stored",
+                               pa.array(lists, pa.int32())))
 
     os.makedirs(index_dir, exist_ok=True)
     data_dir = os.path.join(index_dir, "data")
@@ -348,7 +391,8 @@ def build_ivf_index(
     ).write_parquet(data_dir, partition_cols=["list_id"])
     np.save(os.path.join(index_dir, "centroids.npy"), centers)
     meta = {"n_clusters": int(len(centers)), "dim": int(centers.shape[1]),
-            "emb_col": emb_col, "id_col": id_col}
+            "emb_col": emb_col, "id_col": id_col,
+            "format": 2}  # 2 = stored-assignment column (review r5)
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -371,6 +415,10 @@ def knn_ivf_indexed(
 
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("format") != 2:
+        raise ValueError(
+            "knn_ivf_indexed: index predates the stored-assignment format — "
+            "rebuild it with build_ivf_index (format 2)")
     centers = np.load(os.path.join(index_dir, "centroids.npy"))
     emb_col, id_col = meta["emb_col"], meta["id_col"]
 
@@ -395,7 +443,8 @@ def knn_ivf_indexed(
              for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
     if not files:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "rank", "score"])
-    corpus = rd.read_parquet(files, columns=[id_col, emb_col])
+    corpus = rd.read_parquet(files,
+                             columns=[id_col, emb_col, "list_id_stored"])
     probe_mask = np.zeros((len(probe_sets), len(centers)), bool)
     for qi, probe in enumerate(probe_sets):
         probe_mask[qi, list(probe)] = True
@@ -409,17 +458,23 @@ def knn_ivf_indexed(
         q, pmask, cents = got
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(batch, emb_col))
-        lists = (m @ cents.T).argmax(axis=1)
+        # the STORED build-time assignment, not a probe-time float32
+        # re-argmax: BLAS blocking differs between build and probe
+        # batch shapes, so a near-tie row could recompute into an
+        # unprobed list and silently vanish (review r5)
+        lists = batch.column("list_id_stored").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, m, lists = ids[order], m[order], lists[order]
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q)):
             mask = pmask[qi][lists]
             if not mask.any():
                 continue
-            sub = m[mask]
             sub_ids = ids[mask]
-            sims = q[qi] @ sub.T
+            sims = q[qi] @ m[mask].T
             kk = min(k, len(sub_ids))
-            idx = np.argpartition(-sims, kth=kk - 1)[:kk]
+            idx = np.argsort(-sims, kind="stable")[:kk]
             out_q.append(np.full(kk, qi, np.int32))
             out_n.append(sub_ids[idx])
             out_s.append(sims[idx].astype(np.float64))
@@ -432,13 +487,17 @@ def knn_ivf_indexed(
         return pa.table(
             {
                 "qidx": pa.array(oq, pa.int32()),
+                "_part": pa.array(oq % np.int32(32), pa.int32()),
                 "neighbor_id": pa.array(on, pa.int64()),
                 "score": pa.array(os_, pa.float64()),
             }
         )
 
-    partial = corpus.map_batches(score, batch_format="pyarrow",
-                                 batch_size=4096).to_pandas()
+    partial = (corpus.map_batches(score, batch_format="pyarrow",
+                                  batch_size=4096)
+               .groupby("_part")
+               .map_groups(_topk_part_fn(k), batch_format="pandas")
+               .to_pandas())
     return _driver_topk(partial, query_ids, k)
 
 
@@ -674,6 +733,7 @@ def _lsh_score_reduce(
     k: int,
     emb_col: str,
     id_col: str,
+    bucket_col: str | None = None,
 ) -> pd.DataFrame:
     """Shared LSH scoring tail (used by ``knn_lsh`` and
     ``knn_lsh_indexed``): per batch, recompute each row's bucket from the
@@ -698,8 +758,15 @@ def _lsh_score_reduce(
             ids = batch.column(id_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             m_raw = _emb_matrix(batch, emb_col)
-            b = lsh_bucket(m_raw, self.planes)
+            if bucket_col is not None:
+                # stored build-time assignment (indexed probe)
+                b = batch.column(bucket_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            else:
+                b = lsh_bucket(m_raw, self.planes)
             m = _normalize(m_raw)
+            order = np.argsort(ids, kind="stable")
+            ids, m, b = ids[order], m[order], b[order]
             out_q, out_n, out_s = [], [], []
             for bucket in np.unique(b):
                 qis = self.bq.get(int(bucket))
@@ -709,7 +776,7 @@ def _lsh_score_reduce(
                 sub, sub_ids = m[mask], ids[mask]
                 sims = self.q[qis] @ sub.T  # (len(qis), n_sub)
                 kk = min(k, sims.shape[1])
-                idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                idx = _stable_topk_idx(sims, kk)
                 out_q.append(np.repeat(qis, kk))
                 out_n.append(sub_ids[idx.ravel()])
                 out_s.append(np.take_along_axis(sims, idx, axis=1)
@@ -774,7 +841,12 @@ def build_lsh_index(
         if p is None:
             p = cache["p"] = ray.get(p_ref)
         b = lsh_bucket(_emb_matrix(batch, emb_col), p)
-        return batch.append_column("bucket", pa.array(b, pa.int64()))
+        # bucket twice: hive partition col + stored data col (the probe
+        # uses the BUILD-time assignment — re-deriving sign bits near
+        # zero under different BLAS batch shapes could flip; review r5)
+        return (batch
+                .append_column("bucket", pa.array(b, pa.int64()))
+                .append_column("bucket_stored", pa.array(b, pa.int64())))
 
     os.makedirs(index_dir, exist_ok=True)
     ds.select_columns([id_col, emb_col]).map_batches(
@@ -783,7 +855,8 @@ def build_lsh_index(
                     partition_cols=["bucket"])
     np.save(os.path.join(index_dir, "planes.npy"), planes)
     meta = {"n_planes": int(n_planes), "dim": int(dim),
-            "emb_col": emb_col, "id_col": id_col}
+            "emb_col": emb_col, "id_col": id_col,
+            "format": 2}  # 2 = stored-assignment column (review r5)
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -810,6 +883,10 @@ def knn_lsh_indexed(
         raise ValueError("multiprobe must be 0 or 1")
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("format") != 2:
+        raise ValueError(
+            "knn_lsh_indexed: index predates the stored-assignment format — "
+            "rebuild it with build_lsh_index (format 2)")
     planes = np.load(os.path.join(index_dir, "planes.npy"))
     emb_col, id_col = meta["emb_col"], meta["id_col"]
 
@@ -831,9 +908,11 @@ def knn_lsh_indexed(
     if not files:
         return pd.DataFrame(columns=["query_id", "neighbor_id",
                                      "rank", "score"])
-    corpus = rd.read_parquet(files, columns=[id_col, emb_col])
+    corpus = rd.read_parquet(files,
+                             columns=[id_col, emb_col, "bucket_stored"])
     return _lsh_score_reduce(corpus, planes, qm, probes, query_ids, k=k,
-                             emb_col=emb_col, id_col=id_col)
+                             emb_col=emb_col, id_col=id_col,
+                             bucket_col="bucket_stored")
 
 
 def embedding_moments(
@@ -887,7 +966,10 @@ def embedding_pca(
     results are engine-independent.
     """
     m = embedding_moments(ds, emb_col=emb_col).to_pandas()
-    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "s"].iloc[0])
+    nrow = m.loc[(m["i"] == -1) & (m["j"] == -1), "s"]
+    if not len(nrow):
+        raise ValueError("embedding_pca: empty input")
+    n = float(nrow.iloc[0])
     d = int(m["i"].max()) + 1
     mean = np.zeros(d)
     first = m[(m["j"] == -1) & (m["i"] >= 0)]
@@ -997,10 +1079,23 @@ def knn_quantized(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            m = np.stack(batch.column("codes").to_pylist()).astype(np.int64)
+            # zero-copy decode (the to_pylist + np.stack path boxes
+            # every code; review r5): Ray stores fixed-shape lists as
+            # an ArrowTensorArray whose to_numpy IS the (n, d) matrix;
+            # plain list<int> flattens + reshapes
+            col = batch.column("codes")
+            arr = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            if hasattr(arr, "flatten"):
+                m = (arr.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.int64).reshape(len(arr), -1))
+            else:
+                m = np.asarray(arr.to_numpy(zero_copy_only=False)
+                               ).astype(np.int64)
+            ids, m = _sort_batch_by_id(ids, m)
             sims = self.q @ m.T
             kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            idx = _stable_topk_idx(sims, kk)
             nq = sims.shape[0]
             out_q = np.repeat(np.arange(nq, dtype=np.int32), kk)
             return pa.table({
@@ -1011,28 +1106,16 @@ def knn_quantized(
                     np.take_along_axis(sims, idx, axis=1).ravel(),
                     pa.int64())})
 
-    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.drop(columns=["_part"])
-             .sort_values(["qidx", "score", "neighbor_id"],
-                          ascending=[True, False, True]))
-        return g.groupby("qidx", sort=False).head(k)
-
     reduced = (ds_codes.map_batches(Score, batch_format="pyarrow",
                                     batch_size=4096, concurrency=(1, 16))
                .groupby("_part")
-               .map_groups(topk_part, batch_format="pandas")
+               .map_groups(_topk_part_fn(k), batch_format="pandas")
                .to_pandas())
-    red = reduced.sort_values(["qidx", "score", "neighbor_id"],
-                              ascending=[True, False, True])
-    red = red.groupby("qidx", sort=False).head(k).copy()
-    red["rank"] = (red.groupby("qidx", sort=False).cumcount() + 1
-                   ).astype("int64")
-    return pd.DataFrame({
-        "query_id": np.asarray(query_ids, dtype=np.int64)[
-            red["qidx"].to_numpy()],
-        "neighbor_id": red["neighbor_id"].astype("int64").to_numpy(),
-        "rank": red["rank"].to_numpy(),
-        "score": red["score"].astype("int64").to_numpy()})
+    out = _driver_topk(reduced, query_ids, k)
+    # integer-dot scores: round(6) in _driver_topk is an int64 no-op,
+    # but re-assert the dtype for the bit-exact contract
+    out["score"] = out["score"].astype("int64")
+    return out
 
 
 def rproj_signs(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
@@ -1107,9 +1190,10 @@ def pca_power_scores(
     import math
 
     m = embedding_moments(ds, emb_col=emb_col).to_pandas()
-    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "s"].iloc[0])
-    if n == 0:
+    nrow = m.loc[(m["i"] == -1) & (m["j"] == -1), "s"]
+    if not len(nrow) or float(nrow.iloc[0]) == 0:
         raise ValueError("pca_power_scores: empty input")
+    n = float(nrow.iloc[0])
     d = int(m["i"].max()) + 1
     mean = np.zeros(d)
     first = m[(m["j"] == -1) & (m["i"] >= 0)]
@@ -1166,17 +1250,21 @@ def triplet_mining(
     """
     import ray
 
-    head = ds.map_batches(
+    proj = ds.map_batches(
         lambda t: pa.table({
             "_id": t.column(id_col).cast(pa.int64()),
             "_lab": t.column(label_col).cast(pa.int64()),
             emb_col: t.column(emb_col)}),
-        batch_format="pyarrow").to_pandas()
-    if len(head) > max_vectors:
+        batch_format="pyarrow").materialize()
+    # guard BEFORE the driver collect — counting after to_pandas would
+    # OOM first on exactly the input the budget exists for (review r5)
+    n_vec = proj.count()
+    if n_vec > max_vectors:
         raise ValueError(
-            f"triplet_mining: {len(head)} vectors exceeds "
+            f"triplet_mining: {n_vec} vectors exceeds "
             f"max_vectors={max_vectors}; mine within IVF clusters at "
             f"this scale")
+    head = proj.to_pandas()
     C = _normalize(np.asarray(
         [np.asarray(v, np.float64) for v in head[emb_col]],
         dtype=np.float64))
