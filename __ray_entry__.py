@@ -9678,9 +9678,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, url,
                 lower(regexp_extract(url,
                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                regexp_replace(regexp_replace(lower(regexp_extract(url,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                  '^www\\.', ''), ':(80|443)$', '') AS host,
+                CASE
+                  WHEN lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                  THEN regexp_replace(regexp_replace(lower(regexp_extract(
+                    url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^www\\.', ''), ':80$', '')
+                  WHEN lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+                  THEN regexp_replace(regexp_replace(lower(regexp_extract(
+                    url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^www\\.', ''), ':443$', '')
+                  ELSE regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^www\\.', '')
+                END AS host,
                 regexp_replace(regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                   '/$', '') AS path,

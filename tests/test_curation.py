@@ -1741,3 +1741,56 @@ def test_null_text_guards_textrank_gopher_qrels(ray_session):
     rel, totals = lexical_qrels(docs, {"q1": ["alpha", "gamma"]},
                                 min_terms=2)
     assert ("q1", 1) in rel and totals.get("q1", 0) == 1
+
+
+def test_curation_review_r5_regressions(ray_session):
+    """Review r5 curation.py fixes, pinned."""
+    import pytest
+
+    from text_to_rdf_ray.stages.curation import (bigram_entropy,
+                                                 decontaminate,
+                                                 kanon_audit,
+                                                 mix_sources,
+                                                 split_thresholds)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "epsilon zeta"],
+                         pa.string())}))
+
+    # benchmark with docs shorter than n: zero n-grams -> nothing
+    # contaminated, not KeyError on the column-less empty frame
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["tiny"], pa.string())}))
+    out = decontaminate(docs, bench, n=8).to_pandas()
+    assert not out["contaminated"].any()
+
+    # negative FINAL fraction rejected even when the sum is 1.0
+    with pytest.raises(ValueError, match="negative"):
+        split_thresholds([("train", 1.2), ("test", -0.2)])
+
+    # null source rows take the default threshold, not a TypeError
+    srcs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["a", None, "a"], pa.string())}))
+    kept = mix_sources(srcs, weights={"a": 1.0}, default_weight=1.0,
+                       id_col="doc_id").to_pandas()
+    assert len(kept) == 3  # weight 1.0 keeps everything, nulls included
+
+    # null quasi values form equivalence classes (dropna=False)
+    ka = kanon_audit(
+        rd.from_arrow(pa.table({
+            "zip": pa.array(["111", None], pa.string()),
+            "age": pa.array([30, 40], pa.int64()),
+            "disease": pa.array(["x", "y"], pa.string())})),
+        quasi_cols=["zip", "age"], sensitive_col="disease",
+        k=2).to_pandas()
+    assert len(ka) == 2 and ka["k_violation"].all()
+
+    # token-less corpus raises cleanly, not KeyError
+    emptyish = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([""], pa.string())}))
+    with pytest.raises(ValueError, match="no tokens or no bigrams"):
+        bigram_entropy(emptyish)

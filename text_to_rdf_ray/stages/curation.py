@@ -209,6 +209,12 @@ def pack_sequences(
 _WS_RUN_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
+#: per-worker cache of dicts DERIVED from broadcast objects (keyed by
+#: the id() of the _worker_obj_cache-resident source object, which is
+#: stable for the worker's lifetime)
+_DERIVED_CACHE: dict = {}
+
+
 def _terms(text: str) -> list[str]:
     """Lowercased whitespace terms (SQL replay: list_filter(str_split(
     lower(text), ' '), x -> x <> ''))."""
@@ -382,10 +388,12 @@ def decontaminate(
 
     # per-batch distinct combiner, then a driver-side union of the small
     # per-batch gram tables (benchmark side is small by contract)
-    gset = frozenset(
-        bench.map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["g"]
-    )
+    _gdf = bench.map_batches(bench_grams, batch_format="pyarrow") \
+        .to_pandas()
+    # zero benchmark n-grams (all docs shorter than n): nothing can be
+    # contaminated — Ray's to_pandas drops columns at zero rows, so
+    # guard before indexing (review r5)
+    gset = frozenset(_gdf["g"]) if "g" in _gdf.columns else frozenset()
     gref = ray.put(gset)
     cache: dict = {}
 
@@ -862,20 +870,21 @@ def pmi_pairs(
         n_docs = ds.count()
 
     def doc_terms(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_i: list = []
         out_t: list = []
-        for i, tx in zip(ids, texts):
-            for t in set(_terms(tx or "")):
-                out_i.append(i)
-                out_t.append(t)
+        for tx in texts:
+            out_t.extend(set(_terms(tx or "")))
         return pa.table({"term": pa.array(out_t, pa.string())})
 
     df = exchange_agg(
         ds.map_batches(doc_terms, batch_format="pyarrow"),
         "term", [("term", "count", "df")],
         num_partitions=num_partitions).to_pandas()
+    if "df" not in df.columns:
+        # token-less corpus: Ray's zero-row to_pandas drops columns
+        # (review r5) — same typed-empty result as V < 2
+        df = pd.DataFrame({"term": pd.Series(dtype="object"),
+                           "df": pd.Series(dtype="int64")})
     df = df[df["df"] >= min_df].sort_values("term").reset_index(drop=True)
     if len(df) > max_vocab:
         raise ValueError(
@@ -895,7 +904,13 @@ def pmi_pairs(
 
     def pair_counts(batch: pa.Table, ref=vocab_ref) -> pa.Table:
         t_arr, _ = _worker_obj_cache(ref)
-        v2i = {t: i for i, t in enumerate(t_arr)}
+        # derived-dict cache keyed on the per-worker cached array object
+        # — rebuilding a up-to-max_vocab dict per BATCH is O(V) wasted
+        # CPU on the corpus-sized pass (review r5)
+        v2i = _DERIVED_CACHE.get(id(t_arr))
+        if v2i is None:
+            v2i = _DERIVED_CACHE[id(t_arr)] = {
+                t: i for i, t in enumerate(t_arr)}
         keys_parts = []
         for tx in batch.column(text_col).to_pylist():
             idxs = np.fromiter(
@@ -1044,10 +1059,12 @@ def split_thresholds(fractions: list[tuple[str, float]]) -> list[tuple[str, int]
     tot = sum(f for _, f in fractions)
     if not (0.999999 <= tot <= 1.000001):
         raise ValueError(f"hash_split: fractions sum to {tot}, expected 1.0")
+    if any(f < 0 for _, f in fractions):
+        # the old fractions[:-1] loop let a negative FINAL fraction
+        # slip through whenever the sum still hit 1.0 (review r5)
+        raise ValueError("hash_split: negative fraction")
     out, cum = [], 0.0
     for label, f in fractions[:-1]:
-        if f < 0:
-            raise ValueError("hash_split: negative fraction")
         cum += f
         out.append((label, min(int(cum * 2.0**64), 2**64 - 1)))
     return out
@@ -1129,7 +1146,13 @@ def mix_sources(
         h = splitmix64(ids.view(np.uint64) ^ salt_u)
         src = batch.column(source_col).to_numpy(zero_copy_only=False)
         mask = np.ones(len(ids), dtype=bool)
-        for s in np.unique(src):
+        null_sel = pd.isna(src)
+        if null_sel.any():
+            # null source = unlisted source (np.unique would raise
+            # sorting None against str; review r5)
+            if thr_default is not None:
+                mask[null_sel] = h[null_sel] < np.uint64(thr_default)
+        for s in np.unique(src[~null_sel]):
             t = thr.get(s, thr_default)
             if t is not None:
                 sel = src == s
@@ -1664,9 +1687,16 @@ def canonical_urls(urls: pd.Series) -> pd.Series:
     parts.columns = ["scheme", "host", "path", "query"]
     ok = parts["scheme"].notna()
     scheme = parts["scheme"].str.lower()
+    # scheme-AWARE default-port strip: only :80 is default for http and
+    # only :443 for https — stripping both on either scheme made
+    # https://host:80/ (a distinct origin) collapse onto https://host/
+    # and url_dedup silently dropped real documents (review r5)
     host = (parts["host"].str.lower()
-            .str.replace(r"^www\.", "", regex=True)
-            .str.replace(r":(80|443)$", "", regex=True))
+            .str.replace(r"^www\.", "", regex=True))
+    host = host.where(~(scheme == "http"),
+                      host.str.replace(r":80$", "", regex=True))
+    host = host.where(~(scheme == "https"),
+                      host.str.replace(r":443$", "", regex=True))
     path = parts["path"].fillna("").str.replace(r"/$", "", regex=True)
 
     # query params: explode -> filter tracking -> sort -> re-join per row
@@ -2684,7 +2714,11 @@ def kanon_audit(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
-        agg = (g.groupby(quasi_cols, sort=False)[sensitive_col]
+        # dropna=False: a class with a NULL quasi value is still an
+        # equivalence class — the default silently excluded it and the
+        # privacy gate passed non-anonymous releases (review r5)
+        agg = (g.groupby(quasi_cols, sort=False, dropna=False)
+               [sensitive_col]
                .agg(n="size", n_sensitive="nunique").reset_index())
         agg["n"] = agg["n"].astype("int64")
         agg["n_sensitive"] = agg["n_sensitive"].astype("int64")
@@ -2782,6 +2816,10 @@ def extract_links(
     host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
     def _norm_host(h: pd.Series) -> pd.Series:
+        # HOST-graph normalization (site granularity): both default
+        # ports strip regardless of scheme, by contract — unlike
+        # canonical_urls, which is scheme-aware because its dedup
+        # DELETES documents
         return (h.str.lower()
                 .str.replace(r"^www\.", "", regex=True)
                 .str.replace(r":(80|443)$", "", regex=True))
@@ -3041,6 +3079,7 @@ def extractive_summary(
     top_k: int = 2,
     iterations: int = 4,
     damping: float = 0.85,
+    max_segments: int = 4096,
 ) -> rd.Dataset:
     """Extractive summarization by segment-level TextRank (Mihalcea &
     Tarau 2004 "TextRank: Bringing Order into Texts", sentence
@@ -3073,6 +3112,15 @@ def extractive_summary(
             segs = [frozenset(toks[i:i + segment_tokens])
                     for i in range(0, len(toks), segment_tokens)]
             n = len(segs)
+            if n > max_segments:
+                # the similarity matrix is O(n^2) — a 1M-token document
+                # would allocate ~125 GB unguarded; raise with a named
+                # budget like every other driver/worker-budgeted
+                # operator (review r5)
+                raise ValueError(
+                    f"extractive_summary: doc {did} has {n} segments > "
+                    f"max_segments={max_segments}; chunk the document "
+                    "or raise segment_tokens")
             W = np.zeros((n, n))
             for i in range(n):
                 for j in range(i + 1, n):
@@ -3352,9 +3400,20 @@ def bigram_entropy(
                              .astype(np.float64)), pa.float64())}),
             batch_format="pyarrow"),
         "kind", [("n", "sum", "total"), ("nlogn", "sum", "s")],
-        num_partitions=2).to_pandas().set_index("kind")
+        num_partitions=2).to_pandas()
     import math
 
+    if "kind" not in agg.columns:
+        # token-less corpus: zero-row to_pandas drops columns entirely
+        raise ValueError(
+            "bigram_entropy: corpus has no tokens or no bigrams")
+    agg = agg.set_index("kind")
+    if 0 not in agg.index or 1 not in agg.index \
+            or int(agg.loc[0, "total"]) == 0 or int(agg.loc[1, "total"]) == 0:
+        # a corpus with no tokens or no bigrams has no defined entropy
+        # rates — raise cleanly, not KeyError/log(0) (review r5)
+        raise ValueError(
+            "bigram_entropy: corpus has no tokens or no bigrams")
     n1 = int(agg.loc[0, "total"])
     n2 = int(agg.loc[1, "total"])
     h1 = round(math.log(n1) - float(agg.loc[0, "s"]) / n1, 6)
